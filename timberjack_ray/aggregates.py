@@ -1,0 +1,134 @@
+"""Distributed aggregates — the reference's AnalysisResult monoid, re-expressed
+as partial-per-batch counts + one small Ray groupby.
+
+The reference computes per-chunk hashmap counters merged at the end
+(src/analyzer.rs:292-359, merge :510-549).  Ray Data's partial/final
+aggregation replaces the hand-written merge, but a naive
+``ds.groupby(key).count()`` would shuffle every row.  Instead:
+
+1. ``map_batches`` emits ONE partial-count table per batch covering ALL
+   aggregate families at once — rows ``(kind, key, n)`` where ``kind`` ∈
+   {total, level, trend, error, msg, line} (pyarrow ``Table.group_by`` per
+   batch, pure C).
+2. a single ``groupby(["kind","key"]).aggregate(Sum("n"))`` over the tiny
+   partials produces every aggregate in one small shuffle.
+
+So the full report costs ONE pass over the data and one shuffle whose volume
+is ~(distinct keys × batches), not rows.  Only the ``line``/``msg`` families
+have high cardinality (exact dedup is inherently a shuffle); they are skipped
+unless requested.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KIND_TOTAL = "total"
+KIND_LEVEL = "level"
+KIND_TREND = "trend"
+KIND_ERROR = "error"
+KIND_MSG = "msg"
+KIND_LINE = "line"
+
+
+def _count_keys(col: pa.ChunkedArray, drop_null: bool) -> tuple[list, list]:
+    """(keys, counts) of a string column, vectorized via pa group_by."""
+    t = pa.table({"k": col})
+    if drop_null:
+        t = t.filter(pc.is_valid(t["k"]))
+    if t.num_rows == 0:
+        return [], []
+    g = t.group_by("k").aggregate([([], "count_all")])
+    return g["k"].to_pylist(), g["count_all"].to_pylist()
+
+
+class PartialCounts:
+    """Per-batch partial aggregation; emits (kind, key, n) rows."""
+
+    def __init__(
+        self,
+        want_trend: bool = False,
+        want_stats: bool = False,
+        want_lines: bool = False,
+        extra_cols: list[str] | None = None,
+    ):
+        self.want_trend = want_trend
+        self.want_stats = want_stats
+        self.want_lines = want_lines
+        self.extra_cols = extra_cols or []  # e.g. ["source", "severity"] → kind "col:source"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds: list[str] = []
+        keys: list = []
+        ns: list[int] = []
+
+        def emit(kind: str, k: list, n: list) -> None:
+            kinds.extend([kind] * len(k))
+            keys.extend(k)
+            ns.extend(n)
+
+        emit(KIND_TOTAL, [""], [batch.num_rows])
+        if self.want_stats:
+            k, n = _count_keys(batch["level"], drop_null=False)
+            emit(KIND_LEVEL, k, n)
+            k, n = _count_keys(batch["error_type"], drop_null=True)
+            emit(KIND_ERROR, k, n)
+            k, n = _count_keys(batch["message_key"], drop_null=False)
+            emit(KIND_MSG, k, n)
+        if self.want_trend:
+            k, n = _count_keys(batch["ts_hour"], drop_null=True)
+            emit(KIND_TREND, k, n)
+        if self.want_lines:
+            k, n = _count_keys(batch["line"], drop_null=False)
+            emit(KIND_LINE, k, n)
+        for col in self.extra_cols:
+            k, n = _count_keys(batch[col], drop_null=False)
+            emit(f"col:{col}", k, n)
+
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "key": pa.array(keys, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extra_cols=None):
+    """Dataset of final (kind, key, n) totals (small; safe to take_all)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        PartialCounts(
+            want_trend=want_trend,
+            want_stats=want_stats,
+            want_lines=want_lines,
+            extra_cols=extra_cols,
+        ),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["kind", "key"]).aggregate(Sum("n", alias_name="n"))
+
+
+def counts_by(ds, keys, name: str = "n"):
+    """Generic pre-aggregated groupby-count: partial per batch (pyarrow
+    group_by, in C) then one small Ray shuffle over partials."""
+    from ray.data.aggregate import Sum
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["__partial_n"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return p.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        Sum("__partial_n", alias_name=name)
+    )
+
+
+def top_k(counts_ds, key_col: str, n_col: str, k: int):
+    """Deterministic top-K: count desc, key asc (the reference's tie order is
+    hashmap iteration — nondeterministic; we define it, SURVEY.md §2.6 K1)."""
+    return counts_ds.sort([n_col, key_col], descending=[True, False]).limit(k)

@@ -1,0 +1,167 @@
+"""Deterministic token vocabulary for pre-tokenized log sequences.
+
+The engine's input is a Parquet table of pre-tokenized sequences
+(``doc_id:string, tokens:list<int32>, n_tok:int32, source:string`` — see
+BASELINE.json ``input_hint``).  ``detokenize(tokens)`` must reproduce one log
+line byte-for-byte so the analysis semantics of the reference
+(/root/reference/src/analyzer.rs) can be applied to the decoded text.
+
+Token id scheme (fixed forever — ids are stable across versions):
+
+* ``0..255``    — single character ``chr(id)`` (covers ASCII + Latin-1;
+                  variable payload like timestamps, request ids, numbers).
+* ``256``       — word separator (a single space).
+* ``257..``     — whole words from the static ``WORDS`` list below
+                  (message-pool words of the reference's benchmark
+                  generators: /root/reference/src/bin/create_benchmark_logs.rs:40-83
+                  and /root/reference/benchmark/create_json_logs.py:9-25, plus
+                  JSON-template fragments and non-ASCII fixture words).
+
+``detokenize`` is fully vectorized: flatten the Arrow list column, gather
+piece strings with ``pc.take``, re-wrap with the original offsets and
+``pc.binary_join`` with an empty separator.  No Python-per-row work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SPACE_ID = 256
+WORD_BASE = 257
+
+# Static whole-word vocabulary.  Appending is allowed (new ids), reordering or
+# removing is NOT (would change the meaning of existing token ids).
+_LEVELS = ["ERROR", "WARN", "INFO", "DEBUG", "TRACE", "SEVERE", "WARNING", "FINE"]
+
+_GENERIC_MESSAGE_WORDS = [
+    # words of the 20-message pool, create_benchmark_logs.rs:49-70
+    "NullPointerException", "in", "WebController.java:42",
+    "Connection", "timeout", "NetworkClient.java:86",
+    "Database", "query", "took", "2.3s", "DatabaseService.java:128",
+    "Application", "started", "successfully",
+    "Session", "created", "for", "user_123",
+    "OutOfMemoryError", "SearchIndexer.java:212",
+    "Failed", "to", "process", "request:", "invalid", "parameters",
+    "Cache", "miss", "key:", "user_profile_123",
+    "Authentication", "successful",
+    "Request", "processed", "150ms",
+    "500", "Internal", "Server", "Error:", "POST", "/api/orders",
+    "403", "Forbidden:", "Access", "denied", "user_456",
+    "Slow", "database", "operation", "detected", "(query", "3.5s)",
+    "Memory", "usage", "at", "75%", "of", "allocated", "heap",
+    "hit", "ratio:", "65.4%", "(last", "hour)",
+    "API", "rate", "limit", "exceeded", "client_789",
+    "Garbage", "collection", "cycle", "completed", "250ms",
+    "System", "backup", "(estimated", "time:", "15m)",
+    "Certificate", "expiring", "30", "days", "(domain.com)",
+    "Configuration", "loaded", "from", "/etc/config.json",
+]
+
+_JSON_WORDS = [
+    # json.dumps(default separators) pieces: '{"key": "value", ...}' split on ' '
+    '{"timestamp":', '"service":', '"level":', '"message":', '"request_id":',
+    '"status":', '"response_time":', '"request":', '{"method":', '"path":',
+    '"headers":', '{"content-type":', '"user-agent":', '"Mozilla/5.0"},',
+    '"user":', '{"id":', '"role":', '"error":', '{"type":', '"code":',
+    # common value fragments
+    '"api",', '"auth",', '"payment",', '"database",', '"frontend",',
+    '"cache",', '"search",', '"notification",',
+    '"INFO",', '"WARN",', '"ERROR",', '"DEBUG",',
+    '"GET",', '"POST",', '"PUT",', '"DELETE",',
+    '"application/json",', '"text/html",', '"application/xml",',
+    '"admin"},', '"user"},', '"guest"},',
+    '"NullPointerException",', '"ConnectionTimeout",',
+    '"AuthenticationFailure",', '"DatabaseError",',
+    # message values (leading-quote / trailing-quote-comma variants)
+    '"Request', 'successfully",', '"Database', 'completed",',
+    '"Authentication', 'successful",', '"Failed', 'login', 'attempt",',
+    '"Payment', 'processed",', '"Connection', 'timeout",', '"Cache', 'miss",',
+    '"User', 'profile', 'updated",', 'WebController",', '"Rate',
+    'exceeded",', '"Slow', 'detected",', 'token', 'expired",',
+]
+
+_EDGE_WORDS = [
+    # non-ASCII fixture words (tests/edge_cases.rs:46-81) that are not
+    # encodable char-by-char below 256
+    "日本語", "テスト", "状態：エラー", "ошибка", "错误",
+]
+
+WORDS: list[str] = list(
+    dict.fromkeys(_LEVELS + [f"[{lv}]" for lv in _LEVELS] + _GENERIC_MESSAGE_WORDS + _JSON_WORDS + _EDGE_WORDS)
+)
+
+_WORD2ID = {w: WORD_BASE + i for i, w in enumerate(WORDS)}
+
+VOCAB_SIZE = WORD_BASE + len(WORDS)
+
+# piece[i] -> string contributed by token i
+_PIECES: list[str] = [chr(i) for i in range(256)] + [" "] + WORDS
+PIECE_ARRAY: pa.Array = pa.array(_PIECES, type=pa.string())
+
+
+def encode_word(word: str) -> list[int]:
+    """Encode one whitespace-free word to token ids."""
+    wid = _WORD2ID.get(word)
+    if wid is not None:
+        return [wid]
+    out = []
+    for ch in word:
+        cp = ord(ch)
+        if cp >= 256:
+            raise ValueError(
+                f"character {ch!r} (U+{cp:04X}) not encodable: add the word {word!r} to vocab.WORDS"
+            )
+        out.append(cp)
+    return out
+
+
+def encode(line: str) -> list[int]:
+    """Encode one log line (single-space-joined words round-trip exactly;
+    runs of spaces are preserved via empty words)."""
+    toks: list[int] = []
+    for i, word in enumerate(line.split(" ")):
+        if i:
+            toks.append(SPACE_ID)
+        toks.extend(encode_word(word))
+    return toks
+
+
+def decode(tokens) -> str:
+    """Scalar decode (tests / oracle)."""
+    return "".join(_PIECES[t] for t in tokens)
+
+
+def _detok_one(arr: pa.ListArray) -> pa.StringArray:
+    values = arr.flatten()  # honors slice offset of the list array
+    pieces = pc.take(PIECE_ARRAY, values)
+    offsets = pc.subtract(arr.offsets, arr.offsets[0])
+    joined = pa.ListArray.from_arrays(offsets.cast(pa.int32()), pieces)
+    return pc.binary_join(joined, "")
+
+
+def detokenize(list_arr: pa.ListArray | pa.ChunkedArray) -> pa.StringArray | pa.ChunkedArray:
+    """Vectorized detokenization of a ``list<int32>`` Arrow array.
+
+    Zero Python-per-row work: gather piece strings for the flattened values
+    (``pc.take`` against the static piece table) and join them back per row
+    with the original list offsets (``pc.binary_join``).
+    """
+    if isinstance(list_arr, pa.ChunkedArray):
+        return pa.chunked_array(
+            [_detok_one(c) for c in list_arr.chunks], type=pa.string()
+        )
+    return _detok_one(list_arr)
+
+
+def encode_batch(lines: list[str]) -> pa.ListArray:
+    """Encode many lines to a ``list<int32>`` array (generator-side)."""
+    offsets = [0]
+    values: list[int] = []
+    for line in lines:
+        values.extend(encode(line))
+        offsets.append(len(values))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+    )
