@@ -118,7 +118,7 @@ def message_key(lines) -> pa.ChunkedArray:
         has_second = lens >= 2
         out[has_second] = flat
         out_chunks.append(pa.array(out, type=pa.string()))
-    return pa.chunked_array(out_chunks)
+    return pa.chunked_array(out_chunks, type=pa.string())
 
 
 # ---------------------------------------------------------------------------

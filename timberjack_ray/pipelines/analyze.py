@@ -138,6 +138,9 @@ def analyze_dataset(
         want_lines=cfg.collect_lines,
         extra_cols=extra_cols,
     ).to_pandas()
+    if counts.empty or "kind" not in counts.columns:
+        # all rows filtered out → Ray yields a schemaless empty frame
+        counts = pd.DataFrame({"kind": [], "key": [], "n": []})
     report = assemble_report(counts, cfg)
     return AnalyzeOutput(
         report=report, counts=counts, fmt=fmt,

@@ -86,6 +86,7 @@ _EDGE_WORDS = [
     # non-ASCII fixture words (tests/edge_cases.rs:46-81) that are not
     # encodable char-by-char below 256
     "日本語", "テスト", "状態：エラー", "ошибка", "错误",
+    "你好，世界!", "エラーが発生しました",
 ]
 
 WORDS: list[str] = list(
