@@ -115,7 +115,9 @@ def test_json_nested_flatten():
     )
     assert fields["a.b.c"] == "x"
     assert fields["arr[0].k"] == "1"
-    assert fields["arr[1]"] == "2"
+    # scalar array items are DROPPED by the reference (extract_fields falls
+    # through the `_ => {}` arm for non-container items, src/parser/json.rs:82-88)
+    assert "arr[1]" not in fields
     assert fields["n"] == "null"
     assert fields["b"] == "true"  # serde bool Display is lowercase
     assert fields["f"] == "12"
