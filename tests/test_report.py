@@ -61,7 +61,10 @@ def test_repetition_ratio_zero_when_empty():
 
 
 def test_top_errors_limit():
-    lines = [f"2025-03-21 14:00:0{i % 10},000 [ERROR] Fake{i}Exception here" for i in range(8)]
+    lines = [
+        f"2025-03-21 14:00:0{i % 10},000 [ERROR] Fake{chr(65 + i)}Exception here"
+        for i in range(8)
+    ]
     o = oracle.analyze_lines(lines, fmt="generic", collect_stats=True)
     rep = assemble_report(counts_from_oracle(o), AnalyzeConfig(stats=True, top_errors=3))
     assert len(rep["stats"]["error_types"]) == 3
