@@ -1,44 +1,458 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship parse→enrich→route→aggregate pipeline on the
+synthesized sequences table (sf0.001 scale).  ``queries()`` — one entry per
+implemented operator family from SURVEY.md §2 (+ the training-data ops),
+each runnable on the driver's testdata tables; ``oracle_sql()`` — DuckDB
+equivalents for every SQL-expressible query (same column names, so the
+driver's order-insensitive value-hash comparison matches).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _seq_dir(sf_dir: str) -> str:
+    """Deterministic synthesized sequences table for this scale factor
+    (input_hint shape; cached under /tmp, regenerated if absent)."""
+    from timberjack_ray.data import synth
+
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.001
+    n = int(min(max(2_000_000 * sf, 20_000), 2_000_000))
+    out = f"/tmp/tj_sequences/n{n}"
+    synth.generate_sequences(n, out, json_frac=0.3, rows_per_file=max(n // 32, 10_000))
+    return out
+
+
+def _seq_ds(sf_dir: str):
+    import glob
+
+    import ray.data as rd
+
+    return rd.read_parquet(sorted(glob.glob(os.path.join(_seq_dir(sf_dir), "part-*.parquet"))))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: synthesize sequences, run the full
+    parse→enrich→route→aggregate DAG, return the aggregate counts table."""
+    import shutil
+
+    from timberjack_ray import AnalyzeConfig
+    from timberjack_ray.data import synth
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+
+    seq = "/tmp/tj_entry_seq"
+    out = "/tmp/tj_entry_routed"
+    shutil.rmtree(out, ignore_errors=True)
+    synth.generate_sequences(20_000, seq, json_frac=0.3, rows_per_file=2_500)
+    paths = sorted(
+        os.path.join(seq, f) for f in os.listdir(seq) if f.startswith("part-")
+    )
+    cfg = AnalyzeConfig(trend=True, stats=True)
+    res = analyze_parquet(
+        paths, cfg, out_dir=out, lookup=synth.source_lookup_dict(), num_partitions=32,
+    )
+    return res.counts  # (kind, key, n) DataFrame — stable schema, >0 rows
+
+
+# ---------------------------------------------------------------------------
+# queries (each callable: sf_dir -> Dataset | DataFrame | pa.Table)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1_qty(sf_dir: str):
+    """A3-style grouped aggregate machinery on lineitem (SURVEY §2.5)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "q", "c"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("q", alias_name="sum_qty"), Sum("c", alias_name="n")
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_event_type_counts(sf_dir: str):
+    """A3: per-key counts via partial-per-batch + small shuffle."""
+    from timberjack_ray.aggregates import counts_by
+
+    return counts_by(_rp(sf_dir, "events", columns=["event_type"]), "event_type")
+
+
+def q_event_trends(sf_dir: str):
+    """A4: hour-bucket trend counts."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"ts_hour": pc.strftime(t["ts"], "%Y-%m-%d %H")})
+
+    return counts_by(ds.map_batches(bucket, batch_format="pyarrow"), "ts_hour")
+
+
+def q_event_top3(sf_dir: str):
+    """K1: deterministic top-K (count desc, key asc) with rank."""
+    from timberjack_ray.aggregates import counts_by, top_k
+
+    ds = counts_by(_rp(sf_dir, "events", columns=["event_type"]), "event_type")
+    top = top_k(ds, "event_type", "n", 3).to_pandas()
+    top = top.sort_values(["n", "event_type"], ascending=[False, True]).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def q_props_field_filter(sf_dir: str):
+    """M5: JSON field filter (exact string equality on extracted field)."""
+    import json as _json
+
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "props"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keep = []
+        for p in t["props"].to_pylist():
+            try:
+                obj = _json.loads(p)
+                keep.append(str(obj.get("k")) == "42")
+            except Exception:
+                keep.append(False)
+        return t.filter(pa.array(keep)).select(["event_type"])
+
+    return counts_by(ds.map_batches(filt, batch_format="pyarrow"), "event_type")
+
+
+def q_pattern_filter_docs(sf_dir: str):
+    """M3: literal substring pattern filter (Arrow SIMD kernel)."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.kernels import pattern_mask
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pattern_mask(t["text"], "merge")).select(["lang"])
+
+    return counts_by(ds.map_batches(filt, batch_format="pyarrow"), "lang")
+
+
+def q_regex_extract_docs(sf_dir: str):
+    """M6-style first-match regex extraction → grouped counts."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["text"], r"(?P<tok>spark|hash|join)")
+        tok = pc.struct_field(st, "tok")
+        out = pa.table({"tok": tok})
+        return out.filter(pc.is_valid(tok))
+
+    return counts_by(ds.map_batches(ext, batch_format="pyarrow"), "tok")
+
+
+def q_enrich_customers(sf_dir: str):
+    """ST6/§2.4: broadcast map-join enrich (customer → nation → region)."""
+    import ray
+
+    from timberjack_ray.aggregates import counts_by
+
+    nation = _rp(sf_dir, "nation").to_pandas()
+    region = _rp(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class Enrich:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_pylist()
+            return pa.table({"r_name": pa.array([self.lut[k] for k in keys])})
+
+    ds = _rp(sf_dir, "customer", columns=["c_nationkey"])
+    return counts_by(ds.map_batches(Enrich, batch_format="pyarrow", concurrency=2), "r_name")
+
+
+def q_route_counts_docs(sf_dir: str):
+    """Per-sink aggregate counts analog on documents (lang = sink key)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ([], "count_all")])
+        return g.rename_columns(["lang", "sc", "c"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = p.groupby("lang").aggregate(
+        Sum("sc", alias_name="sum_chars"), Sum("c", alias_name="n")
+    ).to_pandas()
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """§2.7 exact dedup: survivor = min(doc_id) per distinct text."""
+    from timberjack_ray.functions.dedup import exact_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, col="text", id_col="doc_id").to_pandas()
+    return out[["doc_id"]].astype({"doc_id": "int64"})
+
+
+def q_doc_token_counts(sf_dir: str):
+    """Token counting (whitespace) per language."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        g = pa.table({"lang": t["lang"], "nw": nw}).group_by("lang").aggregate(
+            [("nw", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["lang", "w", "c"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = p.groupby("lang").aggregate(
+        Sum("w", alias_name="total_words"), Sum("c", alias_name="n")
+    ).to_pandas()
+    return out.astype({"total_words": "int64", "n": "int64"})
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (float64 math)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q0[None, :], k=10)
+    return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
+
+
+# --- non-SQL-expressible ops (driver records rows-only checks) -------------
+
+def q_seq_level_counts(sf_dir: str):
+    from timberjack_ray import AnalyzeConfig, analyze_dataset
+
+    out = analyze_dataset(_seq_ds(sf_dir), AnalyzeConfig(stats=True, collect_lines=False))
+    st = out.report["stats"]
+    return pd.DataFrame(st["log_levels"]).astype({"count": "int64"})
+
+
+def q_seq_trends(sf_dir: str):
+    from timberjack_ray import AnalyzeConfig, analyze_dataset
+
+    out = analyze_dataset(_seq_ds(sf_dir), AnalyzeConfig(trend=True, collect_lines=False))
+    return pd.DataFrame(out.report["time_trends"]).astype({"count": "int64"})
+
+
+def q_seq_top_errors(sf_dir: str):
+    from timberjack_ray import AnalyzeConfig, analyze_dataset
+
+    out = analyze_dataset(_seq_ds(sf_dir), AnalyzeConfig(stats=True, collect_lines=False))
+    return pd.DataFrame(out.report["stats"]["error_types"]).astype({"count": "int64", "rank": "int64"})
+
+
+def q_seq_count_pattern(sf_dir: str):
+    from timberjack_ray import AnalyzeConfig, analyze_dataset
+
+    out = analyze_dataset(_seq_ds(sf_dir), AnalyzeConfig(count=True, pattern="timeout"))
+    return pd.DataFrame({"total": [out.report["total_count"]]})
+
+
+def q_minhash_pairs(sf_dir: str):
+    from timberjack_ray.functions.dedup import minhash_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    groups, pairs = minhash_dedup(ds, threshold=0.5)
+    return pd.DataFrame({"n_pairs": [len(pairs)], "n_grouped_docs": [len(groups)]})
+
+
+def q_simhash_pairs(sf_dir: str):
+    from timberjack_ray.functions.dedup import simhash_candidates
+
+    pairs = simhash_candidates(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    ).to_pandas().drop_duplicates(["a", "b"])
+    return pd.DataFrame({"n_pairs": [len(pairs)]})
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from timberjack_ray.functions.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.9
+    ).to_pandas().drop_duplicates(["a", "b"])
+    return pd.DataFrame({"n_pairs": [len(pairs)]})
+
+
+def q_quality_scores(sf_dir: str):
+    from timberjack_ray.functions.text import QualityScorer
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2).to_pandas()
+    return scored[["doc_id", "quality"]].astype({"doc_id": "int64"})
+
+
+def q_langid(sf_dir: str):
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.text import LangId
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return counts_by(pred, "lang_pred")
+
+
+def q_fingerprints(sf_dir: str):
+    from timberjack_ray.functions.text import add_fingerprints
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_fingerprints, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
+
+
+def q_multimodal_decode(sf_dir: str):
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import decode_images, make_fake_media_table
+
+    ds = rd.from_arrow(make_fake_media_table(500))
+    out = decode_images(ds).to_pandas()
+    return out[["media_id", "pixel_mean", "pixel_std"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_qty": q_tpch_q1_qty,
+        "event_type_counts": q_event_type_counts,
+        "event_trends": q_event_trends,
+        "event_top3": q_event_top3,
+        "props_field_filter": q_props_field_filter,
+        "pattern_filter_docs": q_pattern_filter_docs,
+        "regex_extract_docs": q_regex_extract_docs,
+        "enrich_customers": q_enrich_customers,
+        "route_counts_docs": q_route_counts_docs,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_token_counts": q_doc_token_counts,
+        "ann_topk": q_ann_topk,
+        # non-SQL-expressible (rows-only checks)
+        "seq_level_counts": q_seq_level_counts,
+        "seq_trends": q_seq_trends,
+        "seq_top_errors": q_seq_top_errors,
+        "seq_count_pattern": q_seq_count_pattern,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "event_type_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        """,
+        "event_trends": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS ts_hour, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "event_top3": """
+            SELECT event_type, n, rank FROM (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS BIGINT) AS rank
+              FROM events GROUP BY event_type
+            ) WHERE rank <= 3
+        """,
+        "props_field_filter": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE json_extract_string(props, '$.k') = '42'
+            GROUP BY event_type
+        """,
+        "pattern_filter_docs": """
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE text LIKE '%merge%' GROUP BY lang
+        """,
+        "regex_extract_docs": """
+            SELECT tok, COUNT(*) AS n FROM (
+              SELECT regexp_extract(text, '(spark|hash|join)', 1) AS tok FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+        """,
+        "enrich_customers": """
+            SELECT r.r_name AS r_name, COUNT(*) AS n
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "route_counts_docs": """
+            SELECT lang, SUM(n_chars) AS sum_chars, COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_token_counts": """
+            SELECT lang, SUM(len(string_split(text, ' '))) AS total_words, COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "ann_topk": """
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                       vec_id ASC) AS BIGINT) AS rank
+              FROM embeddings
+            ) WHERE rank <= 10
+        """,
+    }

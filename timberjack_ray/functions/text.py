@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` transforms over a string column:
+token counting (whitespace + BPE-ish regex), language ID (stopword/charset
+n-gram heuristic), quality scoring (length/punct/stopword ratios), and
+document fingerprinting (stable 64-bit content hash + rolling n-gram hash).
+
+No models, no network — deterministic heuristics only (sandbox constraint);
+the stage shapes (actor-pool ``map_batches``, schema in/out) are the real
+thing and hold at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "for", "on", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "del", "se"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"},
+    "fr": {"le", "la", "de", "et", "un", "les", "des", "en", "du", "est"},
+}
+
+
+def add_token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``n_words`` (whitespace tokens) and ``n_bpe`` (regex pieces)."""
+    words = pc.split_pattern_regex(batch[col], r"\s+")
+    n_words = pc.list_value_length(words).cast(pa.int64())
+    pieces = pc.extract_regex_span(batch[col], BPE_RE) if hasattr(pc, "extract_regex_span") else None
+    if pieces is None:
+        # count matches via count_substring_regex (RE2, non-overlapping)
+        n_bpe = pc.count_substring_regex(batch[col], BPE_RE).cast(pa.int64())
+    else:
+        n_bpe = pc.list_value_length(pieces).cast(pa.int64())
+    return batch.append_column("n_words", n_words).append_column("n_bpe", n_bpe)
+
+
+class QualityScorer:
+    """Actor-pool stage: per-doc quality features + scalar score in [0, 1].
+
+    Features: length band, alpha ratio, punct ratio, stopword ratio, mean
+    word length — the standard cheap pre-filters of web-scale text cleaning.
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.all_stop = set().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].astype(str)
+        n_chars = s.str.len().to_numpy()
+        n_alpha = s.str.count(r"[A-Za-z]").to_numpy()
+        n_punct = s.str.count(r"[^\w\s]").to_numpy()
+        words = s.str.lower().str.findall(self.word_re)
+        n_words = words.map(len).to_numpy()
+        n_stop = words.map(lambda ws: sum(w in self.all_stop for w in ws)).to_numpy()
+        safe_chars = np.maximum(n_chars, 1)
+        safe_words = np.maximum(n_words, 1)
+        batch["alpha_ratio"] = n_alpha / safe_chars
+        batch["punct_ratio"] = n_punct / safe_chars
+        batch["stop_ratio"] = n_stop / safe_words
+        batch["mean_word_len"] = np.where(n_words > 0, n_alpha / safe_words, 0.0)
+        length_ok = np.clip(n_chars / 200.0, 0.0, 1.0)
+        batch["quality"] = (
+            0.3 * length_ok
+            + 0.3 * batch["alpha_ratio"].to_numpy()
+            + 0.2 * np.clip(batch["stop_ratio"].to_numpy() * 5, 0, 1)
+            + 0.2 * np.clip(batch["mean_word_len"].to_numpy() / 8.0, 0, 1)
+        )
+        return batch
+
+
+class LangId:
+    """Actor-pool stage: stopword-vote + charset language heuristic.
+
+    Emits ``lang_pred`` and ``lang_conf``.  Charset rules fire first (CJK,
+    Cyrillic), then stopword votes, default "en".
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.word_re = re.compile(r"[a-zA-Zа-яА-Я]+")
+        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
+        self.cyr = re.compile(r"[Ѐ-ӿ]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for text in batch[self.col].astype(str):
+            if self.cjk.search(text):
+                preds.append("zh-ja")
+                confs.append(1.0)
+                continue
+            if self.cyr.search(text):
+                preds.append("ru")
+                confs.append(1.0)
+                continue
+            words = [w.lower() for w in self.word_re.findall(text)]
+            votes = {
+                lang: sum(w in sw for w in words) for lang, sw in _STOPWORDS.items()
+            }
+            best = max(votes, key=lambda k: (votes[k], k))
+            total = sum(votes.values())
+            preds.append(best if votes[best] > 0 else "en")
+            confs.append(votes[best] / total if total else 0.0)
+        batch["lang_pred"] = preds
+        batch["lang_conf"] = confs
+        return batch
+
+
+def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.Table:
+    """Append ``fp64`` (stable 64-bit content hash, pandas siphash — process
+    stable) and ``fp_min_ngram`` (min over rolling word-ngram hashes, a cheap
+    locality-insensitive document sketch)."""
+    texts = batch[col].to_pandas().astype(str)
+    fp = pd.util.hash_array(texts.to_numpy(dtype=object)).astype(np.uint64)
+
+    mins = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) < ngram:
+            grams = [t]
+        else:
+            grams = [" ".join(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)]
+        mins[i] = pd.util.hash_array(np.array(grams, dtype=object)).min()
+    return batch.append_column("fp64", pa.array(fp.view(np.int64))).append_column(
+        "fp_min_ngram", pa.array(mins.view(np.int64))
+    )
