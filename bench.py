@@ -1,0 +1,165 @@
+"""Benchmark harness — one JSON line per run (driver contract).
+
+Plain run:    python bench.py            → headline + per-query seconds at
+                                           $RAY_GRAFT_CPUS (default 32) over
+                                           $GRAFT_SF_DIR (default sf0.1)
+Scaling run:  python bench.py --scaling  → same job in fresh processes at
+                                           num_cpus=8 and 32; reports both
+                                           throughputs + scaling efficiency
+                                           (the sandbox evidence for the
+                                           north rule's two-cluster-size
+                                           criterion, BASELINE.md).
+
+The headline metric is the flagship parse→enrich→route→aggregate pipeline
+over the synthesized pre-tokenized sequences table at this scale factor
+(BASELINE.json input_hint); value = wall seconds, with sequences/sec derived.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return 0.1
+
+
+def seq_rows(sf: float) -> int:
+    return int(min(max(2_000_000 * sf, 20_000), 2_000_000))
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from timberjack_ray import AnalyzeConfig
+    from timberjack_ray.data import synth
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+
+    sf = sf_of(SF_DIR)
+    n = seq_rows(sf)
+    seq_dir = f"/tmp/tj_bench_seq/n{n}"
+    synth.generate_sequences(n, seq_dir, json_frac=0.3, rows_per_file=max(n // 64, 10_000))
+    paths = sorted(glob.glob(os.path.join(seq_dir, "part-*.parquet")))
+
+    # warm the OS page cache (one untimed single-column scan) and the Ray
+    # worker pool (first task on each worker pays module-import cost; we
+    # measure steady-state pipeline throughput, not interpreter start-up)
+    import ray.data as rd
+
+    rd.read_parquet(paths, columns=["n_tok"]).sum("n_tok")
+    warm_cfg = AnalyzeConfig(trend=True, stats=True, collect_lines=False)
+    analyze_parquet(paths[:2], warm_cfg, lookup=synth.source_lookup_dict())
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out_dir = f"/tmp/tj_bench_routed_{NUM_CPUS}"
+
+    def flagship_routed():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cfg = AnalyzeConfig(trend=True, stats=True, collect_lines=False)
+        analyze_parquet(
+            paths, cfg, out_dir=out_dir, lookup=synth.source_lookup_dict(),
+            num_partitions=max(NUM_CPUS * 4, 64),
+        )
+
+    def flagship_agg_only():
+        cfg = AnalyzeConfig(trend=True, stats=True, collect_lines=False)
+        analyze_parquet(paths, cfg)
+
+    def count_pattern():
+        analyze_parquet(paths, AnalyzeConfig(count=True, pattern="timeout"))
+
+    def level_filter():
+        analyze_parquet(paths, AnalyzeConfig(level="ERROR", collect_lines=False))
+
+    import __ray_entry__ as em
+
+    timed("flagship_routed", flagship_routed)
+    timed("flagship_agg_only", flagship_agg_only)
+    timed("count_pattern", count_pattern)
+    timed("level_filter", level_filter)
+    timed("event_type_counts", lambda: em.q_event_type_counts(SF_DIR).to_pandas())
+    timed("event_trends", lambda: em.q_event_trends(SF_DIR).to_pandas())
+    timed("dedup_exact_docs", lambda: em.q_dedup_exact_docs(SF_DIR))
+    timed("minhash_pairs", lambda: em.q_minhash_pairs(SF_DIR))
+    timed("ann_topk", lambda: em.q_ann_topk(SF_DIR))
+
+    headline = queries["flagship_routed"]
+    result = {
+        "metric": "flagship parse→enrich→route→aggregate wall sec "
+                  f"({n} pre-tokenized sequences)",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "sequences": n,
+        "sequences_per_sec": round(n / headline, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency N→4N (flagship_routed)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "seq_per_sec_8": r_lo["sequences_per_sec"],
+        "seq_per_sec_32": r_hi["sequences_per_sec"],
+        "sequences": r_hi["sequences"],
+        "sf": r_hi["sf"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,13 +1,13 @@
 """Router / lineage / resume invariants (north_rule):
 per-sink aggregate-count equality, routed-row token equality,
-resume-from-checkpoint without reprocessing completed partitions."""
+resume-from-checkpoint without reprocessing completed work — for both the
+default fanout exchange (wave checkpoints) and shuffle mode (pid checkpoints)."""
 
 import glob
 import json
 import os
 import shutil
 
-import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
@@ -15,11 +15,17 @@ import pytest
 from timberjack_ray import AnalyzeConfig, oracle
 from timberjack_ray.data import synth
 from timberjack_ray.pipelines.analyze import analyze_parquet
-from timberjack_ray.stages.route import AssignPartition, build_salt_map, completed_pids
+from timberjack_ray.stages.route import (
+    AssignPartition,
+    build_salt_map,
+    completed_pids,
+    completed_waves,
+)
 
 N = 8000
 SEQ = "/tmp/tj_test_seq"
 OUT = "/tmp/tj_test_routed"
+CFG = dict(trend=True, stats=True)
 
 
 @pytest.fixture(scope="module")
@@ -32,11 +38,10 @@ def seq_paths(ray_session):
 @pytest.fixture(scope="module")
 def routed(seq_paths):
     shutil.rmtree(OUT, ignore_errors=True)
-    cfg = AnalyzeConfig(trend=True, stats=True)
-    out = analyze_parquet(
-        seq_paths, cfg, out_dir=OUT, lookup=synth.source_lookup_dict(), num_partitions=12
+    return analyze_parquet(
+        seq_paths, AnalyzeConfig(**CFG), out_dir=OUT, wave_files=2,
+        lookup=synth.source_lookup_dict(), num_partitions=12,
     )
-    return out
 
 
 @pytest.fixture(scope="module")
@@ -48,27 +53,56 @@ def oracle_result():
 
 
 def test_per_sink_counts_match_levels(routed, oracle_result):
-    per_level = routed.route_metrics.groupby("level")["rows"].sum().to_dict()
-    assert per_level == oracle_result.levels_count
+    sink = routed.counts[routed.counts["kind"] == "sink"].set_index("key")["n"].to_dict()
+    assert sink == oracle_result.levels_count
     got = {d["level"]: d["count"] for d in routed.report["stats"]["log_levels"]}
     assert got == oracle_result.levels_count
+    per_level = routed.route_metrics.groupby("level")["rows"].sum().to_dict()
+    assert per_level == oracle_result.levels_count
 
 
-def test_lineage_records_complete(routed):
-    pids = completed_pids(OUT)
-    assert pids == set(routed.route_metrics["pid"].unique())
-    for pid in pids:
-        with open(os.path.join(OUT, "_lineage", f"{pid:05d}.json")) as f:
+def test_report_matches_oracle(routed, oracle_result):
+    assert routed.report["total_count"] == oracle_result.count
+    trends = {d["timestamp"]: d["count"] for d in routed.report["time_trends"]}
+    assert trends == oracle_result.time_trends
+    lines = {d["line"]: d["count"] for d in routed.report["matched_lines"]}
+    assert lines == oracle_result.line_counts
+
+
+def test_wave_lineage_complete(routed, seq_paths):
+    waves = completed_waves(OUT)
+    assert waves == {0, 1, 2, 3}  # 8 files / wave_files=2
+    for w in waves:
+        with open(os.path.join(OUT, "_lineage", f"wave-{w:03d}.json")) as f:
+            man = json.load(f)
+        assert man["wave"] == w
+        assert len(man["input_files"]) == 2
+    # per-pid lineage records agree with the files on disk
+    for lf in sorted(glob.glob(OUT + "/_lineage/w*-p*.json")):
+        with open(lf) as f:
             lin = json.load(f)
-        assert lin["pid"] == pid
+        for rel_list in [lin["files"]]:
+            for rel in rel_list:
+                assert os.path.exists(os.path.join(OUT, rel)), rel
         assert lin["rows"] == sum(v["rows"] for v in lin["per_level"].values())
-        for lv, meta in lin["per_level"].items():
-            from timberjack_ray.stages.route import _sanitize
 
-            path = os.path.join(OUT, f"level={_sanitize(lv)}", f"part-{pid:05d}.parquet")
-            t = pq.read_table(path)
-            assert t.num_rows == meta["rows"]
-            assert int(pc.sum(pc.list_flatten(t["tokens"])).as_py() or 0) == meta["token_sum"]
+
+def test_token_checksum_in_lineage(routed):
+    from timberjack_ray.stages.route import _sanitize
+
+    for lf in sorted(glob.glob(OUT + "/_lineage/w*-p*.json"))[:5]:
+        with open(lf) as f:
+            lin = json.load(f)
+        for lv, meta in lin["per_level"].items():
+            lv_dir = f"level={_sanitize(lv)}"
+            tok = rows = 0
+            for rel in lin["files"]:
+                if rel.split(os.sep)[0] == lv_dir:
+                    t = pq.read_table(os.path.join(OUT, rel))
+                    tok += int(pc.sum(pc.list_flatten(t["tokens"])).as_py() or 0)
+                    rows += t.num_rows
+            assert rows == meta["rows"], (lf, lv)
+            assert tok == meta["token_sum"], (lf, lv)
 
 
 def test_routed_rows_token_equality(routed):
@@ -82,28 +116,65 @@ def test_routed_rows_token_equality(routed):
         assert row["level"] == "ERROR"
 
 
-def test_total_routed_rows(routed, oracle_result):
-    assert routed.route_metrics["rows"].sum() == oracle_result.count
-    assert routed.report["total_count"] == oracle_result.count
-
-
-def test_resume_skips_completed(seq_paths, routed, oracle_result):
-    all_pids = completed_pids(OUT)
-    victims = sorted(all_pids)[:3]
-    for pid in victims:
-        os.remove(os.path.join(OUT, "_lineage", f"{pid:05d}.json"))
-        for f in glob.glob(OUT + f"/level=*/part-{pid:05d}.parquet"):
-            os.remove(f)
-    cfg = AnalyzeConfig(trend=True, stats=True)
+def test_resume_skips_completed_waves(seq_paths, routed, oracle_result):
+    # simulate a crash: wave 2 never finalized
+    os.remove(os.path.join(OUT, "_lineage", "wave-002.json"))
+    for f in glob.glob(OUT + "/level=*/part-w002-*.parquet"):
+        os.remove(f)
+    for f in glob.glob(OUT + "/_lineage/w002-p*.json"):
+        os.remove(f)
     out2 = analyze_parquet(
-        seq_paths, cfg, out_dir=OUT, lookup=synth.source_lookup_dict(), num_partitions=12
+        seq_paths, AnalyzeConfig(**CFG), out_dir=OUT, wave_files=2,
+        lookup=synth.source_lookup_dict(), num_partitions=12,
     )
-    assert out2.skipped_partitions == len(all_pids) - 3
-    assert set(out2.route_metrics["pid"].unique()) == set(victims)
-    # aggregates over the re-completed output are identical
+    assert out2.skipped_waves == 3
+    assert completed_waves(OUT) == {0, 1, 2, 3}
     assert out2.report["total_count"] == oracle_result.count
     assert {d["level"]: d["count"] for d in out2.report["stats"]["log_levels"]} == oracle_result.levels_count
-    assert completed_pids(OUT) == all_pids
+
+
+def test_resume_recomputes_missing_kinds(seq_paths, routed):
+    """A rerun needing aggregate kinds the stored wave counts lack falls back
+    to recomputing from the routed files."""
+    cfg = AnalyzeConfig(trend=True, stats=True, show_unique=True)
+    out3 = analyze_parquet(
+        seq_paths, cfg, out_dir=OUT, wave_files=2,
+        lookup=synth.source_lookup_dict(), num_partitions=12,
+    )
+    assert out3.skipped_waves == 4  # nothing reprocessed
+    o = oracle.analyze_lines([synth.line_for(i) for i in range(N)], fmt="generic",
+                             collect_trends=True, collect_stats=True)
+    assert out3.report["stats"]["unique_messages"] == sorted(o.unique_messages)
+
+
+SHUF = "/tmp/tj_test_routed_shuffle"
+
+
+def test_shuffle_mode_roundtrip(seq_paths, oracle_result):
+    shutil.rmtree(SHUF, ignore_errors=True)
+    out = analyze_parquet(
+        seq_paths, AnalyzeConfig(**CFG), out_dir=SHUF, mode="shuffle",
+        lookup=synth.source_lookup_dict(), num_partitions=12,
+    )
+    assert out.report["total_count"] == oracle_result.count
+    per_level = out.route_metrics.groupby("level")["rows"].sum().to_dict()
+    assert per_level == oracle_result.levels_count
+    # one file per (pid, level)
+    pids = completed_pids(SHUF)
+    assert pids == set(out.route_metrics["pid"].unique())
+    # per-pid resume
+    victims = sorted(pids)[:3]
+    for pid in victims:
+        os.remove(os.path.join(SHUF, "_lineage", f"{pid:05d}.json"))
+        for f in glob.glob(SHUF + f"/level=*/part-{pid:05d}.parquet"):
+            os.remove(f)
+    out2 = analyze_parquet(
+        seq_paths, AnalyzeConfig(**CFG), out_dir=SHUF, mode="shuffle",
+        lookup=synth.source_lookup_dict(), num_partitions=12,
+    )
+    assert out2.skipped_partitions == len(pids) - 3
+    assert set(out2.route_metrics["pid"].unique()) == set(victims)
+    assert out2.report["total_count"] == oracle_result.count
 
 
 def test_salted_partitioning_spreads_hot_source(ray_session):
@@ -118,6 +189,5 @@ def test_salted_partitioning_spreads_hot_source(ray_session):
     assert len(hot_pids) >= salt_map["app-0"] // 2  # spread over several partitions
     cold = out.filter(pc.equal(out["source"], "app-3"))
     assert len(set(cold["__pid"].to_pylist())) == 1  # cold sources stay co-located
-    # deterministic across calls (stable hashes, no per-process salt)
     out2 = AssignPartition(16, salt_map)(t)
     assert out["__pid"].to_pylist() == out2["__pid"].to_pylist()

@@ -1,0 +1,91 @@
+"""CLI mirroring the reference ``timber`` flags (/root/reference/src/cli.rs:7-59),
+re-targeted at Parquet sequence tables.
+
+    python -m timberjack_ray.cli INPUT.parquet [--chop P] [--level L] [--trend]
+        [--stats] [--json] [--top-errors N] [--show-unique] [--count]
+        [--format auto|json|generic] [-f k=v ...] [--route-dir DIR]
+
+Owns its Ray session (scripts/CLI only — library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="timber-ray", description="Timberjack-on-Ray: fell your logs fast")
+    p.add_argument("input", help="Parquet file/glob/dir of pre-tokenized sequences")
+    p.add_argument("-c", "--chop", default=None, help="pattern to search for")
+    p.add_argument("-l", "--level", default=None, help="filter by log level")
+    p.add_argument("--trend", action="store_true", help="show time-based trends")
+    p.add_argument("--stats", action="store_true", help="show summary statistics")
+    p.add_argument("--json", action="store_true", help="JSON output")
+    p.add_argument("--top-errors", type=int, default=5)
+    p.add_argument("--show-unique", action="store_true")
+    p.add_argument("--count", action="store_true", help="fast count-only mode")
+    p.add_argument("--format", default="auto", choices=["auto", "json", "generic", "apache", "syslog"])
+    p.add_argument("-f", "--field", action="append", default=[], help="field=value filter (repeatable)")
+    p.add_argument("--route-dir", default=None, help="fan rows out to per-level Parquet sinks here")
+    p.add_argument("--num-partitions", type=int, default=64)
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    return p
+
+
+def resolve_paths(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    hits = sorted(glob.glob(spec))
+    if not hits:
+        raise FileNotFoundError(spec)
+    return hits
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from timberjack_ray import AnalyzeConfig, render_text
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+
+    cfg = AnalyzeConfig(
+        fmt=args.format, pattern=args.chop, level=args.level, fields=args.field,
+        trend=args.trend, stats=args.stats, top_errors=args.top_errors,
+        show_unique=args.show_unique, count=args.count,
+    )
+    paths = resolve_paths(args.input)
+
+    if not args.json and not args.count:
+        print(f"\nWaking LumberJacks...Timberjack is chopping: {args.input}\n")
+
+    out = analyze_parquet(
+        paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
+    )
+
+    if args.count:
+        print(out.report["total_count"])
+    elif args.json:
+        print(json.dumps(out.report, indent=2))
+    else:
+        if cfg.fmt == "auto":
+            print(f"Detected format: {out.fmt.capitalize()}")
+        print(render_text(out.report))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

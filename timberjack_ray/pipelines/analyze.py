@@ -1,19 +1,23 @@
 """Flagship pipeline: read → parse → enrich → route → aggregate.
 
 The Ray-Data-native equivalent of the reference's whole CLI lifecycle
-(src/main.rs:21-213), laid out per SURVEY.md §3.4:
+(src/main.rs:21-213), laid out per SURVEY.md §3.4.  Default physical plan
+(fanout mode) is ONE streaming pass per wave:
 
-    read_parquet(sequences)                       # streaming blocks
+    read_parquet(wave files)                      # streaming blocks
       → map_batches(AssignPartition)              # pid = hash(source)+salt
-      → [resume filter: drop completed pids]
       → map_batches(ParseStage)                   # detok + parse + filters (vectorized)
-      → map_batches(EnrichStage, actor pool)      # broadcast source lookup
-      → groupby(pid).map_groups(PartitionWriter)  # per-level sinks + lineage
-      → read_routed → report_counts               # one-pass partial aggregates
-      → assemble_report                           # driver-side, tiny
+      → map_batches(EnrichStage)                  # broadcast source lookup (per-worker cache)
+      → map_batches(WriteAndCount)                # per-(pid, level) sink files
+                                                  #   + partial aggregate counts, fused
+      → groupby(kind, key).Sum                    # tiny counts shuffle
+    finalize wave (rename, per-pid lineage, wave manifest)  # driver-side
 
-Without ``out_dir`` the routing exchange is skipped and aggregates stream
-directly off the parse stage (one pass, no shuffle of full rows).
+Routing data never crosses an all-to-all exchange — only the tiny (kind,
+key, n) partials shuffle.  Completed waves are skipped on rerun using their
+stored counts (recomputed from the routed files if a rerun needs aggregate
+kinds the stored counts lack).  ``mode="shuffle"`` instead uses
+``groupby(pid).map_groups`` for a strict one-file-per-partition layout.
 
 Never calls ray.init()/shutdown() — session ownership stays with the caller
 (driver contract in /root/repo/__ray_entry__.py).
@@ -21,33 +25,43 @@ Never calls ray.init()/shutdown() — session ownership stays with the caller
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import pandas as pd
 
 from timberjack_ray import vocab
-from timberjack_ray.aggregates import report_counts
+from timberjack_ray.aggregates import PartialCounts, report_counts
 from timberjack_ray.config import AnalyzeConfig
 from timberjack_ray.report import assemble_report
 from timberjack_ray.stages.enrich import enrich
 from timberjack_ray.stages.parse import CountStage, ParseStage
 from timberjack_ray.stages.route import (
     AssignPartition,
+    WriteAndCount,
     build_salt_map,
+    cleanup_incomplete_wave,
+    completed_waves,
     filter_completed,
+    finalize_wave,
+    lineage_metrics,
     read_routed,
     route_and_write,
     source_shares,
+    wave_counts,
 )
+
+EMPTY_COUNTS = {"kind": [], "key": [], "n": []}
 
 
 @dataclass
 class AnalyzeOutput:
     report: dict
-    counts: pd.DataFrame            # (kind, key, n) totals
+    counts: pd.DataFrame            # (kind, key, n) totals incl. sink metrics
     fmt: str
     route_metrics: pd.DataFrame | None = None
-    skipped_partitions: int = 0
+    skipped_waves: int = 0
+    skipped_partitions: int = 0     # shuffle mode
 
 
 def sample_decoded_lines(ds, k: int = 10) -> list[str]:
@@ -65,6 +79,50 @@ def sample_decoded_lines(ds, k: int = 10) -> list[str]:
     return out
 
 
+def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
+    kinds = {"total"}
+    if cfg.stats:
+        kinds |= {"level", "error", "msg"}
+    if cfg.trend:
+        kinds.add("trend")
+    if cfg.collect_lines:
+        kinds.add("line")
+    kinds |= {f"col:{c}" for c in extra_cols}
+    return kinds
+
+
+def _merge_counts(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    frames = [f for f in frames if f is not None and len(f)]
+    if not frames:
+        return pd.DataFrame(EMPTY_COUNTS)
+    cat = pd.concat(frames, ignore_index=True)
+    return cat.groupby(["kind", "key"], as_index=False)["n"].sum()
+
+
+def _counts_to_pandas(counts_ds) -> pd.DataFrame:
+    df = counts_ds.to_pandas()
+    if df.empty or "kind" not in df.columns:
+        return pd.DataFrame(EMPTY_COUNTS)
+    return df
+
+
+def _transform(ds, cfg: AnalyzeConfig, fmt: str, lookup, num_partitions, salt_map,
+               keep_tokens: bool, batch_size=None, with_pid: bool = True):
+    if with_pid:
+        ds = ds.map_batches(
+            AssignPartition(num_partitions, salt_map), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    parsed = ds.map_batches(
+        ParseStage(cfg=cfg, fmt=fmt, keep_tokens=keep_tokens),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if lookup is not None:
+        parsed = enrich(parsed, lookup)
+    return parsed
+
+
 def analyze_dataset(
     ds,
     cfg: AnalyzeConfig,
@@ -74,8 +132,9 @@ def analyze_dataset(
     input_paths=None,
     hot_threshold: float = 0.05,
     batch_size: int | None = None,
+    mode: str = "fanout",
 ) -> AnalyzeOutput:
-    """Run the full analysis DAG over a sequences Dataset."""
+    """Run the analysis DAG over a sequences Dataset (single wave)."""
     fmt = cfg.resolve_format(sample_decoded_lines(ds)) if cfg.fmt == "auto" else cfg.resolve_format([])
 
     if cfg.count:
@@ -88,68 +147,165 @@ def analyze_dataset(
                   "stats": None, "deduplicated": True}
         return AnalyzeOutput(report=report, counts=counts, fmt=fmt)
 
-    skipped = 0
-    if out_dir is not None:
-        # partition assignment first: resume filtering then skips parse+shuffle
-        salt_map = None
-        if input_paths is not None:
-            shares = source_shares(input_paths)
-            salt_map = build_salt_map(shares, num_partitions, hot_threshold)
-        ds = ds.map_batches(
-            AssignPartition(num_partitions, salt_map), batch_format="pyarrow", batch_size=batch_size
-        )
-        ds, skipped = filter_completed(ds, out_dir)
-
-    # a pre-built instance runs as stateless TASKS (elastic); the heavy state
-    # (compiled regexes, piece table) is module-level, created once per worker
-    # process at import — the actor-pool variant is only needed when per-stage
-    # state is expensive to build (see stages/enrich.py)
-    parsed = ds.map_batches(
-        ParseStage(cfg=cfg, fmt=fmt, keep_tokens=out_dir is not None),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    salt_map = None
+    if out_dir is not None and input_paths is not None:
+        salt_map = build_salt_map(source_shares(input_paths), num_partitions, hot_threshold)
 
     extra_cols: list[str] = []
     if lookup is not None:
-        parsed = enrich(parsed, lookup)
         extra_cols = ["severity", "service"]
     if "source" in ds.schema().names:
         extra_cols.append("source")
 
-    route_metrics = None
-    if out_dir is not None:
-        route_metrics = route_and_write(parsed, out_dir).to_pandas()
-        agg_cols = ["level", "source"] + (["severity", "service"] if lookup else [])
-        if cfg.trend:
-            agg_cols.append("ts_hour")
-        if cfg.stats:
-            agg_cols += ["message_key", "error_type"]
-        if cfg.collect_lines:
-            agg_cols.append("line")
-        agg_src = read_routed(out_dir, columns=agg_cols)
-    else:
-        agg_src = parsed
+    if out_dir is None:
+        parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
+                            keep_tokens=False, batch_size=batch_size, with_pid=False)
+        counts = _counts_to_pandas(report_counts(
+            parsed, want_trend=cfg.trend, want_stats=cfg.stats,
+            want_lines=cfg.collect_lines, extra_cols=extra_cols,
+        ))
+        return AnalyzeOutput(report=assemble_report(counts, cfg), counts=counts, fmt=fmt)
 
-    counts = report_counts(
-        agg_src,
-        want_trend=cfg.trend,
-        want_stats=cfg.stats,
-        want_lines=cfg.collect_lines,
-        extra_cols=extra_cols,
-    ).to_pandas()
-    if counts.empty or "kind" not in counts.columns:
-        # all rows filtered out → Ray yields a schemaless empty frame
-        counts = pd.DataFrame({"kind": [], "key": [], "n": []})
-    report = assemble_report(counts, cfg)
+    if mode == "shuffle":
+        return _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions,
+                                salt_map, extra_cols, batch_size)
+
+    counts, skipped = _run_waves([(0, ds, None)], cfg, fmt, out_dir, lookup,
+                                 num_partitions, salt_map, extra_cols, batch_size)
     return AnalyzeOutput(
-        report=report, counts=counts, fmt=fmt,
-        route_metrics=route_metrics, skipped_partitions=skipped,
+        report=assemble_report(counts, cfg), counts=counts, fmt=fmt,
+        route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
 
 
-def analyze_parquet(paths, cfg: AnalyzeConfig, **kwargs) -> AnalyzeOutput:
+def analyze_parquet(
+    paths,
+    cfg: AnalyzeConfig,
+    out_dir: str | None = None,
+    wave_files: int | None = None,
+    **kwargs,
+) -> AnalyzeOutput:
+    """Run over Parquet inputs; with ``out_dir`` + ``wave_files`` the input
+    is processed in resumable waves of that many files."""
     import ray.data as rd
 
-    ds = rd.read_parquet(paths)
-    return analyze_dataset(ds, cfg, input_paths=paths, **kwargs)
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    single_wave = (
+        out_dir is None
+        or wave_files is None
+        or kwargs.get("mode") == "shuffle"
+        or len(paths) <= wave_files
+    )
+    if single_wave:
+        ds = rd.read_parquet(paths)
+        return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=paths, **kwargs)
+
+    cfg2 = cfg
+    fmt = cfg.resolve_format(sample_decoded_lines(rd.read_parquet(paths[:1]))) if cfg.fmt == "auto" else cfg.resolve_format([])
+    num_partitions = kwargs.pop("num_partitions", 64)
+    lookup = kwargs.pop("lookup", None)
+    hot_threshold = kwargs.pop("hot_threshold", 0.05)
+    batch_size = kwargs.pop("batch_size", None)
+    salt_map = build_salt_map(source_shares(paths), num_partitions, hot_threshold)
+
+    extra_cols: list[str] = ["source"]
+    if lookup is not None:
+        extra_cols = ["severity", "service", "source"]
+
+    waves = []
+    for w, start in enumerate(range(0, len(paths), wave_files)):
+        wpaths = paths[start : start + wave_files]
+        waves.append((w, rd.read_parquet(wpaths), wpaths))
+
+    counts, skipped = _run_waves(waves, cfg2, fmt, out_dir, lookup,
+                                 num_partitions, salt_map, extra_cols, batch_size)
+    return AnalyzeOutput(
+        report=assemble_report(counts, cfg2), counts=counts, fmt=fmt,
+        route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
+    )
+
+
+def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
+               extra_cols, batch_size):
+    """Execute each incomplete wave; merge counts across all waves."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_waves(out_dir)
+    needed = _needed_kinds(cfg, extra_cols)
+    frames: list[pd.DataFrame] = []
+    skipped = 0
+    counter = PartialCounts(
+        want_trend=cfg.trend, want_stats=cfg.stats,
+        want_lines=cfg.collect_lines, extra_cols=extra_cols,
+    )
+    for w, ds, wpaths in waves:
+        tmp_dir = os.path.join(out_dir, "_tmp", f"w{w:03d}")
+        if w in done:
+            stored = wave_counts(out_dir, w)
+            skipped += 1
+            if stored is not None and needed.issubset(set(stored["kind"].unique())):
+                frames.append(stored)
+            else:
+                # stored counts lack kinds this run needs → recompute from
+                # the wave's routed files (complete, column-pruned read)
+                frames.append(_recompute_wave_counts(out_dir, w, cfg, extra_cols))
+            continue
+        cleanup_incomplete_wave(out_dir, w, tmp_dir)
+        parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
+                            keep_tokens=True, batch_size=batch_size)
+        writer = WriteAndCount(tmp_dir, counter=counter)
+        partials = parsed.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
+        from ray.data.aggregate import Sum
+
+        counts_ds = partials.groupby(["kind", "key"]).aggregate(Sum("n", alias_name="n"))
+        wdf = _counts_to_pandas(counts_ds)
+        finalize_wave(out_dir, w, tmp_dir, wdf, input_files=wpaths)
+        frames.append(wdf)
+    return _merge_counts(frames), skipped
+
+
+def _recompute_wave_counts(out_dir, wave, cfg, extra_cols) -> pd.DataFrame:
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*=*", f"part-w{wave:03d}-*.parquet")))
+    cols = ["level"] + [c for c in extra_cols]
+    if cfg.trend:
+        cols.append("ts_hour")
+    if cfg.stats:
+        cols += ["message_key", "error_type"]
+    if cfg.collect_lines:
+        cols.append("line")
+    ds = rd.read_parquet(files, columns=sorted(set(cols)))
+    return _counts_to_pandas(report_counts(
+        ds, want_trend=cfg.trend, want_stats=cfg.stats,
+        want_lines=cfg.collect_lines, extra_cols=extra_cols,
+    ))
+
+
+def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
+                     extra_cols, batch_size):
+    """Shuffle-mode routing: one writer per pid, per-pid resume, aggregates
+    read back from the routed files."""
+    ds = ds.map_batches(AssignPartition(num_partitions, salt_map),
+                        batch_format="pyarrow", batch_size=batch_size)
+    ds, skipped = filter_completed(ds, out_dir)
+    parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
+                        keep_tokens=True, batch_size=batch_size, with_pid=False)
+    route_metrics = route_and_write(parsed, out_dir).to_pandas()
+    agg_cols = ["level"] + extra_cols
+    if cfg.trend:
+        agg_cols.append("ts_hour")
+    if cfg.stats:
+        agg_cols += ["message_key", "error_type"]
+    if cfg.collect_lines:
+        agg_cols.append("line")
+    agg_src = read_routed(out_dir, columns=sorted(set(agg_cols)))
+    counts = _counts_to_pandas(report_counts(
+        agg_src, want_trend=cfg.trend, want_stats=cfg.stats,
+        want_lines=cfg.collect_lines, extra_cols=extra_cols,
+    ))
+    return AnalyzeOutput(
+        report=assemble_report(counts, cfg), counts=counts, fmt=fmt,
+        route_metrics=route_metrics, skipped_partitions=skipped,
+    )
