@@ -85,7 +85,7 @@ def entry() -> Any:
 
 def q_tpch_q1_qty(sf_dir: str):
     """A3-style grouped aggregate machinery on lineitem (SURVEY §2.5)."""
-    from ray.data.aggregate import Sum
+    from timberjack_ray.aggregates import merge_partials
 
     ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
@@ -93,12 +93,10 @@ def q_tpch_q1_qty(sf_dir: str):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["l_returnflag", "l_linestatus", "q", "c"])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n"])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    out = p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("q", alias_name="sum_qty"), Sum("c", alias_name="n")
-    ).to_pandas()
+    out = merge_partials(p, ["l_returnflag", "l_linestatus"], ["sum_qty", "n"]).to_pandas()
     out["sum_qty"] = out["sum_qty"].round().astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
@@ -128,7 +126,7 @@ def q_event_top3(sf_dir: str):
     from timberjack_ray.aggregates import counts_by, top_k
 
     ds = counts_by(_rp(sf_dir, "events", columns=["event_type"]), "event_type")
-    top = top_k(ds, "event_type", "n", 3).to_pandas()
+    top = top_k(ds, "event_type", "n", 3)
     top = top.sort_values(["n", "event_type"], ascending=[False, True]).reset_index(drop=True)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
@@ -209,18 +207,16 @@ def q_enrich_customers(sf_dir: str):
 
 def q_route_counts_docs(sf_dir: str):
     """Per-sink aggregate counts analog on documents (lang = sink key)."""
-    from ray.data.aggregate import Sum
+    from timberjack_ray.aggregates import merge_partials
 
     ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("lang").aggregate([("n_chars", "sum"), ([], "count_all")])
-        return g.rename_columns(["lang", "sc", "c"])
+        return g.rename_columns(["lang", "sum_chars", "n"])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    out = p.groupby("lang").aggregate(
-        Sum("sc", alias_name="sum_chars"), Sum("c", alias_name="n")
-    ).to_pandas()
+    out = merge_partials(p, ["lang"], ["sum_chars", "n"]).to_pandas()
     out["sum_chars"] = out["sum_chars"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
@@ -237,7 +233,7 @@ def q_dedup_exact_docs(sf_dir: str):
 
 def q_doc_token_counts(sf_dir: str):
     """Token counting (whitespace) per language."""
-    from ray.data.aggregate import Sum
+    from timberjack_ray.aggregates import merge_partials
 
     ds = _rp(sf_dir, "documents", columns=["lang", "text"])
 
@@ -246,12 +242,10 @@ def q_doc_token_counts(sf_dir: str):
         g = pa.table({"lang": t["lang"], "nw": nw}).group_by("lang").aggregate(
             [("nw", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["lang", "w", "c"])
+        return g.rename_columns(["lang", "total_words", "n"])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    out = p.groupby("lang").aggregate(
-        Sum("w", alias_name="total_words"), Sum("c", alias_name="n")
-    ).to_pandas()
+    out = merge_partials(p, ["lang"], ["total_words", "n"]).to_pandas()
     return out.astype({"total_words": "int64", "n": "int64"})
 
 

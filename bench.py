@@ -107,8 +107,8 @@ def main() -> None:
     timed("flagship_agg_only", flagship_agg_only)
     timed("count_pattern", count_pattern)
     timed("level_filter", level_filter)
-    timed("event_type_counts", lambda: em.q_event_type_counts(SF_DIR).to_pandas())
-    timed("event_trends", lambda: em.q_event_trends(SF_DIR).to_pandas())
+    timed("event_type_counts", lambda: em.q_event_type_counts(SF_DIR))
+    timed("event_trends", lambda: em.q_event_trends(SF_DIR))
     timed("dedup_exact_docs", lambda: em.q_dedup_exact_docs(SF_DIR))
     timed("minhash_pairs", lambda: em.q_minhash_pairs(SF_DIR))
     timed("ann_topk", lambda: em.q_ann_topk(SF_DIR))

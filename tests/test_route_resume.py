@@ -88,19 +88,24 @@ def test_wave_lineage_complete(routed, seq_paths):
 
 
 def test_token_checksum_in_lineage(routed):
+    """Per-partition lineage stats match a recount of the pid's rows in the
+    referenced sink files."""
     from timberjack_ray.stages.route import _sanitize
 
     for lf in sorted(glob.glob(OUT + "/_lineage/w*-p*.json"))[:5]:
         with open(lf) as f:
             lin = json.load(f)
+        pid = lin["pid"]
         for lv, meta in lin["per_level"].items():
             lv_dir = f"level={_sanitize(lv)}"
             tok = rows = 0
             for rel in lin["files"]:
-                if rel.split(os.sep)[0] == lv_dir:
-                    t = pq.read_table(os.path.join(OUT, rel))
-                    tok += int(pc.sum(pc.list_flatten(t["tokens"])).as_py() or 0)
-                    rows += t.num_rows
+                if rel.split(os.sep)[0] != lv_dir:
+                    continue
+                t = pq.read_table(os.path.join(OUT, rel))
+                sub = t.filter(pc.equal(t["__pid"], pid))
+                tok += int(pc.sum(pc.list_flatten(sub["tokens"])).as_py() or 0)
+                rows += sub.num_rows
             assert rows == meta["rows"], (lf, lv)
             assert tok == meta["token_sum"], (lf, lv)
 

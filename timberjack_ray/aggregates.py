@@ -95,10 +95,40 @@ class PartialCounts:
         )
 
 
-def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extra_cols=None):
-    """Dataset of final (kind, key, n) totals (small; safe to take_all)."""
-    from ray.data.aggregate import Sum
+def merge_partials(partials_ds, keys: list[str], n_col: str,
+                   compact_every: int = 64) -> pa.Table:
+    """Final merge of partial-count batches, streamed to the driver.
 
+    Replaces a Ray ``groupby().aggregate()`` for SMALL result cardinalities:
+    partial batches (already collapsed per batch upstream) are folded with
+    pyarrow ``group_by`` (C kernels) as they stream in, re-compacting every
+    ``compact_every`` tables so driver memory stays ~O(distinct keys).  Ray's
+    all-to-all Aggregate op has a multi-second fixed cost that dwarfs these
+    tiny merges; the reference's own model is partial-per-chunk + final merge
+    (src/analyzer.rs:510-549).  For billion-key cardinalities, use a Ray
+    ``groupby`` instead.
+    """
+    n_cols = [n_col] if isinstance(n_col, str) else list(n_col)
+    pending: list[pa.Table] = []
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        g = t.group_by(keys).aggregate([(c, "sum") for c in n_cols])
+        return g.rename_columns(keys + n_cols)
+
+    for batch in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if batch.num_rows:
+            pending.append(batch.select(keys + n_cols))
+        if len(pending) >= compact_every:
+            pending = [compact(pending)]
+    if not pending:
+        schema = pa.schema([(k, pa.string()) for k in keys] + [(c, pa.int64()) for c in n_cols])
+        return schema.empty_table()
+    return compact(pending)
+
+
+def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extra_cols=None):
+    """Final (kind, key, n) totals as pandas (small; driver-merged)."""
     partials = ds.map_batches(
         PartialCounts(
             want_trend=want_trend,
@@ -108,27 +138,27 @@ def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extr
         ),
         batch_format="pyarrow",
     )
-    return partials.groupby(["kind", "key"]).aggregate(Sum("n", alias_name="n"))
+    return merge_partials(partials, ["kind", "key"], "n").to_pandas()
 
 
 def counts_by(ds, keys, name: str = "n"):
     """Generic pre-aggregated groupby-count: partial per batch (pyarrow
-    group_by, in C) then one small Ray shuffle over partials."""
-    from ray.data.aggregate import Sum
-
+    group_by, in C), final merge streamed to the driver.  Returns pandas."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([([], "count_all")])
-        return g.rename_columns(keys + ["__partial_n"])
+        return g.rename_columns(keys + [name])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    return p.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
-        Sum("__partial_n", alias_name=name)
-    )
+    return merge_partials(p, keys, name).to_pandas()
 
 
-def top_k(counts_ds, key_col: str, n_col: str, k: int):
+def top_k(counts_df, key_col: str, n_col: str, k: int):
     """Deterministic top-K: count desc, key asc (the reference's tie order is
     hashmap iteration — nondeterministic; we define it, SURVEY.md §2.6 K1)."""
-    return counts_ds.sort([n_col, key_col], descending=[True, False]).limit(k)
+    import pandas as pd
+
+    if not isinstance(counts_df, pd.DataFrame):
+        counts_df = counts_df.to_pandas()
+    return counts_df.sort_values([n_col, key_col], ascending=[False, True]).head(k)

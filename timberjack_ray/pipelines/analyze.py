@@ -99,8 +99,8 @@ def _merge_counts(frames: list[pd.DataFrame]) -> pd.DataFrame:
     return cat.groupby(["kind", "key"], as_index=False)["n"].sum()
 
 
-def _counts_to_pandas(counts_ds) -> pd.DataFrame:
-    df = counts_ds.to_pandas()
+def _counts_to_pandas(counts) -> pd.DataFrame:
+    df = counts if isinstance(counts, pd.DataFrame) else counts.to_pandas()
     if df.empty or "kind" not in df.columns:
         return pd.DataFrame(EMPTY_COUNTS)
     return df
@@ -253,11 +253,12 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
                             keep_tokens=True, batch_size=batch_size)
         writer = WriteAndCount(tmp_dir, counter=counter)
-        partials = parsed.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
-        from ray.data.aggregate import Sum
+        # larger writer batches → fewer, bigger sink files
+        partials = parsed.map_batches(writer, batch_format="pyarrow",
+                                      batch_size=batch_size or 16384)
+        from timberjack_ray.aggregates import merge_partials
 
-        counts_ds = partials.groupby(["kind", "key"]).aggregate(Sum("n", alias_name="n"))
-        wdf = _counts_to_pandas(counts_ds)
+        wdf = _counts_to_pandas(merge_partials(partials, ["kind", "key"], "n").to_pandas())
         finalize_wave(out_dir, w, tmp_dir, wdf, input_files=wpaths)
         frames.append(wdf)
     return _merge_counts(frames), skipped

@@ -70,7 +70,7 @@ def source_shares(input_paths, sample_files: int = 64):
         stride = max(len(paths) // sample_files, 1)
         paths = paths[::stride][:sample_files]
     ds = rd.read_parquet(paths, columns=["source"])
-    counts = counts_by(ds, "source").to_pandas()
+    counts = counts_by(ds, "source")
     total = counts["n"].sum()
     return dict(zip(counts["source"], counts["n"] / max(total, 1)))
 
@@ -130,10 +130,26 @@ def _atomic_json(path: str, obj) -> None:
 # fanout exchange (default)
 # ---------------------------------------------------------------------------
 
+def _row_token_sums(tokens_col) -> np.ndarray:
+    """Per-row sum of the token arrays, fully vectorized (cumsum trick)."""
+    arr = tokens_col.combine_chunks() if isinstance(tokens_col, pa.ChunkedArray) else tokens_col
+    values = np.asarray(arr.flatten(), dtype=np.int64)
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    cs = np.concatenate([[0], np.cumsum(values)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 class WriteAndCount:
-    """map_batches stage: write the batch's rows into per-(pid, level) tmp
-    files AND return the batch's partial aggregate counts — routing and
-    aggregation fused into one streaming pass.
+    """map_batches stage: write the batch's rows into per-level sink files
+    (sorted by partition id, with per-pid stats in a sidecar) AND return the
+    batch's partial aggregate counts — routing and aggregation fused into one
+    streaming pass, no all-to-all exchange.
+
+    One file per (level, batch): rows inside are sorted by ``__pid`` so
+    Parquet row-group stats support pid predicate pushdown downstream, and
+    per-pid row/token-checksum stats are recorded in the sidecar for the
+    per-partition lineage records written at finalize.
 
     Sink metric rows ride along in the counts table:
         kind="sink"        key=level → routed rows
@@ -151,40 +167,44 @@ class WriteAndCount:
                              "key": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         pids = batch[PID_COL].to_numpy(zero_copy_only=False)
-        body = batch.drop_columns([PID_COL])
         order = np.argsort(pids, kind="stable")
-        sorted_pids = pids[order]
-        bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(pids)]])
-        sorted_body = body.take(pa.array(order))
+        sorted_batch = batch.take(pa.array(order))
+        levels = pc.unique(sorted_batch[self.route_key].combine_chunks()).to_pylist()
 
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        uid = uuid.uuid4().hex[:12]
         sink_rows: dict[str, int] = {}
         sink_tokens: dict[str, int] = {}
-        uid = uuid.uuid4().hex[:8]
-        for s, e in zip(starts, ends):
-            pid = int(sorted_pids[s])
-            sub = sorted_body.slice(s, e - s)
-            levels = pc.unique(sub[self.route_key].combine_chunks()).to_pylist()
-            pdir = os.path.join(self.tmp_dir, f"p{pid:05d}")
-            os.makedirs(pdir, exist_ok=True)
-            for lv in levels:
-                part = sub.filter(pc.equal(sub[self.route_key], lv))
-                fname = f"{_sanitize(lv)}__{uid}.parquet"
-                fpath = os.path.join(pdir, fname)
-                pq.write_table(part, fpath + ".tmp")
-                os.replace(fpath + ".tmp", fpath)
-                tok = 0
-                if "tokens" in part.column_names:
-                    tok = int(pc.sum(pc.list_flatten(part["tokens"])).as_py() or 0)
-                meta = {"level": lv, "rows": part.num_rows, "token_sum": tok}
-                _atomic_json(fpath + ".meta.json", meta)
-                sink_rows[lv] = sink_rows.get(lv, 0) + part.num_rows
-                sink_tokens[lv] = sink_tokens.get(lv, 0) + tok
+        for lv in levels:
+            part = sorted_batch.filter(pc.equal(sorted_batch[self.route_key], lv))
+            part_pids = part[PID_COL].to_numpy(zero_copy_only=False)
+            if "tokens" in part.column_names:
+                row_tok = _row_token_sums(part["tokens"])
+            else:
+                row_tok = np.zeros(len(part_pids), dtype=np.int64)
+            # per-pid stats (part is pid-sorted): boundary cumsums
+            bounds = np.flatnonzero(np.diff(part_pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(part_pids)]])
+            tok_cs = np.concatenate([[0], np.cumsum(row_tok)])
+            pid_stats = {
+                int(part_pids[s]): {
+                    "rows": int(e - s),
+                    "token_sum": int(tok_cs[e] - tok_cs[s]),
+                }
+                for s, e in zip(starts, ends)
+            }
+            fname = f"{_sanitize(lv)}__{uid}.parquet"
+            fpath = os.path.join(self.tmp_dir, fname)
+            pq.write_table(part, fpath + ".tmp")
+            os.replace(fpath + ".tmp", fpath)
+            _atomic_json(fpath + ".meta.json", {"level": lv, "pids": pid_stats})
+            sink_rows[lv] = part.num_rows
+            sink_tokens[lv] = int(row_tok.sum())
 
         kinds, keys, ns = [], [], []
         if self.counter is not None:
-            partial = self.counter(body)
+            partial = self.counter(batch.drop_columns([PID_COL]))
             kinds = partial["kind"].to_pylist()
             keys = partial["key"].to_pylist()
             ns = partial["n"].to_pylist()
@@ -232,42 +252,46 @@ def cleanup_incomplete_wave(out_dir: str, wave: int, tmp_dir: str) -> None:
 
 def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
                   route_key: str = "level", input_files: list[str] | None = None) -> None:
-    """Move tmp files into the final layout, write per-pid lineage records,
-    then the wave manifest ATOMICALLY LAST (its presence == wave complete)."""
+    """Move tmp files into the final layout, write per-partition lineage
+    records (accumulated from the writer sidecars), then the wave manifest
+    ATOMICALLY LAST (its presence == wave complete)."""
     ldir = _lineage_dir(out_dir)
     os.makedirs(ldir, exist_ok=True)
-    pid_dirs = sorted(glob.glob(os.path.join(tmp_dir, "p*")))
-    for pdir in pid_dirs:
-        pid = int(os.path.basename(pdir)[1:])
-        per_level: dict[str, dict] = {}
-        files: list[str] = []
-        seq: dict[str, int] = {}
-        for meta_path in sorted(glob.glob(os.path.join(pdir, "*.meta.json"))):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            data_path = meta_path[: -len(".meta.json")]
-            lv = meta["level"]
-            sdir = os.path.join(out_dir, f"{route_key}={_sanitize(lv)}")
-            os.makedirs(sdir, exist_ok=True)
-            k = seq.get(lv, 0)
-            seq[lv] = k + 1
-            final = os.path.join(sdir, f"part-w{wave:03d}-p{pid:05d}-{k:03d}.parquet")
-            os.replace(data_path, final)
-            files.append(os.path.relpath(final, out_dir))
-            agg = per_level.setdefault(lv, {"rows": 0, "token_sum": 0})
-            agg["rows"] += meta["rows"]
-            agg["token_sum"] += meta["token_sum"]
+    per_pid: dict[int, dict] = {}  # pid → {"per_level": {...}, "files": set}
+    seq: dict[str, int] = {}
+    for meta_path in sorted(glob.glob(os.path.join(tmp_dir, "*.meta.json"))):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        data_path = meta_path[: -len(".meta.json")]
+        lv = meta["level"]
+        sdir = os.path.join(out_dir, f"{route_key}={_sanitize(lv)}")
+        os.makedirs(sdir, exist_ok=True)
+        k = seq.get(lv, 0)
+        seq[lv] = k + 1
+        final = os.path.join(sdir, f"part-w{wave:03d}-{k:04d}.parquet")
+        os.replace(data_path, final)
+        os.remove(meta_path)
+        rel = os.path.relpath(final, out_dir)
+        for pid_s, st in meta["pids"].items():
+            pid = int(pid_s)
+            rec = per_pid.setdefault(pid, {"per_level": {}, "files": set()})
+            agg = rec["per_level"].setdefault(lv, {"rows": 0, "token_sum": 0})
+            agg["rows"] += st["rows"]
+            agg["token_sum"] += st["token_sum"]
+            rec["files"].add(rel)
+    for pid, rec in per_pid.items():
         _atomic_json(
             os.path.join(ldir, f"w{wave:03d}-p{pid:05d}.json"),
-            {"wave": wave, "pid": pid, "per_level": per_level, "files": files,
-             "rows": sum(v["rows"] for v in per_level.values())},
+            {"wave": wave, "pid": pid, "per_level": rec["per_level"],
+             "files": sorted(rec["files"]),
+             "rows": sum(v["rows"] for v in rec["per_level"].values())},
         )
     counts_path = os.path.join(ldir, f"wave-{wave:03d}-counts.parquet")
     pq.write_table(pa.Table.from_pandas(counts, preserve_index=False), counts_path + ".tmp")
     os.replace(counts_path + ".tmp", counts_path)
     _atomic_json(
         os.path.join(ldir, f"wave-{wave:03d}.json"),
-        {"wave": wave, "input_files": input_files or [], "partitions": len(pid_dirs)},
+        {"wave": wave, "input_files": input_files or [], "partitions": len(per_pid)},
     )
     import shutil
 
