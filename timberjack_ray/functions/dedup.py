@@ -93,8 +93,11 @@ class MinHasher:
         return pa.table({"doc_id": batch["doc_id"], "sig": sig_col})
 
 
-def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 8):
-    """Explode signatures to (band, band_hash, doc_id, sig) rows."""
+def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 16):
+    """Explode signatures to (band, band_hash, doc_id, sig) rows.
+
+    16 bands × 4 rows at num_perm=64 ⇒ LSH threshold ≈ (1/b)^(1/r) ≈ 0.5.
+    """
     rows_per_band = num_perm // bands
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -156,7 +159,7 @@ def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7, max_buc
     return band_ds.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
 
 
-def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 8,
+def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.7, concurrency=(1, 8)):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of
     (doc_id, dup_group) for docs in some near-dup cluster, plus pair count.
