@@ -26,6 +26,9 @@ import pyarrow.compute as pc
 def _rp(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
+    from timberjack_ray.rayctx import tune_for_cluster
+
+    tune_for_cluster()
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
@@ -49,6 +52,9 @@ def _seq_ds(sf_dir: str):
 
     import ray.data as rd
 
+    from timberjack_ray.rayctx import tune_for_cluster
+
+    tune_for_cluster()
     return rd.read_parquet(sorted(glob.glob(os.path.join(_seq_dir(sf_dir), "part-*.parquet"))))
 
 
@@ -64,7 +70,9 @@ def entry() -> Any:
     from timberjack_ray import AnalyzeConfig
     from timberjack_ray.data import synth
     from timberjack_ray.pipelines.analyze import analyze_parquet
+    from timberjack_ray.rayctx import tune_for_cluster
 
+    tune_for_cluster()
     seq = "/tmp/tj_entry_seq"
     out = "/tmp/tj_entry_routed"
     shutil.rmtree(out, ignore_errors=True)

@@ -18,9 +18,8 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from timberjack_ray.rayctx import tune_for_cluster
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_for_cluster()
     yield
     ray.shutdown()

@@ -29,6 +29,7 @@ KIND_LEVEL = "level"
 KIND_TREND = "trend"
 KIND_ERROR = "error"
 KIND_MSG = "msg"
+KIND_MSG_HASH = "msg#"
 KIND_LINE = "line"
 
 
@@ -43,6 +44,20 @@ def _count_keys(col: pa.ChunkedArray, drop_null: bool) -> tuple[list, list]:
     return g["k"].to_pylist(), g["count_all"].to_pylist()
 
 
+def _hash_keys(keys: list) -> list[str]:
+    """64-bit stable hashes (hex) of distinct keys.  The unique-message
+    family only feeds a COUNT (A6) unless --show-unique: shipping every
+    distinct message string through the partials merge moved ~70 B/key where
+    16 B/key suffices, and at bench scale the msg family IS the partial
+    volume.  Collision odds at 1M keys are ~3e-8 — and the distinct count is
+    the only consumer."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.array(["\0" if k is None else k for k in keys], dtype=object)
+    return [format(h, "016x") for h in pd.util.hash_array(arr)]
+
+
 class PartialCounts:
     """Per-batch partial aggregation; emits (kind, key, n) rows."""
 
@@ -52,11 +67,13 @@ class PartialCounts:
         want_stats: bool = False,
         want_lines: bool = False,
         extra_cols: list[str] | None = None,
+        hash_msgs: bool = True,
     ):
         self.want_trend = want_trend
         self.want_stats = want_stats
         self.want_lines = want_lines
         self.extra_cols = extra_cols or []  # e.g. ["source", "severity"] → kind "col:source"
+        self.hash_msgs = hash_msgs  # False when the real keys are needed (--show-unique)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds: list[str] = []
@@ -75,7 +92,10 @@ class PartialCounts:
             k, n = _count_keys(batch["error_type"], drop_null=True)
             emit(KIND_ERROR, k, n)
             k, n = _count_keys(batch["message_key"], drop_null=False)
-            emit(KIND_MSG, k, n)
+            if self.hash_msgs:
+                emit(KIND_MSG_HASH, _hash_keys(k), n)
+            else:
+                emit(KIND_MSG, k, n)
         if self.want_trend:
             k, n = _count_keys(batch["ts_hour"], drop_null=True)
             emit(KIND_TREND, k, n)
@@ -127,7 +147,8 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
     return compact(pending)
 
 
-def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extra_cols=None):
+def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
+                  extra_cols=None, hash_msgs=True):
     """Final (kind, key, n) totals as pandas (small; driver-merged)."""
     partials = ds.map_batches(
         PartialCounts(
@@ -135,6 +156,7 @@ def report_counts(ds, want_trend=False, want_stats=False, want_lines=False, extr
             want_stats=want_stats,
             want_lines=want_lines,
             extra_cols=extra_cols,
+            hash_msgs=hash_msgs,
         ),
         batch_format="pyarrow",
     )

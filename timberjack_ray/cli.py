@@ -54,9 +54,9 @@ def main(argv=None) -> int:
             address="local", num_cpus=args.num_cpus,
             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from timberjack_ray.rayctx import tune_for_cluster
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_for_cluster()
 
     from timberjack_ray import AnalyzeConfig, render_text
     from timberjack_ray.pipelines.analyze import analyze_parquet

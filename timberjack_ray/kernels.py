@@ -25,6 +25,14 @@ from __future__ import annotations
 import json
 import re
 
+try:
+    # ~4× faster than stdlib json for small objects, and closer to
+    # serde_json's semantics (rejects NaN/Infinity like src/parser/json.rs's
+    # serde does; stdlib json would accept them)
+    from orjson import loads as _json_loads
+except ImportError:  # pragma: no cover
+    _json_loads = json.loads
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -272,8 +280,8 @@ def parse_json_line(line: str, want_fields: bool = True):
     (raw-line fallbacks apply downstream), mirroring src/parser/json.rs:125-149.
     """
     try:
-        obj = json.loads(line.strip())
-    except (json.JSONDecodeError, UnicodeDecodeError):
+        obj = _json_loads(line.strip())
+    except (ValueError, UnicodeDecodeError):
         return None, None, None
     if not isinstance(obj, dict):
         # serde parses scalars as Value too; find_first_value then returns

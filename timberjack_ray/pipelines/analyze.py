@@ -29,6 +29,7 @@ import os
 from dataclasses import dataclass
 
 import pandas as pd
+import pyarrow.compute as pc
 
 from timberjack_ray import vocab
 from timberjack_ray.aggregates import PartialCounts, report_counts
@@ -79,10 +80,29 @@ def sample_decoded_lines(ds, k: int = 10) -> list[str]:
     return out
 
 
+def sample_lines_from_paths(paths, k: int = 10) -> list[str]:
+    """Head sample straight from the first Parquet file with pyarrow — the
+    reference reads ≤4 KB of the file head (src/main.rs:52-89); launching a
+    whole Dataset execution for 10 rows would cost seconds of fixed overhead
+    at any scale, so this stays a bounded driver-side read."""
+    import pyarrow.parquet as pq
+
+    first = paths[0] if not isinstance(paths, str) else paths
+    pf = pq.ParquetFile(first)
+    names = set(pf.schema_arrow.names)
+    col = next((c for c in ("line", "text", "tokens") if c in names), None)
+    if col is None:
+        return []
+    head = next(pf.iter_batches(batch_size=k, columns=[col]))
+    if col == "tokens":
+        return [vocab.decode(t) for t in head[col].to_pylist()[:k]]
+    return head[col].to_pylist()[:k]
+
+
 def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
     kinds = {"total"}
     if cfg.stats:
-        kinds |= {"level", "error", "msg"}
+        kinds |= {"level", "error", "msg" if cfg.show_unique else "msg#"}
     if cfg.trend:
         kinds.add("trend")
     if cfg.collect_lines:
@@ -91,12 +111,41 @@ def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
     return kinds
 
 
-def _merge_counts(frames: list[pd.DataFrame]) -> pd.DataFrame:
-    frames = [f for f in frames if f is not None and len(f)]
+def _counts_satisfy(stored_kinds: set[str], needed: set[str]) -> bool:
+    """Stored real message keys ("msg") also satisfy a hashed-count need
+    ("msg#") — the count is derivable; the reverse is not true."""
+    for k in needed:
+        if k in stored_kinds:
+            continue
+        if k == "msg#" and "msg" in stored_kinds:
+            continue
+        return False
+    return True
+
+
+def _as_table(frame) -> "pa.Table":
+    import pyarrow as pa
+
+    if isinstance(frame, pd.DataFrame):
+        return pa.Table.from_pandas(frame, preserve_index=False)
+    return frame
+
+
+def _merge_counts(frames: list) -> pd.DataFrame:
+    """Merge per-wave (kind, key, n) tables.  Stays in Arrow: the ``msg``
+    family carries every distinct message key (hundreds of thousands of rows
+    at bench scale), and a pandas object-dtype groupby over it costs seconds
+    where the Arrow C kernel costs ~0.1 s."""
+    import pyarrow as pa
+
+    frames = [_as_table(f) for f in frames if f is not None and len(f)]
     if not frames:
         return pd.DataFrame(EMPTY_COUNTS)
-    cat = pd.concat(frames, ignore_index=True)
-    return cat.groupby(["kind", "key"], as_index=False)["n"].sum()
+    if len(frames) == 1:
+        return frames[0].to_pandas()  # already key-merged per wave
+    cat = pa.concat_tables(f.select(["kind", "key", "n"]) for f in frames)
+    g = cat.group_by(["kind", "key"]).aggregate([("n", "sum")])
+    return g.rename_columns(["kind", "key", "n"]).to_pandas()
 
 
 def _counts_to_pandas(counts) -> pd.DataFrame:
@@ -133,9 +182,16 @@ def analyze_dataset(
     hot_threshold: float = 0.05,
     batch_size: int | None = None,
     mode: str = "fanout",
+    fmt: str | None = None,
 ) -> AnalyzeOutput:
     """Run the analysis DAG over a sequences Dataset (single wave)."""
-    fmt = cfg.resolve_format(sample_decoded_lines(ds)) if cfg.fmt == "auto" else cfg.resolve_format([])
+    if fmt is None:
+        if cfg.fmt == "auto" and input_paths:
+            fmt = cfg.resolve_format(sample_lines_from_paths(input_paths))
+        elif cfg.fmt == "auto":
+            fmt = cfg.resolve_format(sample_decoded_lines(ds))
+        else:
+            fmt = cfg.resolve_format([])
 
     if cfg.count:
         partials = ds.map_batches(
@@ -163,6 +219,7 @@ def analyze_dataset(
         counts = _counts_to_pandas(report_counts(
             parsed, want_trend=cfg.trend, want_stats=cfg.stats,
             want_lines=cfg.collect_lines, extra_cols=extra_cols,
+            hash_msgs=not cfg.show_unique,
         ))
         return AnalyzeOutput(report=assemble_report(counts, cfg), counts=counts, fmt=fmt)
 
@@ -201,7 +258,7 @@ def analyze_parquet(
         return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=paths, **kwargs)
 
     cfg2 = cfg
-    fmt = cfg.resolve_format(sample_decoded_lines(rd.read_parquet(paths[:1]))) if cfg.fmt == "auto" else cfg.resolve_format([])
+    fmt = cfg.resolve_format(sample_lines_from_paths(paths)) if cfg.fmt == "auto" else cfg.resolve_format([])
     num_partitions = kwargs.pop("num_partitions", 64)
     lookup = kwargs.pop("lookup", None)
     hot_threshold = kwargs.pop("hot_threshold", 0.05)
@@ -236,51 +293,65 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
     counter = PartialCounts(
         want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
+        hash_msgs=not cfg.show_unique,
     )
     for w, ds, wpaths in waves:
         tmp_dir = os.path.join(out_dir, "_tmp", f"w{w:03d}")
         if w in done:
             stored = wave_counts(out_dir, w)
             skipped += 1
-            if stored is not None and needed.issubset(set(stored["kind"].unique())):
+            if stored is not None and _counts_satisfy(
+                set(pc.unique(stored["kind"]).to_pylist()), needed
+            ):
                 frames.append(stored)
             else:
                 # stored counts lack kinds this run needs → recompute from
                 # the wave's routed files (complete, column-pruned read)
-                frames.append(_recompute_wave_counts(out_dir, w, cfg, extra_cols))
+                frames.append(_recompute_wave_counts(out_dir, w, cfg, fmt, extra_cols))
             continue
         cleanup_incomplete_wave(out_dir, w, tmp_dir)
         parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
                             keep_tokens=True, batch_size=batch_size)
         writer = WriteAndCount(tmp_dir, counter=counter)
-        # larger writer batches → fewer, bigger sink files
+        # larger writer batches → fewer, bigger sink files (finalize renames
+        # and lineage merges scale with file count, and they're driver-side)
         partials = parsed.map_batches(writer, batch_format="pyarrow",
                                       batch_size=batch_size or 16384)
         from timberjack_ray.aggregates import merge_partials
 
-        wdf = _counts_to_pandas(merge_partials(partials, ["kind", "key"], "n").to_pandas())
-        finalize_wave(out_dir, w, tmp_dir, wdf, input_files=wpaths)
-        frames.append(wdf)
+        wtbl = merge_partials(partials, ["kind", "key"], "n")
+        finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths)
+        frames.append(wtbl)
     return _merge_counts(frames), skipped
 
 
-def _recompute_wave_counts(out_dir, wave, cfg, extra_cols) -> pd.DataFrame:
+def _recompute_wave_counts(out_dir, wave, cfg, fmt, extra_cols) -> pd.DataFrame:
+    """Recount a completed wave from its routed files.  Sink files are slim
+    (derived string columns are not persisted — route.WriteAndCount), so the
+    derived columns are re-parsed from the token payload; rows already passed
+    the cfg filters at write time, re-applying them is idempotent."""
     import glob as _glob
 
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
     files = sorted(_glob.glob(os.path.join(out_dir, "*=*", f"part-w{wave:03d}-*.parquet")))
-    cols = ["level"] + [c for c in extra_cols]
+    ds = rd.read_parquet(files)
+    have = set(_pq.ParquetFile(files[0]).schema_arrow.names) if files else set()
+    needed = {"level"}
     if cfg.trend:
-        cols.append("ts_hour")
+        needed.add("ts_hour")
     if cfg.stats:
-        cols += ["message_key", "error_type"]
+        needed |= {"message_key", "error_type"}
     if cfg.collect_lines:
-        cols.append("line")
-    ds = rd.read_parquet(files, columns=sorted(set(cols)))
+        needed.add("line")
+    if not needed.issubset(have):
+        ds = ds.map_batches(ParseStage(cfg=cfg, fmt=fmt, keep_tokens=False),
+                            batch_format="pyarrow")
     return _counts_to_pandas(report_counts(
         ds, want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
+        hash_msgs=not cfg.show_unique,
     ))
 
 
@@ -305,6 +376,7 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
     counts = _counts_to_pandas(report_counts(
         agg_src, want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
+        hash_msgs=not cfg.show_unique,
     ))
     return AnalyzeOutput(
         report=assemble_report(counts, cfg), counts=counts, fmt=fmt,

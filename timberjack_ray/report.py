@@ -56,7 +56,9 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig) -> dict:
             ["n", "key"], ascending=[False, True]
         ).head(cfg.top_errors)
         msgs = _kind(counts, agg.KIND_MSG)
-        unique_count = len(msgs)
+        # default pipelines ship 64-bit message-key hashes, not the keys
+        # (aggregates._hash_keys); either family yields the distinct count
+        unique_count = len(msgs) if len(msgs) else len(_kind(counts, agg.KIND_MSG_HASH))
         ratio = (1.0 - unique_count / total) * 100.0 if total > 0 else 0.0
         out["stats"] = {
             "log_levels": [

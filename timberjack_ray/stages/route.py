@@ -58,21 +58,30 @@ def stable_str_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.uint64)
 
 
-def source_shares(input_paths, sample_files: int = 64):
-    """Cheap skew pre-pass: read ONLY the ``source`` column (from at most
-    ``sample_files`` input files) and return {source: share}."""
-    import ray.data as rd
-
-    from timberjack_ray.aggregates import counts_by
-
+def source_shares(input_paths, sample_files: int = 16):
+    """Cheap skew pre-pass: estimate {source: share} from the first row group
+    of at most ``sample_files`` evenly-strided input files, read driver-side
+    with pyarrow.  Bounded work regardless of input size (a Dataset execution
+    for this kilobyte-sized answer costs ~1s of fixed overhead per run); hot
+    sources only need to be detected approximately, so a row-group sample is
+    the right tool at 100 TB exactly as at 1 GB."""
     paths = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     if len(paths) > sample_files:
         stride = max(len(paths) // sample_files, 1)
         paths = paths[::stride][:sample_files]
-    ds = rd.read_parquet(paths, columns=["source"])
-    counts = counts_by(ds, "source")
-    total = counts["n"].sum()
-    return dict(zip(counts["source"], counts["n"] / max(total, 1)))
+    tables = []
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        if pf.metadata.num_row_groups == 0 or "source" not in pf.schema_arrow.names:
+            continue
+        tables.append(pf.read_row_group(0, columns=["source"]))
+    if not tables:
+        return {}
+    col = pa.concat_tables(tables)
+    g = col.group_by("source").aggregate([([], "count_all")])
+    counts = g["count_all"].to_numpy()
+    total = max(int(counts.sum()), 1)
+    return {s: int(n) / total for s, n in zip(g["source"].to_pylist(), counts)}
 
 
 def build_salt_map(shares: dict[str, float], num_partitions: int, hot_threshold: float = 0.05):
@@ -102,7 +111,19 @@ class AssignPartition:
         base = np.array([zlib.crc32(s.encode()) for s in dictionary], dtype=np.uint64)
         nsalt = np.array([self.salt_map.get(s, 1) for s in dictionary], dtype=np.uint64)
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        salt = stable_str_hash(batch["doc_id"]) % nsalt[idx]
+        per_row_nsalt = nsalt[idx]
+        salt = np.zeros(len(idx), dtype=np.uint64)
+        hot = per_row_nsalt > 1
+        if hot.any():
+            # doc_id hashing only for rows of salted (hot) sources — cold
+            # sources take salt 0 without touching the doc_id column
+            hot_ids = pc.array_filter(
+                batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                pa.array(hot),
+            )
+            salt[hot] = stable_str_hash(hot_ids) % per_row_nsalt[hot]
         pid = ((base[idx] + salt) % np.uint64(self.num_partitions)).astype(np.int32)
         return batch.append_column(PID_COL, pa.array(pid))
 
@@ -140,6 +161,26 @@ def _row_token_sums(tokens_col) -> np.ndarray:
     return cs[offsets[1:]] - cs[offsets[:-1]]
 
 
+def _segment_token_sums(tokens_col, seg_starts: np.ndarray) -> np.ndarray:
+    """Token-value sums per row segment [seg_starts[i], seg_starts[i+1]) in a
+    single ``np.add.reduceat`` pass — no per-row cumsum materialization (the
+    per-row variant dominated the write stage's profile)."""
+    arr = tokens_col.combine_chunks() if isinstance(tokens_col, pa.ChunkedArray) else tokens_col
+    values = np.asarray(arr.flatten(), dtype=np.int64)
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    if len(values) == 0:
+        return np.zeros(len(seg_starts), dtype=np.int64)
+    vstarts = offsets[seg_starts]
+    # reduceat quirk: equal consecutive indices yield values[i], not 0 —
+    # mask out empty segments afterwards
+    sums = np.add.reduceat(values, np.minimum(vstarts, len(values) - 1))
+    seg_ends = np.concatenate([seg_starts[1:], [len(offsets) - 1]])
+    empty = offsets[seg_ends] == vstarts
+    sums[empty] = 0
+    return sums
+
+
 class WriteAndCount:
     """map_batches stage: write the batch's rows into per-level sink files
     (sorted by partition id, with per-pid stats in a sidecar) AND return the
@@ -154,53 +195,90 @@ class WriteAndCount:
     Sink metric rows ride along in the counts table:
         kind="sink"        key=level → routed rows
         kind="sink_tokens" key=level → token checksum
+
+    Sink files are SLIM by default: derived string columns (line, ts_hour,
+    message_key, error_type) are counted but not persisted — they re-derive
+    from the token payload (ParseStage over the routed files), and at 100 TB
+    the detokenized line column alone would roughly double the output bytes.
+    Pass ``slim=False`` to persist every column.
     """
 
-    def __init__(self, tmp_dir: str, route_key: str = "level", counter=None):
+    DERIVED_COLS = ("line", "ts_hour", "message_key", "error_type")
+
+    def __init__(self, tmp_dir: str, route_key: str = "level", counter=None,
+                 slim: bool = True):
         self.tmp_dir = tmp_dir
         self.route_key = route_key
         self.counter = counter  # aggregates.PartialCounts or None
+        self.slim = slim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"kind": pa.array([], pa.string()),
                              "key": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        pids = batch[PID_COL].to_numpy(zero_copy_only=False)
-        order = np.argsort(pids, kind="stable")
-        sorted_batch = batch.take(pa.array(order))
-        levels = pc.unique(sorted_batch[self.route_key].combine_chunks()).to_pylist()
+        # ONE composite (level, pid) sort + take, then zero-copy slices per
+        # level — a filter-per-level re-scans the whole batch (incl. the wide
+        # tokens column) once per level, which dominated this stage's profile
+        lv_col = batch[self.route_key]
+        enc = (lv_col.combine_chunks() if isinstance(lv_col, pa.ChunkedArray)
+               else lv_col).dictionary_encode()
+        levels = enc.dictionary.to_pylist()
+        lvl_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pids = np.asarray(batch[PID_COL].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = len(pids)
+        npart = int(pids.max()) + 1 if n else 1
+        skey = lvl_idx * npart + pids
+        order = np.argsort(skey, kind="stable")
+        sink_batch = batch
+        if self.slim:
+            drop = [c for c in self.DERIVED_COLS
+                    if c in batch.column_names and c != self.route_key]
+            if drop:
+                sink_batch = batch.drop_columns(drop)
+        sorted_batch = sink_batch.take(pa.array(order))
+        skey = skey[order]
+        slvl = lvl_idx[order]
+        spid = pids[order]
+
+        # (level, pid) run boundaries in the sorted batch → one reduceat pass
+        # for all per-pid token checksums, zero-copy level slices for writes
+        seg_starts = np.concatenate([[0], np.flatnonzero(np.diff(skey)) + 1])
+        seg_ends = np.concatenate([seg_starts[1:], [n]])
+        if "tokens" in batch.column_names:
+            seg_tok = _segment_token_sums(sorted_batch["tokens"], seg_starts)
+        else:
+            seg_tok = np.zeros(len(seg_starts), dtype=np.int64)
+        seg_lvl = slvl[seg_starts]
+        seg_pid = spid[seg_starts]
+        seg_rows = seg_ends - seg_starts
 
         os.makedirs(self.tmp_dir, exist_ok=True)
         uid = uuid.uuid4().hex[:12]
         sink_rows: dict[str, int] = {}
         sink_tokens: dict[str, int] = {}
-        for lv in levels:
-            part = sorted_batch.filter(pc.equal(sorted_batch[self.route_key], lv))
-            part_pids = part[PID_COL].to_numpy(zero_copy_only=False)
-            if "tokens" in part.column_names:
-                row_tok = _row_token_sums(part["tokens"])
-            else:
-                row_tok = np.zeros(len(part_pids), dtype=np.int64)
-            # per-pid stats (part is pid-sorted): boundary cumsums
-            bounds = np.flatnonzero(np.diff(part_pids)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(part_pids)]])
-            tok_cs = np.concatenate([[0], np.cumsum(row_tok)])
-            pid_stats = {
-                int(part_pids[s]): {
-                    "rows": int(e - s),
-                    "token_sum": int(tok_cs[e] - tok_cs[s]),
-                }
-                for s, e in zip(starts, ends)
+        lv_seg_bounds = np.flatnonzero(np.diff(seg_lvl)) + 1
+        lv_seg_starts = np.concatenate([[0], lv_seg_bounds])
+        lv_seg_ends = np.concatenate([lv_seg_bounds, [len(seg_starts)]])
+        for ss, se in zip(lv_seg_starts, lv_seg_ends):
+            lv = levels[seg_lvl[ss]]
+            ls, le = int(seg_starts[ss]), int(seg_ends[se - 1])
+            part = sorted_batch.slice(ls, le - ls)
+            # compact sidecar: parallel [pids, rows, token_sums] arrays
+            # (nested per-pid dicts were a visible json.dump cost)
+            meta = {
+                "level": lv,
+                "pid": seg_pid[ss:se].tolist(),
+                "rows": seg_rows[ss:se].tolist(),
+                "token_sum": seg_tok[ss:se].tolist(),
             }
             fname = f"{_sanitize(lv)}__{uid}.parquet"
             fpath = os.path.join(self.tmp_dir, fname)
             pq.write_table(part, fpath + ".tmp")
             os.replace(fpath + ".tmp", fpath)
-            _atomic_json(fpath + ".meta.json", {"level": lv, "pids": pid_stats})
+            _atomic_json(fpath + ".meta.json", meta)
             sink_rows[lv] = part.num_rows
-            sink_tokens[lv] = int(row_tok.sum())
+            sink_tokens[lv] = int(seg_tok[ss:se].sum())
 
         kinds, keys, ns = [], [], []
         if self.counter is not None:
@@ -232,11 +310,11 @@ def completed_waves(out_dir: str) -> set[int]:
     return out
 
 
-def wave_counts(out_dir: str, wave: int) -> pd.DataFrame | None:
+def wave_counts(out_dir: str, wave: int) -> pa.Table | None:
     path = os.path.join(_lineage_dir(out_dir), f"wave-{wave:03d}-counts.parquet")
     if not os.path.exists(path):
         return None
-    return pq.read_table(path).to_pandas()
+    return pq.read_table(path)
 
 
 def cleanup_incomplete_wave(out_dir: str, wave: int, tmp_dir: str) -> None:
@@ -272,12 +350,12 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
         os.replace(data_path, final)
         os.remove(meta_path)
         rel = os.path.relpath(final, out_dir)
-        for pid_s, st in meta["pids"].items():
-            pid = int(pid_s)
+        for pid, rows, tok in zip(meta["pid"], meta["rows"], meta["token_sum"]):
+            pid = int(pid)
             rec = per_pid.setdefault(pid, {"per_level": {}, "files": set()})
             agg = rec["per_level"].setdefault(lv, {"rows": 0, "token_sum": 0})
-            agg["rows"] += st["rows"]
-            agg["token_sum"] += st["token_sum"]
+            agg["rows"] += rows
+            agg["token_sum"] += tok
             rec["files"].add(rel)
     for pid, rec in per_pid.items():
         _atomic_json(
@@ -287,7 +365,9 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
              "rows": sum(v["rows"] for v in rec["per_level"].values())},
         )
     counts_path = os.path.join(ldir, f"wave-{wave:03d}-counts.parquet")
-    pq.write_table(pa.Table.from_pandas(counts, preserve_index=False), counts_path + ".tmp")
+    ctbl = counts if isinstance(counts, pa.Table) else pa.Table.from_pandas(
+        counts, preserve_index=False)
+    pq.write_table(ctbl, counts_path + ".tmp")
     os.replace(counts_path + ".tmp", counts_path)
     _atomic_json(
         os.path.join(ldir, f"wave-{wave:03d}.json"),
