@@ -225,6 +225,12 @@ def generate_sequences(
         with open(manifest_path) as f:
             if json.load(f) == want:
                 return out_dir
+    if os.path.isdir(out_dir):
+        # stale layout (different n/rows_per_file) would leave orphan part
+        # files next to the regenerated ones — duplicate rows on read
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     shards = [(s, min(s + rows_per_file, n)) for s in range(0, n, rows_per_file)]

@@ -38,9 +38,16 @@ def tune_for_cluster(num_cpus: int | None = None):
 
     ctx = DataContext.get_current()
     n = num_cpus or cluster_cpus()
-    floor = max(2 * n, 8)
+    # ~4 tasks per core packs waves tightly without hitting the per-block
+    # driver overhead that the 200-block default pays on small clusters
+    floor = min(max(4 * n, 8), 192)
     ctx.read_op_min_num_blocks = floor
     ctx.min_parallelism = floor
     ctx.default_hash_shuffle_parallelism = floor
     ctx.enable_progress_bars = False
+    # our pipelines are short chains of fused map operators over pre-split
+    # inputs; the 50% per-operator resource reservation leaves the dominant
+    # fused operator running on half the cluster (measured ~40% wall
+    # overhead on the flagship) — let operators claim idle CPUs instead
+    ctx.op_resource_reservation_enabled = False
     return ctx

@@ -333,13 +333,20 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
     """Move tmp files into the final layout, write per-partition lineage
     records (accumulated from the writer sidecars), then the wave manifest
     ATOMICALLY LAST (its presence == wave complete)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ldir = _lineage_dir(out_dir)
     os.makedirs(ldir, exist_ok=True)
     per_pid: dict[int, dict] = {}  # pid → {"per_level": {...}, "files": set}
     seq: dict[str, int] = {}
-    for meta_path in sorted(glob.glob(os.path.join(tmp_dir, "*.meta.json"))):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    metas = []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        def load(p):
+            with open(p) as f:
+                return p, json.load(f)
+        metas = list(pool.map(load, sorted(glob.glob(os.path.join(tmp_dir, "*.meta.json")))))
+    moves = []
+    for meta_path, meta in metas:
         data_path = meta_path[: -len(".meta.json")]
         lv = meta["level"]
         sdir = os.path.join(out_dir, f"{route_key}={_sanitize(lv)}")
@@ -347,8 +354,7 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
         k = seq.get(lv, 0)
         seq[lv] = k + 1
         final = os.path.join(sdir, f"part-w{wave:03d}-{k:04d}.parquet")
-        os.replace(data_path, final)
-        os.remove(meta_path)
+        moves.append((data_path, meta_path, final))
         rel = os.path.relpath(final, out_dir)
         for pid, rows, tok in zip(meta["pid"], meta["rows"], meta["token_sum"]):
             pid = int(pid)
@@ -357,13 +363,22 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
             agg["rows"] += rows
             agg["token_sum"] += tok
             rec["files"].add(rel)
-    for pid, rec in per_pid.items():
-        _atomic_json(
-            os.path.join(ldir, f"w{wave:03d}-p{pid:05d}.json"),
-            {"wave": wave, "pid": pid, "per_level": rec["per_level"],
-             "files": sorted(rec["files"]),
-             "rows": sum(v["rows"] for v in rec["per_level"].values())},
-        )
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        def move(m):
+            data_path, meta_path, final = m
+            os.replace(data_path, final)
+            os.remove(meta_path)
+        list(pool.map(move, moves))
+
+        def write_pid(item):
+            pid, rec = item
+            _atomic_json(
+                os.path.join(ldir, f"w{wave:03d}-p{pid:05d}.json"),
+                {"wave": wave, "pid": pid, "per_level": rec["per_level"],
+                 "files": sorted(rec["files"]),
+                 "rows": sum(v["rows"] for v in rec["per_level"].values())},
+            )
+        list(pool.map(write_pid, per_pid.items()))
     counts_path = os.path.join(ldir, f"wave-{wave:03d}-counts.parquet")
     ctbl = counts if isinstance(counts, pa.Table) else pa.Table.from_pandas(
         counts, preserve_index=False)
