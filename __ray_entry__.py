@@ -272,6 +272,80 @@ def q_ann_topk(sf_dir: str):
     return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
 
 
+def q_orders_price_stats(sf_dir: str):
+    """A-family min/max/sum aggregates with partial-per-batch merge.  Sums
+    are integer cents so partial+final float association can't drift from
+    the oracle."""
+    ds = _rp(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        t2 = pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "price": t["o_totalprice"], "cents": cents})
+        g = t2.group_by("o_orderpriority").aggregate(
+            [("price", "min"), ("price", "max"), ("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "min_price", "max_price", "sum_cents", "n"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("o_orderpriority", as_index=False).agg(
+        min_price=("min_price", "min"), max_price=("max_price", "max"),
+        sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    return out.astype({"sum_cents": "int64", "n": "int64"})
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch pair dedup + pair merge."""
+    from timberjack_ray.functions.relational import distinct_count_by
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    out = distinct_count_by(ds, "event_type", "user_id", name="n_users")
+    return out.astype({"n_users": "int64"})
+
+
+def q_top10_orders(sf_dir: str):
+    """Global top-K without a distributed sort (per-batch top-K + merge)."""
+    from timberjack_ray.functions.relational import sorted_topk
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = sorted_topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+    return out.astype({"o_orderkey": "int64"})
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer) + grouped aggregate — the
+    generic small-side join SURVEY.md §2.4 calls for."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, cust, keys="o_custkey", right_keys="c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        t2 = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents})
+        g = t2.group_by("c_nationkey").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_nationkey", "sum_cents", "n"])
+
+    p = joined.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(p, ["c_nationkey"], ["sum_cents", "n"]).to_pandas()
+    return out.astype({"c_nationkey": "int64", "sum_cents": "int64", "n": "int64"})
+
+
+def q_doc_repetition_ratio(sf_dir: str):
+    """A7-analog scalar: total vs exact-distinct text count on documents."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    counts = counts_by(ds, "text")
+    total = int(counts["n"].sum())
+    return pd.DataFrame({"n_total": [total], "n_distinct": [len(counts)]})
+
+
 # --- non-SQL-expressible ops (driver records rows-only checks) -------------
 
 def q_seq_level_counts(sf_dir: str):
@@ -378,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_token_counts": q_doc_token_counts,
         "ann_topk": q_ann_topk,
+        "orders_price_stats": q_orders_price_stats,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "top10_orders": q_top10_orders,
+        "orders_by_nation": q_orders_by_nation,
+        "doc_repetition_ratio": q_doc_repetition_ratio,
         # non-SQL-expressible (rows-only checks)
         "seq_level_counts": q_seq_level_counts,
         "seq_trends": q_seq_trends,
@@ -456,5 +535,32 @@ def oracle_sql() -> dict[str, str]:
                        vec_id ASC) AS BIGINT) AS rank
               FROM embeddings
             ) WHERE rank <= 10
+        """,
+        "orders_price_stats": """
+            SELECT o_orderpriority,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "top10_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT c.c_nationkey AS c_nationkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "doc_repetition_ratio": """
+            SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_distinct
+            FROM documents
         """,
     }
