@@ -428,6 +428,20 @@ def q_fingerprints(sf_dir: str):
     return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
 
 
+def q_stream_levels(sf_dir: str):
+    """S2 bounded-streaming path (stdin analog): line-iterator ingest through
+    the same kernels; no Ray session needed."""
+    from timberjack_ray import AnalyzeConfig
+    from timberjack_ray.data import synth
+    from timberjack_ray.stream import analyze_stream
+
+    rep = analyze_stream(
+        (synth.line_for(i) for i in range(5000)),
+        AnalyzeConfig(stats=True, trend=True, collect_lines=False),
+    )
+    return pd.DataFrame(rep["stats"]["log_levels"]).astype({"count": "int64"})
+
+
 def q_multimodal_decode(sf_dir: str):
     import ray.data as rd
 
@@ -469,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "stream_levels": q_stream_levels,
     }
 
 

@@ -36,4 +36,10 @@ class AnalyzeConfig:
             # The reference registers no parser for these and panics at
             # get_parser().expect() (src/main.rs:134-136); we surface a clear error.
             raise ValueError(f"format {f!r} has no registered parser")
+        if f != "generic":
+            # user-registered parser name (registry.ParserRegistry)
+            from timberjack_ray.registry import default_registry
+
+            default_registry().get(f)  # raises KeyError if unknown
+            return f
         return "generic"

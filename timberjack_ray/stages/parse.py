@@ -44,7 +44,13 @@ class ParseStage:
     """
 
     def __init__(self, cfg: AnalyzeConfig, fmt: str, keep_tokens: bool = True):
-        assert fmt in ("generic", "json"), fmt
+        self.custom = None
+        if fmt not in ("generic", "json"):
+            # user-registered parser (registry.ParserRegistry) — the instance
+            # ships to workers inside this stage via cloudpickle
+            from timberjack_ray.registry import default_registry
+
+            self.custom = default_registry().get(fmt)
         self.cfg = cfg
         self.fmt = fmt
         self.keep_tokens = keep_tokens
@@ -86,7 +92,15 @@ class ParseStage:
             batch = batch.filter(nonempty)
             lines = lines.filter(nonempty)
 
-        if self.fmt == "json":
+        if self.custom is not None:
+            parsed = self.custom.parse_batch(pa.table({"line": lines}))
+            level = parsed["level"]
+            ts = parsed["ts"]
+            if self.filters:
+                field_mask = kernels.fallback_filter_mask(lines, self.filters)
+            else:
+                field_mask = None
+        elif self.fmt == "json":
             pylines = lines.to_pylist()
             ts_np, parsed_level_np, keep_np = self._parse_json(pylines)
             ts = pa.chunked_array([pa.array(ts_np, type=pa.string())])
