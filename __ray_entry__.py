@@ -336,6 +336,23 @@ def q_orders_by_nation(sf_dir: str):
     return out.astype({"c_nationkey": "int64", "sum_cents": "int64", "n": "int64"})
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram per event_type (the north_star's per-source
+    histogram shape): bin id computed vectorized per batch, partial counts
+    merged — one small exchange, no sort."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], 50.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "bin": b})
+
+    out = counts_by(ds.map_batches(binify, batch_format="pyarrow"),
+                    ["event_type", "bin"])
+    return out.astype({"bin": "int64", "n": "int64"})
+
+
 def q_doc_repetition_ratio(sf_dir: str):
     """A7-analog scalar: total vs exact-distinct text count on documents."""
     from timberjack_ray.aggregates import counts_by
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders": q_top10_orders,
         "orders_by_nation": q_orders_by_nation,
         "doc_repetition_ratio": q_doc_repetition_ratio,
+        "value_histogram": q_value_histogram,
         # non-SQL-expressible (rows-only checks)
         "seq_level_counts": q_seq_level_counts,
         "seq_trends": q_seq_trends,
@@ -577,5 +595,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_ratio": """
             SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_distinct
             FROM documents
+        """,
+        "value_histogram": """
+            SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, bin
         """,
     }

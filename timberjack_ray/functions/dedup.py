@@ -86,7 +86,17 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros((0, self.num_perm), np.uint64)
+        if not texts:
+            sigs = np.zeros((0, self.num_perm), np.uint64)
+        else:
+            # batch-vectorized: hash ALL shingles once, one (num_perm ×
+            # total_shingles) universal-hash matrix, per-doc minima via
+            # reduceat — replaces a per-doc Python loop
+            per_doc = [shingles(t, self.k) for t in texts]
+            offsets = np.cumsum([0] + [len(s) for s in per_doc])
+            flat = _stable_hash_strings(np.concatenate(per_doc))
+            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+            sigs = np.minimum.reduceat(vals, offsets[:-1], axis=1).T
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
         )
@@ -129,53 +139,114 @@ def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 16):
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7, max_bucket: int = 256):
-    """groupby (band, band_hash) → within-bucket pairs verified by signature
-    agreement (estimated Jaccard ≥ threshold).  Buckets larger than
-    ``max_bucket`` are truncated (logged via the ``truncated`` column) —
+def _pairs_of_group(g: pd.DataFrame, threshold: float, max_bucket: int) -> pd.DataFrame:
+    g = g.drop_duplicates("doc_id").head(max_bucket)
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    sigs = np.stack(g["sig"].to_numpy())
+    ids = g["doc_id"].to_numpy()
+    out_a, out_b, out_j = [], [], []
+    for i in range(n):
+        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        hit = np.nonzero(agree >= threshold)[0]
+        for h in hit:
+            x, y = ids[i], ids[i + 1 + h]
+            if x > y:
+                x, y = y, x
+            out_a.append(x)
+            out_b.append(y)
+            out_j.append(float(agree[h]))
+    return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+
+
+def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7,
+                    max_bucket: int = 256, driver_limit: int = 2_000_000):
+    """Within-bucket pairs verified by signature agreement (estimated
+    Jaccard ≥ threshold).  Buckets larger than ``max_bucket`` are truncated —
     giant buckets mean degenerate content where pairwise expansion explodes.
+
+    Physical plan: almost every LSH bucket is a singleton, so shuffling ALL
+    band rows into a groupby wastes the whole exchange.  Instead:
+
+    1. bucket-occupancy partial count per batch → tiny driver merge;
+    2. broadcast the multi-occupant bucket keys, semi-join-filter the band
+       rows down to candidates only (``pc.is_in`` per batch);
+    3. pair within buckets — driver-side pandas groupby when the filtered
+       set is ≤ ``driver_limit`` rows (it is bounded by actual near-dup
+       volume), else the distributed ``groupby().map_groups`` path.
     """
+    import ray
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").head(max_bucket)
-        n = len(g)
-        if n < 2:
+    from timberjack_ray.aggregates import merge_partials
+
+    def occupancy(t: pa.Table) -> pa.Table:
+        g = t.select(["band", "band_hash"]).group_by(["band", "band_hash"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["band", "band_hash", "n"])
+
+    # band rows are consumed twice (occupancy + filter) — callers should
+    # pass a band_ds whose upstream is materialized or cheap to recompute
+    # (minhash_dedup materializes the compact sig table, 8·num_perm B/doc)
+    occ = merge_partials(band_ds.map_batches(occupancy, batch_format="pyarrow"),
+                         ["band", "band_hash"], "n")
+    hot = occ.filter(pc.greater_equal(occ["n"], 2))
+    n_candidate_rows = int(pc.sum(hot["n"]).as_py() or 0)
+    hot_keys = hot["band_hash"].combine_chunks()  # cross-band key collisions
+    # only keep extra rows; the pairing groupby still keys on (band, hash)
+    hot_ref = ray.put(hot_keys)
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        return t.filter(pc.is_in(t["band_hash"], value_set=keys))
+
+    filtered = band_ds.map_batches(filter_hot, batch_format="pyarrow")
+
+    if n_candidate_rows <= driver_limit:
+        frames = [b.to_pandas() for b in filtered.iter_batches(
+            batch_size=None, batch_format="pyarrow") if b.num_rows]
+        if not frames:
             return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        sigs = np.stack(g["sig"].to_numpy())
-        ids = g["doc_id"].to_numpy()
-        out_a, out_b, out_j = [], [], []
-        for i in range(n):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(agree >= threshold)[0]
-            for h in hit:
-                x, y = ids[i], ids[i + 1 + h]
-                if x > y:
-                    x, y = y, x
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(float(agree[h]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+        allrows = pd.concat(frames, ignore_index=True)
+        out = allrows.groupby(["band", "band_hash"], sort=False).apply(
+            lambda g: _pairs_of_group(g, threshold, max_bucket))
+        return out.reset_index(drop=True)
 
-    return band_ds.groupby(["band", "band_hash"]).map_groups(pairs_of_group, batch_format="pandas")
+    return filtered.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _pairs_of_group(g, threshold, max_bucket), batch_format="pandas")
 
 
 def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 16,
-                  threshold: float = 0.7, concurrency=(1, 8)):
+                  threshold: float = 0.7, concurrency=None):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of
     (doc_id, dup_group) for docs in some near-dup cluster, plus pair count.
 
     Union-find over the (small) verified pair set runs driver-side — the
     documented assumption is |pairs| ≪ |docs| after LSH.
+
+    Default runs the hasher as stateless tasks (the permutation params are
+    bytes, shipped inside the pickled instance — fuses with the read and
+    scales to every core with no pool start-up); pass ``concurrency`` for an
+    actor pool when per-actor state becomes genuinely heavy.
     """
-    sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"col": col, "num_perm": num_perm},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        sig = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"col": col, "num_perm": num_perm},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        sig = ds.map_batches(MinHasher(col=col, num_perm=num_perm),
+                             batch_format="pyarrow")
+    # compact: 8·num_perm bytes/doc — cheap to hold, saves recomputing the
+    # hash stage for candidate_pairs' two passes over the exploded bands
+    sig = sig.materialize()
     bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
-    pairs = candidate_pairs(bands_ds, num_perm=num_perm, threshold=threshold).to_pandas()
+    pairs = candidate_pairs(bands_ds, num_perm=num_perm, threshold=threshold)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
     pairs = pairs.drop_duplicates(["a", "b"])
 
     parent: dict = {}
@@ -219,12 +290,15 @@ class SimHasher:
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh.view(np.int64))})
 
 
-def simhash_candidates(ds, col: str = "text", concurrency=(1, 8)):
+def simhash_candidates(ds, col: str = "text", concurrency=None):
     """SimHash → 4×16-bit band buckets → candidate pairs with Hamming ≤ 3."""
-    sh = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"col": col},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
-    )
+    if concurrency is not None:
+        sh = ds.map_batches(
+            SimHasher, fn_constructor_kwargs={"col": col},
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        )
+    else:
+        sh = ds.map_batches(SimHasher(col=col), batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch["simhash"]).view(np.uint64)
