@@ -420,6 +420,23 @@ def q_embedding_near_dup(sf_dir: str):
     return pd.DataFrame({"n_pairs": [len(pairs)]})
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (scale path; deterministic seeded centroids).
+    Rows-only check — recall vs brute force is asserted in
+    tests/test_functions.py."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, q0[None, :], k=10, n_centroids=16, n_probe=4)
+    return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
+
+
 def q_quality_scores(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
@@ -497,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
         "fingerprints": q_fingerprints,

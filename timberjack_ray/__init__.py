@@ -13,6 +13,7 @@ Public API (mirrors the reference's library re-exports, src/lib.rs:8-12):
 from timberjack_ray.config import AnalyzeConfig
 from timberjack_ray.pipelines.analyze import AnalyzeOutput, analyze_dataset, analyze_parquet
 from timberjack_ray.report import assemble_report, render_text
+from timberjack_ray.stream import analyze_stream
 from timberjack_ray.vocab import decode, detokenize, encode
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "AnalyzeOutput",
     "analyze_dataset",
     "analyze_parquet",
+    "analyze_stream",
     "assemble_report",
     "render_text",
     "decode",
