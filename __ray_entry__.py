@@ -462,6 +462,16 @@ def q_fingerprints(sf_dir: str):
     return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct (scale path for 10^9+-cardinality
+    families; <1% error at p=14).  Rows-only — approx vs exact tolerance is
+    asserted in tests/test_sketch.py."""
+    from timberjack_ray.functions.sketch import approx_distinct
+
+    est = approx_distinct(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+
+
 def q_stream_levels(sf_dir: str):
     """S2 bounded-streaming path (stdin analog): line-iterator ingest through
     the same kernels; no Ray session needed."""
@@ -520,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "stream_levels": q_stream_levels,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

@@ -1,0 +1,55 @@
+"""HyperLogLog sketch: accuracy, merge semantics, Ray integration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from timberjack_ray.functions.sketch import (
+    HyperLogLog,
+    approx_distinct,
+    approx_distinct_by,
+)
+
+
+def test_hll_accuracy():
+    for n in (50, 5_000, 200_000):
+        h = HyperLogLog(14)
+        h.add_hashed(pd.util.hash_array(np.arange(n).astype(object)))
+        assert abs(h.estimate() - n) / n < 0.03
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_strings([f"x{i}" for i in range(3000)])
+    b.add_strings([f"x{i}" for i in range(1500, 4500)])  # overlap 1500
+    u = HyperLogLog(12)
+    u.add_strings([f"x{i}" for i in range(4500)])
+    a.merge(b)
+    assert np.array_equal(a.registers, u.registers)  # max-merge is exact on registers
+    assert abs(a.estimate() - 4500) / 4500 < 0.05
+
+
+def test_approx_distinct_ray(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 7000, 40_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    exact = len(np.unique(vals))
+    est = approx_distinct(ds, "v")
+    assert abs(est - exact) / exact < 0.03
+
+
+def test_approx_distinct_by_ray(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30_000),
+        "v": rng.integers(0, 2000, 30_000),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    out = approx_distinct_by(ds, "g", "v", p=12)
+    exact = df.groupby("g")["v"].nunique()
+    for g, est in zip(out["g"], out["approx_distinct"]):
+        assert abs(est - exact[g]) / exact[g] < 0.06
