@@ -336,6 +336,44 @@ def q_orders_by_nation(sf_dir: str):
     return out.astype({"c_nationkey": "int64", "sum_cents": "int64", "n": "int64"})
 
 
+def q_sliding_window_counts(sf_dir: str):
+    """Sliding-window event counts (1h windows, 30min slide): in-batch
+    membership fan-out on the int64 timestamp array, partial counts, small
+    merge."""
+    from timberjack_ray.functions.window import sliding_counts
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    out = sliding_counts(ds, "ts", width_s=3600, slide_s=1800)
+    return out.astype({"window_start": "int64", "n": "int64"})
+
+
+def q_asof_signup(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest signup at or
+    before it (broadcast right side + per-key searchsorted)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.relational import asof_join
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["ts", "user_id", "event_type"])
+    signup = ev.filter(pc.equal(ev["event_type"], "signup"))
+    right = pa.table({
+        "user_id": signup["user_id"],
+        "ts": signup["ts"],
+        "signup_ts": pc.cast(signup["ts"], pa.int64()),  # microseconds
+    })
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+
+    out = asof_join(ds, right, on="ts", by="user_id",
+                    value_cols=["signup_ts"]).to_pandas()
+    res = out[["event_id", "signup_ts_r"]].rename(columns={"signup_ts_r": "signup_us"})
+    return res.astype({"event_id": "int64", "signup_us": "int64"})
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram per event_type (the north_star's per-source
     histogram shape): bin id computed vectorized per batch, partial counts
@@ -516,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "value_histogram": q_value_histogram,
+        "asof_signup": q_asof_signup,
+        "sliding_window_counts": q_sliding_window_counts,
         # non-SQL-expressible (rows-only checks)
         "seq_level_counts": q_seq_level_counts,
         "seq_trends": q_seq_trends,
@@ -629,5 +669,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY event_type, bin
+        """,
+        "asof_signup": """
+            SELECT l.event_id AS event_id,
+                   CAST(epoch_us(r.ts) AS BIGINT) AS signup_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sliding_window_counts": """
+            WITH b AS (
+              SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) AS k FROM events
+            )
+            SELECT ws AS window_start, COUNT(*) AS n FROM (
+              SELECT k * 1800 AS ws FROM b
+              UNION ALL
+              SELECT (k - 1) * 1800 AS ws FROM b
+            ) GROUP BY ws
         """,
     }

@@ -1,0 +1,88 @@
+"""Windowed aggregates (tumbling/sliding) and the as-of join, verified
+against pandas ground truth on the same data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from timberjack_ray.functions.relational import asof_join
+from timberjack_ray.functions.window import sliding_counts, tumbling_counts
+
+rng = np.random.default_rng(11)
+N = 8000
+TS0 = 1_700_000_000
+EVENTS = pd.DataFrame({
+    "ts": TS0 + rng.integers(0, 86_400, N),
+    "key": rng.choice(["a", "b", "c"], N),
+})
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(EVENTS).repartition(6)
+
+
+def test_tumbling_counts(events_ds):
+    out = tumbling_counts(events_ds, "ts", width_s=3600)
+    expect = EVENTS.assign(ws=(EVENTS.ts // 3600) * 3600).groupby("ws").size()
+    got = dict(zip(out["window_start"], out["n"]))
+    assert got == expect.to_dict()
+
+
+def test_tumbling_by_key(events_ds):
+    out = tumbling_counts(events_ds, "ts", width_s=7200, by="key")
+    expect = EVENTS.assign(ws=(EVENTS.ts // 7200) * 7200).groupby(["ws", "key"]).size()
+    got = {(w, k): n for w, k, n in zip(out["window_start"], out["key"], out["n"])}
+    assert got == expect.to_dict()
+
+
+def test_sliding_counts_match_bruteforce(events_ds):
+    width, slide = 3600, 900
+    out = sliding_counts(events_ds, "ts", width_s=width, slide_s=slide)
+    # brute force: for each candidate window, count rows in [ws, ws+width)
+    got = dict(zip(out["window_start"], out["n"]))
+    ts = EVENTS.ts.to_numpy()
+    for ws, n in list(got.items())[:200]:
+        assert n == int(((ts >= ws) & (ts < ws + width)).sum())
+    # every row appears in exactly width/slide windows
+    assert sum(got.values()) == N * (width // slide)
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({
+        "ts": np.sort(rng.integers(0, 10_000, 500)),
+        "u": rng.choice(["x", "y", "z"], 500),
+        "lid": np.arange(500),
+    })
+    right_df = pd.DataFrame({
+        "ts": np.sort(rng.integers(0, 10_000, 80)),
+        "u": rng.choice(["x", "y", "z"], 80),
+        "val": np.arange(80) * 10,
+    })
+    out = asof_join(
+        rd.from_pandas(left).repartition(4),
+        pa.Table.from_pandas(right_df, preserve_index=False),
+        on="ts", by="u", value_cols=["val"], inner=False,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    expect = pd.merge_asof(
+        left.sort_values("ts", kind="stable"), right_df.sort_values("ts", kind="stable"),
+        on="ts", by="u", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert out["val_r"].fillna(-1).astype("int64").tolist() == \
+        expect["val"].fillna(-1).astype("int64").tolist()
+
+
+def test_asof_join_inner_drops_unmatched(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"ts": [5, 1], "u": ["x", "x"], "lid": [0, 1]})
+    right = pa.table({"u": ["x"], "ts": [3], "val": [42]})
+    out = asof_join(rd.from_pandas(left), right, on="ts", by="u",
+                    value_cols=["val"]).to_pandas()
+    assert out["lid"].tolist() == [0]  # ts=1 has no right row ≤ it
+    assert out["val_r"].tolist() == [42]

@@ -16,6 +16,7 @@ Ray-Data-first rules as the analyze pipeline:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -77,6 +78,95 @@ def sorted_topk(ds, sort_keys, k: int, descending=True) -> pd.DataFrame:
         return pd.DataFrame()
     merged = pa.concat_tables(frames).sort_by(order).slice(0, k)
     return merged.to_pandas()
+
+
+class AsofJoiner:
+    """map_batches stage: per-row 'latest right row with ts ≤ left ts'
+    within the same ``by`` key — the classic as-of join, which Ray Data has
+    no operator for (SURVEY custom-op case (b): broadcast state + searchsorted).
+
+    The right side is broadcast once and indexed per worker in ``__init__``:
+    {by_key → (sorted ts int64[], right row index[])}.  Each batch dict-encodes
+    its ``by`` column and runs ONE vectorized ``np.searchsorted`` per distinct
+    key present — no per-row Python.
+    """
+
+    def __init__(self, right_ref, on: str, by: str, value_cols: list[str],
+                 suffix: str = "_r"):
+        right = _fetch_table(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.on = on
+        self.by = by
+        self.value_cols = value_cols
+        self.suffix = suffix
+        df = right.select([by, on] + value_cols).to_pandas()
+        # normalize the ordering column to int64 ns so left and right agree
+        # regardless of source timestamp unit (us-parquet vs ns-pandas)
+        df["__ts"] = df[on].to_numpy().astype("datetime64[ns]").astype("int64") \
+            if np.issubdtype(df[on].to_numpy().dtype, np.datetime64) \
+            else df[on].to_numpy().astype("int64")
+        df = df.sort_values([by, "__ts"], kind="stable").reset_index(drop=True)
+        self.index: dict = {}
+        for key, sub in df.groupby(by, sort=False):
+            self.index[key] = (sub["__ts"].to_numpy(), sub.index.to_numpy())
+        self.right_values = {c: df[c].to_numpy() for c in value_cols}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts_np = np.asarray(batch[self.on].combine_chunks()
+                           if isinstance(batch[self.on], pa.ChunkedArray)
+                           else batch[self.on])
+        ts = (ts_np.astype("datetime64[ns]")
+              if np.issubdtype(ts_np.dtype, np.datetime64) else ts_np).astype("int64")
+        by_col = batch[self.by]
+        enc = (by_col.combine_chunks() if isinstance(by_col, pa.ChunkedArray)
+               else by_col).dictionary_encode()
+        keys = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        match = np.full(n, -1, dtype=np.int64)
+        for ki, key in enumerate(keys):
+            ent = self.index.get(key)
+            if ent is None:
+                continue
+            rts, rrows = ent
+            sel = np.flatnonzero(idx == ki)
+            pos = np.searchsorted(rts, ts[sel], side="right") - 1
+            ok = pos >= 0
+            match[sel[ok]] = rrows[pos[ok]]
+        got = match >= 0
+        out = batch
+        for c in self.value_cols:
+            vals = np.where(got, self.right_values[c][np.maximum(match, 0)], None)
+            out = out.append_column(f"{c}{self.suffix}", pa.array(vals.tolist()))
+        return out.append_column("__matched", pa.array(got))
+
+
+def asof_join(ds, right: pa.Table, on: str, by: str, value_cols: list[str],
+              suffix: str = "_r", inner: bool = True):
+    """Broadcast as-of join (backward: latest right ts ≤ left ts per key).
+
+    Right side must fit in worker memory (broadcast); for two large sides,
+    hash-partition both by ``by`` and run this joiner per partition
+    (groupby/map_groups) — documented scale path.
+    """
+    import ray
+
+    ref = ray.put(right)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        joiner_key = (ref.hex(), on, by, tuple(value_cols), suffix)
+        j = _ASOF_CACHE.get(joiner_key)
+        if j is None:
+            j = AsofJoiner(ref, on, by, value_cols, suffix)
+            _ASOF_CACHE[joiner_key] = j
+        out = j(batch)
+        if inner:
+            out = out.filter(out["__matched"])
+        return out.drop_columns(["__matched"])
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+_ASOF_CACHE: dict = {}
 
 
 def distinct_count_by(ds, group_col: str, distinct_col: str, name: str = "n_distinct") -> pd.DataFrame:

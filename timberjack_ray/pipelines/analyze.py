@@ -46,6 +46,7 @@ from timberjack_ray.stages.route import (
     filter_completed,
     finalize_wave,
     lineage_metrics,
+    pid_counts,
     read_routed,
     route_and_write,
     source_shares,
@@ -357,27 +358,45 @@ def _recompute_wave_counts(out_dir, wave, cfg, fmt, extra_cols) -> pd.DataFrame:
 
 def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
                      extra_cols, batch_size):
-    """Shuffle-mode routing: one writer per pid, per-pid resume, aggregates
-    read back from the routed files."""
+    """Shuffle-mode routing: one writer per pid, per-pid resume.  Each
+    writer emits its partition's aggregate partial as a sidecar in the SAME
+    pass; totals are the merge of every pid's sidecar (skipped pids
+    included), so neither fresh runs nor resumes reread routed data.  Falls
+    back to a column-pruned read over the routed files only when existing
+    sidecars lack aggregate kinds this run needs."""
     ds = ds.map_batches(AssignPartition(num_partitions, salt_map),
                         batch_format="pyarrow", batch_size=batch_size)
     ds, skipped = filter_completed(ds, out_dir)
     parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
                         keep_tokens=True, batch_size=batch_size, with_pid=False)
-    route_metrics = route_and_write(parsed, out_dir).to_pandas()
-    agg_cols = ["level"] + extra_cols
-    if cfg.trend:
-        agg_cols.append("ts_hour")
-    if cfg.stats:
-        agg_cols += ["message_key", "error_type"]
-    if cfg.collect_lines:
-        agg_cols.append("line")
-    agg_src = read_routed(out_dir, columns=sorted(set(agg_cols)))
-    counts = _counts_to_pandas(report_counts(
-        agg_src, want_trend=cfg.trend, want_stats=cfg.stats,
+    counter = PartialCounts(
+        want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
         hash_msgs=not cfg.show_unique,
-    ))
+    )
+    route_metrics = route_and_write(parsed, out_dir, counter=counter).to_pandas()
+
+    needed = _needed_kinds(cfg, extra_cols)
+    sidecars = pid_counts(out_dir)
+    if sidecars and all(
+        _counts_satisfy(set(pc.unique(t["kind"]).to_pylist()), needed)
+        for t in sidecars if len(t)
+    ):
+        counts = _counts_to_pandas(_merge_counts(sidecars))
+    else:
+        agg_cols = ["level"] + extra_cols
+        if cfg.trend:
+            agg_cols.append("ts_hour")
+        if cfg.stats:
+            agg_cols += ["message_key", "error_type"]
+        if cfg.collect_lines:
+            agg_cols.append("line")
+        agg_src = read_routed(out_dir, columns=sorted(set(agg_cols)))
+        counts = _counts_to_pandas(report_counts(
+            agg_src, want_trend=cfg.trend, want_stats=cfg.stats,
+            want_lines=cfg.collect_lines, extra_cols=extra_cols,
+            hash_msgs=not cfg.show_unique,
+        ))
     return AnalyzeOutput(
         report=assemble_report(counts, cfg), counts=counts, fmt=fmt,
         route_metrics=route_metrics, skipped_partitions=skipped,

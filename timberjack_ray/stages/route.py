@@ -409,11 +409,16 @@ def lineage_metrics(out_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 class PartitionWriter:
-    """map_groups writer: one call per pid, owns all files of that partition."""
+    """map_groups writer: one call per pid, owns all files of that partition.
+    With ``counter`` set (aggregates.PartialCounts), the partition's partial
+    aggregate counts are computed in the same pass and appended to the
+    metrics rows as (kind, key, n) — shuffle mode then needs no second read
+    over the routed files."""
 
-    def __init__(self, out_dir: str, route_key: str = "level"):
+    def __init__(self, out_dir: str, route_key: str = "level", counter=None):
         self.out_dir = out_dir
         self.route_key = route_key
+        self.counter = counter
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group[PID_COL][0].as_py()
@@ -437,6 +442,13 @@ class PartitionWriter:
 
         ldir = _lineage_dir(self.out_dir)
         os.makedirs(ldir, exist_ok=True)
+        if self.counter is not None:
+            # the pid's aggregate partial, same pass as the write; stored as
+            # a sidecar so resumed runs sum counts without rereading data.
+            # written BEFORE the pid manifest (manifest presence == complete)
+            cpath = os.path.join(ldir, f"{pid:05d}-counts.parquet")
+            pq.write_table(self.counter(body), cpath + f".tmp-{os.getpid()}")
+            os.replace(cpath + f".tmp-{os.getpid()}", cpath)
         _atomic_json(
             os.path.join(ldir, f"{pid:05d}.json"),
             {"pid": pid, "rows": body.num_rows, "per_level": per_level},
@@ -476,16 +488,23 @@ def filter_completed(ds, out_dir: str):
     return ds.map_batches(drop, batch_format="pyarrow"), len(done)
 
 
-def route_and_write(ds, out_dir: str, route_key: str = "level"):
+def route_and_write(ds, out_dir: str, route_key: str = "level", counter=None):
     """Shuffle-mode fan-out: one writer per pid.  ``ds`` must carry ``__pid``
     (AssignPartition) and the route-key column.  Returns the metrics Dataset."""
     os.makedirs(out_dir, exist_ok=True)
-    writer = PartitionWriter(out_dir, route_key=route_key)
+    writer = PartitionWriter(out_dir, route_key=route_key, counter=counter)
 
     def write_partition(group: pa.Table) -> pa.Table:
         return writer(group)
 
     return ds.groupby(PID_COL).map_groups(write_partition, batch_format="pyarrow")
+
+
+def pid_counts(out_dir: str) -> list[pa.Table]:
+    """All per-pid aggregate-count sidecars (shuffle mode)."""
+    return [pq.read_table(f) for f in sorted(
+        glob.glob(os.path.join(_lineage_dir(out_dir), "*-counts.parquet")))
+        if os.path.basename(f).split("-")[0].isdigit()]
 
 
 def read_routed(out_dir: str, columns=None):
