@@ -53,3 +53,24 @@ def test_synth_batches_roundtrip():
     expected = [synth.line_for(i, 0.4) for i in range(500)]
     assert lines.to_pylist() == expected
     assert t["n_tok"].to_pylist() == [len(vocab.encode(l)) for l in expected]
+
+
+def test_oov_tokens_silently_skipped():
+    """Rows with out-of-vocab token ids decode to null and are dropped by
+    the parse stage — the analog of the reference skipping invalid-UTF-8
+    lines (src/analyzer.rs:299-304)."""
+    import pyarrow as pa
+
+    from timberjack_ray import AnalyzeConfig
+    from timberjack_ray.stages.parse import CountStage, ParseStage
+
+    good = vocab.encode("2025-03-01 10:00:00 [ERROR] boom")
+    batch = pa.table({
+        "tokens": pa.array([good, [1, 999_999], [-5], good], type=pa.list_(pa.int32())),
+        "doc_id": ["a", "b", "c", "d"],
+    })
+    assert vocab.detokenize(batch["tokens"].combine_chunks()).null_count == 2
+    out = ParseStage(cfg=AnalyzeConfig(stats=True), fmt="generic")(batch)
+    assert out.num_rows == 2
+    assert out["level"].to_pylist() == ["ERROR", "ERROR"]
+    assert CountStage(None, None)(batch)["n"].to_pylist() == [2]

@@ -62,21 +62,31 @@ class BruteForceTopK:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency=(1, 8)) -> pd.DataFrame:
+                     concurrency=None) -> pd.DataFrame:
     """Global cosine top-k per query → pandas (query_idx, vec_id, score, rank).
 
-    Deterministic tie-break: score desc, then id asc.
+    Deterministic tie-break: score desc, then id asc.  Default runs as
+    stateless tasks (the normalized query matrix ships once inside the
+    pickled stage — no pool start-up); pass ``concurrency`` for an actor
+    pool when the query matrix is large enough that per-actor object-store
+    fetch matters.
     """
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float32))
-    partial = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"query_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    ).to_pandas()
+    if concurrency is not None:
+        partial = ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_kwargs={"query_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        ).to_pandas()
+    else:
+        partial = ds.map_batches(
+            BruteForceTopK(query_ref=qref, k=k, id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow",
+        ).to_pandas()
     out = []
     for qi, g in partial.groupby("query_idx"):
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)

@@ -86,9 +86,10 @@ class ParseStage:
         if isinstance(lines, pa.Array):
             lines = pa.chunked_array([lines])
 
-        # empty lines are skipped entirely (src/analyzer.rs:299)
-        nonempty = pc.not_equal(lines, "")
-        if not pc.all(nonempty).as_py():
+        # empty lines are skipped entirely (src/analyzer.rs:299); null lines
+        # (undecodable token rows, vocab.detokenize) are skipped the same way
+        nonempty = pc.and_kleene(pc.is_valid(lines), pc.not_equal(lines, ""))
+        if not (pc.all(nonempty).as_py() or False):
             batch = batch.filter(nonempty)
             lines = lines.filter(nonempty)
 
@@ -165,7 +166,7 @@ class CountStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lines = line_column(batch)
-        mask = pc.not_equal(lines, "")
+        mask = pc.and_kleene(pc.is_valid(lines), pc.not_equal(lines, ""))
         if self.level is not None:
             mask = pc.and_(mask, kernels.level_mask(kernels.extract_level(lines), self.level))
         if self.pattern is not None:

@@ -129,13 +129,41 @@ def encode(line: str) -> list[int]:
     return toks
 
 
-def decode(tokens) -> str:
-    """Scalar decode (tests / oracle)."""
-    return "".join(_PIECES[t] for t in tokens)
+def decode(tokens) -> str | None:
+    """Scalar decode (tests / oracle).  None for undecodable token ids —
+    the analog of the reference silently skipping invalid-UTF-8 lines
+    (src/analyzer.rs:299-304)."""
+    try:
+        return "".join(_PIECES[t] for t in tokens)
+    except (IndexError, TypeError):
+        return None
 
 
 def _detok_one(arr: pa.ListArray) -> pa.StringArray:
     values = arr.flatten()  # honors slice offset of the list array
+    valid = pc.and_kleene(
+        pc.is_valid(values),
+        pc.and_(pc.greater_equal(values, 0), pc.less(values, len(_PIECES))),
+    )
+    if not bool(pc.min(valid.cast(pa.uint8())).as_py() if len(valid) else 1):
+        # rows containing any out-of-vocab id decode to NULL (and are then
+        # dropped by the parse stage's empty-line filter) — mirroring the
+        # reference's silent skip of undecodable lines
+        import numpy as np
+
+        vmask = valid.to_numpy(zero_copy_only=False).astype(bool)
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        row_ok = np.logical_and.reduceat(
+            np.concatenate([vmask, [True]]), offs[:-1]
+        ) if len(offs) > 1 else np.zeros(0, dtype=bool)
+        row_ok[offs[:-1] == offs[1:]] = True  # empty lists are fine
+        values = pc.if_else(valid, values, pa.scalar(0, values.type))
+        pieces = pc.take(PIECE_ARRAY, values)
+        offsets = pc.subtract(arr.offsets, arr.offsets[0])
+        joined = pa.ListArray.from_arrays(offsets.cast(pa.int32()), pieces)
+        flat = pc.binary_join(joined, "")
+        return pc.if_else(pa.array(row_ok), flat, pa.scalar(None, pa.string()))
     pieces = pc.take(PIECE_ARRAY, values)
     offsets = pc.subtract(arr.offsets, arr.offsets[0])
     joined = pa.ListArray.from_arrays(offsets.cast(pa.int32()), pieces)
