@@ -19,7 +19,9 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="timber-ray", description="Timberjack-on-Ray: fell your logs fast")
-    p.add_argument("input", help="Parquet file/glob/dir of pre-tokenized sequences")
+    p.add_argument("input", help="Parquet file/glob/dir of pre-tokenized sequences, "
+                                 "or '-' to stream text lines from stdin "
+                                 "(the reference's `cat log | timber` path)")
     p.add_argument("-c", "--chop", default=None, help="pattern to search for")
     p.add_argument("-l", "--level", default=None, help="filter by log level")
     p.add_argument("--trend", action="store_true", help="show time-based trends")
@@ -66,6 +68,22 @@ def main(argv=None) -> int:
         trend=args.trend, stats=args.stats, top_errors=args.top_errors,
         show_unique=args.show_unique, count=args.count,
     )
+
+    if args.input == "-":
+        # stdin path: bounded streaming over text lines, no Ray needed
+        # (src/main.rs:218-297)
+        from timberjack_ray.stream import analyze_stream
+
+        report = analyze_stream((ln.rstrip("\n") for ln in sys.stdin), cfg)
+        if args.count:
+            print(report["total_count"])
+        elif args.json:
+            print(json.dumps(report, indent=2))
+        else:
+            print(render_text(report))
+        ray.shutdown()
+        return 0
+
     paths = resolve_paths(args.input)
 
     if not args.json and not args.count:

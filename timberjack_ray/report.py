@@ -72,6 +72,20 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig) -> dict:
             "repetition_ratio": ratio,
             "unique_messages": sorted(msgs["key"]) if cfg.show_unique else None,
         }
+
+    # engine extension beyond formatter.rs: per-source / per-enrichment
+    # statistics when the pipeline carried those columns (north_star's
+    # per-source histograms; kind "col:<name>" from aggregates.PartialCounts)
+    extra = {}
+    for kind in counts["kind"].unique() if len(counts) else []:
+        if not str(kind).startswith("col:"):
+            continue
+        fam = _kind(counts, kind).sort_values(["n", "key"], ascending=[False, True])
+        extra[str(kind)[4:]] = [
+            {"key": k, "count": int(n)} for k, n in zip(fam["key"], fam["n"])
+        ]
+    if extra:
+        out["per_column_counts"] = extra
     return out
 
 

@@ -55,6 +55,18 @@ def analyze_stream(line_iter, cfg: AnalyzeConfig, fmt: str | None = None,
     """
     import pandas as pd
 
+    if cfg.count:
+        # --count fast path: pattern + level only, NO parser and NO field
+        # filters (the reference quirk, src/main.rs:299-366)
+        from timberjack_ray.stages.parse import CountStage
+
+        cs = CountStage(cfg.pattern, cfg.level)
+        total = 0
+        for chunk in _chunks(line_iter, chunk_rows):
+            total += cs(pa.table({"line": pa.array(chunk, type=pa.string())}))["n"][0].as_py()
+        return {"matched_lines": [], "total_count": total, "time_trends": None,
+                "stats": None, "deduplicated": True}
+
     counts: Counter = Counter()          # (kind, key) → n
     parser: ParseStage | None = None
     counter = PartialCounts(
