@@ -148,8 +148,10 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
 
 
 def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
-                  extra_cols=None, hash_msgs=True):
-    """Final (kind, key, n) totals as pandas (small; driver-merged)."""
+                  extra_cols=None, hash_msgs=True, as_table=False):
+    """Final (kind, key, n) totals (small; driver-merged).  ``as_table``
+    returns the Arrow table so callers can split out high-cardinality
+    families before any pandas conversion."""
     partials = ds.map_batches(
         PartialCounts(
             want_trend=want_trend,
@@ -160,7 +162,8 @@ def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
         ),
         batch_format="pyarrow",
     )
-    return merge_partials(partials, ["kind", "key"], "n").to_pandas()
+    out = merge_partials(partials, ["kind", "key"], "n")
+    return out if as_table else out.to_pandas()
 
 
 def counts_by(ds, keys, name: str = "n"):

@@ -124,6 +124,32 @@ def _counts_satisfy(stored_kinds: set[str], needed: set[str]) -> bool:
     return True
 
 
+def _normalize_msg_family(tbl, want_hash: bool):
+    """Stored wave counts may carry real message keys ("msg", written by a
+    --show-unique run) while the current run merges hashed keys ("msg#") —
+    mixing the two families across waves would double-count distinct
+    messages.  Re-hash the stored keys so every frame merges in the same
+    key space (hashing is deterministic, so cross-wave dedup stays exact)."""
+    import pyarrow as pa
+
+    if not want_hash:
+        return tbl
+    is_msg = pc.equal(tbl["kind"], "msg")
+    n_msg = int(pc.sum(pc.cast(is_msg, "int64")).as_py() or 0)
+    if n_msg == 0:
+        return tbl
+    from timberjack_ray.aggregates import _hash_keys
+
+    msg_rows = tbl.filter(is_msg)
+    rest = tbl.filter(pc.invert(is_msg))
+    hashed = pa.table({
+        "kind": pa.array(["msg#"] * n_msg, pa.string()),
+        "key": pa.array(_hash_keys(msg_rows["key"].to_pylist()), pa.string()),
+        "n": msg_rows["n"],
+    })
+    return pa.concat_tables([rest.select(["kind", "key", "n"]), hashed])
+
+
 def _as_table(frame) -> "pa.Table":
     import pyarrow as pa
 
@@ -132,21 +158,35 @@ def _as_table(frame) -> "pa.Table":
     return frame
 
 
-def _merge_counts(frames: list) -> pd.DataFrame:
+def _merge_counts(frames: list, cfg: AnalyzeConfig | None = None):
     """Merge per-wave (kind, key, n) tables.  Stays in Arrow: the ``msg``
-    family carries every distinct message key (hundreds of thousands of rows
-    at bench scale), and a pandas object-dtype groupby over it costs seconds
-    where the Arrow C kernel costs ~0.1 s."""
+    family carries every distinct message key (millions of rows at bench
+    scale), and a pandas object-dtype pass over it costs seconds where the
+    Arrow C kernel costs ~0.1 s.
+
+    → (counts_df, unique_count|None).  When ``cfg`` wants stats without
+    --show-unique, the ``msg#`` hash family — which only feeds the distinct
+    COUNT — is counted and stripped IN ARROW before the pandas conversion,
+    so report assembly and AnalyzeOutput.counts stay small."""
     import pyarrow as pa
 
     frames = [_as_table(f) for f in frames if f is not None and len(f)]
     if not frames:
-        return pd.DataFrame(EMPTY_COUNTS)
+        return pd.DataFrame(EMPTY_COUNTS), None
     if len(frames) == 1:
-        return frames[0].to_pandas()  # already key-merged per wave
-    cat = pa.concat_tables(f.select(["kind", "key", "n"]) for f in frames)
-    g = cat.group_by(["kind", "key"]).aggregate([("n", "sum")])
-    return g.rename_columns(["kind", "key", "n"]).to_pandas()
+        tbl = frames[0]  # already key-merged per wave
+    else:
+        cat = pa.concat_tables(f.select(["kind", "key", "n"]) for f in frames)
+        g = cat.group_by(["kind", "key"]).aggregate([("n", "sum")])
+        tbl = g.rename_columns(["kind", "key", "n"])
+    unique = None
+    if cfg is not None and cfg.stats and not cfg.show_unique:
+        is_hash = pc.equal(tbl["kind"], "msg#")
+        n_hash = int(pc.sum(pc.cast(is_hash, "int64")).as_py() or 0)
+        if n_hash:
+            unique = n_hash
+            tbl = tbl.filter(pc.invert(is_hash))
+    return tbl.to_pandas(), unique
 
 
 def _counts_to_pandas(counts) -> pd.DataFrame:
@@ -217,22 +257,25 @@ def analyze_dataset(
     if out_dir is None:
         parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
                             keep_tokens=False, batch_size=batch_size, with_pid=False)
-        counts = _counts_to_pandas(report_counts(
+        tbl = report_counts(
             parsed, want_trend=cfg.trend, want_stats=cfg.stats,
             want_lines=cfg.collect_lines, extra_cols=extra_cols,
-            hash_msgs=not cfg.show_unique,
-        ))
-        return AnalyzeOutput(report=assemble_report(counts, cfg), counts=counts, fmt=fmt)
+            hash_msgs=not cfg.show_unique, as_table=True,
+        )
+        counts, unique = _merge_counts([tbl], cfg)
+        counts = _counts_to_pandas(counts)
+        return AnalyzeOutput(report=assemble_report(counts, cfg, unique_count=unique),
+                             counts=counts, fmt=fmt)
 
     if mode == "shuffle":
         return _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions,
                                 salt_map, extra_cols, batch_size)
 
-    counts, skipped = _run_waves([(0, ds, None)], cfg, fmt, out_dir, lookup,
-                                 num_partitions, salt_map, extra_cols, batch_size)
+    counts, unique, skipped = _run_waves([(0, ds, None)], cfg, fmt, out_dir, lookup,
+                                         num_partitions, salt_map, extra_cols, batch_size)
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg), counts=counts, fmt=fmt,
-        route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
+        report=assemble_report(counts, cfg, unique_count=unique), counts=counts,
+        fmt=fmt, route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
 
 
@@ -275,11 +318,11 @@ def analyze_parquet(
         wpaths = paths[start : start + wave_files]
         waves.append((w, rd.read_parquet(wpaths), wpaths))
 
-    counts, skipped = _run_waves(waves, cfg2, fmt, out_dir, lookup,
-                                 num_partitions, salt_map, extra_cols, batch_size)
+    counts, unique, skipped = _run_waves(waves, cfg2, fmt, out_dir, lookup,
+                                         num_partitions, salt_map, extra_cols, batch_size)
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg2), counts=counts, fmt=fmt,
-        route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
+        report=assemble_report(counts, cfg2, unique_count=unique), counts=counts,
+        fmt=fmt, route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
 
 
@@ -304,7 +347,7 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
             if stored is not None and _counts_satisfy(
                 set(pc.unique(stored["kind"]).to_pylist()), needed
             ):
-                frames.append(stored)
+                frames.append(_normalize_msg_family(stored, want_hash=not cfg.show_unique))
             else:
                 # stored counts lack kinds this run needs → recompute from
                 # the wave's routed files (complete, column-pruned read)
@@ -314,16 +357,19 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
                             keep_tokens=True, batch_size=batch_size)
         writer = WriteAndCount(tmp_dir, counter=counter)
-        # larger writer batches → fewer, bigger sink files (finalize renames
-        # and lineage merges scale with file count, and they're driver-side)
+        # 64k-row writer batches: swept interleaved at 8 CPUs / 8M rows —
+        # 16k batches produce ~3400 sink files and a 3.5s driver-side
+        # finalize; whole-block batches (None) stall the executor; 64k is
+        # ~4× fewer files at identical exec time (finalize ~1s)
         partials = parsed.map_batches(writer, batch_format="pyarrow",
-                                      batch_size=batch_size or 16384)
+                                      batch_size=batch_size or 65536)
         from timberjack_ray.aggregates import merge_partials
 
         wtbl = merge_partials(partials, ["kind", "key"], "n")
         finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths)
         frames.append(wtbl)
-    return _merge_counts(frames), skipped
+    counts, unique = _merge_counts(frames, cfg)
+    return counts, unique, skipped
 
 
 def _recompute_wave_counts(out_dir, wave, cfg, fmt, extra_cols) -> pd.DataFrame:
@@ -382,8 +428,10 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         _counts_satisfy(set(pc.unique(t["kind"]).to_pylist()), needed)
         for t in sidecars if len(t)
     ):
-        counts = _counts_to_pandas(_merge_counts(sidecars))
+        merged, unique = _merge_counts(sidecars, cfg)
+        counts = _counts_to_pandas(merged)
     else:
+        unique = None
         agg_cols = ["level"] + extra_cols
         if cfg.trend:
             agg_cols.append("ts_hour")
@@ -398,6 +446,6 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
             hash_msgs=not cfg.show_unique,
         ))
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg), counts=counts, fmt=fmt,
-        route_metrics=route_metrics, skipped_partitions=skipped,
+        report=assemble_report(counts, cfg, unique_count=unique), counts=counts,
+        fmt=fmt, route_metrics=route_metrics, skipped_partitions=skipped,
     )

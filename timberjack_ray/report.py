@@ -21,8 +21,13 @@ def _kind(counts: pd.DataFrame, kind: str) -> pd.DataFrame:
     return counts[counts["kind"] == kind][["key", "n"]]
 
 
-def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig) -> dict:
-    """→ dict with the JsonOutput shape (formatter.rs:7-48)."""
+def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig,
+                    unique_count: int | None = None) -> dict:
+    """→ dict with the JsonOutput shape (formatter.rs:7-48).
+
+    ``unique_count``: pre-computed distinct-message count — passed by the
+    pipelines, which strip the high-cardinality ``msg#`` hash family from
+    ``counts`` in Arrow before it ever reaches pandas."""
     total = int(_kind(counts, agg.KIND_TOTAL)["n"].sum())
 
     out: dict = {
@@ -56,9 +61,10 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig) -> dict:
             ["n", "key"], ascending=[False, True]
         ).head(cfg.top_errors)
         msgs = _kind(counts, agg.KIND_MSG)
-        # default pipelines ship 64-bit message-key hashes, not the keys
-        # (aggregates._hash_keys); either family yields the distinct count
-        unique_count = len(msgs) if len(msgs) else len(_kind(counts, agg.KIND_MSG_HASH))
+        if unique_count is None:
+            # default pipelines ship 64-bit message-key hashes, not the keys
+            # (aggregates._hash_keys); either family yields the distinct count
+            unique_count = len(msgs) if len(msgs) else len(_kind(counts, agg.KIND_MSG_HASH))
         ratio = (1.0 - unique_count / total) * 100.0 if total > 0 else 0.0
         out["stats"] = {
             "log_levels": [
