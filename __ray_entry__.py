@@ -391,6 +391,26 @@ def q_value_histogram(sf_dir: str):
     return out.astype({"bin": "int64", "n": "int64"})
 
 
+def q_session_counts(sf_dir: str):
+    """Gap-based sessionization (1h gap) per user: hash-shuffle by user,
+    vectorized diff/cumsum per group."""
+    from timberjack_ray.functions.sessions import session_stats
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_stats(ds, "user_id", "ts", gap_s=3600)
+    return out.astype({"user_id": "int64", "n_sessions": "int64"})
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles via per-value counts (no distributed sort;
+    merge volume = distinct values)."""
+    from timberjack_ray.functions.sessions import exact_quantiles
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    out = exact_quantiles(ds, "value", [0.25, 0.5, 0.75, 0.95], scale=100)
+    return out.astype({"value_scaled": "int64"})
+
+
 def q_doc_repetition_ratio(sf_dir: str):
     """A7-analog scalar: total vs exact-distinct text count on documents."""
     from timberjack_ray.aggregates import counts_by
@@ -556,6 +576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "asof_signup": q_asof_signup,
         "sliding_window_counts": q_sliding_window_counts,
+        "session_counts": q_session_counts,
+        "value_quantiles": q_value_quantiles,
         # non-SQL-expressible (rows-only checks)
         "seq_level_counts": q_seq_level_counts,
         "seq_trends": q_seq_trends,
@@ -686,5 +708,28 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT (k - 1) * 1800 AS ws FROM b
             ) GROUP BY ws
+        """,
+        "session_counts": """
+            SELECT user_id, COUNT(*) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 3600
+                          THEN 1 ELSE 0 END AS is_start
+              FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+              )
+            ) WHERE is_start = 1 GROUP BY user_id
+        """,
+        "value_quantiles": """
+            WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+            SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.25) AS BIGINT) AS value_scaled FROM s
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(v, 0.5) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 0.75, CAST(quantile_disc(v, 0.75) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 0.95, CAST(quantile_disc(v, 0.95) AS BIGINT) FROM s
         """,
     }

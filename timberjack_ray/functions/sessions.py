@@ -1,0 +1,91 @@
+"""Sessionization and distribution statistics.
+
+* sessionize — gap-based sessions per key (the classic telemetry op the
+  reference lacks): hash-shuffle by key (``groupby(user).map_groups``), then
+  per-key vectorized diff/cumsum to assign session ids.  One all-to-all of
+  (key, ts, carried cols); per-group work is numpy, not per-row Python.
+* exact_quantiles — exact quantiles of a column whose DISTINCT cardinality
+  is bounded (prices in cents, latencies in ms, sizes in bytes): per-batch
+  value counts → small merge → driver-side cumulative walk.  Never sorts
+  the data; merge volume is the number of distinct values.  For unbounded
+  reals, bin first (value_histogram) or use a sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from timberjack_ray.aggregates import merge_partials
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
+               session_col: str = "session_id"):
+    """Append ``session_col``: per-key session index (0-based) where a new
+    session starts when the gap since the previous event exceeds ``gap_s``
+    seconds.  Returns a Dataset (shuffled by key)."""
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            secs = ts.astype("datetime64[s]").astype("int64")
+        else:
+            secs = ts.astype("int64")
+        new_session = np.concatenate([[False], np.diff(secs) > gap_s])
+        g[session_col] = np.cumsum(new_session)
+        return g
+
+    return ds.groupby(key_col).map_groups(assign, batch_format="pandas")
+
+
+def session_stats(ds, key_col: str, ts_col: str, gap_s: int) -> pd.DataFrame:
+    """Per-key session count (distinct sessions after gap splitting)."""
+    sessioned = sessionize(ds, key_col, ts_col, gap_s)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, "session_id"]).group_by(key_col).aggregate(
+            [("session_id", "max")])
+        out = g.rename_columns([key_col, "n"])
+        import pyarrow.compute as pc
+
+        return out.set_column(1, "n", pc.add(out["n"].cast(pa.int64()), 1))
+
+    # groups arrive whole (map_groups output), so per-batch max+1 is exact
+    # per key; merge with MAX would be needed if a key spanned batches —
+    # use the max aggregate over (key, n) pairs driver-side to be safe
+    p = sessioned.map_batches(partial, batch_format="pyarrow")
+    frames = [b.to_pandas() for b in p.iter_batches(batch_size=None, batch_format="pyarrow")
+              if b.num_rows]
+    if not frames:
+        return pd.DataFrame({key_col: [], "n_sessions": []})
+    cat = pd.concat(frames, ignore_index=True)
+    out = cat.groupby(key_col, as_index=False)["n"].max()
+    return out.rename(columns={"n": "n_sessions"})
+
+
+def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFrame:
+    """Exact discrete quantiles (type-1 / lower-value semantics, DuckDB's
+    ``quantile_disc``): count per distinct scaled value, tiny merge,
+    cumulative walk.  ``scale`` discretizes floats (e.g. 100 → cents)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64())
+        g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["v"], "n").to_pandas().sort_values("v")
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * total)), 1)
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(q)
+        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return pd.DataFrame({"q": out_q, "value_scaled": out_v})
