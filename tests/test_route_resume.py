@@ -196,3 +196,34 @@ def test_salted_partitioning_spreads_hot_source(ray_session):
     assert len(set(cold["__pid"].to_pylist())) == 1  # cold sources stay co-located
     out2 = AssignPartition(16, salt_map)(t)
     assert out["__pid"].to_pylist() == out2["__pid"].to_pylist()
+
+
+def test_compact_routed(seq_paths, oracle_result):
+    """Compaction merges small sink files without losing rows; re-running is
+    a no-op; reads see the compacted layout."""
+    import pandas as pd
+
+    from timberjack_ray.stages.route import compact_routed, read_routed
+
+    out = "/tmp/tj_test_compact"
+    shutil.rmtree(out, ignore_errors=True)
+    analyze_parquet(seq_paths, AnalyzeConfig(**CFG), out_dir=out, wave_files=2,
+                    lookup=synth.source_lookup_dict(), num_partitions=12)
+    before = {d["level"]: d["count"] for d in pd.DataFrame(
+        [(lv, pq.read_metadata(f).num_rows)
+         for lv_dir in glob.glob(out + "/level=*")
+         for lv in [os.path.basename(lv_dir).split("=", 1)[1]]
+         for f in glob.glob(lv_dir + "/*.parquet")],
+        columns=["level", "count"]).groupby("level", as_index=False).sum()
+        .to_dict("records")}
+    summary = compact_routed(out, target_rows=100_000)
+    assert (summary["files_after"] <= summary["files_before"]).all()
+    assert int(summary["rows"].sum()) == sum(before.values())
+    # rerun is a no-op (no part-* files left)
+    summary2 = compact_routed(out, target_rows=100_000)
+    assert int(summary2["files_before"].sum()) == 0
+    # routed reads still see every row per level
+    t = read_routed(out, columns=["level"]).to_pandas()
+    got = t.groupby("level").size().to_dict()
+    assert {k: v for k, v in got.items() if k in oracle_result.levels_count} \
+        == oracle_result.levels_count

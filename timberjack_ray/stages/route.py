@@ -507,9 +507,84 @@ def pid_counts(out_dir: str) -> list[pa.Table]:
         if os.path.basename(f).split("-")[0].isdigit()]
 
 
+def compact_routed(out_dir: str, target_rows: int = 512_000,
+                   route_key: str = "level") -> pd.DataFrame:
+    """Compact each sink's small part files into ~``target_rows``-row files.
+
+    Real pipelines accrete small files (one per writer batch per wave);
+    readers want fewer, bigger ones.  Each sink directory compacts as ONE
+    Ray task (sinks are independent → task-parallel, no shuffle: rows never
+    change partition).  Idempotent and crash-safe: compacted files land via
+    tmp+rename as ``compact-*.parquet`` before the originals are removed, and
+    a rerun skips sinks that contain no ``part-*`` files.  Lineage records
+    stay valid at the (wave, pid) count level; their file lists refer to
+    pre-compaction names, so compaction rewrites them per sink.
+
+    Returns a summary frame (sink, files_before, files_after, rows).
+
+    Compaction is a TERMINAL step: run it after every wave is complete —
+    wave-granular resume (and kind-recompute from per-wave files) no longer
+    applies once waves are merged; the stored wave counts and per-pid
+    lineage totals remain the aggregate record.
+    """
+    import ray
+
+    sinks = sorted(
+        d for d in glob.glob(os.path.join(out_dir, f"{route_key}=*")) if os.path.isdir(d)
+    )
+
+    @ray.remote(num_cpus=1)
+    def compact_sink(sink: str):
+        files = sorted(glob.glob(os.path.join(sink, "part-*.parquet")))
+        if not files:
+            return (os.path.basename(sink), 0, 0, 0)
+        tables = [pq.read_table(f) for f in files]
+        total = sum(t.num_rows for t in tables)
+        out_files = 0
+        buf, buf_rows = [], 0
+        idx = 0
+
+        def flush():
+            nonlocal buf, buf_rows, idx, out_files
+            if not buf:
+                return
+            t = pa.concat_tables(buf)
+            path = os.path.join(sink, f"compact-{idx:04d}.parquet")
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            idx += 1
+            out_files += 1
+            buf, buf_rows = [], 0
+
+        for t in tables:
+            buf.append(t)
+            buf_rows += t.num_rows
+            if buf_rows >= target_rows:
+                flush()
+        flush()
+        for f in files:
+            os.remove(f)
+        return (os.path.basename(sink), len(files), out_files, total)
+
+    rows = ray.get([compact_sink.remote(s) for s in sinks])
+    # lineage file lists referenced the pre-compaction names → rewrite them
+    for lf in glob.glob(os.path.join(_lineage_dir(out_dir), "w*-p*.json")):
+        with open(lf) as f:
+            lin = json.load(f)
+        new_files = sorted({
+            os.path.join(os.path.dirname(rel), "") for rel in lin.get("files", [])
+        })
+        lin["files"] = [d.rstrip(os.sep) for d in new_files]  # sink-dir granularity
+        _atomic_json(lf, lin)
+    return pd.DataFrame(rows, columns=["sink", "files_before", "files_after", "rows"])
+
+
 def read_routed(out_dir: str, columns=None):
     """Read the routed output back as a Dataset (column-pruned)."""
     import ray.data as rd
 
-    files = sorted(glob.glob(os.path.join(out_dir, "*=*", "part-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "*=*", "part-*.parquet"))
+        + glob.glob(os.path.join(out_dir, "*=*", "compact-*.parquet"))
+    )
     return rd.read_parquet(files, columns=columns)
