@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="auto", choices=["auto", "json", "generic", "apache", "syslog"])
     p.add_argument("-f", "--field", action="append", default=[], help="field=value filter (repeatable)")
     p.add_argument("--route-dir", default=None, help="fan rows out to per-level Parquet sinks here")
+    p.add_argument("--compact", action="store_true",
+                   help="compact sink files after routing (terminal step)")
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return p
@@ -92,6 +94,10 @@ def main(argv=None) -> int:
     out = analyze_parquet(
         paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
     )
+    if args.compact and args.route_dir:
+        from timberjack_ray.stages.route import compact_routed
+
+        compact_routed(args.route_dir)
 
     if args.count:
         print(out.report["total_count"])

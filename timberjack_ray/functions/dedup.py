@@ -323,7 +323,8 @@ def simhash_candidates(ds, col: str = "text", concurrency=None):
         out = {"a": [], "b": [], "hamming": []}
         for i in range(n):
             x = hv[i] ^ hv[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            # vectorized popcount via byte-view + unpackbits
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
             for j in np.nonzero(ham <= 3)[0]:
                 a, b = ids[i], ids[i + 1 + j]
                 if a > b:
