@@ -227,3 +227,21 @@ def test_compact_routed(seq_paths, oracle_result):
     got = t.groupby("level").size().to_dict()
     assert {k: v for k, v in got.items() if k in oracle_result.levels_count} \
         == oracle_result.levels_count
+
+
+def test_rerun_after_compaction_with_new_kinds(seq_paths, oracle_result):
+    """A rerun needing kinds the stored counts lack, AFTER compaction,
+    recounts the whole compacted output instead of per-wave files."""
+    from timberjack_ray.stages.route import compact_routed
+
+    out = "/tmp/tj_test_compact2"
+    shutil.rmtree(out, ignore_errors=True)
+    analyze_parquet(seq_paths, AnalyzeConfig(trend=True, stats=True), out_dir=out,
+                    wave_files=2, lookup=synth.source_lookup_dict(), num_partitions=12)
+    compact_routed(out, target_rows=100_000)
+    cfg = AnalyzeConfig(trend=True, stats=True, show_unique=True)
+    res = analyze_parquet(seq_paths, cfg, out_dir=out, wave_files=2,
+                          lookup=synth.source_lookup_dict(), num_partitions=12)
+    assert res.skipped_waves == 4
+    assert res.report["total_count"] == oracle_result.count
+    assert res.report["stats"]["unique_messages"] == sorted(oracle_result.unique_messages)

@@ -350,8 +350,18 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
                 frames.append(_normalize_msg_family(stored, want_hash=not cfg.show_unique))
             else:
                 # stored counts lack kinds this run needs → recompute from
-                # the wave's routed files (complete, column-pruned read)
-                frames.append(_recompute_wave_counts(out_dir, w, cfg, fmt, extra_cols))
+                # the wave's routed files (complete, column-pruned read).
+                # After compaction the per-wave files no longer exist; the
+                # whole compacted output is recounted ONCE instead (waves
+                # only ever merge, so attribution is not needed).
+                import glob as _glob
+
+                has_wave_files = bool(_glob.glob(
+                    os.path.join(out_dir, "*=*", f"part-w{w:03d}-*.parquet")))
+                if has_wave_files:
+                    frames.append(_recompute_wave_counts(out_dir, w, cfg, fmt, extra_cols))
+                elif not any(f is _COMPACTED for f in frames):
+                    frames.append(_COMPACTED)
             continue
         cleanup_incomplete_wave(out_dir, w, tmp_dir)
         parsed = _transform(ds, cfg, fmt, lookup, num_partitions, salt_map,
@@ -368,8 +378,28 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         wtbl = merge_partials(partials, ["kind", "key"], "n")
         finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths)
         frames.append(wtbl)
+    if any(f is _COMPACTED for f in frames):
+        # the whole-output recount covers every wave on disk (compacted AND
+        # fresh) — it REPLACES the per-wave frames rather than joining them
+        frames = [_recompute_compacted_counts(out_dir, cfg, fmt, extra_cols)]
     counts, unique = _merge_counts(frames, cfg)
     return counts, unique, skipped
+
+
+_COMPACTED = object()  # sentinel: recount must run over the compacted output
+
+
+def _recompute_compacted_counts(out_dir, cfg, fmt, extra_cols) -> pd.DataFrame:
+    """Recount a compacted output in one pass (wave attribution is gone but
+    waves only merge, so a single whole-output recount is equivalent)."""
+    ds = read_routed(out_dir)
+    ds = ds.map_batches(ParseStage(cfg=cfg, fmt=fmt, keep_tokens=False),
+                        batch_format="pyarrow")
+    return _counts_to_pandas(report_counts(
+        ds, want_trend=cfg.trend, want_stats=cfg.stats,
+        want_lines=cfg.collect_lines, extra_cols=extra_cols,
+        hash_msgs=not cfg.show_unique,
+    ))
 
 
 def _recompute_wave_counts(out_dir, wave, cfg, fmt, extra_cols) -> pd.DataFrame:
