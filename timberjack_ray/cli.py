@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--route-dir", default=None, help="fan rows out to per-level Parquet sinks here")
     p.add_argument("--compact", action="store_true",
                    help="compact sink files after routing (terminal step)")
+    p.add_argument("--wave-files", type=int, default=None,
+                   help="process input in resumable waves of N files")
+    p.add_argument("--mode", default="fanout", choices=["fanout", "shuffle"],
+                   help="routing exchange: write-side fanout (default) or "
+                        "groupby-per-partition shuffle")
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return p
@@ -93,6 +98,7 @@ def main(argv=None) -> int:
 
     out = analyze_parquet(
         paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
+        wave_files=args.wave_files, mode=args.mode,
     )
     if args.compact and args.route_dir:
         from timberjack_ray.stages.route import compact_routed
