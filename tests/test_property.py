@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis): vectorized kernels must agree with
+the line-at-a-time oracle on ARBITRARY inputs, and the token vocabulary
+must round-trip any encodable line.  The reference has no property tests
+(SURVEY.md §5.6); these guard the vectorized/scalar split that the
+reference never had to worry about."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from timberjack_ray import kernels, oracle, vocab
+from timberjack_ray.config import AnalyzeConfig
+from timberjack_ray.stream import analyze_stream
+
+# lines of printable latin-1 (the vocab encodes codepoints < 256)
+line_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    min_size=0, max_size=120,
+)
+lines_st = st.lists(line_st, min_size=1, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(line_st)
+def test_vocab_roundtrip(line):
+    assert vocab.decode(vocab.encode(line)) == line
+
+
+@settings(max_examples=30, deadline=None)
+@given(lines_st)
+def test_vectorized_level_matches_oracle(lines):
+    arr = pa.array(lines, type=pa.string())
+    got = kernels.extract_level(pa.chunked_array([arr])).to_pylist()
+    for line, lv in zip(lines, got):
+        m = kernels.LEVEL_RE.search(line)
+        expect = (m.group(1) or m.group(0)).upper() if m else ""
+        assert (lv or "") == expect, line
+
+
+@settings(max_examples=30, deadline=None)
+@given(lines_st)
+def test_stream_report_matches_oracle(lines):
+    o = oracle.analyze_lines(lines, fmt="generic",
+                             collect_trends=True, collect_stats=True)
+    rep = analyze_stream(iter(lines), AnalyzeConfig(trend=True, stats=True),
+                         fmt="generic", chunk_rows=7)
+    assert rep["total_count"] == o.count
+    trends = {d["timestamp"]: d["count"] for d in (rep["time_trends"] or [])}
+    assert trends == o.time_trends
+    levels = {d["level"]: d["count"] for d in rep["stats"]["log_levels"]} if rep["stats"] else {}
+    assert levels == o.levels_count
+    if rep["stats"]:
+        assert rep["stats"]["unique_messages_count"] == len(o.unique_messages)
+
+
+@settings(max_examples=30, deadline=None)
+@given(lines_st, st.sampled_from(["ERROR", "info", "Warn"]))
+def test_level_filter_matches_oracle(lines, level):
+    o = oracle.analyze_lines(lines, fmt="generic", level=level)
+    rep = analyze_stream(iter(lines), AnalyzeConfig(level=level), chunk_rows=5,
+                         fmt="generic")
+    assert rep["total_count"] == o.count
