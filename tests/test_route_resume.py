@@ -245,3 +245,28 @@ def test_rerun_after_compaction_with_new_kinds(seq_paths, oracle_result):
     assert res.skipped_waves == 4
     assert res.report["total_count"] == oracle_result.count
     assert res.report["stats"]["unique_messages"] == sorted(oracle_result.unique_messages)
+
+
+def test_shuffle_mixed_msg_families_resume(seq_paths, oracle_result):
+    """Shuffle-mode sidecars written with real message keys (--show-unique)
+    merge correctly with hashed-key sidecars from a later run (re-hashed at
+    merge; no double counting)."""
+    out = "/tmp/tj_test_shuf_mixed"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg_unique = AnalyzeConfig(trend=True, stats=True, show_unique=True)
+    analyze_parquet(seq_paths, cfg_unique, out_dir=out, mode="shuffle",
+                    lookup=synth.source_lookup_dict(), num_partitions=12)
+    # damage two partitions, rerun WITHOUT show_unique: old sidecars carry
+    # "msg" keys, fresh ones carry "msg#" hashes
+    from timberjack_ray.stages.route import completed_pids
+
+    victims = sorted(completed_pids(out))[:2]
+    for pid in victims:
+        os.remove(os.path.join(out, "_lineage", f"{pid:05d}.json"))
+        for f in glob.glob(out + f"/level=*/part-{pid:05d}.parquet"):
+            os.remove(f)
+    res = analyze_parquet(seq_paths, AnalyzeConfig(trend=True, stats=True),
+                          out_dir=out, mode="shuffle",
+                          lookup=synth.source_lookup_dict(), num_partitions=12)
+    assert res.report["total_count"] == oracle_result.count
+    assert res.report["stats"]["unique_messages_count"] == len(oracle_result.unique_messages)

@@ -458,7 +458,10 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         _counts_satisfy(set(pc.unique(t["kind"]).to_pylist()), needed)
         for t in sidecars if len(t)
     ):
-        merged, unique = _merge_counts(sidecars, cfg)
+        merged, unique = _merge_counts(
+            [_normalize_msg_family(t, want_hash=not cfg.show_unique) for t in sidecars],
+            cfg,
+        )
         counts = _counts_to_pandas(merged)
     else:
         unique = None
