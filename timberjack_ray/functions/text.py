@@ -60,9 +60,11 @@ class QualityScorer:
         n_chars = s.str.len().to_numpy()
         n_alpha = s.str.count(r"[A-Za-z]").to_numpy()
         n_punct = s.str.count(r"[^\w\s]").to_numpy()
-        words = s.str.lower().str.findall(self.word_re)
-        n_words = words.map(len).to_numpy()
-        n_stop = words.map(lambda ws: sum(w in self.all_stop for w in ws)).to_numpy()
+        words = s.str.lower().str.findall(self.word_re).reset_index(drop=True)
+        n_words = words.str.len().to_numpy()
+        wex = words.explode().dropna()
+        stop_hits = wex[wex.isin(self.all_stop)].groupby(level=0).size()
+        n_stop = stop_hits.reindex(range(len(s)), fill_value=0).to_numpy()
         safe_chars = np.maximum(n_chars, 1)
         safe_words = np.maximum(n_words, 1)
         batch["alpha_ratio"] = n_alpha / safe_chars
@@ -80,10 +82,12 @@ class QualityScorer:
 
 
 class LangId:
-    """Actor-pool stage: stopword-vote + charset language heuristic.
+    """Stage: stopword-vote + charset language heuristic, fully vectorized
+    (explode words → vote table → crosstab; no per-row Python).
 
     Emits ``lang_pred`` and ``lang_conf``.  Charset rules fire first (CJK,
-    Cyrillic), then stopword votes, default "en".
+    Cyrillic), then stopword votes, default "en"; vote ties break toward the
+    lexicographically LARGEST language code (max over (votes, lang) tuples).
     """
 
     def __init__(self, col: str = "text"):
@@ -91,26 +95,37 @@ class LangId:
         self.word_re = re.compile(r"[a-zA-Zа-яА-Я]+")
         self.cjk = re.compile(r"[一-鿿぀-ヿ]")
         self.cyr = re.compile(r"[Ѐ-ӿ]")
+        self.word2langs: dict[str, list[str]] = {}
+        for lang, sw in _STOPWORDS.items():
+            for w in sw:
+                self.word2langs.setdefault(w, []).append(lang)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, confs = [], []
-        for text in batch[self.col].astype(str):
-            if self.cjk.search(text):
-                preds.append("zh-ja")
-                confs.append(1.0)
-                continue
-            if self.cyr.search(text):
-                preds.append("ru")
-                confs.append(1.0)
-                continue
-            words = [w.lower() for w in self.word_re.findall(text)]
-            votes = {
-                lang: sum(w in sw for w in words) for lang, sw in _STOPWORDS.items()
-            }
-            best = max(votes, key=lambda k: (votes[k], k))
-            total = sum(votes.values())
-            preds.append(best if votes[best] > 0 else "en")
-            confs.append(votes[best] / total if total else 0.0)
+        s = batch[self.col].astype(str)
+        n = len(s)
+        words = s.str.lower().str.findall(self.word_re)
+        ex = words.reset_index(drop=True).explode().dropna()
+        langs = ex.map(self.word2langs).dropna()
+        votes = pd.DataFrame({"row": langs.index, "lang": langs}).explode("lang")
+        if len(votes):
+            tab = votes.groupby(["row", "lang"]).size().unstack(fill_value=0)
+            tab = tab.reindex(sorted(_STOPWORDS, reverse=True), axis=1, fill_value=0)
+            tab = tab.reindex(range(n), fill_value=0)
+            best = tab.idxmax(axis=1)  # first max in column order = largest lang
+            best_votes = tab.max(axis=1)
+            totals = tab.sum(axis=1)
+        else:
+            best = pd.Series(["en"] * n)
+            best_votes = pd.Series(np.zeros(n))
+            totals = pd.Series(np.zeros(n))
+        preds = np.where(best_votes.to_numpy() > 0, best.to_numpy(dtype=object), "en")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            confs = np.where(totals.to_numpy() > 0,
+                             best_votes.to_numpy() / np.maximum(totals.to_numpy(), 1), 0.0)
+        cjk_mask = s.str.contains(self.cjk).to_numpy()
+        cyr_mask = s.str.contains(self.cyr).to_numpy()
+        preds = np.where(cjk_mask, "zh-ja", np.where(cyr_mask & ~cjk_mask, "ru", preds))
+        confs = np.where(cjk_mask | cyr_mask, 1.0, confs)
         batch["lang_pred"] = preds
         batch["lang_conf"] = confs
         return batch
