@@ -640,14 +640,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name
         """,
         "route_counts_docs": """
-            SELECT lang, SUM(n_chars) AS sum_chars, COUNT(*) AS n
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n
             FROM documents GROUP BY lang
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "doc_token_counts": """
-            SELECT lang, SUM(len(string_split(text, ' '))) AS total_words, COUNT(*) AS n
+            SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words, COUNT(*) AS n
             FROM documents GROUP BY lang
         """,
         "ann_topk": """
