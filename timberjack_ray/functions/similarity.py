@@ -97,8 +97,24 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 def sample_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                      sample_rows: int = 2048, iters: int = 5, seed: int = 13) -> np.ndarray:
-    """Driver-side mini-kmeans on a head sample (deterministic)."""
-    rows = ds.limit(sample_rows).take(sample_rows)
+    """Driver-side mini-kmeans on a seeded UNIFORM sample (deterministic).
+
+    Uses ``ds.random_sample`` so every fragment contributes — a head
+    ``limit().take()`` would train centroids on the first shard only and
+    silently skew recall at scale.  The ``count()`` is metadata-only for
+    parquet-backed datasets.
+    """
+    n = ds.count()
+    if n > sample_rows:
+        # 4x oversample so the post-sample limit() still fills sample_rows
+        # with high probability, then cap.
+        frac = min(1.0, (4.0 * sample_rows) / n)
+        sampled = ds.random_sample(frac, seed=seed)
+        rows = sampled.limit(sample_rows).take(sample_rows)
+        if len(rows) < min(sample_rows, n) // 4:  # pathological under-sample
+            rows = ds.limit(sample_rows).take(sample_rows)
+    else:
+        rows = ds.take(n)
     m = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -168,9 +184,22 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_prob
     return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
 
 
-def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 17,
-                       id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Random-hyperplane LSH buckets → within-bucket cosine ≥ threshold pairs."""
+def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
+                       seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Multi-table random-hyperplane LSH → within-bucket cosine ≥ threshold pairs.
+
+    OR-amplification: ``n_tables`` independent tables of ``n_planes``
+    hyperplanes each.  A true pair is a candidate if it co-buckets in ANY
+    table — at cosine 0.95 (bit-agree prob ≈ 0.9) one 8-plane table catches
+    ≈ 0.43 of pairs; eight tables catch ≈ 1 − 0.57⁸ ≈ 0.99.  A single
+    12-plane table (the old design) caught only ≈ 0.28.
+
+    Scale notes: each vector ships ``n_tables`` (bucket, id, vec) rows into
+    ONE groupby shuffle; pairs found in several tables are deduped by a
+    second groupby on a packed (a,b) int key, never on the driver.  Bucket
+    width is 2^n_planes per table — raise ``n_planes`` as corpus size grows
+    to keep within-bucket O(s²) verification bounded (s ≈ n / 2^n_planes).
+    """
     import ray
 
     def dims_of(ds):
@@ -178,37 +207,60 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 12, seed: in
         return len(row[vec_col])
 
     rng = np.random.RandomState(seed)
-    planes = rng.randn(dims_of(ds), n_planes).astype(np.float32)
+    planes = rng.randn(dims_of(ds), n_tables * n_planes).astype(np.float32)
     planes_ref = ray.put(planes)
+    pow2 = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
     class Bucketer:
+        """Emits n_tables rows per vector: bucket = (table << 32) | packed bits."""
+
         def __init__(self):
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_to_matrix(batch[vec_col]))
-            bits = (m @ self.planes) > 0
-            key = np.zeros(len(m), dtype=np.int64)
-            for j in range(bits.shape[1]):
-                key = key * 2 + bits[:, j]
-            return pa.table({"bucket": pa.array(key), id_col: batch[id_col],
-                             vec_col: batch[vec_col]})
+            n = len(m)
+            if n == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 vec_col: batch[vec_col]})
+            bits = (m @ self.planes) > 0           # (n, T*p)
+            bits = bits.reshape(n, n_tables, n_planes)
+            packed = bits @ pow2                    # (n, T) int64
+            key = (np.arange(n_tables, dtype=np.int64) << 32)[None, :] | packed
+            idx = pa.array(np.repeat(np.arange(n), n_tables))
+            return pa.table({"bucket": pa.array(key.reshape(-1)),
+                             id_col: batch[id_col].take(idx),
+                             vec_col: batch[vec_col].take(idx)})
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
         m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]]))
         ids = g[id_col].to_numpy()
         sim = m @ m.T
-        out = {"a": [], "b": [], "cosine": []}
-        for i in range(n):
-            js = np.nonzero(sim[i, i + 1 :] >= threshold)[0]
-            for j in js:
-                out["a"].append(int(min(ids[i], ids[i + 1 + j])))
-                out["b"].append(int(max(ids[i], ids[i + 1 + j])))
-                out["cosine"].append(float(sim[i, i + 1 + j]))
-        return pd.DataFrame(out)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sim[iu, ju] >= threshold
+        ia, jb = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame({"a": np.minimum(ia, jb).astype(np.int64),
+                             "b": np.maximum(ia, jb).astype(np.int64),
+                             "cosine": sim[iu[hit], ju[hit]].astype(np.float64)})
+
+    def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)[["a", "b", "cosine"]]
 
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    return bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")
+    # Distributed dedup of pairs seen in multiple tables: pack (a,b) into one
+    # int64 key (ids < 2^31 by contract of this helper) and keep the first.
+    keyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "pair_key",
+            pa.array((np.asarray(t["a"], dtype=np.int64) << 31)
+                     | np.asarray(t["b"], dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("pair_key").map_groups(dedup_pair_group, batch_format="pandas")
