@@ -200,6 +200,27 @@ def test_fingerprints_stable():
     assert mg[0] == mg[1]
 
 
+def test_fingerprints_batch_invariant_and_boundaries():
+    """A doc's fingerprint must not depend on its batch neighbours (no gram
+    may cross a document boundary), and short docs fall back to fp64."""
+    from timberjack_ray.functions.text import add_fingerprints
+
+    d1 = "alpha beta gamma delta epsilon zeta eta"
+    d2 = "one two three four five six seven eight"
+    short = "tiny doc"
+    together = add_fingerprints(pa.table({"text": [d1, d2, short, ""]}))
+    alone1 = add_fingerprints(pa.table({"text": [d1]}))
+    alone2 = add_fingerprints(pa.table({"text": [d2]}))
+    assert together["fp_min_ngram"].to_pylist()[0] == alone1["fp_min_ngram"].to_pylist()[0]
+    assert together["fp_min_ngram"].to_pylist()[1] == alone2["fp_min_ngram"].to_pylist()[0]
+    # short + empty docs: fallback equals fp64
+    assert together["fp_min_ngram"].to_pylist()[2] == together["fp64"].to_pylist()[2]
+    assert together["fp_min_ngram"].to_pylist()[3] == together["fp64"].to_pylist()[3]
+    # shared 5-gram ⇒ shared min candidate: identical docs agree regardless of position
+    swapped = add_fingerprints(pa.table({"text": ["", short, d2, d1]}))
+    assert swapped["fp_min_ngram"].to_pylist()[3] == alone1["fp_min_ngram"].to_pylist()[0]
+
+
 def test_multimodal_decode_plumbing(ray_session):
     import ray.data as rd
 

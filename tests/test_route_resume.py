@@ -270,3 +270,24 @@ def test_shuffle_mixed_msg_families_resume(seq_paths, oracle_result):
                           lookup=synth.source_lookup_dict(), num_partitions=12)
     assert res.report["total_count"] == oracle_result.count
     assert res.report["stats"]["unique_messages_count"] == len(oracle_result.unique_messages)
+
+
+def test_segment_token_sums_trailing_empty_segment():
+    """Regression: a batch ending with an all-empty-token segment must not
+    drop the preceding segment's last token value (the old index clamp did)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.stages.route import _segment_token_sums
+
+    # segment 0: rows 0-1 (tokens 1+2+3+4), segment 1: rows 2-3 (all empty)
+    tokens = pa.array([[1, 2], [3, 4], [], []], type=pa.list_(pa.int64()))
+    sums = _segment_token_sums(tokens, np.array([0, 2], dtype=np.int64))
+    assert sums.tolist() == [10, 0]
+    # single all-empty segment
+    empty_only = pa.array([[], []], type=pa.list_(pa.int64()))
+    assert _segment_token_sums(empty_only, np.array([0], dtype=np.int64)).tolist() == [0]
+    # empty segment in the middle
+    mid = pa.array([[5], [], [7]], type=pa.list_(pa.int64()))
+    sums = _segment_token_sums(mid, np.array([0, 1, 2], dtype=np.int64))
+    assert sums.tolist() == [5, 0, 7]

@@ -113,25 +113,22 @@ def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 16):
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sig_arr = batch["sig"].combine_chunks()
-        sigs = np.asarray(sig_arr.flatten()).reshape(n, num_perm)
-        out_band, out_hash, out_doc = [], [], []
-        doc_ids = batch["doc_id"].to_pylist()
-        for bidx in range(bands):
-            seg = sigs[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-            # FNV-style fold of the band segment into one uint64 bucket key
-            bh = np.zeros(n, dtype=np.uint64)
-            for j in range(rows_per_band):
-                bh = bh * np.uint64(1099511628211) + seg[:, j].astype(np.uint64)
-            out_band.extend([bidx] * n)
-            out_hash.extend(bh.view(np.int64).tolist())
-            out_doc.extend(doc_ids)
+        sigs = np.ascontiguousarray(
+            np.asarray(sig_arr.flatten()).reshape(n, num_perm)
+        ).view(np.uint64)
+        # FNV-style fold of every band segment at once: (n, bands)
+        seg = sigs.reshape(n, bands, rows_per_band)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):  # rows_per_band is tiny (4); cols stay vectorized
+            bh = bh * np.uint64(1099511628211) + seg[:, :, j]
         # band-major order ⇒ signatures repeat in the same order per band
         sig_rep = pa.concat_arrays([sig_arr] * bands)
+        doc_np = np.asarray(batch["doc_id"].combine_chunks())
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                "doc_id": pa.array(out_doc),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.tile(doc_np, bands)),
                 "sig": sig_rep,
             }
         )

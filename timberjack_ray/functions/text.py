@@ -131,21 +131,50 @@ class LangId:
         return batch
 
 
+_FNV = np.uint64(1099511628211)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
 def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.Table:
     """Append ``fp64`` (stable 64-bit content hash, pandas siphash — process
     stable) and ``fp_min_ngram`` (min over rolling word-ngram hashes, a cheap
-    locality-insensitive document sketch)."""
-    texts = batch[col].to_pandas().astype(str)
-    fp = pd.util.hash_array(texts.to_numpy(dtype=object)).astype(np.uint64)
+    locality-insensitive document sketch).
 
-    mins = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        ws = t.split()
-        if len(ws) < ngram:
-            grams = [t]
-        else:
-            grams = [" ".join(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)]
-        mins[i] = pd.util.hash_array(np.array(grams, dtype=object)).min()
+    Fully vectorized: one ``hash_array`` over the flat word stream, an
+    FNV fold of ``ngram`` shifted slices for the rolling gram hashes, and a
+    ``minimum.reduceat`` per document.  Grams that would cross a document
+    boundary are masked to U64_MAX before the reduce; documents shorter than
+    ``ngram`` words fall back to ``fp64`` (same spirit as hashing the whole
+    text).  A terminal sentinel (not index clamping) guards the reduceat so
+    trailing short/empty documents can never swallow a neighbour's gram.
+    """
+    texts = batch[col].to_pandas().astype(str)
+    n = len(texts)
+    fp = pd.util.hash_array(texts.to_numpy(dtype=object)).astype(np.uint64)
+    mins = fp.copy()  # short-doc fallback
+
+    if n:
+        words = texts.str.split()
+        wc = words.str.len().to_numpy(dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(wc)])
+        total = int(offsets[-1])
+        long_mask = wc >= ngram
+        if total >= ngram and long_mask.any():
+            flat = words.explode().dropna().to_numpy(dtype=object)
+            wh = pd.util.hash_array(flat).astype(np.uint64)
+            ng = total - ngram + 1
+            gh = np.zeros(ng, dtype=np.uint64)
+            for i in range(ngram):  # ngram iterations, each fully vectorized
+                gh = gh * _FNV + wh[i : i + ng]
+            # valid gram-start ranges: [off_d, off_d + wc_d - ngram] per long doc
+            delta = np.zeros(ng + 1, dtype=np.int64)
+            np.add.at(delta, offsets[:-1][long_mask], 1)
+            np.add.at(delta, (offsets[:-1] + wc - ngram + 1)[long_mask], -1)
+            valid = np.cumsum(delta[:-1]) > 0
+            gh_m = np.append(np.where(valid, gh, _U64_MAX), _U64_MAX)
+            seg_starts = np.minimum(offsets[:-1], ng)  # ng indexes the sentinel
+            seg_mins = np.minimum.reduceat(gh_m, seg_starts)
+            mins[long_mask] = seg_mins[long_mask]
     return batch.append_column("fp64", pa.array(fp.view(np.int64))).append_column(
         "fp_min_ngram", pa.array(mins.view(np.int64))
     )

@@ -172,9 +172,14 @@ def _segment_token_sums(tokens_col, seg_starts: np.ndarray) -> np.ndarray:
     if len(values) == 0:
         return np.zeros(len(seg_starts), dtype=np.int64)
     vstarts = offsets[seg_starts]
+    # A zero sentinel (not index clamping) keeps vstarts == len(values) legal:
+    # clamping to len-1 would shrink the PRECEDING segment's reduceat range
+    # and silently drop the last token value when the batch ends with an
+    # all-empty-token segment.
+    values_p = np.append(values, 0)
     # reduceat quirk: equal consecutive indices yield values[i], not 0 —
     # mask out empty segments afterwards
-    sums = np.add.reduceat(values, np.minimum(vstarts, len(values) - 1))
+    sums = np.add.reduceat(values_p, vstarts)
     seg_ends = np.concatenate([seg_starts[1:], [len(offsets) - 1]])
     empty = offsets[seg_ends] == vstarts
     sums[empty] = 0
