@@ -241,7 +241,10 @@ def generate_sequences(
 
         path = os.path.join(out_dir, f"part-{shard_id:05d}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(make_batch(start, end, json_frac), tmp)
+        # small row groups (32k rows) so Ray Data can split one file into
+        # several read tasks — one-row-group files cap parse parallelism at
+        # the FILE count (16 files starved half a 32-CPU pool)
+        pq.write_table(make_batch(start, end, json_frac), tmp, row_group_size=32_768)
         os.replace(tmp, path)
         return end - start
 

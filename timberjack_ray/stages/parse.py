@@ -15,7 +15,6 @@ enabled, ``ts_hour, message_key, error_type``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -62,22 +61,112 @@ class ParseStage:
 
     # -- helpers -----------------------------------------------------------
 
-    def _parse_json(self, lines: list[str]):
+    def _parse_json(self, lines: list[str], want_ts: bool = True):
         """Per-row JSON parse (the reference's slow path too).  Returns
-        (ts, level, keep_mask) numpy arrays; field-filter evaluation is fused
-        into this loop so fields dicts never leave the batch."""
-        n = len(lines)
-        ts = np.empty(n, dtype=object)
-        level = np.empty(n, dtype=object)
-        keep = np.ones(n, dtype=bool)
-        want_fields = bool(self.filters)
-        for i, line in enumerate(lines):
-            t, lv, fields = kernels.parse_json_line(line, want_fields=want_fields)
-            ts[i] = t
-            level[i] = lv
-            if want_fields and not kernels.field_filter_match(line, fields, self.filters):
-                keep[i] = False
-        return ts, level, keep
+        (ts_list | None, level_list, keep_list | None).
+
+        Tightened hot loop: field filters use a TARGETED key lookup instead
+        of the full dotted flatten — for an undotted filter key k the
+        flattened value is exactly obj[k] when scalar ("null" for JSON null,
+        absent for containers; no nested path can produce an undotted key and
+        the 100-field cap never suppresses top-level scalar leaves, see
+        kernels.flatten_fields / src/parser/json.rs:50-90).  Dotted/bracketed
+        filter keys fall back to the full flatten for that row.  ``ts`` is
+        skipped entirely unless a consumer (trend) needs it."""
+        from timberjack_ray.kernels import _json_loads, flatten_fields
+
+        filt_items = [
+            (k, k.lower(), v.strip().lower(), ("." in k) or ("[" in k))
+            for k, v in self.filters.items()
+        ]
+        lkeys = kernels.LEVEL_KEYS
+        tkeys = kernels.TIMESTAMP_KEYS
+        level_out: list[str | None] = []
+        ts_out: list[str | None] | None = [] if want_ts else None
+        keep: list[bool] | None = [] if filt_items else None
+        lv_append = level_out.append
+        for line in lines:
+            try:
+                obj = _json_loads(line)
+            except (ValueError, UnicodeDecodeError):
+                obj = None
+            if obj.__class__ is not dict:
+                # malformed (obj None) or scalar JSON: no ts/level; fields
+                # are None/{} — both mean substring fallback per filter key
+                lv_append(None)
+                if want_ts:
+                    ts_out.append(None)
+                if filt_items:
+                    ll = line.lower()
+                    keep.append(all(kl in ll and vl in ll for _, kl, vl, _ in filt_items))
+                continue
+            lv = None
+            for k in lkeys:
+                v = obj.get(k)  # JSON-null and absent both skip to next key
+                if v is None:
+                    continue
+                t = v.__class__
+                if t is str:
+                    lv = v
+                elif t is bool:
+                    lv = "true" if v else "false"
+                elif t is int:
+                    lv = str(v)
+                elif t is float:
+                    lv = repr(v)
+                else:
+                    continue
+                break
+            lv_append(lv)
+            if want_ts:
+                tsv = None
+                for k in tkeys:
+                    v = obj.get(k)
+                    if v is None:
+                        continue
+                    t = v.__class__
+                    if t is str:
+                        tsv = v
+                    elif t is bool:
+                        tsv = "true" if v else "false"
+                    elif t is int:
+                        tsv = str(v)
+                    elif t is float:
+                        tsv = repr(v)
+                    else:
+                        continue
+                    break
+                ts_out.append(tsv)
+            if filt_items:
+                ok = True
+                ll = None
+                for k, kl, vl, dotted in filt_items:
+                    if dotted:
+                        fields: dict = {}
+                        flatten_fields(obj, "", fields)
+                        fv = fields.get(k)
+                    elif k in obj:
+                        ov = obj[k]
+                        if ov is None:
+                            fv = "null"
+                        elif ov.__class__ is dict or ov.__class__ is list:
+                            fv = None
+                        else:
+                            fv = kernels.json_value_to_string(ov)
+                    else:
+                        fv = None
+                    if fv is not None:
+                        if fv.strip().lower() != vl:
+                            ok = False
+                            break
+                    else:
+                        if ll is None:
+                            ll = line.lower()
+                        if kl not in ll or vl not in ll:
+                            ok = False
+                            break
+                keep.append(ok)
+        return ts_out, level_out, keep
 
     # -- main --------------------------------------------------------------
 
@@ -93,30 +182,38 @@ class ParseStage:
             batch = batch.filter(nonempty)
             lines = lines.filter(nonempty)
 
+        want_ts = self.want_trend
+        ts = None
         if self.custom is not None:
             parsed = self.custom.parse_batch(pa.table({"line": lines}))
             level = parsed["level"]
-            ts = parsed["ts"]
+            ts = parsed["ts"] if want_ts else None
             if self.filters:
                 field_mask = kernels.fallback_filter_mask(lines, self.filters)
             else:
                 field_mask = None
         elif self.fmt == "json":
             pylines = lines.to_pylist()
-            ts_np, parsed_level_np, keep_np = self._parse_json(pylines)
-            ts = pa.chunked_array([pa.array(ts_np, type=pa.string())])
-            parsed_level = pa.chunked_array([pa.array(parsed_level_np, type=pa.string())])
+            ts_list, level_list, keep_list = self._parse_json(pylines, want_ts=want_ts)
+            parsed_level = pa.chunked_array([pa.array(level_list, type=pa.string())])
             # fallback level for rows the JSON parser left level-less
-            # (src/analyzer.rs:232-245)
-            fallback = kernels.extract_level(lines)
-            level = pc.if_else(pc.is_valid(parsed_level), parsed_level, fallback)
-            # timestamp fallback: raw-line TIMESTAMP_REGEX when the JSON had
-            # no timestamp key (src/analyzer.rs:273-280)
-            ts = pc.if_else(pc.is_valid(ts), ts, kernels.extract_timestamp_raw(lines))
-            field_mask = pa.chunked_array([pa.array(keep_np)])
+            # (src/analyzer.rs:232-245) — skipped when every row parsed one
+            if parsed_level.null_count:
+                fallback = kernels.extract_level(lines)
+                level = pc.if_else(pc.is_valid(parsed_level), parsed_level, fallback)
+            else:
+                level = parsed_level
+            if want_ts:
+                ts = pa.chunked_array([pa.array(ts_list, type=pa.string())])
+                # timestamp fallback: raw-line TIMESTAMP_REGEX when the JSON
+                # had no timestamp key (src/analyzer.rs:273-280)
+                if ts.null_count:
+                    ts = pc.if_else(pc.is_valid(ts), ts, kernels.extract_timestamp_raw(lines))
+            field_mask = pa.chunked_array([pa.array(keep_list)]) if keep_list is not None else None
         else:
             level = kernels.extract_level(lines)
-            ts = kernels.hour_bucket(kernels.extract_timestamp_raw(lines))
+            if want_ts:
+                ts = kernels.hour_bucket(kernels.extract_timestamp_raw(lines))
             if self.filters:
                 field_mask = kernels.fallback_filter_mask(lines, self.filters)
             else:
@@ -136,7 +233,8 @@ class ParseStage:
             batch = batch.filter(mask)
             lines = lines.filter(mask)
             level = level.filter(mask)
-            ts = ts.filter(mask)
+            if ts is not None:
+                ts = ts.filter(mask)
 
         cols = {name: batch[name] for name in batch.column_names if name not in ("line", "text")}
         if not self.keep_tokens:
