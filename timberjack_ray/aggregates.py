@@ -30,7 +30,23 @@ KIND_TREND = "trend"
 KIND_ERROR = "error"
 KIND_MSG = "msg"
 KIND_MSG_HASH = "msg#"
+KIND_MSG_SKETCH = "msg~"  # degraded family: key = base64 HLL registers, n = 0
 KIND_LINE = "line"
+
+# Distinct msg# keys the driver fold will hold exactly before auto-degrading
+# to a HyperLogLog sketch (VERDICT r01 #4: with mostly-unique messages the
+# partial volume approaches 16 B x rows; the guard bounds driver memory at
+# ~limit x 16 B and the count becomes approximate past it).
+MSG_GUARD_LIMIT = int(__import__("os").environ.get("TJ_MSG_GUARD_LIMIT", 5_000_000))
+
+
+def _hex_to_u64(keys: list[str]):
+    """Vectorized parse of 16-hex-char msg# keys to uint64 (big-endian)."""
+    import numpy as np
+
+    if not keys:
+        return np.zeros(0, dtype=np.uint64)
+    return np.frombuffer(bytes.fromhex("".join(keys)), dtype=">u8").astype(np.uint64)
 
 
 def _count_keys(col: pa.ChunkedArray, drop_null: bool) -> tuple[list, list]:
@@ -116,7 +132,8 @@ class PartialCounts:
 
 
 def merge_partials(partials_ds, keys: list[str], n_col: str,
-                   compact_every: int = 64) -> pa.Table:
+                   compact_every: int = 64,
+                   guard: tuple[str, int] | None = None) -> pa.Table:
     """Final merge of partial-count batches, streamed to the driver.
 
     Replaces a Ray ``groupby().aggregate()`` for SMALL result cardinalities:
@@ -125,26 +142,73 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
     ``compact_every`` tables so driver memory stays ~O(distinct keys).  Ray's
     all-to-all Aggregate op has a multi-second fixed cost that dwarfs these
     tiny merges; the reference's own model is partial-per-chunk + final merge
-    (src/analyzer.rs:510-549).  For billion-key cardinalities, use a Ray
-    ``groupby`` instead.
+    (src/analyzer.rs:510-549).
+
+    ``guard``: optional ``(kind_value, limit)`` cardinality guard (requires
+    ``keys == ["kind", "key"]`` and 16-hex-digit hashed keys, the msg#
+    family).  When the folded table holds more than ``limit`` distinct keys
+    of that kind, the fold AUTO-DEGRADES: existing and subsequent keys of the
+    kind are absorbed into a mergeable HyperLogLog and dropped from the exact
+    fold, and the returned table carries one ``msg~`` row whose key is the
+    base64 register array (persistable in wave sidecars; estimate/merge via
+    ``_merge_counts``).  Driver memory is then bounded by ~limit x 16 B
+    regardless of input cardinality.
     """
     n_cols = [n_col] if isinstance(n_col, str) else list(n_col)
     pending: list[pa.Table] = []
+    guard_kind, guard_limit = guard if guard else (None, 0)
+    hll = None  # set on degrade
+
+    def absorb(t: pa.Table) -> pa.Table:
+        """Move guard-kind rows of t into the HLL (degraded mode only)."""
+        is_g = pc.equal(t["kind"], guard_kind)
+        if not pc.any(is_g).as_py():
+            return t
+        hll.add_hashed(_hex_to_u64(t.filter(is_g)["key"].to_pylist()))
+        return t.filter(pc.invert(is_g))
 
     def compact(tables: list[pa.Table]) -> pa.Table:
         t = pa.concat_tables(tables)
         g = t.group_by(keys).aggregate([(c, "sum") for c in n_cols])
-        return g.rename_columns(keys + n_cols)
+        g = g.rename_columns(keys + n_cols)
+        if guard_kind is not None and hll is None:
+            n_g = pc.sum(pc.cast(pc.equal(g["kind"], guard_kind), "int64")).as_py() or 0
+            if n_g > guard_limit:
+                _degrade()
+                g = absorb(g)
+        return g
+
+    def _degrade():
+        nonlocal hll
+        from timberjack_ray.functions.sketch import HyperLogLog
+
+        hll = HyperLogLog(p=14)
 
     for batch in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         if batch.num_rows:
-            pending.append(batch.select(keys + n_cols))
+            batch = batch.select(keys + n_cols)
+            if hll is not None:
+                batch = absorb(batch)
+            if batch.num_rows:
+                pending.append(batch)
         if len(pending) >= compact_every:
             pending = [compact(pending)]
-    if not pending:
+    if not pending and hll is None:
         schema = pa.schema([(k, pa.string()) for k in keys] + [(c, pa.int64()) for c in n_cols])
         return schema.empty_table()
-    return compact(pending)
+    out = compact(pending) if pending else pa.table(
+        {"kind": pa.array([], pa.string()), "key": pa.array([], pa.string()),
+         **{c: pa.array([], pa.int64()) for c in n_cols}})
+    if hll is not None:
+        import base64
+
+        sentinel = pa.table({
+            "kind": pa.array([KIND_MSG_SKETCH], pa.string()),
+            "key": pa.array([base64.b64encode(hll.registers.tobytes()).decode()], pa.string()),
+            **{c: pa.array([0], pa.int64()) for c in n_cols},
+        })
+        out = pa.concat_tables([out.select(keys + n_cols), sentinel])
+    return out
 
 
 def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
@@ -162,7 +226,8 @@ def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
         ),
         batch_format="pyarrow",
     )
-    out = merge_partials(partials, ["kind", "key"], "n")
+    guard = (KIND_MSG_HASH, MSG_GUARD_LIMIT) if (want_stats and hash_msgs) else None
+    out = merge_partials(partials, ["kind", "key"], "n", guard=guard)
     return out if as_table else out.to_pandas()
 
 

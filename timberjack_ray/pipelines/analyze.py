@@ -31,6 +31,7 @@ from dataclasses import dataclass
 import pandas as pd
 import pyarrow.compute as pc
 
+from timberjack_ray import aggregates as agg
 from timberjack_ray import vocab
 from timberjack_ray.aggregates import PartialCounts, report_counts
 from timberjack_ray.config import AnalyzeConfig
@@ -114,11 +115,13 @@ def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
 
 def _counts_satisfy(stored_kinds: set[str], needed: set[str]) -> bool:
     """Stored real message keys ("msg") also satisfy a hashed-count need
-    ("msg#") — the count is derivable; the reverse is not true."""
+    ("msg#") — the count is derivable; the reverse is not true.  A stored
+    sketch ("msg~", a guard-degraded wave) satisfies "msg#" too: the count
+    is then approximate, surfaced via unique_approx."""
     for k in needed:
         if k in stored_kinds:
             continue
-        if k == "msg#" and "msg" in stored_kinds:
+        if k == "msg#" and ("msg" in stored_kinds or "msg~" in stored_kinds):
             continue
         return False
     return True
@@ -164,15 +167,21 @@ def _merge_counts(frames: list, cfg: AnalyzeConfig | None = None):
     scale), and a pandas object-dtype pass over it costs seconds where the
     Arrow C kernel costs ~0.1 s.
 
-    → (counts_df, unique_count|None).  When ``cfg`` wants stats without
-    --show-unique, the ``msg#`` hash family — which only feeds the distinct
-    COUNT — is counted and stripped IN ARROW before the pandas conversion,
-    so report assembly and AnalyzeOutput.counts stay small."""
+    → (counts_df, unique_count|None, unique_approx).  When ``cfg`` wants
+    stats without --show-unique, the ``msg#`` hash family — which only feeds
+    the distinct COUNT — is counted and stripped IN ARROW before the pandas
+    conversion, so report assembly and AnalyzeOutput.counts stay small.
+
+    ``msg~`` sketch rows (a fold that auto-degraded past
+    ``aggregates.MSG_GUARD_LIMIT``) are register arrays: they max-merge with
+    each other and absorb any exact msg#/msg keys from non-degraded waves
+    (same pd.util.hash_array space), and the distinct count becomes the HLL
+    estimate with ``unique_approx=True``."""
     import pyarrow as pa
 
     frames = [_as_table(f) for f in frames if f is not None and len(f)]
     if not frames:
-        return pd.DataFrame(EMPTY_COUNTS), None
+        return pd.DataFrame(EMPTY_COUNTS), None, False
     if len(frames) == 1:
         tbl = frames[0]  # already key-merged per wave
     else:
@@ -180,13 +189,36 @@ def _merge_counts(frames: list, cfg: AnalyzeConfig | None = None):
         g = cat.group_by(["kind", "key"]).aggregate([("n", "sum")])
         tbl = g.rename_columns(["kind", "key", "n"])
     unique = None
-    if cfg is not None and cfg.stats and not cfg.show_unique:
-        is_hash = pc.equal(tbl["kind"], "msg#")
+    approx = False
+    is_sketch = pc.equal(tbl["kind"], agg.KIND_MSG_SKETCH)
+    if pc.any(is_sketch).as_py():
+        import base64
+
+        import numpy as np
+
+        from timberjack_ray.functions.sketch import HyperLogLog
+
+        hll = HyperLogLog(p=14)
+        for reg_b64 in tbl.filter(is_sketch)["key"].to_pylist():
+            hll.merge_registers(np.frombuffer(base64.b64decode(reg_b64), dtype=np.uint8))
+        is_hash = pc.equal(tbl["kind"], agg.KIND_MSG_HASH)
+        hash_keys = tbl.filter(is_hash)["key"].to_pylist()
+        if hash_keys:
+            hll.add_hashed(agg._hex_to_u64(hash_keys))
+        is_msg = pc.equal(tbl["kind"], agg.KIND_MSG)
+        msg_keys = tbl.filter(is_msg)["key"].to_pylist()
+        if msg_keys:
+            hll.add_strings(msg_keys)
+        unique = int(round(hll.estimate()))
+        approx = True
+        tbl = tbl.filter(pc.invert(pc.or_(pc.or_(is_sketch, is_hash), is_msg)))
+    elif cfg is not None and cfg.stats and not cfg.show_unique:
+        is_hash = pc.equal(tbl["kind"], agg.KIND_MSG_HASH)
         n_hash = int(pc.sum(pc.cast(is_hash, "int64")).as_py() or 0)
         if n_hash:
             unique = n_hash
             tbl = tbl.filter(pc.invert(is_hash))
-    return tbl.to_pandas(), unique
+    return tbl.to_pandas(), unique, approx
 
 
 def _counts_to_pandas(counts) -> pd.DataFrame:
@@ -262,19 +294,21 @@ def analyze_dataset(
             want_lines=cfg.collect_lines, extra_cols=extra_cols,
             hash_msgs=not cfg.show_unique, as_table=True,
         )
-        counts, unique = _merge_counts([tbl], cfg)
+        counts, unique, uapprox = _merge_counts([tbl], cfg)
         counts = _counts_to_pandas(counts)
-        return AnalyzeOutput(report=assemble_report(counts, cfg, unique_count=unique),
+        return AnalyzeOutput(report=assemble_report(counts, cfg, unique_count=unique,
+                                                    unique_approx=uapprox),
                              counts=counts, fmt=fmt)
 
     if mode == "shuffle":
         return _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions,
                                 salt_map, extra_cols, batch_size)
 
-    counts, unique, skipped = _run_waves([(0, ds, None)], cfg, fmt, out_dir, lookup,
-                                         num_partitions, salt_map, extra_cols, batch_size)
+    counts, unique, uapprox, skipped = _run_waves([(0, ds, None)], cfg, fmt, out_dir, lookup,
+                                                  num_partitions, salt_map, extra_cols, batch_size)
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg, unique_count=unique), counts=counts,
+        report=assemble_report(counts, cfg, unique_count=unique, unique_approx=uapprox),
+        counts=counts,
         fmt=fmt, route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
 
@@ -318,10 +352,11 @@ def analyze_parquet(
         wpaths = paths[start : start + wave_files]
         waves.append((w, rd.read_parquet(wpaths), wpaths))
 
-    counts, unique, skipped = _run_waves(waves, cfg2, fmt, out_dir, lookup,
-                                         num_partitions, salt_map, extra_cols, batch_size)
+    counts, unique, uapprox, skipped = _run_waves(waves, cfg2, fmt, out_dir, lookup,
+                                                  num_partitions, salt_map, extra_cols, batch_size)
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg2, unique_count=unique), counts=counts,
+        report=assemble_report(counts, cfg2, unique_count=unique, unique_approx=uapprox),
+        counts=counts,
         fmt=fmt, route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
 
@@ -375,15 +410,17 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
                                       batch_size=batch_size or 65536)
         from timberjack_ray.aggregates import merge_partials
 
-        wtbl = merge_partials(partials, ["kind", "key"], "n")
+        guard = (agg.KIND_MSG_HASH, agg.MSG_GUARD_LIMIT) \
+            if (cfg.stats and not cfg.show_unique) else None
+        wtbl = merge_partials(partials, ["kind", "key"], "n", guard=guard)
         finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths)
         frames.append(wtbl)
     if any(f is _COMPACTED for f in frames):
         # the whole-output recount covers every wave on disk (compacted AND
         # fresh) — it REPLACES the per-wave frames rather than joining them
         frames = [_recompute_compacted_counts(out_dir, cfg, fmt, extra_cols)]
-    counts, unique = _merge_counts(frames, cfg)
-    return counts, unique, skipped
+    counts, unique, uapprox = _merge_counts(frames, cfg)
+    return counts, unique, uapprox, skipped
 
 
 _COMPACTED = object()  # sentinel: recount must run over the compacted output
@@ -458,13 +495,14 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         _counts_satisfy(set(pc.unique(t["kind"]).to_pylist()), needed)
         for t in sidecars if len(t)
     ):
-        merged, unique = _merge_counts(
+        merged, unique, uapprox = _merge_counts(
             [_normalize_msg_family(t, want_hash=not cfg.show_unique) for t in sidecars],
             cfg,
         )
         counts = _counts_to_pandas(merged)
     else:
         unique = None
+        uapprox = False
         agg_cols = ["level"] + extra_cols
         if cfg.trend:
             agg_cols.append("ts_hour")
@@ -479,6 +517,7 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
             hash_msgs=not cfg.show_unique,
         ))
     return AnalyzeOutput(
-        report=assemble_report(counts, cfg, unique_count=unique), counts=counts,
+        report=assemble_report(counts, cfg, unique_count=unique, unique_approx=uapprox),
+        counts=counts,
         fmt=fmt, route_metrics=route_metrics, skipped_partitions=skipped,
     )

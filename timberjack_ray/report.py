@@ -22,12 +22,16 @@ def _kind(counts: pd.DataFrame, kind: str) -> pd.DataFrame:
 
 
 def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig,
-                    unique_count: int | None = None) -> dict:
+                    unique_count: int | None = None,
+                    unique_approx: bool = False) -> dict:
     """→ dict with the JsonOutput shape (formatter.rs:7-48).
 
     ``unique_count``: pre-computed distinct-message count — passed by the
     pipelines, which strip the high-cardinality ``msg#`` hash family from
-    ``counts`` in Arrow before it ever reaches pandas."""
+    ``counts`` in Arrow before it ever reaches pandas.  ``unique_approx``:
+    the count came from the HLL guard (aggregates.MSG_GUARD_LIMIT) — recorded
+    in the report as ``stats.unique_messages_approx`` so a reader knows which
+    path ran."""
     total = int(_kind(counts, agg.KIND_TOTAL)["n"].sum())
 
     out: dict = {
@@ -62,9 +66,30 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig,
         ).head(cfg.top_errors)
         msgs = _kind(counts, agg.KIND_MSG)
         if unique_count is None:
-            # default pipelines ship 64-bit message-key hashes, not the keys
-            # (aggregates._hash_keys); either family yields the distinct count
-            unique_count = len(msgs) if len(msgs) else len(_kind(counts, agg.KIND_MSG_HASH))
+            sketches = _kind(counts, agg.KIND_MSG_SKETCH)
+            if len(sketches):
+                # a guard-degraded fold reached this path with raw counts:
+                # merge the register rows + absorb any exact keys
+                import base64
+
+                import numpy as np
+
+                from timberjack_ray.functions.sketch import HyperLogLog
+
+                hll = HyperLogLog(p=14)
+                for b in sketches["key"]:
+                    hll.merge_registers(np.frombuffer(base64.b64decode(b), dtype=np.uint8))
+                hashes = _kind(counts, agg.KIND_MSG_HASH)["key"].tolist()
+                if hashes:
+                    hll.add_hashed(agg._hex_to_u64(hashes))
+                if len(msgs):
+                    hll.add_strings(msgs["key"].tolist())
+                unique_count = int(round(hll.estimate()))
+                unique_approx = True
+            else:
+                # default pipelines ship 64-bit message-key hashes, not the
+                # keys (aggregates._hash_keys); either family yields the count
+                unique_count = len(msgs) if len(msgs) else len(_kind(counts, agg.KIND_MSG_HASH))
         ratio = (1.0 - unique_count / total) * 100.0 if total > 0 else 0.0
         out["stats"] = {
             "log_levels": [
@@ -78,6 +103,8 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig,
             "repetition_ratio": ratio,
             "unique_messages": sorted(msgs["key"]) if cfg.show_unique else None,
         }
+        if unique_approx:
+            out["stats"]["unique_messages_approx"] = True
 
     # engine extension beyond formatter.rs: per-source / per-enrichment
     # statistics when the pipeline carried those columns (north_star's
