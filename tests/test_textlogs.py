@@ -1,0 +1,119 @@
+"""Raw-text log ingestion over the reference's checked-in fixture corpus
+(/root/reference/tests/test_logs — read in place, skipped when absent, the
+same guard the reference's own sample_logs_tests.rs:7-12 applies).
+
+Covers SURVEY §2.1 S1 text parity: ray.data.read_text → ParseStage over
+.log/.json files must reproduce the single-process oracle, including the
+known ERROR spike in hour 2025-03-21 04 of lrg/app_errors-0.log
+(tests/sample_logs_tests.rs:72-93).
+"""
+import os
+
+import pytest
+
+from timberjack_ray import oracle
+from timberjack_ray.config import AnalyzeConfig
+from timberjack_ray.pipelines.analyze import analyze_text, sample_text_lines
+
+FIXTURES = "/root/reference/tests/test_logs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixture corpus not present"
+)
+
+
+def _lines(path):
+    with open(path, encoding="utf-8") as f:
+        return [ln.rstrip("\n") for ln in f]
+
+
+def _trend_dict(report):
+    return {t["timestamp"]: t["count"] for t in (report["time_trends"] or [])}
+
+
+def _level_dict(report):
+    return {l["level"]: l["count"] for l in report["stats"]["log_levels"]}
+
+
+def test_sample_log_stats_matches_oracle(ray_session):
+    path = os.path.join(FIXTURES, "sample.log")
+    res = analyze_text(path, AnalyzeConfig(stats=True, trend=True, collect_lines=False))
+    assert res.fmt == "generic"
+    o = oracle.analyze_lines(_lines(path), fmt="generic",
+                             collect_trends=True, collect_stats=True)
+    assert res.report["total_count"] == o.count
+    assert _level_dict(res.report) == o.levels_count
+    assert _trend_dict(res.report) == o.time_trends
+    assert res.report["stats"]["unique_messages_count"] == len(o.unique_messages)
+
+
+def test_json_log_autodetect_and_levels(ray_session):
+    path = os.path.join(FIXTURES, "json_log.json")
+    res = analyze_text(path, AnalyzeConfig(stats=True, collect_lines=False))
+    assert res.fmt == "json"
+    o = oracle.analyze_lines(_lines(path), fmt="json", collect_stats=True)
+    assert res.report["total_count"] == o.count
+    assert _level_dict(res.report) == o.levels_count
+
+
+def test_large_log_error_spike(ray_session):
+    """The reference's spike assertion: --level ERROR --trend on
+    lrg/app_errors-0.log peaks in hour 2025-03-21 04."""
+    path = os.path.join(FIXTURES, "lrg", "app_errors-0.log")
+    res = analyze_text(path, AnalyzeConfig(level="ERROR", trend=True, collect_lines=False))
+    trends = _trend_dict(res.report)
+    assert trends, "expected time trends"
+    spike_hour = max(trends, key=lambda k: trends[k])
+    assert spike_hour == "2025-03-21 04"
+    o = oracle.analyze_lines(_lines(path), fmt="generic", level="ERROR",
+                             collect_trends=True)
+    assert res.report["total_count"] == o.count
+    assert trends == o.time_trends
+
+
+def test_medium_log_pattern_and_count(ray_session):
+    path = os.path.join(FIXTURES, "med", "web_server-0.log")
+    lines = _lines(path)
+    # pattern filter parity
+    res = analyze_text(path, AnalyzeConfig(pattern="GET", collect_lines=False))
+    o = oracle.analyze_lines(lines, fmt="generic", pattern="GET")
+    assert res.report["total_count"] == o.count
+    # --count fast path parity (no parser, no fields — the reference quirk)
+    res_c = analyze_text(path, AnalyzeConfig(count=True, pattern="GET"))
+    assert res_c.report["total_count"] == oracle.count_only(lines, pattern="GET")
+
+
+def test_text_glob_multi_file(ray_session):
+    """A glob of all three sized fixtures sums to the per-file oracle totals."""
+    paths = [os.path.join(FIXTURES, "sml", "app-0.log"),
+             os.path.join(FIXTURES, "med", "web_server-0.log"),
+             os.path.join(FIXTURES, "lrg", "app_errors-0.log")]
+    res = analyze_text(paths, AnalyzeConfig(stats=True, collect_lines=False))
+    expect = sum(oracle.analyze_lines(_lines(p), fmt="generic", collect_stats=True).count
+                 for p in paths)
+    assert res.report["total_count"] == expect
+
+
+def test_text_routing_persists_lines(ray_session, tmp_path):
+    """Routing a raw-text input: sinks must carry the line column (no token
+    payload to re-derive it from) and resume must not reprocess."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(FIXTURES, "lrg", "app_errors-0.log")
+    out = str(tmp_path / "routed")
+    cfg = AnalyzeConfig(stats=True, trend=True, collect_lines=False)
+    res = analyze_text(path, cfg, out_dir=out, num_partitions=8)
+    files = glob.glob(os.path.join(out, "*=*", "*.parquet"))
+    assert files
+    cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    assert "line" in cols
+    routed_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert routed_rows == res.report["total_count"]
+
+
+def test_sample_text_lines_head():
+    lines = sample_text_lines([os.path.join(FIXTURES, "sample.log")])
+    assert 0 < len(lines) <= 10
+    assert lines[0].startswith("2025-03-21")

@@ -20,6 +20,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="timber-ray", description="Timberjack-on-Ray: fell your logs fast")
     p.add_argument("input", help="Parquet file/glob/dir of pre-tokenized sequences, "
+                                 "a raw text log file/glob (.log/.txt/anything "
+                                 "non-parquet — the reference's primary input), "
                                  "or '-' to stream text lines from stdin "
                                  "(the reference's `cat log | timber` path)")
     p.add_argument("-c", "--chop", default=None, help="pattern to search for")
@@ -47,7 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def resolve_paths(spec: str) -> list[str]:
     if os.path.isdir(spec):
-        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+        hits = sorted(glob.glob(os.path.join(spec, "*.parquet")))
+        # a directory of raw logs (no parquet): take every regular file
+        return hits or sorted(
+            p for p in glob.glob(os.path.join(spec, "*")) if os.path.isfile(p)
+        )
     hits = sorted(glob.glob(spec))
     if not hits:
         raise FileNotFoundError(spec)
@@ -68,7 +74,7 @@ def main(argv=None) -> int:
     tune_for_cluster()
 
     from timberjack_ray import AnalyzeConfig, render_text
-    from timberjack_ray.pipelines.analyze import analyze_parquet
+    from timberjack_ray.pipelines.analyze import analyze_parquet, analyze_text
 
     cfg = AnalyzeConfig(
         fmt=args.format, pattern=args.chop, level=args.level, fields=args.field,
@@ -96,10 +102,17 @@ def main(argv=None) -> int:
     if not args.json and not args.count:
         print(f"\nWaking LumberJacks...Timberjack is chopping: {args.input}\n")
 
-    out = analyze_parquet(
-        paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
-        wave_files=args.wave_files, mode=args.mode,
-    )
+    if all(p.endswith(".parquet") for p in paths):
+        out = analyze_parquet(
+            paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
+            wave_files=args.wave_files, mode=args.mode,
+        )
+    else:
+        # raw text log files — the reference's own input shape
+        out = analyze_text(
+            paths, cfg, out_dir=args.route_dir, num_partitions=args.num_partitions,
+            mode=args.mode,
+        )
     if args.compact and args.route_dir:
         from timberjack_ray.stages.route import compact_routed
 

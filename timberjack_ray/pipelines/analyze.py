@@ -82,6 +82,18 @@ def sample_decoded_lines(ds, k: int = 10) -> list[str]:
     return out
 
 
+def sample_text_lines(paths, k: int = 10, max_bytes: int = 4096) -> list[str]:
+    """Head sample of a raw text log for format detection — the reference
+    reads ≤4 KB of the file head (src/main.rs:52-89)."""
+    first = paths[0] if not isinstance(paths, str) else paths
+    with open(first, "rb") as f:
+        head = f.read(max_bytes)
+    lines = head.decode("utf-8", errors="replace").splitlines()
+    if len(lines) > 1 and len(head) == max_bytes:
+        lines = lines[:-1]  # last line may be truncated mid-way
+    return [ln for ln in lines if ln.strip()][:k]
+
+
 def sample_lines_from_paths(paths, k: int = 10) -> list[str]:
     """Head sample straight from the first Parquet file with pyarrow — the
     reference reads ≤4 KB of the file head (src/main.rs:52-89); launching a
@@ -311,6 +323,31 @@ def analyze_dataset(
         counts=counts,
         fmt=fmt, route_metrics=lineage_metrics(out_dir), skipped_waves=skipped,
     )
+
+
+def analyze_text(
+    paths,
+    cfg: AnalyzeConfig,
+    out_dir: str | None = None,
+    **kwargs,
+) -> AnalyzeOutput:
+    """Run over raw text log files (the reference's primary input,
+    src/main.rs:368-413 mmap + chunked scan) — ``ray.data.read_text`` →
+    the same ParseStage/aggregate DAG as the tokenized path; ParseStage
+    already consumes a ``text`` column.  Format detection samples the first
+    ≤4 KB of the first file driver-side, mirroring src/main.rs:52-89.
+
+    Scale notes: read_text fans out one task per file (a 100 TB corpus is
+    many files); routing falls back to a content-hash partition id since raw
+    logs carry no source column, and sinks persist the line column (there is
+    no token payload to re-derive it from)."""
+    import ray.data as rd
+
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    fmt = (cfg.resolve_format(sample_text_lines(paths))
+           if cfg.fmt == "auto" else cfg.resolve_format([]))
+    ds = rd.read_text(paths)
+    return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=None, fmt=fmt, **kwargs)
 
 
 def analyze_parquet(

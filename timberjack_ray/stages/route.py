@@ -101,6 +101,14 @@ class AssignPartition:
         self.salt_map = salt_map or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "source" not in batch.column_names:
+            # raw-text ingestion has no source column: deterministic hash of
+            # the best identifying column; uniform spread, no salting needed
+            col = next(c for c in ("doc_id", "line", "text") if c in batch.column_names)
+            arr = (batch[col].combine_chunks()
+                   if isinstance(batch[col], pa.ChunkedArray) else batch[col])
+            pid = (stable_str_hash(arr) % np.uint64(self.num_partitions)).astype(np.int32)
+            return batch.append_column(PID_COL, pa.array(pid))
         src = batch["source"]
         enc = (
             src.combine_chunks().dictionary_encode()
@@ -237,8 +245,12 @@ class WriteAndCount:
         order = np.argsort(skey, kind="stable")
         sink_batch = batch
         if self.slim:
+            # "line" only re-derives from a tokens payload — raw-text inputs
+            # must persist it or the sinks would lose the row content
+            has_tokens = "tokens" in batch.column_names
             drop = [c for c in self.DERIVED_COLS
-                    if c in batch.column_names and c != self.route_key]
+                    if c in batch.column_names and c != self.route_key
+                    and (c != "line" or has_tokens)]
             if drop:
                 sink_batch = batch.drop_columns(drop)
         sorted_batch = sink_batch.take(pa.array(order))
