@@ -291,3 +291,39 @@ def test_segment_token_sums_trailing_empty_segment():
     mid = pa.array([[5], [], [7]], type=pa.list_(pa.int64()))
     sums = _segment_token_sums(mid, np.array([0, 1, 2], dtype=np.int64))
     assert sums.tolist() == [5, 0, 7]
+
+
+def test_wave_resume_mismatch_raises(seq_paths):
+    """A rerun into the same out_dir with different filters must fail loudly
+    (the stored wave counts were produced by different row filters), and the
+    original flags must still resume."""
+    out = "/tmp/tj_test_fp_wave"
+    shutil.rmtree(out, ignore_errors=True)
+    analyze_parquet(seq_paths[:4], AnalyzeConfig(stats=True), out_dir=out,
+                    wave_files=2, num_partitions=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        analyze_parquet(seq_paths[:4], AnalyzeConfig(stats=True, level="ERROR"),
+                        out_dir=out, wave_files=2, num_partitions=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        analyze_parquet(seq_paths[:4], AnalyzeConfig(stats=True), out_dir=out,
+                        wave_files=2, num_partitions=16)  # repartitioned layout
+    with pytest.raises(ValueError, match="resume mismatch"):
+        # same flags, different input files for the same wave index
+        analyze_parquet(seq_paths[2:6], AnalyzeConfig(stats=True), out_dir=out,
+                        wave_files=2, num_partitions=8)
+    res = analyze_parquet(seq_paths[:4], AnalyzeConfig(stats=True), out_dir=out,
+                          wave_files=2, num_partitions=8)
+    assert res.skipped_waves == 2  # clean resume with the original flags
+
+
+def test_shuffle_resume_mismatch_raises(seq_paths):
+    out = "/tmp/tj_test_fp_shuf"
+    shutil.rmtree(out, ignore_errors=True)
+    analyze_parquet(seq_paths[:2], AnalyzeConfig(stats=True), out_dir=out,
+                    mode="shuffle", num_partitions=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        analyze_parquet(seq_paths[:2], AnalyzeConfig(stats=True, pattern="ERROR"),
+                        out_dir=out, mode="shuffle", num_partitions=8)
+    res = analyze_parquet(seq_paths[:2], AnalyzeConfig(stats=True), out_dir=out,
+                          mode="shuffle", num_partitions=8)
+    assert res.skipped_partitions > 0  # clean resume with the original flags

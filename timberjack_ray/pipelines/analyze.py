@@ -50,7 +50,10 @@ from timberjack_ray.stages.route import (
     pid_counts,
     read_routed,
     route_and_write,
+    run_fingerprint,
     source_shares,
+    validate_or_write_run_manifest,
+    validate_stored_wave,
     wave_counts,
 )
 
@@ -406,6 +409,7 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
     needed = _needed_kinds(cfg, extra_cols)
     frames: list[pd.DataFrame] = []
     skipped = 0
+    cfg_fp = run_fingerprint(cfg, fmt, num_partitions)
     counter = PartialCounts(
         want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
@@ -414,6 +418,7 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
     for w, ds, wpaths in waves:
         tmp_dir = os.path.join(out_dir, "_tmp", f"w{w:03d}")
         if w in done:
+            validate_stored_wave(out_dir, w, cfg_fp, wpaths)
             stored = wave_counts(out_dir, w)
             skipped += 1
             if stored is not None and _counts_satisfy(
@@ -450,7 +455,7 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         guard = (agg.KIND_MSG_HASH, agg.MSG_GUARD_LIMIT) \
             if (cfg.stats and not cfg.show_unique) else None
         wtbl = merge_partials(partials, ["kind", "key"], "n", guard=guard)
-        finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths)
+        finalize_wave(out_dir, w, tmp_dir, wtbl, input_files=wpaths, cfg_fp=cfg_fp)
         frames.append(wtbl)
     if any(f is _COMPACTED for f in frames):
         # the whole-output recount covers every wave on disk (compacted AND
@@ -514,6 +519,7 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
     included), so neither fresh runs nor resumes reread routed data.  Falls
     back to a column-pruned read over the routed files only when existing
     sidecars lack aggregate kinds this run needs."""
+    validate_or_write_run_manifest(out_dir, run_fingerprint(cfg, fmt, num_partitions))
     ds = ds.map_batches(AssignPartition(num_partitions, salt_map),
                         batch_format="pyarrow", batch_size=batch_size)
     ds, skipped = filter_completed(ds, out_dir)

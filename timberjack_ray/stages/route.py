@@ -334,6 +334,80 @@ def wave_counts(out_dir: str, wave: int) -> pa.Table | None:
     return pq.read_table(path)
 
 
+def wave_manifest(out_dir: str, wave: int) -> dict | None:
+    path = os.path.join(_lineage_dir(out_dir), f"wave-{wave:03d}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def run_fingerprint(cfg, fmt: str, num_partitions: int) -> str:
+    """Stable fingerprint of every config knob that changes WHICH ROWS a
+    run routes/counts (filters, format, partitioning).  Stored in wave/run
+    manifests so a resume into the same out_dir with a different job fails
+    loudly instead of silently reusing mismatched stored counts (a resume
+    with narrower filters would otherwise yield the INTERSECTION of the two
+    runs' filters over already-filtered rows)."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "pattern": cfg.pattern,
+            "level": cfg.level,
+            "fields": sorted(cfg.field_filters().items()),
+            "fmt": fmt,
+            "num_partitions": num_partitions,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def validate_stored_wave(out_dir: str, wave: int, cfg_fp: str,
+                         wpaths: list[str] | None) -> None:
+    """Raise if a completed wave's manifest was produced by a DIFFERENT run
+    (other input files or other filter config).  Manifests written before
+    fingerprints existed fail too — fail-safe over silent reuse."""
+    man = wave_manifest(out_dir, wave)
+    if man is None:
+        return  # completed_waves saw it, but it vanished: wave will re-run
+    stored_fp = man.get("cfg_fp")
+    if stored_fp != cfg_fp:
+        raise ValueError(
+            f"resume mismatch: {out_dir} wave {wave} was produced with a "
+            f"different filter/format/partition config (stored fingerprint "
+            f"{stored_fp!r}, this run {cfg_fp!r}). Use a fresh --route-dir "
+            f"or rerun with the original flags."
+        )
+    stored_inputs = man.get("input_files") or []
+    if wpaths and stored_inputs and list(stored_inputs) != list(wpaths):
+        raise ValueError(
+            f"resume mismatch: {out_dir} wave {wave} stored counts for "
+            f"{len(stored_inputs)} input file(s) that differ from this "
+            f"run's wave inputs. Use a fresh --route-dir."
+        )
+
+
+def validate_or_write_run_manifest(out_dir: str, cfg_fp: str) -> None:
+    """Shuffle-mode (per-pid resume) equivalent: one run.json for the whole
+    out_dir, written before the first pid completes, validated on resume."""
+    ldir = _lineage_dir(out_dir)
+    os.makedirs(ldir, exist_ok=True)
+    path = os.path.join(ldir, "run.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored.get("cfg_fp") != cfg_fp:
+            raise ValueError(
+                f"resume mismatch: {out_dir} holds per-partition results from "
+                f"a run with different filter/format/partition config. Use a "
+                f"fresh --route-dir or rerun with the original flags."
+            )
+        return
+    _atomic_json(path, {"cfg_fp": cfg_fp})
+
+
 def cleanup_incomplete_wave(out_dir: str, wave: int, tmp_dir: str) -> None:
     """Remove any leftovers of a wave that never finalized (crash mid-run)."""
     import shutil
@@ -346,7 +420,8 @@ def cleanup_incomplete_wave(out_dir: str, wave: int, tmp_dir: str) -> None:
 
 
 def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
-                  route_key: str = "level", input_files: list[str] | None = None) -> None:
+                  route_key: str = "level", input_files: list[str] | None = None,
+                  cfg_fp: str | None = None) -> None:
     """Move tmp files into the final layout, write per-partition lineage
     records (accumulated from the writer sidecars), then the wave manifest
     ATOMICALLY LAST (its presence == wave complete)."""
@@ -403,7 +478,8 @@ def finalize_wave(out_dir: str, wave: int, tmp_dir: str, counts: pd.DataFrame,
     os.replace(counts_path + ".tmp", counts_path)
     _atomic_json(
         os.path.join(ldir, f"wave-{wave:03d}.json"),
-        {"wave": wave, "input_files": input_files or [], "partitions": len(per_pid)},
+        {"wave": wave, "input_files": input_files or [], "partitions": len(per_pid),
+         "cfg_fp": cfg_fp},
     )
     import shutil
 
