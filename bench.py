@@ -178,14 +178,16 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N parallelism in fresh processes (the sandbox evidence for the
-    # north rule's two-cluster-size criterion).  2 and 8 are used because
-    # this VM's memory system saturates well below its 32 vCPUs (measured:
-    # aggregate copy bandwidth scales ~linearly to 8 workers, per-worker
-    # bandwidth drops ~40% by 16 and per-row CPU inflates 2-2.5× by 32,
-    # even for pure-numpy loads) — on a real N→4N node cluster each node
-    # brings its own memory bus, so the 2→8 pair measures the ENGINE's
-    # scaling rather than one host's memory saturation.
-    lo, hi = 2, 8
+    # north rule's two-cluster-size criterion), measured for TWO pairs:
+    # 2→8 (inside this VM's linear memory-bandwidth region) and 4→16
+    # (brushing the saturation knee).  Measured host limits: aggregate copy
+    # bandwidth scales ~linearly to 8 workers, per-worker bandwidth drops
+    # ~40% by 16 and per-row CPU inflates 2-2.5× by 32, even for pure-numpy
+    # loads — on a real N→4N node cluster each node brings its own memory
+    # bus, so the 2→8 pair measures the ENGINE's scaling while the 4→16
+    # pair bounds it from below under one host's saturation.
+    pairs = [(2, 8), (4, 16)]
+    levels = sorted({c for p in pairs for c in p})
     # generate the input once at full parallelism so the first (slow) child
     # doesn't pay for it
     subprocess.run(
@@ -195,33 +197,35 @@ def scaling() -> None:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     # interleaved rounds: host performance swings tens of percent over
-    # minutes (co-tenant contention), so lo/hi runs from adjacent windows +
-    # min-per-level approximates the uncontended machine at both levels.
-    # The hi level is shorter-running and noisier per-window, so it gets an
-    # extra round (same total wall budget).
-    # the hi level's runs are 4× shorter, so a single co-tenant noise window
-    # distorts them proportionally more — it gets an extra interleaved round
-    r_lo, r_hi = run(lo), run(hi, trials=3)
-    for r2 in (run(lo), run(hi, trials=3), run(hi, trials=3)):
-        if r2["num_cpus"] == lo and r2["value"] < r_lo["value"]:
-            r_lo = r2
-        if r2["num_cpus"] == hi and r2["value"] < r_hi["value"]:
-            r_hi = r2
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    print(json.dumps({
-        "metric": f"scaling efficiency N→4N (flagship_routed, {lo}→{hi} CPUs)",
-        "value": round(eff, 3),
+    # minutes (co-tenant contention), so runs of every level from adjacent
+    # windows + min-per-level approximate the uncontended machine.  The
+    # higher levels run ~4× shorter, so a single noise window distorts them
+    # proportionally more — they get an extra trial per process instead.
+    best: dict[int, dict] = {}
+
+    def consider(r: dict) -> None:
+        c = r["num_cpus"]
+        if c not in best or r["value"] < best[c]["value"]:
+            best[c] = r
+
+    for _round in range(2):
+        for c in levels:
+            consider(run(c, trials=3 if c >= 8 else 2))
+    out = {
+        "metric": "scaling efficiency N→4N (flagship_routed; pairs "
+                  + ", ".join(f"{lo}→{hi}" for lo, hi in pairs) + " CPUs)",
         "unit": "efficiency",
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"seq_per_sec_{lo}": r_lo["sequences_per_sec"],
-        f"seq_per_sec_{hi}": r_hi["sequences_per_sec"],
-        "sequences": r_hi["sequences"],
-        "sf": r_hi["sf"],
-        f"queries_{lo}": r_lo["queries"],
-        f"queries_{hi}": r_hi["queries"],
-    }))
+        "sequences": best[levels[-1]]["sequences"],
+        "sf": best[levels[-1]]["sf"],
+    }
+    for lo, hi in pairs:
+        t_lo, t_hi = best[lo]["value"], best[hi]["value"]
+        out[f"eff_{lo}_{hi}"] = round((t_lo / t_hi) / (hi / lo), 3)
+        out[f"sec_{lo}"], out[f"sec_{hi}"] = t_lo, t_hi
+        out[f"seq_per_sec_{lo}"] = best[lo]["sequences_per_sec"]
+        out[f"seq_per_sec_{hi}"] = best[hi]["sequences_per_sec"]
+    out["value"] = out["eff_2_8"]  # headline pair (linear-bandwidth region)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

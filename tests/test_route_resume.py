@@ -327,3 +327,21 @@ def test_shuffle_resume_mismatch_raises(seq_paths):
     res = analyze_parquet(seq_paths[:2], AnalyzeConfig(stats=True), out_dir=out,
                           mode="shuffle", num_partitions=8)
     assert res.skipped_partitions > 0  # clean resume with the original flags
+
+
+def test_first_seen_matched_line_order(seq_paths, oracle_result):
+    """--first-seen reproduces the reference's sequential display order:
+    distinct matched lines by first global occurrence (min row index),
+    which a distributed run cannot get from scan order alone."""
+    res = analyze_parquet(
+        seq_paths, AnalyzeConfig(first_seen=True),  # collect_lines on by default
+    )
+    got = [ml["line"] for ml in res.report["matched_lines"]]
+    # oracle scans rows in order and appends every hit; dedup preserving
+    # first occurrence gives the expected display order
+    expected = list(dict.fromkeys(
+        synth.line_for(i) for i in range(N) if synth.line_for(i)
+    ))[: len(got)]
+    assert got == expected
+    counts = {ml["line"]: ml["count"] for ml in res.report["matched_lines"]}
+    assert counts == oracle_result.line_counts

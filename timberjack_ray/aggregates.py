@@ -32,6 +32,8 @@ KIND_MSG = "msg"
 KIND_MSG_HASH = "msg#"
 KIND_MSG_SKETCH = "msg~"  # degraded family: key = base64 HLL registers, n = 0
 KIND_LINE = "line"
+KIND_LINE_ORDER = "line@"  # n = MIN global row order of the line (first-seen);
+                           # merged with min, not sum
 
 # Distinct msg# keys the driver fold will hold exactly before auto-degrading
 # to a HyperLogLog sketch (VERDICT r01 #4: with mostly-unique messages the
@@ -84,12 +86,17 @@ class PartialCounts:
         want_lines: bool = False,
         extra_cols: list[str] | None = None,
         hash_msgs: bool = True,
+        order_from: str | None = None,
     ):
         self.want_trend = want_trend
         self.want_stats = want_stats
         self.want_lines = want_lines
         self.extra_cols = extra_cols or []  # e.g. ["source", "severity"] → kind "col:source"
         self.hash_msgs = hash_msgs  # False when the real keys are needed (--show-unique)
+        # column whose trailing digits define global row order (first-seen
+        # matched-line display, e.g. "doc_id" of the sequences table);
+        # emits KIND_LINE_ORDER min-rows alongside the line counts
+        self.order_from = order_from
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds: list[str] = []
@@ -118,6 +125,15 @@ class PartialCounts:
         if self.want_lines:
             k, n = _count_keys(batch["line"], drop_null=False)
             emit(KIND_LINE, k, n)
+            if self.order_from and self.order_from in batch.column_names:
+                order = pc.struct_field(
+                    pc.extract_regex(batch[self.order_from], r"(?P<d>\d+)$"), "d"
+                ).cast(pa.int64())
+                t = pa.table({"k": batch["line"], "o": order})
+                t = t.filter(pc.is_valid(t["o"]))
+                if t.num_rows:
+                    g = t.group_by("k").aggregate([("o", "min")])
+                    emit(KIND_LINE_ORDER, g["k"].to_pylist(), g["o_min"].to_pylist())
         for col in self.extra_cols:
             k, n = _count_keys(batch[col], drop_null=False)
             emit(f"col:{col}", k, n)
@@ -129,6 +145,19 @@ class PartialCounts:
                 "n": pa.array(ns, type=pa.int64()),
             }
         )
+
+
+def _remerge_min_kinds(raw: pa.Table, summed: pa.Table, keys: list[str],
+                       n_col: str) -> pa.Table:
+    """Kinds whose n is an ORDER statistic (KIND_LINE_ORDER) merge with min,
+    not sum — re-derive those rows from the raw concat when present."""
+    is_min_raw = pc.equal(raw["kind"], KIND_LINE_ORDER)
+    if not pc.any(is_min_raw).as_py():
+        return summed
+    mins = raw.filter(is_min_raw).group_by(keys).aggregate([(n_col, "min")])
+    mins = mins.rename_columns(keys + [n_col])
+    rest = summed.filter(pc.invert(pc.equal(summed["kind"], KIND_LINE_ORDER)))
+    return pa.concat_tables([rest.select(keys + [n_col]), mins.select(keys + [n_col])])
 
 
 def merge_partials(partials_ds, keys: list[str], n_col: str,
@@ -171,6 +200,8 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
         t = pa.concat_tables(tables)
         g = t.group_by(keys).aggregate([(c, "sum") for c in n_cols])
         g = g.rename_columns(keys + n_cols)
+        if "kind" in keys and len(n_cols) == 1:
+            g = _remerge_min_kinds(t, g, keys, n_cols[0])
         if guard_kind is not None and hll is None:
             n_g = pc.sum(pc.cast(pc.equal(g["kind"], guard_kind), "int64")).as_py() or 0
             if n_g > guard_limit:
@@ -212,7 +243,8 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
 
 
 def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
-                  extra_cols=None, hash_msgs=True, as_table=False):
+                  extra_cols=None, hash_msgs=True, as_table=False,
+                  order_from=None):
     """Final (kind, key, n) totals (small; driver-merged).  ``as_table``
     returns the Arrow table so callers can split out high-cardinality
     families before any pandas conversion."""
@@ -223,6 +255,7 @@ def report_counts(ds, want_trend=False, want_stats=False, want_lines=False,
             want_lines=want_lines,
             extra_cols=extra_cols,
             hash_msgs=hash_msgs,
+            order_from=order_from,
         ),
         batch_format="pyarrow",
     )

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-errors", type=int, default=5)
     p.add_argument("--show-unique", action="store_true")
     p.add_argument("--count", action="store_true", help="fast count-only mode")
+    p.add_argument("--first-seen", action="store_true",
+                   help="order matched lines by first global occurrence "
+                        "(the reference's sequential display order; needs a "
+                        "doc_id-style numeric row suffix in the input)")
     p.add_argument("--format", default="auto", choices=["auto", "json", "generic", "apache", "syslog"])
     p.add_argument("-f", "--field", action="append", default=[], help="field=value filter (repeatable)")
     p.add_argument("--route-dir", default=None, help="fan rows out to per-level Parquet sinks here")
@@ -80,6 +84,7 @@ def main(argv=None) -> int:
         fmt=args.format, pattern=args.chop, level=args.level, fields=args.field,
         trend=args.trend, stats=args.stats, top_errors=args.top_errors,
         show_unique=args.show_unique, count=args.count,
+        first_seen=args.first_seen,
     )
 
     if args.input == "-":

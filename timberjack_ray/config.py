@@ -18,6 +18,11 @@ class AnalyzeConfig:
     show_unique: bool = False      # --show-unique
     count: bool = False            # --count (fast path: no parser, no field filters)
     collect_lines: bool = True     # matched-line sample (A2/K5); off for pure-aggregate runs
+    first_seen: bool = False       # order matched lines by first global occurrence
+                                   # (min row order per distinct line, SURVEY §2.6 A2 —
+                                   # src/analyzer.rs:317-324's sequential display order;
+                                   # needs an input column with a numeric row suffix,
+                                   # e.g. the sequences table's doc_id)
 
     def field_filters(self) -> dict[str, str]:
         from timberjack_ray import kernels

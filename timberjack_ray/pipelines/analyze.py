@@ -124,6 +124,8 @@ def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
         kinds.add("trend")
     if cfg.collect_lines:
         kinds.add("line")
+        if cfg.first_seen:
+            kinds.add("line@")
     kinds |= {f"col:{c}" for c in extra_cols}
     return kinds
 
@@ -202,7 +204,8 @@ def _merge_counts(frames: list, cfg: AnalyzeConfig | None = None):
     else:
         cat = pa.concat_tables(f.select(["kind", "key", "n"]) for f in frames)
         g = cat.group_by(["kind", "key"]).aggregate([("n", "sum")])
-        tbl = g.rename_columns(["kind", "key", "n"])
+        tbl = agg._remerge_min_kinds(cat, g.rename_columns(["kind", "key", "n"]),
+                                     ["kind", "key"], "n")
     unique = None
     approx = False
     is_sketch = pc.equal(tbl["kind"], agg.KIND_MSG_SKETCH)
@@ -307,7 +310,8 @@ def analyze_dataset(
         tbl = report_counts(
             parsed, want_trend=cfg.trend, want_stats=cfg.stats,
             want_lines=cfg.collect_lines, extra_cols=extra_cols,
-            hash_msgs=not cfg.show_unique, as_table=True,
+            hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None), as_table=True,
         )
         counts, unique, uapprox = _merge_counts([tbl], cfg)
         counts = _counts_to_pandas(counts)
@@ -414,6 +418,7 @@ def _run_waves(waves, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
         hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None),
     )
     for w, ds, wpaths in waves:
         tmp_dir = os.path.join(out_dir, "_tmp", f"w{w:03d}")
@@ -478,6 +483,7 @@ def _recompute_compacted_counts(out_dir, cfg, fmt, extra_cols) -> pd.DataFrame:
         ds, want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
         hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None),
     ))
 
 
@@ -508,6 +514,7 @@ def _recompute_wave_counts(out_dir, wave, cfg, fmt, extra_cols) -> pd.DataFrame:
         ds, want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
         hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None),
     ))
 
 
@@ -529,6 +536,7 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
         want_trend=cfg.trend, want_stats=cfg.stats,
         want_lines=cfg.collect_lines, extra_cols=extra_cols,
         hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None),
     )
     route_metrics = route_and_write(parsed, out_dir, counter=counter).to_pandas()
 
@@ -558,6 +566,7 @@ def _analyze_shuffle(ds, cfg, fmt, out_dir, lookup, num_partitions, salt_map,
             agg_src, want_trend=cfg.trend, want_stats=cfg.stats,
             want_lines=cfg.collect_lines, extra_cols=extra_cols,
             hash_msgs=not cfg.show_unique,
+        order_from=("doc_id" if cfg.first_seen else None),
         ))
     return AnalyzeOutput(
         report=assemble_report(counts, cfg, unique_count=unique, unique_approx=uapprox),

@@ -43,9 +43,19 @@ def assemble_report(counts: pd.DataFrame, cfg: AnalyzeConfig,
     }
 
     if cfg.collect_lines:
-        lines = _kind(counts, agg.KIND_LINE).sort_values(
-            ["n", "key"], ascending=[False, True]
-        ).head(MAX_UNIQUE_LINES)
+        lines = _kind(counts, agg.KIND_LINE)
+        order = _kind(counts, agg.KIND_LINE_ORDER) if cfg.first_seen else None
+        if order is not None and len(order):
+            # first-seen display (src/analyzer.rs:317-324): distinct lines by
+            # MIN global row order — the deterministic distributed equivalent
+            # of the reference's sequential first-occurrence push
+            lines = lines.merge(order.rename(columns={"n": "first_seen"}),
+                                on="key", how="left")
+            lines = lines.sort_values(["first_seen", "key"],
+                                      na_position="last").head(MAX_UNIQUE_LINES)
+        else:
+            lines = lines.sort_values(["n", "key"],
+                                      ascending=[False, True]).head(MAX_UNIQUE_LINES)
         out["matched_lines"] = [
             {"line": k, "count": int(n)} for k, n in zip(lines["key"], lines["n"])
         ]
