@@ -460,6 +460,21 @@ def q_minhash_pairs(sf_dir: str):
     return pd.DataFrame({"n_pairs": [len(pairs)], "n_grouped_docs": [len(groups)]})
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT word-trigram Jaccard similarity self-join (prefix filtering,
+    functions/dedup.py ngram_jaccard_pairs): every (a, b, jacc) with
+    Jaccard >= 0.6.  Unlike minhash/simhash this is exact, so it is
+    DuckDB-hash-checkable pair for pair."""
+    from timberjack_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.6
+    ).to_pandas()
+    return pairs[["a", "b", "jacc"]].astype(
+        {"a": "int64", "b": "int64", "jacc": "float64"}
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from timberjack_ray.functions.dedup import simhash_candidates
 
@@ -584,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_top_errors": q_seq_top_errors,
         "seq_count_pattern": q_seq_count_pattern,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -645,6 +661,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw, text
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN nw <= 3 THEN [text]
+                     ELSE list_transform(generate_series(1, nw - 2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                END) AS gram
+              FROM w
+            ),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            sz AS (SELECT doc_id, COUNT(*) AS m FROM dg GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+              FROM dg x JOIN dg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(shared AS DOUBLE) / (sa.m + sb.m - shared) AS jacc
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE CAST(shared AS DOUBLE) / (sa.m + sb.m - shared) >= 0.6
         """,
         "doc_token_counts": """
             SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words, COUNT(*) AS n

@@ -247,3 +247,41 @@ def test_multimodal_decode_plumbing(ray_session):
         ImageDecoder(backend="real")
     with pytest.raises(NotImplementedError):
         FrameSampler(backend="real")
+
+
+def test_ngram_jaccard_exact_vs_brute(ray_session):
+    """Prefix-filter n-gram Jaccard join is EXACT: identical pair set and
+    identical jacc values vs a brute-force all-pairs scan."""
+    import itertools
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import (
+        _stable_hash_strings,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [" ".join(vocab[rng.randint(40)] for _ in range(rng.randint(4, 25)))
+            for _ in range(50)]
+    for i in range(15):  # planted near-dups: one word changed
+        ws = docs[i].split()
+        ws[rng.randint(len(ws))] = "X"
+        docs.append(" ".join(ws))
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+    got = ngram_jaccard_pairs(rd.from_arrow(t).repartition(4), threshold=0.5).to_pandas()
+    got_pairs = {(r.a, r.b): r.jacc for r in got.itertuples()}
+
+    gs = [set(np.unique(_stable_hash_strings(shingles(d, 3))).tolist()) for d in docs]
+    expect = {}
+    for i, j in itertools.combinations(ids, 2):
+        inter = len(gs[i] & gs[j])
+        union = len(gs[i] | gs[j])
+        if union and inter / union >= 0.5:
+            expect[(i, j)] = inter / union
+    assert set(got_pairs) == set(expect)
+    for kk, v in expect.items():
+        assert abs(got_pairs[kk] - v) < 1e-12

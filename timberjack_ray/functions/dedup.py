@@ -341,3 +341,113 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+class PrefixGramStage:
+    """map_batches stage: per doc, emit one row per PREFIX gram.
+
+    Grams are distinct word k-grams (``shingles`` — whole text when the doc
+    has ≤ k words), globally ordered by their stable 64-bit hash.  For a doc
+    with m distinct grams the prefix is its (m − ⌈t·m⌉ + 1) smallest gram
+    hashes: any pair with Jaccard ≥ t shares at least ⌈t·max(mA,mB)⌉ grams,
+    so their prefixes must intersect (prefix-filter lemma, Chaudhuri et al.
+    2006) — grouping prefix rows by gram yields a COMPLETE candidate set and
+    the join is exact after verification.  Hash order is a valid (random)
+    total order; a global frequency order would prune better at the cost of
+    one extra counting pass (documented trade).
+
+    Each prefix row carries the doc's full sorted gram-hash set for in-bucket
+    verification (duplication ≈ (1−t)·m per doc — fine for documents; for
+    book-length docs switch to the two-phase candidates-then-join variant).
+    """
+
+    def __init__(self, threshold: float = 0.6, k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.t = threshold
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = np.asarray(batch[self.id_col])
+        sets = [np.unique(_stable_hash_strings(shingles(t or "", self.k)))
+                for t in texts]
+        ms = np.array([len(s) for s in sets], dtype=np.int64)
+        Ls = np.maximum(ms - np.ceil(self.t * ms).astype(np.int64) + 1, 1)
+        gram = np.concatenate([s[:L] for s, L in zip(sets, Ls)]) \
+            if len(sets) else np.zeros(0, np.uint64)
+        # full set attached to every prefix row of its doc
+        set_values = np.concatenate([np.tile(s, L) for s, L in zip(sets, Ls)]) \
+            if len(sets) else np.zeros(0, np.uint64)
+        set_lens = np.repeat(ms, Ls)
+        offsets = np.concatenate([[0], np.cumsum(set_lens)]).astype(np.int64)
+        set_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(set_values.view(np.int64)))
+        return pa.table({
+            "gram": pa.array(gram.view(np.int64)),
+            self.id_col: pa.array(np.repeat(ids, Ls)),
+            "m": pa.array(np.repeat(ms, Ls)),
+            "gram_set": set_col,
+        })
+
+
+def _jaccard_pairs_of_group(g: pd.DataFrame, threshold: float, id_col: str,
+                            max_bucket: int) -> pd.DataFrame:
+    g = g.drop_duplicates(id_col).head(max_bucket)
+    n = len(g)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jacc": pd.Series([], dtype="float64")})
+    if n < 2:
+        return empty
+    ids = g[id_col].to_numpy()
+    sets = [np.asarray(s, dtype=np.int64) for s in g["gram_set"]]
+    ms = g["m"].to_numpy()
+    out_a, out_b, out_j = [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+            union = int(ms[i] + ms[j] - inter)
+            jacc = inter / union if union else 0.0
+            if jacc >= threshold:
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(jacc)
+    if not out_a:
+        return empty
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                         "b": pd.Series(out_b, dtype="int64"),
+                         "jacc": pd.Series(out_j, dtype="float64")})
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int = 512):
+    """EXACT n-gram Jaccard similarity self-join: every pair with distinct
+    word-k-gram Jaccard ≥ threshold → Dataset of (a, b, jacc), deduped.
+
+    Unlike minhash/simhash (approximate candidates), this is an exact
+    algorithm: prefix-filter rows → one groupby on gram → in-bucket exact
+    verification → pair dedup groupby.  Shuffle volume is prefix rows
+    (≈ (1−t)·grams per doc), never raw text.
+    """
+    prefix_rows = ds.map_batches(
+        PrefixGramStage(threshold=threshold, k=k, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+    pairs = prefix_rows.groupby("gram").map_groups(
+        lambda g: _jaccard_pairs_of_group(g, threshold, id_col, max_bucket),
+        batch_format="pandas")
+    keyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "pair_key",
+            pa.array((np.asarray(t["a"], dtype=np.int64) << np.int64(31))
+                     | np.asarray(t["b"], dtype=np.int64))),
+        batch_format="pyarrow")
+    return keyed.groupby("pair_key").map_groups(
+        lambda g: g.head(1)[["a", "b", "jacc"]], batch_format="pandas")
