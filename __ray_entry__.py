@@ -613,7 +613,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from timberjack_ray.functions.text import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(set().union(*_STOPWORDS.values())))
     return {
+        # QualityScorer replicated feature-for-feature (float ops are the
+        # same IEEE expression tree both sides, so values are bit-exact on
+        # the ASCII corpus; verified at sf0.01 and sf0.1)
+        "quality_scores": f"""
+            WITH f AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_chars, n_alpha,
+                len(ws) AS n_words,
+                len(list_filter(ws, w -> w IN ({stoplist}))) AS n_stop
+              FROM f
+            )
+            SELECT doc_id,
+              0.3 * LEAST(n_chars / 200.0, 1.0)
+              + 0.3 * (CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1))
+              + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5, 1.0)
+              + 0.2 * LEAST((CASE WHEN n_words > 0
+                             THEN CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1)
+                             ELSE 0.0 END) / 8.0, 1.0)
+              AS quality
+            FROM g
+        """,
         "tpch_q1_qty": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
