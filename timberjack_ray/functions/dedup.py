@@ -69,6 +69,56 @@ def shingles(text: str, k: int = 3) -> np.ndarray:
     return np.array([" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)], dtype=object)
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def gram_hashes_batch(texts, k: int = 3):
+    """Vectorized per-doc word-k-gram hashes → (flat uint64 values, offsets).
+
+    One ``hash_array`` over the flat word stream + an FNV fold of ``k``
+    shifted slices (the add_fingerprints machinery) replaces per-doc Python
+    gram-string building.  Hash VALUES differ from hashing the joined gram
+    strings, but the equivalence classes are identical (same word sequence ⇒
+    same fold), which is all minhash signatures and Jaccard sets need.
+    Docs with ≤ k words contribute ONE gram: the hash of the raw text
+    (mirroring ``shingles``'s whole-text fallback).  Grams never cross
+    document boundaries: only each doc's valid gram range is gathered.
+    """
+    s = pd.Series(list(texts), dtype=object).astype(str)
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    words = s.str.split()
+    wc = words.str.len().to_numpy(dtype=np.int64)
+    w_offs = np.concatenate([[0], np.cumsum(wc)])
+    total = int(w_offs[-1])
+    long_mask = wc > k
+    out_lens = np.where(long_mask, wc - k + 1, 1)
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    out = np.zeros(int(out_offs[-1]), dtype=np.uint64)
+    # short docs: whole-text hash
+    if (~long_mask).any():
+        short_idx = out_offs[:-1][~long_mask]
+        out[short_idx] = pd.util.hash_array(
+            s[~long_mask].to_numpy(dtype=object)).astype(np.uint64)
+    if long_mask.any() and total > k:
+        flat = words.explode().dropna().to_numpy(dtype=object)
+        wh = pd.util.hash_array(flat).astype(np.uint64)
+        ng = total - k + 1
+        gh = np.zeros(ng, dtype=np.uint64)
+        for i in range(k):  # k iterations, vectorized across all grams
+            gh = gh * _FNV + wh[i : i + ng]
+        # gather each long doc's valid gram range into its output slot
+        L = out_lens[long_mask]
+        src_start = w_offs[:-1][long_mask]
+        dst_start = out_offs[:-1][long_mask]
+        total_long = int(L.sum())
+        pos = np.arange(total_long, dtype=np.int64)
+        rel = pos - np.repeat(np.concatenate([[0], np.cumsum(L)])[:-1], L)
+        out[np.repeat(dst_start, L) + rel] = gh[np.repeat(src_start, L) + rel]
+    return out, out_offs
+
+
 class MinHasher:
     """Actor-pool stage: per-doc MinHash signature (num_perm × uint64)."""
 
@@ -79,7 +129,7 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _stable_hash_strings(shingles(text, self.k))
+        sh, _ = gram_hashes_batch([text], self.k)
         # (num_perm, n_shingles) universal hashing, min over shingles
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -89,12 +139,11 @@ class MinHasher:
         if not texts:
             sigs = np.zeros((0, self.num_perm), np.uint64)
         else:
-            # batch-vectorized: hash ALL shingles once, one (num_perm ×
-            # total_shingles) universal-hash matrix, per-doc minima via
-            # reduceat — replaces a per-doc Python loop
-            per_doc = [shingles(t, self.k) for t in texts]
-            offsets = np.cumsum([0] + [len(s) for s in per_doc])
-            flat = _stable_hash_strings(np.concatenate(per_doc))
+            # fully vectorized: rolling word-hash grams for the whole batch
+            # (gram_hashes_batch — no per-doc gram-string building), one
+            # (num_perm × total_grams) universal-hash matrix, per-doc minima
+            # via reduceat
+            flat, offsets = gram_hashes_batch(texts, self.k)
             vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
             sigs = np.minimum.reduceat(vals, offsets[:-1], axis=1).T
         sig_col = pa.FixedSizeListArray.from_arrays(
@@ -375,9 +424,24 @@ class PrefixGramStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col])
-        sets = [np.unique(_stable_hash_strings(shingles(t or "", self.k)))
-                for t in texts]
-        ms = np.array([len(s) for s in sets], dtype=np.int64)
+        n = len(texts)
+        if n == 0:
+            return pa.table({
+                "gram": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "gram_set": pa.array([], pa.large_list(pa.int64())),
+            })
+        # vectorized grams + per-doc sorted-distinct via ONE global lexsort
+        flat, offs = gram_hashes_batch([t or "" for t in texts], self.k)
+        doc_rep = np.repeat(np.arange(n), np.diff(offs))
+        order = np.lexsort((flat, doc_rep))
+        fs, dr = flat[order], doc_rep[order]
+        keep = np.concatenate([[True], (fs[1:] != fs[:-1]) | (dr[1:] != dr[:-1])])
+        fs, dr = fs[keep], dr[keep]
+        ms = np.bincount(dr, minlength=n).astype(np.int64)
+        new_offs = np.concatenate([[0], np.cumsum(ms)]).astype(np.int64)
+        sets = [fs[new_offs[i]: new_offs[i + 1]] for i in range(n)]
         Ls = np.maximum(ms - np.ceil(self.t * ms).astype(np.int64) + 1, 1)
         gram = np.concatenate([s[:L] for s, L in zip(sets, Ls)]) \
             if len(sets) else np.zeros(0, np.uint64)
