@@ -60,3 +60,51 @@ def test_level_filter_matches_oracle(lines, level):
     rep = analyze_stream(iter(lines), AnalyzeConfig(level=level), chunk_rows=5,
                          fmt="generic")
     assert rep["total_count"] == o.count
+
+
+# --- JSON parse + field-filter parity fuzz (guards the round-2 targeted
+# filter-key lookup in stages/parse.ParseStage._parse_json, which replaced
+# the full dotted flatten for undotted keys) ---
+
+_scalar_st = st.one_of(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   blacklist_characters='"\\'),
+            max_size=8),
+    st.integers(min_value=-1000, max_value=1000),
+    st.booleans(),
+    st.none(),
+)
+_key_st = st.sampled_from(
+    ["level", "severity", "timestamp", "service", "user_id", "k", "x y", "a.b"])
+_value_st = st.one_of(
+    _scalar_st,
+    st.dictionaries(_key_st, _scalar_st, max_size=3),
+    st.lists(_scalar_st, max_size=3),
+)
+_obj_st = st.dictionaries(_key_st, _value_st, max_size=6)
+_json_line_st = st.one_of(
+    _obj_st.map(lambda o: __import__("json").dumps(o)),
+    st.sampled_from(['{broken', 'not json', '42', '"scalar"', '[]',
+                     '{"level": null, "severity": "X"}']),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_json_line_st, min_size=1, max_size=20),
+       st.sampled_from([("service", "api"), ("level", "ERROR"), ("k", "null"),
+                        ("a.b", "1"), ("user_id", "12")]))
+def test_json_field_filter_matches_oracle(lines, filt):
+    from timberjack_ray.stages.parse import ParseStage
+
+    key, val = filt
+    cfg = AnalyzeConfig(fields=[f"{key}={val}"], stats=True, trend=True)
+    stage = ParseStage(cfg, fmt="json")
+    batch = pa.table({"line": pa.array(lines, pa.string())})
+    got = stage(batch)
+    o = oracle.analyze_lines(lines, fmt="json", field_filters={key: val},
+                             collect_trends=True, collect_stats=True)
+    assert got.num_rows == o.count
+    got_levels = {}
+    for lv in got["level"].to_pylist():
+        got_levels[lv or ""] = got_levels.get(lv or "", 0) + 1
+    assert got_levels == o.levels_count
