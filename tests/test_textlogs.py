@@ -117,3 +117,28 @@ def test_sample_text_lines_head():
     lines = sample_text_lines([os.path.join(FIXTURES, "sample.log")])
     assert 0 < len(lines) <= 10
     assert lines[0].startswith("2025-03-21")
+
+
+def test_empty_text_file(ray_session, tmp_path):
+    """error_tests.rs test_empty_file: empty input → 'Felled: 0 logs'."""
+    p = tmp_path / "empty.log"
+    p.write_text("")
+    res = analyze_text(str(p), AnalyzeConfig())
+    assert res.report["total_count"] == 0
+
+
+def test_malformed_text_line(ray_session, tmp_path):
+    """error_tests.rs test_malformed_log: an unstructured line still counts."""
+    p = tmp_path / "odd.log"
+    p.write_text("This is not a properly formatted log line\n")
+    res = analyze_text(str(p), AnalyzeConfig(stats=True))
+    assert res.report["total_count"] == 1
+    assert {l["level"]: l["count"] for l in res.report["stats"]["log_levels"]} == {"": 1}
+
+
+def test_nonexistent_file_cli():
+    """error_tests.rs test_nonexistent_file: CLI path resolution fails loudly."""
+    from timberjack_ray.cli import resolve_paths
+
+    with pytest.raises(FileNotFoundError):
+        resolve_paths("/no/such/file.log")

@@ -301,7 +301,8 @@ def analyze_dataset(
     extra_cols: list[str] = []
     if lookup is not None:
         extra_cols = ["severity", "service"]
-    if "source" in ds.schema().names:
+    schema = ds.schema()  # None for a zero-row text read
+    if schema is not None and "source" in schema.names:
         extra_cols.append("source")
 
     if out_dir is None:
