@@ -490,23 +490,174 @@ def _jaccard_pairs_of_group(g: pd.DataFrame, threshold: float, id_col: str,
                          "jacc": pd.Series(out_j, dtype="float64")})
 
 
+def _pair_inter_chunk(flat: np.ndarray, offs: np.ndarray, m_doc: np.ndarray,
+                      a_idx: np.ndarray, b_idx: np.ndarray, n_uniq: int) -> np.ndarray:
+    """Exact ``|gramset(a) ∩ gramset(b)|`` for each (a_idx, b_idx) pair.
+
+    Gathers both docs' rank arrays per pair with one ragged fancy-index,
+    packs (pair, rank) into a single sortable int64 key, sorts once and
+    counts duplicate keys (per-doc sets are distinct, so a duplicate key ⟺
+    the gram is in both sets).  Pure numpy — runs serially or as a Ray task
+    over ``ray.put``-shared ``flat``/``offs``/``m_doc``.
+    """
+    cn = len(a_idx)
+    docs2 = np.empty(2 * cn, dtype=np.int64)
+    docs2[0::2], docs2[1::2] = a_idx, b_idx
+    seg_lens = m_doc[docs2]
+    cum = np.cumsum(seg_lens)
+    total = int(cum[-1]) if cn else 0
+    shift = offs[docs2] - (cum - seg_lens)
+    gidx = np.arange(total, dtype=np.int64) + np.repeat(shift, seg_lens)
+    key = np.repeat(np.arange(cn, dtype=np.int64).repeat(2) * n_uniq, seg_lens) \
+        + flat[gidx]
+    key.sort()
+    dup = key[1:] == key[:-1]
+    return np.bincount(key[1:][dup] // n_uniq, minlength=cn)
+
+
+def _jaccard_small_fold(tbl: pa.Table, threshold: float, id_col: str,
+                        max_bucket: int) -> pd.DataFrame:
+    """Driver-side exact verify over collected prefix rows, fully vectorized.
+
+    Groups prefix rows by gram (occupancy ≥ 2 only), emits UNIQUE unordered
+    id pairs per bucket-size class via one reshape + ``triu_indices``, then
+    verifies every unique pair exactly once with a single lexsort
+    duplicate-count over the concatenated gram sets — no per-pair
+    ``intersect1d`` and no per-group pandas ``apply`` (a pair sharing g
+    grams was previously verified g times).  Ids must be in [0, 2^31) —
+    the same packing contract as the distributed pair-dedup path.
+    """
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jacc": pd.Series([], dtype="float64")})
+    if tbl.num_rows == 0:
+        return empty
+    gram = tbl.column("gram").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, gram))
+    g, i = gram[order], ids[order]
+    keep = np.r_[True, (g[1:] != g[:-1]) | (i[1:] != i[:-1])]  # drop dup (gram,id)
+    g, i = g[keep], i[keep]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    sizes = np.diff(np.r_[starts, len(g)])
+    multi = sizes >= 2
+    starts, sizes = starts[multi], np.minimum(sizes[multi], max_bucket)
+    if not len(starts):
+        return empty
+    lo_parts, hi_parts = [], []
+    for s in np.unique(sizes):
+        sel = starts[sizes == s]
+        mem = i[sel[:, None] + np.arange(s)[None, :]]     # (n_buckets, s)
+        iu, ju = np.triu_indices(s, k=1)
+        a, b = mem[:, iu].ravel(), mem[:, ju].ravel()
+        lo_parts.append(np.minimum(a, b))
+        hi_parts.append(np.maximum(a, b))
+    lo = np.concatenate(lo_parts).astype(np.uint64)
+    hi = np.concatenate(hi_parts).astype(np.uint64)
+    packed = np.unique((lo << np.uint64(32)) | hi)
+    lo = (packed >> np.uint64(32)).astype(np.int64)
+    hi = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # one flat (rank-encoded) gram array over involved docs — per-PAIR copies
+    # below are pure fancy-indexing, never a Python-level list of arrays
+    first = tbl.select([id_col, "gram_set"]).to_pandas().drop_duplicates(id_col)
+    doc_ids = first[id_col].to_numpy(np.int64)
+    order_d = np.argsort(doc_ids)
+    doc_ids = doc_ids[order_d]
+    doc_sets = [np.asarray(s, dtype=np.int64) for s in first["gram_set"].to_numpy()[order_d]]
+    m_doc = np.fromiter((len(s) for s in doc_sets), dtype=np.int64, count=len(doc_sets))
+    flat = np.concatenate(doc_sets)
+    offs = np.r_[0, np.cumsum(m_doc)]
+    _, flat = np.unique(flat, return_inverse=True)   # dense gram ranks < n_uniq
+    n_uniq = int(flat.max()) + 1 if len(flat) else 1
+    a_idx = np.searchsorted(doc_ids, lo)
+    b_idx = np.searchsorted(doc_ids, hi)
+    m_a, m_b = m_doc[a_idx], m_doc[b_idx]
+    # length filter: jacc >= t forces min(m)/max(m) >= t
+    ok = np.minimum(m_a, m_b) >= threshold * np.maximum(m_a, m_b)
+    lo, hi, a_idx, b_idx = lo[ok], hi[ok], a_idx[ok], b_idx[ok]
+    m_a, m_b = m_a[ok], m_b[ok]
+    npairs = len(lo)
+    if npairs == 0:
+        return empty
+    # chunked exact intersection (see _pair_inter_chunk); chunks fan out as
+    # Ray tasks over a ray.put-broadcast flat array — the verify is memory-
+    # bandwidth-bound numpy that would otherwise serialize on the driver
+    import ray
+
+    cum_vals = np.cumsum(m_a + m_b)
+    bounds = [0]
+    while bounds[-1] < npairs:
+        s = bounds[-1]
+        base_vals = cum_vals[s - 1] if s else 0
+        bounds.append(min(npairs, max(s + 1, int(np.searchsorted(
+            cum_vals, base_vals + 4_000_000)) + 1)))
+    chunks = list(zip(bounds[:-1], bounds[1:]))
+    if len(chunks) > 1 and ray.is_initialized():
+        flat_ref, offs_ref, m_ref = ray.put(flat), ray.put(offs), ray.put(m_doc)
+        rf = ray.remote(num_cpus=1)(_pair_inter_chunk)
+        inter = np.concatenate(ray.get([
+            rf.remote(flat_ref, offs_ref, m_ref, a_idx[s:e], b_idx[s:e], n_uniq)
+            for s, e in chunks]))
+    else:
+        inter = np.concatenate([
+            _pair_inter_chunk(flat, offs, m_doc, a_idx[s:e], b_idx[s:e], n_uniq)
+            for s, e in chunks])
+    union = m_a + m_b - inter
+    jacc = inter / np.maximum(union, 1)
+    hit = jacc >= threshold
+    return pd.DataFrame({"a": pd.Series(lo[hit], dtype="int64"),
+                         "b": pd.Series(hi[hit], dtype="int64"),
+                         "jacc": pd.Series(jacc[hit], dtype="float64")})
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_bucket: int = 512):
+                        max_bucket: int = 512, driver_limit: int = 500_000):
     """EXACT n-gram Jaccard similarity self-join: every pair with distinct
     word-k-gram Jaccard ≥ threshold → Dataset of (a, b, jacc), deduped.
 
     Unlike minhash/simhash (approximate candidates), this is an exact
     algorithm: prefix-filter rows → one groupby on gram → in-bucket exact
     verification → pair dedup groupby.  Shuffle volume is prefix rows
-    (≈ (1−t)·grams per doc), never raw text.
+    (≈ (1−t)·grams per doc), never raw text.  When the prefix rows fit on
+    the driver (≤ driver_limit) a pandas fold replaces both groupbys — same
+    small-side pattern as candidate_pairs.
     """
     prefix_rows = ds.map_batches(
         PrefixGramStage(threshold=threshold, k=k, id_col=id_col, text_col=text_col),
         batch_format="pyarrow")
-    pairs = prefix_rows.groupby("gram").map_groups(
-        lambda g: _jaccard_pairs_of_group(g, threshold, id_col, max_bucket),
-        batch_format="pandas")
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(prefix_rows, driver_limit)
+    if small is not None:
+        import ray.data as rd
+
+        return rd.from_pandas(_jaccard_small_fold(small, threshold, id_col, max_bucket))
+
+    # distributed path: same occupancy prefilter as candidate_pairs — count
+    # gram occupancy (tiny partial merge), broadcast the multi-occupant gram
+    # keys, semi-join-filter the prefix rows before the pairing groupby so
+    # singleton-gram set payloads never shuffle
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def occupancy(t: pa.Table) -> pa.Table:
+        g = t.select(["gram"]).group_by("gram").aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "n"])
+
+    occ = merge_partials(prefix_rows.map_batches(occupancy, batch_format="pyarrow"),
+                         ["gram"], "n")
+    hot_ref = ray.put(occ.filter(pc.greater_equal(occ["n"], 2))["gram"].combine_chunks())
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["gram"], value_set=ray.get(hot_ref)))
+
+    pairs = prefix_rows.map_batches(filter_hot, batch_format="pyarrow") \
+        .groupby("gram").map_groups(
+            lambda g: _jaccard_pairs_of_group(g, threshold, id_col, max_bucket),
+            batch_format="pandas")
     keyed = pairs.map_batches(
         lambda t: t.append_column(
             "pair_key",

@@ -185,7 +185,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_prob
 
 
 def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
-                       seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding"):
+                       seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding",
+                       driver_limit: int = 500_000):
     """Multi-table random-hyperplane LSH → within-bucket cosine ≥ threshold pairs.
 
     OR-amplification: ``n_tables`` independent tables of ``n_planes``
@@ -253,6 +254,32 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
         return g.head(1)[["a", "b", "cosine"]]
 
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+    # small-intermediate fast path: one streamed pass + pandas fold beats two
+    # Ray all-to-all groupbys (multi-second fixed cost each) whenever the
+    # bucketed rows (n_tables x vectors) fit on the driver; bail out to the
+    # distributed plan past driver_limit rows
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(bucketed, driver_limit)
+    if small is not None:
+        import ray.data as rd
+
+        df = small.to_pandas()
+        # occupancy prefilter: singleton buckets (the vast majority) can't
+        # produce a pair, so drop them before the per-group O(s^2) verify
+        vc = df["bucket"].value_counts()
+        df = df[df["bucket"].isin(vc.index[vc.ge(2)])]
+        if df.empty:
+            out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                "b": pd.Series([], dtype="int64"),
+                                "cosine": pd.Series([], dtype="float64")})
+        else:
+            out = df.groupby("bucket", sort=False, group_keys=False)[
+                [id_col, vec_col]].apply(pairs_of_group)
+            out = out.reset_index(drop=True).drop_duplicates(["a", "b"])
+        return rd.from_pandas(out.reset_index(drop=True))
+
     pairs = bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")
     # Distributed dedup of pairs seen in multiple tables: pack (a,b) into one
     # int64 key (ids < 2^31 by contract of this helper) and keep the first.
