@@ -168,6 +168,76 @@ class ParseStage:
                 keep.append(ok)
         return ts_out, level_out, keep
 
+    def _parse_json_columnar(self, lines, want_ts: bool):
+        """Columnar JSON parse via ``pyarrow.json`` (Arrow C++ parser) for
+        the common all-string case; returns ``(ts, level, field_mask)`` or
+        None to bail to the exact per-row loop.
+
+        The needed top-level keys (level/timestamp/filter) are forced to
+        utf8 with ``explicit_schema`` — otherwise Arrow would infer
+        ``timestamp[s]`` for ISO strings and lose the original text — and
+        every other field is skipped (``unexpected_field_behavior="ignore"``).
+        Parity holds because a forced-utf8 column is null iff the key is
+        absent or JSON-null (both mean "next key" for level/ts and
+        "substring fallback" for a filter, exactly like the per-row loop),
+        while every divergent case ABORTS the whole read instead of
+        coercing: malformed/scalar/duplicate-key rows and bool/number/
+        container values under a needed key raise ArrowInvalid, and an
+        embedded newline shows up as a row-count mismatch.  Dotted filter
+        keys need the 100-field-cap flatten → bail upfront.
+        """
+        if any(("." in k) or ("[" in k) for k in self.filters):
+            return None
+        import pyarrow.json as pj
+
+        need = list(kernels.LEVEL_KEYS)
+        if want_ts:
+            need += kernels.TIMESTAMP_KEYS
+        need += [k for k in self.filters if k not in need]
+        arr = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+        # Arrow-native newline join straight into a zero-copy buffer (~20x
+        # cheaper than to_pylist + str.join for the same bytes)
+        la = pa.LargeListArray.from_arrays(pa.array([0, len(arr)], pa.int64()), arr)
+        joined = pc.binary_join(la, "\n")
+        if not joined[0].is_valid:
+            return None
+        buf = joined.cast(pa.large_binary())[0].as_buffer()
+        try:
+            tbl = pj.read_json(
+                pa.BufferReader(buf),
+                read_options=pj.ReadOptions(use_threads=False, block_size=1 << 22),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=pa.schema([(k, pa.string()) for k in need]),
+                    unexpected_field_behavior="ignore"),
+            )
+        except pa.ArrowInvalid:
+            return None
+        if tbl.num_rows != len(arr):
+            return None
+        level = pc.coalesce(*(tbl[k] for k in kernels.LEVEL_KEYS))
+        ts = None
+        if want_ts:
+            ts = pc.coalesce(*(tbl[k] for k in kernels.TIMESTAMP_KEYS))
+        mask = None
+        if self.filters:
+            lower_lines = None
+            for k, v in self.filters.items():
+                vl = v.strip().lower()
+                col = tbl[k]
+                eq = pc.equal(pc.utf8_lower(pc.utf8_trim_whitespace(col)), vl)
+                if col.null_count:
+                    # only rows with the key absent/JSON-null need the
+                    # raw-line substring fallback
+                    if lower_lines is None:
+                        lower_lines = pc.utf8_lower(arr)
+                    sub = pc.and_(pc.match_substring(lower_lines, k.lower()),
+                                  pc.match_substring(lower_lines, vl))
+                    m = pc.if_else(pc.is_valid(col), eq, sub)
+                else:
+                    m = eq
+                mask = m if mask is None else pc.and_(mask, m)
+        return ts, level, mask
+
     # -- main --------------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -193,6 +263,21 @@ class ParseStage:
             else:
                 field_mask = None
         elif self.fmt == "json":
+            columnar = self._parse_json_columnar(lines, want_ts) if len(lines) else None
+            if columnar is not None:
+                cts, parsed_level, cmask = columnar
+                if isinstance(parsed_level, pa.Array):
+                    parsed_level = pa.chunked_array([parsed_level])
+                if parsed_level.null_count:
+                    fallback = kernels.extract_level(lines)
+                    level = pc.if_else(pc.is_valid(parsed_level), parsed_level, fallback)
+                else:
+                    level = parsed_level
+                if want_ts:
+                    ts = cts if isinstance(cts, pa.ChunkedArray) else pa.chunked_array([cts])
+                    if ts.null_count:
+                        ts = pc.if_else(pc.is_valid(ts), ts, kernels.extract_timestamp_raw(lines))
+                return self._finish(batch, lines, level, ts, cmask)
             pylines = lines.to_pylist()
             ts_list, level_list, keep_list = self._parse_json(pylines, want_ts=want_ts)
             parsed_level = pa.chunked_array([pa.array(level_list, type=pa.string())])
@@ -219,6 +304,9 @@ class ParseStage:
             else:
                 field_mask = None
 
+        return self._finish(batch, lines, level, ts, field_mask)
+
+    def _finish(self, batch: pa.Table, lines, level, ts, field_mask) -> pa.Table:
         mask = None
         if field_mask is not None:
             mask = field_mask

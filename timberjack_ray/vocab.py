@@ -141,6 +141,15 @@ def decode(tokens) -> str | None:
 
 def _detok_one(arr: pa.ListArray) -> pa.StringArray:
     values = arr.flatten()  # honors slice offset of the list array
+    # fast all-valid probe: one min_max pass + null_count beats building the
+    # per-token validity mask (which cost more than the take+join combined)
+    if len(values) and values.null_count == 0:
+        mm = pc.min_max(values)
+        if mm["min"].as_py() >= 0 and mm["max"].as_py() < len(_PIECES):
+            pieces = pc.take(PIECE_ARRAY, values)
+            offsets = pc.subtract(arr.offsets, arr.offsets[0])
+            joined = pa.ListArray.from_arrays(offsets.cast(pa.int32()), pieces)
+            return pc.binary_join(joined, "")
     valid = pc.and_kleene(
         pc.is_valid(values),
         pc.and_(pc.greater_equal(values, 0), pc.less(values, len(_PIECES))),
