@@ -108,3 +108,77 @@ def test_json_field_filter_matches_oracle(lines, filt):
     for lv in got["level"].to_pylist():
         got_levels[lv or ""] = got_levels.get(lv or "", 0) + 1
     assert got_levels == o.levels_count
+
+
+# --- Columnar JSON fast-path engagement / bail-out (guards the round-2
+# pyarrow.json parse in ParseStage._parse_json_columnar: the fuzz above
+# checks parity whichever path runs; these pin WHICH path runs) ---
+
+def _mk_stage(fields=("level=ERROR",), **cfg_kwargs):
+    from timberjack_ray.stages.parse import ParseStage
+
+    cfg = AnalyzeConfig(fields=list(fields), **cfg_kwargs)
+    return ParseStage(cfg, fmt="json")
+
+
+def test_columnar_json_engages_on_clean_input():
+    st_ = _mk_stage()
+    lines = pa.chunked_array([pa.array(
+        ['{"level": "ERROR", "service": "api"}',
+         '{"level": "info"}',
+         '{"severity": "WARN", "x": 1}',      # non-needed numeric field ok
+         '{}'])])
+    got = st_._parse_json_columnar(lines, want_ts=False)
+    assert got is not None
+    ts, level, mask = got
+    assert level.to_pylist() == ["ERROR", "info", "WARN", None]
+    # row 0 matches; row 1 value mismatch; rows 2-3 lack the key and the
+    # raw line contains neither substring -> substring fallback rejects
+    assert mask.to_pylist() == [True, False, False, False]
+
+
+def test_columnar_json_bails_to_exact_loop():
+    st_ = _mk_stage()
+    cases = {
+        "malformed": ['{"level": "a"}', "{broken"],
+        "scalar_row": ["42", '{"level": "a"}'],
+        "numeric_needed_key": ['{"level": 5}'],
+        "container_needed_key": ['{"level": {"a": 1}}'],
+        "duplicate_key": ['{"level": "a", "level": "b"}'],
+        # a newline INSIDE one element that splits it into two JSON docs
+        # must be caught by the row-count check (a newline as mere JSON
+        # whitespace, e.g. '{"level":\n "a"}', parses identically on both
+        # paths and is allowed through)
+        "embedded_newline_rowcount": ['{"level": "a"}\n{"level": "b"}'],
+    }
+    for name, lines in cases.items():
+        got = st_._parse_json_columnar(pa.chunked_array([pa.array(lines)]),
+                                       want_ts=False)
+        assert got is None, name
+    # dotted filter key needs the 100-field-cap flatten
+    dotted = _mk_stage(fields=("a.b=1",))
+    assert dotted._parse_json_columnar(
+        pa.chunked_array([pa.array(['{"a": {"b": 1}}'])]), want_ts=False) is None
+
+
+def test_columnar_json_ts_and_full_stage_parity():
+    # same batch through the full stage twice: once columnar, once with the
+    # columnar path disabled -> identical output tables
+    from timberjack_ray.stages.parse import ParseStage
+
+    lines = ['{"timestamp": "2025-03-21T04:05:06", "level": "ERROR", "service": "api"}',
+             '{"time": "2025-03-21 05:00:00", "severity": "warn"}',
+             '{"level": "ERROR", "msg": "no ts here 2025-03-22 10:11:12"}',
+             'ERROR: raw generic line 2025-03-23 01:02:03']
+    # last line is malformed JSON -> whole batch takes the per-row loop;
+    # drop it for the engaged-columnar comparison
+    clean = lines[:3]
+    cfg = AnalyzeConfig(fields=["service=api"], stats=True, trend=True)
+    stage = ParseStage(cfg, fmt="json")
+    batch = pa.table({"line": pa.array(clean, pa.string())})
+    assert stage._parse_json_columnar(pa.chunked_array([pa.array(clean)]),
+                                      want_ts=True) is not None
+    out_fast = stage(batch)
+    stage._parse_json_columnar = lambda lines, want_ts: None
+    out_slow = stage(batch)
+    assert out_fast.equals(out_slow)
