@@ -374,6 +374,46 @@ def q_asof_signup(sf_dir: str):
     return res.astype({"event_id": "int64", "signup_us": "int64"})
 
 
+def q_event_pairs_1h(sf_dir: str):
+    """Banded range join (functions/relational.range_join): every ordered
+    pair of same-user events at most 1 hour apart (b.ts in [a.ts − 1h,
+    a.ts], b ≠ a) — the 'correlate nearby log events' primitive.  Broadcast
+    right side + two searchsorted bounds + ragged expand per batch; for two
+    large sides the documented scale path hash-partitions both on user_id."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.relational import range_join
+
+    right = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "ts", "event_id"])
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    joined = range_join(ds, right, on="ts", by="user_id",
+                        value_cols=["event_id"],
+                        lo=-3_600_000_000_000, hi=0)  # ns
+    pairs = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_id"], t["event_id_r"])),
+        batch_format="pyarrow",
+    ).to_pandas()
+    res = pairs[["event_id", "event_id_r"]].rename(
+        columns={"event_id": "a_id", "event_id_r": "b_id"})
+    return res.astype({"a_id": "int64", "b_id": "int64"}) \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def q_orders_top3_per_cust(sf_dir: str):
+    """Grouped top-K (functions/relational.grouped_topk): 3 most expensive
+    orders per customer, deterministic tie-break (price desc, orderkey asc).
+    Per-batch vectorized prune to ≤ K per group bounds the exchange at
+    K × groups, never raw rows; high-cardinality grouping exercises the
+    distributed re-prune fallback path at scale."""
+    from timberjack_ray.functions.relational import grouped_topk
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey")
+    return out[["o_custkey", "o_orderkey", "o_totalprice"]].astype(
+        {"o_custkey": "int64", "o_orderkey": "int64", "o_totalprice": "float64"})
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram per event_type (the north_star's per-source
     histogram shape): bin id computed vectorized per batch, partial counts
@@ -590,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "value_histogram": q_value_histogram,
         "asof_signup": q_asof_signup,
+        "event_pairs_1h": q_event_pairs_1h,
+        "orders_top3_per_cust": q_orders_top3_per_cust,
         "sliding_window_counts": q_sliding_window_counts,
         "session_counts": q_session_counts,
         "value_quantiles": q_value_quantiles,
@@ -771,6 +813,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "event_pairs_1h": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+             AND a.event_id <> b.event_id
+            ORDER BY a_id, b_id
+        """,
+        "orders_top3_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY o_custkey, o_totalprice DESC, o_orderkey
         """,
         "sliding_window_counts": """
             WITH b AS (

@@ -67,3 +67,79 @@ def test_distinct_count_by(left_ds):
     expect = LEFT.groupby("grp")["k"].nunique()
     got = dict(zip(out["grp"], out["nk"]))
     assert got == expect.to_dict()
+
+
+# --- range join + grouped top-K (round 2) ---
+
+def _pandas_range_join(df, lo, hi):
+    m = df.merge(df, on="u", suffixes=("", "_r"))
+    m = m[(m["t_r"] >= m["t"] + lo) & (m["t_r"] <= m["t"] + hi)]
+    return m
+
+
+def test_range_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import range_join
+
+    df = pd.DataFrame({
+        "id": np.arange(400),
+        "u": rng.integers(0, 12, 400),
+        "t": rng.integers(0, 10_000, 400).astype("int64"),
+    })
+    right = pa.table({"u": df["u"], "t": df["t"], "id": df["id"]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = range_join(ds, right, on="t", by="u", value_cols=["id", "t"],
+                     lo=-500, hi=250).to_pandas()
+    want = _pandas_range_join(df, -500, 250)
+    assert len(out) == len(want)
+    got = set(zip(out["id"], out["id_r"]))
+    expect = set(zip(want["id"], want["id_r"]))
+    assert got == expect
+    # band bounds are inclusive on both ends
+    eq = df.head(1).assign(id=9999)
+    ds1 = rd.from_items(eq.to_dict("records"))
+    o1 = range_join(ds1, right, on="t", by="u", value_cols=["id"],
+                    lo=0, hi=0).to_pandas()
+    assert (o1["t"].nunique() <= 1) and len(o1) >= 1  # self ts hits
+
+
+def test_range_join_missing_key_and_empty(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import range_join
+
+    right = pa.table({"u": np.array([1, 1], dtype="int64"),
+                      "t": np.array([10, 20], dtype="int64"),
+                      "name": ["a", "b"]})
+    left = pd.DataFrame({"u": np.array([2, 3], dtype="int64"),
+                         "t": np.array([10, 20], dtype="int64")})
+    ds = range_join(rd.from_pandas(left), right, on="t", by="u",
+                    value_cols=["name"], lo=-100, hi=100)
+    # block schema keeps name/type even when every block is empty (ray's
+    # to_pandas drops columns of fully-empty datasets — a Ray quirk)
+    sch = ds.schema()
+    assert sch.names == ["u", "t", "name_r"]
+    assert str(sch.types[2]) == "string"
+    assert ds.count() == 0
+
+
+def test_grouped_topk_matches_pandas(left_ds):
+    from timberjack_ray.functions.relational import grouped_topk
+
+    out = grouped_topk(left_ds, "k", "v", 3, tie_col="v")
+    want = (LEFT.sort_values(["k", "v"], ascending=[True, False])
+            .groupby("k").head(3)
+            .sort_values(["k", "v"], ascending=[True, False]).reset_index(drop=True))
+    assert out["k"].tolist() == want["k"].tolist()
+    assert out["v"].tolist() == want["v"].tolist()
+
+
+def test_grouped_topk_distributed_fallback_same_result(left_ds):
+    from timberjack_ray.functions.relational import grouped_topk
+
+    small = grouped_topk(left_ds, "k", "v", 3, tie_col="v")
+    big = grouped_topk(left_ds, "k", "v", 3, tie_col="v", driver_limit=1)
+    pd.testing.assert_frame_equal(small[["k", "v"]].reset_index(drop=True),
+                                  big[["k", "v"]].reset_index(drop=True),
+                                  check_dtype=False)

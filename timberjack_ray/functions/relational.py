@@ -186,3 +186,167 @@ def distinct_count_by(ds, group_col: str, distinct_col: str, name: str = "n_dist
     distinct_pairs = merge_partials(p, [group_col, distinct_col], "n")
     out = distinct_pairs.group_by(group_col).aggregate([([], "count_all")])
     return out.rename_columns([group_col, name]).to_pandas()
+
+
+class RangeJoiner:
+    """map_batches stage: per left row, ALL right rows of the same ``by``
+    key whose ``on`` value lies in ``[left.on + lo, left.on + hi]``
+    (inclusive) — a banded range/interval join, which Ray Data has no
+    operator for (SURVEY custom-op case (b): broadcast index + two
+    ``searchsorted`` bounds + ragged expand; same pattern as AsofJoiner but
+    1:N).
+
+    The right side is broadcast once and indexed per worker in ``__init__``:
+    {by_key → (sorted on int64[], right row index[])}.  Each batch
+    dict-encodes its ``by`` column and runs two vectorized searchsorted
+    calls per distinct key present; matches expand via one ragged arange —
+    no per-row Python.
+    """
+
+    def __init__(self, right_ref, on: str, by: str, value_cols: list[str],
+                 lo: int, hi: int, suffix: str = "_r"):
+        right = _fetch_table(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.on, self.by, self.value_cols, self.suffix = on, by, value_cols, suffix
+        self.lo, self.hi = int(lo), int(hi)
+        df = right.select([by, on] + [c for c in value_cols if c not in (by, on)]).to_pandas()
+        df["__ts"] = _to_int64_ns(df[on].to_numpy())
+        df = df.sort_values([by, "__ts"], kind="stable").reset_index(drop=True)
+        self.index: dict = {}
+        for key, sub in df.groupby(by, sort=False):
+            self.index[key] = (sub["__ts"].to_numpy(), sub.index.to_numpy())
+        self.right_values = {c: df[c].to_numpy() for c in value_cols}
+        self.right_types = {c: right.schema.field(c).type for c in value_cols}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = _to_int64_ns(np.asarray(
+            batch[self.on].combine_chunks() if isinstance(batch[self.on], pa.ChunkedArray)
+            else batch[self.on]))
+        by_col = batch[self.by]
+        enc = (by_col.combine_chunks() if isinstance(by_col, pa.ChunkedArray)
+               else by_col).dictionary_encode()
+        keys = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        left_parts, right_parts = [], []
+        for ki, key in enumerate(keys):
+            ent = self.index.get(key)
+            if ent is None:
+                continue
+            rts, rrows = ent
+            sel = np.flatnonzero(idx == ki)
+            lo_pos = np.searchsorted(rts, ts[sel] + self.lo, side="left")
+            hi_pos = np.searchsorted(rts, ts[sel] + self.hi, side="right")
+            cnt = hi_pos - lo_pos
+            total = int(cnt.sum())
+            if not total:
+                continue
+            left_parts.append(np.repeat(sel, cnt))
+            # ragged arange: for row j, rrows[lo_pos[j] : hi_pos[j]]
+            base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            ragged = np.arange(total, dtype=np.int64) - base + np.repeat(lo_pos, cnt)
+            right_parts.append(rrows[ragged])
+        if not left_parts:
+            out = batch.slice(0, 0)
+            for c in self.value_cols:
+                out = out.append_column(
+                    f"{c}{self.suffix}",
+                    pa.array(self.right_values[c][:0], type=self.right_types[c]))
+            return out
+        lidx = np.concatenate(left_parts)
+        ridx = np.concatenate(right_parts)
+        out = batch.take(pa.array(lidx))
+        for c in self.value_cols:
+            out = out.append_column(f"{c}{self.suffix}",
+                                    pa.array(self.right_values[c][ridx],
+                                             type=self.right_types[c]))
+        return out
+
+
+def _to_int64_ns(arr: np.ndarray) -> np.ndarray:
+    """Normalize an ordering column to int64 (ns for datetimes) so left and
+    right sides agree regardless of source unit (us-parquet vs ns-pandas)."""
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[ns]").astype("int64")
+    return arr.astype("int64")
+
+
+def range_join(ds, right: pa.Table, on: str, by: str, value_cols: list[str],
+               lo: int, hi: int, suffix: str = "_r"):
+    """Broadcast banded range join: left row × every right row of the same
+    ``by`` key with ``on`` in [left.on+lo, left.on+hi] (inclusive; lo/hi in
+    int64 units of the ordering column — ns for timestamps).
+
+    Right side must fit in worker memory (broadcast).  For two LARGE sides
+    hash-partition both on ``by`` (groupby/map_groups) and run the joiner
+    per partition — documented scale path; fan-out is bounded by the band
+    width, so size ``hi - lo`` to the data's per-key density.
+    """
+    import ray
+
+    ref = ray.put(right)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        key = (ref.hex(), on, by, tuple(value_cols), lo, hi, suffix)
+        j = _RANGE_CACHE.get(key)
+        if j is None:
+            j = RangeJoiner(ref, on, by, value_cols, lo, hi, suffix)
+            _RANGE_CACHE[key] = j
+        return j(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+_RANGE_CACHE: dict = {}
+
+
+def _topk_prune(t: pa.Table, group_col: str, sort_col: str, tie_col: str,
+                k: int, descending: bool) -> pa.Table:
+    """Keep ≤ k rows per group: one lexsort (group asc, sort_col desc/asc,
+    tie asc) + boundary-scan rank, no per-group Python."""
+    if t.num_rows == 0:
+        return t
+    g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+    v = t[sort_col].combine_chunks().to_numpy(zero_copy_only=False)
+    tie = t[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((tie, -v if descending else v, g))
+    gs = g[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    sizes = np.diff(np.r_[starts, len(gs)])
+    rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, sizes)
+    return t.take(pa.array(order[rank < k]))
+
+
+def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
+                 descending: bool = True, driver_limit: int = 2_000_000):
+    """Top-K rows per group with a DEFINED order (sort_col desc/asc, then
+    tie_col asc) — SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+    <= k``.
+
+    Per-batch vectorized prune to ≤ k rows per group first, so the exchange
+    carries at most k × (groups present in batch) rows, never raw rows.
+    Pruned rows fold on the driver under ``driver_limit`` (one more prune
+    over the concatenation); above it, a distributed ``groupby(group)``
+    re-prunes per partition — same result, all-to-all only on pruned rows.
+    Returns a pandas DataFrame sorted (group asc, rank order).
+    """
+    pruned = ds.map_batches(
+        lambda t: _topk_prune(t, group_col, sort_col, tie_col, k, descending),
+        batch_format="pyarrow")
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(pruned, driver_limit)
+    if small is not None:
+        final = _topk_prune(small, group_col, sort_col, tie_col, k, descending)
+    else:
+        parts = pruned.groupby(group_col).map_groups(
+            lambda t: _topk_prune(t, group_col, sort_col, tie_col, k, descending),
+            batch_format="pyarrow")
+        batches = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if not batches:  # zero-row input (collect_table_under also bails on empty)
+            return pd.DataFrame(columns=ds.schema().names if ds.schema() else
+                                [group_col, sort_col, tie_col])
+        final = pa.concat_tables(batches)
+    df = final.to_pandas()
+    return df.sort_values(
+        [group_col, sort_col, tie_col],
+        ascending=[True, not descending, True]).reset_index(drop=True)
