@@ -1,0 +1,126 @@
+"""Mirrors of the reference's edge-case suite (tests/edge_cases.rs) over the
+round-2 raw-text ingestion path: non-ASCII text, huge --top-errors, complex
+regex chop patterns, mixed formats in one file, 10 KB lines, and the
+count-a-line-once rule for multiple in-line matches.
+"""
+import pytest
+
+from timberjack_ray import oracle
+from timberjack_ray.config import AnalyzeConfig
+from timberjack_ray.pipelines.analyze import analyze_text
+
+
+def _matched(res):
+    return [m["line"] for m in res.report["matched_lines"]]
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(p)
+
+
+NON_ASCII = [
+    "2025-03-21 14:00:00,123 [ERROR] Résumé upload failed",
+    "2025-03-21 14:01:00,456 [WARN] Ümlaut encoding issue",
+    "2025-03-21 14:02:00,789 [INFO] 你好，世界! (Hello, world!)",
+    "2025-03-21 14:03:00,012 [ERROR] エラーが発生しました (Error occurred)",
+]
+
+
+def test_non_ascii_characters(ray_session, tmp_path):
+    """edge_cases.rs:46-81 — UTF-8 text round-trips through parse + report."""
+    path = _write(tmp_path, "nonascii.log", NON_ASCII)
+    res = analyze_text(path, AnalyzeConfig(stats=True))
+    assert res.report["total_count"] == 4
+    got = "\n".join(_matched(res))
+    for frag in ("Résumé", "Ümlaut", "你好，世界!", "エラーが発生しました"):
+        assert frag in got
+
+
+def test_very_large_top_errors(ray_session, tmp_path):
+    """edge_cases.rs:83-105 — --top-errors 1000000 is clamped gracefully."""
+    path = _write(tmp_path, "two.log", [
+        "2025-03-21 14:00:00,123 [ERROR] Error 1",
+        "2025-03-21 14:01:00,456 [ERROR] Error 2",
+    ])
+    res = analyze_text(path, AnalyzeConfig(stats=True, top_errors=1_000_000))
+    assert res.report["total_count"] == 2
+    # reference only asserts the lines survive and nothing blows up
+    # (these messages carry no extractable error TYPE, so the list may be
+    # empty — same as the reference output)
+    got = "\n".join(_matched(res))
+    assert "Error 1" in got and "Error 2" in got
+    assert isinstance(res.report["stats"]["error_types"], list)
+
+
+COMPLEX = [
+    "2025-03-21 14:00:00,123 [ERROR] NullPointerException",
+    "2025-03-21 14:01:00,456 [WARN] Connection timeout",
+    "2025-03-21 14:02:00,789 [INFO] User123 logged in",
+    "2025-03-21 14:03:00,012 [ERROR] Invalid user ID: ABC-123-XYZ",
+]
+
+
+def test_complex_regex_patterns(ray_session, tmp_path):
+    """edge_cases.rs:107-160 — anchored alternation + token patterns."""
+    path = _write(tmp_path, "cx.log", COMPLEX)
+    res = analyze_text(path, AnalyzeConfig(
+        pattern=r"(?i)^.*\[(?:ERROR|WARN)\].*(?:Exception|timeout).*$"))
+    got = "\n".join(_matched(res))
+    assert res.report["total_count"] == 2
+    assert "NullPointerException" in got and "Connection timeout" in got
+    assert "User123" not in got and "Invalid user ID" not in got
+
+    res2 = analyze_text(path, AnalyzeConfig(pattern=r"ID:\s+\w+-\d+-\w+"))
+    got2 = "\n".join(_matched(res2))
+    assert res2.report["total_count"] == 1
+    assert "Invalid user ID: ABC-123-XYZ" in got2
+
+
+MIXED = [
+    "2025-03-21 14:00:00,123 [ERROR] NullPointerException",
+    '127.0.0.1 - - [21/Mar/2025:14:01:00 +0000] "GET /index.html HTTP/1.1" 200 1234',
+    "ERROR: Database connection failed at 14:02:00",
+    '{"timestamp":"2025-03-21T14:03:00.123Z","level":"ERROR","message":"Failed login attempt"}',
+]
+
+
+def test_mixed_log_formats(ray_session, tmp_path):
+    """edge_cases.rs:162-203 — generic parse over mixed formats: --level
+    ERROR matches the bracketed line only (the colon/JSON forms produce
+    different level strings, the reference quirk); unfiltered keeps all."""
+    path = _write(tmp_path, "mixed.log", MIXED)
+    o = oracle.analyze_lines(MIXED, fmt="generic", level="ERROR")
+    res = analyze_text(path, AnalyzeConfig(level="ERROR"))
+    assert res.fmt == "generic"
+    assert res.report["total_count"] == o.count
+    assert "NullPointerException" in "\n".join(_matched(res))
+
+    res_all = analyze_text(path, AnalyzeConfig())
+    assert res_all.report["total_count"] == 4
+    got = "\n".join(_matched(res_all))
+    for frag in ("NullPointerException", "GET /index.html",
+                 "ERROR: Database connection", "Failed login attempt"):
+        assert frag in got
+
+
+def test_very_long_lines(ray_session, tmp_path):
+    """edge_cases.rs:204-223 — a 10 KB line flows through intact."""
+    long_line = "2025-03-21 14:00:00,123 [ERROR] Very long error message: " + "A" * 10_000
+    path = _write(tmp_path, "long.log", [long_line])
+    res = analyze_text(path, AnalyzeConfig())
+    assert res.report["total_count"] == 1
+    assert "Very long error message" in _matched(res)[0]
+    assert len(_matched(res)[0]) > 10_000
+
+
+def test_multiple_matches_same_line(ray_session, tmp_path):
+    """edge_cases.rs:225-243 — a line matching the chop pattern several
+    times still counts ONCE."""
+    path = _write(tmp_path, "multi.log", [
+        "2025-03-21 14:00:00,123 [ERROR] Error Error Error multiple matches in one line",
+    ])
+    res = analyze_text(path, AnalyzeConfig(pattern="Error"))
+    assert res.report["total_count"] == 1
+    assert "Error Error Error" in _matched(res)[0]
