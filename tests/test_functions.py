@@ -285,3 +285,49 @@ def test_ngram_jaccard_exact_vs_brute(ray_session):
     assert set(got_pairs) == set(expect)
     for kk, v in expect.items():
         assert abs(got_pairs[kk] - v) < 1e-12
+
+
+def test_kmeans_refine_matches_single_node_lloyd(ray_session):
+    """Distributed Lloyd (broadcast centroids -> per-batch scatter-add
+    partials -> driver update) must produce EXACTLY the same update as
+    single-node Lloyd from the same init — the algorithm is deterministic
+    given the assignment, and fp64 partial sums make the fold order-safe
+    within tolerance."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import _normalize, kmeans_refine
+
+    t, m = emb_table(n=300, d=8, seed=11)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.RandomState(3)
+    init = _normalize(mn[rng.choice(300, 6, replace=False)].copy())
+
+    expect = init.copy()
+    for _ in range(3):
+        assign = np.argmax(mn @ expect.T, axis=1)
+        nxt = expect.copy()
+        for c in range(6):
+            members = mn[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0, dtype=np.float64).astype(np.float32)
+        expect = _normalize(nxt)
+
+    got = kmeans_refine(rd.from_arrow(t).repartition(5), init, iters=3)
+    assert np.allclose(got, expect, atol=1e-5)
+
+
+def test_ivf_refined_recall_not_worse(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    t, m = emb_table(n=400)
+    q = m[3]
+    ds = rd.from_arrow(t).repartition(4)
+    exact = set(brute_force_topk(ds, q[None, :], k=10)["vec_id"])
+    refined = set(ivf_topk(ds, q[None, :], k=10, n_centroids=8, n_probe=4,
+                           refine_iters=2)["vec_id"])
+    raw = set(ivf_topk(ds, q[None, :], k=10, n_centroids=8, n_probe=4,
+                       refine_iters=0)["vec_id"])
+    assert len(exact & refined) >= len(exact & raw) - 1  # no regression (±1 slack)
+    assert len(exact & refined) >= 5

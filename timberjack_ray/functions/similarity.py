@@ -128,14 +128,75 @@ def sample_centroids(ds, n_centroids: int, vec_col: str = "embedding",
     return cent
 
 
+def kmeans_refine(ds, centroids: np.ndarray, iters: int = 2,
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd iterations over the FULL dataset (spherical
+    k-means: centroids re-normalized each step).
+
+    The idiomatic Ray Data iterative-algorithm shape: per iteration the
+    current centroids broadcast via ``ray.put``, each batch assigns its
+    vectors (one matmul + argmax) and emits a (k × d sum, k counts)
+    partial — a few KB regardless of batch size — and the driver folds the
+    partials and updates.  Each iteration is one streaming pass; nothing
+    but the fixed-size partials ever leaves the workers.  Empty cells keep
+    their previous centroid.
+    """
+    import ray
+
+    cent = np.asarray(centroids, dtype=np.float32)
+    k, d = cent.shape
+    for _ in range(max(0, iters)):
+        cent_ref = ray.put(cent)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_to_matrix(batch[vec_col]))
+            if m.shape[0] == 0:
+                return pa.table({"cell": pa.array([], pa.int32()),
+                                 "vsum": pa.array([], pa.large_list(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cell": pa.array(nz.astype(np.int32)),
+                "vsum": pa.array(list(sums[nz]), pa.large_list(pa.float64())),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            })
+
+        acc = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial_sums, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            cells = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vs = np.asarray(b["vsum"].to_pylist(), dtype=np.float64)
+            np.add.at(acc, cells, vs)
+            np.add.at(cnt, cells, b["n"].to_numpy(zero_copy_only=False))
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = (acc[nz] / cnt[nz, None]).astype(np.float32)
+        cent = _normalize(cent)
+    return cent
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             refine_iters: int = 2) -> pd.DataFrame:
     """IVF approximate top-k: only rows whose nearest centroid is among the
     query's ``n_probe`` closest cells are scored.  Same output shape as
-    ``brute_force_topk``; recall < 1 by design (scale path)."""
+    ``brute_force_topk``; recall < 1 by design (scale path).  Centroids:
+    seeded-uniform-sample mini-kmeans, then ``refine_iters`` distributed
+    Lloyd passes over the full corpus (kmeans_refine) so cells reflect the
+    whole distribution, not the sample."""
     import ray
 
     cent = sample_centroids(ds, n_centroids, vec_col=vec_col)
+    if refine_iters:
+        cent = kmeans_refine(ds, cent, iters=refine_iters, vec_col=vec_col)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     probe_sets = [set(p.tolist()) for p in probes]
