@@ -414,6 +414,36 @@ def q_orders_top3_per_cust(sf_dir: str):
         {"o_custkey": "int64", "o_orderkey": "int64", "o_totalprice": "float64"})
 
 
+def q_doc_word_topk(sf_dir: str):
+    """EXACT top-10 words over documents (functions/text.word_topk):
+    per-batch Arrow split+group_by partials collapse to vocabulary size
+    before the merge; defined (n desc, word asc) tie-break makes it
+    hash-checkable."""
+    from timberjack_ray.functions.text import word_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    out = word_topk(ds, k=10)
+    return out[["word", "n"]].astype({"word": "str", "n": "int64"})
+
+
+def q_heavy_hitter_words(sf_dir: str):
+    """Count-Min-Sketch heavy hitters over document words in ONE streaming
+    pass (functions/sketch.heavy_hitters): per-batch CMS table + exact
+    top-C candidates, driver sums tables and ranks candidates.  Estimates
+    over-count by ≤ ~2N/width, so this is rows-only checked; the exact
+    variant is doc_word_topk."""
+    from timberjack_ray.functions.sketch import heavy_hitters
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.table({"word": pc.list_flatten(pc.split_pattern(t["text"], " "))})
+
+    out = heavy_hitters(ds.map_batches(explode, batch_format="pyarrow"),
+                        "word", k=10)
+    return out.astype({"word": "str", "est_n": "int64"})
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram per event_type (the north_star's per-source
     histogram shape): bin id computed vectorized per batch, partial counts
@@ -632,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_signup": q_asof_signup,
         "event_pairs_1h": q_event_pairs_1h,
         "orders_top3_per_cust": q_orders_top3_per_cust,
+        "doc_word_topk": q_doc_word_topk,
+        "heavy_hitter_words": q_heavy_hitter_words,
         "sliding_window_counts": q_sliding_window_counts,
         "session_counts": q_session_counts,
         "value_quantiles": q_value_quantiles,
@@ -813,6 +845,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "doc_word_topk": """
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY n DESC, word LIMIT 10
         """,
         "event_pairs_1h": """
             SELECT a.event_id AS a_id, b.event_id AS b_id

@@ -53,3 +53,38 @@ def test_approx_distinct_by_ray(ray_session):
     exact = df.groupby("g")["v"].nunique()
     for g, est in zip(out["g"], out["approx_distinct"]):
         assert abs(est - exact[g]) / exact[g] < 0.06
+
+
+def test_cms_never_undercounts_and_bounds_error():
+    from timberjack_ray.functions.sketch import CountMinSketch, _hash_strings
+
+    rng = np.random.RandomState(9)
+    # zipf-ish skew: value i appears ~ 1/i
+    vals = [f"v{i}" for i in range(1, 400) for _ in range(max(1, 4000 // i))]
+    rng.shuffle(vals)
+    cms = CountMinSketch(depth=4, width=4096)
+    cms.add_hashed(_hash_strings(vals))
+    truth = pd.Series(vals).value_counts()
+    keys = truth.index.tolist()
+    est = cms.query_hashed(_hash_strings(keys))
+    true_n = truth.to_numpy()
+    assert (est >= true_n).all()                       # CMS only over-counts
+    assert (est - true_n).max() <= 2 * len(vals) / 4096 * 4  # loose eps bound
+
+
+def test_heavy_hitters_recovers_skewed_topk(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.RandomState(17)
+    vals = [f"hot{i}" for i in range(5) for _ in range(3000 - 400 * i)] + \
+           [f"cold{i}" for i in range(5000) for _ in (0, 1)]  # long tail ×2
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"word": pd.Series(vals, dtype=object)})).repartition(8)
+    out = heavy_hitters(ds, "word", k=5)
+    assert out["word"].tolist() == [f"hot{i}" for i in range(5)]
+    truth = pd.Series(vals).value_counts()
+    for w, e in zip(out["word"], out["est_n"]):
+        assert e >= truth[w]
+        assert e - truth[w] <= 2 * len(vals) / 8192 * 4

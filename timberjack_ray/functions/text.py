@@ -178,3 +178,28 @@ def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.T
     return batch.append_column("fp64", pa.array(fp.view(np.int64))).append_column(
         "fp_min_ngram", pa.array(mins.view(np.int64))
     )
+
+
+def word_topk(ds, k: int = 10, col: str = "text") -> pd.DataFrame:
+    """EXACT top-K words by count, (n desc, word asc) tie-break.
+
+    Per batch: Arrow split on single spaces → flatten → Arrow group_by
+    count (the per-batch partial collapses to distinct words, so the merge
+    sees vocabulary-sized partials, never word instances).  Driver fold via
+    merge_partials, then one sort of the vocabulary.  The sketch-based
+    single-pass variant for unbounded vocabularies is
+    functions/sketch.heavy_hitters."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch[col], " "))
+        g = pa.table({"word": words}).group_by("word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["word"], "n")
+    df = merged.to_pandas()
+    return df.sort_values(["n", "word"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True).astype({"n": "int64"})
