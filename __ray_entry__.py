@@ -605,6 +605,154 @@ def q_fingerprints(sf_dir: str):
     return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
 
 
+def q_content_hash_docs(sf_dir: str):
+    """Replayable polynomial content hash (Horner mod 2^64 over codepoints)
+    — the engine-agnostic integrity checksum; oracle recomputes the same
+    fold with HUGEINT modular arithmetic."""
+    from timberjack_ray.functions.corpus import add_content_hash
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_content_hash, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "chash"]].astype({"doc_id": "int64", "chash": "int64"})
+
+
+def q_sampled_docs(sf_dir: str):
+    """Deterministic multiplicative-hash sample (~20%): reproducible across
+    runs/engines/partitionings, no RNG coordination at 10^12 rows."""
+    from timberjack_ray.functions.corpus import hash_sample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    out = hash_sample(ds, "doc_id", keep_per_4096=819).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def q_user_interarrival(sf_dir: str):
+    """Per-user event inter-arrival stats (groupby shuffle = the semantics;
+    numpy sort+diff per group). Integer-exact vs the LAG-window oracle."""
+    from timberjack_ray.functions.corpus import interarrival_stats
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    out = interarrival_stats(ds, "user_id", "ts")
+    return out.astype({"user_id": "int64", "n_gaps": "int64",
+                       "sum_gap_us": "int64", "max_gap_us": "int64"})
+
+
+def q_seq_pack_bins(sf_dir: str):
+    """Greedy context-window packing (budget 256 tokens) per source in
+    doc_id order — the LLM pretraining packing step.  Sequential scan per
+    group only; text is dropped before the shuffle (only (ids, sizes)
+    move).  Oracle: recursive CTE replaying the same greedy fold."""
+    from timberjack_ray.functions.corpus import pack_sequences
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        return pa.table({"source": t["source"], "doc_id": t["doc_id"], "n_tok": n_tok})
+
+    slim = ds.map_batches(sizes, batch_format="pyarrow")
+    out = pack_sequences(slim, "source", "doc_id", "n_tok", budget=256)
+    return out.astype({"doc_id": "int64", "n_tok": "int64", "pack_bin": "int64"})
+
+
+def q_bigram_topk(sf_dir: str):
+    """Exact top-10 word bigrams, (n desc, bigram asc); per-batch Arrow
+    partial counts collapse to the distinct-bigram set before merging."""
+    from timberjack_ray.functions.corpus import bigram_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bigram_topk(ds, k=10)
+
+
+def q_doc_top_term(sf_dir: str):
+    """Per-doc most-discriminative term: (tf desc, df asc, term asc) — the
+    integer-exact core of tf-idf (idf monotone in df).  Two passes; the
+    vocabulary-sized df table is broadcast once via ray.put."""
+    from timberjack_ray.functions.corpus import top_discriminative_term
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = top_discriminative_term(ds, "doc_id", "text")
+    return out.astype({"doc_id": "int64", "term": "str"})
+
+
+def q_props_templates(sf_dir: str):
+    """Message-template mining over the JSON props payload: digit runs →
+    '#', count distinct templates (vectorized RE2 replace + tiny groupby)."""
+    from timberjack_ray.functions.corpus import template_counts
+
+    ds = _rp(sf_dir, "events", columns=["props"])
+    return template_counts(ds, "props")
+
+
+def q_quality_histogram(sf_dir: str):
+    """Decile histogram of the quality score.  Bit-exact float pipeline
+    (quality_scores is hash-green) ⇒ identical buckets both sides."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.text import QualityScorer
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.multiply(t["quality"], 10.0)), pa.int64())
+        return pa.table({"bucket": b})
+
+    return counts_by(scored.map_batches(bucketize, batch_format="pyarrow"), "bucket")
+
+
+def q_best_doc_per_lang(sf_dir: str):
+    """Per-lang argmax by quality (grouped top-1, tie doc_id asc): the
+    per-batch prune means the exchange carries ≤ groups rows per batch."""
+    from timberjack_ray.functions.relational import grouped_topk
+    from timberjack_ray.functions.text import QualityScorer
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    out = grouped_topk(scored, "lang", "quality", k=1, tie_col="doc_id",
+                       descending=True)
+    return out[["lang", "doc_id"]].astype({"lang": "str", "doc_id": "int64"})
+
+
+def q_heavy_user_filter(sf_dir: str):
+    """Bot filtering: drop events of the top-5 heaviest users (n desc,
+    user_id asc) — heavy set computed in pass 1, broadcast into the pass-2
+    filter (5 keys ride the task closure; no shuffle)."""
+    from timberjack_ray.aggregates import counts_by
+
+    per_user = counts_by(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
+    heavy = per_user.sort_values(["n", "user_id"], ascending=[False, True]) \
+        .head(5)["user_id"].to_numpy()
+    heavy_arr = pa.array(heavy.astype("int64"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["user_id"], value_set=heavy_arr))
+        return t.filter(mask)
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return counts_by(ds.map_batches(keep, batch_format="pyarrow"), "event_type")
+
+
+def q_grouped_sample_events(sf_dir: str):
+    """Deterministic per-group sample: 3 events per event_type in
+    multiplicative-scramble order — grouped top-K over a hash-derived sort
+    key (reproducible reservoir-style sampling without RNG state)."""
+    from timberjack_ray.functions.corpus import KNUTH32
+    from timberjack_ray.functions.relational import grouped_topk
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def scramble(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = (ids * np.uint64(KNUTH32)) % np.uint64(2**32)
+        return t.append_column("scramble", pa.array(s.astype(np.int64)))
+
+    keyed = ds.map_batches(scramble, batch_format="pyarrow")
+    out = grouped_topk(keyed, "event_type", "scramble", k=3,
+                       tie_col="event_id", descending=False)
+    return out[["event_type", "event_id"]].astype(
+        {"event_type": "str", "event_id": "int64"})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (scale path for 10^9+-cardinality
     families; <1% error at p=14).  Rows-only — approx vs exact tolerance is
@@ -683,6 +831,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_levels": q_stream_levels,
         "approx_distinct_users": q_approx_distinct_users,
+        "content_hash_docs": q_content_hash_docs,
+        "sampled_docs": q_sampled_docs,
+        "user_interarrival": q_user_interarrival,
+        "seq_pack_bins": q_seq_pack_bins,
+        "bigram_topk": q_bigram_topk,
+        "doc_top_term": q_doc_top_term,
+        "props_templates": q_props_templates,
+        "quality_histogram": q_quality_histogram,
+        "best_doc_per_lang": q_best_doc_per_lang,
+        "heavy_user_filter": q_heavy_user_filter,
+        "grouped_sample_events": q_grouped_sample_events,
     }
 
 
@@ -690,6 +849,35 @@ def oracle_sql() -> dict[str, str]:
     from timberjack_ray.functions.text import _STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in sorted(set().union(*_STOPWORDS.values())))
+
+    def _sw(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    # QualityScorer feature set as a reusable subquery body ({extra} lets a
+    # caller carry additional passthrough columns, e.g. ", lang").
+    _QUALITY_SQL = f"""
+        WITH f_ AS (
+          SELECT doc_id{{extra}},
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents
+        ), g_ AS (
+          SELECT doc_id{{extra}}, n_chars, n_alpha,
+            len(ws) AS n_words,
+            len(list_filter(ws, w -> w IN ({stoplist}))) AS n_stop
+          FROM f_
+        )
+        SELECT doc_id{{extra}},
+          0.3 * LEAST(n_chars / 200.0, 1.0)
+          + 0.3 * (CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1))
+          + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5, 1.0)
+          + 0.2 * LEAST((CASE WHEN n_words > 0
+                         THEN CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1)
+                         ELSE 0.0 END) / 8.0, 1.0)
+          AS quality
+        FROM g_
+    """
     return {
         # QualityScorer replicated feature-for-feature (float ops are the
         # same IEEE expression tree both sides, so values are bit-exact on
@@ -898,5 +1086,140 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.75, CAST(quantile_disc(v, 0.75) AS BIGINT) FROM s
             UNION ALL
             SELECT 0.95, CAST(quantile_disc(v, 0.95) AS BIGINT) FROM s
+        """,
+        "langid": f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents
+            ), v AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x IN ({_sw('en')}))) AS v_en,
+                len(list_filter(ws, x -> x IN ({_sw('es')}))) AS v_es,
+                len(list_filter(ws, x -> x IN ({_sw('de')}))) AS v_de,
+                len(list_filter(ws, x -> x IN ({_sw('fr')}))) AS v_fr
+              FROM w
+            ), p AS (
+              SELECT CASE WHEN GREATEST(v_en, v_es, v_de, v_fr) = 0 THEN 'en'
+                WHEN v_fr = GREATEST(v_en, v_es, v_de, v_fr) THEN 'fr'
+                WHEN v_es = GREATEST(v_en, v_es, v_de, v_fr) THEN 'es'
+                WHEN v_en = GREATEST(v_en, v_es, v_de, v_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+              FROM v
+            )
+            SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY lang_pred
+        """,
+        "content_hash_docs": """
+            SELECT doc_id,
+              CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN h - 18446744073709551616::HUGEINT
+                        ELSE h END AS BIGINT) AS chash
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(0::HUGEINT,
+                  list_transform(
+                    list_filter(string_split_regex(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)),
+                (h, c) -> (h * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
+              FROM documents
+            )
+        """,
+        "sampled_docs": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < 858783744
+        """,
+        "user_interarrival": """
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(g) AS BIGINT) AS max_gap_us
+            FROM (
+              SELECT user_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS g
+              FROM events
+            ) WHERE g IS NOT NULL GROUP BY user_id
+        """,
+        "seq_pack_bins": """
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ), r AS (
+              SELECT source, doc_id, n_tok, rn,
+                     0 AS pack_bin, n_tok AS fill FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.n_tok, d.rn,
+                     CASE WHEN r.fill + d.n_tok > 256
+                          THEN r.pack_bin + 1 ELSE r.pack_bin END,
+                     CASE WHEN r.fill + d.n_tok > 256
+                          THEN d.n_tok ELSE r.fill + d.n_tok END
+              FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1
+            )
+            SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(pack_bin AS BIGINT) AS pack_bin
+            FROM r
+        """,
+        "bigram_topk": """
+            WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+            b AS (
+              SELECT w[i] || ' ' || w[i + 1] AS bigram
+              FROM ws, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+            )
+            SELECT bigram, COUNT(*) AS n
+            FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 10
+        """,
+        "doc_top_term": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term
+            )
+            SELECT doc_id, term FROM (
+              SELECT tf.doc_id, tf.term, ROW_NUMBER() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+              FROM tf JOIN df USING (term)
+            ) WHERE rn = 1
+        """,
+        "props_templates": """
+            SELECT regexp_replace(props, '[0-9]+', '#', 'g') AS template,
+                   COUNT(*) AS n
+            FROM events GROUP BY template
+        """,
+        "quality_histogram": f"""
+            WITH q AS ({_QUALITY_SQL.format(extra="")})
+            SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS bucket, COUNT(*) AS n
+            FROM q GROUP BY bucket
+        """,
+        "best_doc_per_lang": f"""
+            WITH q AS ({_QUALITY_SQL.format(extra=", lang")})
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM q
+            ) WHERE rn = 1
+        """,
+        "heavy_user_filter": """
+            WITH hv AS (
+              SELECT user_id FROM (
+                SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+                ORDER BY n DESC, user_id ASC LIMIT 5)
+            )
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE user_id NOT IN (SELECT user_id FROM hv)
+            GROUP BY event_type
+        """,
+        "grouped_sample_events": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id, ROW_NUMBER() OVER (
+                PARTITION BY event_type
+                ORDER BY (event_id::HUGEINT * 2654435761) % 4294967296 ASC,
+                         event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
     }

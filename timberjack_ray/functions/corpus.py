@@ -1,0 +1,300 @@
+"""Corpus-level training-data operators (round 2 additions).
+
+Every op here is (a) expressed as a vectorized ``map_batches`` transform or
+a ``groupby().map_groups`` where co-location IS the semantics, and (b)
+DuckDB-oracle-checkable: deterministic integer/ordering semantics, no
+process-dependent hashes (contrast ``text.add_fingerprints`` whose pandas
+siphash cannot be replayed in SQL).
+
+Ops: polynomial content hashing, deterministic hash sampling, per-key
+inter-arrival stats, greedy sequence packing (the LLM pretraining step),
+bigram counting, discriminative-term extraction (tf/df two-pass with a
+broadcast df side), and message-template mining (regex normalize + count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from timberjack_ray.aggregates import merge_partials
+
+# Knuth multiplicative constant (2^32 / phi) for order-scrambling sampling.
+KNUTH32 = 2654435761
+_POW32 = 4294967296
+
+POLY_BASE = np.uint64(1000003)
+
+
+def _word_offsets(words) -> tuple[pa.Array, np.ndarray]:
+    """Flatten a list<string> column; return (flat values, int64 offsets)."""
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    return flat, offsets
+
+
+def add_content_hash(batch: pa.Table, col: str = "text",
+                     out_col: str = "chash") -> pa.Table:
+    """Append a 64-bit polynomial content hash over Unicode codepoints:
+    ``h = sum(cp_i * BASE^(L-1-i)) mod 2^64`` (Horner form ``h = h*B + cp``).
+
+    Unlike siphash fingerprints this is replayable anywhere (the DuckDB
+    oracle computes the identical Horner fold with HUGEINT modular
+    arithmetic), so routed shards can be integrity-checked by ANY engine
+    downstream — the lineage-checksum role at 100 TB.
+
+    Fully vectorized: one utf-32 decode of the concatenated batch text, a
+    wrapped-uint64 power table, one multiply, one ``add.reduceat`` per
+    batch.  No per-row Python.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column(out_col, pa.array([], pa.int64()))
+    arr = batch[col].combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    lens = pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # Decode the column's utf-8 value buffer in one C pass (no per-row
+    # Python strings): slice exactly this array's byte range, then
+    # utf-8 → utf-32-le gives one uint32 codepoint per character.
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    boff = np.frombuffer(arr.buffers()[1], dtype=odt)
+    start = int(boff[arr.offset])
+    stop = int(boff[arr.offset + len(arr)])
+    raw = arr.buffers()[2].slice(start, stop - start).to_pybytes() if stop > start else b""
+    codes = np.frombuffer(raw.decode("utf-8").encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offsets[-1])
+    if total == 0:
+        return batch.append_column(out_col, pa.array(np.zeros(n, np.int64)))
+    maxlen = int(lens.max())
+    powers = np.ones(maxlen, dtype=np.uint64)
+    if maxlen > 1:
+        powers[1:] = POLY_BASE
+        np.multiply.accumulate(powers, out=powers)  # uint64 wraps = mod 2^64
+    # exponent of each char = (chars after it within its doc)
+    ends = np.repeat(offsets[1:], lens)
+    exp = ends - 1 - np.arange(total, dtype=np.int64)
+    terms = codes * powers[exp]
+    terms = np.append(terms, np.uint64(0))  # sentinel for trailing empty docs
+    starts = np.minimum(offsets[:-1], total)
+    h = np.add.reduceat(terms, starts)
+    h[lens == 0] = np.uint64(0)
+    return batch.append_column(out_col, pa.array(h.view(np.int64)))
+
+
+def hash_sample_mask(ids: np.ndarray, keep_per_4096: int) -> np.ndarray:
+    """Deterministic multiplicative-hash Bernoulli mask: keep row iff
+    ``(id * KNUTH32) mod 2^32 < keep_per_4096/4096 * 2^32``.  Same rows on
+    every run, every engine, every partitioning — the reproducible-sampling
+    primitive (no RNG state to coordinate across 10^12 rows)."""
+    scrambled = (ids.astype(np.uint64) * np.uint64(KNUTH32)) % np.uint64(_POW32)
+    return scrambled < np.uint64((keep_per_4096 * _POW32) // 4096)
+
+
+def hash_sample(ds, id_col: str, keep_per_4096: int):
+    """Filter a Dataset to a deterministic ~keep_per_4096/4096 sample."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(hash_sample_mask(ids, keep_per_4096)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def interarrival_stats(ds, key_col: str, ts_col: str) -> pd.DataFrame:
+    """Per-key event inter-arrival stats: sort each key's timestamps, take
+    consecutive diffs (microseconds).  Keys with <2 events are dropped.
+
+    ``groupby(key).map_groups`` — the shuffle IS the semantics (all of a
+    key's events must meet); per group the diff is one numpy sort + diff.
+    Output: (key, n_gaps, sum_gap_us, max_gap_us) — integer-exact, so the
+    DuckDB LAG-window oracle matches bit-for-bit.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g[ts_col].astype("int64").to_numpy())
+        if len(ts) < 2:
+            return pd.DataFrame({key_col: [], "n_gaps": [], "sum_gap_us": [],
+                                 "max_gap_us": []}).astype(
+                {key_col: "int64", "n_gaps": "int64",
+                 "sum_gap_us": "int64", "max_gap_us": "int64"})
+        d = np.diff(ts)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n_gaps": [len(d)],
+                             "sum_gap_us": [int(d.sum())],
+                             "max_gap_us": [int(d.max())]})
+
+    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
+              if len(b)]
+    if not frames:
+        return pd.DataFrame({key_col: [], "n_gaps": [], "sum_gap_us": [],
+                             "max_gap_us": []})
+    return pd.concat(frames, ignore_index=True).sort_values(key_col) \
+        .reset_index(drop=True)
+
+
+def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
+                   budget: int) -> pd.DataFrame:
+    """Greedy sequence packing: within each group (in ``order_col`` order),
+    accumulate items into bins of ≤ ``budget`` tokens; start a new bin when
+    the next item would overflow (oversized items get their own bin).
+
+    The pretraining context-packing step.  The scan is inherently
+    sequential *per group* — that is the operator's contract (bin ids must
+    be stable under re-execution) — so parallelism is across groups:
+    ``groupby(group).map_groups``, each group one compact numpy loop over
+    its row count.  At 10^12 sequences the group key is the shard/source
+    key, giving ~nodes × cores independent scans; nothing global is
+    sequential.  Output: (group, order, size, pack_bin).
+    """
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col).reset_index(drop=True)
+        sizes = g[size_col].to_numpy()
+        bins = np.empty(len(sizes), dtype=np.int64)
+        b, fill = 0, 0
+        for i, s in enumerate(sizes):
+            s = int(s)
+            if fill > 0 and fill + s > budget:
+                b += 1
+                fill = 0
+            bins[i] = b
+            fill += s
+        g["pack_bin"] = bins
+        return g[[group_col, order_col, size_col, "pack_bin"]]
+
+    out = ds.groupby(group_col).map_groups(pack, batch_format="pandas")
+    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
+              if len(b)]
+    if not frames:
+        return pd.DataFrame({group_col: [], order_col: [], size_col: [],
+                             "pack_bin": []})
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values([group_col, order_col]).reset_index(drop=True)
+
+
+def bigram_counts_partial(t: pa.Table, col: str = "text") -> pa.Table:
+    """Per-batch partial: count word bigrams (single-space split), never
+    emitting a pair that crosses a document boundary.  All-Arrow: flatten,
+    two shifted slices, one ``binary_join_element_wise``, C group_by."""
+    words = pc.split_pattern(t[col], " ")
+    flat, offsets = _word_offsets(words)
+    n = len(flat)
+    if n < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    left = flat.slice(0, n - 1)
+    right = flat.slice(1, n - 1)
+    joined = pc.binary_join_element_wise(left, right, " ")
+    mask = np.ones(n - 1, dtype=bool)
+    last_idx = offsets[1:] - 1  # last word of each doc starts no bigram
+    mask[last_idx[(last_idx >= 0) & (last_idx < n - 1)]] = False
+    g = pa.table({"bigram": joined.filter(pa.array(mask))}) \
+        .group_by("bigram").aggregate([([], "count_all")])
+    return g.rename_columns(["bigram", "n"])
+
+
+def bigram_topk(ds, k: int = 10, col: str = "text") -> pd.DataFrame:
+    """Exact top-K bigrams, (n desc, bigram asc).  Partial counts collapse
+    each batch to its distinct-bigram set before the merge."""
+    merged = merge_partials(
+        ds.map_batches(lambda t: bigram_counts_partial(t, col),
+                       batch_format="pyarrow"), ["bigram"], "n")
+    df = merged.to_pandas()
+    return df.sort_values(["n", "bigram"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True).astype({"n": "int64"})
+
+
+def doc_frequency(ds, id_col: str = "doc_id", col: str = "text") -> pd.DataFrame:
+    """df(word) = number of documents containing the word.  Per-batch
+    partial: distinct (doc, word) → per-word doc count (docs never span
+    batches, so partial sums are exact)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        np.diff(offsets))
+        pairs = pa.table({"i": pa.array(ids), "word": flat}) \
+            .group_by(["i", "word"]).aggregate([])
+        g = pairs.group_by("word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "df"])
+
+    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["word"], "df").to_pandas()
+
+
+def top_discriminative_term(ds, id_col: str = "doc_id",
+                            col: str = "text") -> pd.DataFrame:
+    """Per-document most-discriminative term: rank terms by (tf desc,
+    df asc, term asc) and keep the winner — the integer-exact core of
+    tf-idf term extraction (idf is monotone-decreasing in df, so for fixed
+    tf the min-df term IS the max-tf·idf term; no float ties to chase).
+
+    Two passes: (1) corpus df counts — vocabulary-sized, merged small;
+    (2) the df table is broadcast via ``ray.put`` once and joined inside
+    each batch (pandas merge), never shuffled.  ASSUMPTION: the vocabulary
+    fits a worker heap (true for word-level vocabs; for open-ended token
+    spaces swap pass 2's broadcast merge for a distributed join on term).
+    """
+    import ray
+
+    df_tab = doc_frequency(ds, id_col, col)
+    df_ref = ray.put(df_tab)
+
+    class Winner:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({id_col: [], "term": []})
+            words = batch[col].str.split(" ")
+            ex = pd.DataFrame({
+                "i": batch[id_col].repeat(words.str.len()).to_numpy(),
+                "word": np.concatenate(words.to_numpy()),
+            })
+            tf = ex.groupby(["i", "word"], as_index=False).size() \
+                .rename(columns={"size": "tf"})
+            m = tf.merge(self.df, on="word", how="left")
+            m = m.sort_values(["i", "tf", "df", "word"],
+                              ascending=[True, False, True, True])
+            win = m.drop_duplicates("i")
+            return pd.DataFrame({id_col: win["i"].to_numpy(),
+                                 "term": win["word"].to_numpy()})
+
+    out = ds.map_batches(Winner, batch_format="pandas", concurrency=2)
+    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
+              if len(b)]
+    if not frames:
+        return pd.DataFrame({id_col: [], "term": []})
+    return pd.concat(frames, ignore_index=True).sort_values(id_col) \
+        .reset_index(drop=True)
+
+
+def template_counts(ds, col: str, pattern: str = r"[0-9]+",
+                    repl: str = "#") -> pd.DataFrame:
+    """Message-template mining: normalize away variable parts (default:
+    digit runs → '#') and count distinct templates — the classic log
+    clustering pre-step.  One vectorized RE2 replace + tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(t[col], pattern, repl)
+        g = pa.table({"template": tpl}).group_by("template") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["template", "n"])
+
+    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["template"], "n")
+    return merged.to_pandas().sort_values("template").reset_index(drop=True) \
+        .astype({"n": "int64"})
