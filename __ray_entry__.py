@@ -605,6 +605,89 @@ def q_fingerprints(sf_dir: str):
     return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """Large×large join path: GRACE-style bucketed shuffle hash join
+    (orders ⋈ lineitem on orderkey — neither side broadcast), then a
+    streamed partial-sum aggregate.  Each row crosses the exchange once;
+    per-bucket joins are pyarrow C hash joins."""
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+
+    joined = bucket_hash_join(
+        orders, li.map_batches(to_cents, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey",
+        left_cols=["o_orderpriority"], right_cols=["cents"], n_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "sum_cents", "n"])
+
+    p = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("o_orderpriority", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    return out.astype({"sum_cents": "int64", "n": "int64"})
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact grouped discrete quantiles: (group, value)-histogram partials,
+    histogram-sized merge, per-group cumulative walk."""
+    from timberjack_ray.functions.relational import grouped_quantiles
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantiles(ds, "event_type", "value", [0.5, 0.9], scale=100)
+    return out.astype({"event_type": "str", "value_scaled": "int64"})
+
+
+def q_user_rolling_value(sf_dir: str):
+    """Per-user rolling 3-row sum ordered by (ts, event_id) — the
+    SQL-window ROWS BETWEEN semantics via groupby shuffle + one numpy
+    lexsort/prefix-sum per group; integer cents so sums are exact."""
+    from timberjack_ray.functions.relational import rolling_sum_per_key
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = rolling_sum_per_key(ds, "user_id", "ts", "event_id", "value",
+                              window=3, scale=100)
+    return out.astype({"event_id": "int64", "roll_sum": "int64"})
+
+
+def q_shuffle_export_counts(sf_dir: str):
+    """Shuffled training-data export: scramble-bucketed partitioned Parquet
+    sink (resume unit = bucket directory), then counts re-read FROM THE
+    WRITTEN FILES — validates the sink layout end-to-end, not just the
+    in-memory plan."""
+    import shutil
+
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.corpus import KNUTH32
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = (ids * np.uint64(KNUTH32)) % np.uint64(2**32)
+        b = (s >> np.uint64(28)).astype(np.int64)  # top 4 bits → 16 buckets
+        return t.append_column("bucket", pa.array(b))
+
+    out_dir = f"/tmp/tj_shuffle_export/{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(bucketize, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    back = rd.read_parquet(out_dir)
+    out = counts_by(back, "bucket")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out["bucket"] = out["bucket"].astype("int64")
+    return out.astype({"bucket": "int64", "n": "int64"})
+
+
 def q_content_hash_docs(sf_dir: str):
     """Replayable polynomial content hash (Horner mod 2^64 over codepoints)
     — the engine-agnostic integrity checksum; oracle recomputes the same
@@ -842,6 +925,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_doc_per_lang": q_best_doc_per_lang,
         "heavy_user_filter": q_heavy_user_filter,
         "grouped_sample_events": q_grouped_sample_events,
+        "revenue_by_priority": q_revenue_by_priority,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "user_rolling_value": q_user_rolling_value,
+        "shuffle_export_counts": q_shuffle_export_counts,
     }
 
 
@@ -1221,5 +1308,38 @@ def oracle_sql() -> dict[str, str]:
                          event_id ASC) AS rn
               FROM events
             ) WHERE rn <= 3
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "value_quantiles_by_type": """
+            WITH s AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(v, 0.5) AS BIGINT) AS value_scaled
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, CAST(quantile_disc(v, 0.9) AS BIGINT)
+            FROM s GROUP BY event_type
+        """,
+        "user_rolling_value": """
+            SELECT event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS roll_sum
+            FROM events
+        """,
+        "shuffle_export_counts": """
+            SELECT CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                        // 268435456 AS BIGINT) AS bucket, COUNT(*) AS n
+            FROM documents GROUP BY bucket
         """,
     }

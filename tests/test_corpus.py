@@ -139,3 +139,63 @@ def test_top_discriminative_term_tie_order(ray_session):
                   "text": ["x x z", "q z", "z q q"]})
     out = corpus.top_discriminative_term(rd.from_arrow(t), "doc_id", "text")
     assert out["term"].tolist() == ["x", "q", "q"]
+
+
+def test_bucket_hash_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 200),
+                         "a": rng.randint(0, 1000, 200)})
+    right = pd.DataFrame({"k2": rng.randint(0, 50, 300),
+                          "b": rng.randint(0, 1000, 300)})
+    joined = bucket_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k2",
+        left_cols=["a"], right_cols=["b"], n_buckets=8).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="k2")[["k", "a", "b"]]
+    got = joined.rename(columns={"__key": "k"})[["k", "a", "b"]]
+    key = lambda d: d.sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(got).astype("int64"), key(exp).astype("int64"))
+
+
+def test_bucket_hash_join_rejects_column_collision(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    df = pd.DataFrame({"k": [1], "x": [2]})
+    with pytest.raises(ValueError):
+        bucket_hash_join(rd.from_pandas(df), rd.from_pandas(df), "k", "k",
+                         left_cols=["x"], right_cols=["x"])
+
+
+def test_grouped_quantiles_type1_semantics(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_quantiles
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 5,
+                       "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0, 50.0]})
+    out = grouped_quantiles(rd.from_pandas(df), "g", "v", [0.5, 0.9], scale=1)
+    got = {(r["g"], r["q"]): r["value_scaled"] for _, r in out.iterrows()}
+    # type-1/lower quantile: rank = ceil(q*n)
+    assert got == {("a", 0.5): 2, ("a", 0.9): 4, ("b", 0.5): 30, ("b", 0.9): 50}
+
+
+def test_rolling_sum_per_key_window_and_ties(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import rolling_sum_per_key
+
+    ts = pd.to_datetime(["2024-01-01"] * 2 + ["2024-01-02", "2024-01-03"]) \
+        .astype("datetime64[us]")
+    df = pd.DataFrame({"u": [1, 1, 1, 1], "ts": ts,
+                       "id": [2, 1, 3, 4], "v": [1.0, 2.0, 4.0, 8.0]})
+    out = rolling_sum_per_key(rd.from_pandas(df), "u", "ts", "id", "v",
+                              window=2, scale=1)
+    # tie on ts broken by id asc: order = id1(2), id2(1), id3(4), id4(8)
+    got = dict(zip(out["id"], out["roll_sum"]))
+    assert got == {1: 2, 2: 3, 3: 5, 4: 12}

@@ -350,3 +350,137 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
     return df.sort_values(
         [group_col, sort_col, tie_col],
         ascending=[True, not descending, True]).reset_index(drop=True)
+
+
+def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
+                     left_cols: list[str], right_cols: list[str],
+                     n_buckets: int = 64):
+    """Shuffle hash join for two LARGE sides (neither fits a broadcast).
+
+    Plan: both inputs are tagged and bucketed by ``hash(key) % n_buckets``
+    in a map stage, the union is co-partitioned with ONE groupby exchange
+    on the small bucket id, and each bucket runs pyarrow's C hash join
+    (``Table.join``) on its co-located slices.  The exchange therefore
+    moves each row exactly once (classic GRACE/partitioned hash join), and
+    per-bucket memory is ~|input| / n_buckets — size ``n_buckets`` so a
+    bucket fits a worker heap (at 100 TB: thousands of buckets; bucket
+    count only changes group granularity, not total traffic).
+
+    Keys must be integers.  ``left_cols``/``right_cols`` are the non-key
+    payload columns to carry (must not overlap).  Returns a Dataset of
+    joined rows with columns ``[key] + left_cols + right_cols`` (inner
+    join), so downstream aggregation keeps streaming — the join result is
+    never materialized on the driver.
+    """
+    import pyarrow.compute as pc
+
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload column collision: {overlap}")
+    def _types(ds, cols) -> dict:
+        s = getattr(ds.schema(), "base_schema", ds.schema())
+        if hasattr(s, "field"):  # pyarrow schema
+            return {c: s.field(c).type for c in cols}
+        # PandasBlockSchema: parallel names/types lists of numpy dtypes
+        by_name = dict(zip(s.names, s.types))
+        return {c: pa.from_numpy_dtype(by_name[c]) for c in cols}
+
+    l_types = _types(left_ds, left_cols)
+    r_types = _types(right_ds, right_cols)
+
+    def prep(side: str, key_col: str, own: dict, other: dict):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key = pc.cast(t[key_col], pa.int64())
+            ids = key.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)
+                      ) % np.uint64(n_buckets)
+            cols: dict = {"__bucket": pa.array(bucket.astype(np.int64)),
+                          "__side": pa.array([side] * n, pa.string()),
+                          "__key": key}
+            for c, typ in {**own, **other}.items():
+                cols[c] = t[c] if c in t.column_names else pa.nulls(n, typ)
+            # deterministic column order across both sides for the union
+            names = ["__bucket", "__side", "__key"] + sorted({**own, **other})
+            return pa.table({c: cols[c] for c in names})
+        return f
+
+    lp = left_ds.map_batches(prep("l", left_key, l_types, r_types),
+                             batch_format="pyarrow")
+    rp = right_ds.map_batches(prep("r", right_key, r_types, l_types),
+                              batch_format="pyarrow")
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        is_l = pc.equal(t["__side"], "l")
+        lt = t.filter(is_l).select(["__key"] + left_cols)
+        rt = t.filter(pc.invert(is_l)).select(["__key"] + right_cols)
+        return lt.join(rt, keys="__key", join_type="inner")
+
+    return lp.union(rp).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, group_col: str, col: str, qs: list[float],
+                      scale: int = 1) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (type-1, DuckDB ``quantile_disc``
+    semantics): per-batch (group, scaled value) counts collapse each batch
+    to its distinct pairs, the merged pair table is tiny (groups × distinct
+    values), and the cumulative walk per group runs on the driver.
+
+    Same plan as ``sessions.exact_quantiles`` widened with a group key —
+    shuffle traffic is value-histogram-sized, never row-sized.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64())
+        g = pa.table({group_col: t[group_col], "v": v}) \
+            .group_by([group_col, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "v", "n"])
+
+    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            [group_col, "v"], "n").to_pandas() \
+        .sort_values([group_col, "v"])
+    rows = []
+    for gname, gdf in counts.groupby(group_col, sort=True):
+        cum = gdf["n"].cumsum().to_numpy()
+        vals = gdf["v"].to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(int(np.ceil(q * total)), 1)
+            idx = int(np.searchsorted(cum, rank))
+            rows.append((gname, q, int(vals[min(idx, len(vals) - 1)])))
+    return pd.DataFrame(rows, columns=[group_col, "q", "value_scaled"])
+
+
+def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
+                        val_col: str, window: int, scale: int = 1) -> pd.DataFrame:
+    """Per-key rolling sum over the last ``window`` rows ordered by
+    (ts, id): SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    ``groupby(key).map_groups`` (the shuffle is the semantics: a key's rows
+    must be contiguous and ordered); per group one numpy lexsort + prefix
+    sums.  Values are scaled to integers so partial order can't drift from
+    the oracle.  Output: (id, roll_sum) for every input row.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64").to_numpy()
+        ids = g[id_col].to_numpy()
+        v = np.round(g[val_col].to_numpy() * scale).astype(np.int64)
+        order = np.lexsort((ids, ts))
+        v = v[order]
+        csum = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        roll = csum[1:] - csum[lo]
+        return pd.DataFrame({id_col: ids[order], "roll_sum": roll})
+
+    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
+              if len(b)]
+    if not frames:
+        return pd.DataFrame({id_col: [], "roll_sum": []})
+    return pd.concat(frames, ignore_index=True).sort_values(id_col) \
+        .reset_index(drop=True)
