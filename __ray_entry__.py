@@ -688,6 +688,68 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end data curation, oracle-checked as ONE chain: quality
+    filter (≥0.65) → deterministic ~80% hash sample → exact dedup (min
+    doc_id per replayable content hash) → greedy context packing (budget
+    256) → per-source summary.
+
+    Text is read once and dropped after the first pass; only (ids, hash,
+    size) tuples reach the dedup exchange and the per-source packing scan.
+    The DuckDB oracle replays every stage (quality expr, HUGEINT Horner
+    hash, ROW_NUMBER dedup, recursive-CTE packing) in a single query."""
+    from timberjack_ray.functions.corpus import (add_content_hash,
+                                                 hash_sample_mask,
+                                                 pack_sequences)
+    from timberjack_ray.functions.text import QualityScorer
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t)
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(hash_sample_mask(ids, 3277))  # ~80%
+        slim = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "chash": t["chash"], "n_tok": n_tok,
+                         "quality": t["quality"], "keep": keep})
+        mask = pc.and_(pc.greater_equal(slim["quality"], 0.65), slim["keep"])
+        return slim.filter(mask).drop_columns(["quality", "keep"])
+
+    slim = scored.map_batches(project, batch_format="pyarrow")
+    survivors = slim.groupby("chash").map_groups(
+        lambda t: t.sort_by("doc_id").slice(0, 1), batch_format="pyarrow")
+    packed = pack_sequences(survivors, "source", "doc_id", "n_tok", budget=256)
+    if not len(packed):
+        return pd.DataFrame({"source": [], "n_docs": [], "n_bins": [], "sum_tok": []})
+    out = packed.groupby("source", as_index=False).agg(
+        n_docs=("doc_id", "count"), n_bins=("pack_bin", "max"),
+        sum_tok=("n_tok", "sum"))
+    out["n_bins"] = out["n_bins"] + 1
+    return out.astype({"n_docs": "int64", "n_bins": "int64", "sum_tok": "int64"})
+
+
+def q_source_token_shares(sf_dir: str):
+    """Domain-mixing shares: per-source token sums + integer ppm of the
+    corpus total (the mixing-weight primitive; exact integer arithmetic)."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        g = pa.table({"source": t["source"], "n_tok": n_tok}) \
+            .group_by("source").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["source", "sum_tok"])
+
+    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["source"], "sum_tok").to_pandas()
+    total = int(merged["sum_tok"].sum())
+    merged["ppm"] = merged["sum_tok"] * 1_000_000 // total
+    return merged.astype({"sum_tok": "int64", "ppm": "int64"})
+
+
 def q_content_hash_docs(sf_dir: str):
     """Replayable polynomial content hash (Horner mod 2^64 over codepoints)
     — the engine-agnostic integrity checksum; oracle recomputes the same
@@ -929,6 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "user_rolling_value": q_user_rolling_value,
         "shuffle_export_counts": q_shuffle_export_counts,
+        "curation_pipeline": q_curation_pipeline,
+        "source_token_shares": q_source_token_shares,
     }
 
 
@@ -939,6 +1003,15 @@ def oracle_sql() -> dict[str, str]:
 
     def _sw(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    # Horner-fold polynomial content hash (mod 2^64) over codepoints —
+    # replays functions/corpus.add_content_hash with HUGEINT arithmetic.
+    _POLY_HASH = (
+        "list_reduce(list_prepend(0::HUGEINT, list_transform("
+        "list_filter(string_split_regex({col}, ''), c -> c <> ''), "
+        "c -> unicode(c)::HUGEINT)), "
+        "(h, c) -> (h * 1000003 + c) % 18446744073709551616::HUGEINT)"
+    )
 
     # QualityScorer feature set as a reusable subquery body ({extra} lets a
     # caller carry additional passthrough columns, e.g. ", lang").
@@ -1341,5 +1414,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((doc_id::HUGEINT * 2654435761) % 4294967296
                         // 268435456 AS BIGINT) AS bucket, COUNT(*) AS n
             FROM documents GROUP BY bucket
+        """,
+        "curation_pipeline": f"""
+            WITH RECURSIVE q AS ({_QUALITY_SQL.format(extra=", source, text")}),
+            s AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_tok,
+                     {_POLY_HASH.format(col="text")} AS chash
+              FROM q
+              WHERE quality >= 0.65
+                AND (doc_id::HUGEINT * 2654435761) % 4294967296 < 3436183552
+            ),
+            d AS (
+              SELECT doc_id, source, n_tok FROM (
+                SELECT s.*, ROW_NUMBER() OVER (
+                  PARTITION BY chash ORDER BY doc_id) AS dr
+                FROM s) WHERE dr = 1
+            ),
+            e AS (
+              SELECT source, doc_id, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM d
+            ),
+            r AS (
+              SELECT source, doc_id, n_tok, rn, 0 AS pack_bin, n_tok AS fill
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.source, e.doc_id, e.n_tok, e.rn,
+                     CASE WHEN r.fill + e.n_tok > 256
+                          THEN r.pack_bin + 1 ELSE r.pack_bin END,
+                     CASE WHEN r.fill + e.n_tok > 256
+                          THEN e.n_tok ELSE r.fill + e.n_tok END
+              FROM r JOIN e ON e.source = r.source AND e.rn = r.rn + 1
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+            FROM r GROUP BY source
+        """,
+        "source_token_shares": """
+            WITH s AS (
+              SELECT source,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok
+              FROM documents GROUP BY source
+            )
+            SELECT source, sum_tok,
+                   CAST(sum_tok * 1000000 // (SELECT SUM(sum_tok) FROM s)
+                        AS BIGINT) AS ppm
+            FROM s
         """,
     }

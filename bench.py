@@ -154,6 +154,8 @@ def main() -> None:
         timed("dedup_exact_docs", lambda: em.q_dedup_exact_docs(SF_DIR))
         timed("minhash_pairs", lambda: em.q_minhash_pairs(SF_DIR))
         timed("ann_topk", lambda: em.q_ann_topk(SF_DIR))
+        timed("revenue_join", lambda: em.q_revenue_by_priority(SF_DIR))
+        timed("curation_pipeline", lambda: em.q_curation_pipeline(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
