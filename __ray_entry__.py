@@ -688,6 +688,28 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_custs_without_orders(sf_dir: str):
+    """Left-outer bucketed join path: customers LEFT JOIN orders, keep the
+    null-match rows (classic anti-join via outer join), count per nation.
+    Co-partitioning makes per-bucket outer joins globally correct — a left
+    row's matches, if any, are all in its bucket."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    joined = bucket_hash_join(cust, orders, "c_custkey", "o_custkey",
+                              left_cols=["c_nationkey"], right_cols=["o_orderkey"],
+                              n_buckets=32, join_type="left outer")
+
+    def no_order(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["o_orderkey"]))
+
+    out = counts_by(joined.map_batches(no_order, batch_format="pyarrow"),
+                    "c_nationkey")
+    return out.astype({"c_nationkey": "int64", "n": "int64"})
+
+
 def q_curation_pipeline(sf_dir: str):
     """End-to-end data curation, oracle-checked as ONE chain: quality
     filter (≥0.65) → deterministic ~80% hash sample → exact dedup (min
@@ -993,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export_counts": q_shuffle_export_counts,
         "curation_pipeline": q_curation_pipeline,
         "source_token_shares": q_source_token_shares,
+        "custs_without_orders": q_custs_without_orders,
     }
 
 
@@ -1451,6 +1474,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "custs_without_orders": """
+            SELECT c_nationkey, COUNT(*) AS n
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            WHERE o.o_orderkey IS NULL
+            GROUP BY c_nationkey
         """,
         "source_token_shares": """
             WITH s AS (

@@ -199,3 +199,19 @@ def test_rolling_sum_per_key_window_and_ties(ray_session):
     # tie on ts broken by id asc: order = id1(2), id2(1), id3(4), id4(8)
     got = dict(zip(out["id"], out["roll_sum"]))
     assert got == {1: 2, 2: 3, 3: 5, 4: 12}
+
+
+def test_bucket_hash_join_left_outer_null_matches(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k2": [2, 2, 4], "b": [7, 8, 9]})
+    out = bucket_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", "k2", left_cols=["a"], right_cols=["b"],
+                           n_buckets=4, join_type="left outer").to_pandas()
+    # unmatched left rows survive with null b; matched expand per right row
+    assert len(out) == 5  # k=1(null), k=2 x2, k=3(null), k=4 x1
+    nulls = out[out["b"].isna()]["__key"].sort_values().tolist()
+    assert nulls == [1, 3]

@@ -354,7 +354,7 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
 
 def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
                      left_cols: list[str], right_cols: list[str],
-                     n_buckets: int = 64):
+                     n_buckets: int = 64, join_type: str = "inner"):
     """Shuffle hash join for two LARGE sides (neither fits a broadcast).
 
     Plan: both inputs are tagged and bucketed by ``hash(key) % n_buckets``
@@ -414,7 +414,9 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         is_l = pc.equal(t["__side"], "l")
         lt = t.filter(is_l).select(["__key"] + left_cols)
         rt = t.filter(pc.invert(is_l)).select(["__key"] + right_cols)
-        return lt.join(rt, keys="__key", join_type="inner")
+        # co-partitioning makes per-bucket outer joins globally correct: a
+        # left row's matches, if any exist, are all in its bucket
+        return lt.join(rt, keys="__key", join_type=join_type)
 
     return lp.union(rp).groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow")
