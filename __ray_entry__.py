@@ -688,6 +688,43 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_audio_features(sf_dir: str):
+    """Audio leg of the multimodal plumbing: actor-pool featurize stage
+    (duration/RMS/ZCR + banded energy vector) over opaque binary payloads;
+    decode stubbed (no codec in sandbox), batching/schema real."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import (audio_features,
+                                                     make_fake_media_table)
+
+    ds = rd.from_arrow(make_fake_media_table(500, media_type="audio/wav"))
+    out = audio_features(ds).to_pandas()
+    return out[["media_id", "duration_s", "rms", "zcr"]]
+
+
+def q_seq_pack_tokens(sf_dir: str):
+    """Context packing over the REAL pre-tokenized sequences table
+    (input_hint shape: doc_id, tokens, n_tok, source): greedy 2048-token
+    bins per source.  Only (doc_id, n_tok, source) reach the shuffle — the
+    token arrays stay in place until a downstream gather materializes
+    packed examples.  Rows-only (the sequences table is not an oracle
+    view); the greedy fold itself is oracle-checked via seq_pack_bins."""
+    from timberjack_ray.functions.corpus import pack_sequences
+
+    ds = _seq_ds(sf_dir)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["source", "doc_id", "n_tok"])
+
+    packed = pack_sequences(ds.map_batches(slim, batch_format="pyarrow"),
+                            "source", "doc_id", "n_tok", budget=2048)
+    out = packed.groupby("source", as_index=False).agg(
+        n_seqs=("doc_id", "count"), n_bins=("pack_bin", "max"),
+        sum_tok=("n_tok", "sum"))
+    out["n_bins"] = out["n_bins"] + 1
+    return out.astype({"n_seqs": "int64", "n_bins": "int64", "sum_tok": "int64"})
+
+
 def q_custs_without_orders(sf_dir: str):
     """Left-outer bucketed join path: customers LEFT JOIN orders, keep the
     null-match rows (classic anti-join via outer join), count per nation.
@@ -1016,6 +1053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "source_token_shares": q_source_token_shares,
         "custs_without_orders": q_custs_without_orders,
+        "seq_pack_tokens": q_seq_pack_tokens,
+        "audio_features": q_audio_features,
     }
 
 

@@ -331,3 +331,27 @@ def test_ivf_refined_recall_not_worse(ray_session):
                        refine_iters=0)["vec_id"])
     assert len(exact & refined) >= len(exact & raw) - 1  # no regression (±1 slack)
     assert len(exact & refined) >= 5
+
+
+def test_audio_featurizer_plumbing(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import (
+        AudioFeaturizer,
+        audio_features,
+        make_fake_media_table,
+    )
+
+    t = make_fake_media_table(48, media_type="audio/wav")
+    out = audio_features(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 48
+    assert set(out.columns) == {"media_id", "duration_s", "rms", "zcr", "band_energy"}
+    assert (out["duration_s"] > 0).all()
+    assert out["band_energy"].map(len).eq(AudioFeaturizer.N_BANDS).all()
+    # deterministic: same payload → same features
+    f = AudioFeaturizer()
+    a = f(t.slice(0, 4))
+    b = f(t.slice(0, 4))
+    assert a["rms"].to_pylist() == b["rms"].to_pylist()
+    with pytest.raises(NotImplementedError):
+        AudioFeaturizer(backend="real")

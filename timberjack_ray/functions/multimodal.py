@@ -105,6 +105,54 @@ class ImageDecoder:
         )
 
 
+class AudioFeaturizer:
+    """Actor-pool stage: payload → decoded waveform → cheap features
+    (duration, RMS energy, zero-crossing rate) + a fixed-size banded
+    energy vector (the mel-filterbank stand-in).
+
+    Same stub contract as ImageDecoder: ``fake`` synthesizes a
+    deterministic waveform from the payload hash so schema/batching/actor
+    plumbing is exercised; ``real`` raises until an audio codec ships.
+    """
+
+    N_BANDS = 8
+
+    def __init__(self, backend: str = "fake"):
+        if backend == "real":
+            raise NotImplementedError(
+                "no audio codec in this environment; install soundfile on "
+                "the cluster and implement decode here"
+            )
+        assert backend == "fake"
+
+    def _decode_one(self, payload: bytes, sr: int) -> np.ndarray:
+        rng = np.random.RandomState(_payload_seed(payload))
+        n = sr // 100 * (1 + len(payload) % 16)  # 10ms–160ms fake clips
+        return rng.standard_normal(n).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        srs = batch["sample_rate"].to_pylist()
+        dur, rms, zcr, bands = [], [], [], []
+        for p, sr in zip(payloads, srs):
+            wav = self._decode_one(p, sr)
+            dur.append(len(wav) / sr)
+            rms.append(float(np.sqrt(np.mean(wav ** 2))))
+            zcr.append(float(np.mean(np.signbit(wav[:-1]) != np.signbit(wav[1:]))))
+            seg = np.array_split(wav ** 2, self.N_BANDS)
+            bands.append(np.array([s.mean() for s in seg], np.float32))
+        band_flat = np.concatenate(bands) if bands else np.array([], np.float32)
+        band_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(band_flat, pa.float32()), self.N_BANDS)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "duration_s": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+            "band_energy": band_col,
+        })
+
+
 class FrameSampler:
     """Actor-pool stage: sample ≤ ``max_frames`` frame indices per video row
     (uniform, deterministic), emitting one row per sampled frame."""
@@ -130,6 +178,17 @@ def decode_images(ds, concurrency=(1, 4), batch_size: int = 256, resize_to=(16, 
     return ds.map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"backend": "fake", "resize_to": resize_to},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_features(ds, concurrency=(1, 4), batch_size: int = 256):
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"backend": "fake"},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
