@@ -688,6 +688,17 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_rare_bigram_counts(sf_dir: str):
+    """LM-free fluency proxy: per-doc count of corpus-rare bigrams
+    (corpus count ≤ 2).  Two passes; the rare set broadcasts once and the
+    membership probe is an Arrow C hash lookup per batch."""
+    from timberjack_ray.functions.corpus import rare_bigram_counts
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = rare_bigram_counts(ds, "doc_id", "text", max_count=2)
+    return out.astype({"doc_id": "int64", "n_rare": "int64"})
+
+
 def q_audio_features(sf_dir: str):
     """Audio leg of the multimodal plumbing: actor-pool featurize stage
     (duration/RMS/ZCR + banded energy vector) over opaque binary payloads;
@@ -1055,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_without_orders": q_custs_without_orders,
         "seq_pack_tokens": q_seq_pack_tokens,
         "audio_features": q_audio_features,
+        "rare_bigram_counts": q_rare_bigram_counts,
     }
 
 
@@ -1513,6 +1525,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "rare_bigram_counts": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            b AS (
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+              FROM ws, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+            ),
+            c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+            r AS (
+              SELECT doc_id, COUNT(*) AS n_rare
+              FROM b JOIN c USING (bigram) WHERE c.n <= 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         """,
         "custs_without_orders": """
             SELECT c_nationkey, COUNT(*) AS n

@@ -282,6 +282,61 @@ def top_discriminative_term(ds, id_col: str = "doc_id",
         .reset_index(drop=True)
 
 
+def rare_bigram_counts(ds, id_col: str = "doc_id", col: str = "text",
+                       max_count: int = 2) -> pd.DataFrame:
+    """Per-document count of corpus-rare bigrams (corpus count ≤
+    ``max_count``) — an LM-free fluency/quality proxy: fluent text reuses
+    common collocations, garbled text produces singleton bigrams.
+
+    Two passes: (1) corpus bigram counts (per-batch Arrow partials,
+    distinct-bigram-sized merge); (2) the rare-bigram SET is broadcast via
+    ``ray.put`` and each batch counts membership hits vectorized.
+    ASSUMPTION: the rare set fits a worker heap (rare ⊂ vocabulary²
+    observed); for open-ended corpora swap pass 2 for a shuffle join on
+    bigram."""
+    import ray
+
+    counts = merge_partials(
+        ds.map_batches(lambda t: bigram_counts_partial(t, col),
+                       batch_format="pyarrow"), ["bigram"], "n").to_pandas()
+    rare = set(counts.loc[counts["n"] <= max_count, "bigram"])
+    rare_ref = ray.put(rare)
+
+    class Counter:
+        def __init__(self):
+            # Arrow value_set built once per actor: is_in is a C hash probe
+            self.rare = pa.array(sorted(ray.get(rare_ref)), pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.split_pattern(t[col], " ")
+            flat, offsets = _word_offsets(words)
+            n = len(flat)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            if n < 2:
+                return pa.table({id_col: t[id_col],
+                                 "n_rare": pa.array(np.zeros(len(ids), np.int64))})
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+            valid = np.ones(n - 1, dtype=bool)
+            last = offsets[1:] - 1
+            valid[last[(last >= 0) & (last < n - 1)]] = False
+            hits = pc.is_in(joined, value_set=self.rare) \
+                .to_numpy(zero_copy_only=False) & valid
+            # per-doc bigram ranges: [off_d, off_d + len_d - 1)
+            doc_of = np.repeat(np.arange(len(ids)), np.diff(offsets))[:n - 1]
+            n_rare = np.bincount(doc_of[hits], minlength=len(ids)).astype(np.int64)
+            return pa.table({id_col: t[id_col], "n_rare": pa.array(n_rare)})
+
+    out = ds.map_batches(Counter, batch_format="pyarrow", concurrency=2)
+    frames = [b.to_pandas() for b in
+              out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame({id_col: [], "n_rare": []})
+    return pd.concat(frames, ignore_index=True).sort_values(id_col) \
+        .reset_index(drop=True)
+
+
 def template_counts(ds, col: str, pattern: str = r"[0-9]+",
                     repl: str = "#") -> pd.DataFrame:
     """Message-template mining: normalize away variable parts (default:
