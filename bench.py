@@ -134,7 +134,9 @@ def main() -> None:
     # tens of percent between identical runs — co-tenant contention; the
     # best run approximates uncontended steady-state throughput)
     trials = []
-    for _ in range(int(os.environ.get("GRAFT_BENCH_TRIALS", "4"))):
+    # 6 trials: co-tenant noise windows last minutes; more draws = better
+    # odds one trial lands in a quiet window (min is reported)
+    for _ in range(int(os.environ.get("GRAFT_BENCH_TRIALS", "6"))):
         t_i = time.perf_counter()
         flagship_routed()
         trials.append(time.perf_counter() - t_i)
