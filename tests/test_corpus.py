@@ -215,3 +215,52 @@ def test_bucket_hash_join_left_outer_null_matches(ray_session):
     assert len(out) == 5  # k=1(null), k=2 x2, k=3(null), k=4 x1
     nulls = out[out["b"].isna()]["__key"].sort_values().tolist()
     assert nulls == [1, 3]
+
+
+def test_interarrival_segmented_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 120, n),
+        "ts": pd.to_datetime(rng.randint(0, 10**9, n) * 1000, unit="us")
+        .astype("datetime64[us]"),
+    })
+    out = corpus.interarrival_stats(rd.from_pandas(df), "user_id", "ts",
+                                    n_buckets=16)
+    epoch = df["ts"].astype("int64")
+    ref_rows = []
+    for u, g in df.assign(e=epoch).groupby("user_id"):
+        if len(g) < 2:
+            continue
+        d = np.diff(np.sort(g["e"].to_numpy()))
+        ref_rows.append((u, len(d), int(d.sum()), int(d.max())))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "n_gaps", "sum_gap_us",
+                                          "max_gap_us"]).sort_values("user_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+def test_rolling_segmented_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import rolling_sum_per_key
+
+    rng = np.random.RandomState(13)
+    n = 2500
+    df = pd.DataFrame({
+        "u": rng.randint(0, 80, n),
+        "ts": pd.to_datetime(rng.randint(0, 10**7, n) * 1000, unit="us")
+        .astype("datetime64[us]"),
+        "id": np.arange(n),
+        "v": rng.rand(n) * 100,
+    })
+    out = rolling_sum_per_key(rd.from_pandas(df), "u", "ts", "id", "v",
+                              window=4, scale=100, n_buckets=8)
+    cents = np.round(df["v"].to_numpy() * 100).astype(np.int64)
+    ref = df.assign(c=cents).sort_values(["u", "ts", "id"])
+    ref["roll_sum"] = ref.groupby("u")["c"].transform(
+        lambda s: s.rolling(4, min_periods=1).sum()).astype("int64")
+    ref = ref[["id", "roll_sum"]].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))

@@ -110,32 +110,77 @@ def hash_sample(ds, id_col: str, keep_per_4096: int):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def interarrival_stats(ds, key_col: str, ts_col: str) -> pd.DataFrame:
+def add_key_bucket(ds, key_col: str, n_buckets: int,
+                   out_col: str = "__kb"):
+    """Append ``hash(key) % n_buckets`` — the co-partitioning key for
+    per-key ops: grouping by the BUCKET instead of the raw key turns
+    millions of one-group-per-key Python calls into a few hundred calls,
+    each processing all of its keys with vectorized segmented kernels."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+             ) % np.uint64(n_buckets)
+        return t.append_column(out_col, pa.array(b.astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _segments(keys_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(segment starts, sizes) of equal-key runs in a sorted key array."""
+    starts = np.flatnonzero(np.r_[True, keys_sorted[1:] != keys_sorted[:-1]])
+    sizes = np.diff(np.r_[starts, len(keys_sorted)])
+    return starts, sizes
+
+
+def interarrival_stats(ds, key_col: str, ts_col: str,
+                       n_buckets: int = 256) -> pd.DataFrame:
     """Per-key event inter-arrival stats: sort each key's timestamps, take
     consecutive diffs (microseconds).  Keys with <2 events are dropped.
 
-    ``groupby(key).map_groups`` — the shuffle IS the semantics (all of a
-    key's events must meet); per group the diff is one numpy sort + diff.
-    Output: (key, n_gaps, sum_gap_us, max_gap_us) — integer-exact, so the
-    DuckDB LAG-window oracle matches bit-for-bit.
+    Scale shape: keys are hash-bucketed and ONE groupby exchange
+    co-locates each bucket; inside a bucket every key is processed by the
+    same vectorized pass (one lexsort, one diff, one ``add.reduceat`` /
+    ``maximum.reduceat`` over segment runs) — per-key Python never happens,
+    so 10^9 keys cost the same per row as 10^2.  Output: (key, n_gaps,
+    sum_gap_us, max_gap_us) — integer-exact vs the LAG-window oracle.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].astype("int64").to_numpy())
-        if len(ts) < 2:
-            return pd.DataFrame({key_col: [], "n_gaps": [], "sum_gap_us": [],
-                                 "max_gap_us": []}).astype(
-                {key_col: "int64", "n_gaps": "int64",
-                 "sum_gap_us": "int64", "max_gap_us": "int64"})
-        d = np.diff(ts)
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
-                             "n_gaps": [len(d)],
-                             "sum_gap_us": [int(d.sum())],
-                             "max_gap_us": [int(d.max())]})
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        ks, tss = k[order], ts[order]
+        starts, sizes = _segments(ks)
+        d = np.diff(tss) if len(tss) > 1 else np.array([], np.int64)
+        # cross-key diff slots (last slot of each segment) are masked:
+        # 0 for the sum, int64-min for the max; dropped keys filter later
+        cross = starts[1:] - 1
+        d_sum = d.copy(); d_max = d.copy()
+        if len(cross):
+            d_sum[cross] = 0
+            d_max[cross] = np.iinfo(np.int64).min
+        # sentinel so reduceat handles trailing 1-row segments
+        d_sum = np.append(d_sum, 0)
+        d_max = np.append(d_max, np.iinfo(np.int64).min)
+        seg = np.minimum(starts, len(d))
+        sums = np.add.reduceat(d_sum, seg) if len(starts) else np.array([], np.int64)
+        maxs = np.maximum.reduceat(d_max, seg) if len(starts) else np.array([], np.int64)
+        keep = sizes > 1
+        return pa.table({
+            key_col: pa.array(ks[starts][keep]),
+            "n_gaps": pa.array((sizes - 1)[keep].astype(np.int64)),
+            "sum_gap_us": pa.array(sums[keep]),
+            "max_gap_us": pa.array(maxs[keep]),
+        })
 
-    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
-    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
-              if len(b)]
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    out = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+    frames = [b.to_pandas() for b in
+              out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    frames = [f for f in frames if len(f)]
     if not frames:
         return pd.DataFrame({key_col: [], "n_gaps": [], "sum_gap_us": [],
                              "max_gap_us": []})
@@ -160,16 +205,22 @@ def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col).reset_index(drop=True)
-        sizes = g[size_col].to_numpy()
-        bins = np.empty(len(sizes), dtype=np.int64)
-        b, fill = 0, 0
-        for i, s in enumerate(sizes):
-            s = int(s)
-            if fill > 0 and fill + s > budget:
-                b += 1
-                fill = 0
-            bins[i] = b
-            fill += s
+        sizes = g[size_col].to_numpy(dtype=np.int64)
+        n = len(sizes)
+        bins = np.empty(n, dtype=np.int64)
+        # greedy fill ≡ cumsum jumps: a bin is the longest prefix whose
+        # cumsum stays ≤ base + budget, so each bin is ONE searchsorted —
+        # the scan loops over bins (≈ n / items-per-bin), not rows
+        csum = np.cumsum(sizes)
+        i = b = 0
+        base = 0
+        while i < n:
+            j = int(np.searchsorted(csum, base + budget, side="right"))
+            if j <= i:          # oversized item: its own bin
+                j = i + 1
+            bins[i:j] = b
+            base = int(csum[j - 1])
+            i, b = j, b + 1
         g["pack_bin"] = bins
         return g[[group_col, order_col, size_col, "pack_bin"]]
 

@@ -456,32 +456,43 @@ def grouped_quantiles(ds, group_col: str, col: str, qs: list[float],
 
 
 def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
-                        val_col: str, window: int, scale: int = 1) -> pd.DataFrame:
+                        val_col: str, window: int, scale: int = 1,
+                        n_buckets: int = 256) -> pd.DataFrame:
     """Per-key rolling sum over the last ``window`` rows ordered by
     (ts, id): SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
 
-    ``groupby(key).map_groups`` (the shuffle is the semantics: a key's rows
-    must be contiguous and ordered); per group one numpy lexsort + prefix
-    sums.  Values are scaled to integers so partial order can't drift from
-    the oracle.  Output: (id, roll_sum) for every input row.
+    Scale shape: keys hash-bucket into ``n_buckets`` co-partitions (one
+    groupby exchange); inside a bucket ALL keys are processed in one
+    vectorized pass — a single lexsort (key, ts, id), one prefix-sum, and
+    a per-segment window clamp (``lo = max(i - w + 1, segment_start)``) —
+    never per-key Python.  Values scale to integers so partial order can't
+    drift from the oracle.  Output: (id, roll_sum) for every input row.
     """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].astype("int64").to_numpy()
-        ids = g[id_col].to_numpy()
-        v = np.round(g[val_col].to_numpy() * scale).astype(np.int64)
-        order = np.lexsort((ids, ts))
-        v = v[order]
-        csum = np.concatenate([[0], np.cumsum(v)])
-        n = len(v)
-        lo = np.maximum(np.arange(n) - window + 1, 0)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = np.round(t[val_col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        ks, vs = k[order], v[order]
+        starts, sizes = _segments(ks)
+        csum = np.concatenate([[0], np.cumsum(vs)])
+        n = len(vs)
+        seg_start = np.repeat(starts, sizes)
+        lo = np.maximum(np.arange(n) - window + 1, seg_start)
         roll = csum[1:] - csum[lo]
-        return pd.DataFrame({id_col: ids[order], "roll_sum": roll})
+        return pa.table({id_col: pa.array(ids[order]),
+                         "roll_sum": pa.array(roll)})
 
-    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
-    frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
-              if len(b)]
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    out = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+    frames = [b.to_pandas() for b in
+              out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    frames = [f for f in frames if len(f)]
     if not frames:
         return pd.DataFrame({id_col: [], "roll_sum": []})
     return pd.concat(frames, ignore_index=True).sort_values(id_col) \
