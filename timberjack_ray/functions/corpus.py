@@ -118,9 +118,13 @@ def add_key_bucket(ds, key_col: str, n_buckets: int,
     each processing all of its keys with vectorized segmented kernels."""
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
-             ) % np.uint64(n_buckets)
+        raw = t[key_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(raw.dtype, np.integer):
+            ids = raw.astype(np.uint64)
+            h = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        else:  # strings etc.: process-stable vectorized siphash
+            h = pd.util.hash_array(raw.astype(object)).astype(np.uint64)
+        b = h % np.uint64(n_buckets)
         return t.append_column(out_col, pa.array(b.astype(np.int64)))
 
     return ds.map_batches(f, batch_format="pyarrow")

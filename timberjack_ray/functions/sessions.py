@@ -21,23 +21,38 @@ from timberjack_ray.aggregates import merge_partials
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
-               session_col: str = "session_id"):
+               session_col: str = "session_id", n_buckets: int = 256):
     """Append ``session_col``: per-key session index (0-based) where a new
     session starts when the gap since the previous event exceeds ``gap_s``
-    seconds.  Returns a Dataset (shuffled by key)."""
+    seconds.  Returns a Dataset (shuffled by key-hash bucket).
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy()
+    Scale shape (round 2): keys hash-bucket into ``n_buckets`` coarse
+    co-partitions; inside a bucket EVERY key is assigned in one vectorized
+    pass — stable lexsort (key, ts), gap flags forced False at segment
+    starts, segmented cumsum — so per-key Python never happens regardless
+    of key cardinality."""
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
         if np.issubdtype(ts.dtype, np.datetime64):
             secs = ts.astype("datetime64[s]").astype("int64")
         else:
             secs = ts.astype("int64")
-        new_session = np.concatenate([[False], np.diff(secs) > gap_s])
-        g[session_col] = np.cumsum(new_session)
-        return g
+        order = np.lexsort((secs, k))  # stable: ties keep original order
+        ks, ss = k[order], secs[order]
+        starts, sizes = _segments(ks)
+        flags = np.r_[False, np.diff(ss) > gap_s]
+        flags[starts] = False
+        cum = np.cumsum(flags)
+        sess = cum - np.repeat(cum[starts], sizes)
+        return t.take(pa.array(order)).append_column(
+            session_col, pa.array(sess.astype(np.int64)))
 
-    return ds.groupby(key_col).map_groups(assign, batch_format="pandas")
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
 
 
 def session_stats(ds, key_col: str, ts_col: str, gap_s: int) -> pd.DataFrame:
