@@ -338,9 +338,16 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
     if small is not None:
         final = _topk_prune(small, group_col, sort_col, tie_col, k, descending)
     else:
-        parts = pruned.groupby(group_col).map_groups(
-            lambda t: _topk_prune(t, group_col, sort_col, tie_col, k, descending),
-            batch_format="pyarrow")
+        # bucket the groups so the exchange has ~256 coarse partitions and
+        # each map_groups call prunes MANY groups in one vectorized lexsort
+        # (one call per group would be per-key Python at high cardinality)
+        from timberjack_ray.functions.corpus import add_key_bucket
+
+        parts = add_key_bucket(pruned, group_col, 256).groupby("__kb") \
+            .map_groups(
+                lambda t: _topk_prune(t.drop_columns(["__kb"]), group_col,
+                                      sort_col, tie_col, k, descending),
+                batch_format="pyarrow")
         batches = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
         if not batches:  # zero-row input (collect_table_under also bails on empty)
             return pd.DataFrame(columns=ds.schema().names if ds.schema() else
