@@ -355,3 +355,64 @@ def test_audio_featurizer_plumbing(ray_session):
     assert a["rms"].to_pylist() == b["rms"].to_pylist()
     with pytest.raises(NotImplementedError):
         AudioFeaturizer(backend="real")
+
+
+def test_ngram_jaccard_distributed_path_matches_driver_path(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(vocab[rng.randint(30)] for _ in range(rng.randint(4, 20)))
+            for _ in range(60)]
+    for i in range(20):
+        ws = docs[i].split()
+        ws[rng.randint(len(ws))] = "Y"
+        docs.append(" ".join(ws))
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = rd.from_arrow(t).repartition(4)
+    small = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    big = ngram_jaccard_pairs(ds, threshold=0.5, driver_limit=0).to_pandas()
+    key = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", "jacc"]]
+    pd.testing.assert_frame_equal(key(small), key(big))
+
+
+def test_embedding_near_dup_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 16).astype(np.float32)
+    near = base[:10] + rng.randn(10, 16).astype(np.float32) * 0.01
+    m = np.vstack([base, near])
+    flat = pa.array(m.reshape(-1))
+    t = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, 16)
+        .cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    small = embedding_near_dup(ds, threshold=0.95).to_pandas()
+    big = embedding_near_dup(ds, threshold=0.95, driver_limit=0).to_pandas()
+    key = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
+    pd.testing.assert_frame_equal(key(small), key(big))
+    assert len(small) >= 10  # every planted near-dup pair found
+
+
+def test_minhash_candidate_pairs_distributed_matches_driver(ray_session, near_dup_texts):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import MinHasher, candidate_pairs, minhash_bands
+
+    ds = rd.from_arrow(docs_table(near_dup_texts)).repartition(4)
+    sig = ds.map_batches(MinHasher(), batch_format="pyarrow").materialize()
+    bands = minhash_bands(sig)
+    small = candidate_pairs(bands).drop_duplicates(["a", "b"])
+    big = candidate_pairs(bands, driver_limit=0)
+    big = (big if isinstance(big, pd.DataFrame) else big.to_pandas()) \
+        .drop_duplicates(["a", "b"])
+    key = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
+    pd.testing.assert_frame_equal(key(small), key(big))

@@ -185,25 +185,66 @@ def minhash_bands(sig_ds, num_perm: int = 64, bands: int = 16):
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def _pairs_of_group(g: pd.DataFrame, threshold: float, max_bucket: int) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").head(max_bucket)
-    n = len(g)
+def _pairs_segmented(t: pa.Table, threshold: float, max_bucket: int) -> pa.Table:
+    """Signature-verified pair generation over MANY (band, band_hash)
+    buckets in ONE vectorized pass — the scale path (round 2): one lexsort,
+    adjacent-run dedup/cap, then an offset loop (d = 1..max bucket size,
+    bounded by ``max_bucket``) where every iteration compares whole
+    signature sub-matrices across all buckets at once.  Replaces
+    one-Python-call-per-bucket pairing: cost is O(total pairs) vectorized
+    work regardless of how many millions of buckets a partition holds."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if t.num_rows < 2:
+        return empty
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sig_arr = t["sig"].combine_chunks()
+    n0 = t.num_rows
+    sigs = np.ascontiguousarray(
+        np.asarray(sig_arr.flatten()).reshape(n0, -1))
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids, sigs = band[order], bh[order], ids[order], sigs[order]
+    # same-doc repeats within a bucket collapse (sorted → adjacent runs)
+    dup = np.r_[False, (band[1:] == band[:-1]) & (bh[1:] == bh[:-1])
+                & (ids[1:] == ids[:-1])]
+    if dup.any():
+        keep = ~dup
+        band, bh, ids, sigs = band[keep], bh[keep], ids[keep], sigs[keep]
+    # cap degenerate buckets at max_bucket rows (deterministic: doc_id asc)
+    change = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, len(band)])
+    rank = np.arange(len(band)) - np.repeat(starts, sizes)
+    capped = rank < max_bucket
+    if not capped.all():
+        band, bh, ids, sigs = band[capped], bh[capped], ids[capped], sigs[capped]
+        change = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    seg_id = np.cumsum(change)
+    n = len(ids)
     if n < 2:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    sigs = np.stack(g["sig"].to_numpy())
-    ids = g["doc_id"].to_numpy()
-    out_a, out_b, out_j = [], [], []
-    for i in range(n):
-        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.nonzero(agree >= threshold)[0]
-        for h in hit:
-            x, y = ids[i], ids[i + 1 + h]
-            if x > y:
-                x, y = y, x
-            out_a.append(x)
-            out_b.append(y)
-            out_j.append(float(agree[h]))
-    return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+        return empty
+    max_size = int(np.bincount(seg_id).max())
+    A, B, J = [], [], []
+    for d in range(1, max_size):
+        idx = np.arange(n - d)
+        ii = idx[seg_id[idx] == seg_id[idx + d]]
+        if not len(ii):
+            continue
+        agree = (sigs[ii] == sigs[ii + d]).mean(axis=1)
+        hit = agree >= threshold
+        if hit.any():
+            x, y = ids[ii[hit]], ids[ii[hit] + d]
+            A.append(np.minimum(x, y))
+            B.append(np.maximum(x, y))
+            J.append(agree[hit])
+    if not A:
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(A).astype(np.int64)),
+                     "b": pa.array(np.concatenate(B).astype(np.int64)),
+                     "est_jaccard": pa.array(np.concatenate(J))})
 
 
 def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7,
@@ -249,17 +290,23 @@ def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7,
     filtered = band_ds.map_batches(filter_hot, batch_format="pyarrow")
 
     if n_candidate_rows <= driver_limit:
-        frames = [b.to_pandas() for b in filtered.iter_batches(
+        frames = [b for b in filtered.iter_batches(
             batch_size=None, batch_format="pyarrow") if b.num_rows]
         if not frames:
             return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        allrows = pd.concat(frames, ignore_index=True)
-        out = allrows.groupby(["band", "band_hash"], sort=False).apply(
-            lambda g: _pairs_of_group(g, threshold, max_bucket))
-        return out.reset_index(drop=True)
+        return _pairs_segmented(pa.concat_tables(frames), threshold,
+                                max_bucket).to_pandas()
 
-    return filtered.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _pairs_of_group(g, threshold, max_bucket), batch_format="pandas")
+    # distributed: coarse-bucket the band hashes so each map_groups call
+    # pairs MANY buckets with the one-lexsort segmented kernel (grouping on
+    # the raw (band, hash) key would be per-bucket Python at LSH scale)
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    return add_key_bucket(filtered, "band_hash", 256).groupby("__kb") \
+        .map_groups(
+            lambda t: _pairs_segmented(t.drop_columns(["__kb"]), threshold,
+                                       max_bucket),
+            batch_format="pyarrow")
 
 
 def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 16,
@@ -348,41 +395,74 @@ def simhash_candidates(ds, col: str = "text", concurrency=None):
 
     def explode(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch["simhash"]).view(np.uint64)
-        doc = batch["doc_id"].to_pylist()
-        bands, keys, docs, hs = [], [], [], []
-        for b in range(4):
-            seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            bands.extend([b] * len(h))
-            keys.extend(seg.astype(np.int64).tolist())
-            docs.extend(doc)
-            hs.extend(h.view(np.int64).tolist())
-        return pa.table({"band": pa.array(bands, pa.int32()), "key": pa.array(keys, pa.int64()),
-                         "doc_id": pa.array(docs), "simhash": pa.array(hs, pa.int64())})
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        hv = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        out = {"a": [], "b": [], "hamming": []}
-        for i in range(n):
-            x = hv[i] ^ hv[i + 1 :]
-            # vectorized popcount via byte-view + unpackbits
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-            for j in np.nonzero(ham <= 3)[0]:
-                a, b = ids[i], ids[i + 1 + j]
-                if a > b:
-                    a, b = b, a
-                out["a"].append(a)
-                out["b"].append(b)
-                out["hamming"].append(int(ham[j]))
-        return pd.DataFrame(out)
+        n = len(h)
+        doc = batch["doc_id"].combine_chunks()
+        segs = np.stack([((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                         .astype(np.int64) for b in range(4)])
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(segs.reshape(-1)),
+            "doc_id": pa.concat_arrays([doc] * 4),
+            "simhash": pa.array(np.tile(h.view(np.int64), 4)),
+        })
 
     banded = sh.map_batches(explode, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "key"]).map_groups(pairs_of_group, batch_format="pandas")
-    return pairs
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    # coarse-bucket the 16-bit band keys: each map_groups call pairs MANY
+    # (band, key) buckets with one segmented vectorized pass
+    return add_key_bucket(banded, "key", 256).groupby("__kb").map_groups(
+        lambda t: _simhash_pairs_segmented(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+
+
+def _simhash_pairs_segmented(t: pa.Table, max_ham: int = 3) -> pa.Table:
+    """Hamming-verified pairs over MANY (band, key) buckets in one
+    vectorized pass (same segmented-offset shape as ``_pairs_segmented``):
+    lexsort, adjacent same-doc dedup, then per-offset XOR + unpackbits
+    popcount across all buckets at once."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if t.num_rows < 2:
+        return empty
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    hv = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    order = np.lexsort((ids, key, band))
+    band, key, ids, hv = band[order], key[order], ids[order], hv[order]
+    dup = np.r_[False, (band[1:] == band[:-1]) & (key[1:] == key[:-1])
+                & (ids[1:] == ids[:-1])]
+    if dup.any():
+        keep = ~dup
+        band, key, ids, hv = band[keep], key[keep], ids[keep], hv[keep]
+    change = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+    seg_id = np.cumsum(change)
+    n = len(ids)
+    if n < 2:
+        return empty
+    max_size = int(np.bincount(seg_id).max())
+    A, B, H = [], [], []
+    for d in range(1, max_size):
+        idx = np.arange(n - d)
+        ii = idx[seg_id[idx] == seg_id[idx + d]]
+        if not len(ii):
+            continue
+        x = hv[ii] ^ hv[ii + d]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+            .sum(axis=1).astype(np.int64)
+        hit = ham <= max_ham
+        if hit.any():
+            p, q = ids[ii[hit]], ids[ii[hit] + d]
+            A.append(np.minimum(p, q))
+            B.append(np.maximum(p, q))
+            H.append(ham[hit])
+    if not A:
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(A).astype(np.int64)),
+                     "b": pa.array(np.concatenate(B).astype(np.int64)),
+                     "hamming": pa.array(np.concatenate(H))})
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -460,36 +540,6 @@ class PrefixGramStage:
         })
 
 
-def _jaccard_pairs_of_group(g: pd.DataFrame, threshold: float, id_col: str,
-                            max_bucket: int) -> pd.DataFrame:
-    g = g.drop_duplicates(id_col).head(max_bucket)
-    n = len(g)
-    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                          "b": pd.Series([], dtype="int64"),
-                          "jacc": pd.Series([], dtype="float64")})
-    if n < 2:
-        return empty
-    ids = g[id_col].to_numpy()
-    sets = [np.asarray(s, dtype=np.int64) for s in g["gram_set"]]
-    ms = g["m"].to_numpy()
-    out_a, out_b, out_j = [], [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
-            union = int(ms[i] + ms[j] - inter)
-            jacc = inter / union if union else 0.0
-            if jacc >= threshold:
-                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(jacc)
-    if not out_a:
-        return empty
-    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                         "b": pd.Series(out_b, dtype="int64"),
-                         "jacc": pd.Series(out_j, dtype="float64")})
-
-
 def _pair_inter_chunk(flat: np.ndarray, offs: np.ndarray, m_doc: np.ndarray,
                       a_idx: np.ndarray, b_idx: np.ndarray, n_uniq: int) -> np.ndarray:
     """Exact ``|gramset(a) ∩ gramset(b)|`` for each (a_idx, b_idx) pair.
@@ -516,7 +566,7 @@ def _pair_inter_chunk(flat: np.ndarray, offs: np.ndarray, m_doc: np.ndarray,
 
 
 def _jaccard_small_fold(tbl: pa.Table, threshold: float, id_col: str,
-                        max_bucket: int) -> pd.DataFrame:
+                        max_bucket: int, use_ray_tasks: bool = True) -> pd.DataFrame:
     """Driver-side exact verify over collected prefix rows, fully vectorized.
 
     Groups prefix rows by gram (occupancy ≥ 2 only), emits UNIQUE unordered
@@ -592,7 +642,7 @@ def _jaccard_small_fold(tbl: pa.Table, threshold: float, id_col: str,
         bounds.append(min(npairs, max(s + 1, int(np.searchsorted(
             cum_vals, base_vals + 4_000_000)) + 1)))
     chunks = list(zip(bounds[:-1], bounds[1:]))
-    if len(chunks) > 1 and ray.is_initialized():
+    if use_ray_tasks and len(chunks) > 1 and ray.is_initialized():
         flat_ref, offs_ref, m_ref = ray.put(flat), ray.put(offs), ray.put(m_doc)
         rf = ray.remote(num_cpus=1)(_pair_inter_chunk)
         inter = np.concatenate(ray.get([
@@ -654,15 +704,30 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
     def filter_hot(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["gram"], value_set=ray.get(hot_ref)))
 
-    pairs = prefix_rows.map_batches(filter_hot, batch_format="pyarrow") \
-        .groupby("gram").map_groups(
-            lambda g: _jaccard_pairs_of_group(g, threshold, id_col, max_bucket),
-            batch_format="pandas")
+    # coarse-bucket the hot grams: each map_groups call runs the SAME
+    # vectorized multi-gram verify as the driver fold over its slice (one
+    # lexsort + unique-pair triu + chunked exact intersection — never a
+    # per-gram or per-pair Python call); nested Ray tasks stay off inside
+    # dataset workers (use_ray_tasks=False)
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    filtered = prefix_rows.map_batches(filter_hot, batch_format="pyarrow")
+    pairs = add_key_bucket(filtered, "gram", 256).groupby("__kb").map_groups(
+        lambda t: pa.Table.from_pandas(
+            _jaccard_small_fold(t.drop_columns(["__kb"]), threshold, id_col,
+                                max_bucket, use_ray_tasks=False),
+            preserve_index=False),
+        batch_format="pyarrow")
+    # a pair found in several gram buckets dedups with a C-side aggregate
+    # (values are identical per pair, so min == first)
+    from ray.data.aggregate import Min
+
     keyed = pairs.map_batches(
         lambda t: t.append_column(
             "pair_key",
             pa.array((np.asarray(t["a"], dtype=np.int64) << np.int64(31))
                      | np.asarray(t["b"], dtype=np.int64))),
         batch_format="pyarrow")
-    return keyed.groupby("pair_key").map_groups(
-        lambda g: g.head(1)[["a", "b", "jacc"]], batch_format="pandas")
+    return keyed.groupby("pair_key").aggregate(
+        Min("a", alias_name="a"), Min("b", alias_name="b"),
+        Min("jacc", alias_name="jacc")).drop_columns(["pair_key"])

@@ -245,6 +245,52 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_prob
     return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
 
 
+def _cosine_pairs_segmented(t: pa.Table, threshold: float, id_col: str,
+                            vec_col: str) -> pa.Table:
+    """Cosine-verified pairs over MANY LSH buckets in one vectorized pass
+    (the segmented-offset kernel shared with the dedup family): lexsort by
+    (bucket, id), adjacent dedup, then per-offset row-wise dot products of
+    the normalized matrix across all buckets at once — total work equals
+    the sum of per-bucket pair counts, with zero per-bucket Python."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if t.num_rows < 2:
+        return empty
+    bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    m = _normalize(_to_matrix(t[vec_col]))
+    order = np.lexsort((ids, bucket))
+    bucket, ids, m = bucket[order], ids[order], m[order]
+    dup = np.r_[False, (bucket[1:] == bucket[:-1]) & (ids[1:] == ids[:-1])]
+    if dup.any():
+        keep = ~dup
+        bucket, ids, m = bucket[keep], ids[keep], m[keep]
+    seg_id = np.cumsum(np.r_[True, bucket[1:] != bucket[:-1]])
+    n = len(ids)
+    if n < 2:
+        return empty
+    max_size = int(np.bincount(seg_id).max())
+    A, B, C = [], [], []
+    for d in range(1, max_size):
+        idx = np.arange(n - d)
+        ii = idx[seg_id[idx] == seg_id[idx + d]]
+        if not len(ii):
+            continue
+        sim = np.einsum("ij,ij->i", m[ii], m[ii + d])
+        hit = sim >= threshold
+        if hit.any():
+            x, y = ids[ii[hit]], ids[ii[hit] + d]
+            A.append(np.minimum(x, y))
+            B.append(np.maximum(x, y))
+            C.append(sim[hit].astype(np.float64))
+    if not A:
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(A).astype(np.int64)),
+                     "b": pa.array(np.concatenate(B).astype(np.int64)),
+                     "cosine": pa.array(np.concatenate(C))})
+
+
 def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
                        seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding",
                        driver_limit: int = 500_000):
@@ -295,55 +341,36 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
                              id_col: batch[id_col].take(idx),
                              vec_col: batch[vec_col].take(idx)})
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]]))
-        ids = g[id_col].to_numpy()
-        sim = m @ m.T
-        iu, ju = np.triu_indices(n, k=1)
-        hit = sim[iu, ju] >= threshold
-        ia, jb = ids[iu[hit]], ids[ju[hit]]
-        return pd.DataFrame({"a": np.minimum(ia, jb).astype(np.int64),
-                             "b": np.maximum(ia, jb).astype(np.int64),
-                             "cosine": sim[iu[hit], ju[hit]].astype(np.float64)})
-
-    def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["a", "b", "cosine"]]
-
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
-    # small-intermediate fast path: one streamed pass + pandas fold beats two
-    # Ray all-to-all groupbys (multi-second fixed cost each) whenever the
-    # bucketed rows (n_tables x vectors) fit on the driver; bail out to the
-    # distributed plan past driver_limit rows
+    # small-intermediate fast path: one streamed pass + a segmented fold
+    # beats two Ray all-to-all groupbys (multi-second fixed cost each)
+    # whenever the bucketed rows (n_tables x vectors) fit on the driver;
+    # bail out to the distributed plan past driver_limit rows
     from timberjack_ray.functions.util import collect_table_under
 
     small = collect_table_under(bucketed, driver_limit)
     if small is not None:
         import ray.data as rd
 
-        df = small.to_pandas()
-        # occupancy prefilter: singleton buckets (the vast majority) can't
-        # produce a pair, so drop them before the per-group O(s^2) verify
-        vc = df["bucket"].value_counts()
-        df = df[df["bucket"].isin(vc.index[vc.ge(2)])]
-        if df.empty:
-            out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                "b": pd.Series([], dtype="int64"),
-                                "cosine": pd.Series([], dtype="float64")})
-        else:
-            out = df.groupby("bucket", sort=False, group_keys=False)[
-                [id_col, vec_col]].apply(pairs_of_group)
-            out = out.reset_index(drop=True).drop_duplicates(["a", "b"])
+        out = _cosine_pairs_segmented(small, threshold, id_col, vec_col) \
+            .to_pandas().drop_duplicates(["a", "b"])
         return rd.from_pandas(out.reset_index(drop=True))
 
-    pairs = bucketed.groupby("bucket").map_groups(pairs_of_group, batch_format="pandas")
+    # distributed: coarse-bucket the LSH bucket keys so each map_groups
+    # call verifies MANY buckets in one segmented vectorized pass (per-raw-
+    # bucket grouping would be per-bucket Python at LSH cardinality)
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    pairs = add_key_bucket(bucketed, "bucket", 256).groupby("__kb").map_groups(
+        lambda t: _cosine_pairs_segmented(t.drop_columns(["__kb"]), threshold,
+                                          id_col, vec_col),
+        batch_format="pyarrow")
     # Distributed dedup of pairs seen in multiple tables: pack (a,b) into one
-    # int64 key (ids < 2^31 by contract of this helper) and keep the first.
+    # int64 key (ids < 2^31 by contract of this helper); values per pair are
+    # identical so a C-side Min aggregate keeps exactly one.
+    from ray.data.aggregate import Min
+
     keyed = pairs.map_batches(
         lambda t: t.append_column(
             "pair_key",
@@ -351,4 +378,6 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
                      | np.asarray(t["b"], dtype=np.int64))),
         batch_format="pyarrow",
     )
-    return keyed.groupby("pair_key").map_groups(dedup_pair_group, batch_format="pandas")
+    return keyed.groupby("pair_key").aggregate(
+        Min("a", alias_name="a"), Min("b", alias_name="b"),
+        Min("cosine", alias_name="cosine")).drop_columns(["pair_key"])
