@@ -688,6 +688,36 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_session_spans(sf_dir: str):
+    """Pins the full sessionize ASSIGNMENT (not just counts): per (user,
+    session) event count and microsecond span.  Gap = 3600 s.  The oracle
+    recomputes session ids with a LAG + running-sum window."""
+    from timberjack_ray.functions.sessions import sessionize
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_s=3600)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        g = pa.table({"user_id": t["user_id"], "session_id": t["session_id"],
+                      "us": us}) \
+            .group_by(["user_id", "session_id"]).aggregate(
+                [([], "count_all"), ("us", "min"), ("us", "max")])
+        return g.rename_columns(["user_id", "session_id", "n_events",
+                                 "min_us", "max_us"])
+
+    # sessions arrive whole (one bucket per map_groups output block), but
+    # merge with min/max anyway so block splits can never corrupt the spans
+    p = pa.concat_tables(list(
+        sess.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    out = p.groupby(["user_id", "session_id"], as_index=False).agg(
+        n_events=("n_events", "sum"), min_us=("min_us", "min"),
+        max_us=("max_us", "max"))
+    out["span_us"] = out["max_us"] - out["min_us"]
+    return out[["user_id", "session_id", "n_events", "span_us"]].astype("int64")
+
+
 def q_rare_bigram_counts(sf_dir: str):
     """LM-free fluency proxy: per-doc count of corpus-rare bigrams
     (corpus count ≤ 2).  Two passes; the rare set broadcasts once and the
@@ -1067,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack_tokens": q_seq_pack_tokens,
         "audio_features": q_audio_features,
         "rare_bigram_counts": q_rare_bigram_counts,
+        "session_spans": q_session_spans,
     }
 
 
@@ -1525,6 +1556,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "session_spans": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+                          OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS st
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), a AS (
+              SELECT user_id, us,
+                     SUM(st) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM s
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+            FROM a GROUP BY user_id, session_id
         """,
         "rare_bigram_counts": """
             WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -264,3 +264,17 @@ def test_rolling_segmented_matches_pandas_reference(ray_session):
         lambda s: s.rolling(4, min_periods=1).sum()).astype("int64")
     ref = ref[["id", "roll_sum"]].sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+def test_content_hash_property_random_unicode():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=12))
+    def check(texts):
+        out = corpus.add_content_hash(
+            pa.table({"text": pa.array(texts, pa.string())}))
+        assert out["chash"].to_pylist() == [poly_ref(t or "") for t in texts]
+
+    check()
