@@ -278,3 +278,23 @@ def test_content_hash_property_random_unicode():
         assert out["chash"].to_pylist() == [poly_ref(t or "") for t in texts]
 
     check()
+
+
+def test_corpus_ops_empty_inputs(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string())})
+    ds = rd.from_arrow(t)
+    assert len(corpus.bigram_topk(ds)) == 0
+    assert len(corpus.doc_frequency(ds)) == 0
+    assert len(corpus.template_counts(ds, "text")) == 0
+    assert len(corpus.rare_bigram_counts(ds)) == 0
+    assert len(corpus.top_discriminative_term(ds)) == 0
+    assert len(corpus.hash_sample(ds, "doc_id", 819).to_pandas()) == 0
+    slim = pa.table({"source": pa.array([], pa.string()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "n_tok": pa.array([], pa.int64())})
+    assert len(corpus.pack_sequences(rd.from_arrow(slim), "source", "doc_id",
+                                     "n_tok", 256)) == 0
