@@ -688,6 +688,39 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_hdr_value_quantiles(sf_dir: str):
+    """Mergeable HDR-histogram quantiles (≤1% relative error at sig=3) —
+    the scale path when distinct-value cardinality breaks exact_quantiles'
+    per-value histogram.  Rows-only: approximate by design; the error bound
+    is asserted vs numpy in tests/test_sketch.py."""
+    from timberjack_ray.functions.sketch import hdr_quantiles
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    out = hdr_quantiles(ds, "value", [0.5, 0.9, 0.99], scale=100, sig=3)
+    return out.astype({"value_scaled": "int64"})
+
+
+def q_normalized_distinct_docs(sf_dir: str):
+    """C4-style normalization dedup: lowercase, strip non-alnum, collapse
+    whitespace — then count distinct normalized texts per lang (how many
+    docs survive normalization-level dedup).  Vectorized RE2 chain; the
+    (group, distinct-key) pair dedup collapses per batch before the merge."""
+    from timberjack_ray.functions.relational import distinct_count_by
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def norm_text(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"lang": t["lang"], "norm": x})
+
+    normed = ds.map_batches(norm_text, batch_format="pyarrow")
+    out = distinct_count_by(normed, "lang", "norm")
+    return out.astype({"lang": "str", "n_distinct": "int64"})
+
+
 def q_session_spans(sf_dir: str):
     """Pins the full sessionize ASSIGNMENT (not just counts): per (user,
     session) event count and microsecond span.  Gap = 3600 s.  The oracle
@@ -1098,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "rare_bigram_counts": q_rare_bigram_counts,
         "session_spans": q_session_spans,
+        "normalized_distinct_docs": q_normalized_distinct_docs,
+        "hdr_value_quantiles": q_hdr_value_quantiles,
     }
 
 
@@ -1556,6 +1591,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "normalized_distinct_docs": """
+            SELECT lang, COUNT(DISTINCT trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                     ' +', ' ', 'g'))) AS n_distinct
+            FROM documents GROUP BY lang
         """,
         "session_spans": """
             WITH s AS (

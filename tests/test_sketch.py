@@ -88,3 +88,31 @@ def test_heavy_hitters_recovers_skewed_topk(ray_session):
     for w, e in zip(out["word"], out["est_n"]):
         assert e >= truth[w]
         assert e - truth[w] <= 2 * len(vals) / 8192 * 4
+
+
+def test_hdr_quantiles_relative_error(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sketch import hdr_quantiles
+
+    rng = np.random.RandomState(4)
+    vals = rng.lognormal(mean=5, sigma=2, size=20_000)
+    df = pd.DataFrame({"v": vals})
+    out = hdr_quantiles(rd.from_pandas(df).repartition(6), "v",
+                        [0.5, 0.9, 0.99], scale=100, sig=3)
+    scaled = np.round(vals * 100).astype(np.int64)
+    for _, r in out.iterrows():
+        exact = np.quantile(scaled, r["q"], method="inverted_cdf")
+        rel = abs(r["value_scaled"] - exact) / max(exact, 1)
+        assert rel <= 1e-2, (r["q"], r["value_scaled"], exact, rel)  # sig=3 ⇒ ≤1%
+
+
+def test_hdr_quantiles_deterministic_and_empty(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sketch import hdr_quantiles
+
+    df = pd.DataFrame({"v": np.arange(1000, dtype=np.float64)})
+    a = hdr_quantiles(rd.from_pandas(df).repartition(3), "v", [0.5], sig=3)
+    b = hdr_quantiles(rd.from_pandas(df).repartition(7), "v", [0.5], sig=3)
+    assert a["value_scaled"].tolist() == b["value_scaled"].tolist()

@@ -21,6 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from timberjack_ray.aggregates import merge_partials
 
 
 class HyperLogLog:
@@ -218,3 +221,71 @@ def heavy_hitters(ds, col: str, k: int = 10, depth: int = 4, width: int = 8192,
     out = pd.DataFrame({col: cand_list, "est_n": est})
     return out.sort_values(["est_n", col], ascending=[False, True]) \
         .head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HDR-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+def _hdr_bin(v: np.ndarray, sig: int) -> np.ndarray:
+    """Bin id preserving ``sig`` significant decimal digits: for positive v,
+    the bin's low edge is v truncated to sig digits; encodes (exponent,
+    mantissa) in one int64.  v must be >= 0 integers (scale floats first)."""
+    v = v.astype(np.int64)
+    out = np.zeros(len(v), dtype=np.int64)
+    pos = v > 0
+    if pos.any():
+        x = v[pos].astype(np.float64)
+        exp = np.floor(np.log10(x)).astype(np.int64)
+        unit = np.power(10.0, np.maximum(exp - sig + 1, 0)).astype(np.int64)
+        mant = (v[pos] // unit)
+        out[pos] = exp * np.int64(10 ** sig * 10) + mant
+    return out
+
+
+def _hdr_low_edge(bins: np.ndarray, sig: int) -> np.ndarray:
+    base = np.int64(10 ** sig * 10)
+    exp = bins // base
+    mant = bins % base
+    unit = np.power(10.0, np.maximum(exp - sig + 1, 0)).astype(np.int64)
+    return mant * unit
+
+
+def hdr_quantiles(ds, col: str, qs: list[float], scale: int = 1,
+                  sig: int = 3) -> pd.DataFrame:
+    """Mergeable approximate quantiles with bounded RELATIVE error
+    (≤ 10^-(sig-1), e.g. ≤ 1% at sig=3) — the HdrHistogram design: values
+    bin by (decimal exponent, sig-digit mantissa), per-batch bin counts are
+    a tiny mergeable histogram whatever the value cardinality, and the
+    quantile is the low edge of the bin holding the target rank.
+
+    Completes the mergeable-sketch family (HLL = distinct, Count-Min =
+    frequency, HDR = quantiles): use when the distinct-value count is too
+    large for ``exact_quantiles``'s per-value histogram.  Deterministic —
+    no sampling, so results are reproducible across runs and partitionings.
+    Values must be ≥ 0 after scaling (shift first for signed data)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if (v < 0).any():
+            raise ValueError("hdr_quantiles requires non-negative scaled values")
+        b = _hdr_bin(v, sig)
+        g = pa.table({"bin": pa.array(b)}).group_by("bin") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "n"])
+
+    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["bin"], "n").to_pandas().sort_values("bin")
+    if not len(counts):
+        return pd.DataFrame({"q": [], "value_scaled": []})
+    cum = counts["n"].cumsum().to_numpy()
+    edges = _hdr_low_edge(counts["bin"].to_numpy(), sig)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * total)), 1)
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(q)
+        out_v.append(int(edges[min(idx, len(edges) - 1)]))
+    return pd.DataFrame({"q": out_q, "value_scaled": out_v})
