@@ -298,3 +298,26 @@ def test_corpus_ops_empty_inputs(ray_session):
                      "n_tok": pa.array([], pa.int64())})
     assert len(corpus.pack_sequences(rd.from_arrow(slim), "source", "doc_id",
                                      "n_tok", 256)) == 0
+
+
+def test_flagship_job_entrypoint(ray_session, tmp_path):
+    """jobs/flagship_job.py (the `ray job submit` entry) runs against an
+    existing Ray session and prints one JSON metrics line."""
+    import json
+
+    from timberjack_ray.data import synth
+
+    seq_dir = str(tmp_path / "seqs")
+    synth.generate_sequences(2000, seq_dir, json_frac=0.3, rows_per_file=1000)
+    sys_path = str(tmp_path / "out")
+    import jobs.flagship_job as job
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = job.main(["--input", f"{seq_dir}/part-*.parquet",
+                       "--out-dir", sys_path, "--num-partitions", "4"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["rows"] == 2000 and m["levels"]
