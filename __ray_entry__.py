@@ -688,6 +688,47 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_actor_ids_union(sf_dir: str):
+    """Set op UNION (distinct): ids active as event users ∪ order customers.
+    Schema-aligned map → Dataset.union → distinct via groupby (C-side, only
+    (id) pairs shuffle)."""
+    ev = _rp(sf_dir, "events", columns=["user_id"]) \
+        .map_batches(lambda t: pa.table({"actor_id": t["user_id"]}),
+                     batch_format="pyarrow")
+    od = _rp(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(lambda t: pa.table({"actor_id": pc.cast(t["o_custkey"], pa.int64())}),
+                     batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    uni = ev.union(od).groupby("actor_id").aggregate(Count(alias_name="n_"))
+    out = uni.to_pandas()[["actor_id"]].sort_values("actor_id") \
+        .reset_index(drop=True)
+    return out.astype({"actor_id": "int64"})
+
+
+def q_actor_ids_intersect(sf_dir: str):
+    """Set op INTERSECT: ids that are BOTH event users and order customers.
+    The smaller distinct side broadcasts; the larger side filters with an
+    Arrow is_in probe — no shuffle."""
+    from timberjack_ray.aggregates import counts_by
+
+    ev_ids = counts_by(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
+    small = pa.array(ev_ids["user_id"].astype("int64"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({"actor_id": k.filter(pc.is_in(k, value_set=small))})
+
+    from ray.data.aggregate import Count
+
+    hits = _rp(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(keep, batch_format="pyarrow") \
+        .groupby("actor_id").aggregate(Count(alias_name="n_"))
+    out = hits.to_pandas()[["actor_id"]].sort_values("actor_id") \
+        .reset_index(drop=True)
+    return out.astype({"actor_id": "int64"})
+
+
 def q_hdr_value_quantiles(sf_dir: str):
     """Mergeable HDR-histogram quantiles (≤1% relative error at sig=3) —
     the scale path when distinct-value cardinality breaks exact_quantiles'
@@ -1133,6 +1174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_spans": q_session_spans,
         "normalized_distinct_docs": q_normalized_distinct_docs,
         "hdr_value_quantiles": q_hdr_value_quantiles,
+        "actor_ids_union": q_actor_ids_union,
+        "actor_ids_intersect": q_actor_ids_intersect,
     }
 
 
@@ -1591,6 +1634,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "actor_ids_union": """
+            SELECT user_id AS actor_id FROM events
+            UNION
+            SELECT CAST(o_custkey AS BIGINT) FROM orders
+        """,
+        "actor_ids_intersect": """
+            SELECT user_id AS actor_id FROM events
+            INTERSECT
+            SELECT CAST(o_custkey AS BIGINT) FROM orders
         """,
         "normalized_distinct_docs": """
             SELECT lang, COUNT(DISTINCT trim(regexp_replace(regexp_replace(
