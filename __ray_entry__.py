@@ -831,12 +831,11 @@ def q_seq_pack_tokens(sf_dir: str):
     def slim(t: pa.Table) -> pa.Table:
         return t.select(["source", "doc_id", "n_tok"])
 
-    packed = pack_sequences(ds.map_batches(slim, batch_format="pyarrow"),
-                            "source", "doc_id", "n_tok", budget=2048)
-    out = packed.groupby("source", as_index=False).agg(
-        n_seqs=("doc_id", "count"), n_bins=("pack_bin", "max"),
-        sum_tok=("n_tok", "sum"))
-    out["n_bins"] = out["n_bins"] + 1
+    from timberjack_ray.functions.corpus import pack_sequences_ds
+
+    packed = pack_sequences_ds(ds.map_batches(slim, batch_format="pyarrow"),
+                               "source", "doc_id", "n_tok", budget=2048)
+    out = _pack_summary(packed, "source", "n_tok", "n_seqs")
     return out.astype({"n_seqs": "int64", "n_bins": "int64", "sum_tok": "int64"})
 
 
@@ -874,7 +873,7 @@ def q_curation_pipeline(sf_dir: str):
     hash, ROW_NUMBER dedup, recursive-CTE packing) in a single query."""
     from timberjack_ray.functions.corpus import (add_content_hash,
                                                  hash_sample_mask,
-                                                 pack_sequences)
+                                                 pack_sequences_ds)
     from timberjack_ray.functions.text import QualityScorer
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
@@ -894,13 +893,10 @@ def q_curation_pipeline(sf_dir: str):
     slim = scored.map_batches(project, batch_format="pyarrow")
     survivors = slim.groupby("chash").map_groups(
         lambda t: t.sort_by("doc_id").slice(0, 1), batch_format="pyarrow")
-    packed = pack_sequences(survivors, "source", "doc_id", "n_tok", budget=256)
-    if not len(packed):
+    packed = pack_sequences_ds(survivors, "source", "doc_id", "n_tok", budget=256)
+    out = _pack_summary(packed, "source", "n_tok", "n_docs")
+    if not len(out):
         return pd.DataFrame({"source": [], "n_docs": [], "n_bins": [], "sum_tok": []})
-    out = packed.groupby("source", as_index=False).agg(
-        n_docs=("doc_id", "count"), n_bins=("pack_bin", "max"),
-        sum_tok=("n_tok", "sum"))
-    out["n_bins"] = out["n_bins"] + 1
     return out.astype({"n_docs": "int64", "n_bins": "int64", "sum_tok": "int64"})
 
 
@@ -972,6 +968,27 @@ def q_seq_pack_bins(sf_dir: str):
     slim = ds.map_batches(sizes, batch_format="pyarrow")
     out = pack_sequences(slim, "source", "doc_id", "n_tok", budget=256)
     return out.astype({"doc_id": "int64", "n_tok": "int64", "pack_bin": "int64"})
+
+
+def _pack_summary(packed_ds, group_col: str, size_col: str,
+                  count_name: str) -> pd.DataFrame:
+    """Per-group (n, n_bins, sum_tok) folded from streaming per-batch
+    partials — the packed Dataset (one row per input row) never collects."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [([], "count_all"), ("pack_bin", "max"), (size_col, "sum")])
+        return g.rename_columns([group_col, count_name, "max_bin", "sum_tok"])
+
+    p = packed_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(p):
+        return pd.DataFrame({group_col: [], count_name: [], "n_bins": [],
+                             "sum_tok": []})
+    out = p.groupby(group_col, as_index=False).agg(
+        **{count_name: (count_name, "sum")},
+        n_bins=("max_bin", "max"), sum_tok=("sum_tok", "sum"))
+    out["n_bins"] = out["n_bins"] + 1
+    return out
 
 
 def q_bigram_topk(sf_dir: str):

@@ -137,10 +137,11 @@ def _segments(keys_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, sizes
 
 
-def interarrival_stats(ds, key_col: str, ts_col: str,
-                       n_buckets: int = 256) -> pd.DataFrame:
+def interarrival_stats_ds(ds, key_col: str, ts_col: str,
+                          n_buckets: int = 256):
     """Per-key event inter-arrival stats: sort each key's timestamps, take
     consecutive diffs (microseconds).  Keys with <2 events are dropped.
+    Returns a streaming Dataset (one row per key).
 
     Scale shape: keys are hash-bucketed and ONE groupby exchange
     co-locates each bucket; inside a bucket every key is processed by the
@@ -180,8 +181,16 @@ def interarrival_stats(ds, key_col: str, ts_col: str,
         })
 
     bucketed = add_key_bucket(ds, key_col, n_buckets)
-    out = bucketed.groupby("__kb").map_groups(
+    return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+
+
+def interarrival_stats(ds, key_col: str, ts_col: str,
+                       n_buckets: int = 256) -> pd.DataFrame:
+    """Driver-collected convenience over ``interarrival_stats_ds`` — output
+    is one row per key, so collect only when the key count is bounded; at
+    10^9 keys consume the Dataset (write/aggregate) instead."""
+    out = interarrival_stats_ds(ds, key_col, ts_col, n_buckets)
     frames = [b.to_pandas() for b in
               out.iter_batches(batch_size=None, batch_format="pyarrow")]
     frames = [f for f in frames if len(f)]
@@ -192,8 +201,8 @@ def interarrival_stats(ds, key_col: str, ts_col: str,
         .reset_index(drop=True)
 
 
-def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
-                   budget: int) -> pd.DataFrame:
+def pack_sequences_ds(ds, group_col: str, order_col: str, size_col: str,
+                      budget: int):
     """Greedy sequence packing: within each group (in ``order_col`` order),
     accumulate items into bins of ≤ ``budget`` tokens; start a new bin when
     the next item would overflow (oversized items get their own bin).
@@ -228,7 +237,15 @@ def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
         g["pack_bin"] = bins
         return g[[group_col, order_col, size_col, "pack_bin"]]
 
-    out = ds.groupby(group_col).map_groups(pack, batch_format="pandas")
+    return ds.groupby(group_col).map_groups(pack, batch_format="pandas")
+
+
+def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
+                   budget: int) -> pd.DataFrame:
+    """Driver-collected convenience over ``pack_sequences_ds`` — output is
+    one row per INPUT row, so collect only at test/bounded scale; at 10^12
+    sequences consume the Dataset (aggregate per bin / write) instead."""
+    out = pack_sequences_ds(ds, group_col, order_col, size_col, budget)
     frames = [b for b in out.iter_batches(batch_size=None, batch_format="pandas")
               if len(b)]
     if not frames:

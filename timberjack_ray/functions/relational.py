@@ -462,9 +462,9 @@ def grouped_quantiles(ds, group_col: str, col: str, qs: list[float],
     return pd.DataFrame(rows, columns=[group_col, "q", "value_scaled"])
 
 
-def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
-                        val_col: str, window: int, scale: int = 1,
-                        n_buckets: int = 256) -> pd.DataFrame:
+def rolling_sum_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
+                           val_col: str, window: int, scale: int = 1,
+                           n_buckets: int = 256):
     """Per-key rolling sum over the last ``window`` rows ordered by
     (ts, id): SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
@@ -495,8 +495,18 @@ def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
                          "roll_sum": pa.array(roll)})
 
     bucketed = add_key_bucket(ds, key_col, n_buckets)
-    out = bucketed.groupby("__kb").map_groups(
+    return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+
+
+def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
+                        val_col: str, window: int, scale: int = 1,
+                        n_buckets: int = 256) -> pd.DataFrame:
+    """Driver-collected convenience over ``rolling_sum_per_key_ds`` —
+    output is one row per INPUT row; at scale consume the Dataset
+    (write / further map_batches) instead of collecting."""
+    out = rolling_sum_per_key_ds(ds, key_col, ts_col, id_col, val_col,
+                                 window, scale, n_buckets)
     frames = [b.to_pandas() for b in
               out.iter_batches(batch_size=None, batch_format="pyarrow")]
     frames = [f for f in frames if len(f)]
