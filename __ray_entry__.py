@@ -688,6 +688,81 @@ def q_shuffle_export_counts(sf_dir: str):
     return out.astype({"bucket": "int64", "n": "int64"})
 
 
+def q_quality_rule_violations(sf_dir: str):
+    """C4-style rule-based filtering report: per rule, how many docs
+    violate it (short doc / over-long words / single-word domination /
+    too-few stopwords).  One vectorized pass; 4 counters merge."""
+    from timberjack_ray.functions.text import _STOPWORDS
+
+    stop = pa.array(sorted(set().union(*_STOPWORDS.values())))
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        n_words = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(n_words)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        wl = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(n_words)])
+        starts = np.minimum(offs[:-1], len(wl))  # len(wl) = sentinel slot
+        sum_wl = np.add.reduceat(np.append(wl, 0), starts)[:n] if n else np.array([])
+        sum_wl = np.where(n_words == 0, 0, sum_wl)
+        mean_wl = sum_wl / np.maximum(n_words, 1)
+        # single-word domination: max per-doc word frequency
+        ids = np.repeat(np.arange(n), n_words)
+        cnt = pd.DataFrame({"d": ids, "w": pd.factorize(flat.to_pandas())[0]}) \
+            .groupby(["d", "w"]).size()
+        max_freq = cnt.groupby(level=0).max().reindex(range(n), fill_value=0) \
+            .to_numpy()
+        stop_hits = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.add.reduceat(np.append(stop_hits, False), starts)[:n] if n \
+            else np.array([])
+        n_stop = np.where(n_words == 0, 0, n_stop)
+        viol = {
+            "too_short": n_words < 20,
+            "long_words": mean_wl > 10,
+            "one_word_dominates": max_freq > 0.2 * np.maximum(n_words, 1),
+            "few_stopwords": n_stop < np.ceil(0.05 * n_words),
+        }
+        return pa.table({"rule": pa.array(list(viol)),
+                         "n": pa.array([int(v.sum()) for v in viol.values()],
+                                       pa.int64())})
+
+    from timberjack_ray.aggregates import merge_partials
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["rule"], "n").to_pandas()
+    return out.sort_values("rule").reset_index(drop=True).astype({"n": "int64"})
+
+
+def q_dup_cluster_histogram(sf_dir: str):
+    """Dedup diagnostics: histogram of exact-duplicate cluster sizes
+    (how many distinct texts appear 1×, 2×, …).  (hash)-only shuffle →
+    per-cluster counts → tiny size histogram."""
+    from timberjack_ray.functions.corpus import add_content_hash
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return add_content_hash(t).select(["chash"])
+
+    from ray.data.aggregate import Count
+    clusters = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("chash").aggregate(Count(alias_name="sz"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("sz").aggregate([([], "count_all")])
+        return g.rename_columns(["cluster_size", "n_clusters"])
+
+    from timberjack_ray.aggregates import merge_partials
+    out = merge_partials(clusters.map_batches(hist, batch_format="pyarrow"),
+                         ["cluster_size"], "n_clusters").to_pandas()
+    return out.sort_values("cluster_size").reset_index(drop=True) \
+        .astype({"cluster_size": "int64", "n_clusters": "int64"})
+
+
 def q_actor_ids_union(sf_dir: str):
     """Set op UNION (distinct): ids active as event users ∪ order customers.
     Schema-aligned map → Dataset.union → distinct via groupby (C-side, only
@@ -1193,6 +1268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "actor_ids_union": q_actor_ids_union,
         "actor_ids_intersect": q_actor_ids_intersect,
+        "quality_rule_violations": q_quality_rule_violations,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
     }
 
 
@@ -1651,6 +1728,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "quality_rule_violations": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ), per AS (
+              SELECT doc_id, COUNT(*) AS n_words,
+                     SUM(length(w)) AS sum_wl,
+                     SUM(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stop
+              FROM tok GROUP BY doc_id
+            ), mf AS (
+              SELECT doc_id, MAX(c) AS max_freq FROM (
+                SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+              ) GROUP BY doc_id
+            )
+            SELECT 'too_short' AS rule,
+                   CAST(COUNT(*) FILTER (WHERE n_words < 20) AS BIGINT) AS n
+            FROM per
+            UNION ALL
+            SELECT 'long_words',
+                   COUNT(*) FILTER (WHERE CAST(sum_wl AS DOUBLE)
+                                          / GREATEST(n_words, 1) > 10)
+            FROM per
+            UNION ALL
+            SELECT 'one_word_dominates', COUNT(*) FILTER (
+                WHERE mf.max_freq > 0.2 * GREATEST(per.n_words, 1))
+            FROM per JOIN mf USING (doc_id)
+            UNION ALL
+            SELECT 'few_stopwords',
+                   COUNT(*) FILTER (WHERE n_stop < CEIL(0.05 * n_words))
+            FROM per
+        """,
+        "dup_cluster_histogram": """
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   COUNT(*) AS n_clusters
+            FROM (SELECT COUNT(*) AS sz FROM documents GROUP BY text)
+            GROUP BY sz
         """,
         "actor_ids_union": """
             SELECT user_id AS actor_id FROM events
