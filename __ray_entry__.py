@@ -763,6 +763,27 @@ def q_dup_cluster_histogram(sf_dir: str):
         .astype({"cluster_size": "int64", "n_clusters": "int64"})
 
 
+def q_stratified_sample_events(sf_dir: str):
+    """Stratified sampling — per-class keep rates (errors 100%, views 5%,
+    rest 25%), the data-mixing primitive: deterministic multiplicative-hash
+    mask with a per-row threshold from a broadcast rate map.  Output: kept
+    counts per class."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.corpus import KNUTH32
+
+    rates = {"error": 4096, "view": 205}  # per-4096; default 1024 (25%)
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pandas()
+        thr = et.map(rates).fillna(1024).to_numpy(np.int64) * np.int64(1 << 20)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scr = (ids * np.uint64(KNUTH32)) % np.uint64(2**32)
+        return t.filter(pa.array(scr < thr.astype(np.uint64)))
+
+    return counts_by(ds.map_batches(keep, batch_format="pyarrow"), "event_type")
+
+
 def q_actor_ids_union(sf_dir: str):
     """Set op UNION (distinct): ids active as event users ∪ order customers.
     Schema-aligned map → Dataset.union → distinct via groupby (C-side, only
@@ -1270,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_ids_intersect": q_actor_ids_intersect,
         "quality_rule_violations": q_quality_rule_violations,
         "dup_cluster_histogram": q_dup_cluster_histogram,
+        "stratified_sample_events": q_stratified_sample_events,
     }
 
 
@@ -1728,6 +1750,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "stratified_sample_events": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE (event_id::HUGEINT * 2654435761) % 4294967296 <
+                  (CASE event_type WHEN 'error' THEN 4096
+                                   WHEN 'view' THEN 205
+                                   ELSE 1024 END)::HUGEINT * 1048576
+            GROUP BY event_type
         """,
         "quality_rule_violations": f"""
             WITH tok AS (
