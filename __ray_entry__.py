@@ -763,6 +763,26 @@ def q_dup_cluster_histogram(sf_dir: str):
         .astype({"cluster_size": "int64", "n_clusters": "int64"})
 
 
+def q_recent_event_counts(sf_dir: str):
+    """Predicate pushdown at the READ: the ts >= cutoff filter is handed to
+    the Parquet scan (row-group statistics prune whole groups before any
+    byte leaves storage), then a tiny counts merge."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.rayctx import tune_for_cluster
+
+    tune_for_cluster()
+    cutoff = _dt.datetime(2024, 6, 1)
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"],
+                         filter=(pds.field("ts") >= pa.scalar(cutoff)))
+    return counts_by(ds.select_columns(["event_type"]), "event_type")
+
+
 def q_stratified_sample_events(sf_dir: str):
     """Stratified sampling — per-class keep rates (errors 100%, views 5%,
     rest 25%), the data-mixing primitive: deterministic multiplicative-hash
@@ -1292,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rule_violations": q_quality_rule_violations,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "stratified_sample_events": q_stratified_sample_events,
+        "recent_event_counts": q_recent_event_counts,
     }
 
 
@@ -1750,6 +1771,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
             FROM r GROUP BY source
+        """,
+        "recent_event_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-06-01' GROUP BY event_type
         """,
         "stratified_sample_events": """
             SELECT event_type, COUNT(*) AS n FROM events
