@@ -239,6 +239,32 @@ def q_dedup_exact_docs(sf_dir: str):
     return out[["doc_id"]].astype({"doc_id": "int64"})
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.decontaminate): the
+    held-out slice ``doc_id % 97 == 0`` plays the eval benchmark; training
+    docs sharing ANY word-3-gram with it are dropped (GPT-3 appendix C /
+    The Pile overlap rule).  Bench grams are a driver-folded distinct set
+    broadcast once via ray.put; the training side is filtered in one
+    streaming map_batches pass (searchsorted membership + per-doc
+    reduceat) — no shuffle, no join, train side never materializes.
+    Docs with <= 3 words contribute one whole-text gram in its OWN
+    equivalence class (the oracle tags S:/L: to mirror that)."""
+    from timberjack_ray.functions.dedup import decontaminate
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = decontaminate(side(False), side(True), col="text",
+                        id_col="doc_id", k=3).to_pandas()
+    return (out[["doc_id"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_doc_token_counts(sf_dir: str):
     """Token counting (whitespace) per language."""
     from timberjack_ray.aggregates import merge_partials
@@ -1251,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_customers": q_enrich_customers,
         "route_counts_docs": q_route_counts_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "doc_token_counts": q_doc_token_counts,
         "ann_topk": q_ann_topk,
         "orders_price_stats": q_orders_price_stats,
@@ -1432,6 +1459,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "decontaminate_docs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw, text
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN nw <= 3 THEN ['S:' || text]
+                     ELSE list_transform(generate_series(1, nw - 2),
+                           i -> 'L:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                END) AS gram
+              FROM w
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT g.doc_id FROM grams g
+              JOIN bench b ON g.gram = b.gram
+              WHERE g.doc_id % 97 <> 0
+            )
+            SELECT d.doc_id AS doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+            ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": """
             WITH w AS (

@@ -416,3 +416,39 @@ def test_minhash_candidate_pairs_distributed_matches_driver(ray_session, near_du
         .drop_duplicates(["a", "b"])
     key = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
     pd.testing.assert_frame_equal(key(small), key(big))
+
+
+def test_decontaminate_drops_overlapping_docs(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import decontaminate
+
+    bench = ["the held out eval question about turtles",
+             "alpha beta gamma delta epsilon",
+             "x y"]  # short bench doc: whole-text gram class
+    train = [
+        "clean document with completely different tokens here",   # survives
+        "prefix words then alpha beta gamma trailing suffix",     # dropped (shared 3-gram)
+        "the held out eval question about something else",        # dropped ("the held out" ...)
+        "alpha beta gamma",  # 3 words = whole-text gram; does NOT match the
+                             # bench LONG doc's internal 3-gram (own class)
+        "x y",               # dropped: whole-text gram matches bench short doc
+        "another totally unrelated clean sentence of words",      # survives
+    ]
+    train_ds = rd.from_arrow(docs_table(train)).repartition(3)
+    bench_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(bench)), pa.int64()),
+        "text": pa.array(bench)}))
+    out = decontaminate(train_ds, bench_ds, k=3).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3, 5]
+
+
+def test_decontaminate_empty_bench_keeps_all(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import decontaminate
+
+    train_ds = rd.from_arrow(docs_table(["a b c d", "e f g h"]))
+    bench_ds = rd.from_arrow(docs_table([]))
+    out = decontaminate(train_ds, bench_ds).to_pandas()
+    assert len(out) == 2

@@ -731,3 +731,87 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
     return keyed.groupby("pair_key").aggregate(
         Min("a", alias_name="a"), Min("b", alias_name="b"),
         Min("jacc", alias_name="jacc")).drop_columns(["pair_key"])
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (held-out n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+# per-worker-process cache of the broadcast benchmark gram array (keyed by
+# ObjectRef hex) — same pattern as stages/enrich._LOOKUP_CACHE: stateless
+# tasks fetch once per worker, the stage still fuses with its neighbours
+_BENCH_CACHE: dict = {}
+
+
+def _fetch_bench(ref) -> np.ndarray:
+    import ray
+
+    if isinstance(ref, np.ndarray):
+        return ref
+    key = ref.hex()
+    if key not in _BENCH_CACHE:
+        _BENCH_CACHE[key] = ray.get(ref)
+    return _BENCH_CACHE[key]
+
+
+def benchmark_gram_set(bench_ds, col: str = "text", k: int = 3) -> np.ndarray:
+    """Distinct word-k-gram hashes of the benchmark side, driver-folded.
+
+    Benchmark/eval sets are small BY DEFINITION (they are test sets), so the
+    distinct-gram fold fits on the driver: each batch emits its per-batch
+    unique hashes (``gram_hashes_batch`` — same equivalence classes as the
+    joined gram strings), the driver unions.  Partial volume is per-batch
+    distinct x 8 B, bounded by the benchmark's total gram count.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        h, _ = gram_hashes_batch(t[col].to_pylist(), k)
+        return pa.table({"g": pa.array(np.unique(h), pa.uint64())})
+
+    chunks = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(chunks))
+
+
+def decontaminate(train_ds, bench_ds, col: str = "text",
+                  id_col: str = "doc_id", k: int = 3):
+    """Drop training docs sharing ANY word-k-gram with a benchmark set.
+
+    The standard training-data decontamination step (e.g. GPT-3 appendix C /
+    The Pile: n-gram overlap against eval benchmarks).  Plan: (1) fold the
+    benchmark side's distinct gram hashes on the driver (small side — see
+    ``benchmark_gram_set``), (2) ``ray.put`` the sorted array ONCE, (3) one
+    streaming ``map_batches`` pass over the training side marks each doc via
+    a vectorized searchsorted membership probe + per-doc ``reduceat`` — no
+    shuffle, no join; the training side never materializes.
+
+    Docs with <= k words count as one whole-text gram (mirrors ``shingles``).
+    Returns the surviving-rows Dataset (same schema as ``train_ds``).
+    """
+    import ray
+
+    grams = benchmark_gram_set(bench_ds, col, k)  # already unique+sorted
+    ref = ray.put(grams)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        g = _fetch_bench(ref)
+        texts = t[col].to_pylist()
+        if len(texts) == 0:
+            return t
+        h, offs = gram_hashes_batch(texts, k)
+        if len(g) == 0 or len(h) == 0:
+            return t
+        idx = np.searchsorted(g, h)
+        hit = np.zeros(len(h), dtype=np.int64)
+        inb = idx < len(g)
+        hit[inb] = (g[idx[inb]] == h[inb]).astype(np.int64)
+        # every doc emits >= 1 gram (whole-text fallback), so offsets are
+        # strictly increasing and reduceat segments are well-formed
+        doc_hits = np.add.reduceat(hit, offs[:-1])
+        return t.filter(pa.array(doc_hits == 0))
+
+    return train_ds.map_batches(keep_clean, batch_format="pyarrow")
