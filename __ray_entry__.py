@@ -883,6 +883,16 @@ def q_hdr_value_quantiles(sf_dir: str):
     return out.astype({"value_scaled": "int64"})
 
 
+def q_hdr_value_quantiles_checked(sf_dir: str):
+    """Same HDR sketch, hash-checked: the binning is DETERMINISTIC
+    (truncate to sig=3 significant decimal digits — no sampling), so the
+    oracle reproduces bin ids, cumulative ranks and low edges in SQL and
+    the approximate quantile values match bit-for-bit.  Promotes the
+    sketch from rows-only to value-checked without weakening its scale
+    story (per-batch mergeable bin counts, one tiny exchange)."""
+    return q_hdr_value_quantiles(sf_dir)
+
+
 def q_normalized_distinct_docs(sf_dir: str):
     """C4-style normalization dedup: lowercase, strip non-alnum, collapse
     whitespace — then count distinct normalized texts per lang (how many
@@ -1334,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_spans": q_session_spans,
         "normalized_distinct_docs": q_normalized_distinct_docs,
         "hdr_value_quantiles": q_hdr_value_quantiles,
+        "hdr_value_quantiles_checked": q_hdr_value_quantiles_checked,
         "actor_ids_union": q_actor_ids_union,
         "actor_ids_intersect": q_actor_ids_intersect,
         "quality_rule_violations": q_quality_rule_violations,
@@ -1459,6 +1470,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "hdr_value_quantiles_checked": """
+            WITH v AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+            ),
+            b AS (
+              SELECT CASE WHEN v <= 0 THEN 0 ELSE
+                CAST(FLOOR(LOG10(CAST(v AS DOUBLE))) AS BIGINT) * 10000
+                + v // CAST(POWER(10, GREATEST(
+                    CAST(FLOOR(LOG10(CAST(v AS DOUBLE))) AS BIGINT) - 2, 0))
+                  AS BIGINT)
+              END AS bin FROM v
+            ),
+            c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+            cum AS (
+              SELECT bin, SUM(n) OVER (ORDER BY bin) AS cn,
+                     (SELECT SUM(n) FROM c) AS total
+              FROM c
+            ),
+            qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+            sel AS (
+              SELECT q, MIN(bin) AS bin
+              FROM qs JOIN cum
+                ON cn >= GREATEST(CAST(CEIL(q * total) AS BIGINT), 1)
+              GROUP BY q
+            )
+            SELECT q,
+                   CAST((bin % 10000) * CAST(POWER(10,
+                     GREATEST(bin // 10000 - 2, 0)) AS BIGINT) AS BIGINT)
+                     AS value_scaled
+            FROM sel
         """,
         "decontaminate_docs": """
             WITH w AS (
