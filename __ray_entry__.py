@@ -265,6 +265,20 @@ def q_decontaminate_docs(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking (functions/corpus.chunk_documents): each
+    doc's word stream becomes chunks of 12 words every 8 (4-word overlap)
+    — the pre-training chunk step before packing.  Streaming flat-map, no
+    shuffle; vectorized list_slice + binary_join per chunk index."""
+    from timberjack_ray.functions.corpus import chunk_documents
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, window=12, stride=8).to_pandas()
+    return (out.astype({"doc_id": "int64", "chunk_id": "int64",
+                        "n_words": "int64"})
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+
 def q_doc_token_counts(sf_dir: str):
     """Token counting (whitespace) per language."""
     from timberjack_ray.aggregates import merge_partials
@@ -1288,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_counts_docs": q_route_counts_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "chunk_docs": q_chunk_docs,
         "doc_token_counts": q_doc_token_counts,
         "ann_topk": q_ann_topk,
         "orders_price_stats": q_orders_price_stats,
@@ -1470,6 +1485,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "chunk_docs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, nw, ws, UNNEST(generate_series(0,
+                CASE WHEN nw <= 12 THEN 0
+                     ELSE CAST(CEIL(CAST(nw - 12 AS DOUBLE) / 8) AS BIGINT)
+                END)) AS chunk_id
+              FROM w
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(ws, chunk_id * 8 + 1,
+                     LEAST(chunk_id * 8 + 12, nw)), ' ') AS chunk_text,
+                   LEAST(chunk_id * 8 + 12, nw) - chunk_id * 8 AS n_words
+            FROM c
         """,
         "hdr_value_quantiles_checked": """
             WITH v AS (

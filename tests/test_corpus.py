@@ -321,3 +321,44 @@ def test_flagship_job_entrypoint(ray_session, tmp_path):
     assert rc == 0
     m = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert m["rows"] == 2000 and m["levels"]
+
+
+def test_chunk_documents_boundaries(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import chunk_documents
+
+    texts = [
+        " ".join(f"w{i}" for i in range(10)),  # nw=10 > window → 3 chunks
+        "a b c",                               # nw=3 <= window → 1 chunk
+        "",                                    # splits to one empty word → 1 chunk
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    out = chunk_documents(ds, window=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    assert d0["chunk_text"].tolist() == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert d0["n_words"].tolist() == [4, 4, 4]
+    assert out[out.doc_id == 1]["chunk_text"].tolist() == ["a b c"]
+    assert out[out.doc_id == 2]["n_words"].tolist() == [1]  # [""] word
+
+    with pytest.raises(ValueError):
+        chunk_documents(ds, window=4, stride=5)
+
+
+def test_chunk_documents_truncated_tail(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import chunk_documents
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([" ".join(f"t{i}" for i in range(9))])}))
+    out = chunk_documents(ds, window=4, stride=4).to_pandas() \
+        .sort_values("chunk_id")
+    # nw=9: chunks at 0,4,8 — last truncates to 1 word
+    assert out["n_words"].tolist() == [4, 4, 1]
+    assert out["chunk_text"].tolist()[-1] == "t8"

@@ -425,3 +425,56 @@ def template_counts(ds, col: str, pattern: str = r"[0-9]+",
                             ["template"], "n")
     return merged.to_pandas().sort_values("template").reset_index(drop=True) \
         .astype({"n": "int64"})
+
+
+def chunk_documents(ds, col: str = "text", id_col: str = "doc_id",
+                    window: int = 32, stride: int = 24):
+    """Context-window chunking: split each doc's word stream into chunks of
+    ``window`` words starting every ``stride`` words (overlap = window -
+    stride) — the standard pre-training chunking step before packing.
+
+    Pure streaming flat-map expansion: no shuffle, no state; each batch
+    expands independently, so output volume per block is bounded by the
+    input block x (window/stride) and the executor's backpressure holds.
+    Vectorized: ONE split per batch, then per chunk-index i (a handful of
+    iterations — max chunks per doc, not per row) a filtered
+    ``list_slice`` + ``binary_join`` across all docs still long enough.
+
+    Chunk count per doc: 1 if nw <= window else ceil((nw-window)/stride)+1;
+    the last chunk truncates at the doc end.  Words are split on a single
+    space (matches the SQL oracle's string_split).  Returns (id_col,
+    chunk_id, chunk_text, n_words).
+    """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        words = pc.split_pattern(t[col], " ")
+        nw = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_chunks = np.where(
+            nw <= window, 1,
+            np.ceil((nw - window) / stride).astype(np.int64) + 1)
+        parts = []
+        for i in range(int(n_chunks.max()) if len(nw) else 0):
+            m = n_chunks > i
+            mm = pa.array(m)
+            sl = pc.list_slice(words.filter(mm), start=i * stride,
+                               stop=i * stride + window)
+            parts.append(pa.table({
+                id_col: ids.filter(mm),
+                "chunk_id": pa.array(
+                    np.full(int(m.sum()), i, dtype=np.int64)),
+                "chunk_text": pc.binary_join(sl, " "),
+                "n_words": pa.array(
+                    np.minimum(nw[m] - i * stride, window).astype(np.int64)),
+            }))
+        if parts:
+            return pa.concat_tables(parts)
+        return pa.table({id_col: pa.array([], ids.type),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string()),
+                         "n_words": pa.array([], pa.int64())})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
