@@ -105,7 +105,8 @@ def q_tpch_q1_qty(sf_dir: str):
 
     p = ds.map_batches(partial, batch_format="pyarrow")
     out = merge_partials(p, ["l_returnflag", "l_linestatus"], ["sum_qty", "n"]).to_pandas()
-    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    # floor(x + 0.5) = SQL ROUND's half-away-from-zero on non-negative sums
+    out["sum_qty"] = np.floor(out["sum_qty"] + 0.5).astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
 
@@ -319,7 +320,11 @@ def q_orders_price_stats(sf_dir: str):
     ds = _rp(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        from timberjack_ray.functions.util import scale_to_int
+
+        # floor(x*100 + 0.5): same half-away-from-zero tie rule as SQL ROUND
+        # on these non-negative prices (ADVICE r02)
+        cents = scale_to_int(t["o_totalprice"], 100)
         t2 = pa.table({"o_orderpriority": t["o_orderpriority"],
                        "price": t["o_totalprice"], "cents": cents})
         g = t2.group_by("o_orderpriority").aggregate(
@@ -366,7 +371,9 @@ def q_orders_by_nation(sf_dir: str):
     joined = broadcast_join(ds, cust, keys="o_custkey", right_keys="c_custkey")
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        from timberjack_ray.functions.util import scale_to_int
+
+        cents = scale_to_int(t["o_totalprice"], 100)
         t2 = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents})
         g = t2.group_by("c_nationkey").aggregate([("cents", "sum"), ([], "count_all")])
         return g.rename_columns(["c_nationkey", "sum_cents", "n"])
@@ -656,7 +663,9 @@ def q_revenue_by_priority(sf_dir: str):
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
     def to_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        from timberjack_ray.functions.util import scale_to_int
+
+        cents = scale_to_int(t["l_extendedprice"], 100)
         return pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
 
     joined = bucket_hash_join(
@@ -1676,7 +1685,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_sessions FROM (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
-                               OR epoch(ts) - epoch(prev_ts) > 3600
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
                           THEN 1 ELSE 0 END AS is_start
               FROM (
                 SELECT user_id, ts,
@@ -1967,7 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "session_spans": """
             WITH s AS (
               SELECT user_id, epoch_us(ts) AS us,
-                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
                           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS st
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), a AS (

@@ -155,7 +155,7 @@ def test_bucket_hash_join_matches_pandas_merge(ray_session):
         rd.from_pandas(left), rd.from_pandas(right), "k", "k2",
         left_cols=["a"], right_cols=["b"], n_buckets=8).to_pandas()
     exp = left.merge(right, left_on="k", right_on="k2")[["k", "a", "b"]]
-    got = joined.rename(columns={"__key": "k"})[["k", "a", "b"]]
+    got = joined[["k", "a", "b"]]  # key surfaces under its left-side name
     key = lambda d: d.sort_values(["k", "a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         key(got).astype("int64"), key(exp).astype("int64"))
@@ -213,7 +213,7 @@ def test_bucket_hash_join_left_outer_null_matches(ray_session):
                            n_buckets=4, join_type="left outer").to_pandas()
     # unmatched left rows survive with null b; matched expand per right row
     assert len(out) == 5  # k=1(null), k=2 x2, k=3(null), k=4 x1
-    nulls = out[out["b"].isna()]["__key"].sort_values().tolist()
+    nulls = out[out["b"].isna()]["k"].sort_values().tolist()
     assert nulls == [1, 3]
 
 

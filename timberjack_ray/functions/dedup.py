@@ -63,7 +63,9 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def shingles(text: str, k: int = 3) -> np.ndarray:
-    ws = text.split()
+    # single-space split (not runs-of-whitespace) so gram sets match the SQL
+    # oracle's string_split(text, ' ') on texts with doubled/edge spaces
+    ws = text.split(" ")
     if len(ws) <= k:
         return np.array([text], dtype=object)
     return np.array([" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)], dtype=object)
@@ -88,7 +90,10 @@ def gram_hashes_batch(texts, k: int = 3):
     n = len(s)
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(1, np.int64)
-    words = s.str.split()
+    # literal single-space split: pandas' default split() collapses runs of
+    # any whitespace and drops empties, which diverges from the SQL oracle's
+    # string_split(text, ' ') on doubled/leading/trailing spaces (ADVICE r02)
+    words = s.str.split(" ")
     wc = words.str.len().to_numpy(dtype=np.int64)
     w_offs = np.concatenate([[0], np.cumsum(wc)])
     total = int(w_offs[-1])
@@ -416,11 +421,15 @@ def simhash_candidates(ds, col: str = "text", concurrency=None):
         batch_format="pyarrow")
 
 
-def _simhash_pairs_segmented(t: pa.Table, max_ham: int = 3) -> pa.Table:
+def _simhash_pairs_segmented(t: pa.Table, max_ham: int = 3,
+                             max_bucket: int = 256) -> pa.Table:
     """Hamming-verified pairs over MANY (band, key) buckets in one
     vectorized pass (same segmented-offset shape as ``_pairs_segmented``):
     lexsort, adjacent same-doc dedup, then per-offset XOR + unpackbits
-    popcount across all buckets at once."""
+    popcount across all buckets at once.  Degenerate buckets (e.g. many
+    empty docs all at simhash 0 sharing a 16-bit band key) are capped at
+    ``max_bucket`` rows (deterministic: doc_id asc) — without the cap one
+    giant segment makes the offset loop O(rows × max_segment) (ADVICE r02)."""
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
@@ -438,6 +447,13 @@ def _simhash_pairs_segmented(t: pa.Table, max_ham: int = 3) -> pa.Table:
         keep = ~dup
         band, key, ids, hv = band[keep], key[keep], ids[keep], hv[keep]
     change = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, len(band)])
+    rank = np.arange(len(band)) - np.repeat(starts, sizes)
+    capped = rank < max_bucket
+    if not capped.all():
+        band, key, ids, hv = band[capped], key[capped], ids[capped], hv[capped]
+        change = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
     seg_id = np.cumsum(change)
     n = len(ids)
     if n < 2:

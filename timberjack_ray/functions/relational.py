@@ -373,17 +373,21 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
     bucket fits a worker heap (at 100 TB: thousands of buckets; bucket
     count only changes group granularity, not total traffic).
 
-    Keys must be integers.  ``left_cols``/``right_cols`` are the non-key
-    payload columns to carry (must not overlap).  Returns a Dataset of
-    joined rows with columns ``[key] + left_cols + right_cols`` (inner
-    join), so downstream aggregation keeps streaming — the join result is
-    never materialized on the driver.
+    Keys must be integers and NON-NULL (a null key would silently hash as
+    garbage; prep raises a clear ValueError instead — filter nulls upstream
+    if the domain allows them).  ``left_cols``/``right_cols`` are the
+    non-key payload columns to carry (must not overlap, and must not reuse
+    the left key's name).  Returns a Dataset of joined rows with columns
+    ``[left_key] + left_cols + right_cols``, so downstream aggregation
+    keeps streaming — the join result is never materialized on the driver.
     """
     import pyarrow.compute as pc
 
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload column collision: {overlap}")
+    if left_key in set(left_cols) | set(right_cols):
+        raise ValueError(f"left key {left_key!r} collides with a payload column")
     def _types(ds, cols) -> dict:
         s = getattr(ds.schema(), "base_schema", ds.schema())
         if hasattr(s, "field"):  # pyarrow schema
@@ -399,6 +403,10 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
             key = pc.cast(t[key_col], pa.int64())
+            if key.null_count:
+                raise ValueError(
+                    f"bucket_hash_join: null join keys in {key_col!r} "
+                    "(filter nulls upstream; null keys never match in SQL)")
             ids = key.to_numpy(zero_copy_only=False).astype(np.uint64)
             bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)
                       ) % np.uint64(n_buckets)
@@ -423,7 +431,10 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         rt = t.filter(pc.invert(is_l)).select(["__key"] + right_cols)
         # co-partitioning makes per-bucket outer joins globally correct: a
         # left row's matches, if any exist, are all in its bucket
-        return lt.join(rt, keys="__key", join_type=join_type)
+        out = lt.join(rt, keys="__key", join_type=join_type)
+        # surface the key under its left-side name, as the docstring promises
+        names = [left_key if c == "__key" else c for c in out.column_names]
+        return out.rename_columns(names)
 
     return lp.union(rp).groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow")
@@ -439,10 +450,10 @@ def grouped_quantiles(ds, group_col: str, col: str, qs: list[float],
     Same plan as ``sessions.exact_quantiles`` widened with a group key —
     shuffle traffic is value-histogram-sized, never row-sized.
     """
-    import pyarrow.compute as pc
+    from timberjack_ray.functions.util import scale_to_int
 
     def partial(t: pa.Table) -> pa.Table:
-        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64())
+        v = scale_to_int(t[col], scale)
         g = pa.table({group_col: t[group_col], "v": v}) \
             .group_by([group_col, "v"]).aggregate([([], "count_all")])
         return g.rename_columns([group_col, "v", "n"])
@@ -479,10 +490,12 @@ def rolling_sum_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
     from timberjack_ray.functions.corpus import _segments, add_key_bucket
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int_np
+
         k = t[key_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        v = np.round(t[val_col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+        v = scale_to_int_np(t[val_col].to_numpy(zero_copy_only=False), scale)
         order = np.lexsort((ids, ts, k))
         ks, vs = k[order], v[order]
         starts, sizes = _segments(ks)

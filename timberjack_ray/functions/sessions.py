@@ -36,14 +36,20 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
     def per_bucket(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # microsecond-exact gap test (ADVICE r02): truncating to whole
+        # seconds misclassified fractional gaps in (gap_s, gap_s+1) vs the
+        # epoch-diff oracle; integer-us comparison is exact for us-precision
+        # timestamps.  Non-datetime inputs compare raw int values to gap_s.
         if np.issubdtype(ts.dtype, np.datetime64):
-            secs = ts.astype("datetime64[s]").astype("int64")
+            tvals = ts.astype("datetime64[us]").astype("int64")
+            gap = int(gap_s) * 1_000_000
         else:
-            secs = ts.astype("int64")
-        order = np.lexsort((secs, k))  # stable: ties keep original order
-        ks, ss = k[order], secs[order]
+            tvals = ts.astype("int64")
+            gap = int(gap_s)
+        order = np.lexsort((tvals, k))  # stable: ties keep original order
+        ks, ss = k[order], tvals[order]
         starts, sizes = _segments(ks)
-        flags = np.r_[False, np.diff(ss) > gap_s]
+        flags = np.r_[False, np.diff(ss) > gap]
         flags[starts] = False
         cum = np.cumsum(flags)
         sess = cum - np.repeat(cum[starts], sizes)
@@ -86,9 +92,9 @@ def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFra
     cumulative walk.  ``scale`` discretizes floats (e.g. 100 → cents)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from timberjack_ray.functions.util import scale_to_int
 
-        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64())
+        v = scale_to_int(t[col], scale)
         g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
         return g.rename_columns(["v", "n"])
 

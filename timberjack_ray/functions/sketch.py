@@ -266,8 +266,9 @@ def hdr_quantiles(ds, col: str, qs: list[float], scale: int = 1,
     Values must be ≥ 0 after scaling (shift first for signed data)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        v = pc.cast(pc.round(pc.multiply(t[col], float(scale))), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        from timberjack_ray.functions.util import scale_to_int
+
+        v = scale_to_int(t[col], scale).to_numpy(zero_copy_only=False)
         if (v < 0).any():
             raise ValueError("hdr_quantiles requires non-negative scaled values")
         b = _hdr_bin(v, sig)

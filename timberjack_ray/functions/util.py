@@ -2,7 +2,26 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def scale_to_int(col, scale: float) -> pa.Array:
+    """``floor(x*scale + 0.5)`` as int64 — the cent-scaling step every
+    value-exact oracle query shares.  SQL ROUND is half-AWAY-FROM-ZERO
+    while numpy/Arrow round() is half-to-even; on NON-NEGATIVE values
+    (prices, latencies, sizes — the only inputs here) floor(x·s + 0.5)
+    reproduces the SQL tie rule exactly, so data with values landing on
+    .5 after scaling can't flip the gate (ADVICE r02)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, float(scale)), 0.5)),
+                   pa.int64())
+
+
+def scale_to_int_np(v: np.ndarray, scale: float) -> np.ndarray:
+    """numpy twin of ``scale_to_int`` (same non-negative precondition)."""
+    return np.floor(np.asarray(v, dtype=np.float64) * float(scale) + 0.5) \
+        .astype(np.int64)
 
 
 def collect_table_under(ds, limit_rows: int) -> pa.Table | None:
