@@ -1,0 +1,163 @@
+"""VERDICT r02 #2: the four formerly-unbounded driver folds must
+auto-degrade past a cardinality limit (msg#-guard pattern) — CMS top-K for
+word counts / doc frequency, HLL-per-group for grouped distincts, and the
+distributed groupby plan for per-key session counts — with bounded driver
+state and sketch-tolerance answers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _word_docs(n_docs=4000, planted="common"):
+    # each doc: one planted frequent word + 3 unique words → vocabulary
+    # ~3·n_docs + 1, planted count = n_docs
+    texts = [f"{planted} u{i}a u{i}b u{i}c" for i in range(n_docs)]
+    return pa.table({"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                     "text": pa.array(texts)})
+
+
+def test_word_topk_degrades_to_cms(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import word_topk
+
+    ds = rd.from_arrow(_word_docs(4000)).repartition(8)
+    out = word_topk(ds, k=5, limit=1_000)
+    assert out.attrs["mode"] == "cms"            # the switch fired
+    assert out.iloc[0]["word"] == "common"       # heavy hitter survives
+    # CMS never under-counts; over-count bounded by ~2N/width (tiny here)
+    assert 4000 <= out.iloc[0]["n"] <= 4400
+
+
+def test_word_topk_exact_below_limit(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import word_topk
+
+    ds = rd.from_arrow(_word_docs(500)).repartition(4)
+    out = word_topk(ds, k=3, limit=1_000_000)
+    assert out.attrs["mode"] == "exact"
+    assert out.iloc[0]["word"] == "common" and out.iloc[0]["n"] == 500
+
+
+def test_doc_frequency_degrades_to_cms(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import doc_frequency
+
+    ds = rd.from_arrow(_word_docs(4000)).repartition(8)
+    out = doc_frequency(ds, limit=1_000)
+    assert out.attrs["mode"] == "cms"
+    # candidate set is bounded, and the frequent word is in it with a
+    # never-under-counting estimate
+    assert len(out) <= 8192
+    got = dict(zip(out["word"], out["df"]))
+    assert 4000 <= got["common"] <= 4400
+
+
+def test_doc_frequency_exact_below_limit(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import doc_frequency
+
+    ds = rd.from_arrow(_word_docs(300)).repartition(4)
+    out = doc_frequency(ds, limit=1_000_000)
+    assert out.attrs["mode"] == "exact"
+    got = dict(zip(out["word"], out["df"]))
+    assert got["common"] == 300 and got["u7a"] == 1
+
+
+def test_distinct_count_by_degrades_to_hll(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import distinct_count_by
+
+    n = 20_000
+    t = pa.table({
+        "g": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+        "v": pa.array([f"v{i}" for i in range(n)]),  # all distinct
+    })
+    out = distinct_count_by(rd.from_arrow(t).repartition(8), "g", "v",
+                            limit=2_000)
+    assert out.attrs["mode"] == "hll"
+    got = dict(zip(out["g"], out["n_distinct"]))
+    for g in ("a", "b"):
+        assert abs(got[g] - n // 2) / (n // 2) < 0.05  # HLL p=14 tolerance
+
+
+def test_distinct_count_by_exact_below_limit(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"g": rng.choice(["x", "y"], 2000),
+                       "v": rng.randint(0, 50, 2000).astype(str)})
+    from timberjack_ray.functions.relational import distinct_count_by
+
+    out = distinct_count_by(rd.from_pandas(df).repartition(4), "g", "v",
+                            limit=1_000_000)
+    assert out.attrs["mode"] == "exact"
+    exp = df.groupby("g")["v"].nunique()
+    got = dict(zip(out["g"], out["n_distinct"]))
+    assert got == exp.to_dict()
+
+
+def test_grouped_topk_streaming_tail_returns_dataset(ray_session):
+    """Above driver_limit the k × #groups result must come back as a
+    Dataset (VERDICT r02 #4), with exactly the same rows as the driver
+    fold would produce."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from timberjack_ray.functions.relational import grouped_topk
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    df = pd.DataFrame({"g": rng.randint(0, 400, n),
+                       "v": rng.randint(0, 10_000, n),
+                       "id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    small = grouped_topk(ds, "g", "v", 2, tie_col="id", driver_limit=2_000_000)
+    assert isinstance(small, pd.DataFrame)
+
+    big = grouped_topk(ds, "g", "v", 2, tie_col="id", driver_limit=10)
+    assert isinstance(big, Dataset)              # the switch fired
+    got = big.to_pandas().sort_values(["g", "v", "id"],
+                                      ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]].astype("int64"),
+                                  small[["g", "v", "id"]].astype("int64"))
+
+
+def test_session_stats_bails_to_distributed_dataset(ray_session):
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from timberjack_ray.functions.sessions import session_stats
+
+    n_users, per = 500, 3
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    rows = {
+        "u": np.repeat(np.arange(n_users, dtype=np.int64), per),
+        # events 2h apart → every event its own session (gap 3600s)
+        "ts": pd.to_datetime(
+            np.tile(np.arange(per) * 7_200_000_000, n_users)
+            + np.repeat(np.arange(n_users, dtype=np.int64), per) + base,
+            unit="us").astype("datetime64[us]"),
+    }
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(8)
+
+    exact = session_stats(ds, "u", "ts", gap_s=3600)
+    assert exact.attrs["mode"] == "driver"
+    assert set(exact["n_sessions"]) == {per}
+
+    guarded = session_stats(ds, "u", "ts", gap_s=3600, driver_limit=50)
+    assert isinstance(guarded, Dataset)          # the switch fired
+    got = guarded.to_pandas().sort_values("u").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"u": "int64", "n_sessions": "int64"}),
+        exact.rename(columns={})[["u", "n_sessions"]]
+        .astype({"u": "int64", "n_sessions": "int64"}))

@@ -139,7 +139,11 @@ def test_grouped_topk_distributed_fallback_same_result(left_ds):
     from timberjack_ray.functions.relational import grouped_topk
 
     small = grouped_topk(left_ds, "k", "v", 3, tie_col="v")
-    big = grouped_topk(left_ds, "k", "v", 3, tie_col="v", driver_limit=1)
+    # past driver_limit the distributed re-prune comes back as a Dataset
+    # (VERDICT r02 #4) — same rows, caller imposes its own order
+    big_ds = grouped_topk(left_ds, "k", "v", 3, tie_col="v", driver_limit=1)
+    big = big_ds.to_pandas().sort_values(["k", "v"], ascending=[True, False]) \
+        .reset_index(drop=True)
     pd.testing.assert_frame_equal(small[["k", "v"]].reset_index(drop=True),
                                   big[["k", "v"]].reset_index(drop=True),
                                   check_dtype=False)

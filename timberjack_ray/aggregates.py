@@ -41,6 +41,13 @@ KIND_LINE_ORDER = "line@"  # n = MIN global row order of the line (first-seen);
 # ~limit x 16 B and the count becomes approximate past it).
 MSG_GUARD_LIMIT = int(__import__("os").environ.get("TJ_MSG_GUARD_LIMIT", 5_000_000))
 
+# Distinct keys any OTHER driver fold (word counts, doc frequency, distinct
+# pairs, per-key session rows) holds exactly before auto-degrading to its
+# sketch / distributed path (VERDICT r02 #2: on web text these families are
+# billions of keys — URLs, typos, numbers — and an unguarded fold is a
+# driver OOM).
+FOLD_GUARD_LIMIT = int(__import__("os").environ.get("TJ_FOLD_GUARD_LIMIT", 5_000_000))
+
 
 def _hex_to_u64(keys: list[str]):
     """Vectorized parse of 16-hex-char msg# keys to uint64 (big-endian)."""
@@ -239,6 +246,127 @@ def merge_partials(partials_ds, keys: list[str], n_col: str,
             **{c: pa.array([0], pa.int64()) for c in n_cols},
         })
         out = pa.concat_tables([out.select(keys + n_cols), sentinel])
+    return out
+
+
+class GuardedCounts:
+    """Result of ``merge_counts_guarded``: exact (key, n) table under the
+    guard, Count-Min sketch + candidate keys past it.
+
+    ``mode`` is "exact" or "cms"; ``top_k(k)`` works in both modes (exact
+    counts, or CMS estimates over the candidate set — any key whose true
+    count beats the k-th by > ~2N/width is guaranteed among some batch's
+    top candidates, Cormode & Muthukrishnan 2005); ``to_pandas()`` returns
+    the full exact table or the estimated candidate table."""
+
+    def __init__(self, key_col: str, n_col: str):
+        self.key_col, self.n_col = key_col, n_col
+        self.mode = "exact"
+        self.table: pa.Table | None = None
+        self.cms = None
+        self.candidates: set = set()
+
+    def _estimates(self):
+        import pandas as pd
+
+        from timberjack_ray.functions.sketch import _hash_strings
+
+        cand = sorted(self.candidates)
+        est = self.cms.query_hashed(_hash_strings(cand))
+        return pd.DataFrame({self.key_col: cand, self.n_col: est})
+
+    def to_pandas(self):
+        if self.mode == "exact":
+            df = self.table.to_pandas()
+        else:
+            df = self._estimates()
+        df.attrs["mode"] = self.mode
+        return df
+
+    def top_k(self, k: int):
+        df = self.to_pandas()
+        out = df.sort_values([self.n_col, self.key_col],
+                             ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+        out.attrs["mode"] = self.mode
+        return out
+
+
+def merge_counts_guarded(partials_ds, key_col: str, n_col: str,
+                         limit: int | None = None,
+                         candidates_per_batch: int = 256,
+                         max_candidates: int = 8192,
+                         depth: int = 4, width: int = 1 << 16,
+                         compact_every: int = 64) -> GuardedCounts:
+    """Driver fold of (key, n) partial-count batches with a CARDINALITY
+    GUARD: exact pyarrow group_by compaction while distinct keys stay under
+    ``limit`` (default FOLD_GUARD_LIMIT); past it the fold AUTO-DEGRADES to
+    a mergeable Count-Min sketch plus a bounded candidate set (each batch's
+    top ``candidates_per_batch`` keys; re-pruned to ``max_candidates/2``
+    by estimate when full).  Driver memory is then bounded by
+    ~limit × key-size + depth × width × 8 B regardless of input
+    cardinality — the msg#-guard pattern (VERDICT r02 #2) for the open
+    count families (words, n-grams, doc frequency)."""
+    import numpy as np
+
+    if limit is None:
+        limit = FOLD_GUARD_LIMIT
+    out = GuardedCounts(key_col, n_col)
+    pending: list[pa.Table] = []
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        g = t.group_by(key_col).aggregate([(n_col, "sum")])
+        return g.rename_columns([key_col, n_col])
+
+    def absorb(t: pa.Table) -> None:
+        from timberjack_ray.functions.sketch import _hash_strings
+
+        keys = t[key_col].to_pylist()
+        ns = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out.cms.add_hashed(_hash_strings(keys), ns)
+        if len(keys) > candidates_per_batch:
+            top = np.argpartition(-ns, candidates_per_batch - 1)[:candidates_per_batch]
+            out.candidates.update(keys[i] for i in top)
+        else:
+            out.candidates.update(keys)
+        if len(out.candidates) > max_candidates:
+            pruned = out._estimates().sort_values(
+                [n_col, key_col], ascending=[False, True]) \
+                .head(max_candidates // 2)
+            out.candidates = set(pruned[key_col])
+
+    def degrade(folded: pa.Table) -> None:
+        from timberjack_ray.functions.sketch import CountMinSketch
+
+        out.mode = "cms"
+        out.cms = CountMinSketch(depth=depth, width=width)
+        absorb(folded)
+
+    for b in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        b = b.select([key_col, n_col])
+        if out.mode == "cms":
+            absorb(b)
+            continue
+        pending.append(b)
+        if len(pending) >= compact_every:
+            folded = compact(pending)
+            pending = [folded]
+            if folded.num_rows > limit:
+                degrade(folded)
+                pending = []
+    if out.mode == "exact":
+        if pending:
+            folded = compact(pending)
+            if folded.num_rows > limit:
+                degrade(folded)
+            else:
+                out.table = folded
+        else:
+            out.table = pa.schema(
+                [(key_col, pa.string()), (n_col, pa.int64())]).empty_table()
     return out
 
 

@@ -287,10 +287,19 @@ def bigram_topk(ds, k: int = 10, col: str = "text") -> pd.DataFrame:
         .head(k).reset_index(drop=True).astype({"n": "int64"})
 
 
-def doc_frequency(ds, id_col: str = "doc_id", col: str = "text") -> pd.DataFrame:
+def doc_frequency(ds, id_col: str = "doc_id", col: str = "text",
+                  limit: int | None = None) -> pd.DataFrame:
     """df(word) = number of documents containing the word.  Per-batch
     partial: distinct (doc, word) → per-word doc count (docs never span
-    batches, so partial sums are exact)."""
+    batches, so partial sums are exact).
+
+    The driver fold is GUARDED (VERDICT r02 #2): past ``limit`` distinct
+    words (default FOLD_GUARD_LIMIT) it degrades to a Count-Min sketch +
+    candidate fold and returns estimated df for the FREQUENT candidate
+    words only (the open tail is exactly what can't fit anywhere; absent
+    words should be treated as rare / max-idf by consumers).  The returned
+    frame records ``.attrs["mode"]`` ("exact"/"cms")."""
+    from timberjack_ray.aggregates import merge_counts_guarded
 
     def partial(t: pa.Table) -> pa.Table:
         words = pc.split_pattern(t[col], " ")
@@ -302,8 +311,9 @@ def doc_frequency(ds, id_col: str = "doc_id", col: str = "text") -> pd.DataFrame
         g = pairs.group_by("word").aggregate([([], "count_all")])
         return g.rename_columns(["word", "df"])
 
-    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                          ["word"], "df").to_pandas()
+    folded = merge_counts_guarded(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", "df", limit)
+    return folded.to_pandas()
 
 
 def top_discriminative_term(ds, id_col: str = "doc_id",

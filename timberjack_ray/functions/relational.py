@@ -169,13 +169,30 @@ def asof_join(ds, right: pa.Table, on: str, by: str, value_cols: list[str],
 _ASOF_CACHE: dict = {}
 
 
-def distinct_count_by(ds, group_col: str, distinct_col: str, name: str = "n_distinct") -> pd.DataFrame:
-    """Exact COUNT(DISTINCT distinct_col) GROUP BY group_col.
+def distinct_count_by(ds, group_col: str, distinct_col: str,
+                      name: str = "n_distinct", limit: int | None = None,
+                      hll_p: int = 14) -> pd.DataFrame:
+    """COUNT(DISTINCT distinct_col) GROUP BY group_col — EXACT while the
+    distinct-pair count stays under the cardinality guard.
 
     Two-level: per-batch dedup of (group, key) pairs (Arrow group_by), then
     a driver merge of distinct pairs, then a count per group.  Merge volume
     is the number of distinct pairs, not rows.
-    """
+
+    GUARD (VERDICT r02 #2): past ``limit`` distinct pairs (default
+    FOLD_GUARD_LIMIT — billions on open-domain keys) the fold degrades to
+    one mergeable HyperLogLog PER GROUP (group cardinality is assumed
+    bounded — event types, langs, sources): folded pairs are absorbed, and
+    each further partial batch adds its hashed keys directly.  Driver
+    memory is then ~limit × pair-size + groups × 2^p B.  The returned
+    frame records ``.attrs["mode"]`` ("exact"/"hll")."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import FOLD_GUARD_LIMIT
+
+    if limit is None:
+        limit = FOLD_GUARD_LIMIT
+
     def pairs(batch: pa.Table) -> pa.Table:
         g = batch.select([group_col, distinct_col]).group_by(
             [group_col, distinct_col]).aggregate([([], "count_all")])
@@ -183,9 +200,61 @@ def distinct_count_by(ds, group_col: str, distinct_col: str, name: str = "n_dist
         return t.set_column(2, "n", pa.array([1] * t.num_rows, pa.int64()))
 
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    distinct_pairs = merge_partials(p, [group_col, distinct_col], "n")
-    out = distinct_pairs.group_by(group_col).aggregate([([], "count_all")])
-    return out.rename_columns([group_col, name]).to_pandas()
+
+    hlls: dict | None = None
+    pending: list[pa.Table] = []
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        g = t.group_by([group_col, distinct_col]).aggregate([])
+        return g
+
+    def absorb(t: pa.Table) -> None:
+        from timberjack_ray.functions.sketch import (HyperLogLog,
+                                                     _hash_strings)
+
+        vals = _hash_strings(t[distinct_col].to_pylist())
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        for g in pd.unique(groups):
+            h = hlls.get(g)
+            if h is None:
+                h = hlls[g] = HyperLogLog(p=hll_p)
+            h.add_hashed(vals[groups == g])
+
+    for b in p.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        b = b.select([group_col, distinct_col])
+        if hlls is not None:
+            absorb(b)
+            continue
+        pending.append(b)
+        if len(pending) >= 64:
+            folded = compact(pending)
+            pending = [folded]
+            if folded.num_rows > limit:
+                hlls = {}
+                absorb(folded)
+                pending = []
+    if hlls is None and pending:
+        folded = compact(pending)
+        if folded.num_rows > limit:
+            hlls = {}
+            absorb(folded)
+        else:
+            out = folded.group_by(group_col).aggregate([([], "count_all")])
+            df = out.rename_columns([group_col, name]).to_pandas()
+            df.attrs["mode"] = "exact"
+            return df
+    if hlls is None:  # empty input
+        df = pd.DataFrame({group_col: [], name: []})
+        df.attrs["mode"] = "exact"
+        return df
+    keys = sorted(hlls)
+    df = pd.DataFrame({group_col: keys,
+                       name: [int(round(hlls[g].estimate())) for g in keys]})
+    df.attrs["mode"] = "hll"
+    return df
 
 
 class RangeJoiner:
@@ -324,9 +393,11 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
     Per-batch vectorized prune to ≤ k rows per group first, so the exchange
     carries at most k × (groups present in batch) rows, never raw rows.
     Pruned rows fold on the driver under ``driver_limit`` (one more prune
-    over the concatenation); above it, a distributed ``groupby(group)``
-    re-prunes per partition — same result, all-to-all only on pruned rows.
-    Returns a pandas DataFrame sorted (group asc, rank order).
+    over the concatenation) → pandas DataFrame sorted (group asc, rank
+    order).  Above it the result is k × #groups rows — TOO BIG for the
+    driver at high group cardinality (VERDICT r02 #4) — so the distributed
+    re-prune DATASET is returned instead (exact k-per-group rows; caller
+    streams/writes or aggregates it; no global sort is imposed).
     """
     pruned = ds.map_batches(
         lambda t: _topk_prune(t, group_col, sort_col, tie_col, k, descending),
@@ -337,26 +408,22 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
     small = collect_table_under(pruned, driver_limit)
     if small is not None:
         final = _topk_prune(small, group_col, sort_col, tie_col, k, descending)
-    else:
-        # bucket the groups so the exchange has ~256 coarse partitions and
-        # each map_groups call prunes MANY groups in one vectorized lexsort
-        # (one call per group would be per-key Python at high cardinality)
-        from timberjack_ray.functions.corpus import add_key_bucket
+        return final.to_pandas().sort_values(
+            [group_col, sort_col, tie_col],
+            ascending=[True, not descending, True]).reset_index(drop=True)
+    if pruned.count() == 0:  # zero-row input (collect_table_under bails on empty)
+        return pd.DataFrame(columns=ds.schema().names if ds.schema() else
+                            [group_col, sort_col, tie_col])
+    # bucket the groups so the exchange has ~256 coarse partitions and
+    # each map_groups call prunes MANY groups in one vectorized lexsort
+    # (one call per group would be per-key Python at high cardinality)
+    from timberjack_ray.functions.corpus import add_key_bucket
 
-        parts = add_key_bucket(pruned, group_col, 256).groupby("__kb") \
-            .map_groups(
-                lambda t: _topk_prune(t.drop_columns(["__kb"]), group_col,
-                                      sort_col, tie_col, k, descending),
-                batch_format="pyarrow")
-        batches = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
-        if not batches:  # zero-row input (collect_table_under also bails on empty)
-            return pd.DataFrame(columns=ds.schema().names if ds.schema() else
-                                [group_col, sort_col, tie_col])
-        final = pa.concat_tables(batches)
-    df = final.to_pandas()
-    return df.sort_values(
-        [group_col, sort_col, tie_col],
-        ascending=[True, not descending, True]).reset_index(drop=True)
+    return add_key_bucket(pruned, group_col, 256).groupby("__kb") \
+        .map_groups(
+            lambda t: _topk_prune(t.drop_columns(["__kb"]), group_col,
+                                  sort_col, tie_col, k, descending),
+            batch_format="pyarrow")
 
 
 def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,

@@ -61,29 +61,75 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
 
 
-def session_stats(ds, key_col: str, ts_col: str, gap_s: int) -> pd.DataFrame:
-    """Per-key session count (distinct sessions after gap splitting)."""
+def _session_count_partials(ds, key_col: str, ts_col: str, gap_s: int):
+    """sessionize → per-batch (key, n) partials (n = max session_id + 1;
+    merged with MAX downstream in case a key's rows span block splits)."""
     sessioned = sessionize(ds, key_col, ts_col, gap_s)
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         g = t.select([key_col, "session_id"]).group_by(key_col).aggregate(
             [("session_id", "max")])
         out = g.rename_columns([key_col, "n"])
-        import pyarrow.compute as pc
-
         return out.set_column(1, "n", pc.add(out["n"].cast(pa.int64()), 1))
 
-    # groups arrive whole (map_groups output), so per-batch max+1 is exact
-    # per key; merge with MAX would be needed if a key spanned batches —
-    # use the max aggregate over (key, n) pairs driver-side to be safe
-    p = sessioned.map_batches(partial, batch_format="pyarrow")
-    frames = [b.to_pandas() for b in p.iter_batches(batch_size=None, batch_format="pyarrow")
-              if b.num_rows]
-    if not frames:
-        return pd.DataFrame({key_col: [], "n_sessions": []})
-    cat = pd.concat(frames, ignore_index=True)
-    out = cat.groupby(key_col, as_index=False)["n"].max()
-    return out.rename(columns={"n": "n_sessions"})
+    return sessioned.map_batches(partial, batch_format="pyarrow")
+
+
+def session_stats_ds(ds, key_col: str, ts_col: str, gap_s: int):
+    """Distributed per-key session counts: the scale path — one row per key
+    comes out of a Ray groupby(Max), never folded on the driver.  Consume
+    the returned Dataset (write / further aggregate) at high key counts."""
+    from ray.data.aggregate import Max
+
+    p = _session_count_partials(ds, key_col, ts_col, gap_s)
+    return p.groupby(key_col).aggregate(Max("n", alias_name="n_sessions"))
+
+
+def session_stats(ds, key_col: str, ts_col: str, gap_s: int,
+                  driver_limit: int | None = None):
+    """Per-key session count (distinct sessions after gap splitting).
+
+    GUARDED driver fold (VERDICT r02 #2): the output is one row per key,
+    so past ``driver_limit`` distinct keys (default FOLD_GUARD_LIMIT) the
+    fold bails to the distributed ``session_stats_ds`` plan and returns its
+    DATASET (caller streams/writes it) instead of a pandas frame — the
+    per-key result must not land on the driver at web-scale key counts.
+    Returns pd.DataFrame (``.attrs["mode"] = "driver"``) under the limit."""
+    from timberjack_ray.aggregates import FOLD_GUARD_LIMIT
+
+    if driver_limit is None:
+        driver_limit = FOLD_GUARD_LIMIT
+    p = _session_count_partials(ds, key_col, ts_col, gap_s)
+    pending: list[pa.Table] = []
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        g = t.group_by(key_col).aggregate([("n", "max")])
+        return g.rename_columns([key_col, "n"])
+
+    for b in p.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        pending.append(b.select([key_col, "n"]))
+        if len(pending) >= 64:
+            pending = [compact(pending)]
+            if pending[0].num_rows > driver_limit:
+                # one wasted partial pass (bounded by driver_limit rows),
+                # then the distributed plan recomputes from the source
+                return session_stats_ds(ds, key_col, ts_col, gap_s)
+    if not pending:
+        out = pd.DataFrame({key_col: [], "n_sessions": []})
+        out.attrs["mode"] = "driver"
+        return out
+    folded = compact(pending)
+    if folded.num_rows > driver_limit:
+        return session_stats_ds(ds, key_col, ts_col, gap_s)
+    out = folded.rename_columns([key_col, "n_sessions"]).to_pandas() \
+        .sort_values(key_col).reset_index(drop=True)
+    out.attrs["mode"] = "driver"
+    return out
 
 
 def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFrame:

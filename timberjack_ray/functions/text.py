@@ -180,26 +180,30 @@ def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.T
     )
 
 
-def word_topk(ds, k: int = 10, col: str = "text") -> pd.DataFrame:
-    """EXACT top-K words by count, (n desc, word asc) tie-break.
+def word_topk(ds, k: int = 10, col: str = "text",
+              limit: int | None = None) -> pd.DataFrame:
+    """Top-K words by count, (n desc, word asc) tie-break — EXACT while the
+    vocabulary stays under the cardinality guard.
 
     Per batch: Arrow split on single spaces → flatten → Arrow group_by
     count (the per-batch partial collapses to distinct words, so the merge
-    sees vocabulary-sized partials, never word instances).  Driver fold via
-    merge_partials, then one sort of the vocabulary.  The sketch-based
-    single-pass variant for unbounded vocabularies is
-    functions/sketch.heavy_hitters."""
+    sees vocabulary-sized partials, never word instances).  The driver fold
+    is GUARDED (VERDICT r02 #2): past ``limit`` distinct words (default
+    FOLD_GUARD_LIMIT — on web text the vocabulary is unbounded: URLs,
+    typos, numbers) it auto-degrades to the mergeable Count-Min sketch +
+    candidate fold of ``aggregates.merge_counts_guarded``, bounding driver
+    memory; the returned frame records ``.attrs["mode"]`` ("exact"/"cms")."""
     import pyarrow.compute as pc
 
-    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.aggregates import merge_counts_guarded
 
     def partial(batch: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.split_pattern(batch[col], " "))
         g = pa.table({"word": words}).group_by("word").aggregate([([], "count_all")])
         return g.rename_columns(["word", "n"])
 
-    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                            ["word"], "n")
-    df = merged.to_pandas()
-    return df.sort_values(["n", "word"], ascending=[False, True]) \
-        .head(k).reset_index(drop=True).astype({"n": "int64"})
+    folded = merge_counts_guarded(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", "n", limit)
+    out = folded.top_k(k).astype({"n": "int64"})
+    out.attrs["mode"] = folded.mode
+    return out

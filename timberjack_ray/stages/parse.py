@@ -15,6 +15,7 @@ enabled, ``ts_hour, message_key, error_type``.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
