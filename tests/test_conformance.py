@@ -126,6 +126,30 @@ def test_synth_conformance(ray_session, json_frac, cfg_kwargs, o_kwargs):
     assert_match(out, o, cfg)
 
 
+@pytest.mark.parametrize(
+    "cfg_kwargs,o_kwargs",
+    [
+        (dict(trend=True, stats=True), dict(collect_trends=True, collect_stats=True)),
+        (dict(pattern="timeout", stats=True), dict(pattern="timeout", collect_stats=True)),
+        (dict(level="ERROR", trend=True), dict(level="ERROR", collect_trends=True)),
+        (dict(fields=["service=api"]), dict(field_filters={"service": "api"})),
+    ],
+)
+def test_mixed_batch_json_split_conformance(ray_session, cfg_kwargs, o_kwargs):
+    """fmt=json FORCED over a 50/50 generic/JSON stream pins the round-3
+    mixed-batch split (columnar on the {-slice, vectorized non-dict
+    semantics on the rest) against the per-line oracle."""
+    n = 3000
+    lines = [synth.line_for(i, 0.5) for i in range(n)]
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth.sequences_table(n, 0.5)).repartition(5)
+    cfg = AnalyzeConfig(fmt="json", **cfg_kwargs)
+    out = analyze_dataset(ds, cfg)
+    o = oracle.analyze_lines(lines, fmt="json", **o_kwargs)
+    assert_match(out, o, cfg)
+
+
 def test_count_mode_matches_oracle(ray_session):
     lines = [synth.line_for(i) for i in range(2000)]
     ds = make_ds(lines)

@@ -247,6 +247,84 @@ class ParseStage:
                 mask = m if mask is None else pc.and_(mask, m)
         return ts, level, mask
 
+    def _parse_json_any(self, lines, want_ts: bool):
+        """Batch-level JSON dispatch (VERDICT r02 #3): split the batch by
+        the ``{``-prefix mask instead of bailing the WHOLE batch to the
+        per-row loop when one generic line is present.
+
+        * ``{``-prefixed rows (after lstrip) go to the columnar
+          ``pyarrow.json`` path; only if THAT bails (malformed JSON,
+          dotted filter keys, non-string needed values…) do those rows run
+          the exact per-row loop.
+        * all other rows can never parse to a JSON object — in the per-row
+          loop they take the malformed/non-dict path (level None, ts None,
+          filter = raw-line substring fallback), which is fully
+          vectorizable: ``kernels.fallback_filter_mask``.
+
+        Returns (ts | None, level, field_mask | None) aligned to the
+        input; level/ts nulls are filled by the caller's regex fallbacks,
+        exactly like the per-row path.
+        """
+        arr = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+        n = len(arr)
+        # pure-JSON batches (the common case) go columnar directly with NO
+        # extra pass: columnar success implies every line parsed as a JSON
+        # object (a stray generic line fails the whole read → None)
+        columnar = self._parse_json_columnar(arr, want_ts)
+        if columnar is not None:
+            return columnar
+        jm = pc.starts_with(pc.utf8_ltrim_whitespace(arr), "{") \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        all_json = bool(jm.all())
+        jarr = arr if all_json else arr.take(pa.array(np.flatnonzero(jm)))
+
+        j_ts = j_level = j_mask = None
+        if len(jarr):
+            columnar = self._parse_json_columnar(jarr, want_ts) \
+                if not all_json else None  # whole == slice: already failed
+            if columnar is not None:
+                j_ts, j_level, j_mask = columnar
+            else:
+                ts_list, level_list, keep_list = self._parse_json(
+                    jarr.to_pylist(), want_ts=want_ts)
+                j_level = pa.array(level_list, type=pa.string())
+                j_ts = pa.array(ts_list, type=pa.string()) if want_ts else None
+                j_mask = pa.array(keep_list) if keep_list is not None else None
+        else:
+            j_level = pa.array([], type=pa.string())
+
+        def _np(a, dtype=object):
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            return a.to_numpy(zero_copy_only=False)
+
+        if all_json:
+            return j_ts, j_level, j_mask
+
+        json_idx = np.flatnonzero(jm)
+        other_idx = np.flatnonzero(~jm)
+        level_full = np.full(n, None, dtype=object)
+        if len(jarr):
+            level_full[json_idx] = _np(j_level)
+        level = pa.array(level_full, type=pa.string())
+        ts = None
+        if want_ts:
+            ts_full = np.full(n, None, dtype=object)
+            if j_ts is not None and len(jarr):
+                ts_full[json_idx] = _np(j_ts)
+            ts = pa.array(ts_full, type=pa.string())
+        mask = None
+        if self.filters:
+            oarr = arr.take(pa.array(other_idx))
+            # per-row loop parity: the non-dict fallback matches the
+            # STRIPPED lowercase value (vl = v.strip().lower())
+            o_mask = kernels.fallback_filter_mask(
+                oarr, {k: v.strip() for k, v in self.filters.items()})
+            full = np.empty(n, dtype=bool)
+            full[other_idx] = _np(o_mask).astype(bool)
+            full[json_idx] = _np(j_mask).astype(bool) if len(jarr) else False
+            mask = pa.array(full)
+        return ts, level, mask
+
     # -- main --------------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -272,24 +350,12 @@ class ParseStage:
             else:
                 field_mask = None
         elif self.fmt == "json":
-            columnar = self._parse_json_columnar(lines, want_ts) if len(lines) else None
-            if columnar is not None:
-                cts, parsed_level, cmask = columnar
-                if isinstance(parsed_level, pa.Array):
-                    parsed_level = pa.chunked_array([parsed_level])
-                if parsed_level.null_count:
-                    fallback = kernels.extract_level(lines)
-                    level = pc.if_else(pc.is_valid(parsed_level), parsed_level, fallback)
-                else:
-                    level = parsed_level
-                if want_ts:
-                    ts = cts if isinstance(cts, pa.ChunkedArray) else pa.chunked_array([cts])
-                    if ts.null_count:
-                        ts = pc.if_else(pc.is_valid(ts), ts, kernels.extract_timestamp_raw(lines))
-                return self._finish(batch, lines, level, ts, cmask)
-            pylines = lines.to_pylist()
-            ts_list, level_list, keep_list = self._parse_json(pylines, want_ts=want_ts)
-            parsed_level = pa.chunked_array([pa.array(level_list, type=pa.string())])
+            if len(lines):
+                cts, parsed_level, field_mask = self._parse_json_any(lines, want_ts)
+            else:
+                cts, parsed_level, field_mask = None, pa.array([], pa.string()), None
+            if isinstance(parsed_level, pa.Array):
+                parsed_level = pa.chunked_array([parsed_level])
             # fallback level for rows the JSON parser left level-less
             # (src/analyzer.rs:232-245) — skipped when every row parsed one
             if parsed_level.null_count:
@@ -298,12 +364,13 @@ class ParseStage:
             else:
                 level = parsed_level
             if want_ts:
-                ts = pa.chunked_array([pa.array(ts_list, type=pa.string())])
+                ts = cts if isinstance(cts, pa.ChunkedArray) else \
+                    pa.chunked_array([cts]) if cts is not None else \
+                    pa.chunked_array([pa.nulls(len(lines), pa.string())])
                 # timestamp fallback: raw-line TIMESTAMP_REGEX when the JSON
                 # had no timestamp key (src/analyzer.rs:273-280)
                 if ts.null_count:
                     ts = pc.if_else(pc.is_valid(ts), ts, kernels.extract_timestamp_raw(lines))
-            field_mask = pa.chunked_array([pa.array(keep_list)]) if keep_list is not None else None
         else:
             level = kernels.extract_level(lines)
             if want_ts:
