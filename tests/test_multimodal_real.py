@@ -1,0 +1,178 @@
+"""backend="real" multimodal codecs (VERDICT r02 #5): stdlib PNG / PCM-WAV
+decoding behind the Pillow / soundfile import guards, with round-trip tests
+on payloads generated in-process (no binary fixtures, no network)."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from timberjack_ray.functions.multimodal import (AudioFeaturizer,
+                                                 FrameSampler, ImageDecoder,
+                                                 decode_png, decode_wav,
+                                                 encode_png)
+
+
+def _rand_img(h, w, ch, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, ch), np.uint8)
+
+
+def test_png_roundtrip_filter0():
+    img = _rand_img(8, 6, 3)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    g = _rand_img(5, 7, 1, seed=1)
+    assert np.array_equal(decode_png(encode_png(g)), g)
+    rgba = _rand_img(4, 4, 4, seed=2)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def _png_with_filters(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG whose row y uses filter ftypes[y] — exercises the
+    decoder's unfiltering for Sub/Up/Average/Paeth, which the filter-0
+    encoder never emits."""
+    h, w, ch = img.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.uint8)
+    for y, ft in enumerate(ftypes):
+        line = img[y].reshape(-1)
+        out = np.zeros_like(line)
+        for i in range(len(line)):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            out[i] = (int(line[i]) - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(out.tobytes())
+        prev = line
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_unfilters_all_filter_types():
+    img = _rand_img(5, 6, 3, seed=3)
+    data = _png_with_filters(img, [1, 2, 3, 4, 0])
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def _wav_bytes(x: np.ndarray, sr: int, nch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes((x * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_wav_roundtrip_mono():
+    sr = 8000
+    t = np.arange(sr // 10) / sr
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    wav, got_sr = decode_wav(_wav_bytes(x, sr))
+    assert got_sr == sr and len(wav) == len(x)
+    assert np.abs(wav - x).max() < 1e-3  # int16 quantization only
+
+
+def test_wav_stereo_downmixes_to_mono():
+    sr = 8000
+    left = np.full(100, 0.5, np.float32)
+    right = np.full(100, -0.5, np.float32)
+    inter = np.empty(200, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    wav, _ = decode_wav(_wav_bytes(inter, sr, nch=2))
+    assert len(wav) == 100 and np.abs(wav).max() < 1e-3  # L/R cancel
+
+
+def _media_table(payloads, media_type):
+    n = len(payloads)
+    return pa.table({
+        "media_id": pa.array([f"m-{i}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array([media_type] * n),
+        "width": pa.array([0] * n, pa.int32()),
+        "height": pa.array([0] * n, pa.int32()),
+        "sample_rate": pa.array([0] * n, pa.int32()),
+        "n_frames": pa.array([1] * n, pa.int32()),
+    })
+
+
+def test_image_decoder_real_backend_stage():
+    # solid-colour PNGs → exact pixel means; RGBA drops alpha; grey expands
+    solid = np.full((8, 8, 3), 200, np.uint8)
+    rgba = np.dstack([np.full((4, 4, 3), 100, np.uint8),
+                      np.full((4, 4, 1), 7, np.uint8)])
+    grey = np.full((6, 6, 1), 50, np.uint8)
+    t = _media_table([encode_png(solid), encode_png(rgba), encode_png(grey)],
+                     "image/png")
+    out = ImageDecoder(backend="real", resize_to=(4, 4))(t)
+    assert out["pixel_mean"].to_pylist() == [200.0, 100.0, 50.0]
+    assert out["pixel_std"].to_pylist() == [0.0, 0.0, 0.0]
+    thumb = np.asarray(out["thumbnail"].combine_chunks().flatten())
+    assert len(thumb) == 3 * 4 * 4 * 3
+
+
+def test_audio_featurizer_real_backend_stage():
+    sr = 16000
+    x = np.sin(2 * np.pi * 440 * np.arange(sr // 4) / sr).astype(np.float32)
+    t = _media_table([_wav_bytes(x, sr)], "audio/wav")
+    out = AudioFeaturizer(backend="real")(t)
+    assert out["duration_s"][0].as_py() == pytest.approx(0.25)
+    assert out["rms"][0].as_py() == pytest.approx(1 / np.sqrt(2), rel=1e-2)
+    assert out["zcr"][0].as_py() == pytest.approx(2 * 440 / sr, rel=0.05)
+
+
+def test_real_backends_end_to_end_actor_pool(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import (audio_features,
+                                                     decode_images)
+
+    imgs = [encode_png(np.full((8, 8, 3), v, np.uint8)) for v in (10, 20, 30)]
+    out = decode_images(rd.from_arrow(_media_table(imgs, "image/png")),
+                        backend="real").to_pandas()
+    assert sorted(out["pixel_mean"]) == [10.0, 20.0, 30.0]
+
+    sr = 8000
+    wavs = [_wav_bytes(np.zeros(sr // 10, np.float32), sr)]
+    aout = audio_features(rd.from_arrow(_media_table(wavs, "audio/wav")),
+                          backend="real").to_pandas()
+    assert aout["duration_s"].tolist() == [pytest.approx(0.1)]
+    assert aout["rms"].tolist() == [0.0]
+
+
+def test_frame_sampler_real_still_unimplemented():
+    with pytest.raises(NotImplementedError):
+        FrameSampler(backend="real")
