@@ -243,8 +243,10 @@ def test_multimodal_decode_plumbing(ray_session):
     assert a["pixel_mean"].to_pylist() == b["pixel_mean"].to_pylist()
     frames = sample_frames(rd.from_arrow(t)).to_pandas()
     assert frames.groupby("media_id").size().max() <= 4
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(backend="real")
+    # backend="real" constructs since round 3 (stdlib PNG decoder behind
+    # the Pillow import guard); non-PNG payloads raise ValueError at decode
+    with pytest.raises(ValueError):
+        ImageDecoder(backend="real")._decode_one(b"not a png", 4, 4)
     with pytest.raises(NotImplementedError):
         FrameSampler(backend="real")
 
@@ -353,8 +355,10 @@ def test_audio_featurizer_plumbing(ray_session):
     a = f(t.slice(0, 4))
     b = f(t.slice(0, 4))
     assert a["rms"].to_pylist() == b["rms"].to_pylist()
-    with pytest.raises(NotImplementedError):
-        AudioFeaturizer(backend="real")
+    # backend="real" constructs since round 3 (stdlib wave decoder behind
+    # the soundfile import guard); garbage payloads fail at decode
+    with pytest.raises(Exception):
+        AudioFeaturizer(backend="real")._decode_one(b"not a wav", 8000)
 
 
 def test_ngram_jaccard_distributed_path_matches_driver_path(ray_session):
