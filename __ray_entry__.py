@@ -631,7 +631,7 @@ def q_quality_scores(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2).to_pandas()
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2).to_pandas()
     return scored[["doc_id", "quality"]].astype({"doc_id": "int64"})
 
 
@@ -640,7 +640,7 @@ def q_langid(sf_dir: str):
     from timberjack_ray.functions.text import LangId
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
     return counts_by(pred, "lang_pred")
 
 
@@ -1052,7 +1052,7 @@ def q_curation_pipeline(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
         t = add_content_hash(t)
@@ -1202,7 +1202,7 @@ def q_quality_histogram(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
 
     def bucketize(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor(pc.multiply(t["quality"], 10.0)), pa.int64())
@@ -1218,7 +1218,7 @@ def q_best_doc_per_lang(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
     out = grouped_topk(scored, "lang", "quality", k=1, tie_col="doc_id",
                        descending=True)
     return out[["lang", "doc_id"]].astype({"lang": "str", "doc_id": "int64"})
@@ -1298,6 +1298,68 @@ def q_multimodal_decode(sf_dir: str):
     return out[["media_id", "pixel_mean", "pixel_std"]]
 
 
+def q_multimodal_decode_real(sf_dir: str):
+    """Real-codec image leg (round 3): PNG payloads built in-process
+    (encode_png) and decoded by backend="real" — the stdlib PNG decoder
+    behind the Pillow import guard (functions/multimodal.decode_png).
+    Solid-colour images make pixel_mean/std deterministic.  Rows-only."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import decode_images, encode_png
+
+    n = 64
+    payloads = [encode_png(np.full((8, 8, 3), (i * 3) % 256, np.uint8))
+                for i in range(n)]
+    t = pa.table({
+        "media_id": pa.array([f"png-{i:04d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image/png"] * n),
+        "width": pa.array([8] * n, pa.int32()),
+        "height": pa.array([8] * n, pa.int32()),
+        "sample_rate": pa.array([0] * n, pa.int32()),
+        "n_frames": pa.array([1] * n, pa.int32()),
+    })
+    out = decode_images(rd.from_arrow(t), backend="real").to_pandas()
+    return out[["media_id", "pixel_mean", "pixel_std"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def q_audio_features_real(sf_dir: str):
+    """Real-codec audio leg (round 3): PCM WAV payloads built with the
+    stdlib wave module and decoded by backend="real"
+    (functions/multimodal.decode_wav).  Rows-only."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import audio_features
+
+    n, sr = 64, 8000
+    payloads = []
+    for i in range(n):
+        x = np.sin(2 * np.pi * (220 + i) * np.arange(sr // 10) / sr)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes((x * 32767).astype(np.int16).tobytes())
+        payloads.append(buf.getvalue())
+    t = pa.table({
+        "media_id": pa.array([f"wav-{i:04d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["audio/wav"] * n),
+        "width": pa.array([0] * n, pa.int32()),
+        "height": pa.array([0] * n, pa.int32()),
+        "sample_rate": pa.array([sr] * n, pa.int32()),
+        "n_frames": pa.array([1] * n, pa.int32()),
+    })
+    out = audio_features(rd.from_arrow(t), backend="real").to_pandas()
+    return out[["media_id", "duration_s", "rms", "zcr"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -1375,6 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "audio_features_real": q_audio_features_real,
     }
 
 
@@ -2010,6 +2074,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             WHERE o.o_orderkey IS NULL
             GROUP BY c_nationkey
+        """,
+        # planted-truth oracle: solid-colour 8x8 PNGs of value (i*3)%256 —
+        # the real decoder must recover exactly that mean with zero std
+        "multimodal_decode_real": """
+            SELECT printf('png-%04d', i) AS media_id,
+                   CAST((i * 3) % 256 AS DOUBLE) AS pixel_mean,
+                   CAST(0.0 AS DOUBLE) AS pixel_std
+            FROM generate_series(0, 63) t(i)
+            ORDER BY media_id
         """,
         "source_token_shares": """
             WITH s AS (

@@ -166,18 +166,19 @@ def test_embedding_near_dup_recall_vs_brute(ray_session):
 def test_quality_scorer_and_langid():
     from timberjack_ray.functions.text import LangId, QualityScorer
 
-    df = pd.DataFrame({"text": [
+    t = pa.table({"text": [
         "The quick brown fox jumps over the lazy dog and runs to the barn.",
         "el la de que y en un los del se",
         "!!! ??? ###",
         "你好世界 这是中文",
     ]})
-    scored = QualityScorer()(df.copy())
-    assert scored["quality"][0] > scored["quality"][2]  # prose beats punct soup
-    lang = LangId()(df.copy())
-    assert lang["lang_pred"][0] == "en"
-    assert lang["lang_pred"][1] == "es"
-    assert lang["lang_pred"][3] == "zh-ja"
+    scored = QualityScorer()(t)
+    q = scored["quality"].to_pylist()
+    assert q[0] > q[2]  # prose beats punct soup
+    lang = LangId()(t)["lang_pred"].to_pylist()
+    assert lang[0] == "en"
+    assert lang[1] == "es"
+    assert lang[3] == "zh-ja"
 
 
 def test_token_counts_kernel():

