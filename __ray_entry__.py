@@ -825,7 +825,7 @@ def q_recent_event_counts(sf_dir: str):
     from timberjack_ray.rayctx import tune_for_cluster
 
     tune_for_cluster()
-    cutoff = _dt.datetime(2024, 6, 1)
+    cutoff = _dt.datetime(2024, 1, 15)  # mid-range: the filter must PRUNE, not empty
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts"],
                          filter=(pds.field("ts") >= pa.scalar(cutoff)))
@@ -1975,7 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recent_event_counts": """
             SELECT event_type, COUNT(*) AS n FROM events
-            WHERE ts >= TIMESTAMP '2024-06-01' GROUP BY event_type
+            WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type
         """,
         "stratified_sample_events": """
             SELECT event_type, COUNT(*) AS n FROM events
