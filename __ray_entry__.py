@@ -1015,15 +1015,23 @@ def q_seq_pack_tokens(sf_dir: str):
 
 
 def q_custs_without_orders(sf_dir: str):
-    """Left-outer bucketed join path: customers LEFT JOIN orders, keep the
-    null-match rows (classic anti-join via outer join), count per nation.
-    Co-partitioning makes per-bucket outer joins globally correct — a left
-    row's matches, if any, are all in its bucket."""
+    """Left-outer bucketed join path: customers LEFT JOIN their URGENT
+    orders, keep the null-match rows (classic anti-join via outer join),
+    count per nation.  (The priority filter makes the anti-join set
+    NON-empty at every sf — in this synthetic data every customer has
+    orders, but not every customer has an URGENT one.)  Co-partitioning
+    makes per-bucket outer joins globally correct — a left row's matches,
+    if any, are all in its bucket."""
     from timberjack_ray.aggregates import counts_by
     from timberjack_ray.functions.relational import bucket_hash_join
 
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey", "o_orderkey"]),
+            batch_format="pyarrow")
     joined = bucket_hash_join(cust, orders, "c_custkey", "o_custkey",
                               left_cols=["c_nationkey"], right_cols=["o_orderkey"],
                               n_buckets=32, join_type="left outer")
@@ -2071,7 +2079,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "custs_without_orders": """
             SELECT c_nationkey, COUNT(*) AS n
-            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT') o
+              ON c.c_custkey = o.o_custkey
             WHERE o.o_orderkey IS NULL
             GROUP BY c_nationkey
         """,
