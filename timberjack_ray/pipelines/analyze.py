@@ -358,6 +358,30 @@ def analyze_text(
     return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=None, fmt=fmt, **kwargs)
 
 
+def _agg_read_columns(paths, cfg: AnalyzeConfig) -> list[str] | None:
+    """Column pruning for the aggregate-only path: an analysis that never
+    routes needs only the line-source column (+ ``source`` for the per-sink
+    family, + ``doc_id`` for --first-seen order).  Reading doc_id strings
+    and n_tok for a counts-only query wastes ~20 % of the scan."""
+    import pyarrow.parquet as pq
+
+    try:
+        names = set(pq.ParquetFile(paths[0]).schema_arrow.names)
+    except Exception:
+        return None
+    col = next((c for c in ("line", "tokens", "text") if c in names), None)
+    if col is None:
+        return None
+    if cfg.count:
+        return [col]  # CountStage ignores parser fields entirely
+    cols = {col}
+    if "source" in names:
+        cols.add("source")
+    if cfg.first_seen and "doc_id" in names:
+        cols.add("doc_id")
+    return sorted(cols)
+
+
 def analyze_parquet(
     paths,
     cfg: AnalyzeConfig,
@@ -377,7 +401,8 @@ def analyze_parquet(
         or len(paths) <= wave_files
     )
     if single_wave:
-        ds = rd.read_parquet(paths)
+        columns = _agg_read_columns(paths, cfg) if out_dir is None else None
+        ds = rd.read_parquet(paths, columns=columns)
         return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=paths, **kwargs)
 
     cfg2 = cfg
