@@ -1306,6 +1306,33 @@ def q_multimodal_decode(sf_dir: str):
     return out[["media_id", "pixel_mean", "pixel_std"]]
 
 
+def q_domain_rebalance(sf_dir: str):
+    """Domain-mixing resample (functions/corpus.rebalance_sources):
+    deterministically down-sample each source toward a UNIFORM token share
+    — pass 1 measures per-source token sums (tiny merge), pass 2 filters
+    with the multiplicative-hash mask and a broadcast per-source
+    keep-per-4096 threshold.  Output: per-source surviving doc count +
+    token sum; the oracle replays both passes (identical float64 rate
+    expression, identical hash mask)."""
+    from timberjack_ray.functions.corpus import rebalance_sources
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    kept = rebalance_sources(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        g = pa.table({"source": t["source"], "tok": n_tok}) \
+            .group_by("source").aggregate([("tok", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "sum_tok", "n_docs"])
+
+    from timberjack_ray.aggregates import merge_partials
+
+    out = merge_partials(kept.map_batches(partial, batch_format="pyarrow"),
+                         ["source"], ["sum_tok", "n_docs"]).to_pandas()
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"sum_tok": "int64", "n_docs": "int64"})
+
+
 def q_multimodal_decode_real(sf_dir: str):
     """Real-codec image leg (round 3): PNG payloads built in-process
     (encode_png) and decoded by backend="real" — the stdlib PNG decoder
@@ -1447,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
         "audio_features_real": q_audio_features_real,
+        "domain_rebalance": q_domain_rebalance,
     }
 
 
@@ -2085,6 +2113,29 @@ def oracle_sql() -> dict[str, str]:
               ON c.c_custkey = o.o_custkey
             WHERE o.o_orderkey IS NULL
             GROUP BY c_nationkey
+        """,
+        "domain_rebalance": """
+            WITH s AS (
+              SELECT source,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(tok) AS T, COUNT(*) AS k FROM s),
+            r AS (
+              SELECT source,
+                     CAST(LEAST(4096.0, FLOOR(
+                       ((CAST(T AS DOUBLE) / k) * 4096.0) / tok))
+                     AS BIGINT) AS keep
+              FROM s, tot
+            )
+            SELECT d.source AS source,
+                   CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tok,
+                   COUNT(*) AS n_docs
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE (d.doc_id::HUGEINT * 2654435761) % 4294967296
+                  < r.keep::HUGEINT * 1048576
+            GROUP BY d.source
+            ORDER BY source
         """,
         # planted-truth oracle: solid-colour 8x8 PNGs of value (i*3)%256 —
         # the real decoder must recover exactly that mean with zero std

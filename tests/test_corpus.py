@@ -131,6 +131,33 @@ def test_template_counts_normalizes_digit_runs(ray_session):
     assert got == {'{"k": #}': 2, "no digits": 1, '{"j": #, "k": #}': 1}
 
 
+def test_rebalance_sources_uniformizes_token_shares(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    # source 'big' holds ~8x the tokens of 'small'
+    src = np.where(rng.random(n) < 0.8, "big", "small")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(src),
+        "text": pa.array(["w " * 9 + "w" if s == "big" else "w w"
+                          for s in src]),
+    })
+    kept = corpus.rebalance_sources(rd.from_arrow(t).repartition(4)).to_pandas()
+    kept["tok"] = kept["text"].str.count(" ") + 1
+    shares = kept.groupby("source")["tok"].sum()
+    # under-represented source passes through whole (never up-sampled)…
+    assert shares["small"] == (src == "small").sum() * 2
+    # …while the over-represented one shrinks to ~the uniform target T/k
+    total = ((src == "big").sum() * 10 + (src == "small").sum() * 2)
+    target = total / 2
+    assert abs(shares["big"] - target) / target < 0.10  # hash-mask noise
+    # deterministic: second run keeps the identical rows
+    kept2 = corpus.rebalance_sources(rd.from_arrow(t).repartition(7)).to_pandas()
+    assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
+
+
 def test_top_discriminative_term_tie_order(ray_session):
     import ray.data as rd
 

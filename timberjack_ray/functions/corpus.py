@@ -419,6 +419,59 @@ def rare_bigram_counts(ds, id_col: str = "doc_id", col: str = "text",
         .reset_index(drop=True)
 
 
+def rebalance_sources(ds, id_col: str = "doc_id", source_col: str = "source",
+                      col: str = "text",
+                      target_shares: dict[str, float] | None = None):
+    """Domain-mixing resample (round 3): deterministically down-sample each
+    source so its TOKEN share approaches a target mix (default: uniform
+    across sources) — the data-mixing step of pre-training corpus assembly.
+
+    Pass 1: per-source token sums (per-batch Arrow partials → tiny merge —
+    source cardinality is bounded).  keep rate per source =
+    ``min(1, target_tokens_s / tok_s)`` quantized to an integer
+    ``keep_per_4096`` so the threshold is engine-replayable; pass 2 filters
+    with the multiplicative-hash mask (``hash_sample_mask`` scramble) and a
+    per-row threshold from the broadcast rate map — one streaming pass, no
+    shuffle, over-represented sources shrink, under-represented ones pass
+    through whole (this op never up-samples).
+
+    Returns the filtered Dataset (same schema).  Deterministic: same rows
+    survive on every run/partitioning/engine — the SQL oracle replays both
+    passes exactly (same float64 expression order for the rate).
+    """
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t[col], " ")).cast(pa.int64())
+        g = pa.table({source_col: t[source_col], "tok": n_tok}) \
+            .group_by(source_col).aggregate([("tok", "sum")])
+        return g.rename_columns([source_col, "tok"])
+
+    shares = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            [source_col], "tok").to_pandas()
+    total = float(shares["tok"].sum())
+    k = len(shares)
+    if k == 0:
+        return ds
+    if target_shares is None:
+        tgt = {s: total / k for s in shares[source_col]}
+    else:
+        tgt = {s: total * target_shares.get(s, 0.0) for s in shares[source_col]}
+    keep = {
+        s: int(min(4096.0, np.floor((tgt[s] * 4096.0) / tok)))
+        for s, tok in zip(shares[source_col], shares["tok"].astype("float64"))
+    }
+
+    def filt(t: pa.Table) -> pa.Table:
+        src = t[source_col].to_pandas()
+        thr = src.map(keep).fillna(0).to_numpy(np.int64) * np.int64(1 << 20)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scr = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        return t.filter(pa.array(scr < thr.astype(np.uint64)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def template_counts(ds, col: str, pattern: str = r"[0-9]+",
                     repl: str = "#") -> pd.DataFrame:
     """Message-template mining: normalize away variable parts (default:
