@@ -812,6 +812,41 @@ def q_dup_cluster_histogram(sf_dir: str):
         .astype({"cluster_size": "int64", "n_clusters": "int64"})
 
 
+def q_order_chain_components(sf_dir: str):
+    """Connected components (functions/graph.py) over a CHAIN graph: each
+    customer's orders, sorted by key, are linked consecutively, so the
+    component label (the MIN orderkey of the chain) must actually propagate
+    hop by hop — a real union-find/label-propagation workload whose answer
+    is still SQL-checkable (min orderkey per customer with ≥2 orders).
+
+    Edge build is one bucketed exchange + a vectorized lexsort kernel (no
+    per-customer Python); components run via graph.connected_components —
+    driver union-find under the limit, distributed min-label propagation
+    with pointer jumping past it (equality-tested paths)."""
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import connected_components
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def seg_edges(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, cust))
+        cust, keys = cust[order], keys[order]
+        same = cust[1:] == cust[:-1]
+        return pa.table({"a": pa.array(keys[:-1][same], pa.int64()),
+                         "b": pa.array(keys[1:][same], pa.int64())})
+
+    pairs = add_key_bucket(ds, "o_custkey", 64).groupby("__kb") \
+        .map_groups(lambda t: seg_edges(t), batch_format="pyarrow")
+    out = connected_components(pairs)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.rename(columns={"node": "o_orderkey"})
+    return out.sort_values("o_orderkey").reset_index(drop=True) \
+        .astype({"o_orderkey": "int64", "component": "int64"})
+
+
 def q_recent_event_counts(sf_dir: str):
     """Predicate pushdown at the READ: the ts >= cutoff filter is handed to
     the Parquet scan (row-group statistics prune whole groups before any
@@ -1470,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_ids_intersect": q_actor_ids_intersect,
         "quality_rule_violations": q_quality_rule_violations,
         "dup_cluster_histogram": q_dup_cluster_histogram,
+        "order_chain_components": q_order_chain_components,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -2056,6 +2092,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_clusters
             FROM (SELECT COUNT(*) AS sz FROM documents GROUP BY text)
             GROUP BY sz
+        """,
+        "order_chain_components": """
+            WITH g AS (SELECT o_custkey, MIN(o_orderkey) AS component,
+                              COUNT(*) AS n
+                       FROM orders GROUP BY o_custkey)
+            SELECT o.o_orderkey, CAST(g.component AS BIGINT) AS component
+            FROM orders o JOIN g USING (o_custkey)
+            WHERE g.n >= 2
         """,
         "actor_ids_union": """
             SELECT user_id AS actor_id FROM events

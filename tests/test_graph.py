@@ -1,0 +1,53 @@
+"""Distributed connected components (round 3): the min-label propagation
+Dataset path must produce exactly the driver union-find's components."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _cc(pairs, driver_limit, ray_ok=True):
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import connected_components
+
+    t = pa.table({"a": pa.array(pairs[:, 0]), "b": pa.array(pairs[:, 1])})
+    out = connected_components(rd.from_arrow(t).repartition(4),
+                               driver_limit=driver_limit,
+                               n_buckets=8, n_blocks=4)
+    if isinstance(out, pd.DataFrame):
+        return out.sort_values("node").reset_index(drop=True)
+    return out.to_pandas().sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "component": "int64"})
+
+
+def test_connected_components_driver_vs_distributed_random(ray_session):
+    rng = np.random.RandomState(17)
+    # ~25 clusters of varying size, plus a chain (pointer-jumping stress:
+    # depth 16 must converge in ~4 rounds, not 16)
+    edges = []
+    base = 0
+    for sz in rng.randint(2, 8, 25):
+        nodes = np.arange(base, base + sz, dtype=np.int64)
+        for i in range(1, sz):
+            edges.append((nodes[rng.randint(0, i)], nodes[i]))
+        base += sz + 3  # gaps → singleton ids never appear
+    chain = np.arange(10_000, 10_016, dtype=np.int64)
+    edges += [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)]
+    pairs = np.array(edges, dtype=np.int64)
+
+    driver = _cc(pairs, driver_limit=10_000_000)
+    assert driver.attrs["mode"] == "driver"
+    dist = _cc(pairs, driver_limit=0)  # force the distributed path
+    pd.testing.assert_frame_equal(
+        dist, driver[["node", "component"]].astype("int64"))
+    # chain collapses to one component labelled by its min node
+    assert set(driver[driver["node"].isin(chain)]["component"]) == {10_000}
+
+
+def test_connected_components_two_components_exact(ray_session):
+    pairs = np.array([[5, 3], [3, 9], [20, 21]], dtype=np.int64)
+    out = _cc(pairs, driver_limit=0)
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}

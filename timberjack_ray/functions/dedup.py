@@ -13,9 +13,12 @@ Web-scale patterns over ``ray.data.Dataset``:
 
 Partitioning assumption (documented per build-plan): the candidate-pair set
 after LSH is orders of magnitude smaller than the corpus; connected
-components run driver-side over pairs only (union-find).  At 100 TB the
-bucket groupbys shuffle fixed-size sketch rows (ids + 8-byte hashes), not
-document text.
+components run driver-side over pairs only (union-find).  When that
+assumption fails (edge sets past a few million pairs),
+``functions/graph.connected_components`` provides the equality-tested
+distributed path — min-label propagation with pointer jumping, entirely
+inside Ray Data.  At 100 TB the bucket groupbys shuffle fixed-size sketch
+rows (ids + 8-byte hashes), not document text.
 """
 
 from __future__ import annotations
