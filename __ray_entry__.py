@@ -847,6 +847,94 @@ def q_order_chain_components(sf_dir: str):
         .astype({"o_orderkey": "int64", "component": "int64"})
 
 
+def q_split_counts(sf_dir: str):
+    """Deterministic content-keyed train/valid/test split (98/1/1): bucket =
+    content-hash % 100 (functions/corpus.assign_split), so exact duplicates
+    always co-locate in one split (no train/test leakage through dup
+    clusters) and membership is re-derivable from the bytes by any engine.
+    Per-(split, source) counts merge partials — rows never leave workers."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import assign_split
+
+    ds = _rp(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = assign_split(t).select(["split", "source"]) \
+            .group_by(["split", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["split", "source", "n"])
+
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["split", "source"], "n").to_pandas()
+    return out.sort_values(["split", "source"]).reset_index(drop=True) \
+        .astype({"n": "int64"})
+
+
+def q_error_rate_anomalies(sf_dir: str):
+    """Burst detection over the error stream: hourly tumbling counts, flag
+    hours above 1.5× the mean observed-hour rate (functions/window.
+    rate_anomalies).  Pruned read (ts + type only) → vectorized filter →
+    per-window partials → window-bounded driver threshold."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.window import rate_anomalies
+
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type"])
+
+    def errors_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "error")).select(["ts"])
+
+    out = rate_anomalies(ds.map_batches(errors_only, batch_format="pyarrow"),
+                         "ts", width_s=3600, factor=1.5)
+    return out.astype({"window_start": "int64", "n": "int64"})
+
+
+def _plant_pii(t: pa.Table) -> pa.Table:
+    """Deterministically append a contact line (email, IPv4, phone derived
+    from doc_id/source) to each doc — the synth corpus carries no PII, so
+    the scrub gate would otherwise be a trivial no-op.  The oracle builds
+    the identical line with SQL string concat."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    id_s = pc.cast(t["doc_id"], pa.string())
+    m256 = pc.cast(pa.array(ids % 256), pa.string())
+    m100 = pc.cast(pa.array(ids % 100), pa.string())
+    p4 = pc.utf8_lpad(pc.cast(pa.array(ids % 10000), pa.string()), 4,
+                      padding="0")
+    aug = pc.binary_join_element_wise(
+        t["text"], " contact user", id_s, "@", t["source"],
+        ".com ip 10.", m256, ".0.", m100, " tel 555-010-", p4, "")
+    return t.append_column("aug", aug)
+
+
+def q_pii_scrub_docs(sf_dir: str):
+    """PII redaction (functions/text.scrub_pii): email → [EMAIL], IPv4 →
+    [IP], phone → [PHONE], each one vectorized RE2 pass — pyarrow and
+    DuckDB both run RE2, so the oracle replays the scrub byte-identically
+    over the same planted contact lines."""
+    from timberjack_ray.functions.text import scrub_pii
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = scrub_pii(_plant_pii(t), col="aug", out_col="scrubbed")
+        return t.select(["doc_id", "scrubbed"])
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+def q_pii_counts(sf_dir: str):
+    """PII audit (functions/text.pii_counts): total matches + affected docs
+    per pattern over the planted corpus — 3-row partial per batch, tiny
+    merge."""
+    from timberjack_ray.functions.text import pii_counts
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    aug = ds.map_batches(_plant_pii, batch_format="pyarrow")
+    out = pii_counts(aug, col="aug")
+    return out.astype({"n_matches": "int64", "n_docs": "int64"})
+
+
 def q_recent_event_counts(sf_dir: str):
     """Predicate pushdown at the READ: the ts >= cutoff filter is handed to
     the Parquet scan (row-group statistics prune whole groups before any
@@ -1506,6 +1594,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rule_violations": q_quality_rule_violations,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "order_chain_components": q_order_chain_components,
+        "split_counts": q_split_counts,
+        "error_rate_anomalies": q_error_rate_anomalies,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "pii_counts": q_pii_counts,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -1521,6 +1613,30 @@ def oracle_sql() -> dict[str, str]:
 
     def _sw(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    # PII gate: the aug line replays _plant_pii with SQL concat; the scrub
+    # chain is generated FROM functions/text.PII_PATTERNS so pattern parity
+    # is structural (both engines run RE2).
+    from timberjack_ray.functions.text import PII_PATTERNS
+
+    _PII_AUG = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
+        " || '.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        " || CAST(doc_id % 100 AS VARCHAR) || ' tel 555-010-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    _pii_scrub_expr = "aug"
+    for _pn, _pp, _pr in PII_PATTERNS:
+        _pii_scrub_expr = (f"regexp_replace({_pii_scrub_expr}, '{_pp}', "
+                           f"'{_pr}', 'g')")
+    _pii_counts_sql = (
+        f"WITH aug AS (SELECT {_PII_AUG} AS aug FROM documents) "
+        + " UNION ALL ".join(
+            f"SELECT '{n}' AS pii_type, "
+            f"CAST(SUM(len(regexp_extract_all(aug, '{p}'))) AS BIGINT) "
+            f"AS n_matches, "
+            f"CAST(COUNT(*) FILTER (WHERE regexp_matches(aug, '{p}')) "
+            f"AS BIGINT) AS n_docs FROM aug"
+            for n, p, _ in PII_PATTERNS))
 
     # Horner-fold polynomial content hash (mod 2^64) over codepoints —
     # replays functions/corpus.add_content_hash with HUGEINT arithmetic.
@@ -2101,6 +2217,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN g USING (o_custkey)
             WHERE g.n >= 2
         """,
+        "split_counts": f"""
+            WITH b AS (SELECT source,
+                              {_POLY_HASH.format(col='text')} % 100 AS bkt
+                       FROM documents)
+            SELECT CASE WHEN bkt < 98 THEN 'train'
+                        WHEN bkt = 98 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   source, COUNT(*) AS n
+            FROM b GROUP BY 1, 2
+        """,
+        "error_rate_anomalies": """
+            WITH h AS (SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                                AS window_start,
+                              COUNT(*) AS n
+                       FROM events WHERE event_type = 'error' GROUP BY 1)
+            SELECT window_start, n FROM h
+            WHERE n > 1.5 * (SELECT AVG(n) FROM h)
+        """,
+        "pii_scrub_docs": f"""
+            WITH aug AS (SELECT doc_id, {_PII_AUG} AS aug FROM documents)
+            SELECT doc_id, {_pii_scrub_expr} AS scrubbed FROM aug
+        """,
+        "pii_counts": _pii_counts_sql,
         "actor_ids_union": """
             SELECT user_id AS actor_id FROM events
             UNION

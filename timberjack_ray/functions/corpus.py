@@ -91,6 +91,29 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(h.view(np.int64)))
 
 
+def assign_split(batch: pa.Table, col: str = "text",
+                 out_col: str = "split",
+                 pct: tuple[int, int] = (98, 1)) -> pa.Table:
+    """Append a deterministic train/valid/test assignment derived from the
+    CONTENT hash (``add_content_hash`` Horner fold): bucket = hash % 100,
+    ``train`` below ``pct[0]``, ``valid`` for the next ``pct[1]`` buckets,
+    ``test`` for the rest.
+
+    Content-keyed (not id-keyed) so exact duplicates always land in the
+    SAME split — no train/test leakage through dup clusters — and the
+    assignment is reproducible across runs, partitionings and engines
+    (the DuckDB oracle replays the identical fold; at 100 TB any engine
+    can re-derive the split membership from the bytes alone).
+    """
+    t = add_content_hash(batch, col=col, out_col="__split_h")
+    h = t["__split_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = (h % np.uint64(100)).astype(np.int64)
+    split = np.where(b < pct[0], "train",
+                     np.where(b < pct[0] + pct[1], "valid", "test"))
+    return t.drop_columns(["__split_h"]) \
+        .append_column(out_col, pa.array(split, pa.string()))
+
+
 def hash_sample_mask(ids: np.ndarray, keep_per_4096: int) -> np.ndarray:
     """Deterministic multiplicative-hash Bernoulli mask: keep row iff
     ``(id * KNUTH32) mod 2^32 < keep_per_4096/4096 * 2^32``.  Same rows on

@@ -210,6 +210,59 @@ def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.T
     )
 
 
+# PII patterns, RE2 syntax (pyarrow.compute AND DuckDB both run RE2, so the
+# oracle replays the scrub byte-identically).  Applied in tuple order;
+# emails first so ordinary addresses are consumed as one unit before the
+# digit patterns see them.  IP-literal domains (a@10.0.0.1) have a
+# non-alphabetic TLD so the email pattern skips them — the IPv4 pass still
+# redacts the host part (→ a@[IP]); every PII byte is gone either way.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "[PHONE]"),
+)
+
+
+def scrub_pii(batch: pa.Table, col: str = "text", out_col: str | None = None,
+              patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS
+              ) -> pa.Table:
+    """Redact PII in ``col``: each (name, RE2 pattern, placeholder) is a
+    global ``replace_substring_regex`` — one vectorized C pass per pattern,
+    compiled once per call.  The mandatory pre-training scrub step; chain
+    it inside ``map_batches`` so text is rewritten where it lives."""
+    s = batch[col]
+    for _, pat, repl in patterns:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    if out_col is None or out_col == col:
+        return batch.set_column(batch.column_names.index(col), col, s)
+    return batch.append_column(out_col, s)
+
+
+def pii_counts(ds, col: str = "text",
+               patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS
+               ) -> pd.DataFrame:
+    """(pii_type, n_matches, n_docs) per pattern — the audit companion to
+    ``scrub_pii``.  Per-batch ``count_substring_regex`` partials (one row
+    per pattern per batch) merge to a #patterns-sized table."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, matches, docs = [], [], []
+        for name, pat, _ in patterns:
+            c = pc.count_substring_regex(t[col], pattern=pat)
+            arr = c.to_numpy(zero_copy_only=False)
+            names.append(name)
+            matches.append(int(arr.sum()))
+            docs.append(int((arr > 0).sum()))
+        return pa.table({"pii_type": pa.array(names, pa.string()),
+                         "n_matches": pa.array(matches, pa.int64()),
+                         "n_docs": pa.array(docs, pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(p, ["pii_type"], ["n_matches", "n_docs"]).to_pandas()
+    return out.sort_values("pii_type").reset_index(drop=True)
+
+
 def word_topk(ds, k: int = 10, col: str = "text",
               limit: int | None = None) -> pd.DataFrame:
     """Top-K words by count, (n desc, word asc) tie-break — EXACT while the

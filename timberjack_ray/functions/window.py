@@ -50,6 +50,23 @@ def tumbling_counts(ds, ts_col: str, width_s: int, by: str | None = None,
     return merge_partials(p, keys, name).to_pandas()
 
 
+def rate_anomalies(ds, ts_col: str, width_s: int = 3600,
+                   factor: float = 1.5, name: str = "n") -> pd.DataFrame:
+    """Burst detection: tumbling windows whose count exceeds ``factor ×``
+    the mean count over OBSERVED windows (empty windows don't vote — the
+    baseline is active traffic).  The merged count table is bounded by the
+    time range (one row per window: a year of hours is 8 760 rows), so the
+    mean + threshold filter run driver-side over the partials; the events
+    themselves never leave the workers.  The mean is an exact int sum /
+    count in float64, so any engine replays the cut identically — no
+    variance term whose summation order could flip a borderline window.
+    """
+    counts = tumbling_counts(ds, ts_col, width_s, name=name)
+    mu = counts[name].to_numpy().sum() / len(counts) if len(counts) else 0.0
+    out = counts[counts[name] > factor * mu]
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def sliding_counts(ds, ts_col: str, width_s: int, slide_s: int,
                    by: str | None = None, name: str = "n") -> pd.DataFrame:
     """COUNT per sliding window [k·slide, k·slide + width); width must be a
