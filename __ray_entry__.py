@@ -923,6 +923,21 @@ def q_pii_scrub_docs(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def q_dup_ngram_doc_frac(sf_dir: str):
+    """Gopher repetition filter signal (functions/text.add_dup_ngram_frac):
+    per-doc share of characters covered by duplicate word 2-grams, in
+    capped basis points — one vectorized hash/lexsort/bincount pass per
+    batch, no shuffle."""
+    from timberjack_ray.functions.text import add_dup_ngram_frac
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: add_dup_ngram_frac(t).select(["doc_id", "dup2_frac_bp"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "dup2_frac_bp": "int64"})
+
+
 def q_pii_counts(sf_dir: str):
     """PII audit (functions/text.pii_counts): total matches + affected docs
     per pattern over the planted corpus — 3-row partial per batch, tiny
@@ -1598,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_rate_anomalies": q_error_rate_anomalies,
         "pii_scrub_docs": q_pii_scrub_docs,
         "pii_counts": q_pii_counts,
+        "dup_ngram_doc_frac": q_dup_ngram_doc_frac,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -2240,6 +2256,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_pii_scrub_expr} AS scrubbed FROM aug
         """,
         "pii_counts": _pii_counts_sql,
+        "dup_ngram_doc_frac": """
+            WITH ws AS (SELECT doc_id, len(text) AS L,
+                               string_split(text, ' ') AS w
+                        FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(w)-1),
+                                i -> w[i] || ' ' || w[i+1])) AS gram
+                  FROM ws),
+            c AS (SELECT doc_id, gram,
+                         COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+                  FROM g),
+            dc AS (SELECT doc_id,
+                          COALESCE(SUM(len(gram)) FILTER (WHERE cnt >= 2),
+                                   0) AS dup_chars
+                   FROM c GROUP BY doc_id)
+            SELECT ws.doc_id,
+                   CASE WHEN ws.L = 0 THEN 0
+                        ELSE LEAST(CAST(FLOOR(COALESCE(dc.dup_chars, 0)
+                                   * 10000.0 / ws.L + 0.5) AS BIGINT),
+                                   10000) END AS dup2_frac_bp
+            FROM ws LEFT JOIN dc USING (doc_id)
+        """,
         "actor_ids_union": """
             SELECT user_id AS actor_id FROM events
             UNION

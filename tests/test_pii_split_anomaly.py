@@ -88,6 +88,30 @@ def test_assign_split_deterministic_and_leakage_free():
     assert frac["train"] > 0.9 and 0 < frac.get("valid", 0) < 0.1
 
 
+def test_dup_ngram_frac_known_values():
+    from timberjack_ray.functions.text import add_dup_ngram_frac
+
+    t = _t(["a b a b c",      # "a b"×2 → 6/9
+            "x y z",          # no dups
+            "q",              # < 2 words
+            "a a a a",        # overlapping "a a"×3 → 9/7 capped
+            "",               # empty
+            "née x née x"])   # unicode: "née x"×2 → 2·5 chars / 11 chars
+    out = add_dup_ngram_frac(t)["dup2_frac_bp"].to_pylist()
+    assert out == [6667, 0, 0, 10000, 0, 9091]
+
+
+def test_dup_ngram_frac_null_and_batch_boundary():
+    from timberjack_ray.functions.text import add_dup_ngram_frac
+
+    t = pa.table({"text": pa.array(["a b a b", None, "a b a b"])})
+    out = add_dup_ngram_frac(t)["dup2_frac_bp"].to_pylist()
+    assert out[0] == out[2] == 8571 and out[1] == 0  # 2·3 chars / 7
+    # grams never cross doc boundaries: two docs ending/starting alike
+    t2 = _t(["x y", "y x"])
+    assert add_dup_ngram_frac(t2)["dup2_frac_bp"].to_pylist() == [0, 0]
+
+
 def test_rate_anomalies_spike_detection(ray_session):
     import ray.data as rd
 

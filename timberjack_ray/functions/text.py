@@ -263,6 +263,72 @@ def pii_counts(ds, col: str = "text",
     return out.sort_values("pii_type").reset_index(drop=True)
 
 
+def add_dup_ngram_frac(batch: pa.Table, col: str = "text", n: int = 2,
+                       out_col: str = "dup2_frac_bp") -> pa.Table:
+    """Gopher-style repetition signal (Rae et al. 2021, "fraction of
+    characters in duplicate n-grams"): per doc, the share of characters
+    covered by word n-gram OCCURRENCES whose gram appears ≥ 2× in that
+    doc, in basis points (``floor(frac·10⁴ + .5)`` — the cent-scaling tie
+    rule, exact for any engine), capped at 10⁴: occurrences of a gram
+    overlap in strings like ``a a a a``, so the raw occurrence-char sum
+    can exceed the text length.  A gram occurrence covers its words plus
+    the joining spaces.  Only n=2 is implemented (the headline Gopher
+    cut); docs with < n words (or empty) score 0.
+
+    One vectorized pass: Arrow space-split (single-space, matching the
+    SQL oracle's ``string_split(text, ' ')``), stable word hashes, a
+    (doc, gram-hash) lexsort, run-length duplicate marking, and a
+    ``bincount`` fold back to docs.  64-bit gram hashing — a within-doc
+    collision could inflate a count, at ~|grams|²/2⁶⁴ odds (the same
+    trade the LSH family documents).
+    """
+    assert n == 2, "only the Gopher headline n=2 cut is implemented"
+    nrows = batch.num_rows
+    if nrows == 0:
+        return batch.append_column(out_col, pa.array([], pa.int64()))
+    text = batch[col]
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    split = pc.split_pattern(text, " ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    wl = pc.utf8_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_words = pc.list_value_length(split).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    doc_of_word = np.repeat(np.arange(nrows, dtype=np.int64), n_words)
+    total = len(wl)
+    dup_chars = np.zeros(nrows, dtype=np.int64)
+    if total > 1:
+        h = pd.util.hash_array(
+            flat.to_numpy(zero_copy_only=False).astype(object)
+        ).astype(np.uint64)
+        valid = np.empty(total, dtype=bool)
+        valid[:-1] = doc_of_word[1:] == doc_of_word[:-1]
+        valid[-1] = False
+        gj = np.nonzero(valid)[0]
+        if len(gj):
+            gdoc = doc_of_word[gj]
+            ghash = h[gj] * np.uint64(1000003) + h[gj + 1]
+            glen = wl[gj] + wl[gj + 1] + 1
+            order = np.lexsort((ghash, gdoc))
+            gd, gh, gl = gdoc[order], ghash[order], glen[order]
+            new_run = np.empty(len(gd), dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+            run_id = np.cumsum(new_run) - 1
+            dup_occ = np.bincount(run_id)[run_id] >= 2
+            dup_chars = np.bincount(
+                gd[dup_occ], weights=gl[dup_occ], minlength=nrows
+            ).astype(np.int64)
+    L = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    frac_bp = np.zeros(nrows, dtype=np.int64)
+    nz = L > 0
+    frac_bp[nz] = np.floor(dup_chars[nz] * 10000.0 / L[nz] + 0.5).astype(np.int64)
+    np.minimum(frac_bp, 10000, out=frac_bp)
+    return batch.append_column(out_col, pa.array(frac_bp))
+
+
 def word_topk(ds, k: int = 10, col: str = "text",
               limit: int | None = None) -> pd.DataFrame:
     """Top-K words by count, (n desc, word asc) tie-break — EXACT while the
