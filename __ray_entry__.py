@@ -923,6 +923,49 @@ def q_pii_scrub_docs(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def q_event_rule_violations(sf_dir: str):
+    """Ingest-contract validation (functions/validate.validate): FK
+    integrity (user_id ∈ customer keys, broadcast set), value-range and
+    props-field rules — all masks evaluated in ONE streaming pass,
+    (rule, checked, violations) counters merged.  The FK rule's clean 0
+    and the nonzero range/props counts are all hash-checked."""
+    from timberjack_ray.functions.validate import validate
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+    cust_keys = pa.array(cust["c_custkey"].to_numpy().astype("int64"))
+
+    def fk_user(t: pa.Table) -> pa.Array:
+        return pc.invert(pc.is_in(t["user_id"], value_set=cust_keys))
+
+    def value_in_range(t: pa.Table) -> pa.Array:
+        return pc.or_(pc.less(t["value"], 0.0),
+                      pc.greater_equal(t["value"], 100.0))
+
+    def props_k_under_50(t: pa.Table) -> pa.Array:
+        k = pc.struct_field(
+            pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)'), "k")
+        # null (unparseable) counts as a violation via the validate contract
+        return pc.greater_equal(pc.cast(k, pa.int64()), 50)
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "value", "props"])
+    out = validate(ds, {"fk_user": fk_user,
+                        "value_in_range": value_in_range,
+                        "props_k_under_50": props_k_under_50})
+    return out.astype({"n_checked": "int64", "n_violations": "int64"})
+
+
+def q_events_profile(sf_dir: str):
+    """Dataset profiling (functions/validate.profile_numeric): per-column
+    count / nulls / min / max in one pass; partial volume is #batches ×
+    #cols rows regardless of data size."""
+    from timberjack_ray.functions.validate import profile_numeric
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = profile_numeric(ds, ["event_id", "user_id", "value"])
+    return out.astype({"n": "int64", "n_null": "int64",
+                       "min_v": "float64", "max_v": "float64"})
+
+
 def q_dup_ngram_doc_frac(sf_dir: str):
     """Gopher repetition filter signal (functions/text.add_dup_ngram_frac):
     per-doc share of characters covered by duplicate word 2-grams, in
@@ -1614,6 +1657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "pii_counts": q_pii_counts,
         "dup_ngram_doc_frac": q_dup_ngram_doc_frac,
+        "event_rule_violations": q_event_rule_violations,
+        "events_profile": q_events_profile,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -2256,6 +2301,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_pii_scrub_expr} AS scrubbed FROM aug
         """,
         "pii_counts": _pii_counts_sql,
+        "event_rule_violations": """
+            SELECT 'fk_user' AS rule, COUNT(*) AS n_checked,
+                   COUNT(*) FILTER (WHERE user_id NOT IN
+                       (SELECT c_custkey FROM customer)) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'props_k_under_50', COUNT(*),
+                   COUNT(*) FILTER (WHERE COALESCE(TRY_CAST(
+                       regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                       AS BIGINT), 50) >= 50)
+            FROM events
+            UNION ALL
+            SELECT 'value_in_range', COUNT(*),
+                   COUNT(*) FILTER (WHERE value < 0 OR value >= 100)
+            FROM events
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS "column", COUNT(*) AS n,
+                   COUNT(*) - COUNT(event_id) AS n_null,
+                   CAST(MIN(event_id) AS DOUBLE) AS min_v,
+                   CAST(MAX(event_id) AS DOUBLE) AS max_v FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   CAST(MIN(value) AS DOUBLE),
+                   CAST(MAX(value) AS DOUBLE) FROM events
+        """,
         "dup_ngram_doc_frac": """
             WITH ws AS (SELECT doc_id, len(text) AS L,
                                string_split(text, ' ') AS w

@@ -1,0 +1,42 @@
+"""Round-3 validation/profiling operators over planted dirty data."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def test_validate_counts_planted_violations(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.validate import validate
+
+    t = pa.table({
+        "v": pa.array([1.0, -2.0, 50.0, None, 7.0], pa.float64()),
+        "k": pa.array([1, 2, 3, 99, 99], pa.int64()),
+    })
+    ok_keys = pa.array([1, 2, 3], pa.int64())
+    out = validate(rd.from_arrow(t).repartition(3), {
+        # null v is an uncheckable row → violation by contract
+        "v_nonneg": lambda b: pc.less(b["v"], 0.0),
+        "k_known": lambda b: pc.invert(pc.is_in(b["k"], value_set=ok_keys)),
+    })
+    got = {r["rule"]: (r["n_checked"], r["n_violations"])
+           for _, r in out.iterrows()}
+    assert got == {"v_nonneg": (5, 2), "k_known": (5, 2)}
+
+
+def test_profile_numeric_nulls_and_merge(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.validate import profile_numeric
+
+    t = pa.table({
+        "a": pa.array([5, None, -3, 12, None], pa.int64()),
+        "b": pa.array([0.5, 0.25, 9.75, -1.5, 2.0], pa.float64()),
+    })
+    out = profile_numeric(rd.from_arrow(t).repartition(4), ["a", "b"])
+    rows = {r["column"]: r for _, r in out.iterrows()}
+    assert rows["a"]["n"] == 5 and rows["a"]["n_null"] == 2
+    assert rows["a"]["min_v"] == -3.0 and rows["a"]["max_v"] == 12.0
+    assert rows["b"]["n_null"] == 0
+    assert rows["b"]["min_v"] == -1.5 and rows["b"]["max_v"] == 9.75
