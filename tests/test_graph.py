@@ -51,3 +51,38 @@ def test_connected_components_two_components_exact(ray_session):
     out = _cc(pairs, driver_limit=0)
     got = dict(zip(out["node"], out["component"]))
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_distributed_components_match_driver(ray_session):
+    """minhash_dedup past driver_limit must produce the same clusters via
+    the Dataset min-label path as the driver union-find produces."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "in the yard")
+    texts = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        texts.append(" ".join(words))
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{j}" for j in range(500)]
+    texts += [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(4)
+    g_drv, p_drv = minhash_dedup(ds, threshold=0.5)
+    g_dist, p_dist = minhash_dedup(ds, threshold=0.5, driver_limit=0)
+    assert not isinstance(g_dist, pd.DataFrame)  # Dataset path taken
+    df = g_dist.to_pandas().sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "dup_group": "int64"})
+    pd.testing.assert_frame_equal(
+        df, g_drv.sort_values("doc_id").reset_index(drop=True)
+        .astype({"doc_id": "int64", "dup_group": "int64"}))
+    # the Dataset pair set keeps per-band duplicates (documented); the
+    # distinct pairs must match the driver's deduped set exactly
+    dd = p_dist.to_pandas().drop_duplicates(["a", "b"])
+    assert (set(zip(dd["a"], dd["b"]))
+            == set(zip(p_drv["a"], p_drv["b"])))

@@ -318,12 +318,20 @@ def candidate_pairs(band_ds, num_perm: int = 64, threshold: float = 0.7,
 
 
 def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 16,
-                  threshold: float = 0.7, concurrency=None):
+                  threshold: float = 0.7, concurrency=None,
+                  driver_limit: int = 2_000_000):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of
-    (doc_id, dup_group) for docs in some near-dup cluster, plus pair count.
+    (doc_id, dup_group) for docs in some near-dup cluster, plus the
+    verified pair set.  ``dup_group`` is the component's min doc id.
 
-    Union-find over the (small) verified pair set runs driver-side — the
-    documented assumption is |pairs| ≪ |docs| after LSH.
+    Clustering routes through ``functions/graph``: union-find on the
+    driver while the verified pair set stays under ``driver_limit``
+    (the usual |pairs| ≪ |docs| case), the distributed min-label
+    propagation past it — in which case BOTH return values are Datasets:
+    (doc_id, dup_group), and a pair set that may still hold per-band
+    duplicate (a, b) rows (harmless to the components; distinct-ify
+    downstream if pair identity matters).  Non-integer doc ids keep a
+    driver-only union-find (lexicographic min representative).
 
     Default runs the hasher as stateless tasks (the permutation params are
     bytes, shipped inside the pickled instance — fuses with the read and
@@ -345,11 +353,37 @@ def minhash_dedup(ds, col: str = "text", num_perm: int = 64, bands: int = 16,
     # hash stage for candidate_pairs' two passes over the exploded bands
     sig = sig.materialize()
     bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
-    pairs = candidate_pairs(bands_ds, num_perm=num_perm, threshold=threshold)
+    pairs = candidate_pairs(bands_ds, num_perm=num_perm, threshold=threshold,
+                            driver_limit=driver_limit)
+
     if not isinstance(pairs, pd.DataFrame):
-        pairs = pairs.to_pandas()
+        from timberjack_ray.functions.util import collect_table_under
+
+        small = collect_table_under(pairs, driver_limit)
+        if small is None:
+            # past the driver assumption: distributed components, and the
+            # pair set stays a Dataset too
+            from timberjack_ray.functions.graph import connected_components
+
+            comp = connected_components(pairs, driver_limit=0)
+            groups = comp.map_batches(
+                lambda t: t.rename_columns(["doc_id", "dup_group"]),
+                batch_format="pyarrow")
+            return groups, pairs
+        pairs = small.to_pandas()
     pairs = pairs.drop_duplicates(["a", "b"])
 
+    if len(pairs) and pd.api.types.is_integer_dtype(pairs["a"]):
+        from timberjack_ray.functions.graph import _union_find_components
+
+        comp = _union_find_components(
+            pairs["a"].to_numpy().astype(np.int64),
+            pairs["b"].to_numpy().astype(np.int64))
+        groups = comp.rename(columns={"node": "doc_id",
+                                      "component": "dup_group"})
+        return groups, pairs
+
+    # non-integer ids: driver union-find, lexicographic min representative
     parent: dict = {}
 
     def find(x):
