@@ -694,6 +694,21 @@ def q_value_quantiles_by_type(sf_dir: str):
     return out.astype({"event_type": "str", "value_scaled": "int64"})
 
 
+def q_winsorized_value_sums(sf_dir: str):
+    """Feature preprocessing: per-type value sums with outliers clamped to
+    the type's exact [p05, p95] (functions/relational.winsorized_group_sums)
+    — quantile thresholds from histogram-sized partials, then a broadcast
+    clamp pass; all arithmetic on the cent-scaled int domain so the oracle
+    replays it exactly."""
+    from timberjack_ray.functions.relational import winsorized_group_sums
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    out = winsorized_group_sums(ds, "event_type", "value", 0.05, 0.95,
+                                scale=100)
+    return out.astype({"event_type": "str", "n": "int64",
+                       "sum_wins_scaled": "int64"})
+
+
 def q_user_rolling_value(sf_dir: str):
     """Per-user rolling 3-row sum ordered by (ts, event_id) — the
     SQL-window ROWS BETWEEN semantics via groupby shuffle + one numpy
@@ -1659,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_doc_frac": q_dup_ngram_doc_frac,
         "event_rule_violations": q_event_rule_violations,
         "events_profile": q_events_profile,
+        "winsorized_value_sums": q_winsorized_value_sums,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -2171,6 +2187,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, 0.9, CAST(quantile_disc(v, 0.9) AS BIGINT)
             FROM s GROUP BY event_type
+        """,
+        "winsorized_value_sums": """
+            WITH s AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            q AS (
+              SELECT event_type,
+                     quantile_disc(v, 0.05) AS lo,
+                     quantile_disc(v, 0.95) AS hi
+              FROM s GROUP BY event_type
+            )
+            SELECT s.event_type, COUNT(*) AS n,
+                   CAST(SUM(LEAST(GREATEST(s.v, q.lo), q.hi)) AS BIGINT)
+                     AS sum_wins_scaled
+            FROM s JOIN q USING (event_type)
+            GROUP BY s.event_type
         """,
         "user_rolling_value": """
             SELECT event_id,

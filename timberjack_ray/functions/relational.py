@@ -507,6 +507,44 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         join_bucket, batch_format="pyarrow")
 
 
+def winsorized_group_sums(ds, group_col: str, col: str,
+                          q_lo: float = 0.05, q_hi: float = 0.95,
+                          scale: int = 100) -> pd.DataFrame:
+    """Feature preprocessing: per-group (n, sum of values clamped to the
+    group's [q_lo, q_hi] discrete quantiles), on the scaled-int domain so
+    every term is exact (no float-summation-order dependence — the oracle
+    replays the sum bit for bit).
+
+    Two streaming passes: (1) ``grouped_quantiles`` — histogram-sized
+    partials, never row-sized; (2) the (group → lo, hi) map rides the
+    clamp closure (#groups entries), each batch clamps vectorized and
+    collapses to one row per group.  Returns
+    (group, n, sum_wins_scaled)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    qt = grouped_quantiles(ds, group_col, col, [q_lo, q_hi], scale=scale)
+    lo = dict(qt[qt["q"] == q_lo][[group_col, "value_scaled"]].to_numpy())
+    hi = dict(qt[qt["q"] == q_hi][[group_col, "value_scaled"]].to_numpy())
+    groups = sorted(lo)
+    lo_a = np.array([lo[g] for g in groups], dtype=np.int64)
+    hi_a = np.array([hi[g] for g in groups], dtype=np.int64)
+    gidx = {g: i for i, g in enumerate(groups)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t[col], scale).to_numpy(zero_copy_only=False)
+        g = t[group_col].to_pandas().map(gidx).to_numpy()
+        w = np.clip(v, lo_a[g], hi_a[g])
+        n = np.bincount(g, minlength=len(groups)).astype(np.int64)
+        s = np.bincount(g, weights=w, minlength=len(groups)).astype(np.int64)
+        return pa.table({group_col: pa.array(groups, pa.string()),
+                         "n": pa.array(n), "sum_wins_scaled": pa.array(s)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(p, [group_col], ["n", "sum_wins_scaled"]).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def grouped_quantiles(ds, group_col: str, col: str, qs: list[float],
                       scale: int = 1) -> pd.DataFrame:
     """Exact per-group discrete quantiles (type-1, DuckDB ``quantile_disc``
