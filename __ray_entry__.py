@@ -694,6 +694,19 @@ def q_value_quantiles_by_type(sf_dir: str):
     return out.astype({"event_type": "str", "value_scaled": "int64"})
 
 
+def q_label_centroid_sums(sf_dir: str):
+    """Per-label embedding centroid numerators (functions/similarity.
+    grouped_centroid_sums): scaled-int element sums so the reduction is
+    order-independent and the oracle replays it exactly; partials are
+    centroid-volume (#labels × dim), never row-volume."""
+    from timberjack_ray.functions.similarity import grouped_centroid_sums
+
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = grouped_centroid_sums(ds, "label", "embedding", scale=1e6)
+    return out.astype({"label": "int64", "dim": "int64",
+                       "sum_scaled": "int64", "n": "int64"})
+
+
 def q_winsorized_value_sums(sf_dir: str):
     """Feature preprocessing: per-type value sums with outliers clamped to
     the type's exact [p05, p95] (functions/relational.winsorized_group_sums)
@@ -1675,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rule_violations": q_event_rule_violations,
         "events_profile": q_events_profile,
         "winsorized_value_sums": q_winsorized_value_sums,
+        "label_centroid_sums": q_label_centroid_sums,
         "stratified_sample_events": q_stratified_sample_events,
         "recent_event_counts": q_recent_event_counts,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -2187,6 +2201,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, 0.9, CAST(quantile_disc(v, 0.9) AS BIGINT)
             FROM s GROUP BY event_type
+        """,
+        "label_centroid_sums": """
+            WITH z AS (SELECT label,
+                  unnest(list_zip(generate_series(1, len(embedding)),
+                         list_transform(embedding,
+                           e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0
+                                           + 0.5) AS BIGINT))))
+                    AS p
+                  FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(p[1] AS BIGINT) AS dim,
+                   CAST(SUM(p[2]) AS BIGINT) AS sum_scaled,
+                   COUNT(*) AS n
+            FROM z GROUP BY label, p[1]
         """,
         "winsorized_value_sums": """
             WITH s AS (

@@ -25,6 +25,27 @@ def test_validate_counts_planted_violations(ray_session):
     assert got == {"v_nonneg": (5, 2), "k_known": (5, 2)}
 
 
+def test_grouped_centroid_sums_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import grouped_centroid_sums
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(200, 8).astype(np.float32)
+    labels = rng.randint(0, 4, 200)
+    t = pa.table({"label": pa.array(labels.astype("int64")),
+                  "embedding": pa.array(list(m))})
+    out = grouped_centroid_sums(rd.from_arrow(t).repartition(5),
+                                "label", "embedding", scale=1e6)
+    want = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for lab in range(4):
+        sums = want[labels == lab].sum(axis=0)
+        sub = out[out["label"] == lab].sort_values("dim")
+        assert (sub["sum_scaled"].to_numpy() == sums).all()
+        assert (sub["n"] == (labels == lab).sum()).all()
+        assert list(sub["dim"]) == list(range(1, 9))
+
+
 def test_profile_numeric_nulls_and_merge(ray_session):
     import ray.data as rd
 

@@ -97,6 +97,52 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
 
 
+def grouped_centroid_sums(ds, group_col: str = "label",
+                          vec_col: str = "embedding",
+                          scale: float = 1e6) -> pd.DataFrame:
+    """Per-group embedding centroid numerators on the SCALED-INT domain:
+    long-form (group, dim, sum_scaled, n) where ``sum_scaled =
+    Σ floor(e·scale + ½)`` over the group's vectors at 1-based ``dim``.
+
+    Integer element sums make the reduction order-independent — any
+    engine (the DuckDB oracle included) replays it bit for bit, unlike a
+    float centroid whose value depends on summation order.  Callers get
+    the centroid as ``sum_scaled / (n·scale)``.  Per batch: one
+    float64 scale + floor, a group argsort, and ``add.reduceat`` per
+    contiguous run — the partial is #groups×dim rows, independent of
+    batch size, and the driver merge is centroid-volume, never
+    row-volume."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_scaled": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = np.floor(m * scale + 0.5).astype(np.int64)
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+        sums = np.add.reduceat(vs, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(gs)])
+        n_grp, dim = sums.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(gs[starts], dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    n_grp)),
+            "sum_scaled": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(p, [group_col, "dim"], ["sum_scaled", "n"]) \
+        .to_pandas()
+    return out.sort_values([group_col, "dim"]).reset_index(drop=True)
+
+
 def sample_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                      sample_rows: int = 2048, iters: int = 5, seed: int = 13) -> np.ndarray:
     """Driver-side mini-kmeans on a seeded UNIFORM sample (deterministic).
