@@ -1604,6 +1604,52 @@ def q_audio_features_real(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_user_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel (functions/sessions.funnel_counts):
+    one key-hash bucketed exchange of the (user, ts, type) projection, then
+    per-bucket vectorized segmented step resolution — only len(steps) partial
+    rows per bucket reach the merge."""
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) revenue sums
+    (functions/relational.rollup_sums): the rollup expansion happens inside
+    map_batches so all levels come out of ONE pass; merge volume is
+    distinct-combo-sized.  Cent-scaled int sums replay exactly in SQL."""
+    from timberjack_ray.functions.relational import rollup_sums
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return rollup_sums(ds, ["o_orderpriority", "o_orderstatus"],
+                       "o_totalprice", scale=100)
+
+
+def q_bloom_decontaminate_docs(sf_dir: str):
+    """Bloom-filter decontamination (functions/dedup.bloom_decontaminate):
+    constant-size broadcast bitmap instead of the exact gram array; may
+    over-drop (bounded FP) but never keeps a contaminated doc, so no SQL
+    oracle — the superset-of-exact property and the FP bound are asserted
+    in tests/test_functions.py."""
+    from timberjack_ray.functions.dedup import bloom_decontaminate
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_slice(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    bench = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(bench_slice, batch_format="pyarrow")
+    kept = bloom_decontaminate(docs, bench).select_columns(["doc_id"])
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -1694,6 +1740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "audio_features_real": q_audio_features_real,
         "domain_rebalance": q_domain_rebalance,
+        "user_funnel": q_user_funnel,
+        "orders_rollup": q_orders_rollup,
+        "bloom_decontaminate_docs": q_bloom_decontaminate_docs,
     }
 
 
@@ -2513,5 +2562,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum_tok * 1000000 // (SELECT SUM(sum_tok) FROM s)
                         AS BIGINT) AS ppm
             FROM s
+        """,
+        "user_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   COUNT(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', COUNT(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM s3
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_o_totalprice_scaled,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
     }

@@ -457,3 +457,96 @@ def test_decontaminate_empty_bench_keeps_all(ray_session):
     bench_ds = rd.from_arrow(docs_table([]))
     out = decontaminate(train_ds, bench_ds).to_pandas()
     assert len(out) == 2
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import bloom_decontaminate, decontaminate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{j}" for j in range(300)]
+    train = [" ".join(rng.choice(vocab, size=25)) for _ in range(120)]
+    bench = train[::9][:10] + [" ".join(rng.choice(vocab, size=25)) for _ in range(10)]
+    train_ds = rd.from_arrow(docs_table(train)).repartition(4)
+    bench_ds = rd.from_arrow(docs_table(bench))
+
+    exact = set(decontaminate(train_ds, bench_ds, k=3).to_pandas()["doc_id"])
+    # well-sized bitmap: identical survivors (FP ~ 0 at this gram count)
+    big = set(bloom_decontaminate(train_ds, bench_ds, k=3,
+                                  m_bits=1 << 20).to_pandas()["doc_id"])
+    assert big == exact
+    # deliberately tiny bitmap: survivors must still be a SUBSET of exact
+    # (no false negatives — the safe direction), with bounded over-drop
+    small = set(bloom_decontaminate(train_ds, bench_ds, k=3, m_bits=1 << 14,
+                                    n_hashes=2).to_pandas()["doc_id"])
+    assert small <= exact
+    # ~5.5% bit fill at this sizing → expected per-doc over-drop ~7%;
+    # 0.7 leaves generous slack while still catching a broken probe
+    assert len(small) >= len(exact) * 0.7
+
+
+def test_funnel_counts_ordering_semantics(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    # u1: full ordered funnel; u2: click BEFORE its only view (step2 must not
+    # count it); u3: view+click ordered but purchase precedes click;
+    # u4: view only
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "click"), (2, 20, "view"),
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+        (4, 10, "view"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = funnel_counts(rd.from_arrow(t).repartition(3), "user_id", "ts",
+                        "event_type", ["view", "click", "purchase"],
+                        n_buckets=8)
+    assert out["step_type"].tolist() == ["view", "click", "purchase"]
+    # step1: u1,u2,u3,u4 all have a view; step2: u1,u3 click after first
+    # view; step3: only u1 purchases after its qualifying click
+    assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_funnel_strict_inequality_on_ties(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    # click at the SAME timestamp as the first view: ts > t1 is strict,
+    # so the user does not advance (matches the SQL oracle's e.ts > s1.t1)
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 10], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+    })
+    out = funnel_counts(rd.from_arrow(t), "user_id", "ts", "event_type",
+                        ["view", "click"], n_buckets=4)
+    assert out["n_users"].tolist() == [1, 0]
+
+
+def test_rollup_sums_levels(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import rollup_sums
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y"]),
+        "b": pa.array(["p", "q", "p", "p"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = rollup_sums(rd.from_arrow(t).repartition(2), ["a", "b"], "v",
+                      scale=100)
+    got = {(r["a"], r["b"]): (r["sum_v_scaled"], r["n"])
+           for r in out.to_dict("records")}
+    assert got == {
+        ("x", "p"): (100, 1), ("x", "q"): (200, 1), ("y", "p"): (700, 2),
+        ("x", "ALL"): (300, 2), ("y", "ALL"): (700, 2),
+        ("ALL", "ALL"): (1000, 4),
+    }

@@ -868,3 +868,89 @@ def decontaminate(train_ds, bench_ds, col: str = "text",
         return t.filter(pa.array(doc_hits == 0))
 
     return train_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+# -- Bloom-filter decontamination ------------------------------------------
+# Same semantics as ``decontaminate`` (drop any training doc sharing a
+# word-k-gram with the benchmark set) but the membership side is a fixed-size
+# Bloom bitmap instead of the exact sorted gram array: constant broadcast
+# size regardless of benchmark gram cardinality, at the cost of a bounded
+# false-POSITIVE rate (extra docs dropped — never a contaminated doc kept,
+# the safe direction for decontamination).
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_coords(h: np.ndarray, m_bits: int, n_hashes: int):
+    """Kirsch–Mitzenmacher double hashing: positions h1 + i*h2 (mod m)."""
+    h1 = h
+    h2 = (h ^ (h >> np.uint64(33))) * _BLOOM_MIX | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(n_hashes):
+        yield ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+
+
+def benchmark_bloom(bench_ds, col: str = "text", k: int = 3,
+                    m_bits: int = 1 << 22, n_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom build over the benchmark side's gram hashes.
+
+    Each batch collapses to ONE fixed-size packed-uint64 bitmap row
+    (``np.bitwise_or.at`` on word indices — vectorized, no Python loop over
+    grams); the driver OR-folds bitmaps as they stream in, so driver memory
+    is one bitmap + one in-flight batch regardless of benchmark size.  At
+    multi-GB bitmap sizes the same partials feed a tree-OR Ray aggregate
+    instead; the default 4 Mbit (512 KB) map holds ~300 k grams at <1 % FP
+    with ``n_hashes=4``.
+    """
+    n_words = (m_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        h, _ = gram_hashes_batch(t[col].to_pylist(), k)
+        if len(h):
+            hu = np.unique(h)
+            for pos in _bloom_coords(hu, m_bits, n_hashes):
+                np.bitwise_or.at(bm, pos >> 6,
+                                 np.uint64(1) << (pos & np.int64(63)).astype(np.uint64))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for b in bench_ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b["bm"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+    return acc
+
+
+def bloom_decontaminate(train_ds, bench_ds, col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        m_bits: int = 1 << 22, n_hashes: int = 4):
+    """Bloom-membership decontamination pass: broadcast the bitmap once
+    (``ray.put``), then one streaming ``map_batches`` over the training side
+    — per gram, a gram "hits" iff ALL its Bloom bits are set; a doc is
+    dropped iff any gram hits.  No false negatives (every doc the exact
+    ``decontaminate`` drops is dropped here too); false positives drop a
+    bounded extra fraction, tested in tests/test_functions.py.  Returns the
+    surviving-rows Dataset (same schema as ``train_ds``)."""
+    import ray
+
+    bm = benchmark_bloom(bench_ds, col, k, m_bits, n_hashes)
+    ref = ray.put(bm)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        bits = _fetch_bench(ref)
+        texts = t[col].to_pylist()
+        if len(texts) == 0:
+            return t
+        h, offs = gram_hashes_batch(texts, k)
+        if len(h) == 0:
+            return t
+        hit = np.ones(len(h), dtype=bool)
+        for pos in _bloom_coords(h, m_bits, n_hashes):
+            word = bits[pos >> 6]
+            hit &= ((word >> (pos & np.int64(63)).astype(np.uint64))
+                    & np.uint64(1)).astype(bool)
+        doc_hits = np.add.reduceat(hit.astype(np.int64), offs[:-1])
+        return t.filter(pa.array(doc_hits == 0))
+
+    return train_ds.map_batches(keep_clean, batch_format="pyarrow")

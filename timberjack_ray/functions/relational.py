@@ -632,3 +632,46 @@ def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
         return pd.DataFrame({id_col: [], "roll_sum": []})
     return pd.concat(frames, ignore_index=True).sort_values(id_col) \
         .reset_index(drop=True)
+
+
+def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
+                total_label: str = "ALL") -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP(keys)`` sums: one result row per key-prefix
+    level, coarser levels' key columns filled with ``total_label`` (the
+    COALESCE('ALL') convention, so the oracle can replay it without NULL
+    plumbing).  Columns: ``keys + [f"sum_{val_col}_scaled", "n"]``.
+
+    Scale shape: the rollup EXPANSION happens inside ``map_batches`` — each
+    batch collapses to its (finest-grain combos × (len(keys)+1) levels)
+    partial rows before anything crosses the exchange, so the merge volume
+    is bounded by the distinct-combo count, never row count, and every
+    level is computed in the same single pass (no per-level re-scan of the
+    input).  Sums run on the scaled-int domain (util.scale_to_int) so the
+    reduction is order-independent and an oracle replays it exactly.
+    """
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    keys = list(keys)
+    sum_col = f"sum_{val_col}_scaled"
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table(
+            {k: t[k].cast(pa.string()) for k in keys}
+            | {"__v": scale_to_int(t[val_col], scale)})
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            lt = base
+            for k in keys[lvl:]:
+                lt = lt.set_column(lt.schema.get_field_index(k), k,
+                                   pa.array([total_label] * len(lt),
+                                            type=pa.string()))
+            g = lt.group_by(keys).aggregate([("__v", "sum"),
+                                             ([], "count_all")])
+            outs.append(g.rename_columns(keys + [sum_col, "n"]))
+        return pa.concat_tables(outs)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    merged = merge_partials(p, keys, [sum_col, "n"])
+    out = merged.to_pandas().sort_values(keys).reset_index(drop=True)
+    return out.astype({sum_col: "int64", "n": "int64"})

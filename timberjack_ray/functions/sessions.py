@@ -132,6 +132,66 @@ def session_stats(ds, key_col: str, ts_col: str, gap_s: int,
     return out
 
 
+def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
+                  steps: list[str], n_buckets: int = 256) -> pd.DataFrame:
+    """Ordered-funnel conversion counts: for each prefix of ``steps``, the
+    number of distinct keys whose events contain those step types in strict
+    temporal order (each step's timestamp strictly after the previous
+    step's FIRST qualifying timestamp — the classic product-analytics
+    funnel the reference has no counterpart for).
+
+    Scale shape: one all-to-all of the (key, ts, type) projection into
+    ``n_buckets`` hash co-partitions (same exchange as sessionize); inside
+    a bucket every key is resolved in one vectorized pass per step —
+    lexsort (key, ts), then per step j a masked segmented ``minimum.reduceat``
+    finds each key's first ts of type steps[j] strictly after its step-j-1
+    time.  Only ``len(steps)`` partial-count rows leave each bucket, so the
+    merge is steps-sized regardless of key cardinality.
+    """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    proj = ds.select_columns([key_col, ts_col, type_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+    steps = list(steps)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            tvals = ts.astype("datetime64[us]").astype("int64")
+        else:
+            tvals = ts.astype("int64")
+        order = np.lexsort((tvals, k))
+        ks, ss, tys = k[order], tvals[order], ty[order]
+        starts, sizes = _segments(ks)
+        big = np.iinfo(np.int64).max
+        # prev[i] = per-segment first-ts of the previous step (row-expanded)
+        prev = np.full(len(ks), np.iinfo(np.int64).min, dtype=np.int64)
+        counts = []
+        for step in steps:
+            masked = np.where((tys == step) & (ss > prev), ss, big)
+            if len(starts):
+                seg_min = np.minimum.reduceat(masked, starts)
+            else:
+                seg_min = np.empty(0, dtype=np.int64)
+            counts.append(int((seg_min < big).sum()))
+            # keys that never reached this step stay at +inf, so no later
+            # step can qualify for them (ss > big is never true)
+            prev = np.repeat(seg_min, sizes)
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+            "step_type": pa.array(steps, type=pa.string()),
+            "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+        })
+
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+    merged = merge_partials(partials, ["step", "step_type"], "n_users")
+    out = merged.to_pandas().sort_values("step").reset_index(drop=True)
+    return out.astype({"step": "int64", "n_users": "int64"})
+
+
 def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFrame:
     """Exact discrete quantiles (type-1 / lower-value semantics, DuckDB's
     ``quantile_disc``): count per distinct scaled value, tiny merge,
