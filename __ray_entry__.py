@@ -1650,6 +1650,37 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_stream_windowed_counts(sf_dir: str):
+    """Watermark-based event-time tumbling windows over an OUT-OF-ORDER
+    stream (functions/window.EventTimeWindower): hourly windows, 30-min
+    allowed lateness; an event whose window the watermark (prefix-max
+    event time − lateness over prior arrivals) has already finalized is
+    dropped.  Arrival order is a deterministic hash jitter of ±45 min
+    around event time, so the accept/drop rule replays exactly in SQL
+    (prefix-max window function) — oracle-checked, not rows-only.
+
+    Single-process ingest tail like stream.analyze_stream (the stdin
+    surface); a distributed stream runs one instance per key-hash
+    partition inside an actor (per-shard watermarks)."""
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts"])
+    t = pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype("int64")
+    jitter = ((ids * np.uint64(2654435761)) % np.uint64(5400)).astype(np.int64)
+    ak = ts + jitter * 1_000_000 - 2_700_000_000
+    order = np.lexsort((ids, ak))  # arrival order, event_id tiebreak
+    arrived = ts[order]
+    win = EventTimeWindower(width_s=3600, lateness_s=1800)
+    for i in range(0, len(arrived), 4096):  # chunked, like the stdin tail
+        win.feed(arrived[i : i + 4096])
+    out = win.result()
+    return out.astype({"n": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -1743,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": q_user_funnel,
         "orders_rollup": q_orders_rollup,
         "bloom_decontaminate_docs": q_bloom_decontaminate_docs,
+        "stream_windowed_counts": q_stream_windowed_counts,
     }
 
 
@@ -2595,5 +2627,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "stream_windowed_counts": """
+            WITH a AS (
+              SELECT event_id, ts,
+                     epoch_us(ts)
+                       + ((event_id::HUGEINT * 2654435761) % 5400) * 1000000
+                       - 2700000000 AS ak,
+                     epoch_us(ts) // 3600000000 * 3600000000 AS w
+              FROM events
+            ),
+            b AS (
+              SELECT *, MAX(epoch_us(ts)) OVER (
+                       ORDER BY ak, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pm
+              FROM a
+            )
+            SELECT make_timestamp(w) AS window_start, COUNT(*) AS n
+            FROM b
+            WHERE pm IS NULL OR pm - 1800000000 < w + 3600000000
+            GROUP BY w
         """,
     }

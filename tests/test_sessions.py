@@ -53,3 +53,47 @@ def test_exact_quantiles_match_numpy(ds):
     for q, v in zip(out["q"], out["value_scaled"]):
         rank = max(int(np.ceil(q * N)), 1)
         assert v == scaled[rank - 1]
+
+
+def test_event_time_windower_watermark_semantics():
+    import numpy as np
+
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    M = 1_000_000
+    # width 10s, lateness 5s.  Arrival order (event-time in s):
+    #   3, 7        -> window 0 open
+    #   21          -> watermark 16 >= 10: window 0 FINAL {2}, window 20 open
+    #   8           -> window 0 finalized -> DROPPED
+    #   19          -> window 10: 16 < 20 -> accepted (within lateness)
+    #   25          -> window 20
+    w = EventTimeWindower(width_s=10, lateness_s=5)
+    w.feed(np.array([3, 7, 21], dtype=np.int64) * M)
+    w.feed(np.array([8, 19, 25], dtype=np.int64) * M)
+    out = w.result()
+    got = {int(r["window_start"].timestamp()): r["n"]
+           for _, r in out.iterrows()}
+    assert got == {0: 2, 10: 1, 20: 2}
+    assert w.late_dropped == 1
+
+
+def test_event_time_windower_chunk_invariant():
+    import numpy as np
+
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    rng = np.random.RandomState(7)
+    base = np.sort(rng.randint(0, 3_000, size=500)).astype(np.int64)
+    jitter = rng.randint(-40, 40, size=500)
+    arrival = base[np.argsort(base + jitter, kind="stable")] * 1_000_000
+
+    def run(chunk):
+        w = EventTimeWindower(width_s=60, lateness_s=30)
+        for i in range(0, len(arrival), chunk):
+            w.feed(arrival[i : i + chunk])
+        return w.result(), w.late_dropped
+
+    r1, d1 = run(7)
+    r2, d2 = run(500)
+    assert d1 == d2
+    assert r1.equals(r2)

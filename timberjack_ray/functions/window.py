@@ -93,3 +93,75 @@ def sliding_counts(ds, ts_col: str, width_s: int, slide_s: int,
 
     p = ds.map_batches(partial, batch_format="pyarrow")
     return merge_partials(p, keys, name).to_pandas()
+
+
+class EventTimeWindower:
+    """Watermark-based tumbling-window counter for out-of-order streams —
+    the unbounded-streaming semantics the bounded model above (and the
+    reference's stdin path) cannot express.
+
+    Per arriving event (vectorized per chunk via an exclusive running
+    ``np.maximum.accumulate`` carried across chunks):
+
+    * watermark = (max event time over all PRIOR arrivals) − ``lateness_s``
+    * the event's window [w, w+width) is FINAL once watermark ≥ w+width;
+      an event arriving for a finalized window is dropped (``late_dropped``)
+    * otherwise it counts toward its window.
+
+    The accept/drop rule depends only on arrival order, so an offline
+    engine can replay it exactly (prefix-max window function) — that is
+    what makes ``stream_windowed_counts`` oracle-checkable rather than
+    rows-only.  State is O(open windows): emit-on-finalize keeps the
+    open-window dict bounded by the lateness horizon, not stream length.
+
+    Single-process ingest tail like ``stream.analyze_stream``; for a
+    distributed stream, co-partition by key hash and run one instance per
+    partition inside an actor — watermarks are then per-partition, which
+    is the standard per-shard watermark model.
+    """
+
+    def __init__(self, width_s: int, lateness_s: int):
+        self.width = int(width_s)
+        self.lateness = int(lateness_s)
+        self._prior_max = np.iinfo(np.int64).min  # μs
+        self._open: dict[int, int] = {}           # window start μs → count
+        self._final: dict[int, int] = {}
+        self.late_dropped = 0
+
+    def feed(self, ts_us: np.ndarray) -> None:
+        """Consume one arrival-ordered chunk of event times (int64 μs)."""
+        ts = np.asarray(ts_us, dtype=np.int64)
+        if not len(ts):
+            return
+        width = self.width * 1_000_000
+        # exclusive prefix max, seeded with the carry from prior chunks
+        prior = np.empty(len(ts), dtype=np.int64)
+        prior[0] = self._prior_max
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=prior[1:])
+            np.maximum(prior[1:], self._prior_max, out=prior[1:])
+        self._prior_max = max(self._prior_max, int(ts.max()))
+        w = (ts // width) * width
+        # watermark test rearranged as prior >= end + lateness so the
+        # int64.min seed never overflows on subtraction
+        late = prior >= w + width + self.lateness * 1_000_000
+        self.late_dropped += int(late.sum())
+        keep = w[~late]
+        if len(keep):
+            for ws, n in zip(*np.unique(keep, return_counts=True)):
+                self._open[int(ws)] = self._open.get(int(ws), 0) + int(n)
+        # finalize windows the new watermark has passed (bounds open state)
+        wm = self._prior_max - self.lateness * 1_000_000
+        for ws in [ws for ws in self._open if ws + width <= wm]:
+            self._final[ws] = self._open.pop(ws)
+
+    def result(self) -> pd.DataFrame:
+        """End-of-stream flush → (window_start μs, n) for every window."""
+        allw = dict(self._final)
+        for ws, n in self._open.items():
+            allw[ws] = allw.get(ws, 0) + n
+        out = pd.DataFrame({
+            "window_start": np.array(sorted(allw), dtype="datetime64[us]"),
+            "n": np.array([allw[k] for k in sorted(allw)], dtype=np.int64),
+        })
+        return out
