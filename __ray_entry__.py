@@ -1650,6 +1650,25 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_ann_topk_q8(sf_dir: str):
+    """int8-quantized brute-force top-10 vs the vec_id=0 embedding
+    (functions/similarity.brute_force_topk_q8): quantize once (4× smaller
+    shuffle/storage), integer dot products (exact, order-independent), so
+    the whole ranking replays bit-for-bit in SQL."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import brute_force_topk_q8
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk_q8(ds, q0[None, :], k=10)
+    return out[["vec_id", "score_q", "rank"]].astype(
+        {"vec_id": "int64", "score_q": "int64", "rank": "int64"})
+
+
 def q_stream_windowed_counts(sf_dir: str):
     """Watermark-based event-time tumbling windows over an OUT-OF-ORDER
     stream (functions/window.EventTimeWindower): hourly windows, 30-min
@@ -1775,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "bloom_decontaminate_docs": q_bloom_decontaminate_docs,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "ann_topk_q8": q_ann_topk_q8,
     }
 
 
@@ -2648,5 +2668,30 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             WHERE pm IS NULL OR pm - 1800000000 < w + 3600000000
             GROUP BY w
+        """,
+        "ann_topk_q8": """
+            WITH qz AS (
+              SELECT list_transform(embedding,
+                       e -> CAST(FLOOR(CAST(e AS DOUBLE) * 127 + 0.5)
+                                 AS BIGINT)) AS qe
+              FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(
+                       list_zip(
+                         list_transform(embedding,
+                           e -> CAST(FLOOR(CAST(e AS DOUBLE) * 127 + 0.5)
+                                     AS BIGINT)),
+                         (SELECT qe FROM qz)),
+                       p -> p[1] * p[2])) AS BIGINT) AS score_q
+              FROM embeddings
+            )
+            SELECT vec_id, score_q, rank FROM (
+              SELECT vec_id, score_q,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_q DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
     }

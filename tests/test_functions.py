@@ -550,3 +550,44 @@ def test_rollup_sums_levels(ray_session):
         ("x", "ALL"): (300, 2), ("y", "ALL"): (700, 2),
         ("ALL", "ALL"): (1000, 4),
     }
+
+
+def test_quantized_topk_recall_vs_float(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import (brute_force_topk,
+                                                     brute_force_topk_q8)
+
+    rng = np.random.RandomState(5)
+    m = rng.randn(400, 32).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(m.tolist(),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    queries = m[:3] + rng.randn(3, 32).astype(np.float32) * 0.01
+    f = brute_force_topk(ds, queries, k=10)
+    q = brute_force_topk_q8(rd.from_arrow(t).repartition(4), queries, k=10)
+    for qi in range(3):
+        top_f = set(f[f["query_idx"] == qi]["vec_id"])
+        top_q = set(q[q["query_idx"] == qi]["vec_id"])
+        assert len(top_f & top_q) >= 8  # int8 ranking ~ float cosine ranking
+    # integer scores are exact: rank 1 for query i is its base vector
+    for qi in range(3):
+        assert q[(q["query_idx"] == qi) & (q["rank"] == 1)]["vec_id"].iloc[0] == qi
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import quantize_embeddings
+
+    vals = [[0.5, -0.5, 0.0039], [1.0, -1.0, 0.0]]
+    t = pa.table({"vec_id": pa.array([7, 8], pa.int64()),
+                  "embedding": pa.array(vals, pa.list_(pa.float32()))})
+    out = quantize_embeddings(rd.from_arrow(t)).to_pandas()
+    got = {r["vec_id"]: list(r["qvec"]) for _, r in out.iterrows()}
+    # floor(x*127 + 0.5): 0.5→64 (63.5+0.5), -0.5→-63 (-63.5+0.5=-63.0),
+    # 0.0039*127=0.49529…→0, ±1→±127
+    assert got[7] == [64, -63, 0]
+    assert got[8] == [127, -127, 0]

@@ -429,3 +429,92 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
     return keyed.groupby("pair_key").aggregate(
         Min("a", alias_name="a"), Min("b", alias_name="b"),
         Min("cosine", alias_name="cosine")).drop_columns(["pair_key"])
+
+
+# -- int8-quantized ANN ------------------------------------------------------
+
+def _quantize_flat(flat: np.ndarray, scale: int) -> np.ndarray:
+    """q = floor(x·scale + ½) on the float64 domain — per-element, no
+    accumulation, so any engine (the DuckDB oracle) replays it bit-exact."""
+    return np.floor(flat.astype(np.float64) * scale + 0.5).astype(np.int8)
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", scale: int = 127):
+    """Symmetric int8 quantization of a unit-norm embedding column →
+    (id, ``qvec``: list<int8>).  The 100-TB lever: the quantized column is
+    4× smaller in the object store / shuffle / Parquet than float32, and
+    integer dot products rank within ~1 % of float cosine for unit
+    vectors — quantize ONCE, search many times.  ``scale`` must keep
+    |x|·scale ≤ 127 (127 is always safe for unit-norm inputs)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = t[vec_col].combine_chunks() if isinstance(t[vec_col], pa.ChunkedArray) else t[vec_col]
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        q = _quantize_flat(flat, scale)
+        offs = arr.offsets if hasattr(arr, "offsets") else None
+        if offs is not None:
+            qv = pa.ListArray.from_arrays(offs, pa.array(q, pa.int8()))
+        else:  # fixed-size list input
+            qv = pa.FixedSizeListArray.from_arrays(pa.array(q, pa.int8()),
+                                                   arr.type.list_size)
+        return pa.table({id_col: t[id_col], "qvec": qv})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class QuantizedTopK:
+    """Actor-pool stage: integer dot products of the int8 batch against the
+    broadcast int8 query matrix (int64 accumulation — exact), batch-local
+    top-k out.  Same shape as BruteForceTopK; scores are deterministic
+    integers, so the global merge is bit-reproducible."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "qvec"):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = np.asarray(q, dtype=np.int64)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.vec_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = np.asarray(arr.flatten(), dtype=np.int64)
+        n = len(arr)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "query_idx": pa.array([], pa.int32()),
+                             "score_q": pa.array([], pa.int64())})
+        m = flat.reshape(n, -1)
+        scores = m @ self.q.T                                   # (n, nq) int64
+        ids = np.asarray(batch[self.id_col])
+        k = min(self.k, n)
+        nq = scores.shape[1]
+        part = np.argpartition(-scores, k - 1, axis=0)[:k]
+        rows = part.T.reshape(-1)
+        qidx = np.repeat(np.arange(nq, dtype=np.int32), k)
+        return pa.table({self.id_col: pa.array(ids[rows].astype(np.int64)),
+                         "query_idx": pa.array(qidx),
+                         "score_q": pa.array(scores[rows, qidx])})
+
+
+def brute_force_topk_q8(ds, queries: np.ndarray, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        scale: int = 127) -> pd.DataFrame:
+    """Quantize → integer brute-force top-k → tiny driver merge.
+    Deterministic: integer scores, tie-break (score desc, id asc)."""
+    qm = np.asarray(queries, dtype=np.float64)
+    qq = np.floor(qm * scale + 0.5).astype(np.int64)
+    qds = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col, scale=scale)
+    partial = qds.map_batches(
+        QuantizedTopK(query_ref=qq, k=k, id_col=id_col),
+        batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partial.groupby("query_idx"):
+        g = g.sort_values(["score_q", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
