@@ -1650,6 +1650,91 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (top-10 open orders by revenue for one segment):
+    a THREE-table composition — broadcast semi-join (BUILDING customers,
+    small side) filters orders at the scan, date predicates prune both
+    fact sides, then orders ⋈ lineitem goes through the GRACE bucket join
+    (large×large, one exchange each).  Revenue = Σ price_cents ×
+    (100−disc_pct) on the int domain so the sum is order-independent and
+    the oracle replays it exactly."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.relational import (broadcast_join,
+                                                     bucket_hash_join)
+
+    cutoff = np.datetime64("1998-06-01")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+        .select(["c_custkey"])
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d < cutoff))
+
+    orders = broadcast_join(orders.map_batches(open_orders,
+                                               batch_format="pyarrow"),
+                            cust, keys="o_custkey", right_keys="c_custkey")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def shipped_late(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d > cutoff))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        rev = price * (100 - disc)  # exact ints, 4 implied decimals
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev)})
+
+    def bucket_top(t: pa.Table) -> pa.Table:
+        # every row of an orderkey is co-located in this bucket, so the
+        # grouped sum is COMPLETE here and the per-bucket top-10 is a sound
+        # partial — the driver merge sees <= 10 x n_buckets rows, bounded
+        # regardless of order cardinality (never the full per-order table)
+        g = t.group_by(["o_orderkey", "o_orderdate"]).aggregate(
+            [("rev", "sum")])
+        g = g.rename_columns(["o_orderkey", "o_orderdate", "revenue_scaled"])
+        return g.sort_by([("revenue_scaled", "descending"),
+                          ("o_orderkey", "ascending")]).slice(0, 10)
+
+    tops = bucket_hash_join(
+        orders, li.map_batches(shipped_late, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey",
+        left_cols=["o_orderdate"], right_cols=["rev"], n_buckets=32,
+        bucket_fn=bucket_top).to_pandas()
+    out = tops.sort_values(["revenue_scaled", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+    out = out.assign(rank=np.arange(1, len(out) + 1))
+    return out[["o_orderkey", "revenue_scaled", "o_orderdate", "rank"]] \
+        .reset_index(drop=True).astype(
+            {"o_orderkey": "int64", "revenue_scaled": "int64",
+             "rank": "int64"})
+
+
+def q_lineitem_corr_stats(sf_dir: str):
+    """Per-returnflag co-moment sums for quantity × price
+    (functions/relational.grouped_comoment_sums): (n, Σx, Σy, Σxy) on the
+    scaled-int domain — the sufficient statistics for covariance/Pearson,
+    exact and order-independent, merge volume = #groups rows."""
+    from timberjack_ray.functions.relational import grouped_comoment_sums
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_comoment_sums(ds, "l_returnflag", "l_quantity",
+                                "l_extendedprice", x_scale=1, y_scale=100)
+    return out.astype({"n": "int64", "sum_x": "int64", "sum_y": "int64",
+                       "sum_xy": "int64"})
+
+
 def q_ann_topk_q8(sf_dir: str):
     """int8-quantized brute-force top-10 vs the vec_id=0 embedding
     (functions/similarity.brute_force_topk_q8): quantize once (4× smaller
@@ -1795,6 +1880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate_docs": q_bloom_decontaminate_docs,
         "stream_windowed_counts": q_stream_windowed_counts,
         "ann_topk_q8": q_ann_topk_q8,
+        "tpch_q3": q_tpch_q3,
+        "lineitem_corr_stats": q_lineitem_corr_stats,
     }
 
 
@@ -2693,5 +2780,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score_q DESC, vec_id ASC) AS BIGINT) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey, revenue_scaled, o_orderdate, rank FROM (
+              SELECT l.l_orderkey AS o_orderkey,
+                     CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue_scaled,
+                     o.o_orderdate,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * (100 - CAST(ROUND(l.l_discount * 100)
+                                                  AS BIGINT))) DESC,
+                                l.l_orderkey ASC) AS BIGINT) AS rank
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                AND l.l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l.l_orderkey, o.o_orderdate
+            ) WHERE rank <= 10
+        """,
+        "lineitem_corr_stats": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_x,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_y,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                            * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_xy,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

@@ -147,3 +147,34 @@ def test_grouped_topk_distributed_fallback_same_result(left_ds):
     pd.testing.assert_frame_equal(small[["k", "v"]].reset_index(drop=True),
                                   big[["k", "v"]].reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_bucket_hash_join_bucket_fn_complete_groups(ray_session):
+    """bucket_fn sees EVERY row of a key in one call, so per-key sums
+    computed inside it must equal the global per-key sums."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    n = 300
+    left = pa.table({"k": pa.array([i % 40 for i in range(n)], pa.int64()),
+                     "tag": pa.array([f"t{i % 40}" for i in range(n)])})
+    right = pa.table({"rk": pa.array([i % 40 for i in range(n)], pa.int64()),
+                      "v": pa.array([i % 7 for i in range(n)], pa.int64())})
+
+    def per_bucket_sums(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "sum")])
+        return g.rename_columns(["k", "sum_v"])
+
+    out = bucket_hash_join(
+        rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3),
+        "k", "rk", left_cols=["tag"], right_cols=["v"], n_buckets=8,
+        bucket_fn=per_bucket_sums).to_pandas()
+    # one output row per key (no partials to re-merge), matching the
+    # driver-side join+groupby oracle
+    lj = left.to_pandas().merge(right.to_pandas(), left_on="k", right_on="rk")
+    exp = lj.groupby("k")["v"].sum()
+    assert len(out) == 40
+    got = out.set_index("k")["sum_v"].sort_index()
+    assert (got == exp.sort_index()).all()

@@ -428,7 +428,8 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
 
 def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
                      left_cols: list[str], right_cols: list[str],
-                     n_buckets: int = 64, join_type: str = "inner"):
+                     n_buckets: int = 64, join_type: str = "inner",
+                     bucket_fn=None):
     """Shuffle hash join for two LARGE sides (neither fits a broadcast).
 
     Plan: both inputs are tagged and bucketed by ``hash(key) % n_buckets``
@@ -447,6 +448,13 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
     the left key's name).  Returns a Dataset of joined rows with columns
     ``[left_key] + left_cols + right_cols``, so downstream aggregation
     keeps streaming — the join result is never materialized on the driver.
+
+    ``bucket_fn``: optional per-bucket post-join transform (pa.Table →
+    pa.Table) applied while the bucket is still in hand.  Because the
+    exchange co-locates every occurrence of a key in one bucket, per-key
+    aggregates computed inside ``bucket_fn`` are COMPLETE, so a grouped
+    sum + per-bucket top-k here shrinks the join output to k × n_buckets
+    rows before anything else sees it (the TPC-H Q3 tail).
     """
     import pyarrow.compute as pc
 
@@ -501,7 +509,8 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         out = lt.join(rt, keys="__key", join_type=join_type)
         # surface the key under its left-side name, as the docstring promises
         names = [left_key if c == "__key" else c for c in out.column_names]
-        return out.rename_columns(names)
+        out = out.rename_columns(names)
+        return bucket_fn(out) if bucket_fn is not None else out
 
     return lp.union(rp).groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow")
@@ -675,3 +684,33 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
     merged = merge_partials(p, keys, [sum_col, "n"])
     out = merged.to_pandas().sort_values(keys).reset_index(drop=True)
     return out.astype({sum_col: "int64", "n": "int64"})
+
+
+def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
+                          x_scale: int = 1, y_scale: int = 1) -> pd.DataFrame:
+    """Per-group co-moment sums (n, Σx, Σy, Σxy) on the scaled-int domain —
+    the sufficient statistics for covariance / Pearson r, computed exactly:
+    integer sums are order-independent, so any engine (the SQL oracle)
+    replays them bit-for-bit, unlike float covariance whose value depends
+    on summation order.  cov = (Σxy − ΣxΣy/n)/n on the caller's side.
+
+    One streaming pass; partial volume = #groups per batch; int64 Σxy
+    bounds the domain to |x·scale|·|y·scale|·rows < 2⁶³ (fine for
+    price×quantity at any realistic scale; re-bucket the group key and
+    sum per bucket if a single group would overflow)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = scale_to_int(t[x_col], x_scale).to_numpy()
+        y = scale_to_int(t[y_col], y_scale).to_numpy()
+        g = pa.table({group_col: t[group_col], "sum_x": pa.array(x),
+                      "sum_y": pa.array(y), "sum_xy": pa.array(x * y)}) \
+            .group_by(group_col).aggregate(
+                [("sum_x", "sum"), ("sum_y", "sum"), ("sum_xy", "sum"),
+                 ([], "count_all")])
+        return g.rename_columns([group_col, "sum_x", "sum_y", "sum_xy", "n"])
+
+    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            [group_col], ["sum_x", "sum_y", "sum_xy", "n"])
+    return merged.to_pandas().sort_values(group_col).reset_index(drop=True)
