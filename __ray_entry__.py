@@ -1650,6 +1650,20 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_char_budget_sample(sf_dir: str):
+    """Per-source char-budget subsampling (functions/corpus.budget_sample):
+    fill each source's 20 000-char quota in deterministic scrambled-hash
+    order — quota-based domain mixing; the cut replays exactly as a SQL
+    running-sum window."""
+    from timberjack_ray.functions.corpus import budget_sample
+
+    ds = _rp(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    out = budget_sample(ds, "source", "n_chars", "doc_id", budget=20_000) \
+        .to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shape (top-10 open orders by revenue for one segment):
     a THREE-table composition — broadcast semi-join (BUILDING customers,
@@ -1882,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_q8": q_ann_topk_q8,
         "tpch_q3": q_tpch_q3,
         "lineitem_corr_stats": q_lineitem_corr_stats,
+        "char_budget_sample": q_char_budget_sample,
     }
 
 
@@ -2815,5 +2830,17 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS sum_xy,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "char_budget_sample": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM documents
+            ) WHERE cum <= 20000
         """,
     }

@@ -389,3 +389,27 @@ def test_chunk_documents_truncated_tail(ray_session):
     # nw=9: chunks at 0,4,8 — last truncates to 1 word
     assert out["n_words"].tolist() == [4, 4, 1]
     assert out["chunk_text"].tolist()[-1] == "t8"
+
+
+def test_budget_sample_prefix_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32, budget_sample
+
+    n = 90
+    t = pa.table({
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "doc_id": pa.array(range(n), pa.int64()),
+        "w": pa.array([10 + (i % 5) for i in range(n)], pa.int64()),
+    })
+    out = budget_sample(rd.from_arrow(t).repartition(4), "source", "w",
+                        "doc_id", budget=100).to_pandas()
+    df = t.to_pandas()
+    df["h"] = (df["doc_id"].astype("uint64") * np.uint64(KNUTH32)) % np.uint64(_POW32)
+    for s, g in df.groupby("source"):
+        g = g.sort_values(["h", "doc_id"])
+        exp = g[g["w"].cumsum() <= 100]["doc_id"].tolist()
+        got = out[out["source"] == s]["doc_id"].tolist()
+        assert sorted(got) == sorted(exp)
+        assert sum(out[out["source"] == s]["w"]) <= 100

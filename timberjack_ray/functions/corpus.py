@@ -564,3 +564,38 @@ def chunk_documents(ds, col: str = "text", id_col: str = "doc_id",
                          "n_words": pa.array([], pa.int64())})
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def budget_sample(ds, group_col: str, weight_col: str, id_col: str,
+                  budget: int):
+    """Per-group weight-budget subsampling: within each group, keep docs in
+    deterministic scrambled-hash order (Knuth multiplicative hash of the id,
+    id tiebreak) while the INCLUSIVE running sum of ``weight_col`` stays
+    ≤ ``budget`` — the "fill each source's token/char budget" curation step
+    (domain mixing by quota rather than by rate).
+
+    Deterministic and engine-replayable: the cut is a pure function of
+    (id, weight), so a SQL window (SUM OVER ... ROWS UNBOUNDED PRECEDING)
+    replays it exactly.  Plan: project (group, id, weight) into ONE
+    groupby exchange on the group key (low-cardinality sources), then one
+    vectorized lexsort + cumsum per group.  Scale path for a group too big
+    for one worker: distributed threshold search on the scramble key (find
+    h* with Σ weight[hash<h*] ≈ budget), then a broadcast hash-cut filter —
+    same result for distinct hashes; documented, not needed at source
+    cardinalities.
+
+    Returns a Dataset of surviving (group, id, weight) rows.
+    """
+    proj = ds.select_columns([group_col, id_col, weight_col])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        order = np.lexsort((ids, h))
+        cum = np.cumsum(w[order])
+        kept = order[cum <= budget]
+        return t.take(pa.array(np.sort(kept)))
+
+    return proj.groupby(group_col).map_groups(per_group,
+                                              batch_format="pyarrow")
