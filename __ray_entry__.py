@@ -1650,6 +1650,21 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_event_value_ranks(sf_dir: str):
+    """Per-type ordinal value ranks (functions/relational.grouped_rank_ds)
+    — the rank / percent-rank feature-normalization window: one bucket
+    exchange, one lexsort + segmented arange per bucket, full-row output
+    streams (collected here only because the driver compare needs a
+    frame)."""
+    from timberjack_ray.functions.relational import grouped_rank_ds
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value", "event_id"])
+    out = grouped_rank_ds(ds, "event_type", "value", "event_id", scale=100) \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True).astype(
+        {"event_id": "int64", "rank": "int64", "n_group": "int64"})
+
+
 def q_char_budget_sample(sf_dir: str):
     """Per-source char-budget subsampling (functions/corpus.budget_sample):
     fill each source's 20 000-char quota in deterministic scrambled-hash
@@ -1897,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "lineitem_corr_stats": q_lineitem_corr_stats,
         "char_budget_sample": q_char_budget_sample,
+        "event_value_ranks": q_event_value_ranks,
     }
 
 
@@ -2842,5 +2858,14 @@ def oracle_sql() -> dict[str, str]:
                        AS cum
               FROM documents
             ) WHERE cum <= 20000
+        """,
+        "event_value_ranks": """
+            SELECT event_id, event_type,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id)
+                     AS BIGINT) AS rank,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_group
+            FROM events
         """,
     }

@@ -178,3 +178,29 @@ def test_bucket_hash_join_bucket_fn_complete_groups(ray_session):
     assert len(out) == 40
     got = out.set_index("k")["sum_v"].sort_index()
     assert (got == exp.sort_index()).all()
+
+
+def test_grouped_rank_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_rank_ds
+
+    rng = np.random.RandomState(2)
+    n = 200
+    t = pa.table({
+        "g": pa.array([f"g{i % 6}" for i in range(n)]),
+        "v": pa.array(np.round(rng.rand(n) * 5, 2)),
+        "id": pa.array(range(n), pa.int64()),
+    })
+    out = grouped_rank_ds(rd.from_arrow(t).repartition(5), "g", "v", "id",
+                          scale=100, n_buckets=8).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    df = t.to_pandas()
+    df["vc"] = np.floor(df["v"] * 100 + 0.5).astype("int64")
+    df = df.sort_values(["g", "vc", "id"])
+    df["rank"] = df.groupby("g").cumcount() + 1
+    exp = df.sort_values("id")
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert (out.groupby("g")["n_group"].first()
+            == df.groupby("g").size()).all()

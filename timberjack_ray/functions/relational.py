@@ -714,3 +714,41 @@ def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
     merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
                             [group_col], ["sum_x", "sum_y", "sum_xy", "n"])
     return merged.to_pandas().sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_rank_ds(ds, group_col: str, val_col: str, id_col: str,
+                    scale: int = 1, n_buckets: int = 256):
+    """Per-group ordinal rank — SQL ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY scaled(val), id)`` (the id tiebreak makes row_number and rank
+    coincide and the result deterministic).  The rank/percent-rank feature
+    normalization step: callers divide by the group count for a [0,1]
+    score.
+
+    Scale shape: same one-exchange bucket co-partition as
+    ``rolling_sum_per_key_ds`` — inside a bucket ALL groups rank in one
+    lexsort + segmented arange; output rows stream (one per input row),
+    never the driver.  Returns a Dataset of (id, group, rank, n_group).
+    """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+    from timberjack_ray.functions.util import scale_to_int
+
+    proj = ds.select_columns([group_col, val_col, id_col])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int(t[val_col], scale).to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, g))
+        gs = g[order]
+        starts, sizes = _segments(gs)
+        rank = np.arange(len(gs), dtype=np.int64) \
+            - np.repeat(starts.astype(np.int64), sizes) + 1
+        ng = np.repeat(sizes.astype(np.int64), sizes)
+        return pa.table({id_col: pa.array(ids[order]),
+                         group_col: pa.array(gs),
+                         "rank": pa.array(rank),
+                         "n_group": pa.array(ng)})
+
+    bucketed = add_key_bucket(proj, group_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
