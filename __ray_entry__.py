@@ -1650,6 +1650,43 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_supplier_part_pagerank(sf_dir: str):
+    """Top-20 integer-fixed-point PageRank (functions/graph.pagerank_int)
+    over the supplier→part edge graph: every operation is an int64 sum or
+    floor-division, so the iterative algorithm is bit-reproducible across
+    the driver and distributed paths AND replayable by a SQL oracle with
+    unrolled iterations — an oracle-checked iterative-graph workload."""
+    from timberjack_ray.functions.graph import pagerank_int
+
+    li = _rp(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        return pa.table({
+            "u": pc.cast(g["l_suppkey"], pa.int64()),
+            "v": pc.add(pc.cast(g["l_partkey"], pa.int64()), 10_000_000)})
+
+    # per-batch dedup, then a global distinct via groupby-free merge: the
+    # driver fold inside pagerank_int dedups nothing further, so dedup
+    # globally here with one exact pass
+    e = li.map_batches(edges, batch_format="pyarrow")
+    from timberjack_ray.aggregates import merge_partials
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    distinct = merge_partials(e.map_batches(tag, batch_format="pyarrow"),
+                              ["u", "v"], "one").select(["u", "v"])
+    import ray.data as rd
+
+    ranks = pagerank_int(rd.from_arrow(distinct), n_iter=3)
+    out = ranks if isinstance(ranks, pd.DataFrame) else ranks.to_pandas()
+    out = out.sort_values(["rank_fp", "node"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    out = out.assign(pos=np.arange(1, len(out) + 1))
+    return out.astype({"node": "int64", "rank_fp": "int64", "pos": "int64"})
+
+
 def q_event_value_ranks(sf_dir: str):
     """Per-type ordinal value ranks (functions/relational.grouped_rank_ds)
     — the rank / percent-rank feature-normalization window: one bucket
@@ -1913,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": q_lineitem_corr_stats,
         "char_budget_sample": q_char_budget_sample,
         "event_value_ranks": q_event_value_ranks,
+        "supplier_part_pagerank": q_supplier_part_pagerank,
     }
 
 
@@ -2867,5 +2905,43 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS rank,
                    COUNT(*) OVER (PARTITION BY event_type) AS n_group
             FROM events
+        """,
+        "supplier_part_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT l_suppkey AS u,
+                     l_partkey + 10000000 AS v
+              FROM lineitem
+            ),
+            nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+            p AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM nodes),
+            deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+            r0t AS (SELECT id, (SELECT r0 FROM p) AS r FROM nodes),
+            i1 AS (SELECT e.v AS id, SUM(r0t.r // deg.d) AS s FROM e
+                   JOIN r0t ON e.u = r0t.id JOIN deg ON e.u = deg.u
+                   GROUP BY e.v),
+            r1 AS (SELECT n.id,
+                     (15 * (SELECT r0 FROM p)) // 100
+                       + (85 * COALESCE(i1.s, 0)) // 100 AS r
+                   FROM nodes n LEFT JOIN i1 ON n.id = i1.id),
+            i2 AS (SELECT e.v AS id, SUM(r1.r // deg.d) AS s FROM e
+                   JOIN r1 ON e.u = r1.id JOIN deg ON e.u = deg.u
+                   GROUP BY e.v),
+            r2 AS (SELECT n.id,
+                     (15 * (SELECT r0 FROM p)) // 100
+                       + (85 * COALESCE(i2.s, 0)) // 100 AS r
+                   FROM nodes n LEFT JOIN i2 ON n.id = i2.id),
+            i3 AS (SELECT e.v AS id, SUM(r2.r // deg.d) AS s FROM e
+                   JOIN r2 ON e.u = r2.id JOIN deg ON e.u = deg.u
+                   GROUP BY e.v),
+            r3 AS (SELECT n.id,
+                     (15 * (SELECT r0 FROM p)) // 100
+                       + (85 * COALESCE(i3.s, 0)) // 100 AS r
+                   FROM nodes n LEFT JOIN i3 ON n.id = i3.id)
+            SELECT node, rank_fp, pos FROM (
+              SELECT id AS node, CAST(r AS BIGINT) AS rank_fp,
+                     CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id ASC)
+                          AS BIGINT) AS pos
+              FROM r3
+            ) WHERE pos <= 20
         """,
     }

@@ -86,3 +86,39 @@ def test_minhash_dedup_distributed_components_match_driver(ray_session):
     dd = p_dist.to_pandas().drop_duplicates(["a", "b"])
     assert (set(zip(dd["a"], dd["b"]))
             == set(zip(p_drv["a"], p_drv["b"])))
+
+
+def test_pagerank_driver_basic():
+    import numpy as np
+
+    from timberjack_ray.functions.graph import PAGERANK_TOTAL, _pagerank_driver
+
+    # star: 1,2,3 all point at 0; 0 points at 1
+    u = np.array([1, 2, 3, 0], dtype=np.int64)
+    v = np.array([0, 0, 0, 1], dtype=np.int64)
+    out = _pagerank_driver(u, v, n_iter=5)
+    r = dict(zip(out["node"], out["rank_fp"]))
+    assert r[0] > r[1] > r[2] == r[3]  # hub ranks highest; 2,3 symmetric
+    assert sum(r.values()) <= PAGERANK_TOTAL
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import _pagerank_driver, pagerank_int
+
+    rng = np.random.RandomState(13)
+    u = rng.randint(0, 60, size=400).astype(np.int64)
+    v = (rng.randint(0, 80, size=400) + 100).astype(np.int64)
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    t = pa.table({"u": pa.array(uv[:, 0]), "v": pa.array(uv[:, 1])})
+    exp = _pagerank_driver(uv[:, 0], uv[:, 1], n_iter=3) \
+        .sort_values("node").reset_index(drop=True)
+    got = pagerank_int(rd.from_arrow(t).repartition(4), n_iter=3,
+                       driver_limit=10, n_buckets=8, n_blocks=4)
+    assert not isinstance(got, type(exp))  # Dataset, not pandas
+    got = got.to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == exp["node"].tolist()
+    assert got["rank_fp"].tolist() == exp["rank_fp"].tolist()

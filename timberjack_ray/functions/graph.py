@@ -145,3 +145,127 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         lambda t: pa.table({"node": t["node"],
                             "component": t["label"]}),
         batch_format="pyarrow")
+
+
+# -- deterministic integer PageRank -----------------------------------------
+
+PAGERANK_TOTAL = 10**12  # fixed-point rank budget (1.0 == 10^12)
+
+
+def _pagerank_driver(u: np.ndarray, v: np.ndarray, n_iter: int,
+                     total: int = PAGERANK_TOTAL) -> pd.DataFrame:
+    """Driver path: exact integer PageRank (numpy bincount loop)."""
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+    r0 = total // len(nodes)
+    base = (15 * r0) // 100
+    r = np.full(len(nodes), r0, dtype=np.int64)
+    for _ in range(n_iter):
+        contrib = r[ui] // deg[ui]
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(inflow, vi, contrib)
+        r = base + (85 * inflow) // 100
+    return pd.DataFrame({"node": nodes, "rank_fp": r})
+
+
+def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
+                 n_iter: int = 3, driver_limit: int = 2_000_000,
+                 n_buckets: int = 64, n_blocks: int = 32,
+                 total: int = PAGERANK_TOTAL):
+    """PageRank on the INTEGER fixed-point domain (rank in ``total`` units,
+    damping 0.85 as ``85·x // 100``, per-edge contribution ``r // outdeg``)
+    — every operation is an int64 sum or floor-division, so the result is
+    order-independent, bit-reproducible across both execution paths, and
+    replayable by a SQL oracle with unrolled iterations.  Dangling nodes
+    simply leak their mass (standard simplification; deterministic).
+
+    Under ``driver_limit`` edges: one numpy loop.  Past it, the 100-TB
+    path mirrors ``connected_components``: edges materialized once; per
+    round (a) GRACE join edges ⋈ state on the src to emit per-edge
+    integer contributions, (b) groupby-sum inflow per dst, (c) GRACE
+    LEFT-OUTER join state ⋈ inflow to apply base + damped inflow (nodes
+    with no in-edges keep the base term).  State is (node, rank, outdeg)
+    — node-volume, never the driver's.  Returns pandas under the limit,
+    a Dataset of (node, rank_fp) above it.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(edges_ds, driver_limit)
+    if small is not None:
+        u = small[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = small[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = _pagerank_driver(u, v, n_iter, total)
+        out.attrs["mode"] = "driver"
+        return out
+
+    from ray.data.aggregate import Count
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({"u": pc.cast(t[u_col], pa.int64()),
+                            "v": pc.cast(t[v_col], pa.int64())}),
+        batch_format="pyarrow").repartition(n_blocks).materialize()
+
+    # node table with outdeg (0 for sink-only nodes)
+    def nodes_of(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["u"].combine_chunks(),
+                                 t["v"].combine_chunks()])
+        return pa.table({"node": both.unique()})
+
+    nodes = edges.map_batches(nodes_of, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda t: pa.table({"node": t["node"]}),
+                     batch_format="pyarrow")
+    degs = edges.map_batches(
+        lambda t: pa.table({"node": t["u"]}), batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="outdeg"))
+    n = nodes.count()
+    r0 = total // n
+    base = (15 * r0) // 100
+
+    state = bucket_hash_join(
+        nodes, degs, "node", "node", left_cols=[], right_cols=["outdeg"],
+        n_buckets=n_buckets, join_type="left outer") \
+        .map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "rank_fp": pa.array(np.full(t.num_rows, r0, np.int64)),
+                "outdeg": pc.coalesce(pc.cast(t["outdeg"], pa.int64()), 0)}),
+            batch_format="pyarrow").repartition(n_blocks).materialize()
+
+    def contribs(t: pa.Table) -> pa.Table:
+        r = t["rank_fp"].to_numpy(zero_copy_only=False)
+        d = t["outdeg"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": t["v"],
+                         "c": pa.array(r // np.maximum(d, 1))})
+
+    for _ in range(n_iter):
+        inflow = bucket_hash_join(
+            edges, state, "u", "node",
+            left_cols=["v"], right_cols=["rank_fp", "outdeg"],
+            n_buckets=n_buckets) \
+            .map_batches(contribs, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("c", alias_name="inflow"))
+
+        def apply_rank(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(pc.cast(t["inflow"], pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["node"],
+                             "rank_fp": pa.array(base + (85 * s) // 100),
+                             "outdeg": t["outdeg"]})
+
+        state = bucket_hash_join(
+            state, inflow, "node", "node",
+            left_cols=["rank_fp", "outdeg"], right_cols=["inflow"],
+            n_buckets=n_buckets, join_type="left outer") \
+            .map_batches(apply_rank, batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_fp": t["rank_fp"]}),
+        batch_format="pyarrow")
