@@ -161,3 +161,66 @@ def test_session_stats_bails_to_distributed_dataset(ray_session):
         got.astype({"u": "int64", "n_sessions": "int64"}),
         exact.rename(columns={})[["u", "n_sessions"]]
         .astype({"u": "int64", "n_sessions": "int64"}))
+
+
+def test_rollup_sums_degrades_to_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import rollup_sums
+
+    n = 2000
+    t = pa.table({"k": pa.array([f"k{i}" for i in range(n)]),
+                  "v": pa.array([1.0] * n)})
+    ds = rd.from_arrow(t).repartition(4)
+    small = rollup_sums(ds, ["k"], "v", scale=100, driver_limit=100)
+    assert not hasattr(small, "attrs")  # Dataset, not pandas
+    dist = small.to_pandas()
+    exact = rollup_sums(rd.from_arrow(t).repartition(4), ["k"], "v",
+                        scale=100)
+    assert exact.attrs["mode"] == "driver"
+    m = dist.sort_values("k").reset_index(drop=True) \
+        .merge(exact, on="k", suffixes=("_d", "_e"))
+    assert len(m) == n + 1  # every key level + the ALL row, both paths
+    assert (m["sum_v_scaled_d"] == m["sum_v_scaled_e"]).all()
+    assert (m["n_d"] == m["n_e"]).all()
+
+
+def test_comoment_sums_degrades_to_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_comoment_sums
+
+    n = 1500
+    t = pa.table({"g": pa.array([f"g{i}" for i in range(n)]),
+                  "x": pa.array([float(i % 7) for i in range(n)]),
+                  "y": pa.array([float(i % 11) for i in range(n)])})
+    ds = rd.from_arrow(t).repartition(4)
+    out = grouped_comoment_sums(ds, "g", "x", "y", driver_limit=50)
+    assert not hasattr(out, "attrs")  # degraded: Dataset
+    dist = out.to_pandas().sort_values("g").reset_index(drop=True)
+    exact = grouped_comoment_sums(rd.from_arrow(t).repartition(4),
+                                  "g", "x", "y")
+    assert exact.attrs["mode"] == "driver"
+    assert dist[["sum_x", "sum_y", "sum_xy", "n"]].astype("int64") \
+        .equals(exact[["sum_x", "sum_y", "sum_xy", "n"]].astype("int64"))
+
+
+def test_windower_drain_keeps_state_bounded():
+    import numpy as np
+
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    w = EventTimeWindower(width_s=10, lateness_s=5)
+    drained: dict = {}
+    # in-order stream over 200 windows; drain after each chunk
+    ts = np.arange(2000, dtype=np.int64) * 1_000_000
+    for i in range(0, len(ts), 100):
+        w.feed(ts[i : i + 100])
+        for k, v in w.drain_finalized().items():
+            drained[k] = drained.get(k, 0) + v
+        assert len(w._open) + len(w._final) <= 3  # lateness horizon only
+    final = w.result()
+    total = sum(drained.values()) + int(final["n"].sum())
+    assert total == 2000 and w.late_dropped == 0

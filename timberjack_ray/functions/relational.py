@@ -644,7 +644,7 @@ def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
 
 
 def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
-                total_label: str = "ALL") -> pd.DataFrame:
+                total_label: str = "ALL", driver_limit: int | None = None):
     """SQL ``GROUP BY ROLLUP(keys)`` sums: one result row per key-prefix
     level, coarser levels' key columns filled with ``total_label`` (the
     COALESCE('ALL') convention, so the oracle can replay it without NULL
@@ -657,8 +657,14 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
     level is computed in the same single pass (no per-level re-scan of the
     input).  Sums run on the scaled-int domain (util.scale_to_int) so the
     reduction is order-independent and an oracle replays it exactly.
+
+    GUARDED driver fold: the distinct-combo count is not bounded by
+    construction (a rollup over a high-cardinality key is result-unbounded),
+    so past ``driver_limit`` combos the fold degrades to a distributed
+    multi-key ``groupby().Sum`` and returns that DATASET for the caller to
+    stream (``merge_partials_or_ds``); pandas under the limit.
     """
-    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.aggregates import merge_partials_or_ds
     from timberjack_ray.functions.util import scale_to_int
 
     keys = list(keys)
@@ -681,13 +687,18 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
         return pa.concat_tables(outs)
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    merged = merge_partials(p, keys, [sum_col, "n"])
+    merged, mode = merge_partials_or_ds(p, keys, [sum_col, "n"],
+                                        driver_limit)
+    if mode == "distributed":
+        return merged
     out = merged.to_pandas().sort_values(keys).reset_index(drop=True)
+    out.attrs["mode"] = "driver"
     return out.astype({sum_col: "int64", "n": "int64"})
 
 
 def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
-                          x_scale: int = 1, y_scale: int = 1) -> pd.DataFrame:
+                          x_scale: int = 1, y_scale: int = 1,
+                          driver_limit: int | None = None):
     """Per-group co-moment sums (n, Σx, Σy, Σxy) on the scaled-int domain —
     the sufficient statistics for covariance / Pearson r, computed exactly:
     integer sums are order-independent, so any engine (the SQL oracle)
@@ -697,8 +708,12 @@ def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
     One streaming pass; partial volume = #groups per batch; int64 Σxy
     bounds the domain to |x·scale|·|y·scale|·rows < 2⁶³ (fine for
     price×quantity at any realistic scale; re-bucket the group key and
-    sum per bucket if a single group would overflow)."""
-    from timberjack_ray.aggregates import merge_partials
+    sum per bucket if a single group would overflow).
+
+    GUARDED driver fold (one row per group is unbounded at high group
+    cardinality): past ``driver_limit`` groups the fold degrades to a
+    distributed ``groupby().Sum`` Dataset (``merge_partials_or_ds``)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
     from timberjack_ray.functions.util import scale_to_int
 
     def partial(t: pa.Table) -> pa.Table:
@@ -711,9 +726,14 @@ def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
                  ([], "count_all")])
         return g.rename_columns([group_col, "sum_x", "sum_y", "sum_xy", "n"])
 
-    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                            [group_col], ["sum_x", "sum_y", "sum_xy", "n"])
-    return merged.to_pandas().sort_values(group_col).reset_index(drop=True)
+    merged, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], ["sum_x", "sum_y", "sum_xy", "n"], driver_limit)
+    if mode == "distributed":
+        return merged
+    out = merged.to_pandas().sort_values(group_col).reset_index(drop=True)
+    out.attrs["mode"] = "driver"
+    return out
 
 
 def grouped_rank_ds(ds, group_col: str, val_col: str, id_col: str,

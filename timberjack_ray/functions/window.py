@@ -111,8 +111,11 @@ class EventTimeWindower:
     The accept/drop rule depends only on arrival order, so an offline
     engine can replay it exactly (prefix-max window function) — that is
     what makes ``stream_windowed_counts`` oracle-checkable rather than
-    rows-only.  State is O(open windows): emit-on-finalize keeps the
-    open-window dict bounded by the lateness horizon, not stream length.
+    rows-only.  The OPEN-window dict is bounded by the lateness horizon;
+    finalized windows accumulate only until the consumer calls
+    ``drain_finalized()`` (emit downstream, clear) — an unbounded stream
+    drains after every chunk and total state stays O(open windows).  The
+    ``result()`` convenience keeps everything for end-of-stream reports.
 
     Single-process ingest tail like ``stream.analyze_stream``; for a
     distributed stream, co-partition by key hash and run one instance per
@@ -155,8 +158,17 @@ class EventTimeWindower:
         for ws in [ws for ws in self._open if ws + width <= wm]:
             self._final[ws] = self._open.pop(ws)
 
+    def drain_finalized(self) -> dict[int, int]:
+        """Hand over (and clear) the finalized windows — the emit hook an
+        unbounded-stream consumer calls after each chunk so total state
+        stays O(open windows).  A finalized window can never change again
+        (any further event for it is late-dropped by construction)."""
+        out, self._final = self._final, {}
+        return out
+
     def result(self) -> pd.DataFrame:
-        """End-of-stream flush → (window_start μs, n) for every window."""
+        """End-of-stream flush → (window_start μs, n) for every window
+        still held (finalized-but-undrained + open)."""
         allw = dict(self._final)
         for ws, n in self._open.items():
             allw[ws] = allw.get(ws, 0) + n
