@@ -1650,6 +1650,18 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user next-event transition matrix counts
+    (functions/sessions.transition_counts) — Markov-chain sufficient
+    statistics via one bucketed exchange + a segmented vectorized shift;
+    |alphabet|² partials per bucket."""
+    from timberjack_ray.functions.sessions import transition_counts
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+
+
 def q_supplier_part_pagerank(sf_dir: str):
     """Top-20 integer-fixed-point PageRank (functions/graph.pagerank_int)
     over the supplier→part edge graph: every operation is an int64 sum or
@@ -1951,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_budget_sample": q_char_budget_sample,
         "event_value_ranks": q_event_value_ranks,
         "supplier_part_pagerank": q_supplier_part_pagerank,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -2943,5 +2956,15 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS pos
               FROM r3
             ) WHERE pos <= 20
+        """,
+        "event_transitions": """
+            SELECT cur_type, next_type, COUNT(*) AS n FROM (
+              SELECT event_type AS cur_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_type
+              FROM events
+            ) WHERE next_type IS NOT NULL
+            GROUP BY cur_type, next_type
         """,
     }

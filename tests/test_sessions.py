@@ -97,3 +97,30 @@ def test_event_time_windower_chunk_invariant():
     r2, d2 = run(500)
     assert d1 == d2
     assert r1.equals(r2)
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import transition_counts
+
+    rng = np.random.RandomState(4)
+    n = 300
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 12, n).astype(np.int64)),
+        "ts": pa.array(rng.randint(0, 40, n).astype(np.int64)),  # many ties
+        "ty": pa.array([f"e{x}" for x in rng.randint(0, 4, n)]),
+        "id": pa.array(range(n), pa.int64()),
+    })
+    out = transition_counts(rd.from_arrow(t).repartition(5), "u", "ts",
+                            "ty", "id", n_buckets=8)
+    df = t.to_pandas().sort_values(["u", "ts", "id"])
+    df["nxt"] = df.groupby("u")["ty"].shift(-1)
+    exp = df.dropna(subset=["nxt"]).groupby(["ty", "nxt"]).size() \
+        .reset_index(name="n").sort_values(["ty", "nxt"]) \
+        .reset_index(drop=True)
+    assert out["cur_type"].tolist() == exp["ty"].tolist()
+    assert out["next_type"].tolist() == exp["nxt"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()

@@ -216,3 +216,46 @@ def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFra
         out_q.append(q)
         out_v.append(int(vals[min(idx, len(vals) - 1)]))
     return pd.DataFrame({"q": out_q, "value_scaled": out_v})
+
+
+def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
+                      id_col: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-key next-event transition counts — the Markov-chain sufficient
+    statistics: for each ordered pair (cur_type, next_type), how many times
+    an event of cur_type is IMMEDIATELY followed (same key, (ts, id) order
+    — the explicit id tiebreak makes timestamp ties deterministic on both
+    engines) by next_type.  SQL's ``LEAD(type) OVER (PARTITION BY key
+    ORDER BY ts, id)`` aggregated.
+
+    Scale shape: the sessionize exchange — (key, ts, type) projection into
+    key-hash buckets, one stable lexsort per bucket, a vectorized shift
+    with segment-boundary masking, then (cur, next) partial counts; only
+    |type_alphabet|² rows per bucket reach the merge.
+    """
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    proj = ds.select_columns([key_col, ts_col, type_col, id_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tvals = (ts.astype("datetime64[us]").astype("int64")
+                 if np.issubdtype(ts.dtype, np.datetime64)
+                 else ts.astype("int64"))
+        order = np.lexsort((ids, tvals, k))
+        ks, tys = k[order], ty[order]
+        same = ks[1:] == ks[:-1]
+        cur, nxt = tys[:-1][same], tys[1:][same]
+        g = pa.table({"cur_type": pa.array(cur), "next_type": pa.array(nxt)}) \
+            .group_by(["cur_type", "next_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cur_type", "next_type", "n"])
+
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+    merged = merge_partials(partials, ["cur_type", "next_type"], "n")
+    out = merged.to_pandas().sort_values(["cur_type", "next_type"]) \
+        .reset_index(drop=True)
+    return out.astype({"n": "int64"})
