@@ -1678,20 +1678,26 @@ def q_supplier_part_pagerank(sf_dir: str):
             "u": pc.cast(g["l_suppkey"], pa.int64()),
             "v": pc.add(pc.cast(g["l_partkey"], pa.int64()), 10_000_000)})
 
-    # per-batch dedup, then a global distinct via groupby-free merge: the
-    # driver fold inside pagerank_int dedups nothing further, so dedup
-    # globally here with one exact pass
+    # per-batch dedup, then a GUARDED global distinct (merge_partials_or_ds):
+    # past the cardinality guard the distinct edge list stays a Dataset and
+    # pagerank_int's distributed path takes over — the edge list never has
+    # to fit the driver
     e = li.map_batches(edges, batch_format="pyarrow")
-    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.aggregates import merge_partials_or_ds
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
 
-    distinct = merge_partials(e.map_batches(tag, batch_format="pyarrow"),
-                              ["u", "v"], "one").select(["u", "v"])
+    merged, mode = merge_partials_or_ds(
+        e.map_batches(tag, batch_format="pyarrow"), ["u", "v"], ["one"])
     import ray.data as rd
 
-    ranks = pagerank_int(rd.from_arrow(distinct), n_iter=3)
+    if mode == "driver":
+        edge_ds = rd.from_arrow(merged.select(["u", "v"]))
+    else:
+        edge_ds = merged.map_batches(
+            lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+    ranks = pagerank_int(edge_ds, n_iter=3)
     out = ranks if isinstance(ranks, pd.DataFrame) else ranks.to_pandas()
     out = out.sort_values(["rank_fp", "node"], ascending=[False, True]) \
         .head(20).reset_index(drop=True)
@@ -1852,7 +1858,13 @@ def q_stream_windowed_counts(sf_dir: str):
     ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
         .astype("datetime64[us]").astype("int64")
-    jitter = ((ids * np.uint64(2654435761)) % np.uint64(5400)).astype(np.int64)
+    # modular arithmetic BEFORE the multiply: (id·K) mod 5400 ==
+    # ((id mod 5400)·(K mod 5400)) mod 5400 with no uint64 wrap, so this
+    # matches the oracle's HUGEINT product for any event_id (a straight
+    # ids*K would wrap mod 2^64 past id ≈ 7e9 and, since 5400 ∤ 2^64,
+    # diverge from SQL)
+    jitter = (((ids % np.uint64(5400)) * (np.uint64(2654435761) % np.uint64(5400)))
+              % np.uint64(5400)).astype(np.int64)
     ak = ts + jitter * 1_000_000 - 2_700_000_000
     order = np.lexsort((ids, ak))  # arrival order, event_id tiebreak
     arrived = ts[order]
@@ -2841,8 +2853,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_q8": """
             WITH qz AS (
               SELECT list_transform(embedding,
-                       e -> CAST(FLOOR(CAST(e AS DOUBLE) * 127 + 0.5)
-                                 AS BIGINT)) AS qe
+                       e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE) * 127
+                                 + 0.5) AS BIGINT), -127), 127)) AS qe
               FROM embeddings WHERE vec_id = 0
             ),
             scored AS (
@@ -2850,8 +2862,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(list_sum(list_transform(
                        list_zip(
                          list_transform(embedding,
-                           e -> CAST(FLOOR(CAST(e AS DOUBLE) * 127 + 0.5)
-                                     AS BIGINT)),
+                           e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE)
+                                     * 127 + 0.5) AS BIGINT), -127), 127)),
                          (SELECT qe FROM qz)),
                        p -> p[1] * p[2])) AS BIGINT) AS score_q
               FROM embeddings

@@ -591,3 +591,23 @@ def test_quantize_embeddings_roundtrip(ray_session):
     # 0.0039*127=0.49529…→0, ±1→±127
     assert got[7] == [64, -63, 0]
     assert got[8] == [127, -127, 0]
+
+
+def test_topk_tie_break_across_duplicate_vectors(ray_session):
+    """Batch-local partials must keep the id-asc winners among score ties
+    (code-review r03 finding: argpartition kept arbitrary tied rows)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import (brute_force_topk,
+                                                     brute_force_topk_q8)
+
+    m = np.tile(np.array([[0.6, 0.8]], dtype=np.float32), (12, 1))
+    # scrambled ids in ONE batch so the tie is batch-local
+    ids = [7, 3, 11, 0, 9, 5, 1, 8, 2, 10, 4, 6]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    q = np.array([[0.6, 0.8]], dtype=np.float32)
+    f = brute_force_topk(rd.from_arrow(t), q, k=3)
+    assert f["vec_id"].tolist() == [0, 1, 2]
+    g = brute_force_topk_q8(rd.from_arrow(t), q, k=3)
+    assert g["vec_id"].tolist() == [0, 1, 2]

@@ -155,6 +155,9 @@ PAGERANK_TOTAL = 10**12  # fixed-point rank budget (1.0 == 10^12)
 def _pagerank_driver(u: np.ndarray, v: np.ndarray, n_iter: int,
                      total: int = PAGERANK_TOTAL) -> pd.DataFrame:
     """Driver path: exact integer PageRank (numpy bincount loop)."""
+    if len(u) == 0:
+        return pd.DataFrame({"node": np.array([], np.int64),
+                             "rank_fp": np.array([], np.int64)})
     nodes = np.unique(np.concatenate([u, v]))
     ui = np.searchsorted(nodes, u)
     vi = np.searchsorted(nodes, v)
@@ -225,6 +228,11 @@ def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
         lambda t: pa.table({"node": t["u"]}), batch_format="pyarrow") \
         .groupby("node").aggregate(Count(alias_name="outdeg"))
     n = nodes.count()
+    if n == 0:  # zero-row input: collect_table_under bails on empty
+        out = pd.DataFrame({"node": np.array([], np.int64),
+                            "rank_fp": np.array([], np.int64)})
+        out.attrs["mode"] = "driver"
+        return out
     r0 = total // n
     base = (15 * r0) // 100
 

@@ -671,6 +671,19 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
     sum_col = f"sum_{val_col}_scaled"
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for k in keys:
+            col = t[k]
+            if col.null_count:
+                # the oracle's COALESCE(k,'ALL') would fold data NULLs into
+                # the rollup-total rows — refuse instead of silently
+                # diverging (filter or fill nulls upstream)
+                raise ValueError(f"rollup_sums: null values in key {k!r}")
+            if pc.any(pc.equal(col.cast(pa.string()), total_label)).as_py():
+                raise ValueError(
+                    f"rollup_sums: key {k!r} contains the total sentinel "
+                    f"{total_label!r} — pick a different total_label")
         base = pa.table(
             {k: t[k].cast(pa.string()) for k in keys}
             | {"__v": scale_to_int(t[val_col], scale)})

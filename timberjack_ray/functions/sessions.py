@@ -20,6 +20,14 @@ import pyarrow as pa
 from timberjack_ray.aggregates import merge_partials
 
 
+def _ts_to_int(ts: np.ndarray) -> np.ndarray:
+    """datetime64 → int64 microseconds (exact for us-precision parquet
+    timestamps); integer inputs pass through as int64."""
+    if np.issubdtype(ts.dtype, np.datetime64):
+        return ts.astype("datetime64[us]").astype("int64")
+    return ts.astype("int64")
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
                session_col: str = "session_id", n_buckets: int = 256):
     """Append ``session_col``: per-key session index (0-based) where a new
@@ -40,12 +48,9 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
         # seconds misclassified fractional gaps in (gap_s, gap_s+1) vs the
         # epoch-diff oracle; integer-us comparison is exact for us-precision
         # timestamps.  Non-datetime inputs compare raw int values to gap_s.
-        if np.issubdtype(ts.dtype, np.datetime64):
-            tvals = ts.astype("datetime64[us]").astype("int64")
-            gap = int(gap_s) * 1_000_000
-        else:
-            tvals = ts.astype("int64")
-            gap = int(gap_s)
+        tvals = _ts_to_int(ts)
+        gap = (int(gap_s) * 1_000_000
+               if np.issubdtype(ts.dtype, np.datetime64) else int(gap_s))
         order = np.lexsort((tvals, k))  # stable: ties keep original order
         ks, ss = k[order], tvals[order]
         starts, sizes = _segments(ks)
@@ -158,10 +163,7 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
         k = t[key_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
         ty = t[type_col].to_numpy(zero_copy_only=False)
-        if np.issubdtype(ts.dtype, np.datetime64):
-            tvals = ts.astype("datetime64[us]").astype("int64")
-        else:
-            tvals = ts.astype("int64")
+        tvals = _ts_to_int(ts)
         order = np.lexsort((tvals, k))
         ks, ss, tys = k[order], tvals[order], ty[order]
         starts, sizes = _segments(ks)
@@ -242,9 +244,7 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
         ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
         ty = t[type_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        tvals = (ts.astype("datetime64[us]").astype("int64")
-                 if np.issubdtype(ts.dtype, np.datetime64)
-                 else ts.astype("int64"))
+        tvals = _ts_to_int(ts)
         order = np.lexsort((ids, tvals, k))
         ks, tys = k[order], ty[order]
         same = ks[1:] == ks[:-1]

@@ -27,6 +27,40 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-12)
 
 
+def _rank_merge(partial: pd.DataFrame, id_col: str, score_col: str,
+                k: int) -> pd.DataFrame:
+    """Driver merge shared by the float and quantized top-k paths:
+    per-query (score desc, id asc) sort of the batch partials, head(k),
+    1-based rank."""
+    out = []
+    for qi, g in partial.groupby("query_idx"):
+        g = g.sort_values([score_col, id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+
+
+def _topk_rows_tiesafe(scores: np.ndarray, ids: np.ndarray, k: int):
+    """Per-query batch-local top-k row indices under the documented
+    (score desc, id asc) order, TIE-SAFE at the k boundary: a plain
+    argpartition keeps arbitrary rows among equal scores, which silently
+    drops the id-asc winners from the batch partial and corrupts the
+    global merge (confirmed with duplicate vectors).  Two stages: a
+    vectorized k-th-score threshold per query, then an exact lexsort over
+    only the >= threshold candidates (k + boundary ties rows — degenerate
+    all-tie batches pay the full sort they genuinely require)."""
+    n, nq = scores.shape
+    k = min(k, n)
+    rows = np.empty(k * nq, dtype=np.int64)
+    thresh = -np.partition(-scores, k - 1, axis=0)[k - 1]
+    for q in range(nq):
+        cand = np.flatnonzero(scores[:, q] >= thresh[q])
+        order = np.lexsort((ids[cand], -scores[cand, q]))[:k]
+        rows[q * k:(q + 1) * k] = cand[order]
+    qidx = np.repeat(np.arange(nq, dtype=np.int32), k)
+    return rows, qidx
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch cosine vs the broadcast query matrix,
     emits the batch-local top-k (id, query_idx, score) rows."""
@@ -47,17 +81,10 @@ class BruteForceTopK:
                              "query_idx": pa.array([], pa.int32()),
                              "score": pa.array([], pa.float64())})
         scores = m @ self.q.T  # (batch, n_queries)
-        ids = np.asarray(batch[self.id_col])
-        k = min(self.k, scores.shape[0])
-        nq = scores.shape[1]
-        # one 2-D argpartition across ALL queries (round 3, VERDICT r02 #7 —
-        # replaces the per-query Python loop; same set per query, final
-        # ordering happens in the driver merge)
-        part = np.argpartition(-scores, k - 1, axis=0)[:k]      # (k, nq)
-        rows = part.T.reshape(-1)                               # query-major
-        qidx = np.repeat(np.arange(nq, dtype=np.int32), k)
+        ids = np.asarray(batch[self.id_col]).astype(np.int64)
+        rows, qidx = _topk_rows_tiesafe(scores, ids, self.k)
         out_s = scores[rows, qidx].astype(np.float64)
-        return pa.table({self.id_col: pa.array(ids[rows].astype(np.int64)),
+        return pa.table({self.id_col: pa.array(ids[rows]),
                          "query_idx": pa.array(qidx),
                          "score": pa.array(out_s)})
 
@@ -89,12 +116,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
             BruteForceTopK(query_ref=qref, k=k, id_col=id_col, vec_col=vec_col),
             batch_format="pyarrow",
         ).to_pandas()
-    out = []
-    for qi, g in partial.groupby("query_idx"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+    return _rank_merge(partial, id_col, "score", k)
 
 
 def grouped_centroid_sums(ds, group_col: str = "label",
@@ -285,12 +307,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_prob
                              "score": pa.array(out_s, pa.float64())})
 
     partial = ds.map_batches(IVFStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1).to_pandas()
-    out = []
-    for qi, g in partial.groupby("query_idx"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+    return _rank_merge(partial, id_col, "score", k)
 
 
 def _cosine_pairs_segmented(t: pa.Table, threshold: float, id_col: str,
@@ -434,9 +451,14 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
 # -- int8-quantized ANN ------------------------------------------------------
 
 def _quantize_flat(flat: np.ndarray, scale: int) -> np.ndarray:
-    """q = floor(x·scale + ½) on the float64 domain — per-element, no
-    accumulation, so any engine (the DuckDB oracle) replays it bit-exact."""
-    return np.floor(flat.astype(np.float64) * scale + 0.5).astype(np.int8)
+    """q = clamp(floor(x·scale + ½), ±127) on the float64 domain — per-
+    element, no accumulation, so any engine (the DuckDB oracle, which
+    applies the same LEAST/GREATEST clamp) replays it bit-exact.  The
+    clamp makes out-of-range inputs safe: without it an element past the
+    documented |x|·scale ≤ 127 precondition would WRAP in int8 and flip
+    its sign in every dot product with no error raised."""
+    q = np.floor(flat.astype(np.float64) * scale + 0.5)
+    return np.clip(q, -127, 127).astype(np.int8)
 
 
 def quantize_embeddings(ds, vec_col: str = "embedding",
@@ -490,13 +512,9 @@ class QuantizedTopK:
                              "score_q": pa.array([], pa.int64())})
         m = flat.reshape(n, -1)
         scores = m @ self.q.T                                   # (n, nq) int64
-        ids = np.asarray(batch[self.id_col])
-        k = min(self.k, n)
-        nq = scores.shape[1]
-        part = np.argpartition(-scores, k - 1, axis=0)[:k]
-        rows = part.T.reshape(-1)
-        qidx = np.repeat(np.arange(nq, dtype=np.int32), k)
-        return pa.table({self.id_col: pa.array(ids[rows].astype(np.int64)),
+        ids = np.asarray(batch[self.id_col]).astype(np.int64)
+        rows, qidx = _topk_rows_tiesafe(scores, ids, self.k)
+        return pa.table({self.id_col: pa.array(ids[rows]),
                          "query_idx": pa.array(qidx),
                          "score_q": pa.array(scores[rows, qidx])})
 
@@ -506,15 +524,12 @@ def brute_force_topk_q8(ds, queries: np.ndarray, k: int = 10,
                         scale: int = 127) -> pd.DataFrame:
     """Quantize → integer brute-force top-k → tiny driver merge.
     Deterministic: integer scores, tie-break (score desc, id asc)."""
-    qm = np.asarray(queries, dtype=np.float64)
-    qq = np.floor(qm * scale + 0.5).astype(np.int64)
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    qq = np.clip(scale_to_int_np(np.asarray(queries, dtype=np.float64),
+                                 scale), -127, 127)
     qds = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col, scale=scale)
     partial = qds.map_batches(
         QuantizedTopK(query_ref=qq, k=k, id_col=id_col),
         batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in partial.groupby("query_idx"):
-        g = g.sort_values(["score_q", id_col], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else partial.assign(rank=[])
+    return _rank_merge(partial, id_col, "score_q", k)
