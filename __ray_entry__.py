@@ -1650,6 +1650,65 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_doc_entropy(sf_dir: str):
+    """Per-doc byte-entropy quality signal (functions/text.add_char_entropy):
+    one flat-buffer count grid per batch, scaled-int micro-bits output —
+    rows-only (float log; numpy reference test in test_functions.py)."""
+    from timberjack_ray.functions.text import add_char_entropy
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_char_entropy, batch_format="pyarrow") \
+        .select_columns(["doc_id", "entropy_u"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "entropy_u": "int64"})
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Semantic-dedup COMPOSITION: union the embeddings with a
+    deterministically perturbed copy (ids + 10⁶, planted near-dups at
+    cosine ≈ 1), find candidate pairs with the OR-amplified hyperplane
+    LSH (functions/similarity.embedding_near_dup), cluster them with
+    graph.connected_components, keep the min-id survivor per cluster —
+    the end-to-end embedding-dedup pipeline over real operators.
+    Rows-only: LSH recall is probabilistic by design (recall ≥ 0.9 is
+    asserted in test_functions.py on planted truth)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import connected_components
+    from timberjack_ray.functions.similarity import embedding_near_dup
+
+    emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def with_perturbed_copy(t: pa.Table) -> pa.Table:
+        """Emit each row twice: as-is, and perturbed under id + 10⁶ —
+        an in-batch expansion (no union operator, no second read)."""
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t["embedding"].combine_chunks() \
+            if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = np.asarray(arr.flatten(), dtype=np.float32)
+        # deterministic tiny perturbation: sign flip pattern by element idx
+        eps = np.where(np.arange(len(flat)) % 2 == 0, 1e-4, -1e-4) \
+            .astype(np.float32)
+        offs = arr.offsets
+        copy = pa.table({"vec_id": pa.array(ids + 1_000_000),
+                         "embedding": pa.ListArray.from_arrays(
+                             offs, pa.array(flat + eps))})
+        return pa.concat_tables(
+            [pa.table({"vec_id": pa.array(ids),
+                       "embedding": arr}), copy])
+
+    both = emb.map_batches(with_perturbed_copy, batch_format="pyarrow")
+    pairs = embedding_near_dup(both, threshold=0.999)
+    comp = connected_components(pairs, "a", "b")
+    if not isinstance(comp, pd.DataFrame):
+        comp = comp.to_pandas()
+    drop = set(comp.loc[comp["node"] != comp["component"], "node"])
+    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].tolist()
+    all_ids = sorted(set(ids) | {i + 1_000_000 for i in ids})
+    kept = [i for i in all_ids if i not in drop]
+    return pd.DataFrame({"vec_id": pd.array(kept, dtype="int64")})
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user next-event transition matrix counts
     (functions/sessions.transition_counts) — Markov-chain sufficient
@@ -1976,6 +2035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ranks": q_event_value_ranks,
         "supplier_part_pagerank": q_supplier_part_pagerank,
         "event_transitions": q_event_transitions,
+        "doc_entropy": q_doc_entropy,
+        "embedding_dedup": q_embedding_dedup,
     }
 
 

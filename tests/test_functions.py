@@ -611,3 +611,34 @@ def test_topk_tie_break_across_duplicate_vectors(ray_session):
     assert f["vec_id"].tolist() == [0, 1, 2]
     g = brute_force_topk_q8(rd.from_arrow(t), q, k=3)
     assert g["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_char_entropy_matches_reference():
+    from collections import Counter
+
+    from timberjack_ray.functions.text import add_char_entropy
+
+    texts = ["aaaa", "abcd", "", "aabb", "the quick brown fox", "zzzzzzzz!?"]
+    out = add_char_entropy(pa.table({"text": texts}))["entropy_u"].to_pylist()
+    for txt, got in zip(texts, out):
+        b = txt.encode()
+        if not b:
+            exp = 0.0
+        else:
+            c = Counter(b)
+            exp = -sum((v / len(b)) * np.log2(v / len(b)) for v in c.values())
+        assert got == int(np.floor(exp * 1_000_000 + 0.5))
+
+
+def test_embedding_dedup_composition_drops_planted_copies(ray_session):
+    import __ray_entry__ as em
+
+    out = em.queries()["embedding_dedup"]("/root/testdata/sf0.001")
+    ids = set(out["vec_id"])
+    originals = {i for i in ids if i < 1_000_000}
+    copies = {i for i in ids if i >= 1_000_000}
+    # every original survives (it is the min id of its pair-cluster);
+    # the perturbed copies are near-duplicates at cos ~ 1 and the
+    # OR-amplified LSH should catch nearly all of them
+    assert len(originals) >= 50
+    assert len(copies) <= len(originals) * 0.1

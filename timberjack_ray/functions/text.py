@@ -356,3 +356,41 @@ def word_topk(ds, k: int = 10, col: str = "text",
     out = folded.top_k(k).astype({"n": "int64"})
     out.attrs["mode"] = folded.mode
     return out
+
+
+def add_char_entropy(batch: pa.Table, col: str = "text",
+                     out_col: str = "entropy_u") -> pa.Table:
+    """Append per-doc byte-level Shannon entropy in MICRO-BITS (int64,
+    ``floor(H·10⁶ + ½)``) — the classic gibberish/compressibility quality
+    signal (low entropy ⇒ repeated filler, high ⇒ random noise; prose sits
+    ~4-4.5 bits/byte).
+
+    Vectorized across the whole batch: one flat uint8 view of the Arrow
+    string buffer, one ``np.add.at`` into a (docs × 256) count grid, one
+    xlogx reduction — no per-row Python.  Emitted as scaled int so the
+    value is hashable in the driver compare; no SQL oracle (float log),
+    a numpy reference test covers it instead.  Empty docs get entropy 0.
+    """
+    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+    n = len(arr)
+    if n == 0:
+        return batch.append_column(out_col, pa.array([], pa.int64()))
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    raw_offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    offs = raw_offs[arr.offset : arr.offset + n + 1].astype(np.int64)
+    lens = np.diff(offs)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offs[-1]))[int(offs[0]):]
+    offs = offs - offs[0]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    grid = np.zeros(n * 256, dtype=np.int64)
+    np.add.at(grid, doc_idx * 256 + data[:int(offs[-1])], 1)
+    grid = grid.reshape(n, 256).astype(np.float64)
+    tot = np.maximum(lens, 1).astype(np.float64)
+    p = grid / tot[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xlogx = np.where(p > 0, p * np.log2(p), 0.0)
+    ent = -xlogx.sum(axis=1)
+    ent[lens == 0] = 0.0
+    ent_u = np.floor(ent * 1_000_000 + 0.5).astype(np.int64)
+    return batch.append_column(out_col, pa.array(ent_u))
