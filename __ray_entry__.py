@@ -1650,6 +1650,29 @@ def q_bloom_decontaminate_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_value_mad_by_type(sf_dir: str):
+    """Per-type median absolute deviation on the cent domain
+    (functions/relational.grouped_mad): two histogram-sized streaming
+    passes (median, then median of |x−median|) — robust spread, exact
+    ints, SQL replays via nested quantile_disc."""
+    from timberjack_ray.functions.relational import grouped_mad
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_mad(ds, "event_type", "value", scale=100)
+    return out.astype({"event_type": "str", "median_scaled": "int64",
+                       "mad_scaled": "int64"})
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (functions/sessions.retention_cohorts):
+    cohort = week of first signup; n_users = distinct cohort members active
+    k weeks later.  Broadcast signup map + one distinct-triple scan."""
+    from timberjack_ray.functions.sessions import retention_cohorts
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return retention_cohorts(ds, "user_id", "ts", "event_type")
+
+
 def q_doc_entropy(sf_dir: str):
     """Per-doc byte-entropy quality signal (functions/text.add_char_entropy):
     one flat-buffer count grid per batch, scaled-int micro-bits output —
@@ -2037,6 +2060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "doc_entropy": q_doc_entropy,
         "embedding_dedup": q_embedding_dedup,
+        "value_mad_by_type": q_value_mad_by_type,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -3039,5 +3064,34 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE next_type IS NOT NULL
             GROUP BY cur_type, next_type
+        """,
+        "value_mad_by_type": """
+            WITH s AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            med AS (
+              SELECT event_type,
+                     CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+              FROM s GROUP BY event_type
+            )
+            SELECT s.event_type, med.m AS median_scaled,
+                   CAST(quantile_disc(ABS(s.v - med.m), 0.5) AS BIGINT)
+                     AS mad_scaled
+            FROM s JOIN med USING (event_type)
+            GROUP BY s.event_type, med.m
+        """,
+        "retention_cohorts": """
+            WITH s AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 604800000000) AS cw
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT s.cw AS cohort_week,
+                   (epoch_us(e.ts) // 604800000000) - s.cw AS k,
+                   COUNT(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN s USING (user_id)
+            WHERE (epoch_us(e.ts) // 604800000000) >= s.cw
+            GROUP BY 1, 2
         """,
     }

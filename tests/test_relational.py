@@ -204,3 +204,28 @@ def test_grouped_rank_matches_pandas(ray_session):
     assert out["rank"].tolist() == exp["rank"].tolist()
     assert (out.groupby("g")["n_group"].first()
             == df.groupby("g").size()).all()
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_mad
+
+    rng = np.random.RandomState(8)
+    n = 400
+    t = pa.table({"g": pa.array([f"g{i % 4}" for i in range(n)]),
+                  "v": pa.array(np.round(rng.rand(n) * 9, 2))})
+    out = grouped_mad(rd.from_arrow(t).repartition(4), "g", "v", scale=100)
+    df = t.to_pandas()
+    df["vc"] = np.floor(df["v"] * 100 + 0.5).astype("int64")
+
+    def q_disc(x, q=0.5):  # type-1 / lower-value quantile
+        x = np.sort(np.asarray(x))
+        return int(x[max(int(np.ceil(q * len(x))), 1) - 1])
+
+    for _, r in out.iterrows():
+        vals = df.loc[df["g"] == r["g"], "vc"].to_numpy()
+        med = q_disc(vals)
+        assert r["median_scaled"] == med
+        assert r["mad_scaled"] == q_disc(np.abs(vals - med))

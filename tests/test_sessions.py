@@ -124,3 +124,34 @@ def test_transition_counts_matches_pandas(ray_session):
     assert out["cur_type"].tolist() == exp["ty"].tolist()
     assert out["next_type"].tolist() == exp["nxt"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_retention_cohorts_basic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import retention_cohorts
+
+    W = 7 * 86_400 * 1_000_000
+    rows = [
+        # u1 signs up in week 0, active weeks 0,1,2
+        (1, 0, "signup"), (1, int(0.5 * W), "click"),
+        (1, int(1.2 * W), "view"), (1, int(2.1 * W), "view"),
+        # u2 signs up week 0, active week 0 only (pre-signup event ignored
+        # only if before cohort week — same week counts)
+        (2, int(0.1 * W), "signup"), (2, int(0.2 * W), "click"),
+        # u3 signs up week 1, active weeks 1 and 3
+        (3, int(1.1 * W), "signup"), (3, int(3.4 * W), "purchase"),
+        # u4 never signs up: excluded entirely
+        (4, int(0.3 * W), "click"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "ty": pa.array([r[2] for r in rows]),
+    })
+    out = retention_cohorts(rd.from_arrow(t).repartition(3), "u", "ts", "ty")
+    got = {(r["cohort_week"], r["k"]): r["n_users"]
+           for r in out.to_dict("records")}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}

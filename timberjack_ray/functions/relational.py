@@ -785,3 +785,46 @@ def grouped_rank_ds(ds, group_col: str, val_col: str, id_col: str,
     bucketed = add_key_bucket(proj, group_col, n_buckets)
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_col: str, col: str, scale: int = 1) -> pd.DataFrame:
+    """Per-group median absolute deviation on the scaled-int domain —
+    robust spread for outlier-heavy telemetry (stddev is dominated by the
+    tail this is meant to detect).  Two streaming histogram passes, both
+    value-histogram-sized, never row-sized:
+
+    1. per-group median via ``grouped_quantiles`` (exact, type-1);
+    2. broadcast the (group → median) map, re-scan computing
+       |scaled(x) − median| per row, and take that column's per-group
+       median through the same histogram machinery.
+
+    Output: (group, median_scaled, mad_scaled) — all exact int64, so the
+    SQL oracle (nested quantile_disc) replays it bit-for-bit.
+    """
+    from timberjack_ray.functions.util import scale_to_int
+
+    med = grouped_quantiles(ds, group_col, col, [0.5], scale)
+    med_map = dict(zip(med[group_col], med["value_scaled"]))
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int(t[col], scale).to_numpy()
+        m = pd.Series(g).map(med_map).to_numpy(dtype=np.int64)
+        dev = np.abs(v - m)
+        out = pa.table({group_col: pa.array(g), "v": pa.array(dev)}) \
+            .group_by([group_col, "v"]).aggregate([([], "count_all")])
+        return out.rename_columns([group_col, "v", "n"])
+
+    counts = merge_partials(
+        ds.map_batches(dev_partial, batch_format="pyarrow"),
+        [group_col, "v"], "n").to_pandas().sort_values([group_col, "v"])
+    rows = []
+    for gname, gdf in counts.groupby(group_col, sort=True):
+        cum = gdf["n"].cumsum().to_numpy()
+        vals = gdf["v"].to_numpy()
+        rank = max(int(np.ceil(0.5 * int(cum[-1]))), 1)
+        idx = int(np.searchsorted(cum, rank))
+        rows.append((gname, int(med_map[gname]),
+                     int(vals[min(idx, len(vals) - 1)])))
+    return pd.DataFrame(rows, columns=[group_col, "median_scaled",
+                                       "mad_scaled"])

@@ -259,3 +259,73 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
     out = merged.to_pandas().sort_values(["cur_type", "next_type"]) \
         .reset_index(drop=True)
     return out.astype({"n": "int64"})
+
+
+def retention_cohorts(ds, key_col: str, ts_col: str, type_col: str,
+                      signup_type: str = "signup",
+                      bucket_us: int = 7 * 86_400 * 1_000_000) -> pd.DataFrame:
+    """Cohort retention matrix — the product-analytics staple: cohort =
+    bucket (default week) of a key's FIRST ``signup_type`` event;
+    ``n_users`` = distinct keys of that cohort active in cohort+k.
+
+    Plan: (1) per-batch (key, min signup bucket) partials → small min-merge
+    → broadcast {key → cohort} (dimension-sized: one entry per signed-up
+    key; at billions of keys swap for a groupby(Min) + GRACE join — the
+    documented scale path); (2) one scan over ALL events computing k =
+    bucket − cohort, collapsing each batch to distinct (cohort, k, key)
+    triples; (3) merge distinct triples (bounded by keys × buckets) and
+    count per (cohort, k).  Output: (cohort_week, k, n_users).
+    """
+    import pyarrow.compute as pc
+
+    proj = ds.select_columns([key_col, ts_col, type_col])
+
+    def signup_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t[type_col], signup_type))
+        b = _ts_to_int(t[ts_col].combine_chunks()
+                       .to_numpy(zero_copy_only=False)) // bucket_us
+        g = pa.table({key_col: t[key_col], "cw": pa.array(b)}) \
+            .group_by(key_col).aggregate([("cw", "min")])
+        return g.rename_columns([key_col, "cw"])
+
+    parts = [b for b in proj.map_batches(signup_partial,
+                                         batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return pd.DataFrame({"cohort_week": pd.array([], dtype="int64"),
+                             "k": pd.array([], dtype="int64"),
+                             "n_users": pd.array([], dtype="int64")})
+    fold = pa.concat_tables(parts).group_by(key_col).aggregate([("cw", "min")])
+    firsts = dict(zip(fold[key_col].to_pylist(),
+                      fold["cw_min"].to_pylist()))
+    import ray
+
+    ref = ray.put(firsts)
+
+    def triple_partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.dedup import _fetch_bench
+
+        fm = _fetch_bench(ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        b = _ts_to_int(t[ts_col].combine_chunks()
+                       .to_numpy(zero_copy_only=False)) // bucket_us
+        cw = pd.Series(keys).map(fm).to_numpy(dtype=np.float64)
+        ok = ~np.isnan(cw)
+        k_off = b[ok] - cw[ok].astype(np.int64)
+        keep = k_off >= 0
+        g = pa.table({
+            "cohort_week": pa.array(cw[ok][keep].astype(np.int64)),
+            "k": pa.array(k_off[keep]),
+            key_col: pa.array(keys[ok][keep]),
+        }).group_by(["cohort_week", "k", key_col]).aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    triples = merge_partials(
+        proj.map_batches(triple_partial, batch_format="pyarrow"),
+        ["cohort_week", "k", key_col], "one")
+    out = triples.group_by(["cohort_week", "k"]).aggregate([([], "count_all")]) \
+        .rename_columns(["cohort_week", "k", "n_users"]).to_pandas() \
+        .sort_values(["cohort_week", "k"]).reset_index(drop=True)
+    return out.astype({"cohort_week": "int64", "k": "int64",
+                       "n_users": "int64"})
