@@ -182,3 +182,102 @@ def test_columnar_json_ts_and_full_stage_parity():
     stage._parse_json_columnar = lambda lines, want_ts: None
     out_slow = stage(batch)
     assert out_fast.equals(out_slow)
+
+
+# -- round-3 second-session kernels (pure units, no Ray session needed) ------
+
+import numpy as np
+
+ts_seq_st = st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                     max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ts_seq_st, st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=20))
+def test_windower_chunking_invariant_and_conserves_events(seq, width, late):
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    arr = np.array(seq, dtype=np.int64) * 1_000_000
+
+    def run(chunk):
+        w = EventTimeWindower(width_s=width, lateness_s=late)
+        for i in range(0, len(arr), chunk):
+            w.feed(arr[i : i + chunk])
+        return w.result(), w.late_dropped
+
+    r1, d1 = run(1)
+    r2, d2 = run(len(arr))
+    assert d1 == d2 and r1.equals(r2)
+    assert int(r1["n"].sum()) + d1 == len(arr)
+    # brute-force replay of the rule: exclusive prefix max watermark
+    prior = np.iinfo(np.int64).min
+    kept: dict[int, int] = {}
+    dropped = 0
+    W = width * 1_000_000
+    for t in arr.tolist():
+        w0 = (t // W) * W
+        if prior >= w0 + W + late * 1_000_000:
+            dropped += 1
+        else:
+            kept[w0] = kept.get(w0, 0) + 1
+        prior = max(prior, t)
+    assert dropped == d1
+    got = dict(zip(r1["window_start"].astype("int64"), r1["n"]))
+    assert got == kept
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-3, max_value=3), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=8))
+def test_tiesafe_topk_matches_lexsort_reference(scores, k):
+    from timberjack_ray.functions.similarity import _topk_rows_tiesafe
+
+    s = np.array(scores, dtype=np.int64)[:, None]  # one query, heavy ties
+    ids = np.arange(len(s), dtype=np.int64)[::-1].copy()  # descending ids
+    rows, qidx = _topk_rows_tiesafe(s, ids, k)
+    order = np.lexsort((ids, -s[:, 0]))[: min(k, len(s))]
+    assert rows.tolist() == order.tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+               min_size=0, max_size=80))
+def test_char_entropy_matches_counter_reference(txt):
+    from collections import Counter
+
+    from timberjack_ray.functions.text import add_char_entropy
+
+    got = add_char_entropy(pa.table({"text": [txt]}))["entropy_u"][0].as_py()
+    b = txt.encode("utf-8")
+    if not b:
+        exp = 0.0
+    else:
+        c = Counter(b)
+        exp = -sum((v / len(b)) * np.log2(v / len(b)) for v in c.values())
+    assert got == int(np.floor(exp * 1_000_000 + 0.5))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=80),
+       st.integers(min_value=1, max_value=4))
+def test_pagerank_driver_invariants(edges, n_iter):
+    from timberjack_ray.functions.graph import PAGERANK_TOTAL, _pagerank_driver
+
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    out = _pagerank_driver(u, v, n_iter=n_iter)
+    r = out["rank_fp"].to_numpy()
+    nodes = out["node"].to_numpy()
+    n = len(nodes)
+    base = (15 * (PAGERANK_TOTAL // n)) // 100
+    # mass only leaks (dangling + floor division), never inflates
+    assert r.sum() <= PAGERANK_TOTAL
+    # every node keeps at least the teleport base term
+    assert (r >= base).all()
+    # a node with no in-edges sits exactly at base
+    sinks = set(nodes) - set(v.tolist())
+    for s in sinks:
+        assert int(out.loc[out["node"] == s, "rank_fp"].iloc[0]) == base
