@@ -1695,15 +1695,25 @@ def q_embedding_dedup(sf_dir: str):
     the end-to-end embedding-dedup pipeline over real operators.
     Rows-only: LSH recall is probabilistic by design (recall ≥ 0.9 is
     asserted in test_functions.py on planted truth)."""
-    import ray.data as rd
-
     from timberjack_ray.functions.graph import connected_components
     from timberjack_ray.functions.similarity import embedding_near_dup
+
+    # one cheap id-only projection up front: it provides the final
+    # survivor universe AND a collision-free copy-id offset (a fixed
+    # offset would alias real ids once vec_id grows past it)
+    ids_pd = _rp(sf_dir, "embeddings", columns=["vec_id"]).to_pandas()
+    base_ids = ids_pd["vec_id"].astype("int64").tolist()
+    max_id = max(base_ids) if base_ids else 0
+    if max_id >= 2 ** 30:
+        # embedding_near_dup packs pairs as (a << 31) | b
+        raise ValueError("embedding_dedup: vec_id domain too large for the "
+                         "pair-key packing contract (ids must be < 2^30)")
+    offset = max_id + 1
 
     emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def with_perturbed_copy(t: pa.Table) -> pa.Table:
-        """Emit each row twice: as-is, and perturbed under id + 10⁶ —
+        """Emit each row twice: as-is, and perturbed under id + offset —
         an in-batch expansion (no union operator, no second read)."""
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         arr = t["embedding"].combine_chunks() \
@@ -1713,7 +1723,7 @@ def q_embedding_dedup(sf_dir: str):
         eps = np.where(np.arange(len(flat)) % 2 == 0, 1e-4, -1e-4) \
             .astype(np.float32)
         offs = arr.offsets
-        copy = pa.table({"vec_id": pa.array(ids + 1_000_000),
+        copy = pa.table({"vec_id": pa.array(ids + offset),
                          "embedding": pa.ListArray.from_arrays(
                              offs, pa.array(flat + eps))})
         return pa.concat_tables(
@@ -1726,8 +1736,7 @@ def q_embedding_dedup(sf_dir: str):
     if not isinstance(comp, pd.DataFrame):
         comp = comp.to_pandas()
     drop = set(comp.loc[comp["node"] != comp["component"], "node"])
-    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].tolist()
-    all_ids = sorted(set(ids) | {i + 1_000_000 for i in ids})
+    all_ids = sorted(set(base_ids) | {i + offset for i in base_ids})
     kept = [i for i in all_ids if i not in drop]
     return pd.DataFrame({"vec_id": pd.array(kept, dtype="int64")})
 

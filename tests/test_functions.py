@@ -631,12 +631,17 @@ def test_char_entropy_matches_reference():
 
 
 def test_embedding_dedup_composition_drops_planted_copies(ray_session):
+    import pyarrow.parquet as pq
+
     import __ray_entry__ as em
 
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id"])
+    offset = max(src["vec_id"].to_pylist()) + 1  # the query's copy-id offset
     out = em.queries()["embedding_dedup"]("/root/testdata/sf0.001")
     ids = set(out["vec_id"])
-    originals = {i for i in ids if i < 1_000_000}
-    copies = {i for i in ids if i >= 1_000_000}
+    originals = {i for i in ids if i < offset}
+    copies = {i for i in ids if i >= offset}
     # every original survives (it is the min id of its pair-cluster);
     # the perturbed copies are near-duplicates at cos ~ 1 and the
     # OR-amplified LSH should catch nearly all of them

@@ -806,25 +806,19 @@ def grouped_mad(ds, group_col: str, col: str, scale: int = 1) -> pd.DataFrame:
     med = grouped_quantiles(ds, group_col, col, [0.5], scale)
     med_map = dict(zip(med[group_col], med["value_scaled"]))
 
-    def dev_partial(t: pa.Table) -> pa.Table:
+    def add_dev(t: pa.Table) -> pa.Table:
         g = t[group_col].to_numpy(zero_copy_only=False)
         v = scale_to_int(t[col], scale).to_numpy()
         m = pd.Series(g).map(med_map).to_numpy(dtype=np.int64)
-        dev = np.abs(v - m)
-        out = pa.table({group_col: pa.array(g), "v": pa.array(dev)}) \
-            .group_by([group_col, "v"]).aggregate([([], "count_all")])
-        return out.rename_columns([group_col, "v", "n"])
+        return pa.table({group_col: pa.array(g),
+                         "dev": pa.array(np.abs(v - m))})
 
-    counts = merge_partials(
-        ds.map_batches(dev_partial, batch_format="pyarrow"),
-        [group_col, "v"], "n").to_pandas().sort_values([group_col, "v"])
-    rows = []
-    for gname, gdf in counts.groupby(group_col, sort=True):
-        cum = gdf["n"].cumsum().to_numpy()
-        vals = gdf["v"].to_numpy()
-        rank = max(int(np.ceil(0.5 * int(cum[-1]))), 1)
-        idx = int(np.searchsorted(cum, rank))
-        rows.append((gname, int(med_map[gname]),
-                     int(vals[min(idx, len(vals) - 1)])))
-    return pd.DataFrame(rows, columns=[group_col, "median_scaled",
-                                       "mad_scaled"])
+    # pass 2 IS a grouped median again — reuse grouped_quantiles so the
+    # oracle-critical type-1 rank walk exists in exactly one place
+    dev_ds = ds.map_batches(add_dev, batch_format="pyarrow")
+    mad = grouped_quantiles(dev_ds, group_col, "dev", [0.5], scale=1)
+    out = mad.rename(columns={"value_scaled": "mad_scaled"}) \
+        .drop(columns=["q"])
+    out["median_scaled"] = out[group_col].map(med_map).astype("int64")
+    return out[[group_col, "median_scaled", "mad_scaled"]] \
+        .sort_values(group_col).reset_index(drop=True)

@@ -288,17 +288,29 @@ def retention_cohorts(ds, key_col: str, ts_col: str, type_col: str,
             .group_by(key_col).aggregate([("cw", "min")])
         return g.rename_columns([key_col, "cw"])
 
-    parts = [b for b in proj.map_batches(signup_partial,
-                                         batch_format="pyarrow")
-             .iter_batches(batch_size=None, batch_format="pyarrow")
-             if b.num_rows]
-    if not parts:
+    # streaming min-fold with periodic compaction (the merge_partials
+    # discipline): driver memory tracks DISTINCT signed-up keys, not total
+    # signup partial rows
+    pending: list[pa.Table] = []
+
+    def compact(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        return t.group_by(key_col).aggregate([("cw", "min")]) \
+            .rename_columns([key_col, "cw"])
+
+    for b in proj.map_batches(signup_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        pending.append(b)
+        if len(pending) >= 64:
+            pending = [compact(pending)]
+    if not pending:
         return pd.DataFrame({"cohort_week": pd.array([], dtype="int64"),
                              "k": pd.array([], dtype="int64"),
                              "n_users": pd.array([], dtype="int64")})
-    fold = pa.concat_tables(parts).group_by(key_col).aggregate([("cw", "min")])
-    firsts = dict(zip(fold[key_col].to_pylist(),
-                      fold["cw_min"].to_pylist()))
+    fold = compact(pending)
+    firsts = dict(zip(fold[key_col].to_pylist(), fold["cw"].to_pylist()))
     import ray
 
     ref = ray.put(firsts)
