@@ -281,3 +281,13 @@ def test_pagerank_driver_invariants(edges, n_iter):
     sinks = set(nodes) - set(v.tolist())
     for s in sinks:
         assert int(out.loc[out["node"] == s, "rank_fp"].iloc[0]) == base
+
+
+@settings(max_examples=60, deadline=None)
+@given(lines_st)
+def test_encode_batch_arrow_matches_scalar(lines):
+    from timberjack_ray import vocab
+
+    a = vocab.encode_batch_arrow(pa.array(lines, pa.string()))
+    b = vocab.encode_batch(lines)
+    assert a.to_pylist() == b.to_pylist()

@@ -142,3 +142,48 @@ def test_nonexistent_file_cli():
 
     with pytest.raises(FileNotFoundError):
         resolve_paths("/no/such/file.log")
+
+
+def test_encode_batch_arrow_matches_scalar_on_fixtures():
+    import pyarrow as pa
+
+    from timberjack_ray import vocab
+
+    path = os.path.join(FIXTURES, "sample.log")
+    lines = _lines(path)
+    # fixture lines may contain words the vocab can't encode char-wise;
+    # compare only on lines the scalar encoder accepts
+    ok_lines = []
+    for ln in lines:
+        try:
+            vocab.encode(ln)
+            ok_lines.append(ln)
+        except ValueError:
+            pass
+    assert ok_lines
+    a = vocab.encode_batch_arrow(pa.array(ok_lines, pa.string()))
+    b = vocab.encode_batch(ok_lines)
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_ingest_roundtrip_matches_text_analysis(ray_session, tmp_path):
+    """ingest → sequences parquet → analyze_parquet must reproduce
+    analyze_text over the same raw file (level counts + trend buckets)."""
+    import glob
+
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+    from timberjack_ray.pipelines.ingest import ingest_text
+
+    path = os.path.join(FIXTURES, "sample.log")
+    out_dir = str(tmp_path / "seq")
+    stats = ingest_text([path], out_dir)
+    assert stats["files"] == 1 and stats["rows"] > 0
+    cfg = AnalyzeConfig(stats=True, trend=True, collect_lines=False)
+    via_parquet = analyze_parquet(
+        sorted(glob.glob(os.path.join(out_dir, "*.parquet"))), cfg).report
+    via_text = analyze_text(path, cfg).report
+    assert _level_dict(via_parquet) == _level_dict(via_text)
+    assert _trend_dict(via_parquet) == _trend_dict(via_text)
+    # idempotent resume: second run skips the finished file
+    again = ingest_text([path], out_dir)
+    assert again == {"files": 0, "skipped": 1, "rows": 0}

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="auto", choices=["auto", "json", "generic", "apache", "syslog"])
     p.add_argument("-f", "--field", action="append", default=[], help="field=value filter (repeatable)")
     p.add_argument("--route-dir", default=None, help="fan rows out to per-level Parquet sinks here")
+    p.add_argument("--ingest-out", default=None, metavar="DIR",
+                   help="convert raw text logs to the pre-tokenized "
+                        "sequences table under DIR (one parquet per input "
+                        "file; resume unit = file) and exit")
     p.add_argument("--compact", action="store_true",
                    help="compact sink files after routing (terminal step)")
     p.add_argument("--wave-files", type=int, default=None,
@@ -103,6 +107,14 @@ def main(argv=None) -> int:
         return 0
 
     paths = resolve_paths(args.input)
+
+    if args.ingest_out:
+        from timberjack_ray.pipelines.ingest import ingest_text
+
+        stats = ingest_text(paths, args.ingest_out)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
 
     if not args.json and not args.count:
         print(f"\nWaking LumberJacks...Timberjack is chopping: {args.input}\n")

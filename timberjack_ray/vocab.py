@@ -25,6 +25,7 @@ piece strings with ``pc.take``, re-wrap with the original offsets and
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -203,3 +204,105 @@ def encode_batch(lines: list[str]) -> pa.ListArray:
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
     )
+
+
+def _codepoints_of(arr: pa.StringArray):
+    """(codes uint32, per-string char offsets int64) — one utf-8→utf-32
+    decode of the whole value buffer (the add_content_hash trick)."""
+    lens = pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    boff = np.frombuffer(arr.buffers()[1], dtype=odt)
+    start = int(boff[arr.offset])
+    stop = int(boff[arr.offset + len(arr)])
+    raw = arr.buffers()[2].slice(start, stop - start).to_pybytes() \
+        if stop > start else b""
+    codes = np.frombuffer(raw.decode("utf-8").encode("utf-32-le"),
+                          dtype=np.uint32)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    return codes, offs
+
+
+def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray:
+    """Vectorized twin of ``encode_batch`` (same output, bit for bit):
+    Arrow split → one hash-map lookup over the flattened word stream →
+    ragged scatter of word ids / codepoints / space tokens.  No per-line
+    Python — this is the INGEST-side hot path (raw logs → the input_hint
+    sequences table at 100 TB), where the generator-grade Python loop of
+    ``encode_batch`` would dominate the pipeline.
+
+    ``on_error``: ``"raise"`` mirrors ``encode_word``'s ValueError on an
+    unencodable codepoint (≥ U+0100 outside the word vocabulary);
+    ``"skip"`` drops offending LINES instead — the reference's behavior
+    for undecodable input (src/analyzer.rs:299-304).  Skipped lines
+    simply do not appear in the output, so align by doc ids, not offsets.
+    """
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lines = pc.fill_null(lines, "")
+    n = len(lines)
+    if n == 0:
+        return pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                        pa.array([], pa.int32()))
+    words_list = pc.split_pattern(lines, " ")
+    words = words_list.flatten()
+    w_per_line = pc.list_value_length(words_list).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nw = len(words)
+    # one vectorized vocab lookup over the flat word stream
+    wid = pd.Series(words.to_pandas()).map(_WORD2ID).to_numpy(np.float64)
+    known = ~np.isnan(wid)
+    wlen = pc.utf8_length(words).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    # word's line index + whether it gets a leading space (index > 0)
+    line_of_word = np.repeat(np.arange(n, dtype=np.int64), w_per_line)
+    w_starts = np.concatenate([[0], np.cumsum(w_per_line)])[:-1]
+    lead = np.ones(nw, dtype=np.int64)
+    lead[w_starts[w_per_line > 0]] = 0
+    codes, coffs = _codepoints_of(words)
+    if not known.all():
+        # unencodable codepoints live only in UNKNOWN words (vocab words
+        # may contain ≥ U+0100 — they encode as one id)
+        unk = ~known
+        bad_char = codes >= 256
+        if bad_char.any():
+            char_word = np.repeat(np.arange(nw, dtype=np.int64), wlen)
+            bad_words = np.unique(char_word[bad_char])
+            bad_words = bad_words[unk[bad_words]]
+            if len(bad_words):
+                if on_error != "skip":
+                    raise ValueError(
+                        "encode_batch_arrow: unencodable codepoint ≥ U+0100 "
+                        "outside the word vocabulary (pass on_error='skip' "
+                        "to drop such lines)")
+                bad_lines = np.unique(line_of_word[bad_words])
+                keep = np.ones(n, dtype=bool)
+                keep[bad_lines] = False
+                return encode_batch_arrow(lines.filter(pa.array(keep)),
+                                          on_error="raise")
+    # tokens contributed per word (1 for vocab words, |word| otherwise)
+    tw = np.where(known, 1, wlen)
+    piece_len = lead + tw
+    piece_off = np.concatenate([[0], np.cumsum(piece_len)]).astype(np.int64)
+    out = np.empty(int(piece_off[-1]), dtype=np.int32)
+    # spaces
+    sp = np.flatnonzero(lead)
+    out[piece_off[sp]] = SPACE_ID
+    # known word ids
+    kn = np.flatnonzero(known)
+    out[piece_off[kn] + lead[kn]] = wid[kn].astype(np.int32)
+    # unknown words: ragged copy of their codepoints
+    un = np.flatnonzero(~known)
+    if len(un):
+        ulen = wlen[un]
+        within = np.arange(int(ulen.sum()), dtype=np.int64) \
+            - np.repeat(np.concatenate([[0], np.cumsum(ulen)])[:-1], ulen)
+        tgt = np.repeat(piece_off[un] + lead[un], ulen) + within
+        src = np.repeat(coffs[un], ulen) + within
+        out[tgt] = codes[src].astype(np.int32)
+    # line offsets = per-line sums of piece lengths; split(" ") yields ≥ 1
+    # word for EVERY line (an empty line is one empty word), so w_starts
+    # are always valid, strictly increasing reduceat boundaries
+    line_tok = np.add.reduceat(np.append(piece_len, 0), w_starts)[:n]
+    offsets = np.concatenate([[0], np.cumsum(line_tok)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(out, pa.int32()))
