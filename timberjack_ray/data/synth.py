@@ -163,6 +163,12 @@ def make_batch(start: int, end: int, json_frac: float = 0.0) -> pa.Table:
     """Rows [start, end) of the sequences table — pure function of indices."""
     idx = range(start, end)
     lines = [line_for(i, json_frac) for i in idx]
+    # scalar encoder: on THIS sandbox the memory-bandwidth-bound vectorized
+    # encode_batch_arrow measures ~3× slower steady-state (0.5 s vs 1.4 s
+    # per 50 k lines; the VM sustains <1 GB/s on wide array passes), so the
+    # generator keeps the dict-loop path — they are property-tested
+    # bit-identical, and ingest uses the vectorized one (the right shape
+    # where memory bandwidth is sane)
     tokens = vocab.encode_batch(lines)
     return pa.table(
         {

