@@ -1895,6 +1895,85 @@ def q_tpch_q3(sf_dir: str):
              "rank": "int64"})
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (top-20 customers by returned-item revenue in a
+    quarter): lineitem(R-flag) ⋈ orders(date window) via the GRACE bucket
+    join with complete per-order sums computed in-bucket; the order→
+    customer rollup then rides a BROADCAST customer⋈nation dimension —
+    four tables, one large×large exchange, cent-exact revenue."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1997-07-01")
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((d >= lo) & (d < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        # complete per-order customer revenue inside the co-located bucket
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    per_cust = bucket_hash_join(
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        li.map_batches(returned_rev, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey",
+        left_cols=["o_custkey"], right_cols=["rev"], n_buckets=32,
+        bucket_fn=bucket_sums)
+    # per-bucket partials may repeat a customer (orders hash by ORDER key):
+    # a SECOND bucket exchange keyed by customer completes the sums and
+    # top-20s in-bucket, so the driver merge sees ≤ 20 × n_buckets rows at
+    # any customer cardinality (never a per-customer fold)
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    def cust_bucket_top(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["o_custkey", "rev"])
+        return g.sort_by([("rev", "descending"),
+                          ("o_custkey", "ascending")]).slice(0, 20)
+
+    tops = add_key_bucket(per_cust, "o_custkey", 32).groupby("__kb") \
+        .map_groups(lambda t: cust_bucket_top(t.drop_columns(["__kb"])),
+                    batch_format="pyarrow").to_pandas()
+    top = tops.sort_values(["rev", "o_custkey"],
+                           ascending=[False, True]).head(20)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey",
+                    right_keys="n_nationkey").to_pandas()
+    out = top.merge(dim, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["rev", "o_custkey"], ascending=[False, True])
+    out = out.assign(rank=np.arange(1, len(out) + 1))
+    return out[["o_custkey", "c_name", "n_name", "rev", "rank"]] \
+        .rename(columns={"rev": "revenue_scaled"}) \
+        .reset_index(drop=True).astype(
+            {"o_custkey": "int64", "revenue_scaled": "int64",
+             "rank": "int64"})
+
+
 def q_lineitem_corr_stats(sf_dir: str):
     """Per-returnflag co-moment sums for quantity × price
     (functions/relational.grouped_comoment_sums): (n, Σx, Σy, Σxy) on the
@@ -2071,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "value_mad_by_type": q_value_mad_by_type,
         "retention_cohorts": q_retention_cohorts,
+        "tpch_q10": q_tpch_q10,
     }
 
 
@@ -3102,5 +3182,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (user_id)
             WHERE (epoch_us(e.ts) // 604800000000) >= s.cw
             GROUP BY 1, 2
+        """,
+        "tpch_q10": """
+            SELECT o_custkey, c_name, n_name, revenue_scaled, rank FROM (
+              SELECT o.o_custkey,
+                     CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue_scaled,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * (100 - CAST(ROUND(l.l_discount * 100)
+                                                  AS BIGINT))) DESC,
+                                o.o_custkey ASC) AS BIGINT) AS rank
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              GROUP BY o.o_custkey
+            ) t
+            JOIN customer c ON t.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE rank <= 20
         """,
     }
