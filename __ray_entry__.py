@@ -1974,6 +1974,95 @@ def q_tpch_q10(sf_dir: str):
              "rank": "int64"})
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (regional supplier volume): SIX tables — nation ⋈
+    region pick the ASIA nation keys; customer and supplier broadcast as
+    key→nationkey maps (at 10^12-row scale the customer projection
+    becomes a GRACE join — documented); date-windowed orders ⋈ lineitem
+    runs through the GRACE bucket join with the c_nat = s_nat local-
+    supplier filter and the per-nation sums applied IN-BUCKET, so the
+    merge is ≤ 5 rows per bucket.  Cent-exact revenue."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import (broadcast_join,
+                                                     bucket_hash_join)
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nr = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    asia = nr.filter(pc.equal(nr["r_name"], "ASIA")) \
+        .select(["n_nationkey", "n_name"])
+    asia_keys = set(asia["n_nationkey"].to_pylist())
+    name_of = dict(zip(asia["n_nationkey"].to_pylist(),
+                       asia["n_name"].to_pylist()))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                pa.array(list(asia_keys), pa.int32())))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"],
+                                pa.array(list(asia_keys), pa.int32())))
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((d >= lo) & (d < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    o_asia = broadcast_join(
+        orders.map_batches(in_window, batch_format="pyarrow"), cust,
+        keys="o_custkey", right_keys="c_custkey") \
+        .map_batches(lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "c_nat": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    l_asia = broadcast_join(
+        li.map_batches(li_rev, batch_format="pyarrow"), supp,
+        keys="l_suppkey", right_keys="s_suppkey") \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"],
+             "s_nat": t["s_nationkey"].cast(pa.int64()),
+             "rev": t["rev"]}), batch_format="pyarrow")
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        # local-supplier constraint + per-nation sum while co-located
+        t = t.filter(pc.equal(t["c_nat"], t["s_nat"]))
+        g = t.group_by("c_nat").aggregate([("rev", "sum")])
+        return g.rename_columns(["c_nat", "rev"])
+
+    per_nat = bucket_hash_join(
+        o_asia, l_asia, "o_orderkey", "l_orderkey",
+        left_cols=["c_nat"], right_cols=["s_nat", "rev"], n_buckets=32,
+        bucket_fn=bucket_sums)
+    merged = merge_partials(per_nat, ["c_nat"], "rev").to_pandas()
+    merged["n_name"] = merged["c_nat"].map(name_of)
+    out = merged.sort_values(["rev", "n_name"], ascending=[False, True])
+    return out[["n_name", "rev"]].rename(columns={"rev": "revenue_scaled"}) \
+        .reset_index(drop=True).astype({"revenue_scaled": "int64"})
+
+
 def q_lineitem_corr_stats(sf_dir: str):
     """Per-returnflag co-moment sums for quantity × price
     (functions/relational.grouped_comoment_sums): (n, Σx, Σy, Σxy) on the
@@ -2151,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": q_value_mad_by_type,
         "retention_cohorts": q_retention_cohorts,
         "tpch_q10": q_tpch_q10,
+        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -3205,5 +3295,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON t.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE rank <= 20
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_scaled
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
         """,
     }
