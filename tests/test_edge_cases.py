@@ -124,3 +124,99 @@ def test_multiple_matches_same_line(ray_session, tmp_path):
     res = analyze_text(path, AnalyzeConfig(pattern="Error"))
     assert res.report["total_count"] == 1
     assert "Error Error Error" in _matched(res)[0]
+
+
+# -- round-3 operator edge cases ---------------------------------------------
+
+
+def test_funnel_step_type_absent(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    t = pa.table({"u": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([1, 2], pa.int64()),
+                  "ty": pa.array(["view", "view"])})
+    out = funnel_counts(rd.from_arrow(t), "u", "ts", "ty",
+                        ["view", "click", "purchase"], n_buckets=4)
+    assert out["n_users"].tolist() == [2, 0, 0]
+
+
+def test_rollup_single_key_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import rollup_sums
+
+    t = pa.table({"k": pa.array(["a"]), "v": pa.array([2.5])})
+    out = rollup_sums(rd.from_arrow(t), ["k"], "v", scale=100)
+    got = {r["k"]: (r["sum_v_scaled"], r["n"]) for r in out.to_dict("records")}
+    assert got == {"a": (250, 1), "ALL": (250, 1)}
+
+
+def test_windower_empty_and_single(ray_session):
+    import numpy as np
+
+    from timberjack_ray.functions.window import EventTimeWindower
+
+    w = EventTimeWindower(width_s=10, lateness_s=5)
+    w.feed(np.array([], dtype=np.int64))
+    assert len(w.result()) == 0 and w.late_dropped == 0
+    w.feed(np.array([7_000_000], dtype=np.int64))
+    assert w.result()["n"].tolist() == [1]
+
+
+def test_transition_single_event_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import transition_counts
+
+    t = pa.table({"u": pa.array([1, 2, 3], pa.int64()),
+                  "ts": pa.array([1, 1, 1], pa.int64()),
+                  "ty": pa.array(["a", "b", "c"]),
+                  "id": pa.array([0, 1, 2], pa.int64())})
+    out = transition_counts(rd.from_arrow(t), "u", "ts", "ty", "id")
+    assert len(out) == 0  # no key has a second event
+
+
+def test_pagerank_self_loop_only():
+    import numpy as np
+
+    from timberjack_ray.functions.graph import PAGERANK_TOTAL, _pagerank_driver
+
+    u = np.array([5], dtype=np.int64)
+    v = np.array([5], dtype=np.int64)
+    out = _pagerank_driver(u, v, n_iter=10)
+    # single self-looping node keeps (almost) all its mass: r converges to
+    # base / (1 - 0.85) ~= total (floor-division leakage only)
+    assert out["node"].tolist() == [5]
+    assert out["rank_fp"].iloc[0] <= PAGERANK_TOTAL
+    assert out["rank_fp"].iloc[0] >= PAGERANK_TOTAL * 0.97
+
+
+def test_budget_sample_zero_budget(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import budget_sample
+
+    t = pa.table({"s": pa.array(["x", "x"]), "id": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([5, 5], pa.int64())})
+    out = budget_sample(rd.from_arrow(t), "s", "w", "id", budget=0).to_pandas()
+    assert len(out) == 0
+
+
+def test_comoment_sums_single_row(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_comoment_sums
+
+    t = pa.table({"g": pa.array(["z"]), "x": pa.array([3.0]),
+                  "y": pa.array([4.0])})
+    out = grouped_comoment_sums(rd.from_arrow(t), "g", "x", "y",
+                                x_scale=1, y_scale=1)
+    r = out.iloc[0]
+    assert (r["sum_x"], r["sum_y"], r["sum_xy"], r["n"]) == (3, 4, 12, 1)
