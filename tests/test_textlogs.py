@@ -187,3 +187,23 @@ def test_ingest_roundtrip_matches_text_analysis(ray_session, tmp_path):
     # idempotent resume: second run skips the finished file
     again = ingest_text([path], out_dir)
     assert again == {"files": 0, "skipped": 1, "rows": 0}
+
+
+def test_ingest_multifile_corpus_matches_text_analysis(ray_session, tmp_path):
+    """Whole fixture corpus (4 files) through ingest → analyze must equal
+    analyze_text over the raw files — multi-file parallel ingest parity."""
+    import glob
+
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+    from timberjack_ray.pipelines.ingest import ingest_text
+
+    paths = sorted(glob.glob(os.path.join(FIXTURES, "*/*.log"))) \
+        + [os.path.join(FIXTURES, "sample.log")]
+    out_dir = str(tmp_path / "seq")
+    stats = ingest_text(paths, out_dir)
+    assert stats["files"] == len(paths)
+    cfg = AnalyzeConfig(stats=True, collect_lines=False)
+    via_parquet = analyze_parquet(
+        sorted(glob.glob(os.path.join(out_dir, "*.parquet"))), cfg).report
+    via_text = analyze_text(paths, cfg).report
+    assert _level_dict(via_parquet) == _level_dict(via_text)
