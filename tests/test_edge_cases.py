@@ -153,6 +153,10 @@ def test_rollup_single_key_and_empty(ray_session):
     out = rollup_sums(rd.from_arrow(t), ["k"], "v", scale=100)
     got = {r["k"]: (r["sum_v_scaled"], r["n"]) for r in out.to_dict("records")}
     assert got == {"a": (250, 1), "ALL": (250, 1)}
+    empty = pa.table({"k": pa.array([], pa.string()),
+                      "v": pa.array([], pa.float64())})
+    out0 = rollup_sums(rd.from_arrow(empty), ["k"], "v", scale=100)
+    assert len(out0) == 0
 
 
 def test_windower_empty_and_single(ray_session):

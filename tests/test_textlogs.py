@@ -207,3 +207,48 @@ def test_ingest_multifile_corpus_matches_text_analysis(ray_session, tmp_path):
         sorted(glob.glob(os.path.join(out_dir, "*.parquet"))), cfg).report
     via_text = analyze_text(paths, cfg).report
     assert _level_dict(via_parquet) == _level_dict(via_text)
+
+
+def test_ingest_same_stem_different_dirs_no_overwrite(ray_session, tmp_path):
+    """Two inputs with the SAME basename must produce distinct outputs and
+    distinct doc_ids (review finding: stem-only naming silently lost one)."""
+    from timberjack_ray.pipelines.ingest import ingest_text
+
+    a = tmp_path / "a"; a.mkdir(); b = tmp_path / "b"; b.mkdir()
+    (a / "app.log").write_text("ERROR one\nWARN two\n")
+    (b / "app.log").write_text("INFO x\nINFO y\nINFO z\n")
+    out_dir = str(tmp_path / "seq")
+    stats = ingest_text([str(a / "app.log"), str(b / "app.log")], out_dir)
+    assert stats == {"files": 2, "skipped": 0, "rows": 5}
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    assert len(files) == 2
+    ids = []
+    for f in files:
+        ids.extend(pq.read_table(f)["doc_id"].to_pylist())
+    assert len(ids) == len(set(ids)) == 5
+    # resume skips both now
+    again = ingest_text([str(a / "app.log"), str(b / "app.log")], out_dir)
+    assert again == {"files": 0, "skipped": 2, "rows": 0}
+
+
+def test_ingest_skips_unencodable_lines_keeps_raw_line_numbers(
+        ray_session, tmp_path):
+    from timberjack_ray.pipelines.ingest import ingest_text
+
+    p = tmp_path / "mix.log"
+    p.write_text("ERROR ok zero\nINFO bad ☃ snowman\nWARN ok two\n",
+                 encoding="utf-8")
+    out_dir = str(tmp_path / "seq")
+    stats = ingest_text([str(p)], out_dir)
+    assert stats["rows"] == 2  # the snowman line is dropped, like the
+    import glob                # reference skips invalid UTF-8
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet"))[0])
+    nums = [d.split(":")[-1] for d in t["doc_id"].to_pylist()]
+    assert nums == ["00000000", "00000002"]  # raw-file line numbers kept

@@ -91,6 +91,12 @@ def main(argv=None) -> int:
         first_seen=args.first_seen,
     )
 
+    if args.ingest_out and args.input == "-":
+        print("error: --ingest-out needs file inputs (stdin is the "
+              "bounded-streaming analysis path)", file=sys.stderr)
+        ray.shutdown()
+        return 2
+
     if args.input == "-":
         # stdin path: bounded streaming over text lines, no Ray needed
         # (src/main.rs:218-297)
@@ -109,6 +115,12 @@ def main(argv=None) -> int:
     paths = resolve_paths(args.input)
 
     if args.ingest_out:
+        if any(p.endswith(".parquet") for p in paths):
+            print("error: --ingest-out converts RAW text logs; these "
+                  "inputs are already parquet sequence tables",
+                  file=sys.stderr)
+            ray.shutdown()
+            return 2
         from timberjack_ray.pipelines.ingest import ingest_text
 
         stats = ingest_text(paths, args.ingest_out)

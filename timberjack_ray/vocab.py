@@ -221,7 +221,8 @@ def _codepoints_of(arr: pa.StringArray):
     return codes, offs
 
 
-def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray:
+def encode_batch_arrow(lines: pa.Array, on_error: str = "raise",
+                       return_mask: bool = False):
     """Vectorized twin of ``encode_batch`` (same output, bit for bit):
     Arrow split → one hash-map lookup over the flattened word stream →
     ragged scatter of word ids / codepoints / space tokens.  No per-line
@@ -237,15 +238,23 @@ def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray
     unencodable codepoint (≥ U+0100 outside the word vocabulary);
     ``"skip"`` drops offending LINES instead — the reference's behavior
     for undecodable input (src/analyzer.rs:299-304).  Skipped lines
-    simply do not appear in the output, so align by doc ids, not offsets.
+    simply do not appear in the output; pass ``return_mask=True`` to get
+    ``(tokens, keep)`` where ``keep`` is a bool ndarray over the INPUT
+    lines, so callers (ingest) can keep line numbers without a per-line
+    Python probe.
     """
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     lines = pc.fill_null(lines, "")
     n = len(lines)
+
+    def _ret(toks, keep):
+        return (toks, keep) if return_mask else toks
+
     if n == 0:
-        return pa.ListArray.from_arrays(pa.array([0], pa.int32()),
-                                        pa.array([], pa.int32()))
+        return _ret(pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                             pa.array([], pa.int32())),
+                    np.zeros(0, dtype=bool))
     words_list = pc.split_pattern(lines, " ")
     words = words_list.flatten()
     w_per_line = pc.list_value_length(words_list).to_numpy(
@@ -288,8 +297,9 @@ def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray
                 bad_lines = np.unique(line_of_word[bad_words])
                 keep = np.ones(n, dtype=bool)
                 keep[bad_lines] = False
-                return encode_batch_arrow(lines.filter(pa.array(keep)),
+                toks = encode_batch_arrow(lines.filter(pa.array(keep)),
                                           on_error="raise")
+                return _ret(toks, keep)
     # tokens contributed per word (1 for vocab words, |word| otherwise)
     tw = np.where(known, 1, wlen)
     piece_len = lead + tw
@@ -315,5 +325,6 @@ def encode_batch_arrow(lines: pa.Array, on_error: str = "raise") -> pa.ListArray
     # are always valid, strictly increasing reduceat boundaries
     line_tok = np.add.reduceat(np.append(piece_len, 0), w_starts)[:n]
     offsets = np.concatenate([[0], np.cumsum(line_tok)]).astype(np.int32)
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                    pa.array(out, pa.int32()))
+    return _ret(pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         pa.array(out, pa.int32())),
+                np.ones(n, dtype=bool))
