@@ -252,3 +252,23 @@ def test_ingest_skips_unencodable_lines_keeps_raw_line_numbers(
     t = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet"))[0])
     nums = [d.split(":")[-1] for d in t["doc_id"].to_pylist()]
     assert nums == ["00000000", "00000002"]  # raw-file line numbers kept
+
+
+def test_analyze_corpus_with_empty_leading_file(ray_session, tmp_path):
+    """An all-empty FIRST parquet (ingested empty log / empty routed shard)
+    must not crash the format probe (review r03: StopIteration)."""
+    import glob
+
+    from timberjack_ray.pipelines.analyze import analyze_parquet
+    from timberjack_ray.pipelines.ingest import ingest_text
+
+    (tmp_path / "aa_empty.log").write_text("")
+    (tmp_path / "zz_data.log").write_text("[ERROR] boom\n[INFO] fine\n")
+    out_dir = str(tmp_path / "seq")
+    stats = ingest_text([str(tmp_path / "aa_empty.log"),
+                         str(tmp_path / "zz_data.log")], out_dir)
+    assert stats["rows"] == 2
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    r = analyze_parquet(files, AnalyzeConfig(stats=True,
+                                             collect_lines=False))
+    assert _level_dict(r.report) == {"ERROR": 1, "INFO": 1}

@@ -98,22 +98,30 @@ def sample_text_lines(paths, k: int = 10, max_bytes: int = 4096) -> list[str]:
 
 
 def sample_lines_from_paths(paths, k: int = 10) -> list[str]:
-    """Head sample straight from the first Parquet file with pyarrow — the
-    reference reads ≤4 KB of the file head (src/main.rs:52-89); launching a
-    whole Dataset execution for 10 rows would cost seconds of fixed overhead
-    at any scale, so this stays a bounded driver-side read."""
+    """Head sample straight from the first NON-EMPTY Parquet file with
+    pyarrow — the reference reads ≤4 KB of the file head
+    (src/main.rs:52-89); launching a whole Dataset execution for 10 rows
+    would cost seconds of fixed overhead at any scale, so this stays a
+    bounded driver-side read.  Zero-row leading files (an ingested empty
+    log, an empty routed shard) are skipped instead of crashing the
+    format probe."""
     import pyarrow.parquet as pq
 
-    first = paths[0] if not isinstance(paths, str) else paths
-    pf = pq.ParquetFile(first)
-    names = set(pf.schema_arrow.names)
-    col = next((c for c in ("line", "text", "tokens") if c in names), None)
-    if col is None:
-        return []
-    head = next(pf.iter_batches(batch_size=k, columns=[col]))
-    if col == "tokens":
-        return [vocab.decode(t) for t in head[col].to_pylist()[:k]]
-    return head[col].to_pylist()[:k]
+    candidates = [paths] if isinstance(paths, str) else list(paths)
+    for path in candidates:
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        col = next((c for c in ("line", "text", "tokens") if c in names),
+                   None)
+        if col is None:
+            return []
+        head = next(pf.iter_batches(batch_size=k, columns=[col]), None)
+        if head is None or head.num_rows == 0:
+            continue
+        if col == "tokens":
+            return [vocab.decode(t) for t in head[col].to_pylist()[:k]]
+        return head[col].to_pylist()[:k]
+    return []
 
 
 def _needed_kinds(cfg: AnalyzeConfig, extra_cols: list[str]) -> set[str]:
