@@ -2134,6 +2134,176 @@ def q_stream_windowed_counts(sf_dir: str):
     return out.astype({"n": "int64"})
 
 
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue): lineitem date window × part-type
+    membership.  The promo-partkey set is the only broadcast side (tiny by
+    definition — one type's parts); revenue sums stay on the exact cents-int
+    domain and only two int64 partials per batch reach the driver.  The
+    percentage is derivable from the two exact integers — emitting it as a
+    float would put an unorderable 2^53-overflowable division on the hash
+    path, so it is left to the consumer."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.util import scale_to_int
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+    promo = promo.combine_chunks()
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1997-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        if t.num_rows == 0:
+            return pa.table({"promo_rev_scaled": pa.array([], pa.int64()),
+                             "total_rev_scaled": pa.array([], pa.int64())})
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        rev = price * (100 - disc)
+        is_promo = pc.is_in(t["l_partkey"], value_set=promo) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"promo_rev_scaled": pa.array([int(rev[is_promo].sum())]),
+                         "total_rev_scaled": pa.array([int(rev.sum())])})
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"promo_rev_scaled": [int(p["promo_rev_scaled"].sum())],
+                         "total_rev_scaled": [int(p["total_rev_scaled"].sum())]})
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): HAVING SUM(qty) > T over
+    the high-cardinality orderkey runs as a distributed Ray groupby (per-
+    batch partial group_by shrinks first; one hash exchange of (orderkey,
+    qty) partials — NEVER a driver fold at order cardinality); the
+    survivor set is tiny by construction (the extreme tail) so it
+    broadcast-filters orders, and customer names join driver-side on the
+    ≤100-row result.  Sort keys are exact ints (cents, orderkey)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"], "qty": q}) \
+            .group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="sum_qty"))
+    hot = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], 250)),
+        batch_format="pyarrow")
+    hot_t = pa.Table.from_pandas(hot.to_pandas())  # tiny: extreme tail only
+    keys = hot_t["l_orderkey"].combine_chunks()
+    qty_of = dict(zip(hot_t["l_orderkey"].to_pylist(),
+                      hot_t["sum_qty"].to_pylist()))
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"])
+    picked = orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = picked.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["o_date"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out["total_scaled"] = np.floor(
+        out["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out["sum_qty"] = out["o_orderkey"].map(qty_of).astype(np.int64)
+    out = out.sort_values(["total_scaled", "o_orderkey"],
+                          ascending=[False, True]).head(100)
+    return out[["c_name", "o_custkey", "o_orderkey", "o_date",
+                "total_scaled", "sum_qty"]].reset_index(drop=True)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    broadcast hash join lineitem ⋈ part (dimension side), then ONE
+    vectorized three-arm OR mask per batch — the predicate never leaves
+    the map side, only (rev_sum, n) int partials reach the driver."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.relational import broadcast_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+    joined = broadcast_join(li, part, keys="l_partkey",
+                            right_keys="p_partkey")
+
+    arms = (("Brand#12", 1, 15, 1, 11),
+            ("Brand#23", 1, 20, 10, 20),
+            ("Brand#3", 1, 25, 20, 30))
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(t.num_rows, dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in arms:
+            mask |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table({"rev_scaled": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"rev_scaled": pa.array([int((price * (100 - disc)).sum())]),
+                         "n": pa.array([t.num_rows])})
+
+    p = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"rev_scaled": [int(p["rev_scaled"].sum())],
+                         "n": [int(p["n"].sum())]})
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Linear-interpolated (quantile_cont) quartiles on the cents domain —
+    bit-exact vs SQL for dyadic q (see exact_quantiles_cont)."""
+    from timberjack_ray.functions.sessions import exact_quantiles_cont
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    return exact_quantiles_cont(ds, "value", [0.25, 0.5, 0.75], scale=100)
+
+
+def q_chunk_dedup_docs(sf_dir: str):
+    """C4-style corpus-wide chunk dedup keep-first over 10-word chunks:
+    only (hash, packed-id) pairs shuffle; survivors come back as
+    (doc_id, chunk_idx)."""
+    from timberjack_ray.functions.corpus import chunk_dedup, unpack_chunk_ids
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    surv = chunk_dedup(ds, chunk_words=10)
+    out = surv.map_batches(unpack_chunk_ids, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "chunk_idx": "int64"})
+
+
+def q_perplexity_scores(sf_dir: str):
+    """CCNet-style perplexity filter scoring: train an in-corpus add-one
+    bigram LM (guarded folds), broadcast it once, score every doc's mean
+    bits-per-bigram in one streaming actor-pool pass.  Rows-only driver
+    check; tests/test_text_lm.py pins the numbers against an independent
+    per-doc reference."""
+    from timberjack_ray.functions.text import bigram_lm_scores
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bigram_lm_scores(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_bigrams": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -2241,6 +2411,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "tpch_q10": q_tpch_q10,
         "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "value_quantiles_cont": q_value_quantiles_cont,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "perplexity_scores": q_perplexity_scores,
     }
 
 
@@ -3313,5 +3489,72 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1997-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n.n_name
+        """,
+        "tpch_q14": """
+            SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS BIGINT) AS promo_rev_scaled,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS total_rev_scaled
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "tpch_q18": """
+            SELECT c.c_name, o.o_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_scaled,
+                   CAST(t.sum_qty AS BIGINT) AS sum_qty
+            FROM (SELECT l_orderkey,
+                         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC,
+                     o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS rev_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "value_quantiles_cont": """
+            SELECT 0.25::DOUBLE AS q, CAST(quantile_cont(
+              CAST(ROUND(value*100) AS BIGINT), 0.25) AS DOUBLE) AS value_scaled
+            FROM events
+            UNION ALL
+            SELECT 0.5::DOUBLE, CAST(quantile_cont(
+              CAST(ROUND(value*100) AS BIGINT), 0.5) AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 0.75::DOUBLE, CAST(quantile_cont(
+              CAST(ROUND(value*100) AS BIGINT), 0.75) AS DOUBLE) FROM events
+        """,
+        "chunk_dedup_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                     array_to_string(l[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+              FROM w, LATERAL (SELECT unnest(range(0,
+                       CAST(ceil(len(l)/10.0) AS BIGINT))) AS i) u
+            )
+            SELECT doc_id, chunk_idx FROM (
+              SELECT doc_id, chunk_idx,
+                     ROW_NUMBER() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM c) t
+            WHERE rn = 1
         """,
     }

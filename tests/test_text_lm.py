@@ -1,0 +1,139 @@
+"""Round-3 operators: bigram-LM perplexity scoring (rows-only on the
+driver, so the oracle lives HERE), chunk-level corpus dedup edge cases, and
+interpolated quantiles."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _lm_reference(texts):
+    """Independent per-doc implementation: dict counts + python loops."""
+    uni, big = {}, {}
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = []
+    for t in texts:
+        ws = t.split(" ")
+        if len(ws) < 2:
+            out.append((0, 0.0))
+            continue
+        bits = [
+            math.log2(uni[a] + v) - math.log2(big[(a, b)] + 1.0)
+            for a, b in zip(ws, ws[1:])
+        ]
+        out.append((len(ws) - 1, float(np.mean(bits))))
+    return out
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "a lone",
+    "single",
+    "",
+    "the the the the",
+    "unique words only here now",
+]
+
+
+def test_bigram_lm_scores_match_reference(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bigram_lm_scores
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(CORPUS))), "text": CORPUS})
+    )
+    got = (
+        bigram_lm_scores(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _lm_reference(CORPUS)
+    assert got["n_bigrams"].tolist() == [r[0] for r in ref]
+    np.testing.assert_allclose(
+        got["bits"].to_numpy(), [r[1] for r in ref], rtol=0, atol=1e-12
+    )
+    # repeated text scores low; unseen-combination text scores high
+    assert got.loc[5, "bits"] < got.loc[6, "bits"]
+
+
+def test_bigram_lm_deterministic_across_runs(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bigram_lm_scores
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(CORPUS))), "text": CORPUS})
+    )
+    a = bigram_lm_scores(ds).to_pandas().sort_values("doc_id")
+    b = bigram_lm_scores(ds).to_pandas().sort_values("doc_id")
+    np.testing.assert_array_equal(a["bits"].to_numpy(), b["bits"].to_numpy())
+
+
+def test_chunk_dedup_planted_duplicates(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import chunk_dedup, unpack_chunk_ids
+
+    dup = " ".join(f"w{i}" for i in range(10))  # one exact 10-word chunk
+    uniq = [" ".join(f"u{d}_{i}" for i in range(10)) for d in range(3)]
+    docs = [
+        dup + " " + uniq[0],  # doc 0: chunks [dup, uniq0]
+        dup + " " + uniq[1],  # doc 1: dup chunk must lose to doc 0
+        uniq[2],
+        "short doc",  # < 10 words → its own chunk
+        "short doc",  # exact duplicate short chunk → loses to doc 3
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    surv = (
+        chunk_dedup(ds, chunk_words=10)
+        .map_batches(unpack_chunk_ids, batch_format="pyarrow")
+        .to_pandas()
+    )
+    got = set(map(tuple, surv[["doc_id", "chunk_idx"]].to_numpy()))
+    assert got == {(0, 0), (0, 1), (1, 1), (2, 0), (3, 0)}
+
+
+def test_chunk_dedup_empty_and_boundary(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import chunk_dedup, unpack_chunk_ids
+
+    docs = ["", "", " ".join(["x"] * 20), " ".join(["x"] * 21)]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": docs}))
+    surv = (
+        chunk_dedup(ds, chunk_words=10)
+        .map_batches(unpack_chunk_ids, batch_format="pyarrow")
+        .to_pandas()
+    )
+    got = set(map(tuple, surv[["doc_id", "chunk_idx"]].to_numpy()))
+    # "" → one empty chunk, kept once (doc 0).  doc 2 = two identical
+    # "x"*10 chunks → only the first survives.  doc 3 adds a trailing
+    # 1-word chunk "x" (distinct text from the 10-word chunk).
+    assert got == {(0, 0), (2, 0), (3, 2)}
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100])
+def test_exact_quantiles_cont_matches_numpy(ray_session, n):
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import exact_quantiles_cont
+
+    rng = np.random.RandomState(n)
+    vals = np.round(rng.uniform(0, 50, size=n), 2)
+    ds = rd.from_arrow(pa.table({"value": vals}))
+    out = exact_quantiles_cont(ds, "value", [0.25, 0.5, 0.75], scale=100)
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    want = [np.percentile(cents, q * 100, method="linear") for q in (0.25, 0.5, 0.75)]
+    np.testing.assert_array_equal(out["value_scaled"].to_numpy(), want)

@@ -599,3 +599,60 @@ def budget_sample(ds, group_col: str, weight_col: str, id_col: str,
 
     return proj.groupby(group_col).map_groups(per_group,
                                               batch_format="pyarrow")
+
+
+def chunk_dedup(ds, chunk_words: int = 10, id_col: str = "doc_id",
+                col: str = "text"):
+    """Corpus-wide exact dedup at sub-document (chunk) granularity,
+    keep-first — the C4-style "drop every repeated line/paragraph, keep
+    its first occurrence" curation step, over fixed ``chunk_words``-word
+    chunks (the synthesized corpus has no newline structure; with real
+    paragraphs, split on the delimiter instead and the plan is unchanged).
+
+    Plan: per batch, one ``split_pattern`` + re-offset chunking (chunk
+    word-lists tile each doc's words exactly, so the new list offsets are
+    just every ``chunk_words``-th word boundary) → ``binary_join`` back to
+    chunk strings → the replayable Horner content hash; only
+    (chash, packed-id) pairs cross the ONE groupby exchange, min-packed
+    picks the first occurrence.  Text never shuffles — the 100-TB shape of
+    ``dedup.exact_dedup`` at chunk granularity.
+
+    Packing: survivor order is min(doc_id · 2^20 + chunk_idx), i.e.
+    lexicographic (doc_id, chunk_idx); requires chunk_idx < 2^20 (docs
+    under ~10M words) and doc_id < 2^43.
+
+    Returns a Dataset of (chash, packed); unpack with ``unpack_chunk_ids``.
+    """
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chash": pa.array([], pa.int64()),
+                             "packed": pa.array([], pa.int64())})
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        L = np.diff(offsets)
+        c = -(-L // chunk_words)  # ceil; "" splits to [""] so every doc ≥ 1
+        total_c = int(c.sum())
+        cstart = np.concatenate([[0], np.cumsum(c)])
+        chunk_idx = np.arange(total_c, dtype=np.int64) - np.repeat(cstart[:-1], c)
+        starts = np.repeat(offsets[:-1], c) + chunk_idx * chunk_words
+        new_off = np.append(starts, offsets[-1]).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(pa.array(new_off), flat)
+        chunk_txt = pc.binary_join(lst, " ")
+        if isinstance(chunk_txt, pa.ChunkedArray):
+            chunk_txt = chunk_txt.combine_chunks()
+        h = add_content_hash(pa.table({"t": chunk_txt}), "t", "chash")["chash"]
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), c)
+        packed = ids * (1 << 20) + chunk_idx
+        return pa.table({"chash": h, "packed": pa.array(packed)})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    return pairs.groupby("chash").aggregate(Min("packed", alias_name="packed"))
+
+
+def unpack_chunk_ids(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(chash, packed) → (doc_id, chunk_idx) for chunk_dedup survivors."""
+    packed = t["packed"].to_numpy(zero_copy_only=False)
+    return pa.table({id_col: pa.array(packed >> 20),
+                     "chunk_idx": pa.array(packed & ((1 << 20) - 1))})

@@ -341,3 +341,46 @@ def retention_cohorts(ds, key_col: str, ts_col: str, type_col: str,
         .sort_values(["cohort_week", "k"]).reset_index(drop=True)
     return out.astype({"cohort_week": "int64", "k": "int64",
                        "n_users": "int64"})
+
+
+def exact_quantiles_cont(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFrame:
+    """Linear-interpolated quantiles (DuckDB ``quantile_cont`` / numpy
+    type-7) from the same per-distinct-value count histogram as
+    ``exact_quantiles`` — no distributed sort, merge volume = distinct
+    values.
+
+    Bit-exact vs SQL for DYADIC q (k/2^m, e.g. 0.25/0.5/0.75): with integer
+    scaled values v < 2^51, h = (n-1)·q, frac = h-⌊h⌋ and
+    lo + (hi-lo)·frac are all exact in binary floating point, so ANY
+    algebraically-equivalent interpolation order produces the identical
+    double.  Non-dyadic q (0.95, …) may differ in the last ulp between
+    engines — use exact_quantiles (discrete) for those.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        v = scale_to_int(t[col], scale)
+        g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    from timberjack_ray.aggregates import merge_partials
+
+    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["v"], "n").to_pandas().sort_values("v")
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy()
+
+    def value_at(rank0: int) -> int:  # 0-based rank in the sorted multiset
+        idx = int(np.searchsorted(cum, rank0 + 1))
+        return int(vals[min(idx, len(vals) - 1)])
+
+    out_q, out_v = [], []
+    for q in qs:
+        h = (total - 1) * float(q)
+        lo_i, hi_i = int(np.floor(h)), int(np.ceil(h))
+        lo, hi = value_at(lo_i), value_at(hi_i)
+        out_q.append(float(q))
+        out_v.append(lo + (hi - lo) * (h - lo_i))
+    return pd.DataFrame({"q": out_q, "value_scaled": out_v})

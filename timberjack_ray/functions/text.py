@@ -394,3 +394,102 @@ def add_char_entropy(batch: pa.Table, col: str = "text",
     ent[lens == 0] = 0.0
     ent_u = np.floor(ent * 1_000_000 + 0.5).astype(np.int64)
     return batch.append_column(out_col, pa.array(ent_u))
+
+
+# --- CCNet-style bigram language-model scoring (round 3) --------------------
+
+def train_bigram_lm(ds, col: str = "text", limit: int | None = None):
+    """In-corpus add-one-smoothed bigram LM: unigram + bigram counts via the
+    GUARDED driver folds (open vocabularies degrade to CMS candidates —
+    rare tails then score as unseen, which is the conservative direction
+    for a quality filter).  Returns (uni_df, big_df, V, mode).
+
+    At production scale the model side is a TRAINED, bounded artifact
+    (CCNet ships a fixed KenLM); training it from the corpus itself here
+    keeps the demo self-contained with the same broadcast-scoring shape.
+    """
+    from timberjack_ray.aggregates import merge_counts_guarded
+    from timberjack_ray.functions.corpus import bigram_counts_partial
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t[col], " "))
+        g = pa.table({"word": words}).group_by("word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    uni = merge_counts_guarded(
+        ds.map_batches(uni_partial, batch_format="pyarrow"), "word", "n", limit)
+    big = merge_counts_guarded(
+        ds.map_batches(lambda t: bigram_counts_partial(t, col),
+                       batch_format="pyarrow"), "bigram", "n", limit)
+    uni_df, big_df = uni.to_pandas(), big.to_pandas()
+    mode = "exact" if (uni.mode == "exact" and big.mode == "exact") else "cms"
+    return uni_df, big_df, int(len(uni_df)), mode
+
+
+class BigramLMScorer:
+    """Actor-pool stage: per-doc mean bits-per-bigram under a broadcast
+    add-one-smoothed bigram LM — the perplexity-filter scoring pass
+    (Wenzek et al., CCNet).  bits(doc) = mean_i −log2 P(w_i | w_{i−1}),
+    P(b|a) = (c(a b) + 1) / (c(a) + V).
+
+    Model (two count tables + V) is fetched from the object store ONCE per
+    worker in ``__init__``; lookups are vectorized pandas hash-index
+    reindexes over the flattened word/bigram arrays — no per-row Python.
+    """
+
+    def __init__(self, model_ref, id_col: str = "doc_id", col: str = "text"):
+        import ray
+
+        uni_df, big_df, v = ray.get(model_ref)
+        self.uni = pd.Series(uni_df["n"].to_numpy(np.float64),
+                             index=uni_df["word"])
+        self.big = pd.Series(big_df["n"].to_numpy(np.float64),
+                             index=big_df["bigram"])
+        self.v = float(v)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.corpus import _word_offsets
+
+        ids = t[self.id_col]
+        words = pc.split_pattern(t[self.col], " ")
+        flat, offsets = _word_offsets(words)
+        n = len(flat)
+        lens = np.diff(offsets)
+        nb = np.maximum(lens - 1, 0)
+        if n < 2 or int(nb.sum()) == 0:
+            return pa.table({self.id_col: ids,
+                             "n_bigrams": pa.array(nb),
+                             "bits": pa.array(np.zeros(len(lens)))})
+        left = flat.slice(0, n - 1)
+        joined = pc.binary_join_element_wise(left, flat.slice(1, n - 1), " ")
+        cb = self.big.reindex(joined.to_numpy(zero_copy_only=False)) \
+            .fillna(0.0).to_numpy()
+        cu = self.uni.reindex(left.to_numpy(zero_copy_only=False)) \
+            .fillna(0.0).to_numpy()
+        bits = np.log2(cu + self.v) - np.log2(cb + 1.0)
+        # zero the slots that would cross a doc boundary, then one reduceat
+        # per doc over its [start, next_start) slice of the (n-1) array
+        last = offsets[1:] - 1
+        bits[last[(last >= 0) & (last < n - 1)]] = 0.0
+        starts = np.minimum(offsets[:-1], n - 1)
+        sums = np.add.reduceat(np.append(bits, 0.0), starts)[: len(lens)]
+        mean = np.where(nb > 0, sums / np.maximum(nb, 1), 0.0)
+        return pa.table({self.id_col: ids, "n_bigrams": pa.array(nb),
+                         "bits": pa.array(mean)})
+
+
+def bigram_lm_scores(ds, id_col: str = "doc_id", col: str = "text",
+                     limit: int | None = None, concurrency: int = 2):
+    """Two-pass perplexity scoring: train (guarded folds) → broadcast the
+    model once → one streaming actor-pool scoring pass.  Returns a Dataset
+    of (id, n_bigrams, bits); filter on ``bits`` downstream (high bits =
+    improbable text under the corpus LM)."""
+    import ray
+
+    uni_df, big_df, v, _mode = train_bigram_lm(ds, col, limit)
+    ref = ray.put((uni_df, big_df, v))
+    return ds.map_batches(
+        BigramLMScorer,
+        fn_constructor_kwargs={"model_ref": ref, "id_col": id_col, "col": col},
+        batch_format="pyarrow", concurrency=concurrency)
