@@ -2304,6 +2304,39 @@ def q_perplexity_scores(sf_dir: str):
         .astype({"doc_id": "int64", "n_bigrams": "int64"})
 
 
+def q_contamination_stats(sf_dir: str):
+    """Per-doc contamination fraction stats vs the held-out benchmark
+    slice (doc_id % 97 == 0): (doc_id, n_grams, n_hit) over distinct
+    word-3-grams — the graded decontamination variant (threshold
+    n_hit/n_grams downstream).  Bench gram set broadcast once; one
+    streaming pass, no shuffle; both outputs ints so the gate hash is
+    exact."""
+    from timberjack_ray.functions.dedup import contamination_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = contamination_stats(side(False), side(True), col="text",
+                              id_col="doc_id", k=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """First-BPE-merge candidate table: top-20 adjacent character pairs
+    within words (functions/text.bpe_pair_counts) — merge volume bounded
+    by charset², never corpus size."""
+    from timberjack_ray.functions.text import bpe_pair_counts
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bpe_pair_counts(ds, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -2417,6 +2450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont": q_value_quantiles_cont,
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "perplexity_scores": q_perplexity_scores,
+        "contamination_stats": q_contamination_stats,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -3556,5 +3591,42 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id, chunk_idx) AS rn
               FROM c) t
             WHERE rn = 1
+        """,
+        "contamination_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw, text
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN nw <= 3 THEN ['S:' || text]
+                     ELSE list_transform(generate_series(1, nw - 2),
+                           i -> 'L:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                END) AS gram
+              FROM w
+            ),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            FROM dg WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+        """,
+        "bpe_pair_counts": """
+            WITH words AS (
+              SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+            ),
+            pairs AS (
+              SELECT substr(w, CAST(u.i AS INT), 2) AS pair
+              FROM words,
+                   LATERAL (SELECT UNNEST(range(1, len(w))) AS i) u
+              WHERE len(w) >= 2
+            )
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 20
         """,
     }

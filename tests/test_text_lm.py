@@ -137,3 +137,45 @@ def test_exact_quantiles_cont_matches_numpy(ray_session, n):
     cents = np.floor(vals * 100 + 0.5).astype(np.int64)
     want = [np.percentile(cents, q * 100, method="linear") for q in (0.25, 0.5, 0.75)]
     np.testing.assert_array_equal(out["value_scaled"].to_numpy(), want)
+
+
+def test_contamination_stats_planted(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import contamination_stats
+
+    bench = ["alpha beta gamma delta"]  # grams: (a b g), (b g d)
+    train = [
+        "alpha beta gamma delta epsilon",  # hits both bench grams
+        "alpha beta gamma zeta eta",       # hits one (a b g)
+        "totally clean words here",        # no hits
+        "tiny doc",                        # short-doc whole-text gram, clean
+        "alpha beta gamma alpha beta gamma delta",  # repeated gram counted ONCE
+    ]
+    tds = rd.from_arrow(pa.table({"doc_id": list(range(5)), "text": train}))
+    bds = rd.from_arrow(pa.table({"doc_id": [100], "text": bench}))
+    out = (
+        contamination_stats(tds, bds, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 4: 7 words → 5 gram positions but (alpha beta gamma) repeats →
+    # 4 DISTINCT grams
+    assert out["n_grams"].tolist() == [3, 3, 2, 1, 4]
+    assert out["n_hit"].tolist() == [2, 1, 0, 0, 2]
+
+
+def test_bpe_pair_counts_unicode_and_boundaries(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bpe_pair_counts
+
+    docs = ["ab ab abc", "héé x", ""]
+    # pairs: ab×3 (two 'ab' words + prefix of 'abc'), bc×1, hé×1, éé×1;
+    # 1-char words ('x') and word boundaries contribute nothing
+    ds = rd.from_arrow(pa.table({"text": docs}))
+    out = bpe_pair_counts(ds, k=10)
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"ab": 3, "bc": 1, "hé": 1, "éé": 1}
+    assert out["pair"].tolist()[0] == "ab"  # top by count

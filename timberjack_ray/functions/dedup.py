@@ -954,3 +954,49 @@ def bloom_decontaminate(train_ds, bench_ds, col: str = "text",
         return t.filter(pa.array(doc_hits == 0))
 
     return train_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def contamination_stats(train_ds, bench_ds, col: str = "text",
+                        id_col: str = "doc_id", k: int = 3):
+    """Per-doc contamination FRACTION statistics against a benchmark set:
+    (id, n_grams, n_hit) where n_grams = the doc's DISTINCT word-k-gram
+    count and n_hit = how many of those grams appear in the benchmark —
+    the graded variant of ``decontaminate`` (threshold on n_hit/n_grams
+    downstream instead of any-hit dropping; both ints so the result is
+    exactly hashable, no float division on the gate path).
+
+    Same 100-TB shape as decontaminate: bench grams driver-folded (small
+    side by definition) → ray.put once → ONE streaming map_batches pass;
+    per batch one lexsort dedups each doc's gram multiset and a vectorized
+    searchsorted probe + two bincounts produce the stats.  No shuffle.
+    """
+    import ray
+
+    grams = benchmark_gram_set(bench_ds, col, k)
+    ref = ray.put(grams)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: t[id_col],
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_hit": pa.array([], pa.int64())})
+        h, offs = gram_hashes_batch(t[col].to_pylist(), k)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, doc_idx))
+        hs, di = h[order], doc_idx[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])]
+        uh, ud = hs[first], di[first]
+        n_grams = np.bincount(ud, minlength=n)
+        g = _fetch_bench(ref)
+        hit = np.zeros(len(uh), dtype=bool)
+        if len(g) and len(uh):
+            idx = np.searchsorted(g, uh)
+            inb = idx < len(g)
+            hit[inb] = g[idx[inb]] == uh[inb]
+        n_hit = np.bincount(ud[hit], minlength=n)
+        return pa.table({id_col: t[id_col],
+                         "n_grams": pa.array(n_grams.astype(np.int64)),
+                         "n_hit": pa.array(n_hit.astype(np.int64))})
+
+    return train_ds.map_batches(stats, batch_format="pyarrow")

@@ -493,3 +493,65 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", col: str = "text",
         BigramLMScorer,
         fn_constructor_kwargs={"model_ref": ref, "id_col": id_col, "col": col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def _flat_codepoints(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint32 codepoints of the concatenated strings, per-string char
+    lens) via one buffer-level utf-8 → utf-32 decode (no per-row Python;
+    the add_content_hash decode trick)."""
+    n = len(arr)
+    lens = pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.zeros(0, np.uint32), lens
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    boff = np.frombuffer(arr.buffers()[1], dtype=odt)
+    start, stop = int(boff[arr.offset]), int(boff[arr.offset + n])
+    raw = arr.buffers()[2].slice(start, stop - start).to_pybytes()
+    codes = np.frombuffer(raw.decode("utf-8").encode("utf-32-le"),
+                          dtype=np.uint32)
+    return codes, lens
+
+
+def bpe_pair_counts(ds, col: str = "text", k: int = 20) -> pd.DataFrame:
+    """Top-K adjacent character pairs within words, corpus-weighted — the
+    candidate table for the FIRST merge of BPE tokenizer training
+    (Sennrich et al. 2016: repeatedly merge the most frequent adjacent
+    symbol pair).  One map-side pass; per batch the flattened word chars
+    decode once, pairs pack into uint64 keys ((cp1<<32)|cp2, exact for any
+    Unicode scalar), word-boundary slots are masked, and a C group_by
+    collapses to the distinct-pair set before the merge — merge volume is
+    bounded by charset², independent of corpus size.  (Later BPE rounds
+    re-run the same pass over the re-segmented symbol stream; each round
+    is this operator.)
+
+    Ties (n desc, pair asc) are broken on the decoded pair STRING to match
+    SQL ORDER BY collation.
+    """
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t[col], " "))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        codes, lens = _flat_codepoints(words)
+        total = len(codes)
+        if total < 2:
+            return pa.table({"pair_key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        key = (codes[:-1].astype(np.uint64) << np.uint64(32)) \
+            | codes[1:].astype(np.uint64)
+        ends = np.cumsum(lens)
+        last = ends - 1  # last char of each word starts no pair
+        mask = np.ones(total - 1, dtype=bool)
+        mask[last[(last >= 0) & (last < total - 1)]] = False
+        g = pa.table({"pair_key": pa.array(key[mask].view(np.int64))}) \
+            .group_by("pair_key").aggregate([([], "count_all")])
+        return g.rename_columns(["pair_key", "n"])
+
+    merged = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["pair_key"], "n").to_pandas()
+    keys = merged["pair_key"].to_numpy().view(np.uint64)
+    merged["pair"] = [chr(int(x >> np.uint64(32))) + chr(int(x & np.uint64(0xFFFFFFFF)))
+                      for x in keys]  # decode only the merged (charset²) table
+    out = merged.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+    return out[["pair", "n"]].reset_index(drop=True).astype({"n": "int64"})
