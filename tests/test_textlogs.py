@@ -272,3 +272,42 @@ def test_analyze_corpus_with_empty_leading_file(ray_session, tmp_path):
     r = analyze_parquet(files, AnalyzeConfig(stats=True,
                                              collect_lines=False))
     assert _level_dict(r.report) == {"ERROR": 1, "INFO": 1}
+
+
+def test_gzip_log_matches_plain(ray_session, tmp_path):
+    """A .gz rotated log analyzes identically to its plain twin (stream
+    decompression inside the read task; head-sample format probe also
+    decompresses)."""
+    import gzip
+    import shutil
+
+    src = os.path.join(FIXTURES, "sample.log")
+    gz = str(tmp_path / "sample.log.gz")
+    with open(src, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    plain = analyze_text(src, AnalyzeConfig(stats=True, collect_lines=False))
+    zipped = analyze_text(gz, AnalyzeConfig(stats=True, collect_lines=False))
+    assert zipped.fmt == plain.fmt == "generic"
+    assert zipped.report["total_count"] == plain.report["total_count"]
+    assert _level_dict(zipped.report) == _level_dict(plain.report)
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """documents → JSONL shards → read back: identical rows (the export/
+    interchange surface for curated corpora)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.pipelines.ingest import export_jsonl, read_jsonl
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    out = str(tmp_path / "jsonl")
+    export_jsonl(ds, out)
+    files = sorted(str(p) for p in (tmp_path / "jsonl").iterdir())
+    assert files, "no shards written"
+    back = read_jsonl(files).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["doc_id", "text", "source"]],
+                                  orig[["doc_id", "text", "source"]])

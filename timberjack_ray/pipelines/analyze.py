@@ -89,8 +89,14 @@ def sample_text_lines(paths, k: int = 10, max_bytes: int = 4096) -> list[str]:
     """Head sample of a raw text log for format detection — the reference
     reads ≤4 KB of the file head (src/main.rs:52-89)."""
     first = paths[0] if not isinstance(paths, str) else paths
-    with open(first, "rb") as f:
-        head = f.read(max_bytes)
+    if first.endswith(".gz"):
+        import gzip
+
+        with gzip.open(first, "rb") as f:
+            head = f.read(max_bytes)
+    else:
+        with open(first, "rb") as f:
+            head = f.read(max_bytes)
     lines = head.decode("utf-8", errors="replace").splitlines()
     if len(lines) > 1 and len(head) == max_bytes:
         lines = lines[:-1]  # last line may be truncated mid-way
@@ -362,7 +368,14 @@ def analyze_text(
     paths = [paths] if isinstance(paths, str) else list(paths)
     fmt = (cfg.resolve_format(sample_text_lines(paths))
            if cfg.fmt == "auto" else cfg.resolve_format([]))
-    ds = rd.read_text(paths)
+    # gzip-compressed logs stream-decompress inside each read task (the
+    # standard rotated-log shape); .gz is not splittable, so parallelism =
+    # file count — fine at scale where the corpus is many rotated files
+    if any(p.endswith(".gz") for p in paths):
+        ds = rd.read_text(paths,
+                          arrow_open_stream_args={"compression": "gzip"})
+    else:
+        ds = rd.read_text(paths)
     return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=None, fmt=fmt, **kwargs)
 
 

@@ -130,3 +130,27 @@ def ingest_text(paths: list[str], out_dir: str,
             batch_size=None, batch_format="pyarrow"):
         total += sum(b["rows"].to_pylist())
     return {"files": len(todo), "skipped": skipped, "rows": total}
+
+
+def export_jsonl(ds, out_dir: str) -> None:
+    """Write a Dataset as JSONL shards (one file per block) — the
+    interchange format every downstream training stack reads.  Streaming
+    sink: blocks serialize in parallel, nothing materializes on the
+    driver.  Resumable at directory granularity (atomic per-file writes
+    by Ray's datasink); for per-shard resume, partition the input by key
+    first and export each partition dir separately."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+
+
+def read_jsonl(paths):
+    """Read JSONL shards (optionally .gz) back into a Dataset — one read
+    task per file, pyarrow's block JSON parser (columnar, not per-row
+    Python)."""
+    import ray.data as rd
+
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    if any(str(p).endswith(".gz") for p in paths):
+        return rd.read_json(paths,
+                            arrow_open_stream_args={"compression": "gzip"})
+    return rd.read_json(paths)
