@@ -2327,6 +2327,54 @@ def q_contamination_stats(sf_dir: str):
         .astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
 
 
+def q_event_debounce(sf_dir: str):
+    """Windowed event dedup: drop an event if the previous event of the
+    same (user, type) stream is ≤ 600 s older (functions/sessions.debounce
+    — LAG gap test on integer microseconds, one bucket exchange)."""
+    from timberjack_ray.functions.sessions import debounce
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    out = debounce(ds, "user_id", "event_type", "ts", "event_id", 600)
+    kept = out.map_batches(lambda t: t.select(["event_id"]),
+                           batch_format="pyarrow").to_pandas()
+    return kept.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64"})
+
+
+def q_nation_order_counts(sf_dir: str):
+    """LEFT OUTER shape: orders per nation INCLUDING nations with zero
+    orders.  Fact side aggregates map-side against a broadcast
+    customer→nation dim; the outer fill happens on the tiny nation table
+    driver-side (25 rows) — the standard dim-preserving rollup."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey"])
+    joined = broadcast_join(orders, cust, keys="o_custkey",
+                            right_keys="c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"nk": t["c_nationkey"].cast(pa.int64())}) \
+            .group_by("nk").aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "n"])
+
+    counts = merge_partials(joined.map_batches(partial,
+                                               batch_format="pyarrow"),
+                            ["nk"], "n").to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = nation.merge(counts, left_on="n_nationkey", right_on="nk",
+                       how="left")
+    out["n_orders"] = out["n"].fillna(0).astype(np.int64)
+    return out[["n_name", "n_orders"]].sort_values("n_name") \
+        .reset_index(drop=True)
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """First-BPE-merge candidate table: top-20 adjacent character pairs
     within words (functions/text.bpe_pair_counts) — merge volume bounded
@@ -2452,6 +2500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_scores": q_perplexity_scores,
         "contamination_stats": q_contamination_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "event_debounce": q_event_debounce,
+        "nation_order_counts": q_nation_order_counts,
     }
 
 
@@ -3628,5 +3678,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair ASC LIMIT 20
+        """,
+        "event_debounce": """
+            SELECT event_id FROM (
+              SELECT event_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+              FROM events) t
+            WHERE gap IS NULL OR gap > 600 * 1000000
+            ORDER BY event_id
+        """,
+        "nation_order_counts": """
+            SELECT n.n_name,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM nation n
+            LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
     }

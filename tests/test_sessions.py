@@ -155,3 +155,34 @@ def test_retention_cohorts_basic(ray_session):
     got = {(r["cohort_week"], r["k"]): r["n_users"]
            for r in out.to_dict("records")}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_debounce_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import debounce
+
+    # user 1/type A: t=0 keep, t=500 drop, t=1101 keep (gap from t=500
+    # is 601 > 600); user 1/type B independent stream: t=10 keep;
+    # user 2/type A: t=20 keep.  Microsecond edge: gap EXACTLY 600s drops.
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, 1, "A", 0), (2, 1, "A", 500), (3, 1, "A", 1101),
+        (4, 1, "B", 10), (5, 2, "A", 20),
+        (6, 2, "B", 0), (7, 2, "B", 600),          # exactly 600s → drop
+        (8, 2, "B", 1200_000_001 // 1000000 + 600),  # 600.000001s later? no:
+    ]
+    ids = [r[0] for r in rows]
+    ts = [base + np.timedelta64(int(r[3] * 1_000_000), "us") for r in rows]
+    # overwrite row 8: 600s + 1us after row 7 → keep
+    ts[7] = ts[6] + np.timedelta64(600_000_001, "us")
+    t = pa.table({
+        "event_id": ids,
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = debounce(rd.from_arrow(t), "user_id", "event_type", "ts",
+                   "event_id", 600).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 4, 5, 6, 8]

@@ -384,3 +384,40 @@ def exact_quantiles_cont(ds, col: str, qs: list[float], scale: int = 1) -> pd.Da
         out_q.append(float(q))
         out_v.append(lo + (hi - lo) * (h - lo_i))
     return pd.DataFrame({"q": out_q, "value_scaled": out_v})
+
+
+def debounce(ds, key_col: str, sub_col: str, ts_col: str, id_col: str,
+             window_s: int, n_buckets: int = 256):
+    """Windowed event dedup ("debounce"): keep a row iff it is the FIRST
+    event of its (key, sub) stream or arrived more than ``window_s``
+    seconds after the previous kept-or-dropped event of that stream —
+    SQL's ``LAG(ts) OVER (PARTITION BY key, sub ORDER BY ts, id)`` gap
+    test, the standard repeated-telemetry suppressor.
+
+    Scale shape: the sessionize exchange — hash-bucket on ``key_col``
+    (all of a key's substreams co-locate), ONE stable lexsort per bucket
+    on (key, sub, ts, id), segment-boundary flags, gap test on INTEGER
+    MICROSECONDS (fractional-second exactness — the ADVICE r02 rule).
+    Returns the surviving rows as a Dataset (input schema preserved).
+    """
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    gap_us = int(window_s) * 1_000_000
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        s = t[sub_col].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tv = _ts_to_int(ts)
+        order = np.lexsort((i, tv, s, k))
+        ks, ss, tvs = k[order], s[order], tv[order]
+        new_seg = np.r_[True, (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])]
+        gap_ok = np.r_[True, np.diff(tvs) > gap_us]
+        keep = new_seg | gap_ok
+        return t.take(pa.array(np.sort(order[keep])))
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
