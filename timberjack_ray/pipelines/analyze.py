@@ -428,19 +428,26 @@ def analyze_parquet(
             # Aggregate-only reads are driver-overhead-bound on small-to-mid
             # inputs: Ray's block floor (4×cores via tune_for_cluster, 200
             # stock) pays ~10 ms/block of scheduling for this short fused
-            # read→parse chain, and 2×cores measures ~30% faster (0.92 s vs
-            # 1.30 s on the 2 M-seq bench read).  Only applied while blocks
-            # stay under the 128 MiB target — at 100 TB the condition fails
-            # and the default size-based splitting takes over.
+            # read→parse chain.  Block count scales with input BYTES between
+            # 2×cores (small reads: the 2 M-seq bench measures 0.92 s vs
+            # 1.30 s at 4×) and 4×cores (mid reads: the 8 M-seq stats+trend
+            # bench measures 5.4 s at 4× vs 6.4-8.1 s at 2× — parse-heavy
+            # chains need the finer load-balancing granularity once there
+            # is enough data to amortize scheduling).  Only applied while
+            # blocks stay under the 128 MiB target — at 100 TB the condition
+            # fails and the default size-based splitting takes over.
             from timberjack_ray.rayctx import cluster_cpus
 
-            n_blocks = 2 * cluster_cpus()
+            cpus = cluster_cpus()
             try:
                 total = sum(os.path.getsize(p) for p in paths)
             except OSError:
                 total = None
-            if total is not None and total <= n_blocks * (128 << 20):
-                read_kw["override_num_blocks"] = n_blocks
+            if total is not None:
+                n_blocks = int(min(max(total // (2 << 20), 2 * cpus),
+                                   4 * cpus))
+                if total <= n_blocks * (128 << 20):
+                    read_kw["override_num_blocks"] = n_blocks
         ds = rd.read_parquet(paths, columns=columns, **read_kw)
         return analyze_dataset(ds, cfg, out_dir=out_dir, input_paths=paths, **kwargs)
 
