@@ -2327,6 +2327,43 @@ def q_contamination_stats(sf_dir: str):
         .astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
 
 
+def q_cross_dedup_docs(sf_dir: str):
+    """Cross-corpus exact dedup: the src0-9 half plays the existing corpus
+    (base), src10-19 the new crawl; new docs whose text already exists in
+    base are dropped (functions/dedup.cross_dedup — broadcast base-hash
+    set under the limit, intersection-broadcast distributed anti-join past
+    it).  Synth halves share no text, so the survivors are the whole new
+    half here — the planted-truth test (tests/test_text_lm.py) carries the
+    drop behavior; this gate row pins the anti-join equivalence."""
+    from timberjack_ray.functions.dedup import cross_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def half(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            si = pc.utf8_slice_codeunits(t["source"], 3, 99)
+            m = pc.greater_equal(pc.cast(si, pa.int64()), 10)
+            return t.filter(m if new_side else pc.invert(m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = cross_dedup(half(True), half(False)).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: (word, df, postings) rows with postings
+    capped to the first 8 sorted doc ids (bounded output rows — production
+    indexes page long lists the same way).  One exchange of distinct
+    (word, doc) pairs; posting assembly is output-bounded."""
+    from timberjack_ray.functions.corpus import inverted_index
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = inverted_index(ds, cap_postings=8).to_pandas()
+    return out.sort_values("word").reset_index(drop=True) \
+        .astype({"df": "int64"})
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup: drop an event if the previous event of the
     same (user, type) stream is ≤ 600 s older (functions/sessions.debounce
@@ -2502,6 +2539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "event_debounce": q_event_debounce,
         "nation_order_counts": q_nation_order_counts,
+        "cross_dedup_docs": q_cross_dedup_docs,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -3697,5 +3736,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "cross_dedup_docs": """
+            SELECT d.doc_id FROM documents d
+            WHERE CAST(substr(d.source, 4) AS INT) >= 10
+              AND d.text NOT IN (
+                SELECT text FROM documents
+                WHERE CAST(substr(source, 4) AS INT) < 10)
+            ORDER BY d.doc_id
+        """,
+        "inverted_index": """
+            WITH dw AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                FROM documents) t
+            ),
+            r AS (
+              SELECT doc_id, w,
+                     ROW_NUMBER() OVER (PARTITION BY w
+                                        ORDER BY doc_id) AS rn
+              FROM dw
+            )
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 8
+                                   THEN CAST(doc_id AS VARCHAR) END, ','
+                              ORDER BY doc_id) AS postings
+            FROM r GROUP BY w
+            ORDER BY w
         """,
     }

@@ -179,3 +179,43 @@ def test_bpe_pair_counts_unicode_and_boundaries(ray_session):
     got = dict(zip(out["pair"], out["n"]))
     assert got == {"ab": 3, "bc": 1, "hé": 1, "éé": 1}
     assert out["pair"].tolist()[0] == "ab"  # top by count
+
+
+def test_cross_dedup_planted_broadcast_and_distributed(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import cross_dedup
+
+    base = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": ["shared text one", "base only text"]}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [10, 11, 12],
+        "text": ["shared text one", "fresh crawl text", "another new doc"]}))
+    # broadcast path (base under limit)
+    surv = cross_dedup(new, base).to_pandas()
+    assert sorted(surv["doc_id"]) == [11, 12]
+    # distributed path (force the limit to 0 base hashes)
+    surv2 = cross_dedup(new, base, base_limit=0).to_pandas()
+    assert sorted(surv2["doc_id"]) == [11, 12]
+
+
+def test_inverted_index_planted(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import inverted_index
+
+    docs = {
+        0: "apple banana apple",   # apple df counts ONCE per doc
+        1: "banana cherry",
+        2: "banana",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    out = inverted_index(ds, cap_postings=2).to_pandas() \
+        .sort_values("word").reset_index(drop=True)
+    got = {r.word: (r.df, r.postings) for r in out.itertuples()}
+    assert got == {"apple": (1, "0"), "banana": (3, "0,1"),
+                   "cherry": (1, "1")}
+    # df band filter
+    banded = inverted_index(ds, min_df=2, max_df=10).to_pandas()
+    assert banded["word"].tolist() == ["banana"]

@@ -656,3 +656,58 @@ def unpack_chunk_ids(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
     packed = t["packed"].to_numpy(zero_copy_only=False)
     return pa.table({id_col: pa.array(packed >> 20),
                      "chunk_idx": pa.array(packed & ((1 << 20) - 1))})
+
+
+def inverted_index(ds, id_col: str = "doc_id", col: str = "text",
+                   min_df: int = 1, max_df: int | None = None,
+                   cap_postings: int = 8, n_buckets: int = 64):
+    """Build an inverted index: (word, df, postings) where df is the full
+    document frequency and postings = comma-joined FIRST ``cap_postings``
+    sorted doc ids — the search-index construction pass.  The df band
+    [min_df, max_df] optionally drops hapaxes/stopwords; the posting cap
+    bounds every output row (production indexes page long posting lists
+    the same way).
+
+    Plan: per-batch DISTINCT (word, doc) pairs (docs never span batches)
+    → ONE exchange hash-bucketed on the word → per bucket a single stable
+    lexsort + run-length segmentation assembles every posting list
+    vectorized except the final string join, which loops over OUTPUT rows
+    only (each ≤ cap_postings ids).  Returns a Dataset of index rows.
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        np.diff(offsets))
+        return pa.table({"word": flat, id_col: pa.array(ids)}) \
+            .group_by(["word", id_col]).aggregate([])
+
+    hi = max_df if max_df is not None else (1 << 62)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        w = t["word"].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, w))
+        ws, is_ = w[order], i[order]
+        # batch-distinct pairs can repeat across batches — drop dup runs
+        first = np.r_[True, (ws[1:] != ws[:-1]) | (is_[1:] != is_[:-1])]
+        ws, is_ = ws[first], is_[first]
+        starts, sizes = _segments(ws)
+        keep = (sizes >= min_df) & (sizes <= hi)
+        starts, sizes = starts[keep], sizes[keep]
+        posts = [",".join(map(str, is_[s : s + min(z, cap_postings)]))
+                 for s, z in zip(starts, sizes)]  # output rows only
+        return pa.table({"word": pa.array(ws[starts]),
+                         "df": pa.array(sizes.astype(np.int64)),
+                         "postings": pa.array(posts, pa.string())})
+
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+    bucketed = add_key_bucket(p, "word", n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")

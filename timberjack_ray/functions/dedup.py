@@ -1000,3 +1000,100 @@ def contamination_stats(train_ds, bench_ds, col: str = "text",
                          "n_hit": pa.array(n_hit.astype(np.int64))})
 
     return train_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
+                base_limit: int = 50_000_000):
+    """Cross-corpus exact dedup: drop rows of ``new_ds`` whose ``col``
+    content already appears in ``base_ds`` — the "dedup the new crawl
+    against the existing corpus" step (incremental curation; self-dedup is
+    ``exact_dedup``).
+
+    Plan: fold the BASE side's distinct content hashes on the driver while
+    they stay under ``base_limit`` (8 B/hash — 50 M ≈ 400 MB), broadcast
+    the sorted array once, anti-filter the new side in ONE streaming
+    map_batches pass (vectorized searchsorted membership) — no shuffle,
+    the new side never materializes.  Past the limit, both sides project
+    to (hash, side) pairs and the anti-join runs as ONE distributed
+    groupby(hash) keeping hashes with no base row — each row crosses the
+    exchange once, as 8+1 bytes.
+
+    Returns the surviving-rows Dataset (schema of ``new_ds``).
+    """
+    import ray
+
+    def hashes(t: pa.Table) -> pa.Table:
+        hb = add_content_hash(t, col)
+        return pa.table({"h": pc.unique(hb["content_hash"])})
+
+    base_hashes: list[np.ndarray] = []
+    n_base = 0
+    over = False
+    for b in base_ds.map_batches(hashes, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        a = b["h"].to_numpy(zero_copy_only=False)
+        base_hashes.append(a)
+        n_base += len(a)
+        if n_base > base_limit:
+            over = True
+            break
+
+    if not over:
+        g = np.unique(np.concatenate(base_hashes)) if base_hashes \
+            else np.zeros(0, np.int64)
+        ref = ray.put(g)
+
+        def keep_new(t: pa.Table) -> pa.Table:
+            gg = _fetch_bench(ref)
+            h = add_content_hash(t, col)["content_hash"] \
+                .to_numpy(zero_copy_only=False)
+            if len(gg) == 0:
+                return t
+            idx = np.searchsorted(gg, h)
+            inb = idx < len(gg)
+            hit = np.zeros(len(h), dtype=bool)
+            hit[inb] = gg[idx[inb]] == h[inb]
+            return t.filter(pa.array(~hit))
+
+        return new_ds.map_batches(keep_new, batch_format="pyarrow")
+
+    # distributed path: ONE groupby(hash) over (hash, side) pairs finds the
+    # INTERSECTION hashes (present on both sides) — bounded by the actual
+    # duplicate count, which is what makes this scale: the broadcast side
+    # is |dups|, not |base| or |new|.  (Worst case everything is a dup and
+    # the intersection is new-side-bounded — but then the output is empty.)
+    from ray.data.aggregate import Max, Min
+
+    def side_pairs(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = pc.unique(add_content_hash(t, col)["content_hash"])
+            return pa.table({"h": u, "s": pa.array(
+                np.full(len(u), side, np.int64))})
+        return f
+
+    pairs = base_ds.map_batches(side_pairs(1), batch_format="pyarrow") \
+        .union(new_ds.map_batches(side_pairs(0), batch_format="pyarrow"))
+    both = pairs.groupby("h").aggregate(Max("s", alias_name="mx"),
+                                        Min("s", alias_name="mn")) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.equal(t["mx"], 1), pc.equal(t["mn"], 0)))
+            .select(["h"]), batch_format="pyarrow")
+    dirty = np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False)
+         for b in both.iter_batches(batch_size=None, batch_format="pyarrow")]
+        or [np.zeros(0, np.int64)]))
+    ref = ray.put(dirty)
+
+    def keep_new_dist(t: pa.Table) -> pa.Table:
+        gg = _fetch_bench(ref)
+        h = add_content_hash(t, col)["content_hash"] \
+            .to_numpy(zero_copy_only=False)
+        if len(gg) == 0:
+            return t
+        idx = np.searchsorted(gg, h)
+        inb = idx < len(gg)
+        hit = np.zeros(len(h), dtype=bool)
+        hit[inb] = gg[idx[inb]] == h[inb]
+        return t.filter(pa.array(~hit))
+
+    return new_ds.map_batches(keep_new_dist, batch_format="pyarrow")
