@@ -2327,6 +2327,24 @@ def q_contamination_stats(sf_dir: str):
         .astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
 
 
+def q_corpus_drift_words(sf_dir: str):
+    """Vocabulary-drift monitor between the two source halves: top-20
+    words by |count_a − count_b| as exact int rows (functions/text
+    .corpus_drift_words — one guarded counting pass per side)."""
+    from timberjack_ray.functions.text import corpus_drift_words
+
+    ds = _rp(sf_dir, "documents", columns=["text", "source"])
+
+    def half(second: bool):
+        def f(t: pa.Table) -> pa.Table:
+            si = pc.utf8_slice_codeunits(t["source"], 3, 99)
+            m = pc.greater_equal(pc.cast(si, pa.int64()), 10)
+            return t.filter(m if second else pc.invert(m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return corpus_drift_words(half(False), half(True), k=20)
+
+
 def q_cross_dedup_docs(sf_dir: str):
     """Cross-corpus exact dedup: the src0-9 half plays the existing corpus
     (base), src10-19 the new crawl; new docs whose text already exists in
@@ -2541,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_counts": q_nation_order_counts,
         "cross_dedup_docs": q_cross_dedup_docs,
         "inverted_index": q_inverted_index,
+        "corpus_drift_words": q_corpus_drift_words,
     }
 
 
@@ -3763,5 +3782,24 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS postings
             FROM r GROUP BY w
             ORDER BY w
+        """,
+        "corpus_drift_words": """
+            WITH wa AS (
+              SELECT w, COUNT(*) AS n FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+                WHERE CAST(substr(source, 4) AS INT) < 10) t GROUP BY w
+            ),
+            wb AS (
+              SELECT w, COUNT(*) AS n FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+                WHERE CAST(substr(source, 4) AS INT) >= 10) t GROUP BY w
+            )
+            SELECT COALESCE(wa.w, wb.w) AS word,
+                   CAST(COALESCE(wa.n, 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(wb.n, 0) AS BIGINT) AS n_b
+            FROM wa FULL OUTER JOIN wb ON wa.w = wb.w
+            ORDER BY ABS(COALESCE(wa.n, 0) - COALESCE(wb.n, 0)) DESC,
+                     COALESCE(wa.w, wb.w) ASC
+            LIMIT 20
         """,
     }

@@ -219,3 +219,17 @@ def test_inverted_index_planted(ray_session):
     # df band filter
     banded = inverted_index(ds, min_df=2, max_df=10).to_pandas()
     assert banded["word"].tolist() == ["banana"]
+
+
+def test_corpus_drift_words_planted(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import corpus_drift_words
+
+    a = rd.from_arrow(pa.table({"text": ["x x x common", "common y"]}))
+    b = rd.from_arrow(pa.table({"text": ["common z z", "common"]}))
+    out = corpus_drift_words(a, b, k=3)
+    got = {r.word: (r.n_a, r.n_b) for r in out.itertuples()}
+    # diffs: x 3-0, z 0-2, y 1-0 / common 2-2 (diff 0, excluded at k=3)
+    assert got == {"x": (3, 0), "z": (0, 2), "y": (1, 0)}
+    assert out["word"].tolist() == ["x", "z", "y"]  # |diff| desc, word asc

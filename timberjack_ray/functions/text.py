@@ -555,3 +555,40 @@ def bpe_pair_counts(ds, col: str = "text", k: int = 20) -> pd.DataFrame:
                       for x in keys]  # decode only the merged (charset²) table
     out = merged.sort_values(["n", "pair"], ascending=[False, True]).head(k)
     return out[["pair", "n"]].reset_index(drop=True).astype({"n": "int64"})
+
+
+def corpus_drift_words(ds_a, ds_b, col: str = "text", k: int = 20,
+                       limit: int | None = None) -> pd.DataFrame:
+    """Distribution-drift monitor between two corpus slices: the K words
+    with the largest absolute count difference, as (word, n_a, n_b) INT
+    rows (divergence math is the consumer's choice — emitting counts keeps
+    the result exactly hashable and lets any engine replay it).
+
+    The training-data-ops use: compare this week's crawl against last
+    week's (or one source against the mix) and alert on vocabulary shift.
+    One counting pass per side (per-batch partials collapse to the
+    vocabulary before merging, GUARDED fold past ``limit`` distinct
+    words); the driver joins two vocabulary-sized frames.
+    """
+    from timberjack_ray.aggregates import merge_counts_guarded
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t[col], " "))
+        g = pa.table({"word": words}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    sides = []
+    for ds in (ds_a, ds_b):
+        folded = merge_counts_guarded(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "word", "n", limit)
+        sides.append(folded.to_pandas())
+    a, b = sides
+    m = a.merge(b, on="word", how="outer", suffixes=("_a", "_b")) \
+        .fillna(0)
+    m["n_a"] = m["n_a"].astype(np.int64)
+    m["n_b"] = m["n_b"].astype(np.int64)
+    m["diff"] = (m["n_a"] - m["n_b"]).abs()
+    out = m.sort_values(["diff", "word"], ascending=[False, True]).head(k)
+    return out[["word", "n_a", "n_b"]].reset_index(drop=True)
