@@ -2327,6 +2327,186 @@ def q_contamination_stats(sf_dir: str):
         .astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue): pure filter + scalar sum, all
+    predicates vectorized at the scan — revenue = Σ price·discount on the
+    exact cents×cents integer domain, two int partials per batch."""
+    from timberjack_ray.functions.util import scale_to_int
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        m = ((d >= lo) & (d < hi) & (disc >= 5) & (disc <= 7) & (qty < 24))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()[m]
+        return pa.table({"rev_scaled": pa.array([int((price * disc[m]).sum())]),
+                         "n": pa.array([int(m.sum())])})
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"rev_scaled": [int(p["rev_scaled"].sum())],
+                         "n": [int(p["n"].sum())]})
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-customer
+    order counts run as per-batch partials → ONE distributed groupby —
+    never a driver fold at customer cardinality; the count HISTOGRAM
+    (bounded by max orders/customer) is the only thing that reaches the
+    driver, plus the zero-order bucket derived from the customer total."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c": t["o_custkey"]}).group_by("c") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["c", "n"])
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("n", alias_name="c_count"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    h = merge_partials(per_cust.map_batches(hist, batch_format="pyarrow"),
+                       ["c_count"], "custdist").to_pandas()
+    total = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    zero = total - int(h["custdist"].sum())
+    if zero > 0:
+        h = pd.concat([h, pd.DataFrame({"c_count": [0],
+                                        "custdist": [zero]})])
+    return h.sort_values(["custdist", "c_count"], ascending=[False, False]) \
+        .reset_index(drop=True).astype({"c_count": "int64",
+                                        "custdist": "int64"})
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG subquery becomes pass 1 per-part (count, sum_qty)
+    partials (part-cardinality merge, broadcast once); pass 2 filters with
+    the INTEGER inequality 5·qty·cnt < sum_qty (exactly qty < 0.2·avg —
+    no float threshold on the gate path) and sums price cents."""
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64())
+        g = pa.table({"p": t["l_partkey"], "q": q}).group_by("p") \
+            .aggregate([("q", "sum"), ("q", "count")])
+        return g.rename_columns(["p", "sum_qty", "cnt"])
+
+    li = _rp(sf_dir, "lineitem", columns=li_cols)
+    stats = merge_partials_2(li.map_batches(stats_partial,
+                                            batch_format="pyarrow"))
+    pk = stats["p"].to_numpy()
+    order = np.argsort(pk)
+    pk = pk[order]
+    sq = stats["sum_qty"].to_numpy()[order]
+    ct = stats["cnt"].to_numpy()[order]
+    ref = ray.put((pk, sq, ct))
+
+    def pass2(t: pa.Table) -> pa.Table:
+        kk, ss, cc = _fetch_ref(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(kk, p)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = 5 * qty * cc[idx] < ss[idx]
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()[m]
+        return pa.table({"rev_scaled": pa.array([int(price.sum())]),
+                         "n": pa.array([int(m.sum())])})
+
+    p = _rp(sf_dir, "lineitem", columns=li_cols) \
+        .map_batches(pass2, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"rev_scaled": [int(p["rev_scaled"].sum())],
+                         "n": [int(p["n"].sum())]})
+
+
+def merge_partials_2(pds) -> pd.DataFrame:
+    """Driver merge of (p, sum_qty, cnt) partial tables (part-cardinality
+    volume; at open key domains use groupby().aggregate instead)."""
+    import pyarrow as _pa
+
+    tables = [b for b in pds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+              if b.num_rows]
+    t = _pa.concat_tables(tables)
+    g = t.group_by("p").aggregate([("sum_qty", "sum"), ("cnt", "sum")])
+    return g.rename_columns(["p", "sum_qty", "cnt"]).to_pandas()
+
+
+_REF_CACHE: dict = {}
+
+
+def _fetch_ref(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def q_first_touch_counts(sf_dir: str):
+    """First-touch attribution: each user's FIRST event type under
+    (ts, event_id) order (functions/sessions.first_event_per_key — one
+    bucket exchange, argmin streams), counted by type."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.sessions import first_event_per_key
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    firsts = first_event_per_key(ds, "user_id", "ts", "event_id")
+    out = counts_by(firsts, "event_type")
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64"})
+
+
+def q_new_users_per_day(sf_dir: str):
+    """Cohort-arrival curve: per-day NEW user counts + cumulative total.
+    Per-batch per-user min-day partials → ONE distributed groupby(Min)
+    (never a driver fold at user cardinality) → day histogram partials →
+    date-bounded merge → driver cumulative walk."""
+    from ray.data.aggregate import Min
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        g = pa.table({"user_id": t["user_id"], "d": pa.array(d)}) \
+            .group_by("user_id").aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "d"])
+
+    ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
+    firsts = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("d", alias_name="d"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("d").aggregate([([], "count_all")])
+        return g.rename_columns(["d", "n_new"])
+
+    h = merge_partials(firsts.map_batches(hist, batch_format="pyarrow"),
+                       ["d"], "n_new").to_pandas().sort_values("d")
+    h["day"] = pd.to_datetime(h["d"], unit="D").dt.strftime("%Y-%m-%d")
+    h["cum_users"] = h["n_new"].cumsum()
+    return h[["day", "n_new", "cum_users"]].reset_index(drop=True) \
+        .astype({"n_new": "int64", "cum_users": "int64"})
+
+
 def q_corpus_drift_words(sf_dir: str):
     """Vocabulary-drift monitor between the two source halves: top-20
     words by |count_a − count_b| as exact int rows (functions/text
@@ -2560,6 +2740,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dedup_docs": q_cross_dedup_docs,
         "inverted_index": q_inverted_index,
         "corpus_drift_words": q_corpus_drift_words,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "first_touch_counts": q_first_touch_counts,
+        "new_users_per_day": q_new_users_per_day,
     }
 
 
@@ -3801,5 +3986,59 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ABS(COALESCE(wa.n, 0) - COALESCE(wb.n, 0)) DESC,
                      COALESCE(wa.w, wb.w) ASC
             LIMIT 20
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS BIGINT) AS rev_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q13": """
+            WITH pc AS (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q17": """
+            WITH s AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+        """,
+        "first_touch_counts": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) t
+            WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+        """,
+        "new_users_per_day": """
+            WITH f AS (
+              SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+              FROM events GROUP BY user_id
+            )
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM f GROUP BY day ORDER BY day
         """,
     }

@@ -186,3 +186,24 @@ def test_debounce_planted(ray_session):
     out = debounce(rd.from_arrow(t), "user_id", "event_type", "ts",
                    "event_id", 600).to_pandas()
     assert sorted(out["event_id"]) == [1, 3, 4, 5, 6, 8]
+
+
+def test_first_event_per_key_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import first_event_per_key
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    # user 1: tie on ts → event_id breaks it (id 3 < id 7)
+    t = pa.table({
+        "event_id": [7, 3, 9, 2],
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["b", "a", "c", "z"],
+        "ts": pa.array([base, base, base + np.timedelta64(5, "s"),
+                        base], pa.timestamp("us")),
+    })
+    out = first_event_per_key(rd.from_arrow(t), "user_id", "ts",
+                              "event_id").to_pandas()
+    got = dict(zip(out["user_id"], out["event_type"]))
+    assert got == {1: "a", 2: "z"}

@@ -421,3 +421,28 @@ def debounce(ds, key_col: str, sub_col: str, ts_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def first_event_per_key(ds, key_col: str, ts_col: str, id_col: str,
+                        n_buckets: int = 256):
+    """Per-key FIRST row under (ts, id) order — SQL ``FIRST_VALUE`` /
+    ``ROW_NUMBER() = 1`` (first-touch attribution, signup-event pick,
+    argmin-by-time).  Same one-exchange bucket co-partition as
+    ``sessionize``: inside a bucket one stable lexsort + segment starts
+    select every key's first row vectorized; output (one row per key)
+    streams as a Dataset, never the driver.
+    """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, _ts_to_int(ts), k))
+        starts, _sizes = _segments(k[order])
+        return t.take(pa.array(order[starts]))
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
