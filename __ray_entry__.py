@@ -2460,6 +2460,91 @@ def _fetch_ref(ref):
     return _REF_CACHE[key]
 
 
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): supplier and
+    customer nation maps broadcast (filtered to the two nations — tiny);
+    date-windowed lineitem carries (supp_nation, rev, year), orders carry
+    cust_nation; the GRACE bucket join applies the cross-nation filter and
+    the per-(supp, cust, year) sums IN-BUCKET, so ≤ 2·years rows leave
+    each bucket.  Cents-exact revenue."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    nat_a, nat_b = "NATION_3", "NATION_7"
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nk = dict(zip(nation["n_name"].to_pylist(),
+                  nation["n_nationkey"].to_pylist()))
+    keys2 = pa.array([nk[nat_a], nk[nat_b]], pa.int32())
+    name_of = {nk[nat_a]: nat_a, nk[nat_b]: nat_b}
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=keys2))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keys2))
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    from timberjack_ray.functions.relational import broadcast_join
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pa.array(year),
+                         "rev": pa.array(price * (100 - disc))})
+
+    l_side = broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), supp,
+        keys="l_suppkey", right_keys="s_suppkey") \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"],
+             "s_nat": t["s_nationkey"].cast(pa.int64()),
+             "l_year": t["l_year"], "rev": t["rev"]}),
+            batch_format="pyarrow")
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_side = broadcast_join(orders, cust, keys="o_custkey",
+                            right_keys="c_custkey") \
+        .map_batches(lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "c_nat": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["c_nat"], t["s_nat"]))
+        g = t.group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "rev"])
+
+    per = bucket_hash_join(o_side, l_side, "o_orderkey", "l_orderkey",
+                           left_cols=["c_nat"],
+                           right_cols=["s_nat", "l_year", "rev"],
+                           n_buckets=32, bucket_fn=bucket_sums)
+    m = merge_partials(per, ["s_nat", "c_nat", "l_year"], "rev").to_pandas()
+    m["supp_nation"] = m["s_nat"].map(name_of)
+    m["cust_nation"] = m["c_nat"].map(name_of)
+    out = m.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return out[["supp_nation", "cust_nation", "l_year", "rev"]] \
+        .rename(columns={"rev": "revenue_scaled"}) \
+        .reset_index(drop=True).astype({"l_year": "int64",
+                                        "revenue_scaled": "int64"})
+
+
 def q_first_touch_counts(sf_dir: str):
     """First-touch attribution: each user's FIRST event type under
     (ts, event_id) order (functions/sessions.first_event_per_key — one
@@ -2473,6 +2558,17 @@ def q_first_touch_counts(sf_dir: str):
     out = counts_by(firsts, "event_type")
     return out.sort_values("event_type").reset_index(drop=True) \
         .astype({"n": "int64"})
+
+
+def q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence (market-basket pairs over
+    3600 s sessions): one sessionize bucket exchange; session assignment,
+    (session, type) dedup and pair expansion all happen inside the same
+    per-bucket pass — only alphabet²-bounded counts leave it."""
+    from timberjack_ray.functions.sessions import session_type_pairs
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return session_type_pairs(ds, "user_id", "ts", "event_type", 3600)
 
 
 def q_new_users_per_day(sf_dir: str):
@@ -2745,6 +2841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "first_touch_counts": q_first_touch_counts,
         "new_users_per_day": q_new_users_per_day,
+        "tpch_q7": q_tpch_q7,
+        "session_type_pairs": q_session_type_pairs,
     }
 
 
@@ -4040,5 +4138,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM f GROUP BY day ORDER BY day
+        """,
+        "tpch_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_scaled
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "session_type_pairs": """
+            WITH lagged AS (
+              SELECT user_id, event_type, ts, event_id,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_type,
+                     SUM(CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts)
+                                 > 3600000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM lagged
+            ),
+            dt AS (SELECT DISTINCT user_id, sess, event_type FROM s)
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM dt x JOIN dt y
+              ON x.user_id = y.user_id AND x.sess = y.sess
+             AND x.event_type < y.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

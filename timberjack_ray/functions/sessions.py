@@ -446,3 +446,73 @@ def first_event_per_key(ds, key_col: str, ts_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def session_type_pairs(ds, key_col: str, ts_col: str, type_col: str,
+                       gap_s: int, n_buckets: int = 256) -> "pd.DataFrame":
+    """Within-session co-occurrence counts: for every session (gap_s
+    splitting, as ``sessionize``), the DISTINCT unordered pairs of event
+    types seen together — market-basket sufficient statistics over
+    sessions.  Counts one per (session, pair).
+
+    Scale shape: the sessionize bucket exchange, then INSIDE the same
+    per-bucket pass — session assignment (lexsort + segmented cumsum),
+    (session, type) dedup, and a d-offset pair expansion whose trip count
+    is bounded by the TYPE ALPHABET (distinct types per session), not the
+    session length.  Only |alphabet|² count rows leave each bucket.
+    """
+    import pandas as pd
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tv = _ts_to_int(ts)
+        gap = (int(gap_s) * 1_000_000
+               if np.issubdtype(ts.dtype, np.datetime64) else int(gap_s))
+        order = np.lexsort((tv, k))
+        ks, ss, tys = k[order], tv[order], ty[order]
+        starts, sizes = _segments(ks)
+        flags = np.r_[False, np.diff(ss) > gap]
+        flags[starts] = False
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        sess_gid = np.cumsum(flags | new_key)  # globally unique session id
+        # distinct (session, type): sort by (session, type), drop dup runs
+        o2 = np.lexsort((tys, sess_gid))
+        sg, tg = sess_gid[o2], tys[o2]
+        first = np.r_[True, (sg[1:] != sg[:-1]) | (tg[1:] != tg[:-1])]
+        sg, tg = sg[first], tg[first]
+        s2, z2 = _segments(sg)
+        if len(sg) < 2:
+            return empty
+        # offset pair expansion: d bounded by the per-session alphabet
+        seg_of = np.repeat(np.arange(len(s2)), z2)
+        out_a, out_b = [], []
+        for d in range(1, int(z2.max())):
+            left = np.arange(len(sg) - d)
+            same = seg_of[left] == seg_of[left + d]
+            out_a.append(tg[left[same]])
+            out_b.append(tg[left[same] + d])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        g = pa.table({"type_a": pa.array(a), "type_b": pa.array(b)}) \
+            .group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["type_a", "type_b", "n"])
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(partials, ["type_a", "type_b"], "n").to_pandas()
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True) \
+        .astype({"n": "int64"})
