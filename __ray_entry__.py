@@ -2545,6 +2545,107 @@ def q_tpch_q7(sf_dir: str):
                                         "revenue_scaled": "int64"})
 
 
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): ASIA-customer orders of
+    STANDARD-type parts; per order year the revenue supplied by NATION_3
+    vs total.  All three dimension filters broadcast (ASIA customer map,
+    STANDARD partkey set, supplier→is-nation flag); the GRACE join carries
+    (rev, is_nat) against (year) and sums per (year, is_nat) IN-BUCKET.
+    Share = nat/total left to the consumer — two exact ints per year are
+    the hashable artifact."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import (broadcast_join,
+                                                     bucket_hash_join)
+    from timberjack_ray.functions.util import scale_to_int
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nr = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    asia = nr.filter(pc.equal(nr["r_name"], "ASIA"))["n_nationkey"]
+    asia = asia.combine_chunks()
+    nat_key = nation.filter(pc.equal(nation["n_name"], "NATION_3")) \
+        ["n_nationkey"][0].as_py()
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asia)) \
+        .select(["c_custkey"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    std_parts = part.filter(pc.equal(part["p_type"], "STANDARD")) \
+        ["p_partkey"].combine_chunks()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pa.array(year)})
+
+    o_side = broadcast_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"), cust,
+        keys="o_custkey", right_keys="c_custkey") \
+        .map_batches(lambda t: t.select(["o_orderkey", "o_year"]),
+                     batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=std_parts))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    l_side = broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), supp,
+        keys="l_suppkey", right_keys="s_suppkey") \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": t["rev"],
+             "is_nat": pc.cast(pc.equal(t["s_nationkey"],
+                                        pa.scalar(nat_key,
+                                                  t["s_nationkey"].type)),
+                               pa.int64())}),
+            batch_format="pyarrow")
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_year", "is_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["o_year", "is_nat", "rev"])
+
+    per = bucket_hash_join(o_side, l_side, "o_orderkey", "l_orderkey",
+                           left_cols=["o_year"],
+                           right_cols=["rev", "is_nat"],
+                           n_buckets=32, bucket_fn=bucket_sums)
+    m = merge_partials(per, ["o_year", "is_nat"], "rev").to_pandas()
+    g = m.pivot_table(index="o_year", columns="is_nat", values="rev",
+                      aggfunc="sum", fill_value=0)
+    nat = (g[1] if 1 in g.columns else pd.Series(0, index=g.index)) \
+        .to_numpy()
+    oth = (g[0] if 0 in g.columns else pd.Series(0, index=g.index)) \
+        .to_numpy()
+    out = pd.DataFrame({
+        "o_year": g.index.to_numpy().astype("int64"),
+        "nat_rev_scaled": nat.astype("int64"),
+        "total_rev_scaled": (nat + oth).astype("int64"),
+    }).sort_values("o_year").reset_index(drop=True)
+    return out
+
+
 def q_first_touch_counts(sf_dir: str):
     """First-touch attribution: each user's FIRST event type under
     (ts, event_id) order (functions/sessions.first_event_per_key — one
@@ -2843,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_per_day": q_new_users_per_day,
         "tpch_q7": q_tpch_q7,
         "session_type_pairs": q_session_type_pairs,
+        "tpch_q8": q_tpch_q8,
     }
 
 
@@ -4182,5 +4284,31 @@ def oracle_sql() -> dict[str, str]:
               ON x.user_id = y.user_id AND x.sess = y.sess
              AND x.event_type < y.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q8": """
+            WITH rev AS (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                       AS r,
+                     CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                       AS is_nat
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r2 ON cn.n_regionkey = r2.r_regionkey
+              WHERE r2.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN is_nat = 1 THEN r ELSE 0 END)
+                     AS BIGINT) AS nat_rev_scaled,
+                   CAST(SUM(r) AS BIGINT) AS total_rev_scaled
+            FROM rev GROUP BY o_year ORDER BY o_year
         """,
     }
