@@ -2646,6 +2646,117 @@ def q_tpch_q8(sf_dir: str):
     return out
 
 
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue in a 3-month
+    ship window (partials merge at supplier — dimension — cardinality;
+    open supplier domains would use groupby().aggregate, documented),
+    then the MAX-revenue supplier(s) decorate with the name driver-side.
+    Cents-exact, so the max has no float ties."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1997-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        g = pa.table({"s": t["l_suppkey"],
+                      "rev": pa.array(price * (100 - disc))}) \
+            .group_by("s").aggregate([("rev", "sum")])
+        return g.rename_columns(["s", "rev"])
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+    m = merge_partials(li.map_batches(partial, batch_format="pyarrow"),
+                       ["s"], "rev").to_pandas()
+    top = m[m["rev"] == m["rev"].max()]
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(supp, left_on="s", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "rev"]] \
+        .rename(columns={"rev": "total_rev_scaled"})
+    return out.sort_values("s_suppkey").reset_index(drop=True) \
+        .astype({"s_suppkey": "int64", "total_rev_scaled": "int64"})
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (sales opportunity, nation-adapted — the synth
+    schema has no phone column, so the country-code prefix group becomes
+    the nation): per nation, count + total balance of customers whose
+    balance beats the global positive-balance average AND who have no
+    orders.  The float AVG threshold is replaced by the exact INTEGER
+    inequality bal·n_pos > sum_pos (⇔ bal > avg); the no-orders test is a
+    broadcast anti-join (ordering-customer keys)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+
+    # pass 1: global positive-balance (sum, count) over customers
+    cust_ds = _rp(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]),
+                         "c": pa.array([len(pos)])})
+
+    p = cust_ds.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    sum_pos, n_pos = int(p["s"].sum()), int(p["c"].sum())
+
+    # ordering customers: distinct o_custkey (customer-bounded merge)
+    orders = _rp(sf_dir, "orders", columns=["o_custkey"])
+
+    def ck_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(t["o_custkey"]),
+                         "n": pa.array(np.ones(
+                             len(pc.unique(t["o_custkey"])), np.int64))})
+
+    have = merge_partials(orders.map_batches(ck_partial,
+                                             batch_format="pyarrow"),
+                          ["k"], "n").to_pandas()
+    have_keys = pa.array(np.sort(have["k"].to_numpy()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        rich = cents * n_pos > sum_pos
+        no_ord = pc.invert(pc.is_in(t["c_custkey"],
+                                    value_set=have_keys)) \
+            .to_numpy(zero_copy_only=False)
+        t = t.append_column("bal_scaled", pa.array(cents)) \
+            .filter(pa.array(rich & no_ord))
+        g = t.group_by("c_nationkey").aggregate(
+            [("bal_scaled", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_nationkey", "bal", "n_cust"])
+
+    # two value columns → manual nation-bounded fold
+    parts = [b for b in cust_ds.map_batches(pick, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    if parts:
+        t = pa.concat_tables(parts).group_by("c_nationkey") \
+            .aggregate([("bal", "sum"), ("n_cust", "sum")])
+        df = t.rename_columns(["c_nationkey", "bal_scaled", "n_cust"]) \
+            .to_pandas()
+    else:
+        df = pd.DataFrame({"c_nationkey": [], "bal_scaled": [],
+                           "n_cust": []})
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = df.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    return out[["n_name", "n_cust", "bal_scaled"]].sort_values("n_name") \
+        .reset_index(drop=True).astype({"n_cust": "int64",
+                                        "bal_scaled": "int64"})
+
+
 def q_first_touch_counts(sf_dir: str):
     """First-touch attribution: each user's FIRST event type under
     (ts, event_id) order (functions/sessions.first_event_per_key — one
@@ -2945,6 +3056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": q_tpch_q7,
         "session_type_pairs": q_session_type_pairs,
         "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -4310,5 +4423,42 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS nat_rev_scaled,
                    CAST(SUM(r) AS BIGINT) AS total_rev_scaled
             FROM rev GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q15": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.rev AS BIGINT) AS total_rev_scaled
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev = (SELECT MAX(rev) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q22": """
+            WITH bal AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+            ),
+            g AS (
+              SELECT SUM(cents) AS sum_pos, COUNT(*) AS n_pos
+              FROM bal WHERE cents > 0
+            )
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(b.cents) AS BIGINT) AS bal_scaled
+            FROM bal b, g
+            JOIN nation n ON b.c_nationkey = n.n_nationkey
+            WHERE b.cents * g.n_pos > g.sum_pos
+              AND b.c_custkey NOT IN (SELECT DISTINCT o_custkey
+                                      FROM orders)
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
     }
