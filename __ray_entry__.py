@@ -2757,6 +2757,19 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_dup_span_positions(sf_dir: str):
+    """Substring-level dedup detection (Lee et al. 2022): every (doc, pos)
+    where a stride-1 8-word span occurs ≥ 2 times corpus-wide
+    (functions/dedup.dup_span_positions — one distributed hash-count
+    exchange, dup-vocabulary broadcast, second streaming pass)."""
+    from timberjack_ray.functions.dedup import dup_span_positions
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dup_span_positions(ds, span_words=8).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "pos": "int64"})
+
+
 def q_first_touch_counts(sf_dir: str):
     """First-touch attribution: each user's FIRST event type under
     (ts, event_id) order (functions/sessions.first_event_per_key — one
@@ -3058,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
+        "dup_span_positions": q_dup_span_positions,
     }
 
 
@@ -4460,5 +4474,23 @@ def oracle_sql() -> dict[str, str]:
               AND b.c_custkey NOT IN (SELECT DISTINCT o_custkey
                                       FROM orders)
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "dup_span_positions": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     array_to_string(l[(u.i+1):(u.i+8)], ' ') AS win
+              FROM w, LATERAL (SELECT unnest(range(0,
+                       GREATEST(nw - 8 + 1, 0))) AS i) u
+              WHERE nw >= 8
+            ),
+            d AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2)
+            SELECT doc_id, pos FROM wins
+            WHERE win IN (SELECT win FROM d)
+            ORDER BY doc_id, pos
         """,
     }

@@ -233,3 +233,22 @@ def test_corpus_drift_words_planted(ray_session):
     # diffs: x 3-0, z 0-2, y 1-0 / common 2-2 (diff 0, excluded at k=3)
     assert got == {"x": (3, 0), "z": (0, 2), "y": (1, 0)}
     assert out["word"].tolist() == ["x", "z", "y"]  # |diff| desc, word asc
+
+
+def test_dup_span_positions_planted(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import dup_span_positions
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [
+        span + " tailA tailB tailC",          # dup span at pos 0
+        "headX headY " + span,                # same span at pos 2
+        " ".join(f"u{i}" for i in range(12)),  # all-unique spans
+        "short doc under eight words here",   # < 8 words → no spans
+        " ".join(["r"] * 10),                 # self-repeat: pos 0,1,2 identical
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(5)), "text": docs}))
+    out = dup_span_positions(ds, span_words=8).to_pandas()
+    got = set(map(tuple, out[["doc_id", "pos"]].to_numpy()))
+    assert got == {(0, 0), (1, 2), (4, 0), (4, 1), (4, 2)}

@@ -1097,3 +1097,78 @@ def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
         return t.filter(pa.array(~hit))
 
     return new_ds.map_batches(keep_new_dist, batch_format="pyarrow")
+
+
+def dup_span_positions(ds, span_words: int = 8, col: str = "text",
+                       id_col: str = "doc_id"):
+    """Find every position of a DUPLICATED ``span_words``-word span at ANY
+    alignment (stride-1 sliding windows) — the detection pass of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a span is reported iff its word
+    sequence occurs ≥ 2 times corpus-wide (across or within docs).  Docs
+    shorter than ``span_words`` contribute no spans.
+
+    Plan: per batch, ``gram_hashes_batch`` (one rolling FNV fold over the
+    flat word-hash stream — stride-1 windows share the k=span_words gram
+    machinery) emits (hash, doc, pos) triples; pass 1 counts hashes with a
+    distributed groupby (per-batch pre-count first, so the exchange
+    carries batch-distinct hashes); hashes with total ≥ 2 stream back and
+    broadcast (volume = the DUPLICATED-span vocabulary — the thing being
+    hunted; bounded by dup volume, small on clean corpora and exactly the
+    output size otherwise); pass 2 re-derives positions and keeps hits.
+    Returns a Dataset of (doc_id, pos) rows.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def triples(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        h, offs = gram_hashes_batch(texts, span_words)
+        lens = np.diff(offs)
+        wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
+        # drop short docs' whole-text fallback gram: only true spans count
+        keep_doc = wc >= span_words
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+        pos = np.arange(len(h), dtype=np.int64) \
+            - np.repeat(offs[:-1], lens)
+        keep = np.repeat(keep_doc, lens)
+        return pa.table({"h": pa.array(h[keep].view(np.int64)),
+                         id_col: pa.array(ids[keep]),
+                         "pos": pa.array(pos[keep])})
+
+    trip = ds.map_batches(triples, batch_format="pyarrow")
+
+    def pre_count(t: pa.Table) -> pa.Table:
+        g = t.select(["h"]).group_by("h").aggregate([([], "count_all")])
+        return g.rename_columns(["h", "n"])
+
+    counts = trip.map_batches(pre_count, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["h"]),
+        batch_format="pyarrow")
+    dup_h = np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False)
+         for b in dup.iter_batches(batch_size=None, batch_format="pyarrow")]
+        or [np.zeros(0, np.int64)]))
+    ref = ray.put(dup_h)
+
+    def hits(t: pa.Table) -> pa.Table:
+        gg = _fetch_bench(ref)
+        tt = triples(t)
+        if len(gg) == 0 or tt.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        h = tt["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(gg, h)
+        inb = idx < len(gg)
+        hit = np.zeros(len(h), dtype=bool)
+        hit[inb] = gg[idx[inb]] == h[inb]
+        return tt.filter(pa.array(hit)).select([id_col, "pos"])
+
+    return ds.map_batches(hits, batch_format="pyarrow")
