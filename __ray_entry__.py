@@ -2757,6 +2757,38 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_event_value_ntiles(sf_dir: str):
+    """NTILE(4) by value within each event type → counts per (type,
+    quartile).  Built on grouped_rank_ds (one bucket exchange); the SQL
+    NTILE remainder rule (first n mod 4 buckets take the extra row) is
+    replayed exactly from (rank, n_group) — integers end to end."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import grouped_rank_ds
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ranked = grouped_rank_ds(ds, "event_type", "value", "event_id",
+                             scale=100)
+
+    def ntile(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        n = t["n_group"].to_numpy(zero_copy_only=False)
+        size = n // 4
+        rem = n % 4
+        cut = rem * (size + 1)  # rows covered by the big buckets
+        big = r <= cut
+        nt = np.where(big, (r - 1) // np.maximum(size + 1, 1) + 1,
+                      rem + (r - 1 - cut) // np.maximum(size, 1) + 1)
+        g = pa.table({"event_type": t["event_type"],
+                      "ntile": pa.array(nt.astype(np.int64))}) \
+            .group_by(["event_type", "ntile"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "ntile", "n"])
+
+    out = merge_partials(ranked.map_batches(ntile, batch_format="pyarrow"),
+                         ["event_type", "ntile"], "n").to_pandas()
+    return out.sort_values(["event_type", "ntile"]).reset_index(drop=True) \
+        .astype({"ntile": "int64", "n": "int64"})
+
+
 def q_dup_span_positions(sf_dir: str):
     """Substring-level dedup detection (Lee et al. 2022): every (doc, pos)
     where a stride-1 8-word span occurs ≥ 2 times corpus-wide
@@ -3072,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
         "dup_span_positions": q_dup_span_positions,
+        "event_value_ntiles": q_event_value_ntiles,
     }
 
 
@@ -4492,5 +4525,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos FROM wins
             WHERE win IN (SELECT win FROM d)
             ORDER BY doc_id, pos
+        """,
+        "event_value_ntiles": """
+            SELECT event_type, CAST(nt AS BIGINT) AS ntile,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT event_type,
+                     NTILE(4) OVER (PARTITION BY event_type
+                                    ORDER BY CAST(ROUND(value * 100)
+                                                  AS BIGINT), event_id)
+                       AS nt
+              FROM events) t
+            GROUP BY event_type, nt
+            ORDER BY event_type, nt
         """,
     }
