@@ -224,3 +224,48 @@ def test_windower_drain_keeps_state_bounded():
     final = w.result()
     total = sum(drained.values()) + int(final["n"].sum())
     assert total == 2000 and w.late_dropped == 0
+
+
+def test_session_type_pairs_hot_key_bounded(ray_session):
+    """One user owning 50k events (5-type alphabet) must cost one
+    vectorized bucket pass — pair expansion is alphabet-bounded, not
+    event-count-bounded."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import session_type_pairs
+
+    n = 50_000
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = base + np.arange(n) * np.timedelta64(1, "s")  # all one session
+    types = np.array(["a", "b", "c", "d", "e"], dtype=object)[
+        np.arange(n) % 5]
+    t = pa.table({"user_id": np.zeros(n, np.int64),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(types)})
+    t0 = time.time()
+    out = session_type_pairs(rd.from_arrow(t), "user_id", "ts",
+                             "event_type", 3600)
+    took = time.time() - t0
+    # one session with 5 types → C(5,2)=10 pairs, each counted once
+    assert len(out) == 10 and (out["n"] == 1).all()
+    assert took < 60, f"hot-key pair expansion too slow: {took:.1f}s"
+
+
+def test_inverted_index_hot_word_capped(ray_session):
+    """A word in EVERY doc lands in one bucket; postings stay capped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import inverted_index
+
+    n = 20_000
+    docs = [f"common unique{i}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)), "text": docs}))
+    out = inverted_index(ds, cap_postings=4).to_pandas()
+    row = out[out["word"] == "common"].iloc[0]
+    assert row["df"] == n
+    assert row["postings"] == "0,1,2,3"  # capped, sorted
