@@ -2757,6 +2757,61 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_curation_pipeline_v2(sf_dir: str):
+    """Second-generation curation chain composing the round-3 ops:
+    perplexity gate (drop the worst-20% bits under the in-corpus bigram
+    LM — the CCNet step) → benchmark decontamination (held-out slice) →
+    chunk-level corpus dedup → per-source summary of surviving chunks.
+    Rows-only on the driver (the LM gate is float-thresholded); every
+    component op is individually oracle-checked or reference-pinned."""
+    from timberjack_ray.functions.corpus import chunk_dedup, unpack_chunk_ids
+    from timberjack_ray.functions.dedup import decontaminate
+    from timberjack_ray.functions.text import bigram_lm_scores
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    # LM gate: per-doc bits, keep the best 80% (threshold = P80 of bits)
+    scores = bigram_lm_scores(ds).to_pandas()
+    thr = float(np.quantile(scores["bits"].to_numpy(), 0.8))
+    good = scores.loc[scores["bits"] <= thr, "doc_id"].to_numpy()
+    good.sort()
+    import ray
+
+    gref = ray.put(good)
+
+    def keep_good(t: pa.Table) -> pa.Table:
+        g = _fetch_ref(gref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(g, ids)
+        inb = idx < len(g)
+        ok = np.zeros(len(ids), dtype=bool)
+        ok[inb] = g[idx[inb]] == ids[inb]
+        return t.filter(pa.array(ok))
+
+    kept = ds.map_batches(keep_good, batch_format="pyarrow")
+
+    def side(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(m if bench else ~m))
+        return kept.map_batches(f, batch_format="pyarrow")
+
+    clean = decontaminate(side(False), side(True), k=3)
+    surv_chunks = chunk_dedup(clean, chunk_words=10) \
+        .map_batches(unpack_chunk_ids, batch_format="pyarrow").to_pandas()
+    # doc→source decorate: driver-side at gate scale; at 10^12 docs the
+    # source column rides the chunk rows instead (pack it into the chunk
+    # partial next to doc_id) so no id→source join exists at all
+    src = ds.map_batches(
+        lambda t: t.select(["doc_id", "source"]),
+        batch_format="pyarrow").to_pandas()
+    m = surv_chunks.merge(src, on="doc_id")
+    out = m.groupby("source").agg(n_docs=("doc_id", "nunique"),
+                                  n_chunks=("chunk_idx", "count")) \
+        .reset_index().sort_values("source").reset_index(drop=True)
+    return out.astype({"n_docs": "int64", "n_chunks": "int64"})
+
+
 def q_event_value_ntiles(sf_dir: str):
     """NTILE(4) by value within each event type → counts per (type,
     quartile).  Built on grouped_rank_ds (one bucket exchange); the SQL
@@ -3105,6 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": q_tpch_q22,
         "dup_span_positions": q_dup_span_positions,
         "event_value_ntiles": q_event_value_ntiles,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
     }
 
 
