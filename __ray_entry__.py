@@ -2757,6 +2757,17 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_typo_pairs(sf_dir: str):
+    """Entity near-duplicate names: customer-name pairs at Levenshtein
+    distance exactly 1 (functions/text.typo_pairs — SymSpell deletion-
+    neighborhood join: one vocabulary-sized exchange + exact verify,
+    never the O(V²) cross join the oracle runs)."""
+    from timberjack_ray.functions.text import typo_pairs
+
+    ds = _rp(sf_dir, "customer", columns=["c_name"])
+    return typo_pairs(ds, "c_name")
+
+
 def q_curation_pipeline_v2(sf_dir: str):
     """Second-generation curation chain composing the round-3 ops:
     perplexity gate (drop the worst-20% bits under the in-corpus bigram
@@ -3161,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_positions": q_dup_span_positions,
         "event_value_ntiles": q_event_value_ntiles,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "typo_pairs": q_typo_pairs,
     }
 
 
@@ -4594,5 +4606,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events) t
             GROUP BY event_type, nt
             ORDER BY event_type, nt
+        """,
+        "typo_pairs": """
+            WITH v AS (SELECT DISTINCT c_name FROM customer)
+            SELECT x.c_name AS a, y.c_name AS b
+            FROM v x JOIN v y
+              ON x.c_name < y.c_name
+             AND levenshtein(x.c_name, y.c_name) = 1
+            ORDER BY a, b
         """,
     }

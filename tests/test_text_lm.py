@@ -252,3 +252,19 @@ def test_dup_span_positions_planted(ray_session):
     out = dup_span_positions(ds, span_words=8).to_pandas()
     got = set(map(tuple, out[["doc_id", "pos"]].to_numpy()))
     assert got == {(0, 0), (1, 2), (4, 0), (4, 1), (4, 2)}
+
+
+def test_typo_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import typo_pairs
+
+    vals = ["cat", "cart", "bat", "cat", "dog", "dig", "abc", "bca",
+            "same", "same"]
+    # lev==1: cat-cart (insert), cat-bat (sub), dog-dig (sub);
+    # abc-bca share deletion key 'bc' but lev=2 → verify must drop it;
+    # duplicates ('cat','same') must not self-pair
+    ds = rd.from_arrow(pa.table({"name": vals}))
+    out = typo_pairs(ds, "name")
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert got == {("cart", "cat"), ("bat", "cat"), ("dig", "dog")}

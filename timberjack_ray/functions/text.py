@@ -592,3 +592,110 @@ def corpus_drift_words(ds_a, ds_b, col: str = "text", k: int = 20,
     m["diff"] = (m["n_a"] - m["n_b"]).abs()
     out = m.sort_values(["diff", "word"], ascending=[False, True]).head(k)
     return out[["word", "n_a", "n_b"]].reset_index(drop=True)
+
+
+def _lev_eq_1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance-== 1 check (verify step; candidate-pair
+    scale only)."""
+    la, lb = len(a), len(b)
+    if a == b or abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    used = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif used:
+            return False
+        else:
+            used = True
+            j += 1
+    return True
+
+
+def typo_pairs(ds, col: str, n_buckets: int = 64, max_bucket: int = 512):
+    """Similarity self-join at Levenshtein distance EXACTLY 1 over the
+    column's DISTINCT values — SymSpell's deletion-neighborhood join
+    (Garbe): two values are within edit distance 1 only if their
+    {value} ∪ single-deletion key sets intersect, so candidates come from
+    ONE groupby on the deletion key instead of the O(V²) cross join; a
+    cheap exact verify drops the false positives (keys can coincide for
+    distance-2 pairs, e.g. 'abc'/'bca').
+
+    The entity-resolution / vocab-normalization step.  Scale shape: the
+    distinct-value exchange is vocabulary-sized; key explosion and the
+    verify loop run at value/candidate cardinality, never row cardinality;
+    degenerate keys cap at ``max_bucket`` owners (deterministic, value
+    asc).  Returns a pd.DataFrame of (a, b) pairs, a < b.
+    """
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    distinct = ds.map_batches(
+        lambda t: pa.table({"v": pc.unique(t[col])}),
+        batch_format="pyarrow").groupby("v").count() \
+        .map_batches(lambda t: t.select(["v"]), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys, owners = [], []
+        for v in t["v"].to_pylist():  # distinct-value scale, not rows
+            keys.append(v)
+            owners.append(v)
+            for i in range(len(v)):
+                keys.append(v[:i] + v[i + 1:])
+                owners.append(v)
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "v": pa.array(owners, pa.string())})
+
+    exploded = distinct.map_batches(explode, batch_format="pyarrow")
+    bucketed = add_key_bucket(exploded, "k", n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if t.num_rows < 2:
+            return empty
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        # drop duplicate (key, owner) rows, cap degenerate keys
+        first = np.r_[True, (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])]
+        ks, vs = ks[first], vs[first]
+        change = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, len(ks)])
+        rank = np.arange(len(ks)) - np.repeat(starts, sizes)
+        keep = rank < max_bucket
+        ks, vs = ks[keep], vs[keep]
+        change = np.r_[True, ks[1:] != ks[:-1]]
+        seg = np.cumsum(change)
+        out_a, out_b = [], []
+        max_size = int(np.diff(np.r_[np.flatnonzero(change),
+                                     len(ks)]).max()) if len(ks) else 0
+        for d in range(1, max_size):
+            left = np.arange(len(ks) - d)
+            same = seg[left] == seg[left + d]
+            for i in left[same]:  # candidate-pair scale
+                a, b = vs[i], vs[i + d]
+                if a > b:
+                    a, b = b, a
+                if _lev_eq_1(a, b):
+                    out_a.append(a)
+                    out_b.append(b)
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string())}) \
+            .group_by(["a", "b"]).aggregate([])
+
+    pairs = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = pairs.to_pandas().drop_duplicates() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return out
