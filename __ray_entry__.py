@@ -2757,6 +2757,17 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_range_partition_stats(sf_dir: str):
+    """Range-partitioning plan for a global sorted export: exact octile
+    boundaries from the value histogram, per-range (n, min, max) proving
+    the ranges tile the domain in order (functions/relational
+    .range_partition_stats — two streaming passes, no sort)."""
+    from timberjack_ray.functions.relational import range_partition_stats
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    return range_partition_stats(ds, "value", n_ranges=8, scale=100)
+
+
 def q_typo_pairs(sf_dir: str):
     """Entity near-duplicate names: customer-name pairs at Levenshtein
     distance exactly 1 (functions/text.typo_pairs — SymSpell deletion-
@@ -3173,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ntiles": q_event_value_ntiles,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "typo_pairs": q_typo_pairs,
+        "range_partition_stats": q_range_partition_stats,
     }
 
 
@@ -4614,5 +4626,18 @@ def oracle_sql() -> dict[str, str]:
               ON x.c_name < y.c_name
              AND levenshtein(x.c_name, y.c_name) = 1
             ORDER BY a, b
+        """,
+        "range_partition_stats": """
+            WITH s AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v
+                       FROM events),
+            b AS (SELECT quantile_disc(v, [0.125, 0.25, 0.375, 0.5,
+                                           0.625, 0.75, 0.875]) AS qs
+                  FROM s)
+            SELECT CAST(len(list_filter(b.qs, q -> q < s.v)) AS BIGINT)
+                     AS range_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(s.v) AS BIGINT) AS min_scaled,
+                   CAST(MAX(s.v) AS BIGINT) AS max_scaled
+            FROM s, b GROUP BY 1 ORDER BY 1
         """,
     }

@@ -822,3 +822,45 @@ def grouped_mad(ds, group_col: str, col: str, scale: int = 1) -> pd.DataFrame:
     out["median_scaled"] = out[group_col].map(med_map).astype("int64")
     return out[[group_col, "median_scaled", "mad_scaled"]] \
         .sort_values(group_col).reset_index(drop=True)
+
+
+def range_partition_stats(ds, col: str, n_ranges: int = 8,
+                          scale: int = 100) -> pd.DataFrame:
+    """RANGE partitioning (the sort-exchange primitive hash partitioning
+    can't provide): boundaries = exact type-1 quantiles at i/n_ranges from
+    the per-distinct-value count histogram (one counting pass, never a
+    sort), then every row assigns range_id = #boundaries < value in a
+    second streaming pass; per-range (n, min, max) partials prove the
+    ranges tile the domain in order.  This is the planning pass of a
+    global sorted export: each range is an independently sortable,
+    independently writable shard — at 100 TB the boundaries come from the
+    same histogram (or a sampled one) and the per-range groupby is the
+    only exchange.
+
+    Returns (range_id, n, min_scaled, max_scaled) rows, range_id asc.
+    """
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.sessions import exact_quantiles
+    from timberjack_ray.functions.util import scale_to_int
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = exact_quantiles(ds, col, qs, scale=scale)["value_scaled"] \
+        .to_numpy().astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t[col], scale).to_numpy()
+        rid = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        g = pa.table({"range_id": pa.array(rid), "v": pa.array(v)}) \
+            .group_by("range_id").aggregate(
+                [([], "count_all"), ("v", "min"), ("v", "max")])
+        return g.rename_columns(["range_id", "n", "mn", "mx"])
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    t = pa.concat_tables(parts).group_by("range_id").aggregate(
+        [("n", "sum"), ("mn", "min"), ("mx", "max")])
+    out = t.rename_columns(["range_id", "n", "min_scaled", "max_scaled"]) \
+        .to_pandas().sort_values("range_id").reset_index(drop=True)
+    return out.astype({"range_id": "int64", "n": "int64",
+                       "min_scaled": "int64", "max_scaled": "int64"})
