@@ -2757,6 +2757,18 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_event_path_trigrams(sf_dir: str):
+    """Top-10 per-user event-type trigram paths (functions/sessions
+    .path_trigram_counts — one bucket exchange, two masked shifts,
+    alphabet³-bounded merge)."""
+    from timberjack_ray.functions.sessions import path_trigram_counts
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    return path_trigram_counts(ds, "user_id", "ts", "event_type",
+                               "event_id", k=10)
+
+
 def q_range_partition_stats(sf_dir: str):
     """Range-partitioning plan for a global sorted export: exact octile
     boundaries from the value histogram, per-range (n, min, max) proving
@@ -3185,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "typo_pairs": q_typo_pairs,
         "range_partition_stats": q_range_partition_stats,
+        "event_path_trigrams": q_event_path_trigrams,
     }
 
 
@@ -4639,5 +4652,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(s.v) AS BIGINT) AS min_scaled,
                    CAST(MAX(s.v) AS BIGINT) AS max_scaled
             FROM s, b GROUP BY 1 ORDER BY 1
+        """,
+        "event_path_trigrams": """
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT event_type AS t1,
+                     LEAD(event_type, 1) OVER w AS t2,
+                     LEAD(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) t
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 10
         """,
     }

@@ -516,3 +516,50 @@ def session_type_pairs(ds, key_col: str, ts_col: str, type_col: str,
     out = merge_partials(partials, ["type_a", "type_b"], "n").to_pandas()
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True) \
         .astype({"n": "int64"})
+
+
+def path_trigram_counts(ds, key_col: str, ts_col: str, type_col: str,
+                        id_col: str, k: int = 10,
+                        n_buckets: int = 256) -> "pd.DataFrame":
+    """Top-K per-key event-type TRIGRAM paths (a → b → c on three
+    consecutive events of one key, (ts, id) order) — the order-3 extension
+    of ``transition_counts``: the path-mining / next-event-model
+    sufficient statistics.  Same one-exchange bucket shape; two vectorized
+    shifts with double segment-boundary masking; merge rows bounded by
+    alphabet³.
+    """
+    import pandas as pd
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "t3": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows < 3:
+            return empty
+        kk = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, _ts_to_int(ts), kk))
+        ks, tys = kk[order], ty[order]
+        same2 = (ks[2:] == ks[1:-1]) & (ks[1:-1] == ks[:-2])
+        if not same2.any():
+            return empty
+        g = pa.table({"t1": pa.array(tys[:-2][same2]),
+                      "t2": pa.array(tys[1:-1][same2]),
+                      "t3": pa.array(tys[2:][same2])}) \
+            .group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t1", "t2", "t3", "n"])
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(partials, ["t1", "t2", "t3"], "n").to_pandas()
+    out = out.sort_values(["n", "t1", "t2", "t3"],
+                          ascending=[False, True, True, True]).head(k)
+    return out.reset_index(drop=True).astype({"n": "int64"})
