@@ -2757,6 +2757,36 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve — the tokenizer-budget question: how many
+    distinct words (taken most-frequent-first, word-asc tie-break) cover
+    ≥ 50/90/99 % of all token occurrences.  One guarded word-count pass;
+    the curve walk runs on the vocabulary-sized merged table."""
+    from timberjack_ray.aggregates import merge_counts_guarded
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        g = pa.table({"word": words}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    folded = merge_counts_guarded(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", "n")
+    df = folded.to_pandas().sort_values(["n", "word"],
+                                        ascending=[False, True])
+    cum = df["n"].cumsum().to_numpy()
+    total = int(df["n"].sum())
+    rows = []
+    for pct in (50, 90, 99):
+        # smallest prefix whose count sum reaches pct% of tokens:
+        # cum*100 >= pct*total on exact ints
+        k = int(np.searchsorted(cum * 100, pct * total) + 1)
+        rows.append({"coverage_pct": pct, "n_words": k})
+    return pd.DataFrame(rows).astype({"coverage_pct": "int64",
+                                      "n_words": "int64"})
+
+
 def q_event_path_trigrams(sf_dir: str):
     """Top-10 per-user event-type trigram paths (functions/sessions
     .path_trigram_counts — one bucket exchange, two masked shifts,
@@ -3198,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": q_typo_pairs,
         "range_partition_stats": q_range_partition_stats,
         "event_path_trigrams": q_event_path_trigrams,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -4665,5 +4696,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t1, t2, t3
             ORDER BY n DESC, t1, t2, t3
             LIMIT 10
+        """,
+        "vocab_coverage": """
+            WITH wc AS (
+              SELECT w, COUNT(*) AS n FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w
+                FROM documents) t GROUP BY w
+            ),
+            r AS (
+              SELECT SUM(n) OVER (ORDER BY n DESC, w ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS k,
+                     SUM(n) OVER () AS total
+              FROM wc
+            )
+            SELECT CAST(p.pct AS BIGINT) AS coverage_pct,
+                   CAST(MIN(r.k) AS BIGINT) AS n_words
+            FROM r, (SELECT UNNEST([50, 90, 99]) AS pct) p
+            WHERE r.cum * 100 >= p.pct * r.total
+            GROUP BY p.pct ORDER BY p.pct
         """,
     }
