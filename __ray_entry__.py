@@ -2757,6 +2757,33 @@ def q_tpch_q22(sf_dir: str):
                                         "bal_scaled": "int64"})
 
 
+def q_sliding_window_distinct_users(sf_dir: str):
+    """Sliding-window COUNT(DISTINCT user): the window membership fan-out
+    (width/slide bounded, int64 arrays only) feeds the GUARDED grouped
+    distinct-count fold — concurrency/active-user monitoring."""
+    from timberjack_ray.functions.relational import distinct_count_by
+
+    width_s, slide_s = 3600, 1800
+    fanout = width_s // slide_s
+
+    def fan(t: pa.Table) -> pa.Table:
+        secs = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype("datetime64[s]").astype(np.int64)
+        base = secs // slide_s
+        ks = np.repeat(base, fanout) - np.tile(
+            np.arange(fanout, dtype=np.int64), len(base))
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"window_start": pa.array(ks * slide_s),
+                         "user_id": pa.array(np.repeat(users, fanout))})
+
+    ds = _rp(sf_dir, "events", columns=["ts", "user_id"])
+    fanned = ds.map_batches(fan, batch_format="pyarrow")
+    out = distinct_count_by(fanned, "window_start", "user_id",
+                            name="n_users")
+    return out.sort_values("window_start").reset_index(drop=True) \
+        .astype({"window_start": "int64", "n_users": "int64"})
+
+
 def q_vocab_coverage(sf_dir: str):
     """Vocabulary coverage curve — the tokenizer-budget question: how many
     distinct words (taken most-frequent-first, word-asc tie-break) cover
@@ -3229,6 +3256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_stats": q_range_partition_stats,
         "event_path_trigrams": q_event_path_trigrams,
         "vocab_coverage": q_vocab_coverage,
+        "sliding_window_distinct_users": q_sliding_window_distinct_users,
     }
 
 
@@ -4715,5 +4743,19 @@ def oracle_sql() -> dict[str, str]:
             FROM r, (SELECT UNNEST([50, 90, 99]) AS pct) p
             WHERE r.cum * 100 >= p.pct * r.total
             GROUP BY p.pct ORDER BY p.pct
+        """,
+        "sliding_window_distinct_users": """
+            WITH b AS (
+              SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) AS k, user_id
+              FROM events
+            ),
+            p AS (
+              SELECT k * 1800 AS ws, user_id FROM b
+              UNION ALL
+              SELECT (k - 1) * 1800 AS ws, user_id FROM b
+            )
+            SELECT ws AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM p GROUP BY ws ORDER BY ws
         """,
     }
