@@ -91,6 +91,15 @@ def entry() -> Any:
 # queries (each callable: sf_dir -> Dataset | DataFrame | pa.Table)
 # ---------------------------------------------------------------------------
 
+def _scale100(v) -> np.ndarray:
+    """Cent scaling via the shared floor(x·100 + ½) rule (util.scale_to_int_np)
+    — one home for the SQL-ROUND-parity tie rule instead of inlined copies
+    (r03 review).  Non-negative / ≤2-decimal precondition documented there."""
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    return scale_to_int_np(np.asarray(v), 100)
+
+
 def q_tpch_q1_qty(sf_dir: str):
     """A3-style grouped aggregate machinery on lineitem (SURVEY §2.5)."""
     from timberjack_ray.aggregates import merge_partials
@@ -2214,8 +2223,7 @@ def q_tpch_q18(sf_dir: str):
                          columns=["c_custkey", "c_name"]).to_pandas()
     out = picked.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out["o_date"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
-    out["total_scaled"] = np.floor(
-        out["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out["total_scaled"] = _scale100(out["o_totalprice"].to_numpy())
     out["sum_qty"] = out["o_orderkey"].map(qty_of).astype(np.int64)
     out = out.sort_values(["total_scaled", "o_orderkey"],
                           ascending=[False, True]).head(100)
@@ -2448,16 +2456,8 @@ def merge_partials_2(pds) -> pd.DataFrame:
     return g.rename_columns(["p", "sum_qty", "cnt"]).to_pandas()
 
 
-_REF_CACHE: dict = {}
-
-
-def _fetch_ref(ref):
-    import ray
-
-    key = ref.hex()
-    if key not in _REF_CACHE:
-        _REF_CACHE[key] = ray.get(ref)
-    return _REF_CACHE[key]
+# canonical per-worker broadcast cache (r03 review: was a second copy here)
+from timberjack_ray.functions.util import fetch_broadcast as _fetch_ref  # noqa: E402
 
 
 def q_tpch_q7(sf_dir: str):
@@ -2702,8 +2702,7 @@ def q_tpch_q22(sf_dir: str):
                   columns=["c_custkey", "c_nationkey", "c_acctbal"])
 
     def bal_partial(t: pa.Table) -> pa.Table:
-        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
-                         * 100 + 0.5).astype(np.int64)
+        cents = _scale100(t["c_acctbal"].to_numpy(zero_copy_only=False))
         pos = cents[cents > 0]
         return pa.table({"s": pa.array([int(pos.sum())]),
                          "c": pa.array([len(pos)])})
@@ -2725,8 +2724,7 @@ def q_tpch_q22(sf_dir: str):
     have_keys = pa.array(np.sort(have["k"].to_numpy()))
 
     def pick(t: pa.Table) -> pa.Table:
-        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
-                         * 100 + 0.5).astype(np.int64)
+        cents = _scale100(t["c_acctbal"].to_numpy(zero_copy_only=False))
         rich = cents * n_pos > sum_pos
         no_ord = pc.invert(pc.is_in(t["c_custkey"],
                                     value_set=have_keys)) \

@@ -254,6 +254,22 @@ def test_dup_span_positions_planted(ray_session):
     assert got == {(0, 0), (1, 2), (4, 0), (4, 1), (4, 2)}
 
 
+def test_dup_span_positions_exact_k_word_doc(ray_session):
+    """Boundary (r03 review): a doc of EXACTLY span_words words must share
+    the window hash namespace with the same sequence inside a longer doc —
+    the oracle windows every doc with nw >= span_words uniformly."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import dup_span_positions
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [span, "head " + span]  # 8-word doc + 9-word doc containing it
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": docs}))
+    out = dup_span_positions(ds, span_words=8).to_pandas()
+    got = set(map(tuple, out[["doc_id", "pos"]].to_numpy()))
+    assert got == {(0, 0), (1, 1)}
+
+
 def test_typo_pairs_planted(ray_session):
     import ray.data as rd
 

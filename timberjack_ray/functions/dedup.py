@@ -77,7 +77,7 @@ def shingles(text: str, k: int = 3) -> np.ndarray:
 _FNV = np.uint64(1099511628211)
 
 
-def gram_hashes_batch(texts, k: int = 3):
+def gram_hashes_batch(texts, k: int = 3, window_at_k: bool = False):
     """Vectorized per-doc word-k-gram hashes → (flat uint64 values, offsets).
 
     One ``hash_array`` over the flat word stream + an FNV fold of ``k``
@@ -88,6 +88,14 @@ def gram_hashes_batch(texts, k: int = 3):
     Docs with ≤ k words contribute ONE gram: the hash of the raw text
     (mirroring ``shingles``'s whole-text fallback).  Grams never cross
     document boundaries: only each doc's valid gram range is gathered.
+
+    ``window_at_k=True`` moves the boundary so docs with EXACTLY k words go
+    through the FNV window fold (one gram, same hash namespace as the same
+    word sequence inside a longer doc) instead of the whole-text fallback —
+    required by stride-1 span detection (``dup_span_positions``), whose SQL
+    oracle windows every doc with nw >= k uniformly.  The default keeps the
+    nw <= k whole-text fallback that the decontaminate / contamination /
+    Jaccard oracles encode ('S:'-prefixed short-doc namespace).
     """
     s = pd.Series(list(texts), dtype=object).astype(str)
     n = len(s)
@@ -100,7 +108,7 @@ def gram_hashes_batch(texts, k: int = 3):
     wc = words.str.len().to_numpy(dtype=np.int64)
     w_offs = np.concatenate([[0], np.cumsum(wc)])
     total = int(w_offs[-1])
-    long_mask = wc > k
+    long_mask = wc >= k if window_at_k else wc > k
     out_lens = np.where(long_mask, wc - k + 1, 1)
     out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
     out = np.zeros(int(out_offs[-1]), dtype=np.uint64)
@@ -109,7 +117,7 @@ def gram_hashes_batch(texts, k: int = 3):
         short_idx = out_offs[:-1][~long_mask]
         out[short_idx] = pd.util.hash_array(
             s[~long_mask].to_numpy(dtype=object)).astype(np.uint64)
-    if long_mask.any() and total > k:
+    if long_mask.any() and total >= k:
         flat = words.explode().dropna().to_numpy(dtype=object)
         wh = pd.util.hash_array(flat).astype(np.uint64)
         ng = total - k + 1
@@ -790,21 +798,13 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
 # Benchmark decontamination (held-out n-gram overlap removal)
 # ---------------------------------------------------------------------------
 
-# per-worker-process cache of the broadcast benchmark gram array (keyed by
-# ObjectRef hex) — same pattern as stages/enrich._LOOKUP_CACHE: stateless
-# tasks fetch once per worker, the stage still fuses with its neighbours
-_BENCH_CACHE: dict = {}
-
-
-def _fetch_bench(ref) -> np.ndarray:
-    import ray
-
-    if isinstance(ref, np.ndarray):
-        return ref
-    key = ref.hex()
-    if key not in _BENCH_CACHE:
-        _BENCH_CACHE[key] = ray.get(ref)
-    return _BENCH_CACHE[key]
+# per-worker-process cache of the broadcast benchmark gram array — the
+# canonical implementation lives in util.fetch_broadcast (stateless tasks
+# fetch once per worker, the stage still fuses with its neighbours)
+from timberjack_ray.functions.util import (  # noqa: E402
+    fetch_broadcast as _fetch_bench,
+    sorted_member_mask,
+)
 
 
 def benchmark_gram_set(bench_ds, col: str = "text", k: int = 3) -> np.ndarray:
@@ -858,13 +858,10 @@ def decontaminate(train_ds, bench_ds, col: str = "text",
         h, offs = gram_hashes_batch(texts, k)
         if len(g) == 0 or len(h) == 0:
             return t
-        idx = np.searchsorted(g, h)
-        hit = np.zeros(len(h), dtype=np.int64)
-        inb = idx < len(g)
-        hit[inb] = (g[idx[inb]] == h[inb]).astype(np.int64)
         # every doc emits >= 1 gram (whole-text fallback), so offsets are
         # strictly increasing and reduceat segments are well-formed
-        doc_hits = np.add.reduceat(hit, offs[:-1])
+        doc_hits = np.add.reduceat(
+            sorted_member_mask(g, h).astype(np.int64), offs[:-1])
         return t.filter(pa.array(doc_hits == 0))
 
     return train_ds.map_batches(keep_clean, batch_format="pyarrow")
@@ -989,11 +986,7 @@ def contamination_stats(train_ds, bench_ds, col: str = "text",
         uh, ud = hs[first], di[first]
         n_grams = np.bincount(ud, minlength=n)
         g = _fetch_bench(ref)
-        hit = np.zeros(len(uh), dtype=bool)
-        if len(g) and len(uh):
-            idx = np.searchsorted(g, uh)
-            inb = idx < len(g)
-            hit[inb] = g[idx[inb]] == uh[inb]
+        hit = sorted_member_mask(g, uh)
         n_hit = np.bincount(ud[hit], minlength=n)
         return pa.table({id_col: t[id_col],
                          "n_grams": pa.array(n_grams.astype(np.int64)),
@@ -1038,24 +1031,22 @@ def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
             over = True
             break
 
-    if not over:
-        g = np.unique(np.concatenate(base_hashes)) if base_hashes \
-            else np.zeros(0, np.int64)
-        ref = ray.put(g)
-
+    def _anti_filter(ref):
+        # one closure serves both branches — only the broadcast ref differs
         def keep_new(t: pa.Table) -> pa.Table:
             gg = _fetch_bench(ref)
             h = add_content_hash(t, col)["content_hash"] \
                 .to_numpy(zero_copy_only=False)
             if len(gg) == 0:
                 return t
-            idx = np.searchsorted(gg, h)
-            inb = idx < len(gg)
-            hit = np.zeros(len(h), dtype=bool)
-            hit[inb] = gg[idx[inb]] == h[inb]
-            return t.filter(pa.array(~hit))
+            return t.filter(pa.array(~sorted_member_mask(gg, h)))
+        return keep_new
 
-        return new_ds.map_batches(keep_new, batch_format="pyarrow")
+    if not over:
+        g = np.unique(np.concatenate(base_hashes)) if base_hashes \
+            else np.zeros(0, np.int64)
+        return new_ds.map_batches(_anti_filter(ray.put(g)),
+                                  batch_format="pyarrow")
 
     # distributed path: ONE groupby(hash) over (hash, side) pairs finds the
     # INTERSECTION hashes (present on both sides) — bounded by the actual
@@ -1082,21 +1073,8 @@ def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
         [b["h"].to_numpy(zero_copy_only=False)
          for b in both.iter_batches(batch_size=None, batch_format="pyarrow")]
         or [np.zeros(0, np.int64)]))
-    ref = ray.put(dirty)
-
-    def keep_new_dist(t: pa.Table) -> pa.Table:
-        gg = _fetch_bench(ref)
-        h = add_content_hash(t, col)["content_hash"] \
-            .to_numpy(zero_copy_only=False)
-        if len(gg) == 0:
-            return t
-        idx = np.searchsorted(gg, h)
-        inb = idx < len(gg)
-        hit = np.zeros(len(h), dtype=bool)
-        hit[inb] = gg[idx[inb]] == h[inb]
-        return t.filter(pa.array(~hit))
-
-    return new_ds.map_batches(keep_new_dist, batch_format="pyarrow")
+    return new_ds.map_batches(_anti_filter(ray.put(dirty)),
+                              batch_format="pyarrow")
 
 
 def dup_span_positions(ds, span_words: int = 8, col: str = "text",
@@ -1128,7 +1106,10 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
             return pa.table({"h": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
-        h, offs = gram_hashes_batch(texts, span_words)
+        # window_at_k: an exactly-span_words doc's single span must share
+        # the FNV hash namespace with the same word sequence inside longer
+        # docs (the oracle windows every doc with nw >= span_words)
+        h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
         lens = np.diff(offs)
         wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
         # drop short docs' whole-text fallback gram: only true spans count
@@ -1165,10 +1146,7 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
         h = tt["h"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(gg, h)
-        inb = idx < len(gg)
-        hit = np.zeros(len(h), dtype=bool)
-        hit[inb] = gg[idx[inb]] == h[inb]
+        hit = sorted_member_mask(gg, h)
         return tt.filter(pa.array(hit)).select([id_col, "pos"])
 
     return ds.map_batches(hits, batch_format="pyarrow")

@@ -411,7 +411,11 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
         return final.to_pandas().sort_values(
             [group_col, sort_col, tie_col],
             ascending=[True, not descending, True]).reset_index(drop=True)
-    if pruned.count() == 0:  # zero-row input (collect_table_under bails on empty)
+    # bounded emptiness probe: collect_table_under returns None for BOTH
+    # over-limit and zero-row inputs; limit(1) stops the re-execution after
+    # the first row instead of re-running the whole prune pipeline (r03
+    # review) — only the truly-empty case pays a full (empty) scan
+    if pruned.limit(1).count() == 0:
         return pd.DataFrame(columns=ds.schema().names if ds.schema() else
                             [group_col, sort_col, tie_col])
     # bucket the groups so the exchange has ~256 coarse partitions and
@@ -545,7 +549,11 @@ def winsorized_group_sums(ds, group_col: str, col: str,
         g = t[group_col].to_pandas().map(gidx).to_numpy()
         w = np.clip(v, lo_a[g], hi_a[g])
         n = np.bincount(g, minlength=len(groups)).astype(np.int64)
-        s = np.bincount(g, weights=w, minlength=len(groups)).astype(np.int64)
+        # int64 accumulator (np.add.at), NOT bincount(weights=...): bincount
+        # accumulates in float64 and silently rounds past 2^53, breaking the
+        # bit-exact-sum contract the scaled-int domain exists to provide
+        s = np.zeros(len(groups), dtype=np.int64)
+        np.add.at(s, g, w)
         return pa.table({group_col: pa.array(groups, pa.string()),
                          "n": pa.array(n), "sum_wins_scaled": pa.array(s)})
 

@@ -135,6 +135,7 @@ def grouped_centroid_sums(ds, group_col: str = "label",
     batch size, and the driver merge is centroid-volume, never
     row-volume."""
     from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int_np
 
     def partial(t: pa.Table) -> pa.Table:
         m = _to_matrix(t[vec_col]).astype(np.float64)
@@ -143,7 +144,9 @@ def grouped_centroid_sums(ds, group_col: str = "label",
                              "dim": pa.array([], pa.int64()),
                              "sum_scaled": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        v = np.floor(m * scale + 0.5).astype(np.int64)
+        # scale_to_int_np = floor(x·s + ½): the oracle replays FLOOR(..+0.5)
+        # literally, so the rule holds for negative embedding values too
+        v = scale_to_int_np(m, scale)
         g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(g, kind="stable")
         gs, vs = g[order], v[order]

@@ -24,6 +24,40 @@ def scale_to_int_np(v: np.ndarray, scale: float) -> np.ndarray:
         .astype(np.int64)
 
 
+def sorted_member_mask(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: ``values ∈ sorted_arr`` as a bool mask.
+
+    One searchsorted + bounds-guarded equality — the broadcast-side probe
+    every anti-join / decontamination / span-hit pass shares (r03 review:
+    the block had been copy-pasted five times)."""
+    hit = np.zeros(len(values), dtype=bool)
+    if len(sorted_arr) and len(values):
+        idx = np.searchsorted(sorted_arr, values)
+        inb = idx < len(sorted_arr)
+        hit[inb] = sorted_arr[idx[inb]] == values[inb]
+    return hit
+
+
+_REF_CACHE: dict = {}
+
+
+def fetch_broadcast(ref):
+    """Per-worker-process cache for ``ray.put`` broadcast objects: one
+    ``ray.get`` per (process, ref) instead of one per batch.  Non-ObjectRef
+    inputs pass through (lets local tests call the same closures without a
+    Ray session).  Canonical home of the pattern — dedup's ``_fetch_bench``
+    and the entry module's join/broadcast closures all route here (r03
+    review: two parallel copies had grown)."""
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
 def collect_table_under(ds, limit_rows: int) -> pa.Table | None:
     """Optimistically stream a Dataset to one driver-side Arrow table.
 
