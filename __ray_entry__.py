@@ -2946,6 +2946,43 @@ def q_dup_span_positions(sf_dir: str):
         .astype({"doc_id": "int64", "pos": "int64"})
 
 
+def q_top_event_per_hour(sf_dir: str):
+    """Windowed argmax (functions/window.top_key_per_window): the dominant
+    event type per hour with a defined tie-break (count desc, key asc) —
+    partials are (window, key) counts, the rank prune is window-bounded."""
+    from timberjack_ray.functions.window import top_key_per_window
+
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type"])
+    return top_key_per_window(ds, "ts", "event_type", 3600, k=1)
+
+
+def q_exact_sample_per_source(sf_dir: str):
+    """Fixed-quota deterministic sampling (functions/corpus.
+    grouped_exact_sample): exactly 20 docs per source ranked by the Knuth
+    32-bit scramble of doc_id — grouped_topk pruning, k×groups exchange."""
+    from timberjack_ray.functions.corpus import grouped_exact_sample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    out = grouped_exact_sample(ds, "source", "doc_id", 20)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+def q_remove_dup_spans(sf_dir: str):
+    """Substring-level dedup APPLICATION (Lee et al. 2022): delete every
+    non-first occurrence of a duplicated 8-word span, keeping the globally
+    first (min (doc_id, pos)); overlapping deletions union
+    (functions/dedup.remove_dup_spans — one Sum/Min hash exchange,
+    dup-vocabulary broadcast, one streaming rewrite pass with
+    pc.binary_join reconstruction)."""
+    from timberjack_ray.functions.dedup import remove_dup_spans
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_dup_spans(ds, span_words=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def q_first_touch_counts(sf_dir: str):
     """First-touch attribution: each user's FIRST event type under
     (ts, event_id) order (functions/sessions.first_event_per_key — one
@@ -3255,6 +3292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_trigrams": q_event_path_trigrams,
         "vocab_coverage": q_vocab_coverage,
         "sliding_window_distinct_users": q_sliding_window_distinct_users,
+        "top_event_per_hour": q_top_event_per_hour,
+        "exact_sample_per_source": q_exact_sample_per_source,
+        "remove_dup_spans": q_remove_dup_spans,
     }
 
 
@@ -4755,5 +4795,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "top_event_per_hour": """
+            SELECT window_start, event_type, n,
+                   CAST(1 AS BIGINT) AS rank
+            FROM (
+              SELECT window_start, event_type, n,
+                     ROW_NUMBER() OVER (PARTITION BY window_start
+                                        ORDER BY n DESC, event_type ASC) AS rn
+              FROM (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+                         AS window_start,
+                       event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2) c) t
+            WHERE rn = 1 ORDER BY window_start
+        """,
+        "exact_sample_per_source": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                                doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 20 ORDER BY source, doc_id
+        """,
+        "remove_dup_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     array_to_string(l[(u.i+1):(u.i+8)], ' ') AS win
+              FROM w, LATERAL (SELECT unnest(range(0,
+                       GREATEST(nw - 8 + 1, 0))) AS i) u
+              WHERE nw >= 8
+            ),
+            d AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+            occ AS (
+              SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY win
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins WHERE win IN (SELECT win FROM d)
+            ),
+            del AS (
+              SELECT DISTINCT doc_id, pos + CAST(u.i AS BIGINT) AS wi
+              FROM occ, LATERAL (SELECT unnest(range(0, 8)) AS i) u
+              WHERE rn > 1
+            ),
+            words AS (
+              SELECT w.doc_id, CAST(u.i AS BIGINT) AS wi, l[u.i+1] AS word
+              FROM w, LATERAL (SELECT unnest(range(0, nw)) AS i) u
+            ),
+            sel AS (
+              SELECT ws.doc_id, ws.wi, ws.word
+              FROM words ws LEFT JOIN del
+                ON del.doc_id = ws.doc_id AND del.wi = ws.wi
+              WHERE del.wi IS NULL
+            )
+            SELECT doc.doc_id,
+                   COALESCE(s.txt, '') AS text
+            FROM documents doc LEFT JOIN (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS txt
+              FROM sel GROUP BY doc_id) s USING (doc_id)
+            ORDER BY doc.doc_id
         """,
     }

@@ -284,3 +284,26 @@ def test_typo_pairs_planted(ray_session):
     out = typo_pairs(ds, "name")
     got = set(map(tuple, out[["a", "b"]].to_numpy()))
     assert got == {("cart", "cat"), ("bat", "cat"), ("dig", "dog")}
+
+
+def test_remove_dup_spans_planted(ray_session):
+    """Application pass: global-first occurrence kept, all others excised;
+    overlapping deletions union; short docs untouched; a fully-duplicated
+    exactly-8-word doc empties out."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import remove_dup_spans
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [
+        span + " tailA tailB",   # global first -> kept verbatim
+        "headX headY " + span,   # span excised
+        span,                    # exactly 8 words, duplicate -> ""
+        "short doc here",        # < 8 words -> untouched
+        " ".join(["r"] * 10),    # self-repeat: ranges [1,9)+[2,10) union
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(5)), "text": docs}))
+    out = remove_dup_spans(ds, span_words=8).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    assert out == [span + " tailA tailB", "headX headY", "",
+                   "short doc here", "r"]

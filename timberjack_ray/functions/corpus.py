@@ -711,3 +711,27 @@ def inverted_index(ds, id_col: str = "doc_id", col: str = "text",
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def grouped_exact_sample(ds, group_col: str, id_col: str, k: int):
+    """EXACTLY k rows per group, deterministically: rank rows inside each
+    group by (Knuth-multiplicative hash of id, id) and keep the k smallest
+    — the fixed-quota companion of the rate-based ``hash_sample`` /
+    stratified samplers (e.g. "exactly 20 audit docs per source", stable
+    across runs, engines and partitionings; no RNG state).
+
+    Plan: one vectorized map adds the 32-bit scramble, then
+    ``relational.grouped_topk`` does per-batch prune → k×groups exchange →
+    re-prune — never more than k rows per group cross the exchange.
+    Returns (group, id) sorted (group asc, hash rank order)."""
+    from timberjack_ray.functions.relational import grouped_topk
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        return t.select([group_col, id_col]).append_column(
+            "__hs", pa.array(h.astype(np.int64)))
+
+    out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
+                       group_col, "__hs", k, id_col, descending=False)
+    return out[[group_col, id_col]].reset_index(drop=True)

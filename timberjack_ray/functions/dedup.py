@@ -1150,3 +1150,121 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
         return tt.filter(pa.array(hit)).select([id_col, "pos"])
 
     return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
+                     id_col: str = "doc_id"):
+    """Substring-level dedup APPLICATION pass (Lee et al. 2022): for every
+    word span of ``span_words`` occurring ≥ 2 times corpus-wide, keep the
+    globally-FIRST occurrence (min (doc_id, pos)) and delete the words of
+    every other occurrence; overlapping deleted spans union their word
+    ranges.  Docs shorter than ``span_words`` pass through untouched.
+    Returns a Dataset of (id, text) with the cleaned text — the companion
+    of ``dup_span_positions`` (detection) that actually rewrites the corpus.
+
+    Plan (same 100-TB shape as the detector): pass 1 — per-batch (hash →
+    count, min packed(doc,pos)) partials, ONE distributed groupby(hash)
+    folds Sum/Min, hashes with total ≥ 2 stream back with their global
+    first occurrence (volume = duplicated-span vocabulary); pass 2 — one
+    streaming map_batches: every occurrence whose packed key ≠ the global
+    min marks its word range via a vectorized diff/cumsum coverage mask,
+    and the text is rebuilt with ``pc.binary_join`` over the kept words —
+    no per-row Python.  Precondition: 0 ≤ doc_id < 2^31 (packed into one
+    int64 as doc_id·2^32 + pos).
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def occ(t: pa.Table):
+        """(hash, packed(doc,pos)) for every true span occurrence."""
+        texts = t[col].to_pylist()
+        h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
+        lens = np.diff(offs)
+        wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
+        keep = np.repeat(wc >= span_words, lens)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        return h[keep].view(np.int64), ids[keep] * SHIFT + pos[keep]
+
+    def pre_fold(t: pa.Table) -> pa.Table:
+        h, packed = occ(t)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64())})
+        order = np.argsort(h, kind="stable")
+        hs, ps = h[order], packed[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        uh = hs[first]
+        n = np.diff(np.r_[np.flatnonzero(first), len(hs)])
+        mn = np.minimum.reduceat(ps, np.flatnonzero(first))
+        return pa.table({"h": pa.array(uh), "n": pa.array(n),
+                         "mn": pa.array(mn)})
+
+    folded = ds.map_batches(pre_fold, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n"),
+                                Min("mn", alias_name="mn")) \
+        .map_batches(lambda t: t.filter(pc.greater_equal(t["n"], 2))
+                     .select(["h", "mn"]), batch_format="pyarrow")
+    parts = [b for b in folded.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+             if b.num_rows]
+    if parts:
+        dup = pa.concat_tables(parts)
+        dh = dup["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dh)
+        dup_h = dh[order]
+        dup_mn = dup["mn"].to_numpy(zero_copy_only=False)[order]
+    else:
+        dup_h = np.zeros(0, np.int64)
+        dup_mn = np.zeros(0, np.int64)
+    ref = ray.put((dup_h, dup_mn))
+
+    def clean(t: pa.Table) -> pa.Table:
+        gh, gmn = _fetch_bench(ref)
+        n = t.num_rows
+        if n == 0 or len(gh) == 0:
+            return pa.table({id_col: t[id_col], "text": t[col]})
+        texts = t[col].to_pylist()
+        h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
+        lens = np.diff(offs)
+        wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
+        w_offs = np.concatenate([[0], np.cumsum(wc)])
+        span_ok = np.repeat(wc >= span_words, lens)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        packed = ids * SHIFT + pos
+        hi = h.view(np.int64)
+        idx = np.searchsorted(gh, hi)
+        inb = (idx < len(gh)) & span_ok
+        hit = np.zeros(len(hi), dtype=bool)
+        hit[inb] = gh[idx[inb]] == hi[inb]
+        # delete every duplicated occurrence EXCEPT the global first
+        dele = hit & (packed != np.where(hit, gmn[np.minimum(idx, len(gh) - 1)],
+                                         np.int64(-1)))
+        # coverage mask over the batch's flat word stream: diff + cumsum
+        doc_of_gram = np.repeat(np.arange(n, dtype=np.int64), lens)
+        start = w_offs[doc_of_gram[dele]] + pos[dele]
+        total = int(w_offs[-1])
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, start, 1)
+        np.add.at(diff, start + span_words, -1)
+        keep_w = np.cumsum(diff[:-1]) == 0
+        # rebuild: split (same literal single-space rule), filter flat
+        # words, re-list by new per-doc counts, join — all Arrow/numpy
+        flat = pd.Series(texts, dtype=object).astype(str).str.split(" ") \
+            .explode().to_numpy(dtype=object)
+        new_wc = np.add.reduceat(keep_w.astype(np.int64), w_offs[:-1])
+        new_offs = np.concatenate([[0], np.cumsum(new_wc)]).astype(np.int64)
+        kept = pa.array(flat[keep_w], pa.string())
+        # LargeList (int64 offsets): immune to >2^31-word batches
+        lst = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()),
+                                            kept)
+        joined = pc.binary_join(lst, " ")
+        return pa.table({id_col: t[id_col], "text": joined})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -177,3 +177,24 @@ class EventTimeWindower:
             "n": np.array([allw[k] for k in sorted(allw)], dtype=np.int64),
         })
         return out
+
+
+def top_key_per_window(ds, ts_col: str, key_col: str, width_s: int,
+                       k: int = 1) -> pd.DataFrame:
+    """Top-K keys by count per tumbling window (count desc, key asc tie) —
+    "the dominant error type each hour", the windowed argmax every log
+    pipeline wants next to its trend counts.
+
+    Partials are (window, key) count rows (bounded by windows × distinct
+    keys per batch, never raw rows); the merged table is time-range ×
+    key-cardinality sized and the per-window rank prune runs driver-side.
+    Precondition: bounded key domain (log levels, event/error types) — for
+    open domains run ``word_topk``-style CMS degrading first.  Returns
+    (window_start, key, n, rank) with rank ∈ [1, k]."""
+    counts = tumbling_counts(ds, ts_col, width_s, by=key_col)
+    counts = counts.sort_values(["window_start", "n", key_col],
+                                ascending=[True, False, True])
+    counts["rank"] = counts.groupby("window_start").cumcount() + 1
+    out = counts[counts["rank"] <= k].reset_index(drop=True)
+    return out.astype({"window_start": "int64", "n": "int64",
+                       "rank": "int64"})
