@@ -2946,6 +2946,34 @@ def q_dup_span_positions(sf_dir: str):
         .astype({"doc_id": "int64", "pos": "int64"})
 
 
+def q_corpus_diff_counts(sf_dir: str):
+    """Incremental-snapshot audit (functions/corpus.corpus_diff_counts):
+    distinct contents added / removed / common between the even-doc_id and
+    odd-doc_id halves of the documents table — one Min/Max(hash-tag)
+    exchange, classify step is partial-sum sized."""
+    from timberjack_ray.functions.corpus import corpus_diff_counts
+
+    def side(parity: int):
+        return _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)),
+                batch_format="pyarrow")
+
+    return corpus_diff_counts(side(0), side(1))
+
+
+def q_embedding_dispersion(sf_dir: str):
+    """Per-label embedding dispersion moments (functions/similarity.
+    embedding_dispersion): exact scaled-int Σ‖q(e)‖² per label — with the
+    centroid sums this yields the per-group variance bit-exactly."""
+    from timberjack_ray.functions.similarity import embedding_dispersion
+
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = embedding_dispersion(ds, "label", scale=1000)
+    return out.astype({"label": "int64", "n": "int64",
+                       "sumsq_scaled": "int64"})
+
+
 def q_top_event_per_hour(sf_dir: str):
     """Windowed argmax (functions/window.top_key_per_window): the dominant
     event type per hour with a defined tie-break (count desc, key asc) —
@@ -3293,6 +3321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "sliding_window_distinct_users": q_sliding_window_distinct_users,
         "top_event_per_hour": q_top_event_per_hour,
+        "corpus_diff_counts": q_corpus_diff_counts,
+        "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
     }
@@ -4795,6 +4825,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "corpus_diff_counts": """
+            WITH o AS (SELECT DISTINCT text FROM documents
+                       WHERE doc_id % 2 = 0),
+                 nw AS (SELECT DISTINCT text FROM documents
+                        WHERE doc_id % 2 = 1)
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n_contents FROM (
+              SELECT CASE WHEN o.text IS NULL THEN 'added'
+                          WHEN nw.text IS NULL THEN 'removed'
+                          ELSE 'common' END AS status
+              FROM o FULL OUTER JOIN nw ON o.text = nw.text) t
+            GROUP BY status ORDER BY status
+        """,
+        "embedding_dispersion": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   COUNT(*) AS n,
+                   CAST(SUM(list_sum(list_transform(embedding,
+                     e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0 + 0.5)
+                               AS BIGINT)
+                        * CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0 + 0.5)
+                               AS BIGINT)))) AS BIGINT) AS sumsq_scaled
+            FROM embeddings GROUP BY label ORDER BY label
         """,
         "top_event_per_hour": """
             SELECT window_start, event_type, n,

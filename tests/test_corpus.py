@@ -413,3 +413,31 @@ def test_budget_sample_prefix_and_determinism(ray_session):
         got = out[out["source"] == s]["doc_id"].tolist()
         assert sorted(got) == sorted(exp)
         assert sum(out[out["source"] == s]["w"]) <= 100
+
+
+def test_corpus_diff_counts_planted(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from timberjack_ray.functions.corpus import corpus_diff_counts
+
+    old = rd.from_arrow(pa.table({"text": ["a", "b", "b", "c"]}))
+    new = rd.from_arrow(pa.table({"text": ["b", "c", "d", "d", "e"]}))
+    out = corpus_diff_counts(old, new)
+    got = dict(zip(out["status"], out["n_contents"]))
+    # distinct: old {a,b,c}, new {b,c,d,e} -> added {d,e}, removed {a},
+    # common {b,c}
+    assert got == {"added": 2, "removed": 1, "common": 2}
+
+
+def test_corpus_diff_counts_disjoint(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from timberjack_ray.functions.corpus import corpus_diff_counts
+
+    old = rd.from_arrow(pa.table({"text": ["x"]}))
+    new = rd.from_arrow(pa.table({"text": ["y"]}))
+    out = corpus_diff_counts(old, new)
+    got = dict(zip(out["status"], out["n_contents"]))
+    assert got == {"added": 1, "removed": 1}  # no 'common' row emitted

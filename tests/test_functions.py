@@ -647,3 +647,24 @@ def test_embedding_dedup_composition_drops_planted_copies(ray_session):
     # OR-amplified LSH should catch nearly all of them
     assert len(originals) >= 50
     assert len(copies) <= len(originals) * 0.1
+
+
+def test_embedding_dispersion_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import embedding_dispersion
+
+    rng = np.random.RandomState(3)
+    m = rng.uniform(-1, 1, size=(40, 8))
+    labels = rng.randint(0, 3, size=40)
+    ds = rd.from_arrow(pa.table({
+        "label": labels.astype("int64"),
+        "embedding": [row.tolist() for row in m]}))
+    out = embedding_dispersion(ds, "label", scale=1000)
+    q = np.floor(m * 1000 + 0.5).astype(np.int64)
+    for r in out.itertuples():
+        sel = labels == r.label
+        assert r.n == int(sel.sum())
+        assert r.sumsq_scaled == int((q[sel] ** 2).sum())

@@ -735,3 +735,48 @@ def grouped_exact_sample(ds, group_col: str, id_col: str, k: int):
     out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
                        group_col, "__hs", k, id_col, descending=False)
     return out[[group_col, id_col]].reset_index(drop=True)
+
+
+def corpus_diff_counts(old_ds, new_ds, col: str = "text") -> pd.DataFrame:
+    """Incremental-snapshot diff: how many distinct contents were added /
+    removed / stayed between two corpus snapshots — the audit step before
+    an incremental ingest (pair of ``cross_dedup``'s anti-filter).
+
+    Per batch each side emits its DISTINCT content hashes tagged 0 (old) /
+    1 (new); ONE distributed groupby(hash) folds Min/Max of the tag, so
+    each distinct content crosses the exchange as 8+1 bytes no matter how
+    often it repeats; the classify-and-count step is partial-sum sized.
+    Returns (status ∈ added|removed|common, n_contents), statuses with
+    zero count omitted.  64-bit hash equivalence (same caveat as
+    ``exact_dedup``)."""
+    from ray.data.aggregate import Max, Min
+
+    from timberjack_ray.functions.dedup import add_content_hash
+
+    def tagged(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = pc.unique(add_content_hash(t, col)["content_hash"])
+            return pa.table({"h": u, "s": pa.array(
+                np.full(len(u), side, np.int64))})
+        return f
+
+    pairs = old_ds.map_batches(tagged(0), batch_format="pyarrow") \
+        .union(new_ds.map_batches(tagged(1), batch_format="pyarrow"))
+    folded = pairs.groupby("h").aggregate(Min("s", alias_name="mn"),
+                                          Max("s", alias_name="mx"))
+
+    def classify(t: pa.Table) -> pa.Table:
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        status = np.where(mn == 1, "added",
+                          np.where(mx == 0, "removed", "common"))
+        g = pa.table({"status": pa.array(status, pa.string())}) \
+            .group_by("status").aggregate([([], "count_all")])
+        return g.rename_columns(["status", "n_contents"])
+
+    from timberjack_ray.aggregates import merge_partials
+
+    out = merge_partials(folded.map_batches(classify,
+                                            batch_format="pyarrow"),
+                         ["status"], "n_contents").to_pandas()
+    return out.sort_values("status").reset_index(drop=True)

@@ -536,3 +536,40 @@ def brute_force_topk_q8(ds, queries: np.ndarray, k: int = 10,
         QuantizedTopK(query_ref=qq, k=k, id_col=id_col),
         batch_format="pyarrow").to_pandas()
     return _rank_merge(partial, id_col, "score_q", k)
+
+
+def embedding_dispersion(ds, group_col: str, vec_col: str = "embedding",
+                         scale: int = 1000) -> pd.DataFrame:
+    """Per-group embedding dispersion moments on the scaled-int domain:
+    (group, n, sumsq_scaled) with ``sumsq_scaled = Σ_rows Σ_dims q(e)²``,
+    q = floor(e·scale + ½).  Together with ``grouped_centroid_sums`` this
+    gives the exact per-group variance E‖x‖² − ‖Ex‖² (cluster-diversity /
+    mode-collapse signal) without any float accumulation — the oracle
+    replays every term bit for bit.  Partials are one row per group per
+    batch.  Precondition: (scale·|e|)²·dim·rows_per_group < 2^63 — at the
+    default 1e3 scale and unit-norm embeddings that is ~10^10 rows per
+    group; raise ``scale`` only with that budget in mind."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sumsq_scaled": pa.array([], pa.int64())})
+        q = scale_to_int_np(m, scale)
+        row_sq = (q * q).sum(axis=1)
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        n = np.diff(np.r_[starts, len(gs)])
+        ssq = np.add.reduceat(row_sq[order], starts)
+        return pa.table({group_col: pa.array(gs[starts]),
+                         "n": pa.array(n.astype(np.int64)),
+                         "sumsq_scaled": pa.array(ssq.astype(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(p, [group_col], ["n", "sumsq_scaled"]).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
