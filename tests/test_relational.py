@@ -229,3 +229,37 @@ def test_grouped_mad_matches_numpy(ray_session):
         med = q_disc(vals)
         assert r["median_scaled"] == med
         assert r["mad_scaled"] == q_disc(np.abs(vals - med))
+
+
+def test_export_sorted_global_order_and_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import export_sorted
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.uniform(0, 100, size=2000), 2)
+    ds = rd.from_arrow(pa.table({
+        "event_id": np.arange(2000, dtype=np.int64), "value": vals}))
+    out_dir = str(tmp_path / "sorted")
+    man = export_sorted(ds, "value", out_dir, n_ranges=4)
+    assert man["range_id"].tolist() == [0, 1, 2, 3]
+    assert man["n"].sum() == 2000
+    # ranges tile the domain in order and each file is internally sorted
+    prev_max = None
+    for r in man.itertuples():
+        body = pq.read_table(r.path)
+        cents = np.floor(body["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        assert (np.diff(cents) >= 0).all()
+        assert cents[0] == r.min_scaled and cents[-1] == r.max_scaled
+        if prev_max is not None:
+            assert cents[0] >= prev_max
+        prev_max = cents[-1]
+    # resume: re-run skips finished ranges (mtime unchanged)
+    mtimes = {r.path: os.path.getmtime(r.path) for r in man.itertuples()}
+    man2 = export_sorted(ds, "value", out_dir, n_ranges=4)
+    assert man2["n"].sum() == 2000
+    for r in man2.itertuples():
+        assert os.path.getmtime(r.path) == mtimes[r.path]

@@ -872,3 +872,67 @@ def range_partition_stats(ds, col: str, n_ranges: int = 8,
         .to_pandas().sort_values("range_id").reset_index(drop=True)
     return out.astype({"range_id": "int64", "n": "int64",
                        "min_scaled": "int64", "max_scaled": "int64"})
+
+
+def export_sorted(ds, col: str, out_dir: str, n_ranges: int = 8,
+                  scale: int = 100, cols: list[str] | None = None) -> pd.DataFrame:
+    """Global sorted export — the EXECUTION of ``range_partition_stats``'s
+    plan: boundaries from the exact value histogram (one counting pass, no
+    sort), every row assigned range_id = #boundaries < value, then ONE
+    groupby(range_id) exchange co-locates each range and a per-range
+    vectorized sort writes ``range=<id>/part.parquet`` atomically
+    (tmp → rename): file k's values all ≤ file k+1's, each file internally
+    sorted — a reader concatenating range dirs in id order streams the
+    corpus globally sorted.  Per-range output is its own resume unit
+    (re-runs skip ranges whose file already exists).  Returns the manifest
+    (range_id, n, min_scaled, max_scaled, path), range_id asc.
+
+    At 100 TB: boundaries from the same (or a sampled) histogram; the one
+    exchange moves each row once; range count sized so a range fits a
+    worker's heap for the in-memory sort (or recurses on a second split).
+    """
+    import os
+
+    from timberjack_ray.functions.sessions import exact_quantiles
+    from timberjack_ray.functions.util import scale_to_int
+
+    os.makedirs(out_dir, exist_ok=True)
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = exact_quantiles(ds, col, qs, scale=scale)["value_scaled"] \
+        .to_numpy().astype(np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if cols:
+            t = t.select(cols)
+        v = scale_to_int(t[col], scale).to_numpy()
+        rid = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return t.append_column("__rid", pa.array(rid)) \
+            .append_column("__v", pa.array(v))
+
+    def write_range(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rid = int(t["__rid"][0].as_py())
+        vs = t["__v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vs, kind="stable")
+        body = t.drop_columns(["__rid", "__v"]).take(pa.array(order))
+        d = os.path.join(out_dir, f"range={rid}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part.parquet")
+        if not os.path.exists(path):  # resume: finished ranges skip
+            tmp = path + ".tmp"
+            pq.write_table(body, tmp)
+            os.replace(tmp, path)
+        return pa.table({
+            "range_id": pa.array([rid], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "min_scaled": pa.array([int(vs.min())], pa.int64()),
+            "max_scaled": pa.array([int(vs.max())], pa.int64()),
+            "path": pa.array([path], pa.string()),
+        })
+
+    manifest = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("__rid") \
+        .map_groups(write_range, batch_format="pyarrow") \
+        .to_pandas()
+    return manifest.sort_values("range_id").reset_index(drop=True)
