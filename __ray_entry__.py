@@ -2946,6 +2946,20 @@ def q_dup_span_positions(sf_dir: str):
         .astype({"doc_id": "int64", "pos": "int64"})
 
 
+def q_value_percentile_ranks(sf_dir: str):
+    """Empirical-CDF rank normalization (functions/sessions.
+    percentile_ranks): per event the exact-integer (n_less, n_eq) of its
+    cent-scaled value — histogram pass + broadcast cumulative table + one
+    streaming searchsorted assignment; PERCENT_RANK is the consumer's
+    division."""
+    from timberjack_ray.functions.sessions import percentile_ranks
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    out = percentile_ranks(ds, "value", "event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "n_less": "int64", "n_eq": "int64"})
+
+
 def q_corpus_diff_counts(sf_dir: str):
     """Incremental-snapshot audit (functions/corpus.corpus_diff_counts):
     distinct contents added / removed / common between the even-doc_id and
@@ -3322,6 +3336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_distinct_users": q_sliding_window_distinct_users,
         "top_event_per_hour": q_top_event_per_hour,
         "corpus_diff_counts": q_corpus_diff_counts,
+        "value_percentile_ranks": q_value_percentile_ranks,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
@@ -4825,6 +4840,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "value_percentile_ranks": """
+            WITH h AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS n_eq
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT v, n_eq,
+                     CAST(COALESCE(SUM(n_eq) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_less
+              FROM h
+            )
+            SELECT e.event_id, c.n_less, c.n_eq
+            FROM events e JOIN c
+              ON CAST(ROUND(e.value * 100) AS BIGINT) = c.v
+            ORDER BY e.event_id
         """,
         "corpus_diff_counts": """
             WITH o AS (SELECT DISTINCT text FROM documents

@@ -563,3 +563,51 @@ def path_trigram_counts(ds, key_col: str, ts_col: str, type_col: str,
     out = out.sort_values(["n", "t1", "t2", "t3"],
                           ascending=[False, True, True, True]).head(k)
     return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+def percentile_ranks(ds, col: str, id_col: str, scale: int = 100,
+                     max_hist: int = 5_000_000):
+    """Empirical-CDF feature transform: for every row, (id, n_less, n_eq)
+    — how many values in the whole column are strictly below / equal to
+    this row's scaled value.  The exact-integer percentile rank (the
+    standard rank-normalization step before model features; PERCENT_RANK
+    = n_less / (n_total − 1) is the consumer's division).
+
+    Plan: ONE counting pass builds the per-distinct-scaled-value histogram
+    (value-domain-sized — the exact_quantiles shape, never a sort); the
+    cumulative table broadcasts (``ray.put`` once); a second streaming
+    pass assigns each row's (n_less, n_eq) via one vectorized searchsorted.
+    Raises if the distinct-value domain exceeds ``max_hist`` (open float
+    domains need a coarser ``scale`` — the discretization IS the contract,
+    matching the SQL oracle's ROUND).  Returns a Dataset (streams;
+    row-volume output).
+    """
+    import ray
+
+    from timberjack_ray.functions.util import fetch_broadcast, scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t[col], scale)
+        g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["v"], "n").to_pandas().sort_values("v")
+    if len(counts) > max_hist:
+        raise ValueError(
+            f"distinct scaled-value domain {len(counts)} exceeds max_hist="
+            f"{max_hist}; coarsen `scale`")
+    vals = counts["v"].to_numpy().astype(np.int64)
+    ns = counts["n"].to_numpy().astype(np.int64)
+    n_less = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    ref = ray.put((vals, ns, n_less))
+
+    def assign(t: pa.Table) -> pa.Table:
+        vv, nn, nl = fetch_broadcast(ref)
+        v = scale_to_int(t[col], scale).to_numpy()
+        idx = np.searchsorted(vv, v)  # exact: every v is in the histogram
+        return pa.table({id_col: t[id_col],
+                         "n_less": pa.array(nl[idx]),
+                         "n_eq": pa.array(nn[idx])})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
