@@ -224,3 +224,55 @@ def test_comoment_sums_single_row(ray_session):
                                 x_scale=1, y_scale=1)
     r = out.iloc[0]
     assert (r["sum_x"], r["sum_y"], r["sum_xy"], r["n"]) == (3, 4, 12, 1)
+
+
+def test_percentile_ranks_guard_trips(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import percentile_ranks
+
+    ds = rd.from_arrow(pa.table({
+        "event_id": list(range(100)),
+        "value": [float(i) for i in range(100)]}))
+    with pytest.raises(ValueError, match="max_hist"):
+        percentile_ranks(ds, "value", "event_id", max_hist=10)
+    # and the guard not tripping yields exact ranks
+    out = percentile_ranks(ds, "value", "event_id", max_hist=1000) \
+        .to_pandas().sort_values("event_id")
+    assert out["n_less"].tolist() == list(range(100))
+    assert (out["n_eq"] == 1).all()
+
+
+def test_grouped_exact_sample_small_groups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import grouped_exact_sample
+
+    # group 'a' has 2 rows < k=3: ALL its rows keep; 'b' has 5 → exactly 3
+    t = pa.table({"g": ["a", "a", "b", "b", "b", "b", "b"],
+                  "id": [1, 2, 10, 11, 12, 13, 14]})
+    out = grouped_exact_sample(rd.from_arrow(t), "g", "id", 3)
+    sizes = out.groupby("g")["id"].count().to_dict()
+    assert sizes == {"a": 2, "b": 3}
+    # deterministic: second run identical
+    out2 = grouped_exact_sample(rd.from_arrow(t), "g", "id", 3)
+    assert out["id"].tolist() == out2["id"].tolist()
+
+
+def test_top_key_per_window_tie_break(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import top_key_per_window
+
+    # window 0: b×2, a×2 → tie broken by key asc → 'a'; window 3600: c×1
+    ts = np.array([10, 20, 30, 40, 3700], dtype="datetime64[s]")
+    keys = ["b", "a", "b", "a", "c"]
+    ds = rd.from_arrow(pa.table({"ts": ts, "k": keys}))
+    out = top_key_per_window(ds, "ts", "k", 3600, k=1)
+    assert out[["window_start", "k", "n"]].values.tolist() == \
+        [[0, "a", 2], [3600, "c", 1]]
