@@ -269,3 +269,23 @@ def test_inverted_index_hot_word_capped(ray_session):
     row = out[out["word"] == "common"].iloc[0]
     assert row["df"] == n
     assert row["postings"] == "0,1,2,3"  # capped, sorted
+
+
+def test_top_key_per_window_degrades_distributed(ray_session):
+    """Force the fold past max_rows: the distributed grouped_topk path must
+    produce exactly the driver path's answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import top_key_per_window
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    ts = np.array(rng.randint(0, 4 * 3600, size=n), dtype="datetime64[s]")
+    keys = [f"k{rng.randint(0, 50)}" for _ in range(n)]
+    ds = rd.from_arrow(pa.table({"ts": ts, "key": keys}))
+    want = top_key_per_window(ds, "ts", "key", 3600, k=2)  # driver path
+    got = top_key_per_window(ds, "ts", "key", 3600, k=2, max_rows=10)
+    assert want[["window_start", "key", "n", "rank"]].values.tolist() == \
+        got[["window_start", "key", "n", "rank"]].values.tolist()

@@ -180,18 +180,46 @@ class EventTimeWindower:
 
 
 def top_key_per_window(ds, ts_col: str, key_col: str, width_s: int,
-                       k: int = 1) -> pd.DataFrame:
+                       k: int = 1, max_rows: int = 5_000_000) -> pd.DataFrame:
     """Top-K keys by count per tumbling window (count desc, key asc tie) —
     "the dominant error type each hour", the windowed argmax every log
     pipeline wants next to its trend counts.
 
     Partials are (window, key) count rows (bounded by windows × distinct
     keys per batch, never raw rows); the merged table is time-range ×
-    key-cardinality sized and the per-window rank prune runs driver-side.
-    Precondition: bounded key domain (log levels, event/error types) — for
-    open domains run ``word_topk``-style CMS degrading first.  Returns
-    (window_start, key, n, rank) with rank ∈ [1, k]."""
-    counts = tumbling_counts(ds, ts_col, width_s, by=key_col)
+    key-cardinality sized.  GUARDED fold (the VERDICT r02 auto-degrade
+    pattern): under ``max_rows`` merged rows the rank prune runs
+    driver-side; past it the fold bails to a distributed
+    groupby(window, key) Sum and the prune runs through
+    ``grouped_topk``'s bucketed path — driver memory stays bounded at any
+    key cardinality.  Returns (window_start, key, n, rank), rank ∈ [1, k]."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.relational import grouped_topk
+
+    keys = ["window_start", key_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        secs = _ts_seconds(t[ts_col])
+        ws = (secs // width_s) * width_s
+        g = pa.table({"window_start": pa.array(ws, pa.int64()),
+                      key_col: t[key_col]}) \
+            .group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    folded, mode = merge_partials_or_ds(p, keys, ["n"],
+                                        driver_limit=max_rows)
+    if mode == "distributed":
+        counts = grouped_topk(folded, "window_start", "n", k, key_col,
+                              descending=True)
+        if not isinstance(counts, pd.DataFrame):
+            # k × #windows itself exceeds grouped_topk's driver limit:
+            # the ASK is driver-unboundable — hand back the pruned Dataset
+            # (exact k-per-window rows) for the caller to stream/write
+            return counts
+        counts = counts[keys + ["n"]]
+    else:
+        counts = folded.to_pandas()
     counts = counts.sort_values(["window_start", "n", key_col],
                                 ascending=[True, False, True])
     counts["rank"] = counts.groupby("window_start").cumcount() + 1
