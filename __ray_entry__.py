@@ -2946,6 +2946,18 @@ def q_dup_span_positions(sf_dir: str):
         .astype({"doc_id": "int64", "pos": "int64"})
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (functions/text.bpe_train): 20 merges learned
+    from one guarded distributed word-histogram pass + the driver-side
+    vectorized merge loop (HF-tokenizers shape).  Iterative — no SQL
+    oracle; the merge rule is pinned by the hand-computed Sennrich-corpus
+    test (tests/test_text_lm.py)."""
+    from timberjack_ray.functions.text import bpe_train
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=20)
+
+
 def q_value_percentile_ranks(sf_dir: str):
     """Empirical-CDF rank normalization (functions/sessions.
     percentile_ranks): per event the exact-integer (n_less, n_eq) of its
@@ -3337,6 +3349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_hour": q_top_event_per_hour,
         "corpus_diff_counts": q_corpus_diff_counts,
         "value_percentile_ranks": q_value_percentile_ranks,
+        "bpe_merges": q_bpe_merges,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,

@@ -307,3 +307,24 @@ def test_remove_dup_spans_planted(ray_session):
         .sort_values("doc_id")["text"].tolist()
     assert out == [span + " tailA tailB", "headX headY", "",
                    "short doc here", "r"]
+
+
+def test_bpe_train_sennrich_merges(ray_session):
+    """Hand-computed merge table on the classic Sennrich corpus, incl. the
+    (e,s)/(s,t) count-9 tie broken pair-asc and the greedy non-overlap rule."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bpe_train
+
+    docs = [("low " * 5 + "lower " * 2).strip(),
+            ("newest " * 6 + "widest " * 3).strip()]
+    ds = rd.from_arrow(pa.table({"text": docs}))
+    out = bpe_train(ds, n_merges=4)
+    assert out[["left", "right", "n"]].values.tolist() == [
+        ["e", "s", 9], ["es", "t", 9], ["l", "o", 7], ["lo", "w", 7]]
+    assert out.attrs["mode"] == "exact"
+    # greedy left-to-right non-overlap: aaaa -> aa+aa (runs keep even offsets)
+    ds2 = rd.from_arrow(pa.table({"text": ["aaaa aaaa"]}))
+    out2 = bpe_train(ds2, n_merges=5)
+    assert out2[["left", "right", "n"]].values.tolist() == [
+        ["a", "a", 6], ["aa", "aa", 2]]  # stops early: no pair >= min_count

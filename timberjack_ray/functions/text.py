@@ -699,3 +699,83 @@ def typo_pairs(ds, col: str, n_buckets: int = 64, max_bucket: int = 512):
     out = pairs.to_pandas().drop_duplicates() \
         .sort_values(["a", "b"]).reset_index(drop=True)
     return out
+
+
+def bpe_train(ds, col: str = "text", n_merges: int = 50,
+              min_count: int = 2, limit: int | None = None) -> pd.DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the full merge loop,
+    not just one pair-count round (``bpe_pair_counts``): learn ``n_merges``
+    merges with the deterministic (count desc, pair asc) rule, stopping
+    early when the best pair's count drops under ``min_count``.
+
+    The 100-TB shape is the standard one (HF tokenizers): ONE distributed
+    word-count pass collapses the corpus to its vocabulary histogram
+    (GUARDED — past the cardinality limit it degrades to the CMS candidate
+    set, recorded in ``.attrs["mode"]``; an approximate histogram trains an
+    approximate-but-valid tokenizer), then the merge loop runs driver-side
+    over vocabulary-sized arrays: per round one vectorized adjacent-pair
+    count (word-boundary masked, weighted by word count) and one vectorized
+    non-overlapping left-to-right collapse (runs of consecutive matches
+    keep even offsets — exact greedy BPE semantics, e.g. "aaaa" → aa+aa).
+    Corpus text is touched exactly once.
+
+    Returns (rank, left, right, n) — the learned merge table."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_counts_guarded
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch[col], " "))
+        g = pa.table({"word": words}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    folded = merge_counts_guarded(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", "n", limit)
+    hist = folded.to_pandas()
+    hist = hist[(hist["n"] >= 1) & (hist["word"].astype(str).str.len() > 0)]
+    vocab = hist["word"].astype(str).to_numpy(dtype=object)
+    wn = hist["n"].to_numpy().astype(np.int64)
+
+    # flat symbol stream: one char per slot, word ids for boundary masking
+    sym = np.array([c for w in vocab for c in w], dtype=object)
+    wid = np.repeat(np.arange(len(vocab), dtype=np.int64),
+                    [len(w) for w in vocab])
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if len(sym) < 2:
+            break
+        valid = wid[:-1] == wid[1:]
+        if not valid.any():
+            break
+        l, r = sym[:-1][valid], sym[1:][valid]
+        w = wn[wid[:-1][valid]]
+        pc_df = pd.DataFrame({"l": l, "r": r, "w": w}) \
+            .groupby(["l", "r"], sort=False)["w"].sum().reset_index()
+        pc_df = pc_df.sort_values(["w", "l", "r"],
+                                  ascending=[False, True, True])
+        best = pc_df.iloc[0]
+        if int(best["w"]) < min_count:
+            break
+        bl, br, bn = str(best["l"]), str(best["r"]), int(best["w"])
+        merges.append((bl, br, bn))
+        # all positions whose (sym, next-sym) match within a word
+        m = np.flatnonzero(valid & (sym[:-1] == bl) & (sym[1:] == br))
+        # greedy left-to-right non-overlap: in each run of consecutive
+        # match positions keep even offsets from the run start
+        run_start = m.copy()
+        if len(m) > 1:
+            new_run = np.r_[True, np.diff(m) != 1]
+            run_start = m[np.maximum.accumulate(
+                np.where(new_run, np.arange(len(m)), 0))]
+        keep = m[((m - run_start) % 2) == 0]
+        sym[keep] = bl + br
+        drop = keep + 1
+        mask = np.ones(len(sym), dtype=bool)
+        mask[drop] = False
+        sym, wid = sym[mask], wid[mask]
+    out = pd.DataFrame(merges, columns=["left", "right", "n"])
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out = out.astype({"n": "int64"})
+    out.attrs["mode"] = folded.mode
+    return out
