@@ -2958,6 +2958,33 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(ds, n_merges=20)
 
 
+def q_bpe_fertility(sf_dir: str):
+    """BPE train→apply round trip (functions/text.bpe_token_counts):
+    per-source word and BPE-token totals after 20 learned merges — the
+    tokenizer-fertility statistic.  Iterative training → no SQL oracle;
+    the merge rule and encoder are pinned by the Sennrich-corpus tests."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.text import bpe_token_counts
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    per_doc = bpe_token_counts(ds, n_merges=20, col="text",
+                               keep_cols=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [([], "count_all"), ("n_words", "sum"), ("n_bpe", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "total_words", "total_bpe"])
+
+    out = merge_partials(per_doc.map_batches(partial,
+                                             batch_format="pyarrow"),
+                         ["source"],
+                         ["n_docs", "total_words", "total_bpe"]).to_pandas()
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"n_docs": "int64", "total_words": "int64",
+                 "total_bpe": "int64"})
+
+
 def q_value_percentile_ranks(sf_dir: str):
     """Empirical-CDF rank normalization (functions/sessions.
     percentile_ranks): per event the exact-integer (n_less, n_eq) of its
@@ -3350,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_counts": q_corpus_diff_counts,
         "value_percentile_ranks": q_value_percentile_ranks,
         "bpe_merges": q_bpe_merges,
+        "bpe_fertility": q_bpe_fertility,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,

@@ -328,3 +328,22 @@ def test_bpe_train_sennrich_merges(ray_session):
     out2 = bpe_train(ds2, n_merges=5)
     assert out2[["left", "right", "n"]].values.tolist() == [
         ["a", "a", 6], ["aa", "aa", 2]]  # stops early: no pair >= min_count
+
+
+def test_bpe_encoder_fertility(ray_session):
+    """Train-then-apply round trip on the Sennrich corpus: learned merges
+    (es, est, lo, low) give low→1, lower→3, newest→4, widest→4 tokens."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import BpeEncoder, bpe_train
+
+    docs = [("low " * 5 + "lower " * 2).strip(),
+            ("newest " * 6 + "widest " * 3).strip()]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": docs}))
+    m = bpe_train(ds, n_merges=4)
+    enc = BpeEncoder(list(zip(m["left"], m["right"])))
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["low lower", "newest widest", ""]})
+    out = enc(t).to_pandas()
+    assert out["n_words"].tolist() == [2, 2, 1]
+    assert out["n_bpe"].tolist() == [1 + 3, 4 + 4, 0]

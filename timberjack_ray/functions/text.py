@@ -701,6 +701,28 @@ def typo_pairs(ds, col: str, n_buckets: int = 64, max_bucket: int = 512):
     return out
 
 
+def _apply_bpe_merge(sym: np.ndarray, wid: np.ndarray, bl: str, br: str):
+    """One vectorized greedy left-to-right BPE merge over a flat symbol
+    stream with word-id boundary masking: in each run of consecutive match
+    positions keep even offsets from the run start (exact BPE semantics,
+    "aaaa" -> aa+aa).  Shared by training (bpe_train) and application
+    (BpeEncoder)."""
+    valid = wid[:-1] == wid[1:]
+    m = np.flatnonzero(valid & (sym[:-1] == bl) & (sym[1:] == br))
+    if len(m) == 0:
+        return sym, wid
+    run_start = m.copy()
+    if len(m) > 1:
+        new_run = np.r_[True, np.diff(m) != 1]
+        run_start = m[np.maximum.accumulate(
+            np.where(new_run, np.arange(len(m)), 0))]
+    keep = m[((m - run_start) % 2) == 0]
+    sym[keep] = bl + br
+    mask = np.ones(len(sym), dtype=bool)
+    mask[keep + 1] = False
+    return sym[mask], wid[mask]
+
+
 def bpe_train(ds, col: str = "text", n_merges: int = 50,
               min_count: int = 2, limit: int | None = None) -> pd.DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016) — the full merge loop,
@@ -759,23 +781,75 @@ def bpe_train(ds, col: str = "text", n_merges: int = 50,
             break
         bl, br, bn = str(best["l"]), str(best["r"]), int(best["w"])
         merges.append((bl, br, bn))
-        # all positions whose (sym, next-sym) match within a word
-        m = np.flatnonzero(valid & (sym[:-1] == bl) & (sym[1:] == br))
-        # greedy left-to-right non-overlap: in each run of consecutive
-        # match positions keep even offsets from the run start
-        run_start = m.copy()
-        if len(m) > 1:
-            new_run = np.r_[True, np.diff(m) != 1]
-            run_start = m[np.maximum.accumulate(
-                np.where(new_run, np.arange(len(m)), 0))]
-        keep = m[((m - run_start) % 2) == 0]
-        sym[keep] = bl + br
-        drop = keep + 1
-        mask = np.ones(len(sym), dtype=bool)
-        mask[drop] = False
-        sym, wid = sym[mask], wid[mask]
+        sym, wid = _apply_bpe_merge(sym, wid, bl, br)
     out = pd.DataFrame(merges, columns=["left", "right", "n"])
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     out = out.astype({"n": "int64"})
     out.attrs["mode"] = folded.mode
     return out
+
+
+class BpeEncoder:
+    """Actor-pool stage applying a learned BPE merge table: per batch ONE
+    flat char stream over all words, then each merge as one vectorized
+    ``_apply_bpe_merge`` pass (rank order — exactly the greedy rule the
+    trainer used), then per-doc token counts by reduceat.  The merge table
+    rides the closure (tiny: n_merges rows); state (the parsed merge list)
+    builds once per actor in ``__init__``.  Emits (id, n_words, n_bpe) —
+    the fertility statistic (bpe tokens per word) per doc."""
+
+    def __init__(self, merges: list[tuple[str, str]], col: str = "text",
+                 id_col: str = "doc_id", keep_cols: list[str] | None = None):
+        self.merges = [(str(l), str(r)) for l, r in merges]
+        self.col = col
+        self.id_col = id_col
+        self.keep_cols = keep_cols or []
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            cols = {self.id_col: t[self.id_col],
+                    "n_words": pa.array([], pa.int64()),
+                    "n_bpe": pa.array([], pa.int64())}
+            for c in self.keep_cols:
+                cols[c] = t[c]
+            return pa.table(cols)
+        words = pd.Series(t[self.col].to_pylist(), dtype=object) \
+            .astype(str).str.split(" ")
+        wc = words.str.len().to_numpy(dtype=np.int64)
+        flat_words = words.explode().to_numpy(dtype=object)
+        # global word ids keep merges inside word boundaries; doc ids map
+        # words back to docs
+        sym = np.array([c for w in flat_words for c in w], dtype=object)
+        wid = np.repeat(np.arange(len(flat_words), dtype=np.int64),
+                        [len(w) for w in flat_words])
+        for bl, br in self.merges:
+            sym, wid = _apply_bpe_merge(sym, wid, bl, br)
+        # tokens per word (empty words contribute 0), then per doc
+        per_word = np.bincount(wid, minlength=len(flat_words)) \
+            .astype(np.int64)
+        w_offs = np.concatenate([[0], np.cumsum(wc)])[:-1]
+        n_bpe = np.add.reduceat(per_word, w_offs) if len(per_word) else \
+            np.zeros(n, np.int64)
+        n_bpe[wc == 0] = 0
+        cols = {self.id_col: t[self.id_col],
+                "n_words": pa.array(wc),
+                "n_bpe": pa.array(n_bpe.astype(np.int64))}
+        for c in self.keep_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+
+def bpe_token_counts(ds, n_merges: int = 20, col: str = "text",
+                     id_col: str = "doc_id",
+                     keep_cols: list[str] | None = None):
+    """Train-then-apply BPE round trip: learn ``n_merges`` merges
+    (``bpe_train`` — one histogram pass), broadcast the merge table inside
+    the encoder stage, and stream per-doc (n_words, n_bpe) fertility rows
+    (plus ``keep_cols`` passthrough for downstream grouping).  Returns a
+    Dataset."""
+    m = bpe_train(ds, col=col, n_merges=n_merges)
+    merges = list(zip(m["left"], m["right"]))
+    return ds.map_batches(
+        BpeEncoder(merges, col=col, id_col=id_col, keep_cols=keep_cols),
+        batch_format="pyarrow")
