@@ -5,7 +5,7 @@ must round-trip any encodable line.  The reference has no property tests
 reference never had to worry about."""
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from timberjack_ray import kernels, oracle, vocab
@@ -291,3 +291,63 @@ def test_encode_batch_arrow_matches_scalar(lines):
     a = vocab.encode_batch_arrow(pa.array(lines, pa.string()))
     b = vocab.encode_batch(lines)
     assert a.to_pylist() == b.to_pylist()
+
+
+class _SpanRef:
+    """Independent dict-based reference for the span-dedup pair."""
+
+    @staticmethod
+    def positions(docs, k):
+        wins = {}
+        for d, text in enumerate(docs):
+            ws = text.split(" ")
+            for p in range(len(ws) - k + 1):
+                wins.setdefault(tuple(ws[p:p + k]), []).append((d, p))
+        out = set()
+        for occ in wins.values():
+            if len(occ) >= 2:
+                out.update(occ)
+        return out
+
+    @staticmethod
+    def removed(docs, k):
+        wins = {}
+        for d, text in enumerate(docs):
+            ws = text.split(" ")
+            for p in range(len(ws) - k + 1):
+                wins.setdefault(tuple(ws[p:p + k]), []).append((d, p))
+        dele = [set() for _ in docs]
+        for occ in wins.values():
+            if len(occ) >= 2:
+                for d, p in sorted(occ)[1:]:
+                    dele[d].update(range(p, p + k))
+        return [" ".join(w for i, w in enumerate(t.split(" "))
+                         if i not in dele[d])
+                for d, t in enumerate(docs)]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=1, max_size=8))
+def test_span_dedup_pair_matches_reference(ray_session, docs):
+    """Tiny alphabet forces duplicated spans at every alignment, incl. the
+    exactly-k-word boundary the r03 review caught."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import (dup_span_positions,
+                                                remove_dup_spans)
+
+    k = 3
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(docs))), "text": docs}))
+    pos_df = dup_span_positions(ds, span_words=k).to_pandas()
+    # an all-empty result Dataset drops its schema in to_pandas (Ray quirk)
+    got_pos = set() if pos_df.empty else \
+        set(map(tuple, pos_df[["doc_id", "pos"]].to_numpy()))
+    assert got_pos == _SpanRef.positions(docs, k)
+    got_txt = remove_dup_spans(ds, span_words=k).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    assert got_txt == _SpanRef.removed(docs, k)
