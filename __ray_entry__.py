@@ -2946,6 +2946,35 @@ def q_dup_span_positions(sf_dir: str):
         .astype({"doc_id": "int64", "pos": "int64"})
 
 
+def q_span_dedup_savings(sf_dir: str):
+    """Span-dedup accounting (functions/dedup.remove_dup_spans with
+    stats=True + source passthrough): per source the split-slot words
+    before/after deleting every non-first duplicated 8-word span — the
+    "how much did substring dedup save" report, exact ints, aggregated
+    from per-batch partials."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.dedup import remove_dup_spans
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    cleaned = remove_dup_spans(ds, span_words=8, keep_cols=["source"],
+                               stats=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [([], "count_all"), ("n_before", "sum"), ("n_kept", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "words_before", "words_after"])
+
+    out = merge_partials(cleaned.map_batches(partial,
+                                             batch_format="pyarrow"),
+                         ["source"],
+                         ["n_docs", "words_before", "words_after"]) \
+        .to_pandas()
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"n_docs": "int64", "words_before": "int64",
+                 "words_after": "int64"})
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (functions/text.bpe_train): 20 merges learned
     from one guarded distributed word-histogram pass + the driver-side
@@ -3378,6 +3407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentile_ranks": q_value_percentile_ranks,
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
+        "span_dedup_savings": q_span_dedup_savings,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
@@ -4881,6 +4911,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "span_dedup_savings": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     array_to_string(l[(u.i+1):(u.i+8)], ' ') AS win
+              FROM w, LATERAL (SELECT unnest(range(0,
+                       GREATEST(nw - 8 + 1, 0))) AS i) u
+              WHERE nw >= 8
+            ),
+            d AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+            occ AS (
+              SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY win
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins WHERE win IN (SELECT win FROM d)
+            ),
+            del AS (
+              SELECT DISTINCT doc_id, pos + CAST(u.i AS BIGINT) AS wi
+              FROM occ, LATERAL (SELECT unnest(range(0, 8)) AS i) u
+              WHERE rn > 1
+            ),
+            nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_del
+                   FROM del GROUP BY doc_id)
+            SELECT doc.source, COUNT(*) AS n_docs,
+                   CAST(SUM(w.nw) AS BIGINT) AS words_before,
+                   CAST(SUM(w.nw - COALESCE(nd.n_del, 0)) AS BIGINT)
+                     AS words_after
+            FROM documents doc
+            JOIN w USING (doc_id) LEFT JOIN nd USING (doc_id)
+            GROUP BY doc.source ORDER BY doc.source
         """,
         "value_percentile_ranks": """
             WITH h AS (

@@ -1153,7 +1153,9 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
 
 
 def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
-                     id_col: str = "doc_id"):
+                     id_col: str = "doc_id",
+                     keep_cols: list[str] | None = None,
+                     stats: bool = False):
     """Substring-level dedup APPLICATION pass (Lee et al. 2022): for every
     word span of ``span_words`` occurring ≥ 2 times corpus-wide, keep the
     globally-FIRST occurrence (min (doc_id, pos)) and delete the words of
@@ -1171,6 +1173,10 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
     and the text is rebuilt with ``pc.binary_join`` over the kept words —
     no per-row Python.  Precondition: 0 ≤ doc_id < 2^31 (packed into one
     int64 as doc_id·2^32 + pos).
+
+    ``keep_cols`` pass through to the output; ``stats=True`` adds
+    (n_before, n_kept) split-slot counts per doc (NOT derivable from the
+    cleaned text: a fully-deleted doc's "" re-splits to one empty slot).
     """
     import ray
     from ray.data.aggregate import Min, Sum
@@ -1223,11 +1229,22 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
         dup_mn = np.zeros(0, np.int64)
     ref = ray.put((dup_h, dup_mn))
 
+    def finish(t: pa.Table, joined, new_wc, wc) -> pa.Table:
+        cols = {id_col: t[id_col], "text": joined}
+        for c in keep_cols or []:
+            cols[c] = t[c]
+        if stats:
+            cols["n_before"] = pa.array(wc.astype(np.int64))
+            cols["n_kept"] = pa.array(new_wc.astype(np.int64))
+        return pa.table(cols)
+
     def clean(t: pa.Table) -> pa.Table:
         gh, gmn = _fetch_bench(ref)
         n = t.num_rows
         if n == 0 or len(gh) == 0:
-            return pa.table({id_col: t[id_col], "text": t[col]})
+            wc0 = np.array([len(str(x).split(" "))
+                            for x in t[col].to_pylist()], dtype=np.int64)
+            return finish(t, t[col], wc0, wc0)
         texts = t[col].to_pylist()
         h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
         lens = np.diff(offs)
@@ -1265,6 +1282,6 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
         lst = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()),
                                             kept)
         joined = pc.binary_join(lst, " ")
-        return pa.table({id_col: t[id_col], "text": joined})
+        return finish(t, joined, new_wc, wc)
 
     return ds.map_batches(clean, batch_format="pyarrow")
