@@ -158,6 +158,8 @@ def main() -> None:
         timed("ann_topk", lambda: em.q_ann_topk(SF_DIR))
         timed("revenue_join", lambda: em.q_revenue_by_priority(SF_DIR))
         timed("curation_pipeline", lambda: em.q_curation_pipeline(SF_DIR))
+        timed("span_dedup", lambda: em.q_remove_dup_spans(SF_DIR))
+        timed("bpe_train20", lambda: em.q_bpe_merges(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
