@@ -263,3 +263,19 @@ def test_export_sorted_global_order_and_resume(ray_session, tmp_path):
     assert man2["n"].sum() == 2000
     for r in man2.itertuples():
         assert os.path.getmtime(r.path) == mtimes[r.path]
+
+
+def test_export_sorted_rejects_mixed_resume(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import export_sorted
+
+    vals = np.round(np.linspace(0, 99, 500), 2)
+    ds = rd.from_arrow(pa.table({
+        "event_id": np.arange(500, dtype=np.int64), "value": vals}))
+    out_dir = str(tmp_path / "s")
+    export_sorted(ds, "value", out_dir, n_ranges=4)
+    # different parameters against the same dir must refuse, not mix
+    with pytest.raises(ValueError, match="different"):
+        export_sorted(ds, "value", out_dir, n_ranges=8)

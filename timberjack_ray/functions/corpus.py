@@ -734,6 +734,11 @@ def grouped_exact_sample(ds, group_col: str, id_col: str, k: int):
 
     out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
                        group_col, "__hs", k, id_col, descending=False)
+    if not isinstance(out, pd.DataFrame):
+        # grouped_topk degraded to its distributed Dataset path (k × groups
+        # exceeds the driver limit): return the exact k-per-group Dataset
+        # for the caller to stream/write, scramble column dropped
+        return out.drop_columns(["__hs"])
     return out[[group_col, id_col]].reset_index(drop=True)
 
 

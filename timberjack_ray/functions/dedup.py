@@ -803,6 +803,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
 # fetch once per worker, the stage still fuses with its neighbours)
 from timberjack_ray.functions.util import (  # noqa: E402
     fetch_broadcast as _fetch_bench,
+    sorted_lookup,
     sorted_member_mask,
 )
 
@@ -1183,17 +1184,25 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
 
     SHIFT = np.int64(1) << np.int64(32)
 
-    def occ(t: pa.Table):
-        """(hash, packed(doc,pos)) for every true span occurrence."""
+    def arrays(t: pa.Table):
+        """Shared per-batch span arrays: (words Series, wc, gram hashes as
+        int64, per-doc gram lens, packed(doc,pos) keys, pos, span_ok mask)
+        — ONE place computes the gram/packed geometry for both passes."""
         texts = t[col].to_pylist()
         h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
         lens = np.diff(offs)
-        wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
-        keep = np.repeat(wc >= span_words, lens)
+        words = pd.Series(texts, dtype=object).astype(str).str.split(" ")
+        wc = words.str.len().to_numpy(dtype=np.int64)
+        span_ok = np.repeat(wc >= span_words, lens)
         ids = np.repeat(
             t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens)
         pos = np.arange(len(h), dtype=np.int64) - np.repeat(offs[:-1], lens)
-        return h[keep].view(np.int64), ids[keep] * SHIFT + pos[keep]
+        return words, wc, h.view(np.int64), lens, ids * SHIFT + pos, pos, span_ok
+
+    def occ(t: pa.Table):
+        """(hash, packed(doc,pos)) for every true span occurrence."""
+        _, _, h, _, packed, _, span_ok = arrays(t)
+        return h[span_ok], packed[span_ok]
 
     def pre_fold(t: pa.Table) -> pa.Table:
         h, packed = occ(t)
@@ -1241,28 +1250,15 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
     def clean(t: pa.Table) -> pa.Table:
         gh, gmn = _fetch_bench(ref)
         n = t.num_rows
+        words, wc, hi, lens, packed, pos, span_ok = arrays(t) if n else \
+            (None, np.zeros(0, np.int64), None, None, None, None, None)
         if n == 0 or len(gh) == 0:
-            wc0 = np.array([len(str(x).split(" "))
-                            for x in t[col].to_pylist()], dtype=np.int64)
-            return finish(t, t[col], wc0, wc0)
-        texts = t[col].to_pylist()
-        h, offs = gram_hashes_batch(texts, span_words, window_at_k=True)
-        lens = np.diff(offs)
-        wc = np.array([len(x.split(" ")) for x in texts], dtype=np.int64)
+            return finish(t, t[col], wc, wc)
         w_offs = np.concatenate([[0], np.cumsum(wc)])
-        span_ok = np.repeat(wc >= span_words, lens)
-        ids = np.repeat(
-            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens)
-        pos = np.arange(len(h), dtype=np.int64) - np.repeat(offs[:-1], lens)
-        packed = ids * SHIFT + pos
-        hi = h.view(np.int64)
-        idx = np.searchsorted(gh, hi)
-        inb = (idx < len(gh)) & span_ok
-        hit = np.zeros(len(hi), dtype=bool)
-        hit[inb] = gh[idx[inb]] == hi[inb]
+        hit, idx = sorted_lookup(gh, hi)
+        hit &= span_ok
         # delete every duplicated occurrence EXCEPT the global first
-        dele = hit & (packed != np.where(hit, gmn[np.minimum(idx, len(gh) - 1)],
-                                         np.int64(-1)))
+        dele = hit & (packed != np.where(hit, gmn[idx], np.int64(-1)))
         # coverage mask over the batch's flat word stream: diff + cumsum
         doc_of_gram = np.repeat(np.arange(n, dtype=np.int64), lens)
         start = w_offs[doc_of_gram[dele]] + pos[dele]
@@ -1271,10 +1267,9 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
         np.add.at(diff, start, 1)
         np.add.at(diff, start + span_words, -1)
         keep_w = np.cumsum(diff[:-1]) == 0
-        # rebuild: split (same literal single-space rule), filter flat
-        # words, re-list by new per-doc counts, join — all Arrow/numpy
-        flat = pd.Series(texts, dtype=object).astype(str).str.split(" ") \
-            .explode().to_numpy(dtype=object)
+        # rebuild: filter the flat word stream (same Series the arrays
+        # helper split), re-list by new per-doc counts, join — Arrow/numpy
+        flat = words.explode().to_numpy(dtype=object)
         new_wc = np.add.reduceat(keep_w.astype(np.int64), w_offs[:-1])
         new_offs = np.concatenate([[0], np.cumsum(new_wc)]).astype(np.int64)
         kept = pa.array(flat[keep_w], pa.string())

@@ -884,8 +884,12 @@ def export_sorted(ds, col: str, out_dir: str, n_ranges: int = 8,
     (tmp → rename): file k's values all ≤ file k+1's, each file internally
     sorted — a reader concatenating range dirs in id order streams the
     corpus globally sorted.  Per-range output is its own resume unit
-    (re-runs skip ranges whose file already exists).  Returns the manifest
-    (range_id, n, min_scaled, max_scaled, path), range_id asc.
+    (re-runs skip ranges whose file already exists), VALIDATED by a
+    config+boundary fingerprint in ``_export_manifest.json``: a resume
+    against different parameters or boundaries (i.e. changed input) raises
+    instead of silently mixing stale files with a fresh manifest — the
+    same fingerprint-gated resume as the routing sinks.  Returns the
+    manifest (range_id, n, min_scaled, max_scaled, path), range_id asc.
 
     At 100 TB: boundaries from the same (or a sampled) histogram; the one
     exchange moves each row once; range count sized so a range fits a
@@ -896,10 +900,28 @@ def export_sorted(ds, col: str, out_dir: str, n_ranges: int = 8,
     from timberjack_ray.functions.sessions import exact_quantiles
     from timberjack_ray.functions.util import scale_to_int
 
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     qs = [i / n_ranges for i in range(1, n_ranges)]
     bounds = exact_quantiles(ds, col, qs, scale=scale)["value_scaled"] \
         .to_numpy().astype(np.int64)
+    fp = {"col": col, "n_ranges": n_ranges, "scale": scale,
+          "cols": cols, "bounds": [int(b) for b in bounds]}
+    fp_path = os.path.join(out_dir, "_export_manifest.json")
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            prev = json.load(f)
+        if prev != fp:
+            raise ValueError(
+                f"{out_dir} holds a previous export with different "
+                "parameters or boundaries (input changed?) — clean it or "
+                "pick a new out_dir; refusing a mixed-stale resume")
+    else:
+        tmp = fp_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, fp_path)
 
     def assign(t: pa.Table) -> pa.Table:
         if cols:

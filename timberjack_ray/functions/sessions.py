@@ -577,13 +577,15 @@ def percentile_ranks(ds, col: str, id_col: str, scale: int = 100,
     (value-domain-sized — the exact_quantiles shape, never a sort); the
     cumulative table broadcasts (``ray.put`` once); a second streaming
     pass assigns each row's (n_less, n_eq) via one vectorized searchsorted.
-    Raises if the distinct-value domain exceeds ``max_hist`` (open float
-    domains need a coarser ``scale`` — the discretization IS the contract,
-    matching the SQL oracle's ROUND).  Returns a Dataset (streams;
-    row-volume output).
+    The histogram fold is GUARDED DURING the fold (merge_partials_or_ds):
+    past ``max_hist`` distinct values it bails with bounded driver memory
+    and raises — open float domains need a coarser ``scale``; the
+    discretization IS the contract, matching the SQL oracle's ROUND.
+    Returns a Dataset (streams; row-volume output).
     """
     import ray
 
+    from timberjack_ray.aggregates import merge_partials_or_ds
     from timberjack_ray.functions.util import fetch_broadcast, scale_to_int
 
     def partial(t: pa.Table) -> pa.Table:
@@ -591,12 +593,14 @@ def percentile_ranks(ds, col: str, id_col: str, scale: int = 100,
         g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
         return g.rename_columns(["v", "n"])
 
-    counts = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                            ["v"], "n").to_pandas().sort_values("v")
-    if len(counts) > max_hist:
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"), ["v"], ["n"],
+        driver_limit=max_hist)
+    if mode == "distributed":
         raise ValueError(
-            f"distinct scaled-value domain {len(counts)} exceeds max_hist="
-            f"{max_hist}; coarsen `scale`")
+            f"distinct scaled-value domain exceeds max_hist={max_hist}; "
+            "coarsen `scale` (the cumulative table must broadcast)")
+    counts = folded.to_pandas().sort_values("v")
     vals = counts["v"].to_numpy().astype(np.int64)
     ns = counts["n"].to_numpy().astype(np.int64)
     n_less = np.concatenate([[0], np.cumsum(ns)[:-1]])

@@ -818,16 +818,17 @@ class BpeEncoder:
             .astype(str).str.split(" ")
         wc = words.str.len().to_numpy(dtype=np.int64)
         flat_words = words.explode().to_numpy(dtype=object)
-        # global word ids keep merges inside word boundaries; doc ids map
-        # words back to docs
-        sym = np.array([c for w in flat_words for c in w], dtype=object)
-        wid = np.repeat(np.arange(len(flat_words), dtype=np.int64),
-                        [len(w) for w in flat_words])
+        # encode each DISTINCT word once (token count depends only on the
+        # word string), then map back through the inverse index — the
+        # per-char work shrinks by the corpus word-duplication factor
+        uniq, inv = np.unique(flat_words.astype(str), return_inverse=True)
+        sym = np.array([c for w in uniq for c in w], dtype=object)
+        wid = np.repeat(np.arange(len(uniq), dtype=np.int64),
+                        [len(w) for w in uniq])
         for bl, br in self.merges:
             sym, wid = _apply_bpe_merge(sym, wid, bl, br)
-        # tokens per word (empty words contribute 0), then per doc
-        per_word = np.bincount(wid, minlength=len(flat_words)) \
-            .astype(np.int64)
+        per_uniq = np.bincount(wid, minlength=len(uniq)).astype(np.int64)
+        per_word = per_uniq[inv]
         w_offs = np.concatenate([[0], np.cumsum(wc)])[:-1]
         n_bpe = np.add.reduceat(per_word, w_offs) if len(per_word) else \
             np.zeros(n, np.int64)

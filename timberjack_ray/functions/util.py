@@ -24,18 +24,27 @@ def scale_to_int_np(v: np.ndarray, scale: float) -> np.ndarray:
         .astype(np.int64)
 
 
+def sorted_lookup(sorted_arr: np.ndarray, values: np.ndarray):
+    """Vectorized membership probe returning ``(hit_mask, clamped_idx)`` —
+    use ``idx`` to gather companion arrays aligned with ``sorted_arr``
+    (only meaningful where ``hit``)."""
+    hit = np.zeros(len(values), dtype=bool)
+    idx = np.zeros(len(values), dtype=np.int64)
+    if len(sorted_arr) and len(values):
+        idx = np.searchsorted(sorted_arr, values)
+        inb = idx < len(sorted_arr)
+        hit[inb] = sorted_arr[idx[inb]] == values[inb]
+        idx = np.minimum(idx, len(sorted_arr) - 1)
+    return hit, idx
+
+
 def sorted_member_mask(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Vectorized membership probe: ``values ∈ sorted_arr`` as a bool mask.
 
     One searchsorted + bounds-guarded equality — the broadcast-side probe
     every anti-join / decontamination / span-hit pass shares (r03 review:
     the block had been copy-pasted five times)."""
-    hit = np.zeros(len(values), dtype=bool)
-    if len(sorted_arr) and len(values):
-        idx = np.searchsorted(sorted_arr, values)
-        inb = idx < len(sorted_arr)
-        hit[inb] = sorted_arr[idx[inb]] == values[inb]
-    return hit
+    return sorted_lookup(sorted_arr, values)[0]
 
 
 _REF_CACHE: dict = {}

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from timberjack_ray.aggregates import merge_partials
 
@@ -213,10 +214,31 @@ def top_key_per_window(ds, ts_col: str, key_col: str, width_s: int,
         counts = grouped_topk(folded, "window_start", "n", k, key_col,
                               descending=True)
         if not isinstance(counts, pd.DataFrame):
-            # k × #windows itself exceeds grouped_topk's driver limit:
-            # the ASK is driver-unboundable — hand back the pruned Dataset
-            # (exact k-per-window rows) for the caller to stream/write
-            return counts
+            # k × #windows itself exceeds grouped_topk's driver limit: the
+            # result is driver-unboundable — deliver the SAME contract
+            # (rank column, k rows per window) as a Dataset via one more
+            # bucketed pass (vectorized lexsort rank per bucket, no
+            # per-window Python) for the caller to stream/write
+            from timberjack_ray.functions.corpus import add_key_bucket
+
+            def rank_bucket(t: pa.Table) -> pa.Table:
+                t = t.drop_columns(["__kb"])
+                ws = t["window_start"].to_numpy(zero_copy_only=False)
+                nn = t["n"].to_numpy(zero_copy_only=False)
+                kk = t[key_col].to_numpy(zero_copy_only=False)
+                order = np.lexsort((kk, -nn, ws))
+                wss = ws[order]
+                starts = np.flatnonzero(np.r_[True, wss[1:] != wss[:-1]])
+                sizes = np.diff(np.r_[starts, len(wss)])
+                rank = np.arange(len(wss), dtype=np.int64) \
+                    - np.repeat(starts, sizes) + 1
+                out = t.take(pa.array(order)) \
+                    .append_column("rank", pa.array(rank))
+                return out.filter(pc.less_equal(out["rank"], k))
+
+            return add_key_bucket(counts, "window_start", 256) \
+                .groupby("__kb") \
+                .map_groups(rank_bucket, batch_format="pyarrow")
         counts = counts[keys + ["n"]]
     else:
         counts = folded.to_pandas()
