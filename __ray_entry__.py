@@ -1577,6 +1577,46 @@ def q_multimodal_decode_real(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_frame_sample_real(sf_dir: str):
+    """Real video-container leg (round 3): MJPEG-AVI payloads built
+    in-process (RIFF/movi/00dc layout) and frame-EXTRACTED by
+    backend="real" — the pure-stdlib RIFF walker
+    (functions/multimodal._avi_mjpeg_frames); MJPEG frames are
+    self-contained JPEGs so extraction needs no codec.  Emits the sampled
+    frame indices and byte sizes.  Rows-only."""
+    import struct
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.multimodal import sample_frames
+
+    def mux(frames):
+        body = b"movi"
+        for fr in frames:
+            body += b"00dc" + struct.pack("<I", len(fr)) + fr
+            if len(fr) & 1:
+                body += b"\x00"
+        movi = b"LIST" + struct.pack("<I", len(body)) + body
+        riff = b"AVI " + movi
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    n = 32
+    payloads = [
+        mux([b"\xff\xd8" + bytes([j]) * (10 + j) + b"\xff\xd9"
+             for j in range(3 + i % 5)])
+        for i in range(n)
+    ]
+    t = pa.table({
+        "media_id": pa.array([f"avi-{i:04d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    out = sample_frames(rd.from_arrow(t), max_frames=3,
+                        backend="real").to_pandas()
+    out["frame_len"] = out["frame_bytes"].str.len().astype("int64")
+    return out[["media_id", "frame_idx", "frame_len"]] \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_audio_features_real(sf_dir: str):
     """Real-codec audio leg (round 3): PCM WAV payloads built with the
     stdlib wave module and decoded by backend="real"
@@ -3408,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_fertility": q_bpe_fertility,
         "span_dedup_savings": q_span_dedup_savings,
+        "frame_sample_real": q_frame_sample_real,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,

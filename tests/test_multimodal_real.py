@@ -173,6 +173,54 @@ def test_real_backends_end_to_end_actor_pool(ray_session):
     assert aout["rms"].tolist() == [0.0]
 
 
-def test_frame_sampler_real_still_unimplemented():
-    with pytest.raises(NotImplementedError):
-        FrameSampler(backend="real")
+def test_frame_sampler_real_rejects_non_avi():
+    """backend='real' now extracts MJPEG-AVI frames (no codec needed);
+    non-container payloads fail loudly instead of raising at init."""
+    import pyarrow as pa
+
+    t = pa.table({"media_id": [1], "payload": [b"not a container"]})
+    with pytest.raises(ValueError, match="RIFF"):
+        FrameSampler(backend="real")(t)
+
+
+def _make_mjpeg_avi(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI: one 'movi' LIST holding one '00dc' chunk per
+    frame (word-aligned), as a real MJPEG-AVI muxer lays them out."""
+    import struct
+
+    body = b"movi"
+    for fr in frames:
+        body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(body)) + body
+    riff_body = b"AVI " + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_frame_sampler_real_mjpeg_avi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from timberjack_ray.functions.multimodal import (FrameSampler,
+                                                     _avi_mjpeg_frames)
+
+    frames = [b"\xff\xd8JPEG%d\xff\xd9" % i for i in range(5)]
+    avi = _make_mjpeg_avi(frames)
+    assert _avi_mjpeg_frames(avi) == frames
+
+    t = pa.table({"media_id": [7], "payload": [avi]})
+    out = FrameSampler(max_frames=3, backend="real")(t).to_pandas()
+    # uniform 3-of-5 sample: indices 0, 2, 4 with the exact frame bytes
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["frame_bytes"].tolist() == [frames[0], frames[2], frames[4]]
+    assert (out["media_id"] == 7).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _avi_mjpeg_frames(b"not an avi at all")
+
+    # fake backend unchanged: metadata-only plumbing
+    t2 = pa.table({"media_id": [1], "n_frames": [10]})
+    out2 = FrameSampler(max_frames=2)(t2).to_pandas()
+    assert out2["frame_idx"].tolist() == [0, 9]

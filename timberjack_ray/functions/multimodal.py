@@ -320,17 +320,73 @@ class AudioFeaturizer:
         })
 
 
-class FrameSampler:
-    """Actor-pool stage: sample ≤ ``max_frames`` frame indices per video row
-    (uniform, deterministic), emitting one row per sampled frame."""
+def _avi_mjpeg_frames(buf: bytes) -> list[bytes]:
+    """Pure-stdlib RIFF/AVI walker extracting MJPEG video frame payloads.
 
-    def __init__(self, max_frames: int = 4, backend: str = "fake"):
-        if backend == "real":
-            raise NotImplementedError("no video codec in this environment")
+    MJPEG-in-AVI needs NO codec: each '..dc'/'..db' chunk inside the
+    'movi' LIST is a self-contained JPEG.  This walks the RIFF chunk tree
+    with struct offsets only (word-aligned sizes per the RIFF spec) and
+    returns the frame byte strings in stream order.  Raises ValueError on
+    anything that is not a RIFF-AVI container."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI container")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        off = lo
+        while off + 8 <= hi:
+            fourcc = buf[off:off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4:off + 8])
+            body_lo, body_hi = off + 8, min(off + 8 + size, hi)
+            if fourcc == b"LIST":
+                # list type occupies the first 4 body bytes
+                walk(body_lo + 4, body_hi)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[body_lo:body_hi]))
+            off = body_lo + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(buf))
+    return frames
+
+
+class FrameSampler:
+    """Actor-pool stage: sample ≤ ``max_frames`` frames per video row
+    (uniform, deterministic), one output row per sampled frame.
+
+    ``backend="fake"`` (default) works from the ``n_frames`` metadata
+    column and emits (media_id, frame_idx) — the plumbing-only mode.
+    ``backend="real"`` parses the ``payload`` binary column as an
+    MJPEG-AVI container (``_avi_mjpeg_frames`` — frame EXTRACTION needs
+    no codec, each frame chunk is a self-contained JPEG) and additionally
+    emits the sampled frames' bytes as ``frame_bytes``.  Non-MJPEG codecs
+    would need a decoder this environment doesn't ship — extraction of
+    their raw chunks still works, decoding them does not."""
+
+    def __init__(self, max_frames: int = 4, backend: str = "fake",
+                 payload_col: str = "payload"):
         self.max_frames = max_frames
+        self.backend = backend
+        self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames = [], []
+        ids, frames, blobs = [], [], []
+        if self.backend == "real":
+            for mid, payload in zip(batch["media_id"].to_pylist(),
+                                    batch[self.payload_col].to_pylist()):
+                fr = _avi_mjpeg_frames(payload)
+                n = len(fr)
+                take = np.linspace(0, max(n - 1, 0),
+                                   min(self.max_frames, max(n, 1))) \
+                    .astype(int)
+                for f in np.unique(take):
+                    ids.append(mid)
+                    frames.append(int(f))
+                    blobs.append(fr[f] if n else b"")
+            return pa.table({"media_id": pa.array(ids),
+                             "frame_idx": pa.array(frames, pa.int32()),
+                             "frame_bytes": pa.array(blobs, pa.binary())})
         for mid, n in zip(batch["media_id"].to_pylist(), batch["n_frames"].to_pylist()):
             take = np.linspace(0, max(n - 1, 0), min(self.max_frames, max(n, 1))).astype(int)
             for f in np.unique(take):
@@ -365,12 +421,15 @@ def audio_features(ds, concurrency=(1, 4), batch_size: int = 256,
     )
 
 
-def sample_frames(ds, max_frames: int = 4, concurrency=(1, 4)):
+def sample_frames(ds, max_frames: int = 4, concurrency=(1, 4),
+                  backend: str = "fake", batch_size: int = 256):
+    """backend="real" extracts MJPEG-AVI frame bytes (small batches — the
+    payloads are whole containers); "fake" is metadata-only plumbing."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"max_frames": max_frames},
+        fn_constructor_kwargs={"max_frames": max_frames, "backend": backend},
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=batch_size if backend == "fake" else min(batch_size, 64),
         concurrency=concurrency,
         num_cpus=1,
     )
