@@ -248,8 +248,11 @@ def test_multimodal_decode_plumbing(ray_session):
     # the Pillow import guard); non-PNG payloads raise ValueError at decode
     with pytest.raises(ValueError):
         ImageDecoder(backend="real")._decode_one(b"not a png", 4, 4)
-    with pytest.raises(NotImplementedError):
-        FrameSampler(backend="real")
+    # FrameSampler backend="real" extracts MJPEG-AVI frames since r03
+    # (tests/test_multimodal_real.py); non-containers fail per-payload
+    with pytest.raises(ValueError):
+        FrameSampler(backend="real")(
+            pa.table({"media_id": [1], "payload": [b"junk"]}))
 
 
 def test_ngram_jaccard_exact_vs_brute(ray_session):
