@@ -276,3 +276,45 @@ def test_top_key_per_window_tie_break(ray_session):
     out = top_key_per_window(ds, "ts", "k", 3600, k=1)
     assert out[["window_start", "k", "n"]].values.tolist() == \
         [[0, "a", 2], [3600, "c", 1]]
+
+
+def test_partitioning_invariance_new_ops(ray_session):
+    """Exchange-based ops must give byte-identical answers under any block
+    layout: re-run each new round-3 op on a repartitioned copy."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (corpus_diff_counts,
+                                                 grouped_exact_sample)
+    from timberjack_ray.functions.dedup import remove_dup_spans
+    from timberjack_ray.functions.sessions import percentile_ranks
+
+    rng = np.random.RandomState(9)
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [span + f" tail{i % 7}" if i % 3 == 0 else
+            " ".join(f"w{rng.randint(0, 20)}" for _ in range(12))
+            for i in range(60)]
+    t = pa.table({"doc_id": list(range(60)), "text": docs,
+                  "source": [f"s{i % 4}" for i in range(60)],
+                  "value": np.round(rng.uniform(0, 50, 60), 2)})
+    a, b = rd.from_arrow(t), rd.from_arrow(t).repartition(7)
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for fn in [
+        lambda ds: remove_dup_spans(ds, span_words=8).to_pandas(),
+        lambda ds: grouped_exact_sample(ds, "source", "doc_id", 5),
+        lambda ds: percentile_ranks(ds, "value", "doc_id").to_pandas(),
+        lambda ds: corpus_diff_counts(
+            ds.map_batches(lambda x: x.filter(
+                pa.compute.equal(pa.compute.bit_wise_and(x["doc_id"], 1), 0)),
+                batch_format="pyarrow"),
+            ds.map_batches(lambda x: x.filter(
+                pa.compute.equal(pa.compute.bit_wise_and(x["doc_id"], 1), 1)),
+                batch_format="pyarrow")),
+    ]:
+        pd.testing.assert_frame_equal(norm(fn(a)), norm(fn(b)))
