@@ -351,3 +351,54 @@ def test_span_dedup_pair_matches_reference(ray_session, docs):
     got_txt = remove_dup_spans(ds, span_words=k).to_pandas() \
         .sort_values("doc_id")["text"].tolist()
     assert got_txt == _SpanRef.removed(docs, k)
+
+
+def _bpe_ref(docs, n_merges, min_count=2):
+    """Independent dict/list BPE reference: greedy left-to-right merging,
+    (count desc, pair asc) rule, corpus as word histogram."""
+    from collections import Counter
+
+    hist = Counter(w for d in docs for w in d.split(" ") if w)
+    words = {w: list(w) for w in hist}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += hist[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_count:
+            break
+        merges.append((l, r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+             min_size=1, max_size=10).map(" ".join),
+    min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=8))
+def test_bpe_train_matches_reference(ray_session, docs, n_merges):
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bpe_train
+
+    ds = rd.from_arrow(pa.table({"text": docs}))
+    got = bpe_train(ds, n_merges=n_merges)
+    want = _bpe_ref(docs, n_merges)
+    assert [tuple(r) for r in got[["left", "right", "n"]].values] == want
