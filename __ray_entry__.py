@@ -3015,6 +3015,19 @@ def q_span_dedup_savings(sf_dir: str):
                  "words_after": "int64"})
 
 
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary overlap (functions/corpus.
+    source_vocab_overlap): exact (inter, uni) integers per source pair via
+    one word-bucket exchange + per-bucket segmented bitmask OR — merge
+    volume is distinct source COMBINATIONS, not words.  Jaccard is the
+    consumer's division; the mixing/cross-dedup planning statistic."""
+    from timberjack_ray.functions.corpus import source_vocab_overlap
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+    out = source_vocab_overlap(ds)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (functions/text.bpe_train): 20 merges learned
     from one guarded distributed word-histogram pass + the driver-side
@@ -3449,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": q_bpe_fertility,
         "span_dedup_savings": q_span_dedup_savings,
         "frame_sample_real": q_frame_sample_real,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
@@ -4952,6 +4966,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "source_vocab_overlap": """
+            WITH dw AS (
+              SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents
+            ),
+            tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM dw GROUP BY source),
+            i AS (
+              SELECT x.source AS a, y.source AS b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM dw x JOIN dw y ON x.w = y.w AND x.source < y.source
+              GROUP BY 1, 2
+            )
+            SELECT a, b, inter,
+                   ta.n + tb.n - inter AS uni
+            FROM i JOIN tot ta ON ta.source = a
+                   JOIN tot tb ON tb.source = b
+            ORDER BY a, b
         """,
         "span_dedup_savings": """
             WITH w AS (

@@ -441,3 +441,18 @@ def test_corpus_diff_counts_disjoint(ray_session):
     out = corpus_diff_counts(old, new)
     got = dict(zip(out["status"], out["n_contents"]))
     assert got == {"added": 1, "removed": 1}  # no 'common' row emitted
+
+
+def test_source_vocab_overlap_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import source_vocab_overlap
+
+    docs = [("s1", "a b c"), ("s1", "c d"), ("s2", "c d e"),
+            ("s3", "zz"), ("s2", "a")]
+    ds = rd.from_arrow(pa.table({"source": [d[0] for d in docs],
+                                 "text": [d[1] for d in docs]}))
+    out = source_vocab_overlap(ds)
+    # vocab: s1={a,b,c,d}, s2={a,c,d,e}, s3={zz}; zero-overlap pairs omitted
+    assert out.values.tolist() == [["s1", "s2", 3, 5]]

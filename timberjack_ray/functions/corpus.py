@@ -785,3 +785,82 @@ def corpus_diff_counts(old_ds, new_ds, col: str = "text") -> pd.DataFrame:
                                             batch_format="pyarrow"),
                          ["status"], "n_contents").to_pandas()
     return out.sort_values("status").reset_index(drop=True)
+
+
+def source_vocab_overlap(ds, group_col: str = "source",
+                         col: str = "text") -> pd.DataFrame:
+    """Pairwise vocabulary overlap between sources: (a, b, inter, uni)
+    where inter = |vocab(a) ∩ vocab(b)| and uni = |vocab(a) ∪ vocab(b)| —
+    exact integers (Jaccard is the consumer's division).  The corpus-level
+    similarity matrix behind domain-mixing and cross-source-dedup
+    decisions.  Pairs with zero intersection are omitted.
+
+    Plan: the source list is tiny (broadcast as a position map); each
+    batch emits its DISTINCT (word, source-bitmask) partial ORs; ONE
+    word-hash bucket exchange co-locates each word, a segmented
+    ``bitwise_or.reduceat`` folds its final bitmask, and only the
+    (bitmask → count) HISTOGRAM leaves each bucket — merge volume is the
+    number of distinct source COMBINATIONS, not words.  The driver turns
+    the histogram into pairwise counts with vectorized bit tests.
+    Precondition: ≤ 60 distinct sources (bitmask packs into int64)."""
+    import pyarrow.compute as pc2
+
+    from timberjack_ray.aggregates import merge_partials
+
+    sources = sorted(
+        merge_partials(
+            ds.map_batches(
+                lambda t: t.select([group_col]).group_by(group_col)
+                .aggregate([([], "count_all")])
+                .rename_columns([group_col, "n"]),
+                batch_format="pyarrow"),
+            [group_col], "n").to_pandas()[group_col])
+    if len(sources) > 60:
+        raise ValueError(f"{len(sources)} sources exceed the 60-bit mask")
+    pos = {s: i for i, s in enumerate(sources)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc2.split_pattern(t[col], " ")
+        lens = pc2.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc2.list_flatten(words)
+        src = t[group_col].to_pandas().map(pos).to_numpy(np.int64)
+        masks = np.int64(1) << np.repeat(src, lens)
+        # per-batch dedup of identical (word, single-source-bit) rows; the
+        # per-bucket segmented OR below folds the bits across batches
+        u = pa.table({"word": flat, "m": pa.array(masks)}) \
+            .group_by(["word", "m"]).aggregate([([], "count_all")])
+        return u.select(["word", "m"])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = add_key_bucket(pairs, "word", 256)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        w = t["word"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, ms = w[order], m[order]
+        starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        final = np.bitwise_or.reduceat(ms, starts)
+        u, n = np.unique(final, return_counts=True)
+        return pa.table({"mask": pa.array(u), "n": pa.array(n.astype(np.int64))})
+
+    hist = merge_partials(
+        bucketed.groupby("__kb").map_groups(
+            lambda t: per_bucket(t.drop_columns(["__kb"])),
+            batch_format="pyarrow"),
+        ["mask"], "n").to_pandas()
+    masks = hist["mask"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    rows = []
+    for i, a in enumerate(sources):
+        has_a = (masks >> np.int64(i)) & 1
+        tot_a = int(counts[has_a == 1].sum())
+        for j in range(i + 1, len(sources)):
+            has_b = (masks >> np.int64(j)) & 1
+            inter = int(counts[(has_a & has_b) == 1].sum())
+            if inter == 0:
+                continue
+            tot_b = int(counts[has_b == 1].sum())
+            rows.append((a, sources[j], inter, tot_a + tot_b - inter))
+    return pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
+        .astype({"inter": "int64", "uni": "int64"})
