@@ -3015,6 +3015,29 @@ def q_span_dedup_savings(sf_dir: str):
                  "words_after": "int64"})
 
 
+def q_user_value_cumsum(sf_dir: str):
+    """Per-user running totals (functions/sessions.grouped_cumsum): SQL
+    SUM() OVER (PARTITION BY user ORDER BY ts, id) on the exact cent
+    domain — bucket exchange + one segmented vectorized cumsum per bucket;
+    output streams row-volume."""
+    from timberjack_ray.functions.sessions import grouped_cumsum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_cumsum(ds, "user_id", "ts", "event_id", "value").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "cum_scaled": "int64"})
+
+
+def q_max_concurrent_values(sf_dir: str):
+    """Peak concurrency per hour (functions/window.max_concurrent):
+    sweep-line over [ts, ts+value·1s) intervals as a distributed two-phase
+    scan — per-window local resolve, #windows-sized driver carry chain."""
+    from timberjack_ray.functions.window import max_concurrent
+
+    ds = _rp(sf_dir, "events", columns=["ts", "value"])
+    return max_concurrent(ds, "ts", "value", width_s=3600, dur_scale=1.0)
+
+
 def q_source_vocab_overlap(sf_dir: str):
     """Pairwise source-vocabulary overlap (functions/corpus.
     source_vocab_overlap): exact (inter, uni) integers per source pair via
@@ -3463,6 +3486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_savings": q_span_dedup_savings,
         "frame_sample_real": q_frame_sample_real,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "user_value_cumsum": q_user_value_cumsum,
+        "max_concurrent_values": q_max_concurrent_values,
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
@@ -4966,6 +4991,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        "user_value_cumsum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_scaled
+            FROM events ORDER BY event_id
+        """,
+        "max_concurrent_values": """
+            WITH pts AS (
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, 1 AS d
+              FROM events
+              UNION ALL
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       + CAST(ROUND(value) AS BIGINT), -1
+              FROM events
+            ),
+            agg AS (SELECT t, d, CAST(SUM(d) AS BIGINT) AS dsum
+                    FROM pts GROUP BY t, d),
+            run AS (SELECT t, SUM(dsum) OVER (ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS r FROM agg)
+            SELECT CAST(FLOOR(t / 3600) * 3600 AS BIGINT) AS window_start,
+                   CAST(MAX(r) AS BIGINT) AS max_concurrent
+            FROM run GROUP BY 1 ORDER BY 1
         """,
         "source_vocab_overlap": """
             WITH dw AS (

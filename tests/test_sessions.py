@@ -207,3 +207,45 @@ def test_first_event_per_key_planted(ray_session):
                               "event_id").to_pandas()
     got = dict(zip(out["user_id"], out["event_type"]))
     assert got == {1: "a", 2: "z"}
+
+
+def test_grouped_cumsum_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import grouped_cumsum
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(np.array([10, 5, 5, 3, 1], dtype="datetime64[s]")),
+        "id": pa.array([4, 2, 1, 9, 8], pa.int64()),
+        "v": pa.array([1.5, 2.25, 0.25, 10.0, 5.0]),
+    })
+    out = grouped_cumsum(rd.from_arrow(t), "u", "ts", "id", "v") \
+        .to_pandas().set_index("id")["cum_scaled"].to_dict()
+    # user 1 order by (ts, id): id1(25) -> id2(+225=250) -> id4(+150=400)
+    # user 2: id8(500) -> id9(+1000=1500)
+    assert out == {1: 25, 2: 250, 4: 400, 8: 500, 9: 1500}
+
+
+def test_max_concurrent_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import max_concurrent
+
+    # intervals (sec): [0,10), [5,8), [7,20), and [3599, 7201) crossing
+    # windows; plus a tie at t=7 where an end applies before a start
+    starts = np.array([0, 5, 7, 3599, 5], dtype="datetime64[s]")
+    durs = [10.0, 3.0, 13.0, 3602.0, 2.0]  # last: [5,7) ends AT 7
+    ds = rd.from_arrow(pa.table({"ts": starts, "value": durs}))
+    out = max_concurrent(ds, "ts", "value", width_s=3600, dur_scale=1.0)
+    got = dict(zip(out["window_start"], out["max_concurrent"]))
+    # window 0: run peaks at 4 ([0,10)+[5,8)+[5,7)+[7,20) with the t=7
+    # end applying before the start would give 3+1=4? hand-walk:
+    # t=0 +1 ->1; t=5 +2 ->3; t=7 -1([5,7)) ->2, +1([7,20)) ->3;
+    # t=8 -1 ->2; t=10 -1 ->1; t=20 -1 ->0; t=3599 +1 ->1  => max 3
+    # window 7200: carry 1, point -1@7201 -> 0
+    assert got == {0: 3, 7200: 0}

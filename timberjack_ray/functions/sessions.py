@@ -615,3 +615,41 @@ def percentile_ranks(ds, col: str, id_col: str, scale: int = 100,
                          "n_eq": pa.array(nn[idx])})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_cumsum(ds, key_col: str, ts_col: str, id_col: str,
+                   val_col: str, scale: int = 100, n_buckets: int = 256):
+    """Per-key RUNNING TOTAL in event order — SQL ``SUM(v) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` on the scaled-int
+    domain (exact; no float summation-order dependence).  The cumulative
+    feature-engineering op (lifetime spend so far, bytes so far).
+
+    Scale shape: the sessionize exchange — key-hash buckets, ONE lexsort
+    (key, ts, id) per bucket, then a vectorized SEGMENTED cumsum
+    (prefix sums minus each segment's base).  Output is row-volume and
+    streams (a Dataset of (id, cum_scaled))."""
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.util import scale_to_int
+
+    proj = ds.select_columns([key_col, ts_col, id_col, val_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int(t[val_col], scale).to_numpy()
+        order = np.lexsort((ids, ts, k))
+        ks, vs = k[order], v[order]
+        c = np.cumsum(vs)
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sizes = np.diff(np.r_[starts, len(ks)])
+        base = (c[starts] - vs[starts])
+        cum = c - np.repeat(base, sizes)
+        return pa.table({id_col: pa.array(ids[order]),
+                         "cum_scaled": pa.array(cum.astype(np.int64))})
+
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")

@@ -248,3 +248,67 @@ def top_key_per_window(ds, ts_col: str, key_col: str, width_s: int,
     out = counts[counts["rank"] <= k].reset_index(drop=True)
     return out.astype({"window_start": "int64", "n": "int64",
                        "rank": "int64"})
+
+
+def max_concurrent(ds, ts_col: str, dur_col: str, width_s: int = 3600,
+                   dur_scale: float = 1.0) -> pd.DataFrame:
+    """Max CONCURRENT intervals per tumbling window — the sweep-line
+    "peak concurrent sessions" statistic, distributed as a two-phase scan:
+
+    1. each interval emits two points, (+1 at ts, −1 at ts + dur) with
+       dur = value·dur_scale seconds, half-open ([s, e): at equal time the
+       −1 applies first); per batch the points collapse to per-(window,
+       time, delta) partials;
+    2. the points co-locate per window (ONE groupby exchange on the small
+       window id) and each window resolves DISTRIBUTED — one lexsort
+       (t, d) per window group (d=−1 sorts before +1 at time ties) →
+       exactly one (window, net delta, max running prefix) row out;
+    3. the driver chains the #windows-sized summaries in time order,
+       prefix-summing the nets to get each window's CARRY-IN; answer =
+       carry + local_max.  The classic scan decomposition (local reduce →
+       exclusive prefix → rescan): point volume crosses the exchange once
+       and never lands on the driver.
+
+    Returns (window_start, max_concurrent) for windows containing ≥1
+    point, window order.  Exact integers end to end (durations scale to
+    whole seconds via floor(x·scale + ½))."""
+    from timberjack_ray.functions.util import scale_to_int
+
+    def points(t: pa.Table) -> pa.Table:
+        secs = _ts_seconds(t[ts_col])
+        dur = scale_to_int(t[dur_col], dur_scale).to_numpy()
+        pt = np.concatenate([secs, secs + dur])
+        delta = np.concatenate([np.ones(len(secs), np.int64),
+                                -np.ones(len(secs), np.int64)])
+        ws = (pt // width_s) * width_s
+        # collapse duplicate (t, d) points per batch: with second-resolution
+        # times a window carries at most 2·width_s distinct point rows
+        g = pa.table({"ws": pa.array(ws), "t": pa.array(pt),
+                      "d": pa.array(delta)}) \
+            .group_by(["ws", "t", "d"]).aggregate([("d", "sum")])
+        return g.rename_columns(["ws", "t", "d", "dsum"]) \
+            .select(["ws", "t", "d", "dsum"])
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["ws", "t", "d"], as_index=False)["dsum"] \
+            .sum().sort_values(["t", "d"])
+        dsum = df["dsum"].to_numpy().astype(np.int64)
+        run = np.cumsum(dsum)
+        return pa.table({
+            "window_start": pa.array([int(df["ws"].iloc[0])], pa.int64()),
+            "net": pa.array([int(dsum.sum())], pa.int64()),
+            "local_max": pa.array([int(run.max())], pa.int64())})
+
+    summaries = ds.map_batches(points, batch_format="pyarrow") \
+        .groupby("ws").map_groups(resolve, batch_format="pyarrow") \
+        .to_pandas()
+    if not len(summaries):
+        return pd.DataFrame({"window_start": pd.Series([], dtype="int64"),
+                             "max_concurrent": pd.Series([], dtype="int64")})
+    summaries = summaries.sort_values("window_start").reset_index(drop=True)
+    net = summaries["net"].to_numpy()
+    carry = np.concatenate([[0], np.cumsum(net)[:-1]])
+    return pd.DataFrame({
+        "window_start": summaries["window_start"].astype("int64"),
+        "max_concurrent": (carry + summaries["local_max"].to_numpy())
+        .astype("int64")})
