@@ -798,10 +798,11 @@ def source_vocab_overlap(ds, group_col: str = "source",
     Plan: the source list is tiny (broadcast as a position map); each
     batch emits its DISTINCT (word, source-bitmask) partial ORs; ONE
     word-hash bucket exchange co-locates each word, a segmented
-    ``bitwise_or.reduceat`` folds its final bitmask, and only the
-    (bitmask → count) HISTOGRAM leaves each bucket — merge volume is the
-    number of distinct source COMBINATIONS, not words.  The driver turns
-    the histogram into pairwise counts with vectorized bit tests.
+    ``bitwise_or.reduceat`` folds its final bitmask, and each bucket then
+    collapses its masks to an n_src × n_src co-occurrence matrix with one
+    matmul — so merge volume is ≤ n_src² rows per bucket BY CONSTRUCTION
+    (never words, never distinct mask combinations).  The driver sums the
+    tiny matrices and reads pairs off the upper triangle.
     Precondition: ≤ 60 distinct sources (bitmask packs into int64)."""
     import pyarrow.compute as pc2
 
@@ -809,8 +810,8 @@ def source_vocab_overlap(ds, group_col: str = "source",
 
     sources = sorted(
         merge_partials(
-            ds.map_batches(
-                lambda t: t.select([group_col]).group_by(group_col)
+            ds.select_columns([group_col]).map_batches(
+                lambda t: t.group_by(group_col)
                 .aggregate([([], "count_all")])
                 .rename_columns([group_col, "n"]),
                 batch_format="pyarrow"),
@@ -834,33 +835,43 @@ def source_vocab_overlap(ds, group_col: str = "source",
     pairs = ds.map_batches(partial, batch_format="pyarrow")
     bucketed = add_key_bucket(pairs, "word", 256)
 
+    n_src = len(sources)
+
     def per_bucket(t: pa.Table) -> pa.Table:
         w = t["word"].to_numpy(zero_copy_only=False)
         m = t["m"].to_numpy(zero_copy_only=False)
         order = np.argsort(w, kind="stable")
         ws, ms = w[order], m[order]
-        starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        starts, _ = _segments(ws)
         final = np.bitwise_or.reduceat(ms, starts)
         u, n = np.unique(final, return_counts=True)
-        return pa.table({"mask": pa.array(u), "n": pa.array(n.astype(np.int64))})
+        # collapse to the n_src × n_src co-occurrence matrix: B[k,i] = bit i
+        # of mask k; C = Bᵀ·(B·diag(n)) — C[i,j] = words in both i and j,
+        # diagonal = per-source vocab totals.  Bounded output regardless of
+        # how many distinct mask combinations this bucket saw.
+        bits = ((u[:, None] >> np.arange(n_src, dtype=np.int64)) & 1) \
+            .astype(np.int64)
+        cooc = (bits * n[:, None].astype(np.int64)).T @ bits
+        ai, bj = np.nonzero(np.triu(cooc))
+        return pa.table({"ai": pa.array(ai.astype(np.int64)),
+                         "bj": pa.array(bj.astype(np.int64)),
+                         "n": pa.array(cooc[ai, bj].astype(np.int64))})
 
-    hist = merge_partials(
+    cooc = merge_partials(
         bucketed.groupby("__kb").map_groups(
             lambda t: per_bucket(t.drop_columns(["__kb"])),
             batch_format="pyarrow"),
-        ["mask"], "n").to_pandas()
-    masks = hist["mask"].to_numpy().astype(np.int64)
-    counts = hist["n"].to_numpy().astype(np.int64)
+        ["ai", "bj"], "n").to_pandas()
+    mat = np.zeros((n_src, n_src), dtype=np.int64)
+    mat[cooc["ai"].to_numpy(), cooc["bj"].to_numpy()] = \
+        cooc["n"].to_numpy().astype(np.int64)
     rows = []
     for i, a in enumerate(sources):
-        has_a = (masks >> np.int64(i)) & 1
-        tot_a = int(counts[has_a == 1].sum())
-        for j in range(i + 1, len(sources)):
-            has_b = (masks >> np.int64(j)) & 1
-            inter = int(counts[(has_a & has_b) == 1].sum())
+        for j in range(i + 1, n_src):
+            inter = int(mat[i, j])
             if inter == 0:
                 continue
-            tot_b = int(counts[has_b == 1].sum())
-            rows.append((a, sources[j], inter, tot_a + tot_b - inter))
+            rows.append((a, sources[j], inter,
+                         int(mat[i, i]) + int(mat[j, j]) - inter))
     return pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
         .astype({"inter": "int64", "uni": "int64"})

@@ -628,7 +628,7 @@ def grouped_cumsum(ds, key_col: str, ts_col: str, id_col: str,
     (key, ts, id) per bucket, then a vectorized SEGMENTED cumsum
     (prefix sums minus each segment's base).  Output is row-volume and
     streams (a Dataset of (id, cum_scaled))."""
-    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
     from timberjack_ray.functions.util import scale_to_int
 
     proj = ds.select_columns([key_col, ts_col, id_col, val_col])
@@ -643,8 +643,7 @@ def grouped_cumsum(ds, key_col: str, ts_col: str, id_col: str,
         order = np.lexsort((ids, ts, k))
         ks, vs = k[order], v[order]
         c = np.cumsum(vs)
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        sizes = np.diff(np.r_[starts, len(ks)])
+        starts, sizes = _segments(ks)
         base = (c[starts] - vs[starts])
         cum = c - np.repeat(base, sizes)
         return pa.table({id_col: pa.array(ids[order]),
