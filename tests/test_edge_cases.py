@@ -318,3 +318,80 @@ def test_partitioning_invariance_new_ops(ray_session):
                 batch_format="pyarrow")),
     ]:
         pd.testing.assert_frame_equal(norm(fn(a)), norm(fn(b)))
+
+
+def test_partitioning_invariance_scan_ops(ray_session):
+    """Block-layout invariance for the scan-decomposition ops added after
+    the first invariance sweep: grouped_cumsum (segmented running total),
+    max_concurrent (sweep-line carry chain), source_vocab_overlap
+    (bitmask co-occurrence matrix)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import source_vocab_overlap
+    from timberjack_ray.functions.sessions import grouped_cumsum
+    from timberjack_ray.functions.window import max_concurrent
+
+    rng = np.random.RandomState(11)
+    n = 120
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 9, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 20_000, n).astype("datetime64[s]")),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.round(rng.uniform(0, 40, n), 2)),
+        "source": pa.array([f"s{i % 5}" for i in rng.randint(0, 5, n)]),
+        "text": pa.array([" ".join(f"w{rng.randint(0, 30)}"
+                                   for _ in range(6)) for _ in range(n)]),
+    })
+    a, b = rd.from_arrow(t), rd.from_arrow(t).repartition(7)
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for fn in [
+        lambda ds: grouped_cumsum(ds, "u", "ts", "id", "v").to_pandas(),
+        lambda ds: max_concurrent(ds, "ts", "v", width_s=3600,
+                                  dur_scale=10.0),
+        lambda ds: source_vocab_overlap(ds),
+    ]:
+        pd.testing.assert_frame_equal(norm(fn(a)), norm(fn(b)))
+
+
+def test_source_vocab_overlap_vs_bruteforce(ray_session):
+    """Property-fuzz the bitmask/matmul overlap plan against naive Python
+    set algebra on random corpora (including single-source and
+    empty-intersection shapes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import source_vocab_overlap
+
+    rng = np.random.RandomState(23)
+    for trial in range(4):
+        n_src = int(rng.randint(1, 7))
+        n_docs = int(rng.randint(1, 40))
+        vocab_n = int(rng.randint(2, 25))
+        srcs = [f"s{rng.randint(0, n_src)}" for _ in range(n_docs)]
+        texts = [" ".join(f"w{rng.randint(0, vocab_n)}"
+                          for _ in range(rng.randint(1, 10)))
+                 for _ in range(n_docs)]
+        vocab: dict[str, set] = {}
+        for s, tx in zip(srcs, texts):
+            vocab.setdefault(s, set()).update(tx.split(" "))
+        expect = []
+        names = sorted(vocab)
+        for i, sa in enumerate(names):
+            for sb in names[i + 1:]:
+                inter = len(vocab[sa] & vocab[sb])
+                if inter:
+                    expect.append((sa, sb, inter,
+                                   len(vocab[sa] | vocab[sb])))
+        ds = rd.from_arrow(pa.table({"source": srcs, "text": texts})) \
+            .repartition(int(rng.randint(1, 5)))
+        got = [tuple(r) for r in
+               source_vocab_overlap(ds).itertuples(index=False)]
+        assert sorted(got) == sorted(expect), (trial, got, expect)
