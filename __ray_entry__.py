@@ -3340,6 +3340,454 @@ def q_bpe_pair_counts(sf_dir: str):
     return bpe_pair_counts(ds, k=20)
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking; the synth schema has no
+    l_commitdate/l_receiptdate, so "late" is l_shipdate > o_orderdate +
+    60 days): count Q3-1997 orders per priority with at least one late
+    line.  Both the window-order slice and lineitem are unbounded at
+    100 TB, so the EXISTS runs as the GRACE bucket join with the
+    semi-join resolved IN-BUCKET — every line of an order co-locates, so
+    the distinct-orderkey-per-priority count inside bucket_fn is
+    complete and ≤ 5 rows leave each bucket."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    lo, hi = np.datetime64("1997-07-01"), np.datetime64("1997-10-01")
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        day = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_day": pa.array(day),
+                         "prio": t["o_orderpriority"]})
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ship_day": pa.array(day)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        late = t.filter(pc.greater(pc.subtract(t["ship_day"], t["o_day"]),
+                                   60))
+        dis = late.select(["prio", "l_orderkey"]) \
+            .group_by(["prio", "l_orderkey"]).aggregate([([], "count_all")])
+        g = dis.group_by("prio").aggregate([([], "count_all")])
+        return g.rename_columns(["prio", "n"])
+
+    joined = bucket_hash_join(
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["ship_day"], ["o_day", "prio"],
+        bucket_fn=per_bucket)
+    out = merge_partials(joined, ["prio"], "n").to_pandas()
+    out = out.rename(columns={"prio": "o_orderpriority", "n": "n_orders"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True) \
+        .astype({"n_orders": "int64"})
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-priority mix; the synth schema has no
+    l_shipmode, so the group is l_returnflag): per flag, how many 1998
+    lineitems belong to high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders.  orders × lineitem is large×large → GRACE bucket join; the
+    conditional counts collapse to ≤ 3 rows per bucket in bucket_fn."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    lo, hi = np.datetime64("1998-01-01"), np.datetime64("1999-01-01")
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "flag": t["l_returnflag"]})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        hi_p = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": hi_p.cast(pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("flag").aggregate([("is_high", "sum"),
+                                          ([], "count_all")])
+        g = g.rename_columns(["flag", "high", "total"])
+        low = pc.subtract(g["total"], g["high"])
+        return pa.table({"flag": g["flag"], "high": g["high"],
+                         "low": low})
+
+    joined = bucket_hash_join(
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate",
+                                         "l_returnflag"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["flag"], ["is_high"],
+        bucket_fn=per_bucket)
+    out = merge_partials(joined, ["flag"], ["high", "low"]).to_pandas()
+    out = out.rename(columns={"flag": "l_returnflag",
+                              "high": "high_line_count",
+                              "low": "low_line_count"})
+    return out.sort_values("l_returnflag").reset_index(drop=True) \
+        .astype({"high_line_count": "int64", "low_line_count": "int64"})
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; "late" is
+    l_shipdate > o_orderdate + 30 days): for finished ('F') orders with
+    ≥ 2 distinct suppliers where EXACTLY ONE supplier shipped late, count
+    blame per supplier; top 20 by (count desc, name).  Plan: GRACE bucket
+    join on l_orderkey co-locates every line of an order, so the
+    EXISTS/NOT-EXISTS pair resolves per bucket with two np.unique passes
+    ((order, supp) pairs, then late pairs) — ≤ |suppliers| rows leave
+    each bucket, the supplier-bounded merge joins names broadcast."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "supp": t["l_suppkey"].cast(pa.int64()),
+                         "ship_day": pa.array(day)})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        day = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_day": pa.array(day)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sp = t["supp"].to_numpy(zero_copy_only=False)
+        late = (t["ship_day"].to_numpy(zero_copy_only=False)
+                - t["o_day"].to_numpy(zero_copy_only=False)) > 30
+        pairs = np.unique(np.stack([ok, sp]), axis=1)
+        po, _ = pairs
+        uo, n_supp = np.unique(po, return_counts=True)
+        lp = np.unique(np.stack([ok[late], sp[late]]), axis=1)
+        lo_, ls = lp
+        ulo, n_late = np.unique(lo_, return_counts=True)
+        # orders with exactly one late supplier: their lone supplier is
+        # the pair row itself (n_late == 1 ⇒ one row in lp per order)
+        one = ulo[n_late == 1]
+        # map each order to its distinct-supplier count
+        idx = np.searchsorted(uo, lo_)
+        keep = np.isin(lo_, one) & (n_supp[idx] >= 2)
+        blamed = ls[keep]
+        u, n = np.unique(blamed, return_counts=True)
+        return pa.table({"supp": pa.array(u.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    joined = bucket_hash_join(
+        _rp(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["supp", "ship_day"], ["o_day"],
+        bucket_fn=per_bucket)
+    counts = merge_partials(joined, ["supp"], "n").to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(supp, left_on="supp", right_on="s_suppkey")
+    out = out.rename(columns={"n": "numwait"}) \
+        .sort_values(["numwait", "s_name"], ascending=[False, True]) \
+        .head(20)
+    return out[["s_name", "numwait"]].reset_index(drop=True) \
+        .astype({"numwait": "int64"})
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year; the synth
+    schema has no partsupp, so profit is revenue cents × (100−disc) with
+    no supplycost term): lineitems of 'widget' parts, supplier nation,
+    order year.  Plan: the part filter and supplier→nation map are
+    broadcast sorted-array lookups (dimension tables); orders is
+    large → GRACE bucket join for the year column; per-bucket group
+    (nation, year) sums leave ≤ 25·|years| rows each."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    widg = part.filter(pc.match_substring(part["p_name"], "widget"))
+    pk = np.sort(widg["p_partkey"].to_numpy())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    ref = ray.put((pk, sk[order_],
+                   supp["s_nationkey"].to_numpy()[order_]
+                   .astype(np.int64)))
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        pkeys, skeys, snat = fetch_broadcast(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pkeys, p)
+        idx[idx >= len(pkeys)] = 0
+        m = pkeys[idx] == p
+        t = t.filter(pa.array(m))
+        price = _scale100(t["l_extendedprice"]
+                          .to_numpy(zero_copy_only=False))
+        disc = _scale100(t["l_discount"].to_numpy(zero_copy_only=False))
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        nat = snat[np.searchsorted(skeys, s)]
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "nat": pa.array(nat),
+                         "rev": pa.array(price * (100 - disc))})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        y = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pa.array(y)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nat", "o_year"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["nat", "o_year", "profit"])
+
+    joined = bucket_hash_join(
+        _rp(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["nat", "rev"], ["o_year"],
+        bucket_fn=per_bucket)
+    out = merge_partials(joined, ["nat", "o_year"], "profit").to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = out.merge(nation, left_on="nat", right_on="n_nationkey")
+    out = out.rename(columns={"profit": "profit_scaled"})
+    return out[["n_name", "o_year", "profit_scaled"]] \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True) \
+        .astype({"o_year": "int64", "profit_scaled": "int64"})
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier-relationship count; the synth schema has
+    no partsupp, so the part–supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs of lineitem, and the complaint-supplier
+    exclusion is s_acctbal < 0): distinct suppliers per qualifying
+    (brand, type, size).  Plan: the qualifying-part map collapses to a
+    part→combo-id broadcast lookup; per-batch distinct pairs feed the
+    GUARDED distinct-count fold (relational.distinct_count_by) keyed on
+    the combo id — (pair) volume crosses once, groups are bounded."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.functions.relational import distinct_count_by
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    sizes = pa.array([1, 4, 9, 14, 19, 24, 29, 34],
+                     part["p_size"].type)
+    keep = pc.and_(
+        pc.and_(pc.invert(pc.equal(part["p_brand"], "Brand#45")),
+                pc.invert(pc.starts_with(part["p_type"], "MEDIUM"))),
+        pc.is_in(part["p_size"], value_set=sizes))
+    part = part.filter(keep)
+    combos = part.group_by(["p_brand", "p_type", "p_size"]) \
+        .aggregate([([], "count_all")]).to_pandas() \
+        .sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    key = (part["p_brand"].to_pylist(), part["p_type"].to_pylist(),
+           part["p_size"].to_pylist())
+    cid = {}
+    for i, row in combos.iterrows():
+        cid[(row["p_brand"], row["p_type"], row["p_size"])] = i
+    gid = np.array([cid[(b, t, s)] for b, t, s in zip(*key)], np.int64)
+    pk = part["p_partkey"].to_numpy()
+    order_ = np.argsort(pk)
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(supp.filter(pc.less(supp["s_acctbal"], 0))
+                  ["s_suppkey"].to_numpy())
+    ref = ray.put((pk[order_], gid[order_], bad))
+
+    def prep(t: pa.Table) -> pa.Table:
+        pkeys, gids, badk = fetch_broadcast(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pkeys, p)
+        idx[idx >= len(pkeys)] = 0
+        m = (pkeys[idx] == p) & ~np.isin(s, badk)
+        return pa.table({"gid": pa.array(gids[idx[m]]),
+                         "supp": pa.array(s[m].astype(np.int64))})
+
+    pairs = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    counts = distinct_count_by(pairs, "gid", "supp", name="supplier_cnt")
+    out = combos.reset_index().rename(columns={"index": "gid"}) \
+        .merge(counts, on="gid")
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]] \
+        .sort_values(["p_brand", "p_type", "p_size"]) \
+        .reset_index(drop=True) \
+        .astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier per part; the synth schema
+    has no partsupp, so "cost" is the lineitem price actually charged):
+    for size-25 parts supplied from EUROPE, the cheapest (price, then
+    lowest suppkey) supplier per part.  Plan: both dimension filters are
+    broadcast sorted-key lookups; per-batch per-part (min price, argmin
+    supp) partials via one lexsort, then a part-bounded driver fold
+    resolves the global lexicographic min — the correlated-MIN-subquery
+    shape with the min computed as a mergeable partial, no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"])
+    pk = np.sort(part.filter(pc.equal(part["p_size"], 25))
+                 ["p_partkey"].to_numpy())
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    eur = region.filter(pc.equal(region["r_name"], "EUROPE"))
+    nk = nation.filter(pc.is_in(nation["n_regionkey"],
+                                value_set=eur["r_regionkey"]))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey", "s_name"])
+    esupp = supp.filter(pc.is_in(supp["s_nationkey"],
+                                 value_set=nk["n_nationkey"]))
+    sk = np.sort(esupp["s_suppkey"].to_numpy())
+    ref = ray.put((pk, sk))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, skeys = fetch_broadcast(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(p, pkeys) & np.isin(s, skeys)
+        p, s = p[m], s[m]
+        pr = _scale100(t["l_extendedprice"]
+                       .to_numpy(zero_copy_only=False))[m]
+        order = np.lexsort((s, pr, p))
+        ps, prs, ss = p[order], pr[order], s[order]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        return pa.table({"p": pa.array(ps[starts].astype(np.int64)),
+                         "pr": pa.array(prs[starts].astype(np.int64)),
+                         "s": pa.array(ss[starts].astype(np.int64))})
+
+    parts_ = [b for b in
+              _rp(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")
+              if b.num_rows]
+    if not parts_:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "price_scaled": pd.Series([], dtype="int64"),
+                             "s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object")})
+    t = pa.concat_tables(parts_)
+    p = t["p"].to_numpy()
+    pr = t["pr"].to_numpy()
+    s = t["s"].to_numpy()
+    order = np.lexsort((s, pr, p))
+    ps, prs, ss = p[order], pr[order], s[order]
+    starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+    out = pd.DataFrame({"p_partkey": ps[starts],
+                        "price_scaled": prs[starts],
+                        "s_suppkey": ss[starts]})
+    names = esupp.select(["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(names, on="s_suppkey")
+    return out.sort_values("p_partkey").reset_index(drop=True) \
+        .astype({"p_partkey": "int64", "price_scaled": "int64",
+                 "s_suppkey": "int64"})
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock; the synth schema has no
+    partsupp, so part value is the summed lineitem price cents supplied
+    from one region): ASIA-supplied parts worth more than 2× the mean
+    part value.  Plan: broadcast region-supplier key set → per-batch
+    per-part partial sums → part-bounded merge; the HAVING-vs-global
+    threshold is the exact int inequality val·n_parts > 2·total (no
+    float mean) applied on the folded table."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    nk = nation.filter(pc.is_in(nation["n_regionkey"],
+                                value_set=asia["r_regionkey"]))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(supp.filter(pc.is_in(supp["s_nationkey"],
+                                      value_set=nk["n_nationkey"]))
+                 ["s_suppkey"].to_numpy())
+    ref = ray.put(sk)
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys = fetch_broadcast(ref)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(s, skeys)
+        t = t.filter(pa.array(m))
+        val = _scale100(t["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False))
+        g = pa.table({"p": t["l_partkey"], "val": pa.array(val)}) \
+            .group_by("p").aggregate([("val", "sum")])
+        return g.rename_columns(["p", "val"])
+
+    vals = merge_partials(
+        _rp(sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["p"], "val").to_pandas()
+    v = vals["val"].to_numpy().astype(np.int64)
+    keep = v * len(v) > 2 * int(v.sum())
+    out = vals[keep].rename(columns={"p": "p_partkey",
+                                     "val": "value_scaled"})
+    return out.sort_values(["value_scaled", "p_partkey"],
+                           ascending=[False, True]) \
+        .reset_index(drop=True) \
+        .astype({"p_partkey": "int64", "value_scaled": "int64"})
+
+
+def q_pps_sample_docs(sf_dir: str):
+    """Systematic PPS document sampling (functions/corpus.pps_sample):
+    per source, keep docs whose char-weight interval crosses a 7 000-char
+    step boundary in deterministic scrambled-hash order — weighted
+    importance sampling with P(keep) ≈ n_chars/step, exact ints, SQL
+    window replay."""
+    from timberjack_ray.functions.corpus import pps_sample
+
+    ds = _rp(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    out = pps_sample(ds, "source", "n_chars", "doc_id", step=7_000) \
+        .to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -3491,6 +3939,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dispersion": q_embedding_dispersion,
         "exact_sample_per_source": q_exact_sample_per_source,
         "remove_dup_spans": q_remove_dup_spans,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "pps_sample_docs": q_pps_sample_docs,
     }
 
 
@@ -5174,5 +5630,133 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS txt
               FROM sel GROUP BY doc_id) s USING (doc_id)
             ORDER BY doc.doc_id
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "tpch_q21": """
+            WITH per_order AS (
+              SELECT l.l_orderkey,
+                     COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN l.l_shipdate >
+                               o.o_orderdate + INTERVAL 30 DAY
+                           THEN l.l_suppkey END) AS n_late,
+                     MIN(CASE WHEN l.l_shipdate >
+                               o.o_orderdate + INTERVAL 30 DAY
+                         THEN l.l_suppkey END) AS late_supp
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY l.l_orderkey)
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order p JOIN supplier s
+              ON s.s_suppkey = p.late_supp
+            WHERE p.n_supp >= 2 AND p.n_late = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name LIMIT 20
+        """,
+        "tpch_q9": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS profit_scaled
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                        AND p.p_name LIKE '%widget%'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY n.n_name, o_year
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#45'
+              AND p.p_type NOT LIKE 'MEDIUM%'
+              AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY p.p_brand, p.p_type, p_size
+        """,
+        "tpch_q2": """
+            WITH e AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS pr
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+                            AND r.r_name = 'EUROPE'
+              WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_size = 25)
+            ), m AS (
+              SELECT l_partkey, pr, l_suppkey,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                        ORDER BY pr, l_suppkey) AS rn
+              FROM e)
+            SELECT m.l_partkey AS p_partkey, m.pr AS price_scaled,
+                   m.l_suppkey AS s_suppkey, s.s_name
+            FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+            WHERE m.rn = 1 ORDER BY p_partkey
+        """,
+        "tpch_q11": """
+            WITH v AS (
+              SELECT l.l_partkey,
+                     SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                       AS val
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+                            AND r.r_name = 'ASIA'
+              GROUP BY l.l_partkey)
+            SELECT l_partkey AS p_partkey, CAST(val AS BIGINT)
+                     AS value_scaled
+            FROM v
+            WHERE val * (SELECT COUNT(*) FROM v)
+                  > 2 * (SELECT SUM(val) FROM v)
+            ORDER BY value_scaled DESC, p_partkey
+        """,
+        "pps_sample_docs": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM documents
+            ) WHERE cum // 7000 > (cum - n_chars) // 7000
+            ORDER BY source, doc_id
         """,
     }

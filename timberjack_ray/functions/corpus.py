@@ -601,6 +601,43 @@ def budget_sample(ds, group_col: str, weight_col: str, id_col: str,
                                               batch_format="pyarrow")
 
 
+def pps_sample(ds, group_col: str, weight_col: str, id_col: str,
+               step: int):
+    """Per-group systematic PPS (probability-proportional-to-size)
+    sampling: within each group, docs are laid end-to-end on a weight
+    line in deterministic scrambled-hash order and a doc is kept iff its
+    weight interval crosses a ``step`` boundary — so P(keep) ≈
+    weight/step, any doc with weight ≥ step is ALWAYS kept, and the
+    expected sample size is Σweight/step.  The weighted counterpart of
+    ``hash_sample`` (importance sampling by length/quality weight for
+    mixture construction), in EXACT int arithmetic: the cut is a pure
+    function of (id, weight), replayed by a SQL running-sum window with
+    floor division, no float RNG anywhere.
+
+    Plan: identical shape to ``budget_sample`` — project three columns
+    into ONE groupby exchange on the (low-cardinality) group key, one
+    vectorized lexsort + cumsum per group; output streams.  Same
+    oversized-group scale path applies (distributed prefix sums via the
+    scan decomposition used by ``grouped_cumsum``).
+
+    Returns a Dataset of surviving (group, id, weight) rows.
+    """
+    proj = ds.select_columns([group_col, id_col, weight_col])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        order = np.lexsort((ids, h))
+        cum = np.cumsum(w[order])
+        crosses = cum // step > (cum - w[order]) // step
+        kept = order[crosses]
+        return t.take(pa.array(np.sort(kept)))
+
+    return proj.groupby(group_col).map_groups(per_group,
+                                              batch_format="pyarrow")
+
+
 def chunk_dedup(ds, chunk_words: int = 10, id_col: str = "doc_id",
                 col: str = "text"):
     """Corpus-wide exact dedup at sub-document (chunk) granularity,
