@@ -3542,6 +3542,10 @@ def q_tpch_q9(sf_dir: str):
     def l_prep(t: pa.Table) -> pa.Table:
         pkeys, skeys, snat = fetch_broadcast(ref)
         p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if not len(pkeys) or not len(p):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
         idx = np.searchsorted(pkeys, p)
         idx[idx >= len(pkeys)] = 0
         m = pkeys[idx] == p
@@ -3631,6 +3635,9 @@ def q_tpch_q16(sf_dir: str):
         pkeys, gids, badk = fetch_broadcast(ref)
         p = t["l_partkey"].to_numpy(zero_copy_only=False)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if not len(pkeys) or not len(p):
+            return pa.table({"gid": pa.array([], pa.int64()),
+                             "supp": pa.array([], pa.int64())})
         idx = np.searchsorted(pkeys, p)
         idx[idx >= len(pkeys)] = 0
         m = (pkeys[idx] == p) & ~np.isin(s, badk)
@@ -3684,6 +3691,10 @@ def q_tpch_q2(sf_dir: str):
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
         m = np.isin(p, pkeys) & np.isin(s, skeys)
         p, s = p[m], s[m]
+        if not len(p):
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "pr": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
         pr = _scale100(t["l_extendedprice"]
                        .to_numpy(zero_copy_only=False))[m]
         order = np.lexsort((s, pr, p))

@@ -395,3 +395,155 @@ def test_source_vocab_overlap_vs_bruteforce(ray_session):
         got = [tuple(r) for r in
                source_vocab_overlap(ds).itertuples(index=False)]
         assert sorted(got) == sorted(expect), (trial, got, expect)
+
+
+def test_pps_sample_vs_bruteforce(ray_session):
+    """Property-fuzz systematic PPS sampling against a pure-numpy replay:
+    same kept set under any partitioning, heavy docs (w ≥ step) always
+    kept, expected-size ≈ Σw/step."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32, pps_sample
+
+    rng = np.random.RandomState(31)
+    for trial in range(4):
+        n = int(rng.randint(1, 80))
+        step = int(rng.choice([5, 17, 40]))
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        w = rng.randint(1, 3 * step, n).astype(np.int64)
+        grp = [f"g{rng.randint(0, 3)}" for _ in range(n)]
+        t = pa.table({"g": grp, "id": ids, "w": w})
+
+        expect = set()
+        for g in set(grp):
+            m = np.array([x == g for x in grp])
+            gi, gw = ids[m], w[m]
+            h = (gi.astype(np.uint64) * np.uint64(KNUTH32)) \
+                % np.uint64(_POW32)
+            order = np.lexsort((gi, h))
+            cum = np.cumsum(gw[order])
+            keep = cum // step > (cum - gw[order]) // step
+            expect.update(gi[order][keep].tolist())
+
+        ds = rd.from_arrow(t).repartition(int(rng.randint(1, 6)))
+        out = pps_sample(ds, "g", "w", "id", step=step).to_pandas()
+        got = set(out["id"].tolist())
+        assert got == expect, (trial, got, expect)
+        heavy = set(ids[w >= step].tolist())
+        assert heavy <= got, (trial, heavy - got)
+
+
+def _write_tpch_fixture(tmp_path, rng):
+    """Randomized miniature TPC-H tables (with deliberate ties and
+    empty-group shapes) for end-to-end query-vs-oracle fuzzing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_ord = int(rng.randint(5, 40))
+    n_li = int(rng.randint(10, 120))
+    days = np.datetime64("1997-01-01") + rng.randint(0, 700, n_ord)
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1), pa.int64()),
+        "o_custkey": pa.array(rng.randint(1, 10, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(
+            [["F", "P", "O"][i] for i in rng.randint(0, 3, n_ord)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(1, 9e3, n_ord), 2)),
+        "o_orderdate": pa.array(days.astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            [["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"][i]
+             for i in rng.randint(0, 4, n_ord)]),
+    })
+    ok = rng.randint(1, n_ord + 1, n_li)
+    odate = days[ok - 1]
+    ship = odate + rng.randint(0, 120, n_li)
+    # deliberate price ties for the q2 (price, suppkey) tie-break
+    price = np.round(rng.choice([10.0, 25.5, 99.99, 1234.56], n_li), 2)
+    lineitem = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(rng.randint(1, 8, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(1, 6, n_li), pa.int64()),
+        "l_linenumber": pa.array(np.arange(n_li), pa.int64()),
+        "l_quantity": pa.array(rng.randint(1, 50, n_li).astype("float64")),
+        "l_extendedprice": pa.array(price),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_tax": pa.array(np.zeros(n_li)),
+        "l_returnflag": pa.array(
+            [["A", "N", "R"][i] for i in rng.randint(0, 3, n_li)]),
+        "l_linestatus": pa.array(["O"] * n_li),
+        "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(1, 6), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, 6)]),
+        "s_nationkey": pa.array(rng.randint(0, 4, 5).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-100, 100, 5), 2)),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(4), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(4)]),
+        "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["EUROPE", "ASIA"]),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, 8), pa.int64()),
+        "p_name": pa.array(
+            [["cold widget", "large bolt", "blue rod"][i]
+             for i in rng.randint(0, 3, 7)]),
+        "p_brand": pa.array([f"Brand#{10 + i}" for i in rng.randint(0, 3, 7)]),
+        "p_type": pa.array(
+            [["PROMO", "MEDIUM", "STANDARD"][i] for i in rng.randint(0, 3, 7)]),
+        "p_size": pa.array(rng.choice([1, 4, 25, 30], 7).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(1, 2e3, 7), 2)),
+    })
+    for name, t in [("orders", orders), ("lineitem", lineitem),
+                    ("supplier", supplier), ("nation", nation),
+                    ("region", region), ("part", part)]:
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+
+
+def test_tpch_shapes_random_fixture_parity(ray_session, tmp_path):
+    """End-to-end fuzz of the tie-break- and EXISTS-sensitive TPC-H
+    shapes (q2, q4, q21) on randomized miniature tables: the Ray plans
+    must replay their DuckDB oracles bit-for-bit on data with planted
+    price ties, empty groups, and boundary late-ship gaps."""
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    rng = np.random.RandomState(47)
+    q = em.queries()
+    o = em.oracle_sql()
+    for trial in range(3):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        _write_tpch_fixture(d, rng)
+        con = duckdb.connect()
+        for t in ["orders", "lineitem", "supplier", "nation", "region",
+                  "part"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        for name in ["tpch_q2", "tpch_q4", "tpch_q21"]:
+            got = norm(q[name](str(d)))
+            want = norm(con.execute(o[name]).df())
+            got = got.astype({c: "int64" for c in got.columns
+                              if got[c].dtype.kind == "i"})
+            want = want.astype({c: "int64" for c in want.columns
+                                if want[c].dtype.kind == "i"})
+            pd.testing.assert_frame_equal(got, want, check_dtype=False), \
+                (trial, name)
+        con.close()
