@@ -3799,6 +3799,31 @@ def q_pps_sample_docs(sf_dir: str):
         .astype({"doc_id": "int64", "n_chars": "int64"})
 
 
+def q_balanced_shards(sf_dir: str):
+    """Balanced shard planning (functions/corpus.balanced_shards): global
+    (n_chars DESC, doc_id) rank mod 16 stripes documents into 16
+    near-equal-byte output shards without a global sort; the query
+    returns the per-shard (n_docs, total_chars) plan the writer would
+    consume — 16-row merge."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import balanced_shards
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    asg = balanced_shards(ds, "n_chars", "doc_id", k=16)
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("shard").aggregate([("n_chars", "sum"),
+                                           ([], "count_all")])
+        return g.rename_columns(["shard", "total_chars", "n_docs"])
+
+    out = merge_partials(asg.map_batches(agg, batch_format="pyarrow"),
+                         ["shard"], ["total_chars", "n_docs"]).to_pandas()
+    return out[["shard", "n_docs", "total_chars"]].sort_values("shard") \
+        .reset_index(drop=True) \
+        .astype({"shard": "int64", "n_docs": "int64",
+                 "total_chars": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -3958,6 +3983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
         "pps_sample_docs": q_pps_sample_docs,
+        "balanced_shards": q_balanced_shards,
     }
 
 
@@ -5769,5 +5795,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE cum // 7000 > (cum - n_chars) // 7000
             ORDER BY source, doc_id
+        """,
+        "balanced_shards": """
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM (SELECT CAST((ROW_NUMBER() OVER (
+                           ORDER BY n_chars DESC, doc_id) - 1) % 16
+                         AS BIGINT) AS shard,
+                         n_chars
+                  FROM documents)
+            GROUP BY shard ORDER BY shard
         """,
     }

@@ -547,3 +547,34 @@ def test_tpch_shapes_random_fixture_parity(ray_session, tmp_path):
             pd.testing.assert_frame_equal(got, want, check_dtype=False), \
                 (trial, name)
         con.close()
+
+
+def test_balanced_shards_vs_bruteforce(ray_session):
+    """Property-fuzz the rank-striping shard planner against a driver-side
+    full sort: identical assignment under any partitioning, per-shard row
+    counts differ by ≤ 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import balanced_shards
+
+    rng = np.random.RandomState(53)
+    for trial in range(4):
+        n = int(rng.randint(1, 100))
+        k = int(rng.choice([2, 5, 16]))
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        # coarse sizes on purpose: big tie classes
+        sz = rng.choice([10, 10, 10, 40, 200], n).astype(np.int64)
+        order = np.lexsort((ids, -sz))
+        expect = dict(zip(ids[order].tolist(),
+                          (np.arange(n) % k).tolist()))
+
+        ds = rd.from_arrow(pa.table({"id": ids, "sz": sz})) \
+            .repartition(int(rng.randint(1, 6)))
+        out = balanced_shards(ds, "sz", "id", k=k).to_pandas()
+        got = dict(zip(out["id"].tolist(), out["shard"].tolist()))
+        assert got == expect, (trial, got, expect)
+        counts = out["shard"].value_counts()
+        if len(counts) == k:
+            assert counts.max() - counts.min() <= 1

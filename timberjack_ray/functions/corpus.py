@@ -638,6 +638,73 @@ def pps_sample(ds, group_col: str, weight_col: str, id_col: str,
                                               batch_format="pyarrow")
 
 
+def balanced_shards(ds, size_col: str, id_col: str, k: int,
+                    n_buckets: int = 256, max_hist: int = 5_000_000):
+    """Balanced output-shard planner: assign every row a shard in [0, k)
+    by its GLOBAL (size DESC, id ASC) rank mod k — round-robin over the
+    size-sorted order, so per-shard row counts differ by ≤ 1 and byte
+    totals are near-equal (the rank-striping approximation of LPT
+    bin-packing).  Deterministic, engine-replayable: the assignment is a
+    pure function of the (size, id) multiset, so a SQL ROW_NUMBER window
+    replays it exactly — the planning step before a partitioned write
+    when shards must be even (training-data files of equal size).
+
+    Plan (no global sort): ONE counting pass builds the distinct-size
+    histogram (value-domain-sized, guarded during the fold like
+    ``percentile_ranks``); its from-the-top cumulative broadcast gives
+    every size class its rank offset; ONE size-keyed bucket exchange
+    co-locates each tie class, where a vectorized segmented cumcount
+    orders it by id — shard = (offset + tie_rank) mod k.  Output is
+    row-volume and streams.  Degenerate tie classes (billions of rows
+    sharing one size) bound per-bucket memory by the largest class, the
+    same caveat as every keyed bucket op here.
+    """
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    proj = ds.select_columns([size_col, id_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([size_col]).group_by(size_col) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    folded, mode = merge_partials_or_ds(
+        proj.map_batches(partial, batch_format="pyarrow"), ["v"], ["n"],
+        driver_limit=max_hist)
+    if mode == "distributed":
+        raise ValueError(
+            f"distinct size domain exceeds max_hist={max_hist}; "
+            "coarsen the size column (the offset table must broadcast)")
+    counts = folded.to_pandas().sort_values("v", ascending=False)
+    vals_desc = counts["v"].to_numpy().astype(np.int64)
+    ns = counts["n"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    asc = np.argsort(vals_desc)
+    ref = ray.put((vals_desc[asc], offsets[asc]))
+
+    bucketed = add_key_bucket(proj, size_col, n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        v = t[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        vs, is_ = v[order], ids[order]
+        starts, sizes = _segments(vs)
+        tie = np.arange(len(vs), dtype=np.int64) - np.repeat(starts, sizes)
+        vals_asc, off_asc = fetch_broadcast(ref)
+        base = off_asc[np.searchsorted(vals_asc, vs)]
+        return pa.table({id_col: pa.array(is_),
+                         size_col: pa.array(vs),
+                         "shard": pa.array((base + tie) % k)})
+
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+
+
 def chunk_dedup(ds, chunk_words: int = 10, id_col: str = "doc_id",
                 col: str = "text"):
     """Corpus-wide exact dedup at sub-document (chunk) granularity,
