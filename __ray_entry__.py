@@ -3824,6 +3824,23 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_mixture_schedule(sf_dir: str):
+    """Stride-scheduled mixture interleave (functions/corpus
+    .mixture_schedule): source weight = (source index mod 4) + 1, so the
+    schedule key pos·(12/w) interleaves heavier sources proportionally
+    more often — the deterministic training-stream ordering step."""
+    from timberjack_ray.functions.corpus import mixture_schedule
+
+    ds = _rp(sf_dir, "documents", columns=["source", "doc_id"])
+    srcs = sorted(set(
+        ds.select_columns(["source"]).unique("source")))
+    weights = {s: (int(s[3:]) % 4) + 1 for s in srcs}
+    out = mixture_schedule(ds, "source", "doc_id", weights).to_pandas()
+    return out.sort_values(["sched_key", "source", "doc_id"]) \
+        .reset_index(drop=True) \
+        .astype({"doc_id": "int64", "sched_key": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -3984,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": q_tpch_q11,
         "pps_sample_docs": q_pps_sample_docs,
         "balanced_shards": q_balanced_shards,
+        "mixture_schedule": q_mixture_schedule,
     }
 
 
@@ -5805,5 +5823,18 @@ def oracle_sql() -> dict[str, str]:
                          n_chars
                   FROM documents)
             GROUP BY shard ORDER BY shard
+        """,
+        "mixture_schedule": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                                doc_id) AS BIGINT) AS pos
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(pos * (12 // (CAST(SUBSTR(source, 4) AS BIGINT)
+                                      % 4 + 1)) AS BIGINT) AS sched_key
+            FROM r ORDER BY sched_key, source, doc_id
         """,
     }

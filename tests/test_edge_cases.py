@@ -578,3 +578,49 @@ def test_balanced_shards_vs_bruteforce(ray_session):
         counts = out["shard"].value_counts()
         if len(counts) == k:
             assert counts.max() - counts.min() <= 1
+
+
+def test_mixture_schedule_vs_bruteforce(ray_session):
+    """Property-fuzz stride scheduling: keys match a pure-numpy replay
+    under any partitioning, and over any full stride window the group mix
+    is exactly weight-proportional."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (KNUTH32, _POW32,
+                                                 mixture_schedule)
+
+    rng = np.random.RandomState(61)
+    for trial in range(4):
+        n_grp = int(rng.randint(1, 5))
+        weights = {f"g{i}": int(rng.randint(1, 5)) for i in range(n_grp)}
+        lcm = math.lcm(*weights.values())
+        n = int(rng.randint(n_grp, 80))
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        grp = [f"g{rng.randint(0, n_grp)}" for _ in range(n)]
+
+        expect = {}
+        for g in set(grp):
+            m = np.array([x == g for x in grp])
+            gi = ids[m]
+            h = (gi.astype(np.uint64) * np.uint64(KNUTH32)) \
+                % np.uint64(_POW32)
+            order = np.lexsort((gi, h))
+            for pos, i in enumerate(gi[order], 1):
+                expect[int(i)] = pos * (lcm // weights[g])
+
+        ds = rd.from_arrow(pa.table({"g": grp, "id": ids})) \
+            .repartition(int(rng.randint(1, 6)))
+        out = mixture_schedule(ds, "g", "id", weights).to_pandas()
+        got = dict(zip(out["id"].tolist(), out["sched_key"].tolist()))
+        assert got == expect, (trial, got, expect)
+        # proportionality: within keys ≤ T·lcm, group g contributes
+        # exactly min(T·w_g, |g|) docs
+        for T in (1, 2):
+            sel = out[out["sched_key"] <= T * lcm]
+            for g, w in weights.items():
+                n_g = int((np.array(grp) == g).sum())
+                assert (sel["g"] == g).sum() == min(T * w, n_g)

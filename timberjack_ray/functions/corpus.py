@@ -638,6 +638,44 @@ def pps_sample(ds, group_col: str, weight_col: str, id_col: str,
                                               batch_format="pyarrow")
 
 
+def mixture_schedule(ds, group_col: str, id_col: str,
+                     weights: dict[str, int]):
+    """Deterministic domain-mixture interleave by STRIDE SCHEDULING: each
+    group's docs get virtual times pos·(L/w_g) (pos = 1-based rank in the
+    group's scrambled-hash order, L = lcm of the integer weights), so
+    sorting by the returned ``sched_key`` yields a training stream where
+    every window of the schedule contains groups proportionally to their
+    weights — the classic lottery/stride scheduler applied to corpus
+    mixing, in EXACT int arithmetic (no float quotas to drift, no RNG;
+    a SQL ROW_NUMBER window replays it bit-for-bit).
+
+    Plan: ONE groupby exchange on the low-cardinality group key; per
+    group one lexsort (Knuth-scramble, id) + arange gives pos; the
+    weight table rides along as a plain dict (driver-size).  Output
+    (group, id, sched_key) is row-volume and streams — the consumer
+    range-partitions or sorts by sched_key downstream (e.g. via
+    ``balanced_shards`` / export_sorted).  Oversized groups: same scan
+    decomposition note as ``budget_sample``.
+    """
+    import math
+
+    lcm = math.lcm(*weights.values())
+    strides = {g: lcm // w for g, w in weights.items()}
+    proj = ds.select_columns([group_col, id_col])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = np.arange(1, len(ids) + 1)
+        stride = strides[t[group_col][0].as_py()]
+        return t.append_column("sched_key", pa.array(pos * stride))
+
+    return proj.groupby(group_col).map_groups(per_group,
+                                              batch_format="pyarrow")
+
+
 def balanced_shards(ds, size_col: str, id_col: str, k: int,
                     n_buckets: int = 256, max_hist: int = 5_000_000):
     """Balanced output-shard planner: assign every row a shard in [0, k)
