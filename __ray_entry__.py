@@ -3824,6 +3824,17 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_continuation_topk(sf_dir: str):
+    """Kneser-Ney continuation counts (functions/corpus
+    .continuation_topk): top-15 words by distinct-left-context count —
+    the LM-smoothing statistic that separates versatile words from
+    collocation-bound ones."""
+    from timberjack_ray.functions.corpus import continuation_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return continuation_topk(ds, k=15)
+
+
 def q_mixture_schedule(sf_dir: str):
     """Stride-scheduled mixture interleave (functions/corpus
     .mixture_schedule): source weight = (source index mod 4) + 1, so the
@@ -4002,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample_docs": q_pps_sample_docs,
         "balanced_shards": q_balanced_shards,
         "mixture_schedule": q_mixture_schedule,
+        "continuation_topk": q_continuation_topk,
     }
 
 
@@ -5836,5 +5848,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos * (12 // (CAST(SUBSTR(source, 4) AS BIGINT)
                                       % 4 + 1)) AS BIGINT) AS sched_key
             FROM r ORDER BY sched_key, source, doc_id
+        """,
+        "continuation_topk": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            pairs AS (
+              SELECT l[u.i] AS left_w, l[u.i + 1] AS right_w
+              FROM w, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+            )
+            SELECT right_w AS word,
+                   CAST(COUNT(DISTINCT left_w) AS BIGINT) AS n_contexts
+            FROM pairs GROUP BY right_w
+            ORDER BY n_contexts DESC, word LIMIT 15
         """,
     }

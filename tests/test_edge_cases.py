@@ -624,3 +624,41 @@ def test_mixture_schedule_vs_bruteforce(ray_session):
             for g, w in weights.items():
                 n_g = int((np.array(grp) == g).sum())
                 assert (sel["g"] == g).sum() == min(T * w, n_g)
+
+
+def test_continuation_topk_vs_bruteforce(ray_session):
+    """Property-fuzz continuation counts against Python set algebra on
+    random corpora with heavy collocations (low-continuation words that a
+    raw-count top-k would rank high)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import continuation_topk
+
+    rng = np.random.RandomState(67)
+    for trial in range(4):
+        n_docs = int(rng.randint(1, 30))
+        vocab = [f"w{i}" for i in range(int(rng.randint(2, 15)))]
+        docs = []
+        for _ in range(n_docs):
+            ws = [vocab[rng.randint(0, len(vocab))]
+                  for _ in range(rng.randint(1, 12))]
+            if rng.rand() < 0.5:
+                ws += ["san", "francisco"]  # collocation-bound pair
+            docs.append(" ".join(ws))
+        ctx: dict[str, set] = {}
+        for d in docs:
+            ws = d.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                ctx.setdefault(b, set()).add(a)
+        order = sorted(((w, len(s)) for w, s in ctx.items()),
+                       key=lambda x: (-x[1], x[0]))
+        k = int(rng.choice([3, 15]))
+        expect = order[:k]
+
+        ds = rd.from_arrow(pa.table({"text": docs})) \
+            .repartition(int(rng.randint(1, 5)))
+        out = continuation_topk(ds, k=k)
+        got = list(zip(out["word"], out["n_contexts"]))
+        assert got == expect, (trial, got, expect)

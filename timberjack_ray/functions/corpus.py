@@ -310,6 +310,74 @@ def bigram_topk(ds, k: int = 10, col: str = "text") -> pd.DataFrame:
         .head(k).reset_index(drop=True).astype({"n": "int64"})
 
 
+def continuation_topk(ds, k: int = 15, col: str = "text",
+                      n_buckets: int = 256) -> pd.DataFrame:
+    """Top-K words by CONTINUATION COUNT — how many DISTINCT left
+    contexts (preceding words) each word appears after.  The Kneser-Ney
+    lower-order statistic: words frequent only inside one collocation
+    ("Francisco") score low however high their raw count; the standard
+    LM-smoothing / collocation-detection signal.
+
+    Plan: per-batch distinct (right, left) bigram pairs (Arrow flatten +
+    shifted slices, pairs never cross doc boundaries) → ONE bucket
+    exchange keyed on the RIGHT word co-locates every copy of a pair →
+    per-bucket lexsort dedups pairs and segment counts give each word its
+    exact distinct-context count → only each bucket's top-K candidates
+    leave (k × n_buckets rows), the driver takes the global top-K
+    (count desc, word asc).  Exact at any vocabulary size; volume at the
+    exchange is the distinct-bigram set, the ``inverted_index`` class.
+    """
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "ctx": pa.array([], pa.string())})
+        left = flat.slice(0, n - 1)
+        right = flat.slice(1, n - 1)
+        mask = np.ones(n - 1, dtype=bool)
+        last_idx = offsets[1:] - 1
+        mask[last_idx[(last_idx >= 0) & (last_idx < n - 1)]] = False
+        am = pa.array(mask)
+        g = pa.table({"w": right.filter(am), "ctx": left.filter(am)}) \
+            .group_by(["w", "ctx"]).aggregate([([], "count_all")])
+        return g.select(["w", "ctx"])
+
+    bucketed = add_key_bucket(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"), "w",
+        n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        c = t["ctx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, w))
+        ws, cs = w[order], c[order]
+        first = np.r_[True, (ws[1:] != ws[:-1]) | (cs[1:] != cs[:-1])]
+        ws = ws[first]
+        starts, sizes = _segments(ws)
+        uw = ws[starts]
+        cand = min(k, len(uw))
+        top = np.lexsort((uw, -sizes))[:cand]
+        return pa.table({"word": pa.array(uw[top]),
+                         "n_contexts": pa.array(sizes[top]
+                                                .astype(np.int64))})
+
+    parts = [b for b in bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow").iter_batches(batch_size=None,
+                                             batch_format="pyarrow")
+        if b.num_rows]
+    if not parts:
+        return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                             "n_contexts": pd.Series([], dtype="int64")})
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["n_contexts", "word"],
+                          ascending=[False, True]).head(k) \
+        .reset_index(drop=True).astype({"n_contexts": "int64"})
+
+
 def doc_frequency(ds, id_col: str = "doc_id", col: str = "text",
                   limit: int | None = None) -> pd.DataFrame:
     """df(word) = number of documents containing the word.  Per-batch
