@@ -3540,24 +3540,24 @@ def q_tpch_q9(sf_dir: str):
                    .astype(np.int64)))
 
     def l_prep(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import (sorted_lookup,
+                                                   sorted_member_mask)
+
         pkeys, skeys, snat = fetch_broadcast(ref)
         p = t["l_partkey"].to_numpy(zero_copy_only=False)
-        if not len(pkeys) or not len(p):
-            return pa.table({"l_orderkey": pa.array([], pa.int64()),
-                             "nat": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.int64())})
-        idx = np.searchsorted(pkeys, p)
-        idx[idx >= len(pkeys)] = 0
-        m = pkeys[idx] == p
-        t = t.filter(pa.array(m))
+        t = t.filter(pa.array(sorted_member_mask(pkeys, p)))
         price = _scale100(t["l_extendedprice"]
                           .to_numpy(zero_copy_only=False))
         disc = _scale100(t["l_discount"].to_numpy(zero_copy_only=False))
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        nat = snat[np.searchsorted(skeys, s)]
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "nat": pa.array(nat),
-                         "rev": pa.array(price * (100 - disc))})
+        # synth FK integrity: every l_suppkey exists in supplier; the
+        # hit-mask guard keeps a dangling key from crashing or silently
+        # misattributing (it is dropped instead)
+        s_hit, s_idx = sorted_lookup(skeys, s)
+        out = pa.table({"l_orderkey": t["l_orderkey"],
+                        "nat": pa.array(snat[s_idx]),
+                        "rev": pa.array(price * (100 - disc))})
+        return out if s_hit.all() else out.filter(pa.array(s_hit))
 
     def o_prep(t: pa.Table) -> pa.Table:
         y = t["o_orderdate"].combine_chunks() \
@@ -3632,15 +3632,14 @@ def q_tpch_q16(sf_dir: str):
     ref = ray.put((pk[order_], gid[order_], bad))
 
     def prep(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import (sorted_lookup,
+                                                   sorted_member_mask)
+
         pkeys, gids, badk = fetch_broadcast(ref)
         p = t["l_partkey"].to_numpy(zero_copy_only=False)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        if not len(pkeys) or not len(p):
-            return pa.table({"gid": pa.array([], pa.int64()),
-                             "supp": pa.array([], pa.int64())})
-        idx = np.searchsorted(pkeys, p)
-        idx[idx >= len(pkeys)] = 0
-        m = (pkeys[idx] == p) & ~np.isin(s, badk)
+        hit, idx = sorted_lookup(pkeys, p)
+        m = hit & ~sorted_member_mask(badk, s)
         return pa.table({"gid": pa.array(gids[idx[m]]),
                          "supp": pa.array(s[m].astype(np.int64))})
 
@@ -3685,18 +3684,16 @@ def q_tpch_q2(sf_dir: str):
     sk = np.sort(esupp["s_suppkey"].to_numpy())
     ref = ray.put((pk, sk))
 
-    def partial(t: pa.Table) -> pa.Table:
-        pkeys, skeys = fetch_broadcast(ref)
-        p = t["l_partkey"].to_numpy(zero_copy_only=False)
-        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        m = np.isin(p, pkeys) & np.isin(s, skeys)
-        p, s = p[m], s[m]
-        if not len(p):
+    def argmin_fold(tables: list) -> pa.Table:
+        """Lexicographic-min-per-part reduce of (p, pr, s) partials."""
+        t = pa.concat_tables(tables)
+        if not t.num_rows:
             return pa.table({"p": pa.array([], pa.int64()),
                              "pr": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64())})
-        pr = _scale100(t["l_extendedprice"]
-                       .to_numpy(zero_copy_only=False))[m]
+        p = t["p"].to_numpy()
+        pr = t["pr"].to_numpy()
+        s = t["s"].to_numpy()
         order = np.lexsort((s, pr, p))
         ps, prs, ss = p[order], pr[order], s[order]
         starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
@@ -3704,27 +3701,39 @@ def q_tpch_q2(sf_dir: str):
                          "pr": pa.array(prs[starts].astype(np.int64)),
                          "s": pa.array(ss[starts].astype(np.int64))})
 
-    parts_ = [b for b in
-              _rp(sf_dir, "lineitem",
-                  columns=["l_partkey", "l_suppkey", "l_extendedprice"])
-              .map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")
-              if b.num_rows]
-    if not parts_:
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import sorted_member_mask
+
+        pkeys, skeys = fetch_broadcast(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = sorted_member_mask(pkeys, p) & sorted_member_mask(skeys, s)
+        pr = _scale100(t["l_extendedprice"]
+                       .to_numpy(zero_copy_only=False))
+        return argmin_fold([pa.table({"p": pa.array(p[m]),
+                                      "pr": pa.array(pr[m]),
+                                      "s": pa.array(s[m])})])
+
+    # driver fold with re-compaction every 64 partials so memory stays
+    # O(|size-25 parts|), not O(batches × parts) (r03 session review)
+    pending: list[pa.Table] = []
+    for b in _rp(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            pending.append(b)
+        if len(pending) >= 64:
+            pending = [argmin_fold(pending)]
+    if not pending:
         return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
                              "price_scaled": pd.Series([], dtype="int64"),
                              "s_suppkey": pd.Series([], dtype="int64"),
                              "s_name": pd.Series([], dtype="object")})
-    t = pa.concat_tables(parts_)
-    p = t["p"].to_numpy()
-    pr = t["pr"].to_numpy()
-    s = t["s"].to_numpy()
-    order = np.lexsort((s, pr, p))
-    ps, prs, ss = p[order], pr[order], s[order]
-    starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
-    out = pd.DataFrame({"p_partkey": ps[starts],
-                        "price_scaled": prs[starts],
-                        "s_suppkey": ss[starts]})
+    t = argmin_fold(pending)
+    out = pd.DataFrame({"p_partkey": t["p"].to_numpy(),
+                        "price_scaled": t["pr"].to_numpy(),
+                        "s_suppkey": t["s"].to_numpy()})
     names = esupp.select(["s_suppkey", "s_name"]).to_pandas()
     out = out.merge(names, on="s_suppkey")
     return out.sort_values("p_partkey").reset_index(drop=True) \
@@ -3775,7 +3784,11 @@ def q_tpch_q11(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow"),
         ["p"], "val").to_pandas()
     v = vals["val"].to_numpy().astype(np.int64)
-    keep = v * len(v) > 2 * int(v.sum())
+    # arbitrary-precision objects: v·n and 2·total both overflow int64 at
+    # the 100 TB cent scale (r03 session review) — the part count is
+    # driver-bounded here, so the object-dtype compare stays cheap
+    keep = v.astype(object) * len(v) > 2 * int(v.sum())
+    keep = keep.astype(bool)
     out = vals[keep].rename(columns={"p": "p_partkey",
                                      "val": "value_scaled"})
     return out.sort_values(["value_scaled", "p_partkey"],
@@ -3846,7 +3859,11 @@ def q_mixture_schedule(sf_dir: str):
     srcs = sorted(set(
         ds.select_columns(["source"]).unique("source")))
     weights = {s: (int(s[3:]) % 4) + 1 for s in srcs}
-    out = mixture_schedule(ds, "source", "doc_id", weights).to_pandas()
+    # base=12 = lcm of the weight DOMAIN {1,2,3,4}, pinned so the oracle's
+    # hard-coded 12//w stride stays exact even when a fixture's sources
+    # don't exercise every residue (r03 session review)
+    out = mixture_schedule(ds, "source", "doc_id", weights,
+                           base=12).to_pandas()
     return out.sort_values(["sched_key", "source", "doc_id"]) \
         .reset_index(drop=True) \
         .astype({"doc_id": "int64", "sched_key": "int64"})

@@ -544,8 +544,10 @@ def test_tpch_shapes_random_fixture_parity(ray_session, tmp_path):
                               if got[c].dtype.kind == "i"})
             want = want.astype({c: "int64" for c in want.columns
                                 if want[c].dtype.kind == "i"})
-            pd.testing.assert_frame_equal(got, want, check_dtype=False), \
-                (trial, name)
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            except AssertionError as e:
+                raise AssertionError(f"trial {trial}, {name}: {e}") from e
         con.close()
 
 

@@ -341,9 +341,8 @@ def continuation_topk(ds, k: int = 15, col: str = "text",
         last_idx = offsets[1:] - 1
         mask[last_idx[(last_idx >= 0) & (last_idx < n - 1)]] = False
         am = pa.array(mask)
-        g = pa.table({"w": right.filter(am), "ctx": left.filter(am)}) \
-            .group_by(["w", "ctx"]).aggregate([([], "count_all")])
-        return g.select(["w", "ctx"])
+        return pa.table({"w": right.filter(am), "ctx": left.filter(am)}) \
+            .group_by(["w", "ctx"]).aggregate([])
 
     bucketed = add_key_bucket(
         ds.map_batches(pairs_partial, batch_format="pyarrow"), "w",
@@ -707,7 +706,7 @@ def pps_sample(ds, group_col: str, weight_col: str, id_col: str,
 
 
 def mixture_schedule(ds, group_col: str, id_col: str,
-                     weights: dict[str, int]):
+                     weights: dict[str, int], base: int | None = None):
     """Deterministic domain-mixture interleave by STRIDE SCHEDULING: each
     group's docs get virtual times pos·(L/w_g) (pos = 1-based rank in the
     group's scrambled-hash order, L = lcm of the integer weights), so
@@ -724,21 +723,36 @@ def mixture_schedule(ds, group_col: str, id_col: str,
     range-partitions or sorts by sched_key downstream (e.g. via
     ``balanced_shards`` / export_sorted).  Oversized groups: same scan
     decomposition note as ``budget_sample``.
+
+    ``base`` pins the stride numerator (default lcm of the PRESENT
+    weights).  Pass the lcm of the full weight DOMAIN when the schedule
+    must be stable across datasets that may not exercise every weight
+    (e.g. a replayed SQL oracle with a hard-coded stride).  Groups
+    present in the data but absent from ``weights`` fail fast with a
+    clear error (not a worker-side KeyError).
     """
     import math
 
-    lcm = math.lcm(*weights.values())
+    lcm = math.lcm(*weights.values()) if base is None else base
+    for g, w in weights.items():
+        if lcm % w:
+            raise ValueError(f"base {lcm} not divisible by weight "
+                             f"{w} of group {g!r}")
     strides = {g: lcm // w for g, w in weights.items()}
     proj = ds.select_columns([group_col, id_col])
 
     def per_group(t: pa.Table) -> pa.Table:
+        g = t[group_col][0].as_py()
+        if g not in strides:
+            raise ValueError(
+                f"group {g!r} present in data but missing from the "
+                f"mixture_schedule weights dict ({sorted(strides)})")
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (ids * np.uint64(KNUTH32)) % np.uint64(_POW32)
         order = np.lexsort((ids, h))
         pos = np.empty(len(ids), np.int64)
         pos[order] = np.arange(1, len(ids) + 1)
-        stride = strides[t[group_col][0].as_py()]
-        return t.append_column("sched_key", pa.array(pos * stride))
+        return t.append_column("sched_key", pa.array(pos * strides[g]))
 
     return proj.groupby(group_col).map_groups(per_group,
                                               batch_format="pyarrow")
@@ -773,6 +787,13 @@ def balanced_shards(ds, size_col: str, id_col: str, k: int,
     proj = ds.select_columns([size_col, id_col])
 
     def partial(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t[size_col].type):
+            # float sizes would truncate inconsistently between the
+            # histogram and the bucket pass (colliding rank offsets) —
+            # require ints; callers quantize floats upstream
+            raise ValueError(
+                f"balanced_shards needs an integer size column; "
+                f"{size_col!r} is {t[size_col].type}")
         g = t.select([size_col]).group_by(size_col) \
             .aggregate([([], "count_all")])
         return g.rename_columns(["v", "n"])
