@@ -3837,6 +3837,45 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_dedup_keep_best_docs(sf_dir: str):
+    """Normalization-level dedup keeping the BEST copy (functions/dedup
+    .exact_dedup_keep_best): groups = C4-normalized text, survivor = max
+    n_chars then min doc_id — the RefinedWeb "retain the richest
+    duplicate" policy, resolved by a single packed-integer Max groupby."""
+    from timberjack_ray.functions.dedup import exact_dedup_keep_best
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def norm_key(t: pa.Table) -> pa.Array:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        return pc.utf8_trim_whitespace(x)
+
+    out = exact_dedup_keep_best(ds, norm_key, "n_chars").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+def q_curation_kill_reasons(sf_dir: str):
+    """Curation-stage audit (functions/dedup.curation_kill_reasons):
+    per-reason kill counts with first-match-wins priority short →
+    exact_dup → contaminated → kept, over the same train/bench split as
+    ``decontaminate_docs``."""
+    from timberjack_ray.functions.dedup import curation_kill_reasons
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return curation_kill_reasons(side(False), side(True), min_words=5,
+                                 k=3)
+
+
 def q_continuation_topk(sf_dir: str):
     """Kneser-Ney continuation counts (functions/corpus
     .continuation_topk): top-15 words by distinct-left-context count —
@@ -4031,6 +4070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": q_balanced_shards,
         "mixture_schedule": q_mixture_schedule,
         "continuation_topk": q_continuation_topk,
+        "dedup_keep_best_docs": q_dedup_keep_best_docs,
+        "curation_kill_reasons": q_curation_kill_reasons,
     }
 
 
@@ -5877,5 +5918,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT left_w) AS BIGINT) AS n_contexts
             FROM pairs GROUP BY right_w
             ORDER BY n_contexts DESC, word LIMIT 15
+        """,
+        "dedup_keep_best_docs": """
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                       PARTITION BY trim(regexp_replace(regexp_replace(
+                         lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                         ' +', ' ', 'g'))
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "curation_kill_reasons": """
+            WITH w AS (
+              SELECT doc_id, text, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN nw <= 3 THEN ['S:' || text]
+                     ELSE list_transform(generate_series(1, nw - 2),
+                           i -> 'L:' || ws[i] || ' ' || ws[i+1] || ' '
+                                || ws[i+2])
+                END) AS gram
+              FROM w
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams
+                      WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT g.doc_id FROM grams g
+              JOIN bench b ON g.gram = b.gram
+              WHERE g.doc_id % 97 <> 0
+            ),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN nw < 5 THEN 'short'
+                     WHEN doc_id <> MIN(CASE WHEN nw >= 5 THEN doc_id END)
+                          OVER (PARTITION BY text) THEN 'exact_dup'
+                     WHEN doc_id IN (SELECT doc_id FROM dirty)
+                       THEN 'contaminated'
+                     ELSE 'kept' END AS reason
+              FROM w WHERE doc_id % 97 <> 0)
+            SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM r GROUP BY reason ORDER BY reason
         """,
     }

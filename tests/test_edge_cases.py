@@ -664,3 +664,107 @@ def test_continuation_topk_vs_bruteforce(ray_session):
         out = continuation_topk(ds, k=k)
         got = list(zip(out["word"], out["n_contexts"]))
         assert got == expect, (trial, got, expect)
+
+
+def test_curation_kill_reasons_planted(ray_session):
+    """Fuzz the kill-reason audit with planted shorts, exact-dup clusters
+    (incl. all-short groups and short members of mixed groups), and
+    contaminated docs, against a Python reference applying the same
+    short → dup → contaminated priority."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import curation_kill_reasons
+
+    rng = np.random.RandomState(71)
+    for trial in range(3):
+        texts, train_ids = [], []
+        nid = 0
+
+        def add(tx):
+            nonlocal nid
+            texts.append(tx)
+            train_ids.append(nid)
+            nid += 1
+
+        bench = ["alpha beta gamma delta evalset marker here"]
+        for _ in range(rng.randint(2, 6)):        # dup clusters
+            body = " ".join(f"d{rng.randint(0, 9)}" for _ in range(8))
+            for _ in range(rng.randint(2, 4)):
+                add(body)
+            if rng.rand() < 0.5:
+                add("tiny")                        # short member? no: new text
+        for _ in range(rng.randint(1, 4)):
+            add("so short")                        # shorts (2 words)
+        add("alpha beta gamma plus trailing context words")  # contaminated
+        for _ in range(rng.randint(1, 5)):
+            add(" ".join(f"u{nid}w{j}" for j in range(9)))   # kept
+
+        # reference
+        from collections import Counter
+        nw = [len(t.split(" ")) for t in texts]
+        win = {}
+        for i, t in enumerate(texts):
+            if nw[i] >= 5 and (t not in win or train_ids[i] < win[t]):
+                win[t] = train_ids[i]
+        bgrams = set()
+        for b in bench:
+            ws = b.split(" ")
+            bgrams.update(" ".join(ws[i:i+3]) for i in range(len(ws)-2))
+        expect = Counter()
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            grams = {" ".join(ws[j:j+3]) for j in range(len(ws)-2)} \
+                if len(ws) > 3 else {t}
+            if nw[i] < 5:
+                expect["short"] += 1
+            elif train_ids[i] != win.get(t):
+                expect["exact_dup"] += 1
+            elif grams & bgrams:
+                expect["contaminated"] += 1
+            else:
+                expect["kept"] += 1
+
+        train = rd.from_arrow(pa.table({"doc_id": train_ids,
+                                        "text": texts})) \
+            .repartition(int(rng.randint(1, 5)))
+        bds = rd.from_arrow(pa.table({"doc_id": [10_000], "text": bench}))
+        out = curation_kill_reasons(train, bds, min_words=5, k=3)
+        got = dict(zip(out["reason"], out["n_docs"]))
+        assert got == {k: v for k, v in expect.items() if v}, \
+            (trial, got, dict(expect))
+
+
+def test_dedup_keep_best_planted(ray_session):
+    """Keep-best dedup on planted normalization-equal variants: the
+    longest raw copy survives, ties resolve to the lowest id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.dedup import exact_dedup_keep_best
+
+    rows = [
+        (1, "Hello, World!", 13),     # norm "hello world"
+        (2, "hello world", 11),
+        (3, "HELLO   WORLD...", 16),  # longest -> survivor
+        (4, "unique doc", 10),
+        (5, "Another-Doc", 11),       # norm "another doc", tie on score:
+        (6, "another:doc", 11),       # id 5 wins the tie
+    ]
+    t = pa.table({"doc_id": [r[0] for r in rows],
+                  "text": [r[1] for r in rows],
+                  "n_chars": [r[2] for r in rows]})
+
+    import pyarrow.compute as pc2
+
+    def norm_key(b):
+        x = pc2.utf8_lower(b["text"])
+        x = pc2.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc2.replace_substring_regex(x, " +", " ")
+        return pc2.utf8_trim_whitespace(x)
+
+    ds = rd.from_arrow(t).repartition(3)
+    out = exact_dedup_keep_best(ds, norm_key, "n_chars").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [3, 4, 5]

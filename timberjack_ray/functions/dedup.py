@@ -1280,3 +1280,130 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
         return finish(t, joined, new_wc, wc)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def exact_dedup_keep_best(ds, key_fn, score_col: str,
+                          id_col: str = "doc_id"):
+    """Survivor per distinct content keeping the BEST copy — max
+    ``score_col``, then min id — instead of ``exact_dedup``'s min-id rule
+    (the RefinedWeb/C4 policy of retaining the longest / highest-quality
+    duplicate when near-identical copies differ in formatting).
+
+    ``key_fn``: pa.Table → pa.Array of group-key strings (e.g. a
+    normalization chain); hashed with the same 64-bit stable hash as
+    ``exact_dedup`` (same collision caveat).  Plan: only
+    (key-hash, packed) pairs cross ONE Max groupby — packed =
+    score·2³² + (2³²−1−id) so a single integer Max resolves
+    (max score, min id); text never shuffles.  Precondition:
+    0 ≤ score < 2³¹, 0 ≤ id < 2³².
+
+    Returns a Dataset of (key-hash, id) survivors.
+    """
+    from ray.data.aggregate import Max
+
+    M = np.int64(1) << np.int64(32)
+
+    def project(t: pa.Table) -> pa.Table:
+        keys = key_fn(t)
+        h = _stable_hash_strings(
+            keys.to_numpy(zero_copy_only=False)).view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= M
+                         or sc.min() < 0 or sc.max() >= M // 2):
+            raise ValueError("id/score outside the packable domain")
+        packed = sc * M + (M - np.int64(1) - ids)
+        return pa.table({"k": pa.array(h), "packed": pa.array(packed)})
+
+    best = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("k").aggregate(Max("packed", alias_name="packed"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": t["k"],
+                         id_col: pa.array(M - np.int64(1) - packed % M)})
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
+def curation_kill_reasons(train_ds, bench_ds, col: str = "text",
+                          id_col: str = "doc_id", min_words: int = 5,
+                          k: int = 3) -> pd.DataFrame:
+    """Per-stage curation AUDIT: how many docs each filter stage kills,
+    with first-match-wins priority short → exact_dup → contaminated →
+    kept (the "why was my doc dropped" debugging table every production
+    curation pipeline needs).  The dedup winner is the min id among the
+    NON-short copies of a text (short docs are gone before dedup runs),
+    and contamination is the ``decontaminate`` rule (any shared word-
+    k-gram with the benchmark side).
+
+    Plan: short and contaminated flags are MAP-SIDE (one split + one
+    broadcast gram probe); only (content-hash, id, short, contam) — four
+    slim columns — ride ONE key-bucket exchange where each text's copies
+    co-locate, a lexsort((id, short, hash)) puts every group's winner at
+    its segment start, and ≤ 4 count rows leave each bucket.  Driver
+    merges a 4-row table at any corpus size.
+    """
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    grams = benchmark_gram_set(bench_ds, col, k)
+    ref = ray.put(grams)
+
+    def flags(t: pa.Table) -> pa.Table:
+        g = _fetch_bench(ref)
+        texts = t[col].to_pylist()
+        if not texts:
+            return pa.table({"chash": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "short": pa.array([], pa.int64()),
+                             "contam": pa.array([], pa.int64())})
+        nw = pc.list_value_length(pc.split_pattern(t[col], " ")) \
+            .to_numpy(zero_copy_only=False)
+        h, offs = gram_hashes_batch(texts, k)
+        hits = np.add.reduceat(
+            sorted_member_mask(g, h).astype(np.int64), offs[:-1]) \
+            if len(g) and len(h) else np.zeros(len(texts), np.int64)
+        ch = add_content_hash(t, col)["content_hash"]
+        return pa.table({"chash": ch,
+                         id_col: t[id_col],
+                         "short": pa.array((nw < min_words)
+                                           .astype(np.int64)),
+                         "contam": pa.array((hits > 0).astype(np.int64))})
+
+    bucketed = add_key_bucket(
+        train_ds.map_batches(flags, batch_format="pyarrow"), "chash", 256)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ch = t["chash"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["short"].to_numpy(zero_copy_only=False)
+        co = t["contam"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh, ch))
+        chs, idss, shs, cos = ch[order], ids[order], sh[order], co[order]
+        starts, sizes = _segments(chs)
+        # winner = min id among non-short copies = each segment's first
+        # row under the (short, id) sort — unless even that row is short
+        # (all copies short), in which case there is no dedup winner
+        win_id = np.repeat(idss[starts], sizes)
+        win_ok = np.repeat(shs[starts] == 0, sizes)
+        reason = np.full(len(chs), 3, np.int64)              # kept
+        reason[cos == 1] = 2                                  # contaminated
+        reason[win_ok & (idss != win_id)] = 1                 # exact_dup
+        reason[shs == 1] = 0                                  # short
+        n = np.bincount(reason, minlength=4)
+        nz = np.flatnonzero(n)
+        return pa.table({"r": pa.array(nz.astype(np.int64)),
+                         "n_docs": pa.array(n[nz].astype(np.int64))})
+
+    out = merge_partials(
+        bucketed.groupby("__kb").map_groups(
+            lambda t: per_bucket(t.drop_columns(["__kb"])),
+            batch_format="pyarrow"),
+        ["r"], "n_docs").to_pandas()
+    names = np.array(["short", "exact_dup", "contaminated", "kept"])
+    out["reason"] = names[out["r"].to_numpy()]
+    return out[["reason", "n_docs"]].sort_values("reason") \
+        .reset_index(drop=True).astype({"n_docs": "int64"})
