@@ -3837,6 +3837,30 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_stream_dedup_docs(sf_dir: str):
+    """STREAMING exact dedup (state/dedup_index.StreamingDeduper): docs
+    arrive in doc_id order as micro-batches and each batch is filtered
+    against the sharded first-seen actor index before flowing on — the
+    ingest-time dedup a batch groupby cannot express.  Deterministic
+    arrival order ⇒ first-seen = min doc_id, which the SQL oracle
+    replays."""
+    from timberjack_ray.state.dedup_index import StreamingDeduper
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .sort("doc_id")
+    kept = []
+    with StreamingDeduper(n_shards=8) as d:
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            fresh = d.filter_batch(b, col="text")
+            if fresh.num_rows:
+                kept.append(fresh.select(["doc_id"]))
+    if not kept:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(kept).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """Normalization-level dedup keeping the BEST copy (functions/dedup
     .exact_dedup_keep_best): groups = C4-normalized text, survivor = max
@@ -4072,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "continuation_topk": q_continuation_topk,
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "curation_kill_reasons": q_curation_kill_reasons,
+        "stream_dedup_docs": q_stream_dedup_docs,
     }
 
 
@@ -5961,5 +5986,9 @@ def oracle_sql() -> dict[str, str]:
               FROM w WHERE doc_id % 97 <> 0)
             SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM r GROUP BY reason ORDER BY reason
+        """,
+        "stream_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
         """,
     }
