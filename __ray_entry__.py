@@ -3861,6 +3861,47 @@ def q_stream_dedup_docs(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def q_stream_near_dup_pairs(sf_dir: str):
+    """STREAMING near-dup detection (state/lsh_index.StreamingNearDup):
+    docs arrive in doc_id order; each batch is probed against the
+    sharded LSH band index and verified pairs (new vs previously seen)
+    stream out.  Docs with doc_id % 101 == 0 get a planted near-copy at
+    id+1e6 (last word changed) so the detector has cross-batch truth at
+    any sf — rows-only (no SQL; the batch LSH family's planted-pair
+    pytest evidence applies, `tests/test_state.py`)."""
+    from timberjack_ray.state.lsh_index import StreamingNearDup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .sort("doc_id")
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 101 == 0
+        if not m.any():
+            return t
+        plant = t.filter(pa.array(m))
+        s = plant["text"].to_pandas()
+        txt = s.str.rsplit(" ", n=1).str[0] + " planted"
+        plant = pa.table({"doc_id": pa.array(
+            plant["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000),
+            "text": pa.array(txt)})
+        return pa.concat_tables([t, plant])
+
+    pairs = []
+    with StreamingNearDup(n_shards=8, num_perm=64, bands=16,
+                          min_eq=32) as idx:
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            p = idx.process_batch(augment(b))
+            if len(p):
+                pairs.append(p)
+    if not pairs:
+        return pd.DataFrame({"new_id": pd.Series([], dtype="int64"),
+                             "seen_id": pd.Series([], dtype="int64"),
+                             "n_eq": pd.Series([], dtype="int64")})
+    return pd.concat(pairs).sort_values(["new_id", "seen_id"]) \
+        .reset_index(drop=True)
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """Normalization-level dedup keeping the BEST copy (functions/dedup
     .exact_dedup_keep_best): groups = C4-normalized text, survivor = max
@@ -4097,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "curation_kill_reasons": q_curation_kill_reasons,
         "stream_dedup_docs": q_stream_dedup_docs,
+        "stream_near_dup_pairs": q_stream_near_dup_pairs,
     }
 
 

@@ -69,3 +69,52 @@ def test_streaming_deduper_matches_batch_dedup(ray_session):
                           "text": texts[lo:lo + 7]})
             got += d.filter_batch(b, col="text")["doc_id"].to_pylist()
     assert sorted(got) == want
+
+
+def test_lsh_shard_state_reference():
+    """Bucket probe+insert returns exactly the prior occupants and caps
+    degenerate buckets."""
+    import numpy as np
+
+    from timberjack_ray.state.lsh_index import _LshShardState
+
+    st = _LshShardState(max_bucket=2)
+    k = np.array([7, 7, 9], np.int64)
+    i = np.array([1, 2, 3], np.int64)
+    n, s = st.probe_insert_buckets(k, i)
+    assert n.tolist() == [2] and s.tolist() == [1]   # 2 saw 1 in bucket 7
+    n, s = st.probe_insert_buckets(np.array([7], np.int64),
+                                   np.array([4], np.int64))
+    assert sorted(s.tolist()) == [1, 2]               # cap=2: 4 not stored
+    n, s = st.probe_insert_buckets(np.array([7], np.int64),
+                                   np.array([5], np.int64))
+    assert sorted(s.tolist()) == [1, 2]
+
+
+def test_streaming_near_dup_planted(ray_session):
+    """Planted cross-batch near-dups are found with high n_eq; unrelated
+    docs produce no pairs; exact copies score n_eq = num_perm."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.state.lsh_index import StreamingNearDup
+
+    rng = np.random.RandomState(97)
+    base = " ".join(f"w{rng.randint(0, 50)}" for _ in range(40))
+    near = base.rsplit(" ", 2)[0] + " zz1 zz2"        # ~95% shingle overlap
+    other = " ".join(f"q{j}" for j in range(40))
+
+    b1 = pa.table({"doc_id": [1, 2], "text": [base, other]})
+    b2 = pa.table({"doc_id": [3, 4, 5],
+                   "text": [near, base, " ".join(f"r{j}" for j in range(30))]})
+    with StreamingNearDup(n_shards=4, num_perm=64, bands=16,
+                          min_eq=32) as idx:
+        p1 = idx.process_batch(b1)
+        assert len(p1) == 0
+        p2 = idx.process_batch(b2)
+        got = {(r.new_id, r.seen_id): r.n_eq
+               for r in p2.itertuples(index=False)}
+        assert (4, 1) in got and got[(4, 1)] == 64    # exact copy
+        assert (3, 1) in got and got[(3, 1)] >= 32    # planted near-dup
+        assert all(new in (3, 4) for new, _ in got)   # no false pairs for 5
+        assert idx.index_docs() == 5
