@@ -3902,6 +3902,31 @@ def q_stream_near_dup_pairs(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_stream_quota_admit(sf_dir: str):
+    """Streaming per-source quota admission (state/quota.QuotaAdmitter):
+    docs arrive in doc_id order; each source admits docs until its
+    20 000-char budget is spent (inclusive, docs never split).  Arrival
+    order is deterministic, so the cut replays as a SQL inclusive
+    running-sum window."""
+    from timberjack_ray.state.quota import QuotaAdmitter
+
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "source", "n_chars"]).sort("doc_id")
+    kept = []
+    with QuotaAdmitter(budget=2_000, n_shards=4) as q:
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            fresh = q.filter_batch(b, "source", "n_chars")
+            if fresh.num_rows:
+                kept.append(fresh)
+    if not kept:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype="object"),
+                             "n_chars": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(kept).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """Normalization-level dedup keeping the BEST copy (functions/dedup
     .exact_dedup_keep_best): groups = C4-normalized text, survivor = max
@@ -4139,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_kill_reasons": q_curation_kill_reasons,
         "stream_dedup_docs": q_stream_dedup_docs,
         "stream_near_dup_pairs": q_stream_near_dup_pairs,
+        "stream_quota_admit": q_stream_quota_admit,
     }
 
 
@@ -6032,5 +6058,16 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        "stream_quota_admit": """
+            WITH a AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM a
+            WHERE cum <= 2000 ORDER BY doc_id
         """,
     }

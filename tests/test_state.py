@@ -118,3 +118,50 @@ def test_streaming_near_dup_planted(ray_session):
         assert (3, 1) in got and got[(3, 1)] >= 32    # planted near-dup
         assert all(new in (3, 4) for new, _ in got)   # no false pairs for 5
         assert idx.index_docs() == 5
+
+
+def test_quota_shard_prefix_rule():
+    """The first overflowing doc closes its group — later smaller docs are
+    rejected (the monotone running-sum-window contract)."""
+    import numpy as np
+
+    from timberjack_ray.state.quota import _QuotaShardState
+
+    st = _QuotaShardState(budget=10)
+    keep = st.admit(["a", "a", "a", "b"],
+                    np.array([6, 5, 1, 10], np.int64))
+    # a: 6 ok; 6+5 overflows -> closed; the 1 would fit but group closed
+    assert keep.tolist() == [True, False, False, True]
+    assert st.totals() == {"a": 6, "b": 10}
+
+
+def test_quota_admitter_vs_window_oracle(ray_session):
+    """Random arrivals in id order through the actor pool must equal the
+    running-sum-window replay."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.state.quota import QuotaAdmitter
+
+    rng = np.random.RandomState(101)
+    n = 80
+    ids = np.arange(n)
+    grp = [f"g{rng.randint(0, 4)}" for _ in range(n)]
+    w = rng.randint(1, 30, n).astype(np.int64)
+
+    cum: dict = {}
+    expect = []
+    for i in range(n):
+        c = cum.get(grp[i], 0) + int(w[i])
+        cum[grp[i]] = c
+        if c <= 50:
+            expect.append(i)
+
+    got = []
+    with QuotaAdmitter(budget=50, n_shards=3) as q:
+        for lo in range(0, n, 13):
+            b = pa.table({"doc_id": ids[lo:lo + 13],
+                          "g": grp[lo:lo + 13],
+                          "w": w[lo:lo + 13]})
+            got += q.filter_batch(b, "g", "w")["doc_id"].to_pylist()
+    assert got == expect
