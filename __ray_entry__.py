@@ -3864,34 +3864,42 @@ def q_stream_dedup_docs(sf_dir: str):
 def q_stream_near_dup_pairs(sf_dir: str):
     """STREAMING near-dup detection (state/lsh_index.StreamingNearDup):
     docs arrive in doc_id order; each batch is probed against the
-    sharded LSH band index and verified pairs (new vs previously seen)
-    stream out.  Docs with doc_id % 101 == 0 get a planted near-copy at
-    id+1e6 (last word changed) so the detector has cross-batch truth at
-    any sf — rows-only (no SQL; the batch LSH family's planted-pair
-    pytest evidence applies, `tests/test_state.py`)."""
+    sharded LSH band index and verified pairs (new vs anything seen
+    earlier) stream out.  Docs with doc_id % 101 == 0 get a planted
+    near-copy at id+10¹² (safely above any real id) injected into the
+    NEXT batch, so the cross-batch probe-and-fetch path has ground truth
+    at any sf — rows-only (no SQL; planted-pair pytest evidence in
+    `tests/test_state.py`)."""
     from timberjack_ray.state.lsh_index import StreamingNearDup
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
         .sort("doc_id")
 
-    def augment(t: pa.Table) -> pa.Table:
+    def make_plants(t: pa.Table) -> pa.Table | None:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         m = ids % 101 == 0
         if not m.any():
-            return t
+            return None
         plant = t.filter(pa.array(m))
         s = plant["text"].to_pandas()
         txt = s.str.rsplit(" ", n=1).str[0] + " planted"
-        plant = pa.table({"doc_id": pa.array(
-            plant["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000),
+        return pa.table({"doc_id": pa.array(
+            plant["doc_id"].to_numpy(zero_copy_only=False)
+            + 1_000_000_000_000),
             "text": pa.array(txt)})
-        return pa.concat_tables([t, plant])
 
     pairs = []
+    carry = None  # plants from batch i arrive with batch i+1: CROSS-batch
     with StreamingNearDup(n_shards=8, num_perm=64, bands=16,
                           min_eq=32) as idx:
         for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
-            p = idx.process_batch(augment(b))
+            feed = pa.concat_tables([carry, b]) if carry is not None                 else b
+            p = idx.process_batch(feed)
+            if len(p):
+                pairs.append(p)
+            carry = make_plants(b)
+        if carry is not None:
+            p = idx.process_batch(carry)
             if len(p):
                 pairs.append(p)
     if not pairs:
@@ -3905,7 +3913,7 @@ def q_stream_near_dup_pairs(sf_dir: str):
 def q_stream_quota_admit(sf_dir: str):
     """Streaming per-source quota admission (state/quota.QuotaAdmitter):
     docs arrive in doc_id order; each source admits docs until its
-    20 000-char budget is spent (inclusive, docs never split).  Arrival
+    2 000-char budget is spent (inclusive, docs never split).  Arrival
     order is deterministic, so the cut replays as a SQL inclusive
     running-sum window."""
     from timberjack_ray.state.quota import QuotaAdmitter

@@ -1366,7 +1366,10 @@ def curation_kill_reasons(train_ds, bench_ds, col: str = "text",
         hits = np.add.reduceat(
             sorted_member_mask(g, h).astype(np.int64), offs[:-1]) \
             if len(g) and len(h) else np.zeros(len(texts), np.int64)
-        ch = add_content_hash(t, col)["content_hash"]
+        # hash the already-materialized text list (same stable-hash family
+        # as add_content_hash) instead of converting the column twice
+        ch = pa.array(_stable_hash_strings(
+            np.array(texts, dtype=object)).view(np.int64))
         return pa.table({"chash": ch,
                          id_col: t[id_col],
                          "short": pa.array((nw < min_words)

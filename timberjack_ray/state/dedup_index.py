@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from timberjack_ray.functions.util import sorted_member_mask
+from timberjack_ray.state import ShardPool
 
 
 def _first_occurrence_mask(h: np.ndarray) -> np.ndarray:
@@ -78,7 +79,7 @@ def _make_shard_actor():
     return DedupShard
 
 
-class StreamingDeduper:
+class StreamingDeduper(ShardPool):
     """Actor-pool front-end: filter each arriving Arrow batch down to the
     rows whose content was never seen before (first-seen wins).
 
@@ -96,44 +97,26 @@ class StreamingDeduper:
     """
 
     def __init__(self, n_shards: int = 8):
-        import ray
-
         cls = _make_shard_actor()
-        self.n_shards = n_shards
-        self.shards = [cls.remote() for _ in range(n_shards)]
-        self._ray = ray
+        super().__init__([cls.remote() for _ in range(n_shards)])
 
     def filter_batch(self, t: pa.Table, col: str = "text",
                      hashes: np.ndarray | None = None) -> pa.Table:
-        import pandas as pd
-
         if hashes is None:
+            # the same 64-bit stable hash family as the batch exact_dedup
+            # path — all dedup tiers must agree for oracle replay
+            from timberjack_ray.functions.dedup import _stable_hash_strings
+
             texts = t[col].to_pandas().astype(str).to_numpy(dtype=object)
-            hashes = pd.util.hash_array(texts).astype(np.uint64)
+            hashes = _stable_hash_strings(texts)
         owner = (hashes % np.uint64(self.n_shards)).astype(np.int64)
         keep = np.zeros(len(hashes), dtype=bool)
-        idxs, refs = [], []
-        for s in range(self.n_shards):
-            idx = np.flatnonzero(owner == s)
-            if len(idx):
-                idxs.append(idx)
-                refs.append(self.shards[s].probe_insert
-                            .remote(hashes[idx]))
-        for idx, mask in zip(idxs, self._ray.get(refs)):
+        parts = self._split(owner)
+        refs = [self.shards[s].probe_insert.remote(hashes[idx])
+                for s, idx in parts]
+        for (s, idx), mask in zip(parts, self._ray.get(refs)):
             keep[idx] = mask
         return t.filter(pa.array(keep))
 
     def index_size(self) -> int:
         return sum(self._ray.get([s.size.remote() for s in self.shards]))
-
-    def close(self) -> None:
-        for s in self.shards:
-            self._ray.kill(s)
-        self.shards = []
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False

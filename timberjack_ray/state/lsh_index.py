@@ -27,9 +27,10 @@ coarser num_perm (or uint32 truncation) halves the sig store.
 
 Verification is exact on signatures: the emitted ``n_eq`` is the integer
 count of equal components (estimated Jaccard = n_eq / num_perm — the
-division is the consumer's).  Candidate pairs are only NEW-vs-SEEN:
-in-batch duplicates are the batch path's job (run `exact_dedup` /
-`minhash_dedup` inside the batch first if needed).
+division is the consumer's).  Pair semantics: each doc is compared
+against everything seen EARLIER in arrival order — prior batches AND
+earlier rows of the same batch/call (within a call the shard inserts
+row-by-row, so row i probes against rows < i; tests pin both cases).
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ import pyarrow as pa
 
 from timberjack_ray.functions.dedup import (_MERSENNE, _minhash_params,
                                             gram_hashes_batch)
+from timberjack_ray.state import ShardPool
 
 _FNV = np.uint64(1099511628211)
 
@@ -118,9 +120,10 @@ def _make_shard_actor():
     return LshShard
 
 
-class StreamingNearDup:
+class StreamingNearDup(ShardPool):
     """Actor-pool front-end: feed Arrow batches, get back the verified
-    near-dup pairs (new doc vs any previously ingested doc).
+    near-dup pairs (new doc vs anything ingested earlier — prior batches
+    or earlier rows of the same batch).
 
     Usage::
 
@@ -135,18 +138,15 @@ class StreamingNearDup:
     def __init__(self, n_shards: int = 8, num_perm: int = 64,
                  bands: int = 16, shingle_k: int = 3, min_eq: int = 32,
                  max_bucket: int = 64, seed: int = 7):
-        import ray
-
         assert num_perm % bands == 0
         cls = _make_shard_actor()
-        self.n_shards = n_shards
+        super().__init__([cls.remote(max_bucket)
+                          for _ in range(n_shards)])
         self.num_perm = num_perm
         self.bands = bands
         self.k = shingle_k
         self.min_eq = min_eq
         self.a, self.b = _minhash_params(num_perm, seed)
-        self.shards = [cls.remote(max_bucket) for _ in range(n_shards)]
-        self._ray = ray
 
     def _signatures(self, texts) -> np.ndarray:
         flat, offsets = gram_hashes_batch(texts, self.k)
@@ -172,13 +172,10 @@ class StreamingNearDup:
         flat_ids = np.repeat(ids, self.bands)  # doc-major, matches keys
         owner = (flat_keys.view(np.uint64)
                  % np.uint64(self.n_shards)).astype(np.int64)
-        refs, slots = [], []
-        for s in range(self.n_shards):
-            m = owner == s
-            if m.any():
-                refs.append(self.shards[s].probe_insert_buckets
-                            .remote(flat_keys[m], flat_ids[m]))
-                slots.append(s)
+        parts = self._split(owner)
+        refs = [self.shards[s].probe_insert_buckets
+                .remote(flat_keys[idx], flat_ids[idx])
+                for s, idx in parts]
         cn, cs = [], []
         for r in self._ray.get(refs):
             cn.append(r[0])
@@ -189,29 +186,25 @@ class StreamingNearDup:
                                                             np.int64)
 
         # round 2 (parallel halves): store new sigs; fetch seen sigs
+        # NOTE ordering: put_sigs is submitted to each shard BEFORE any
+        # get_sigs below; Ray actors execute a caller's messages in
+        # submission order, so an in-batch candidate's signature is
+        # always stored before the verification fetch reads it.
         id_owner = (ids.view(np.uint64)
                     % np.uint64(self.n_shards)).astype(np.int64)
-        put_refs = []
-        for s in range(self.n_shards):
-            m = id_owner == s
-            if m.any():
-                put_refs.append(self.shards[s].put_sigs
-                                .remote(ids[m], sigs[m]))
+        put_refs = [self.shards[s].put_sigs.remote(ids[idx], sigs[idx])
+                    for s, idx in self._split(id_owner)]
         new_ids, seen_ids = cand
         verified = empty
         if len(new_ids):
             seen_owner = (seen_ids.view(np.uint64)
                           % np.uint64(self.n_shards)).astype(np.int64)
-            g_refs, g_idx = [], []
-            for s in range(self.n_shards):
-                m = seen_owner == s
-                if m.any():
-                    g_refs.append(self.shards[s].get_sigs
-                                  .remote(seen_ids[m]))
-                    g_idx.append(np.flatnonzero(m))
+            g_parts = self._split(seen_owner)
+            g_refs = [self.shards[s].get_sigs.remote(seen_ids[idx])
+                      for s, idx in g_parts]
             seen_sigs = np.zeros((len(seen_ids), self.num_perm),
                                  np.uint64)
-            for idx, sg in zip(g_idx, self._ray.get(g_refs)):
+            for (s, idx), sg in zip(g_parts, self._ray.get(g_refs)):
                 seen_sigs[idx] = sg
             pos = {int(i): j for j, i in enumerate(ids)}
             new_sigs = sigs[[pos[int(i)] for i in new_ids]]
@@ -228,15 +221,3 @@ class StreamingNearDup:
     def index_docs(self) -> int:
         return sum(self._ray.get([s.n_docs.remote()
                                   for s in self.shards]))
-
-    def close(self) -> None:
-        for s in self.shards:
-            self._ray.kill(s)
-        self.shards = []
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False

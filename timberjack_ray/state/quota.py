@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from timberjack_ray.state import ShardPool
+
 
 class _QuotaShardState:
     """Actor-free logic: per-group spent totals, PREFIX admission — the
@@ -66,18 +68,14 @@ def _make_shard_actor():
     return QuotaShard
 
 
-class QuotaAdmitter:
+class QuotaAdmitter(ShardPool):
     """Actor-pool front-end: keep each arriving batch's rows whose group
     budget is not yet exhausted (inclusive: a doc that exactly fills the
     budget is admitted; the next one is not — docs are never split)."""
 
     def __init__(self, budget: int, n_shards: int = 4):
-        import ray
-
         cls = _make_shard_actor()
-        self.n_shards = n_shards
-        self.shards = [cls.remote(budget) for _ in range(n_shards)]
-        self._ray = ray
+        super().__init__([cls.remote(budget) for _ in range(n_shards)])
 
     def filter_batch(self, t: pa.Table, group_col: str,
                      weight_col: str) -> pa.Table:
@@ -86,18 +84,15 @@ class QuotaAdmitter:
             return t
         w = t[weight_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        owner = pd.util.hash_array(
-            np.asarray(groups, dtype=object)).astype(np.uint64) \
-            % np.uint64(self.n_shards)
+        owner = (pd.util.hash_array(np.asarray(groups, dtype=object))
+                 .astype(np.uint64)
+                 % np.uint64(self.n_shards)).astype(np.int64)
         keep = np.zeros(len(groups), dtype=bool)
-        idxs, refs = [], []
-        for s in range(self.n_shards):
-            idx = np.flatnonzero(owner == s)
-            if len(idx):
-                idxs.append(idx)
-                refs.append(self.shards[s].admit.remote(
-                    [groups[i] for i in idx], w[idx]))
-        for idx, mask in zip(idxs, self._ray.get(refs)):
+        parts = self._split(owner)
+        refs = [self.shards[s].admit.remote([groups[i] for i in idx],
+                                            w[idx])
+                for s, idx in parts]
+        for (s, idx), mask in zip(parts, self._ray.get(refs)):
             keep[idx] = mask
         return t.filter(pa.array(keep))
 
@@ -106,15 +101,3 @@ class QuotaAdmitter:
         for d in self._ray.get([s.totals.remote() for s in self.shards]):
             out.update(d)
         return out
-
-    def close(self) -> None:
-        for s in self.shards:
-            self._ray.kill(s)
-        self.shards = []
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
