@@ -3837,6 +3837,63 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_curation_pipeline_v3(sf_dir: str):
+    """End-to-end curation over the SESSION-4 operator family, every
+    stage exact and SQL-replayable: train split → keep-BEST normalized
+    dedup (max n_chars, min id) → benchmark decontamination → per-source
+    systematic PPS sampling (step 2000) → balanced shard plan (k=8).
+    Survivor ids rejoin their payload through the GRACE bucket join (no
+    corpus-sized broadcast); the result is the 8-row shard plan."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import balanced_shards, pps_sample
+    from timberjack_ray.functions.dedup import (decontaminate,
+                                                exact_dedup_keep_best)
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "source", "text", "n_chars"])
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def norm_key(t: pa.Table) -> pa.Array:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        return pc.utf8_trim_whitespace(x)
+
+    best = exact_dedup_keep_best(side(False), norm_key, "n_chars") \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
+    survivors = bucket_hash_join(
+        side(False), best.map_batches(
+            lambda t: t.rename_columns(["surv_id"]),
+            batch_format="pyarrow"),
+        "doc_id", "surv_id", ["source", "text", "n_chars"], [])
+    clean = decontaminate(survivors, side(True), col="text",
+                          id_col="doc_id", k=3)
+    sampled = pps_sample(
+        clean.map_batches(lambda t: t.select(
+            ["source", "doc_id", "n_chars"]), batch_format="pyarrow"),
+        "source", "n_chars", "doc_id", step=2_000)
+    shards = balanced_shards(sampled, "n_chars", "doc_id", k=8)
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("shard").aggregate([("n_chars", "sum"),
+                                           ([], "count_all")])
+        return g.rename_columns(["shard", "total_chars", "n_docs"])
+
+    out = merge_partials(shards.map_batches(agg, batch_format="pyarrow"),
+                         ["shard"], ["total_chars", "n_docs"]).to_pandas()
+    return out[["shard", "n_docs", "total_chars"]].sort_values("shard") \
+        .reset_index(drop=True) \
+        .astype({"shard": "int64", "n_docs": "int64",
+                 "total_chars": "int64"})
+
+
 def q_stream_dedup_docs(sf_dir: str):
     """STREAMING exact dedup (state/dedup_index.StreamingDeduper): docs
     arrive in doc_id order as micro-batches and each batch is filtered
@@ -4173,6 +4230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_dedup_docs": q_stream_dedup_docs,
         "stream_near_dup_pairs": q_stream_near_dup_pairs,
         "stream_quota_admit": q_stream_quota_admit,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
     }
 
 
@@ -6066,6 +6124,68 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        "curation_pipeline_v3": """
+            WITH train AS (
+              SELECT doc_id, source, text, n_chars,
+                     trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm,
+                     string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents WHERE doc_id % 97 <> 0
+            ),
+            best AS (
+              SELECT doc_id, source, text, n_chars, ws, nw FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY norm
+                  ORDER BY n_chars DESC, doc_id) AS rn
+                FROM train) WHERE rn = 1
+            ),
+            allgrams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN len(string_split(text, ' ')) <= 3
+                     THEN ['S:' || text]
+                     ELSE list_transform(
+                       generate_series(1,
+                         len(string_split(text, ' ')) - 2),
+                       i -> 'L:' || string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i+1] || ' '
+                            || string_split(text, ' ')[i+2])
+                END) AS gram
+              FROM documents
+            ),
+            bench AS (SELECT DISTINCT gram FROM allgrams
+                      WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT g.doc_id FROM allgrams g
+              JOIN bench b ON g.gram = b.gram
+              WHERE g.doc_id % 97 <> 0
+            ),
+            clean AS (
+              SELECT doc_id, source, n_chars FROM best
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+            ),
+            pps AS (
+              SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       SUM(n_chars) OVER (
+                         PARTITION BY source
+                         ORDER BY (doc_id::HUGEINT * 2654435761)
+                                  % 4294967296, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+                FROM clean)
+              WHERE cum // 2000 > (cum - n_chars) // 2000
+            ),
+            sh AS (
+              SELECT CAST((ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id) - 1) % 8
+                     AS BIGINT) AS shard, n_chars
+              FROM pps)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM sh GROUP BY shard ORDER BY shard
         """,
         "stream_quota_admit": """
             WITH a AS (
