@@ -165,3 +165,61 @@ def test_quota_admitter_vs_window_oracle(ray_session):
                           "w": w[lo:lo + 13]})
             got += q.filter_batch(b, "g", "w")["doc_id"].to_pylist()
     assert got == expect
+
+
+def test_ingest_job_end_to_end(ray_session, tmp_path):
+    """jobs/ingest_job.py over two shards with planted cross-shard dups:
+    exact dups dropped, quota enforced, resume skips existing output
+    while still feeding the indexes."""
+    import json
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.ingest_job import main
+
+    d_in = tmp_path / "in"
+    d_out = tmp_path / "out"
+    d_in.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        "source": ["a", "a", "b"],
+        "text": ["one one one one", "two two two two",
+                 "three three x y"],
+        "n_chars": [15, 15, 15]}), str(d_in / "s0.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": [4, 5],
+        "source": ["a", "b"],
+        "text": ["one one one one",          # exact dup of doc 1
+                 "five six seven eight"],
+        "n_chars": [15, 20]}), str(d_in / "s1.parquet"))
+
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", str(d_in / "*.parquet"),
+                   "--out-dir", str(d_out), "--budget", "30",
+                   "--n-shards", "2"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["rows_in"] == 5 and m["exact_dups_dropped"] == 1
+    # budget 30: a admits 1+2 (15+15 = 30 exactly); b admits 3 (15)
+    # and rejects 5 (15+20 > 30, prefix rule)
+    assert m["quota_rejected"] == 1 and m["rows_out"] == 3
+    import duckdb
+    assert duckdb.sql(
+        f"SELECT COUNT(*) FROM '{d_out}/*.parquet'").fetchone()[0] == 3
+
+    # resume: both outputs exist -> skipped, stream still flows
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["--input", str(d_in / "*.parquet"),
+                   "--out-dir", str(d_out), "--budget", "30",
+                   "--n-shards", "2"])
+    m2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    # s1 had zero survivors but still wrote a schema-only marker file,
+    # so BOTH shards skip on resume
+    assert m2["skipped_existing"] == 2 and m2["rows_out"] == 3
