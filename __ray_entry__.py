@@ -3837,6 +3837,35 @@ def q_balanced_shards(sf_dir: str):
                  "total_chars": "int64"})
 
 
+def q_embedding_top_pc(sf_dir: str):
+    """Top principal component of the embedding corpus (functions/
+    similarity.top_principal_component): distributed Gram partials +
+    driver power iteration — the mode-collapse / drift diagnostic.
+    Rows-only (float reduction; pinned vs numpy.linalg.eigh in
+    tests/test_functions.py)."""
+    from timberjack_ray.functions.similarity import top_principal_component
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding"])
+    lam, v, n = top_principal_component(ds)
+    return pd.DataFrame({"component": np.arange(len(v), dtype=np.int64),
+                         "loading": v,
+                         "eigenvalue": np.full(len(v), lam),
+                         "n_rows": np.full(len(v), n, dtype=np.int64)})
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (functions/dedup.ngram_novelty): exact
+    (n_grams, n_novel) counts of distinct word-3-grams first seen in this
+    doc — the original-content curation signal."""
+    from timberjack_ray.functions.dedup import ngram_novelty
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_novelty(ds, k=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_grams": "int64",
+                 "n_novel": "int64"})
+
+
 def q_curation_pipeline_v3(sf_dir: str):
     """End-to-end curation over the SESSION-4 operator family, every
     stage exact and SQL-replayable: train split → keep-BEST normalized
@@ -4231,6 +4260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_near_dup_pairs": q_stream_near_dup_pairs,
         "stream_quota_admit": q_stream_quota_admit,
         "curation_pipeline_v3": q_curation_pipeline_v3,
+        "ngram_novelty": q_ngram_novelty,
+        "embedding_top_pc": q_embedding_top_pc,
     }
 
 
@@ -6124,6 +6155,31 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        "ngram_novelty": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS nw,
+                     string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, UNNEST(
+                  CASE WHEN nw <= 3 THEN ['S:' || text]
+                       ELSE list_transform(generate_series(1, nw - 2),
+                             i -> 'L:' || ws[i] || ' ' || ws[i+1] || ' '
+                                  || ws[i+2])
+                  END) AS gram
+                FROM w)
+            ),
+            firsts AS (SELECT gram, MIN(doc_id) AS fd
+                       FROM grams GROUP BY gram)
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel
+            FROM grams g JOIN firsts f USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "curation_pipeline_v3": """
             WITH train AS (

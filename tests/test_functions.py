@@ -671,3 +671,33 @@ def test_embedding_dispersion_matches_numpy(ray_session):
         sel = labels == r.label
         assert r.n == int(sel.sum())
         assert r.sumsq_scaled == int((q[sel] ** 2).sum())
+
+
+def test_top_principal_component_vs_eigh(ray_session):
+    """Power-iteration PC pinned against numpy.linalg.eigh on random
+    anisotropic data, invariant (to float tolerance) under partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import top_principal_component
+
+    rng = np.random.RandomState(107)
+    d, n = 12, 400
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    x = rng.randn(n, d) + 4.0 * rng.randn(n, 1) * direction
+    t = pa.table({"embedding": pa.FixedSizeListArray.from_arrays(
+        pa.array(x.astype(np.float32).reshape(-1)), d).cast(
+            pa.list_(pa.float32()))})
+
+    cov = np.cov(x.astype(np.float32).T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    true_v = vecs[:, -1]
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        lam, v, n_rows = top_principal_component(ds)
+        assert n_rows == n
+        assert abs(abs(v @ true_v)) > 0.999
+        assert abs(lam - w[-1]) / w[-1] < 1e-3

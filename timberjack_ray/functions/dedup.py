@@ -1410,3 +1410,62 @@ def curation_kill_reasons(train_ds, bench_ds, col: str = "text",
     out["reason"] = names[out["r"].to_numpy()]
     return out[["reason", "n_docs"]].sort_values("reason") \
         .reset_index(drop=True).astype({"n_docs": "int64"})
+
+
+def ngram_novelty(ds, col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, n_buckets: int = 256):
+    """Per-doc NOVELTY score: of the doc's distinct word-k-grams, how many
+    appear in NO earlier doc (global first occurrence = min doc id) —
+    exact integers (n_grams, n_novel); the novelty fraction is the
+    consumer's division.  The curation signal that separates original
+    content from recombinations of already-crawled text (and the batch
+    counterpart of scoring docs against `state/dedup_index` at gram
+    granularity).
+
+    Plan: per-batch DISTINCT (gram-hash, id) pairs (same S:/L: gram
+    classes as ``decontaminate``) → ONE gram-hash bucket exchange
+    co-locates every holder of a gram → per bucket, one lexsort finds
+    each gram's min id and a C group_by folds per-doc (n_grams, n_novel)
+    partials → a distributed per-id Sum merge.  Output is row-volume
+    (one row per doc) and streams; exchange volume is the distinct
+    (gram, doc) pair set.
+    """
+    from ray.data.aggregate import Sum
+
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def pairs(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pylist()
+        if not texts:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        h, offs = gram_hashes_batch(texts, k)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), np.diff(offs))
+        g = pa.table({"gh": pa.array(h.view(np.int64)),
+                      id_col: pa.array(ids)}) \
+            .group_by(["gh", id_col]).aggregate([])
+        return g
+
+    bucketed = add_key_bucket(
+        ds.map_batches(pairs, batch_format="pyarrow"), "gh", n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, gh))
+        hs, ds_ = gh[order], d[order]
+        starts, sizes = _segments(hs)
+        novel = (ds_ == np.repeat(ds_[starts], sizes)).astype(np.int64)
+        g = pa.table({id_col: pa.array(ds_),
+                      "n_novel": pa.array(novel)}) \
+            .group_by(id_col).aggregate([("n_novel", "sum"),
+                                         ([], "count_all")])
+        return g.rename_columns([id_col, "n_novel", "n_grams"])
+
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    return partials.groupby(id_col).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_novel", alias_name="n_novel"))

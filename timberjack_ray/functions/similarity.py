@@ -573,3 +573,72 @@ def embedding_dispersion(ds, group_col: str, vec_col: str = "embedding",
     p = ds.map_batches(partial, batch_format="pyarrow")
     out = merge_partials(p, [group_col], ["n", "sumsq_scaled"]).to_pandas()
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def top_principal_component(ds, vec_col: str = "embedding",
+                            iters: int = 30):
+    """Distributed PCA, top component only, by POWER ITERATION: the
+    embedding-drift / dominant-direction diagnostic (is the corpus
+    collapsing onto one axis?) without ever materializing the data or a
+    tall matrix.
+
+    Plan: ONE streaming pass folds the three Gram partials per batch —
+    Σ xxᵀ (dim × dim), Σ x, n — so the exchange volume is dim²·8 B per
+    batch regardless of row count; the driver assembles the covariance
+    C = Σxxᵀ/n − μμᵀ (exact given float64 partials) and runs power
+    iteration (O(dim²·iters), microseconds at embedding dims).
+    Deterministic: fixed ones/√dim init, fixed iteration count, and a
+    sign convention (first nonzero loading ≥ 0).
+
+    Returns (eigenvalue, loadings ndarray, n_rows).  Like every float
+    reduction, partial-merge order can perturb the last bits — callers
+    compare with tolerance (rows-only evidence class).
+    """
+    dim_holder = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t[vec_col].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        n = t.num_rows
+        d = flat.size // max(n, 1)
+        x = flat.reshape(n, d)
+        g = x.T @ x
+        return pa.table({"n": pa.array([n]),
+                         "d": pa.array([d]),
+                         "g": pa.array([g.reshape(-1).tolist()]),
+                         "s": pa.array([x.sum(axis=0).tolist()])})
+
+    g_sum = None
+    s_sum = None
+    n_tot = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            n = b["n"][i].as_py()
+            d = b["d"][i].as_py()
+            g = np.array(b["g"][i].as_py()).reshape(d, d)
+            s = np.array(b["s"][i].as_py())
+            if g_sum is None:
+                g_sum = np.zeros((d, d))
+                s_sum = np.zeros(d)
+                dim_holder["d"] = d
+            g_sum += g
+            s_sum += s
+            n_tot += n
+    if not n_tot:
+        return 0.0, np.zeros(0), 0
+    d = dim_holder["d"]
+    mu = s_sum / n_tot
+    cov = g_sum / n_tot - np.outer(mu, mu)
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            break
+        v = w / nrm
+    lam = float(v @ cov @ v)
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return lam, v, n_tot
