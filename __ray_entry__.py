@@ -4092,6 +4092,99 @@ def q_mixture_schedule(sf_dir: str):
         .astype({"doc_id": "int64", "sched_key": "int64"})
 
 
+def q_selfjoin_size_by_type(sf_dir: str):
+    """Exact per-type self-join size F2 = Σ_user count(type,user)² — the
+    quantity a join planner needs to cost a self-join / skew-detect a key.
+    Plan: per-batch (type, user) count partials → guarded driver fold
+    (volume = distinct pairs; degrades to distributed groupby past the
+    limit) → per-type Σ c².  The unbounded-cardinality scale path is the
+    mergeable AMS sketch (`selfjoin_size_ams`)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], ["n"])
+    if mode == "distributed":  # pragma: no cover - small data stays driver
+        from timberjack_ray.aggregates import merge_partials
+
+        def sq(t: pa.Table) -> pa.Table:
+            # post-groupby: each (type, user) appears once globally, so a
+            # per-batch Σn² partial per type merges exactly
+            t = t.append_column("n2", pc.multiply(t["n"], t["n"]))
+            return t.group_by("event_type").aggregate([("n2", "sum")]) \
+                .rename_columns(["event_type", "selfjoin_size"])
+
+        out = merge_partials(folded.map_batches(sq, batch_format="pyarrow"),
+                             ["event_type"], "selfjoin_size").to_pandas()
+    else:
+        df = folded.to_pandas()
+        df["n2"] = df["n"].astype("int64") ** 2
+        out = df.groupby("event_type", as_index=False)["n2"].sum() \
+            .rename(columns={"n2": "selfjoin_size"})
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"selfjoin_size": "int64"})
+
+
+def q_selfjoin_size_ams(sf_dir: str):
+    """AMS tug-of-war F2 estimate per type (functions/sketch.AMSF2) — the
+    fixed-size mergeable companion to `selfjoin_size_by_type`: per-batch
+    traffic is groups×per_group ints per type regardless of user
+    cardinality.  Rows-only (randomized estimate; tolerance vs exact is
+    pinned in tests/test_functions.py)."""
+    from timberjack_ray.functions.sketch import selfjoin_size_ams
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    out = selfjoin_size_ams(ds, "event_type", "user_id")
+    out["f2_est"] = out["f2_est"].round(0).astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_source_skew_stats(sf_dir: str):
+    """Partition-skew diagnostics over the route key (source): integer
+    Gini components of the per-source row distribution — the signal the
+    flagship's salted-partition pre-pass acts on.  All-integer output
+    (n_sources, total_rows, max_rows, weighted_rank_sum with ranks
+    ascending by count; Gini = (2·wrs − (n+1)·total) / (n·total)) so the
+    oracle hash is exact — ties in count are rank-order-invariant since
+    tied values contribute equally under any permutation."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "documents", columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    t = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["source"], "n")
+    n = np.sort(t["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+    wrs = int((np.arange(1, len(n) + 1, dtype=np.int64) * n).sum())
+    return pd.DataFrame({"n_sources": [len(n)],
+                         "total_rows": [int(n.sum())],
+                         "max_rows": [int(n[-1]) if len(n) else 0],
+                         "weighted_rank_sum": [wrs]}).astype("int64")
+
+
+def q_cdc_dedup_stats(sf_dir: str):
+    """Content-defined-chunking dedup potential (functions/corpus.
+    cdc_chunk_batch → cdc_dedup_stats): windowed-Gear boundaries, greedy
+    min/max clamps, per-chunk polynomial hashes, guarded (hash, len)
+    fold.  Rows-only (a rolling-hash chunker isn't SQL-replayable);
+    boundary-resync, partition and batch-invariance properties are pinned
+    in tests/test_functions.py."""
+    from timberjack_ray.functions.corpus import cdc_dedup_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_dedup_stats(ds).astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -4262,6 +4355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "ngram_novelty": q_ngram_novelty,
         "embedding_top_pc": q_embedding_top_pc,
+        "selfjoin_size_by_type": q_selfjoin_size_by_type,
+        "selfjoin_size_ams": q_selfjoin_size_ams,
+        "source_skew_stats": q_source_skew_stats,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
     }
 
 
@@ -6253,5 +6350,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, source, n_chars FROM a
             WHERE cum <= 2000 ORDER BY doc_id
+        """,
+        "selfjoin_size_by_type": """
+            SELECT event_type,
+                   CAST(SUM(n * n) AS BIGINT) AS selfjoin_size
+            FROM (SELECT event_type, user_id, COUNT(*) AS n
+                  FROM events GROUP BY event_type, user_id)
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "source_skew_stats": """
+            WITH c AS (SELECT source, COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(n) AS BIGINT) AS total_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_rows,
+                   CAST(SUM(i * n) AS BIGINT) AS weighted_rank_sum
+            FROM r
         """,
     }

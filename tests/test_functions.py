@@ -701,3 +701,122 @@ def test_top_principal_component_vs_eigh(ray_session):
         assert n_rows == n
         assert abs(abs(v @ true_v)) > 0.999
         assert abs(lam - w[-1]) / w[-1] < 1e-3
+
+
+def test_cdc_chunk_properties():
+    """CDC chunker: exact doc partition, per-doc chunk indexing, length
+    clamps, duplicate docs → identical chunk hash sequences, and
+    batch-split invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from timberjack_ray.functions.corpus import cdc_chunk_batch
+
+    rng = np.random.RandomState(42)
+    words = [f"w{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(words, n)) for n in (600, 0, 3, 250)]
+    texts[1] = ""
+    texts.append(texts[0])  # duplicate of doc 0
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = cdc_chunk_batch(t).to_pandas()
+    for d, txt in enumerate(texts):
+        sub = out[out.doc_id == d]
+        assert sub.chunk_len.sum() == len(txt)
+        assert (sub.chunk_idx.values == np.arange(len(sub))).all()
+        assert (sub.chunk_len <= 512).all()
+        if len(sub) > 1:  # only the final chunk may undershoot min_len
+            assert (sub.chunk_len.values[:-1] >= 16).all()
+    assert out[out.doc_id == 1].empty  # empty doc → no rows
+    assert out[out.doc_id == 0].chunk_hash.tolist() \
+        == out[out.doc_id == len(texts) - 1].chunk_hash.tolist()
+    # batch-split invariance: chunking each row alone gives the same table
+    singles = pd.concat([cdc_chunk_batch(t.slice(i, 1)).to_pandas()
+                         for i in range(len(texts))], ignore_index=True)
+    assert singles.equals(out.reset_index(drop=True))
+
+
+def test_cdc_resync_after_edit():
+    """The content-defined property: after a prefix insertion, boundaries
+    realign and all but O(1) leading chunks are shared — the dedup win a
+    fixed-size chunker cannot give."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.functions.corpus import cdc_chunk_batch
+
+    rng = np.random.RandomState(7)
+    words = [f"tok{i}" for i in range(4000)]
+    base = " ".join(rng.choice(words, 800))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [base, "INSERTED PREFIX 9 " + base]})
+    out = cdc_chunk_batch(t).to_pandas()
+    h1 = out[out.doc_id == 1].chunk_hash.tolist()
+    h2 = out[out.doc_id == 2].chunk_hash.tolist()
+    shared = 0
+    while shared < min(len(h1), len(h2)) \
+            and h1[-1 - shared] == h2[-1 - shared]:
+        shared += 1
+    assert shared >= len(h1) - 3, (len(h1), shared)
+
+
+def test_cdc_dedup_stats_both_paths(ray_session):
+    """cdc_dedup_stats agrees with a pandas recount of cdc_chunk_batch on
+    both the driver fold and the distributed degrade (driver_limit=0)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import cdc_chunk_batch, \
+        cdc_dedup_stats
+
+    rng = np.random.RandomState(11)
+    words = [f"v{i}" for i in range(2000)]
+    texts = [" ".join(rng.choice(words, rng.randint(50, 400)))
+             for _ in range(40)]
+    texts += texts[:10]  # exact dups → guaranteed dup_chars
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    chunks = cdc_chunk_batch(t).to_pandas()
+    g = chunks.groupby("chunk_hash").agg(n=("chunk_len", "size"),
+                                         ln=("chunk_len", "first"))
+    want = {"n_chunks": int(g.n.sum()), "n_distinct_chunks": len(g),
+            "total_chars": int((g.n * g.ln).sum()),
+            "dup_chars": int(((g.n - 1) * g.ln).sum())}
+    assert want["dup_chars"] > 0
+    ds = rd.from_arrow(t).repartition(5)
+    for lim in (2_000_000, 0):
+        got = cdc_dedup_stats(ds, driver_limit=lim)
+        assert got.iloc[0].to_dict() == want, (lim, got)
+
+
+def test_ams_f2_tolerance_and_merge(ray_session):
+    """AMS F2: per-group estimates within tolerance of the exact self-join
+    size on zipf-skewed keys, and state vectors merge by addition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sketch import AMSF2, selfjoin_size_ams
+
+    rng = np.random.RandomState(3)
+    n = 30000
+    grp = rng.choice(["a", "b"], n)
+    keys = (rng.zipf(1.5, n) % 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": grp, "k": keys})).repartition(6)
+    est = selfjoin_size_ams(ds, "g", "k").set_index("g")["f2_est"]
+    exact = pd.DataFrame({"g": grp, "k": keys}) \
+        .groupby(["g", "k"]).size().pow(2).groupby(level=0).sum()
+    for g in ("a", "b"):
+        assert abs(est[g] - exact[g]) / exact[g] < 0.35
+    # merge = elementwise addition: two half-streams equal one full stream
+    h = np.asarray(pd.util.hash_array(keys.astype(object)), dtype=np.uint64)
+    full, p1, p2 = AMSF2(seed=5), AMSF2(seed=5), AMSF2(seed=5)
+    full.add_hashed(h)
+    p1.add_hashed(h[: n // 2]); p2.add_hashed(h[n // 2:])
+    p1.merge_state(p2.state)
+    assert (p1.state == full.state).all()
+    assert abs(p1.estimate() - full.estimate()) < 1e-9

@@ -1106,3 +1106,190 @@ def source_vocab_overlap(ds, group_col: str = "source",
                          int(mat[i, i]) + int(mat[j, j]) - inter))
     return pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
         .astype({"inter": "int64", "uni": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (windowed-Gear / FastCDC-style boundaries)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _utf32_codes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One C-pass utf-8 → utf-32 decode of a string array's value buffer.
+
+    Returns ``(codepoints uint64, per-row char lens int64, char offsets
+    int64[n+1])`` — no per-row Python strings ever materialize.
+    """
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    lens = pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    boff = np.frombuffer(arr.buffers()[1], dtype=odt)
+    start = int(boff[arr.offset])
+    stop = int(boff[arr.offset + len(arr)])
+    raw = arr.buffers()[2].slice(start, stop - start).to_pybytes() \
+        if stop > start else b""
+    codes = np.frombuffer(raw.decode("utf-8").encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    return codes, lens, offsets
+
+
+def cdc_chunk_batch(batch: pa.Table, col: str = "text",
+                    id_col: str = "doc_id", mask_bits: int = 6,
+                    window: int = 16, min_len: int = 16,
+                    max_len: int = 512) -> pa.Table:
+    """Content-defined chunking of each doc: windowed-Gear boundaries
+    (FastCDC family — Xia et al., USENIX ATC'16 describes the gear hash;
+    this is the windowed variant) + greedy min/max clamps, then one
+    polynomial power-fold per chunk for the chunk content hash.
+
+    Boundary rule: cut after char ``t`` when the rolling hash
+    ``H(t) = sum_{k<window} g(c[t-k]) << k`` has its low ``mask_bits`` bits
+    zero, where ``g`` is a per-codepoint splitmix64 mix.  ``H(t)`` depends
+    only on the ``window`` chars ending at ``t``, so boundaries are
+    position-independent: after an insertion, chunking realigns within one
+    window past the edit (the dedup-friendly property a fixed-size chunker
+    lacks).  Expected raw chunk length is ``2**mask_bits`` chars, clamped
+    to ``[min_len, max_len]`` by a greedy pass (forced cuts every
+    ``max_len`` chars keep degenerate low-entropy docs bounded).
+
+    Vectorization: the codepoint decode, gear mix, rolling hash (``window``
+    shifted adds), candidate mask and chunk hashes (one ``add.reduceat``)
+    are all numpy over the whole batch; the only Python loop walks docs ×
+    CANDIDATE boundaries (~chars / 2**mask_bits), never chars.
+
+    Output: one row per chunk — ``(id_col, chunk_idx, chunk_len,
+    chunk_hash)``.  Chunks partition each doc exactly; empty docs emit no
+    rows.  At 100 TB this is a pure map stage: nothing shuffles here, and
+    downstream dedup shuffles only (chunk_hash, len) pairs.
+    """
+    if batch.num_rows == 0:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk_len": pa.array([], pa.int64()),
+                         "chunk_hash": pa.array([], pa.int64())})
+    arr = batch[col].combine_chunks()
+    codes, lens, offsets = _utf32_codes(arr)
+    total = int(offsets[-1])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if total == 0:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk_len": pa.array([], pa.int64()),
+                         "chunk_hash": pa.array([], pa.int64())})
+    gv = _splitmix64(codes)
+    h = np.zeros(total, dtype=np.uint64)
+    for k in range(window):
+        h[k:] += gv[:total - k if k else None] << np.uint64(k)
+    mask = np.uint64((1 << mask_bits) - 1)
+    rel = np.arange(total, dtype=np.int64) \
+        - np.repeat(offsets[:-1], lens)
+    # full window inside this doc ⇒ position-independent AND immune to the
+    # cross-doc contamination of the concatenated layout
+    cand = ((h & mask) == 0) & (rel >= window - 1)
+    cand_idx = np.flatnonzero(cand)
+    out_doc, out_start, out_end = [], [], []
+    ci, ncand = 0, len(cand_idx)
+    for d in range(len(lens)):
+        s, e = int(offsets[d]), int(offsets[d + 1])
+        if s == e:
+            continue
+        last = s
+        while ci < ncand:
+            c = int(cand_idx[ci])
+            if c >= e:
+                break
+            ci += 1
+            cut = c + 1
+            while cut - last > max_len:
+                out_doc.append(d); out_start.append(last)
+                out_end.append(last + max_len)
+                last += max_len
+            if cut - last >= min_len:
+                out_doc.append(d); out_start.append(last); out_end.append(cut)
+                last = cut
+        while e - last > max_len:
+            out_doc.append(d); out_start.append(last)
+            out_end.append(last + max_len)
+            last += max_len
+        if e > last:
+            out_doc.append(d); out_start.append(last); out_end.append(e)
+    cdoc = np.asarray(out_doc, dtype=np.int64)
+    cstart = np.asarray(out_start, dtype=np.int64)
+    cend = np.asarray(out_end, dtype=np.int64)
+    clen = cend - cstart
+    # chunk content hash: same Horner power fold as add_content_hash, with
+    # exponents relative to the CHUNK end (chunks partition the doc, so the
+    # concatenated char array is also partitioned by chunk)
+    maxlen = int(clen.max())
+    powers = np.ones(maxlen, dtype=np.uint64)
+    if maxlen > 1:
+        powers[1:] = POLY_BASE
+        np.multiply.accumulate(powers, out=powers)
+    exp = np.repeat(cend, clen) - 1 - np.arange(total, dtype=np.int64)
+    terms = codes * powers[exp]
+    chash = np.add.reduceat(terms, cstart)
+    # chunk_idx = per-doc running index
+    firsts = np.flatnonzero(np.diff(cdoc, prepend=-1))
+    chunk_idx = np.arange(len(cdoc), dtype=np.int64) \
+        - np.repeat(firsts, np.diff(np.append(firsts, len(cdoc))))
+    return pa.table({id_col: pa.array(ids[cdoc]).cast(batch[id_col].type),
+                     "chunk_idx": pa.array(chunk_idx),
+                     "chunk_len": pa.array(clen),
+                     "chunk_hash": pa.array(chash.view(np.int64))})
+
+
+def cdc_dedup_stats(ds, col: str = "text", id_col: str = "doc_id",
+                    mask_bits: int = 6, window: int = 16,
+                    min_len: int = 16, max_len: int = 512,
+                    driver_limit: int = 2_000_000) -> pd.DataFrame:
+    """Corpus-level CDC dedup potential: chunk every doc (map stage), then
+    fold per-chunk-hash (count, len) partials — exactly the storage the
+    dedup index itself would need.  ``dup_chars`` = chars removable by
+    chunk-level dedup (keep first copy of every distinct chunk).
+
+    Scale: per-batch partials collapse to the batch's distinct chunk
+    hashes; the driver fold is guarded at ``driver_limit`` distinct chunks,
+    past which it degrades to a distributed groupby
+    (``aggregates.merge_partials_or_ds``) and finishes with a bounded
+    second partial pass over (count, len) pairs.
+    """
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = cdc_chunk_batch(t, col=col, id_col=id_col, mask_bits=mask_bits,
+                            window=window, min_len=min_len, max_len=max_len)
+        g = c.group_by(["chunk_hash", "chunk_len"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["chunk_hash", "chunk_len", "n"])
+
+    # chunk_len rides inside the KEY: equal hash ⇒ equal content ⇒ equal
+    # len (up to 2^-64 collisions), so (hash, len) groups = hash groups.
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    folded, mode = merge_partials_or_ds(
+        parts, ["chunk_hash", "chunk_len"], ["n"],
+        driver_limit=driver_limit)
+
+    def stat(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["chunk_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_chunks": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct_chunks": pa.array([len(n)], pa.int64()),
+            "total_chars": pa.array([int((n * ln).sum())], pa.int64()),
+            "dup_chars": pa.array([int(((n - 1) * ln).sum())], pa.int64())})
+
+    if mode == "distributed":
+        # second bounded pass: one 4-int partial per block, summed here
+        st = folded.map_batches(stat, batch_format="pyarrow").to_pandas()
+        return pd.DataFrame([st.sum(axis=0).astype("int64")])
+    return stat(folded).to_pandas()

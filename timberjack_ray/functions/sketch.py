@@ -290,3 +290,103 @@ def hdr_quantiles(ds, col: str, qs: list[float], scale: int = 1,
         out_q.append(q)
         out_v.append(int(edges[min(idx, len(edges) - 1)]))
     return pd.DataFrame({"q": out_q, "value_scaled": out_v})
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war sketch: second frequency moment F2 = sum_v count(v)^2
+# (= the self-join size on v).  Alon, Matias & Szegedy, STOC'96.
+
+
+class AMSF2:
+    """``groups × per_group`` ±1 counters over pre-hashed uint64 keys.
+
+    Each estimator j keeps ``S_j = sum_v sign_j(v)·count(v)`` where
+    ``sign_j`` is a per-estimator splitmix64-derived ±1; ``E[S_j²] = F2``.
+    The estimate is the median over ``groups`` of per-group means of
+    ``S_j²`` (median-of-means: relative error ~ sqrt(1/per_group) w.h.p.).
+    The state merges by elementwise ADDITION — per-batch partials fold
+    anywhere, in any order, so the sketch rides the same partial+merge
+    plan as every count family here.
+    """
+
+    def __init__(self, groups: int = 9, per_group: int = 24,
+                 seed: int = 7):
+        self.groups, self.per_group = groups, per_group
+        d = groups * per_group
+        from timberjack_ray.functions.corpus import _splitmix64
+        self._mix = _splitmix64
+        self.salts = _splitmix64(
+            np.arange(1, d + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1))
+        self.state = np.zeros(d, dtype=np.int64)
+
+    def add_hashed(self, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> None:
+        if len(hashes) == 0:
+            return
+        x = np.asarray(hashes, dtype=np.uint64)
+        c = np.ones(len(x), np.int64) if counts is None \
+            else np.asarray(counts, dtype=np.int64)
+        # loop over estimators (d ≈ 200), vectorized over the batch
+        for j, salt in enumerate(self.salts):
+            sign = 1 - 2 * (self._mix(x ^ salt) & np.uint64(1)).astype(np.int64)
+            self.state[j] += int(np.dot(sign, c))
+
+    def merge_state(self, other: np.ndarray) -> None:
+        self.state += other.reshape(self.state.shape)
+
+    def estimate(self) -> float:
+        sq = (self.state.astype(np.float64) ** 2) \
+            .reshape(self.groups, self.per_group)
+        return float(np.median(sq.mean(axis=1)))
+
+
+def selfjoin_size_ams(ds, group_col: str, key_col: str,
+                      groups: int = 9, per_group: int = 24,
+                      seed: int = 7) -> pd.DataFrame:
+    """Per-group self-join-size (F2) ESTIMATE via mergeable AMS sketches.
+
+    The scale path for join planning over unbounded key cardinality: each
+    batch contributes one fixed-size ±1-counter vector per group value —
+    traffic is ``n_groups × groups × per_group × 8 B`` per batch,
+    independent of how many distinct keys exist.  The exact companion
+    (``selfjoin_size_by_type`` in the entry module) shuffles one row per
+    distinct (group, key) pair instead.
+    """
+    probe = AMSF2(groups, per_group, seed)
+    salts, d = probe.salts, probe.groups * probe.per_group
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, key_col]).aggregate([([], "count_all")])
+        gv = g[group_col]
+        x = pd.util.hash_array(
+            np.asarray(g[key_col].to_pylist(), dtype=object)).astype(np.uint64)
+        c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-(group, estimator) partial: sign-weighted counts
+        enc = gv.dictionary_encode().combine_chunks()
+        uvals, ci = enc.dictionary, enc.indices.to_numpy(zero_copy_only=False)
+        state = np.zeros((len(uvals), d), dtype=np.int64)
+        for j, salt in enumerate(salts):
+            sign = 1 - 2 * (probe._mix(x ^ salt) & np.uint64(1)).astype(np.int64)
+            np.add.at(state[:, j], ci, sign * c)
+        return pa.table({
+            group_col: uvals,
+            "state": pa.array(list(state), pa.list_(pa.int64(), d))})
+
+    folded: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        st = np.asarray(b["state"].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False)).reshape(-1, d)
+        for i, gval in enumerate(b[group_col].to_pylist()):
+            if gval in folded:
+                folded[gval] += st[i]
+            else:
+                folded[gval] = st[i].copy()
+    rows = []
+    for gval in sorted(folded):
+        sq = (folded[gval].astype(np.float64) ** 2) \
+            .reshape(groups, per_group)
+        rows.append((gval, float(np.median(sq.mean(axis=1)))))
+    return pd.DataFrame(rows, columns=[group_col, "f2_est"])
