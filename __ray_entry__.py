@@ -4172,6 +4172,27 @@ def q_source_skew_stats(sf_dir: str):
                          "weighted_rank_sum": [wrs]}).astype("int64")
 
 
+def q_multiline_stitch(sf_dir: str):
+    """Multiline log stitching (functions/window.multiline_stitch_stats):
+    lines failing the start rule (here the deterministic marker
+    event_id % 7 >= 4) glue to the nearest earlier start line — the
+    stack-trace / wrapped-payload repair every log engine needs.  Scan
+    decomposition: per-batch interior partials + one boundary row,
+    O(#blocks) driver chain; relies on read order = event_id order
+    (documented in the function)."""
+    from timberjack_ray.functions.window import multiline_stitch_stats
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("is_start", pa.array(eid % 7 < 4))
+
+    return multiline_stitch_stats(ds.map_batches(mark,
+                                                 batch_format="pyarrow"),
+                                  "event_id", "event_type", "is_start")
+
+
 def q_cdc_dedup_stats(sf_dir: str):
     """Content-defined-chunking dedup potential (functions/corpus.
     cdc_chunk_batch → cdc_dedup_stats): windowed-Gear boundaries, greedy
@@ -4359,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_ams": q_selfjoin_size_ams,
         "source_skew_stats": q_source_skew_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,
+        "multiline_stitch": q_multiline_stitch,
     }
 
 
@@ -6367,5 +6389,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n) AS BIGINT) AS max_rows,
                    CAST(SUM(i * n) AS BIGINT) AS weighted_rank_sum
             FROM r
+        """,
+        "multiline_stitch": """
+            WITH l AS (
+              SELECT event_id, event_type,
+                     (event_id % 7 < 4) AS is_start
+              FROM events),
+            g AS (
+              SELECT event_type, event_id, is_start,
+                     SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+                       OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS rec
+              FROM l),
+            r AS (
+              SELECT rec,
+                     MIN(CASE WHEN is_start THEN event_type END) AS rtype,
+                     COUNT(*) AS n_lines
+              FROM g GROUP BY rec HAVING rec > 0)
+            SELECT rtype AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+                   CAST(MAX(n_lines) AS BIGINT) AS max_lines
+            FROM r GROUP BY rtype ORDER BY rtype
         """,
     }

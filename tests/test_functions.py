@@ -820,3 +820,45 @@ def test_ams_f2_tolerance_and_merge(ray_session):
     p1.merge_state(p2.state)
     assert (p1.state == full.state).all()
     assert abs(p1.estimate() - full.estimate()) < 1e-9
+
+
+def test_multiline_stitch_boundary_chain(ray_session):
+    """Stitch stats exact vs a pandas replay, invariant under block
+    splits that cut through records — including blocks with NO start
+    line (pure continuation blocks extend the carried record)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import multiline_stitch_stats
+
+    rng = np.random.RandomState(5)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    types = rng.choice(["a", "b", "c"], n)
+    # sparse starts → long records → many continuation-only blocks when
+    # split into 50 blocks of 10 rows; stream starts headless
+    is_start = rng.rand(n) < 0.06
+    is_start[:5] = False
+    is_start[7] = True
+    t = pa.table({"event_id": pa.array(ids), "event_type": types,
+                  "is_start": pa.array(is_start)})
+
+    df = pd.DataFrame({"id": ids, "ty": types, "st": is_start})
+    df["rec"] = df["st"].cumsum()
+    df = df[df["rec"] > 0]
+    grp = df.groupby("rec").agg(rtype=("ty", "first"), n=("id", "size"))
+    want = grp.groupby("rtype").agg(
+        n_records=("n", "size"), total_lines=("n", "sum"),
+        max_lines=("n", "max")).reset_index() \
+        .rename(columns={"rtype": "event_type"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+    for parts in (1, 13, 50):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = multiline_stitch_stats(ds, "event_id", "event_type",
+                                     "is_start")
+        pd.testing.assert_frame_equal(
+            got, want.astype({"n_records": "int64", "total_lines": "int64",
+                              "max_lines": "int64"}), check_dtype=False)

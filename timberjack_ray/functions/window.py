@@ -312,3 +312,128 @@ def max_concurrent(ds, ts_col: str, dur_col: str, width_s: int = 3600,
         "window_start": summaries["window_start"].astype("int64"),
         "max_concurrent": (carry + summaries["local_max"].to_numpy())
         .astype("int64")})
+
+
+def multiline_stitch_stats(ds, id_col: str, type_col: str,
+                           start_col: str) -> pd.DataFrame:
+    """Multiline log stitching (stack traces, wrapped payloads): every
+    line where ``start_col`` is false is a CONTINUATION of the nearest
+    earlier start line; records are the stitched groups.  Returns per
+    start-line type: (n_records, total_lines, max_lines).  Leading
+    continuations before the first start of the whole stream are dropped
+    (headless lines, the reference-grade convention).
+
+    Distributed as the scan decomposition every global stitch needs:
+
+    1. per batch (vectorized): records INTERIOR to the batch collapse to
+       per-type (n, total, max) partials; the lines before the batch's
+       first start and the open record after its last start become ONE
+       boundary row ``(first_id, head_lines, has_start, tail_type,
+       tail_lines)``;
+    2. the driver chains boundary rows in ``first_id`` order — O(#blocks)
+       work: head lines join the open record carried from the left,
+       batches with no start extend it, each new start closes it;
+    3. chained records merge into the interior partials (types × blocks
+       volume, never line volume).
+
+    PARTITIONING ASSUMPTION: batches must be contiguous, non-overlapping
+    ranges of the ``id_col`` order — true for ``read_parquet`` over
+    row-sorted files (Ray blocks preserve file row order).  An unsorted
+    source needs a range repartition on ``id_col`` first.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_schema = pa.schema([("kind", pa.string()),
+                                ("first_id", pa.int64()),
+                                ("rtype", pa.string()),
+                                ("n_records", pa.int64()),
+                                ("total_lines", pa.int64()),
+                                ("max_lines", pa.int64()),
+                                ("head_lines", pa.int64()),
+                                ("has_start", pa.int64()),
+                                ("tail_lines", pa.int64())])
+        if n == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        is_start = t[start_col].to_numpy(zero_copy_only=False).astype(bool)
+        types = t[type_col].to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(is_start)
+        first_id = int(ids[0])
+        if len(sidx) == 0:
+            b = pa.table({"kind": ["b"], "first_id": [first_id],
+                          "rtype": [""], "n_records": [0],
+                          "total_lines": [0], "max_lines": [0],
+                          "head_lines": [n], "has_start": [0],
+                          "tail_lines": [0]})
+            return b.cast(out_schema)
+        head = int(sidx[0])
+        tail_type = str(types[sidx[-1]])
+        tail_lines = int(n - sidx[-1])
+        rows = [pa.table({"kind": ["b"], "first_id": [first_id],
+                          "rtype": [tail_type], "n_records": [0],
+                          "total_lines": [0], "max_lines": [0],
+                          "head_lines": [head], "has_start": [1],
+                          "tail_lines": [tail_lines]}).cast(out_schema)]
+        if len(sidx) > 1:
+            rec_len = np.diff(sidx)
+            rec_type = types[sidx[:-1]]
+            g = pa.table({"rtype": pa.array(rec_type),
+                          "len": pa.array(rec_len.astype(np.int64))}) \
+                .group_by("rtype").aggregate([("len", "count"),
+                                              ("len", "sum"),
+                                              ("len", "max")])
+            g = g.rename_columns(["rtype", "n_records", "total_lines",
+                                  "max_lines"])
+            g = g.append_column("kind", pa.array(["i"] * g.num_rows))
+            g = g.append_column("first_id",
+                                pa.array([first_id] * g.num_rows,
+                                         pa.int64()))
+            g = g.append_column("head_lines",
+                                pa.array([0] * g.num_rows, pa.int64()))
+            g = g.append_column("has_start",
+                                pa.array([0] * g.num_rows, pa.int64()))
+            g = g.append_column("tail_lines",
+                                pa.array([0] * g.num_rows, pa.int64()))
+            rows.append(g.select(out_schema.names).cast(out_schema))
+        return pa.concat_tables(rows)
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_records": pd.Series([], dtype="int64"),
+                             "total_lines": pd.Series([], dtype="int64"),
+                             "max_lines": pd.Series([], dtype="int64")})
+    allp = pa.concat_tables(parts).to_pandas()
+    interior = allp[allp["kind"] == "i"]
+    bounds = allp[allp["kind"] == "b"].sort_values("first_id")
+    # chain the open record across block boundaries
+    chained: list[tuple[str, int]] = []
+    open_type, open_n = None, 0
+    for r in bounds.itertuples(index=False):
+        if open_type is not None:
+            open_n += int(r.head_lines)
+        # headless lines before the stream's first start: dropped
+        if r.has_start:
+            if open_type is not None:
+                chained.append((open_type, open_n))
+            open_type, open_n = r.rtype, int(r.tail_lines)
+        # no start: head_lines == whole block, already absorbed above
+    if open_type is not None:
+        chained.append((open_type, open_n))
+    ch = pd.DataFrame(chained, columns=["rtype", "len"])
+    ch = ch.groupby("rtype").agg(n_records=("len", "size"),
+                                 total_lines=("len", "sum"),
+                                 max_lines=("len", "max")).reset_index() \
+        if len(ch) else pd.DataFrame(
+            columns=["rtype", "n_records", "total_lines", "max_lines"])
+    merged = pd.concat([interior[["rtype", "n_records", "total_lines",
+                                  "max_lines"]], ch], ignore_index=True)
+    out = merged.groupby("rtype").agg(
+        n_records=("n_records", "sum"), total_lines=("total_lines", "sum"),
+        max_lines=("max_lines", "max")).reset_index() \
+        .rename(columns={"rtype": "event_type"})
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_records": "int64", "total_lines": "int64",
+                 "max_lines": "int64"})
