@@ -1073,26 +1073,37 @@ def q_stratified_sample_events(sf_dir: str):
 
 def q_actor_ids_union(sf_dir: str):
     """Set op UNION (distinct): ids active as event users ∪ order customers.
-    Schema-aligned map → Dataset.union → distinct via groupby (C-side, only
-    (id) pairs shuffle)."""
+    Schema-aligned map → Dataset.union → per-batch distinct partials →
+    guarded driver fold (degrades to a distributed groupby past the
+    limit; only (id, n) pairs ever travel)."""
     ev = _rp(sf_dir, "events", columns=["user_id"]) \
         .map_batches(lambda t: pa.table({"actor_id": t["user_id"]}),
                      batch_format="pyarrow")
     od = _rp(sf_dir, "orders", columns=["o_custkey"]) \
         .map_batches(lambda t: pa.table({"actor_id": pc.cast(t["o_custkey"], pa.int64())}),
                      batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from timberjack_ray.aggregates import merge_partials_or_ds
 
-    uni = ev.union(od).groupby("actor_id").aggregate(Count(alias_name="n_"))
-    out = uni.to_pandas()[["actor_id"]].sort_values("actor_id") \
-        .reset_index(drop=True)
-    return out.astype({"actor_id": "int64"})
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("actor_id").aggregate([([], "count_all")])
+        return g.rename_columns(["actor_id", "n"])
+
+    folded, mode = merge_partials_or_ds(
+        ev.union(od).map_batches(distinct_partial, batch_format="pyarrow"),
+        ["actor_id"], ["n"])
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        out = folded.to_pandas()[["actor_id"]]
+    else:
+        out = folded.select(["actor_id"]).to_pandas()
+    return out.sort_values("actor_id").reset_index(drop=True) \
+        .astype({"actor_id": "int64"})
 
 
 def q_actor_ids_intersect(sf_dir: str):
     """Set op INTERSECT: ids that are BOTH event users and order customers.
     The smaller distinct side broadcasts; the larger side filters with an
-    Arrow is_in probe — no shuffle."""
+    Arrow is_in probe — no shuffle; survivors dedup via the guarded
+    driver fold."""
     from timberjack_ray.aggregates import counts_by
 
     ev_ids = counts_by(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
@@ -1102,14 +1113,23 @@ def q_actor_ids_intersect(sf_dir: str):
         k = pc.cast(t["o_custkey"], pa.int64())
         return pa.table({"actor_id": k.filter(pc.is_in(k, value_set=small))})
 
-    from ray.data.aggregate import Count
+    from timberjack_ray.aggregates import merge_partials_or_ds
 
-    hits = _rp(sf_dir, "orders", columns=["o_custkey"]) \
-        .map_batches(keep, batch_format="pyarrow") \
-        .groupby("actor_id").aggregate(Count(alias_name="n_"))
-    out = hits.to_pandas()[["actor_id"]].sort_values("actor_id") \
-        .reset_index(drop=True)
-    return out.astype({"actor_id": "int64"})
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("actor_id").aggregate([([], "count_all")])
+        return g.rename_columns(["actor_id", "n"])
+
+    folded, mode = merge_partials_or_ds(
+        _rp(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(keep, batch_format="pyarrow")
+        .map_batches(distinct_partial, batch_format="pyarrow"),
+        ["actor_id"], ["n"])
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        out = folded.to_pandas()[["actor_id"]]
+    else:
+        out = folded.select(["actor_id"]).to_pandas()
+    return out.sort_values("actor_id").reset_index(drop=True) \
+        .astype({"actor_id": "int64"})
 
 
 def q_hdr_value_quantiles(sf_dir: str):
@@ -2233,7 +2253,6 @@ def q_tpch_q18(sf_dir: str):
     broadcast-filters orders, and customer names join driver-side on the
     ≤100-row result.  Sort keys are exact ints (cents, orderkey)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         q = t["l_quantity"].cast(pa.int64())
@@ -2241,13 +2260,19 @@ def q_tpch_q18(sf_dir: str):
             .group_by("l_orderkey").aggregate([("qty", "sum")])
         return g.rename_columns(["l_orderkey", "qty"])
 
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    sums = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="sum_qty"))
-    hot = sums.map_batches(
-        lambda t: t.filter(pc.greater(t["sum_qty"], 250)),
-        batch_format="pyarrow")
-    hot_t = pa.Table.from_pandas(hot.to_pandas())  # tiny: extreme tail only
+    folded, mode = merge_partials_or_ds(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], ["qty"])
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        hot_t = pa.Table.from_pandas(folded.map_batches(
+            lambda t: t.filter(pc.greater(t["qty"], 250)),
+            batch_format="pyarrow").to_pandas())
+    else:
+        hot_t = folded.filter(pc.greater(folded["qty"], 250))
+    hot_t = hot_t.rename_columns(["l_orderkey", "sum_qty"])
     keys = hot_t["l_orderkey"].combine_chunks()
     qty_of = dict(zip(hot_t["l_orderkey"].to_pylist(),
                       hot_t["sum_qty"].to_pylist()))
