@@ -4197,6 +4197,58 @@ def q_source_skew_stats(sf_dir: str):
                          "weighted_rank_sum": [wrs]}).astype("int64")
 
 
+def q_approx_actor_overlap(sf_dir: str):
+    """HLL set algebra (functions/sketch.approx_set_overlap): |users|,
+    |customers|, |union| from register-max merges and |intersect| by
+    inclusion–exclusion — the cross-corpus overlap planner at any
+    cardinality (state = 3 × 2^p bytes).  Rows-only: approximate by
+    design; tolerance vs exact sets pinned in tests/test_sketch.py, and
+    the exact companions are actor_ids_union / actor_ids_intersect."""
+    from timberjack_ray.functions.sketch import approx_set_overlap
+
+    ev = _rp(sf_dir, "events", columns=["user_id"])
+    od = _rp(sf_dir, "orders", columns=["o_custkey"])
+    return approx_set_overlap(ev, od, "user_id", "o_custkey")
+
+
+def q_value_trend_components(sf_dir: str):
+    """Per-type OLS trend of value over time as EXACT integer moment
+    components (n, Σx, Σy, Σxy, Σx²) with x = hours since 2024-01-01 and
+    y = cents — the distributed least-squares slope
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) with the float division left to the
+    consumer so the gate hash stays integer-exact.  Plan: per-batch moment
+    partials → type-count-sized merge; nothing shuffles.  Domain bound:
+    int64-exact while n·max(x)²·max(y) < 2⁶³ — at larger spans re-center x
+    per shard and combine with the parallel-axis rule."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 1_000_000
+        x = (sec - 1704067200) // 3600
+        y = _scale100(t["value"].to_numpy(zero_copy_only=False))
+        g = pa.table({"event_type": t["event_type"],
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sum_x": pa.array(x), "sum_y": pa.array(y),
+                      "sum_xy": pa.array(x * y),
+                      "sum_xx": pa.array(x * x)}) \
+            .group_by("event_type").aggregate(
+                [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+                 ("sum_xy", "sum"), ("sum_xx", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_x", "sum_y",
+                                 "sum_xy", "sum_xx"])
+
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type"],
+                         ["n", "sum_x", "sum_y", "sum_xy", "sum_xx"]) \
+        .to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({c: "int64" for c in ["n", "sum_x", "sum_y", "sum_xy",
+                                      "sum_xx"]})
+
+
 def q_multiline_stitch(sf_dir: str):
     """Multiline log stitching (functions/window.multiline_stitch_stats):
     lines failing the start rule (here the deterministic marker
@@ -4406,6 +4458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_skew_stats": q_source_skew_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "multiline_stitch": q_multiline_stitch,
+        "value_trend_components": q_value_trend_components,
+        "approx_actor_overlap": q_approx_actor_overlap,
     }
 
 
@@ -6436,5 +6490,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_lines) AS BIGINT) AS total_lines,
                    CAST(MAX(n_lines) AS BIGINT) AS max_lines
             FROM r GROUP BY rtype ORDER BY rtype
+        """,
+        "value_trend_components": """
+            WITH e AS (
+              SELECT event_type,
+                     (CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200)
+                       // 3600 AS x,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx
+            FROM e GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -116,3 +116,28 @@ def test_hdr_quantiles_deterministic_and_empty(ray_session):
     a = hdr_quantiles(rd.from_pandas(df).repartition(3), "v", [0.5], sig=3)
     b = hdr_quantiles(rd.from_pandas(df).repartition(7), "v", [0.5], sig=3)
     assert a["value_scaled"].tolist() == b["value_scaled"].tolist()
+
+
+def test_approx_set_overlap_tolerance(ray_session):
+    """HLL inclusion–exclusion overlap vs exact sets: union/side cards
+    within ~2% at p=14, intersection within 10% when the overlap is a
+    substantial fraction of the union."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sketch import approx_set_overlap
+
+    rng = np.random.RandomState(13)
+    a = np.unique(rng.randint(0, 10**9, 30000))
+    b = np.concatenate([a[: len(a) // 2],
+                        np.unique(rng.randint(10**9, 2 * 10**9, 15000))])
+    ds_a = rd.from_arrow(pa.table({"k": a})).repartition(4)
+    ds_b = rd.from_arrow(pa.table({"k": b})).repartition(3)
+    got = approx_set_overlap(ds_a, ds_b, "k", "k").iloc[0]
+    exact_u = len(np.union1d(a, b))
+    exact_i = len(np.intersect1d(a, b))
+    assert abs(got.card_a - len(a)) / len(a) < 0.02
+    assert abs(got.card_b - len(b)) / len(b) < 0.02
+    assert abs(got.card_union - exact_u) / exact_u < 0.02
+    assert abs(got.card_intersect - exact_i) / exact_i < 0.10

@@ -390,3 +390,41 @@ def selfjoin_size_ams(ds, group_col: str, key_col: str,
             .reshape(groups, per_group)
         rows.append((gval, float(np.median(sq.mean(axis=1)))))
     return pd.DataFrame(rows, columns=[group_col, "f2_est"])
+
+
+def approx_set_overlap(ds_a, ds_b, col_a: str, col_b: str,
+                       p: int = 14) -> pd.DataFrame:
+    """HLL set algebra across two datasets: |A|, |B|, |A∪B| from three
+    register arrays (union = elementwise register MAX — exact sketch
+    algebra, not an approximation of the merge), and |A∩B| by
+    inclusion–exclusion.  One streaming pass per side, 2^p bytes of state
+    per batch — the planning statistic for cross-corpus dedup at any
+    cardinality.  Intersection error grows as the true overlap shrinks
+    relative to the union (inclusion–exclusion subtracts two ~1%-error
+    terms), so treat small intersections as "below sketch resolution".
+    """
+    def side(ds, col) -> HyperLogLog:
+        def sketch_batch(batch: pa.Table) -> pa.Table:
+            h = HyperLogLog(p)
+            h.add_strings(batch[col].to_pylist())
+            return pa.table({"regs": pa.array([h.registers.tobytes()],
+                                              pa.binary())})
+
+        total = HyperLogLog(p)
+        for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            for regs in b["regs"].to_pylist():
+                total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+        return total
+
+    ha, hb = side(ds_a, col_a), side(ds_b, col_b)
+    a_est, b_est = ha.estimate(), hb.estimate()
+    union = HyperLogLog(p)
+    union.merge_registers(ha.registers)
+    union.merge_registers(hb.registers)
+    u_est = union.estimate()
+    return pd.DataFrame({
+        "card_a": [int(round(a_est))],
+        "card_b": [int(round(b_est))],
+        "card_union": [int(round(u_est))],
+        "card_intersect": [max(0, int(round(a_est + b_est - u_est)))]})
