@@ -862,3 +862,50 @@ def test_multiline_stitch_boundary_chain(ray_session):
         pd.testing.assert_frame_equal(
             got, want.astype({"n_records": "int64", "total_lines": "int64",
                               "max_lines": "int64"}), check_dtype=False)
+
+
+def test_cdc_vs_scalar_reference():
+    """CDC boundaries fuzz-checked against an independent per-char scalar
+    implementation of the same windowed-Gear + greedy-clamp spec."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.functions.corpus import _splitmix64, cdc_chunk_batch
+
+    def scalar_chunks(text, mask_bits=6, window=16, min_len=16, max_len=512):
+        cps = [ord(c) for c in text]
+        g = [int(_splitmix64(np.array([c], dtype=np.uint64))[0]) for c in cps]
+        mask = (1 << mask_bits) - 1
+        cand = []
+        for t in range(len(cps)):
+            if t < window - 1:
+                continue
+            h = 0
+            for k in range(window):
+                h = (h + (g[t - k] << k)) % (1 << 64)
+            if h & mask == 0:
+                cand.append(t)
+        chunks, last = [], 0
+        for c in cand:
+            cut = c + 1
+            while cut - last > max_len:
+                chunks.append((last, last + max_len))
+                last += max_len
+            if cut - last >= min_len:
+                chunks.append((last, cut))
+                last = cut
+        while len(cps) - last > max_len:
+            chunks.append((last, last + max_len))
+            last += max_len
+        if len(cps) > last:
+            chunks.append((last, len(cps)))
+        return [(e - s) for s, e in chunks]
+
+    rng = np.random.RandomState(23)
+    alphabet = list("abcdefgh χψω🙂 0123")
+    for trial in range(6):
+        n = int(rng.randint(0, 700))
+        text = "".join(rng.choice(alphabet, n))
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+        got = cdc_chunk_batch(t).to_pandas()["chunk_len"].tolist()
+        assert got == scalar_chunks(text), (trial, n)
