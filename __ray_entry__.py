@@ -1082,15 +1082,9 @@ def q_actor_ids_union(sf_dir: str):
     od = _rp(sf_dir, "orders", columns=["o_custkey"]) \
         .map_batches(lambda t: pa.table({"actor_id": pc.cast(t["o_custkey"], pa.int64())}),
                      batch_format="pyarrow")
-    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.aggregates import distinct_values_guarded
 
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("actor_id").aggregate([([], "count_all")])
-        return g.rename_columns(["actor_id", "n"])
-
-    folded, mode = merge_partials_or_ds(
-        ev.union(od).map_batches(distinct_partial, batch_format="pyarrow"),
-        ["actor_id"], ["n"])
+    folded, mode = distinct_values_guarded(ev.union(od), "actor_id")
     if mode == "distributed":  # pragma: no cover - past the fold guard
         out = folded.to_pandas()[["actor_id"]]
     else:
@@ -1113,17 +1107,11 @@ def q_actor_ids_intersect(sf_dir: str):
         k = pc.cast(t["o_custkey"], pa.int64())
         return pa.table({"actor_id": k.filter(pc.is_in(k, value_set=small))})
 
-    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.aggregates import distinct_values_guarded
 
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("actor_id").aggregate([([], "count_all")])
-        return g.rename_columns(["actor_id", "n"])
-
-    folded, mode = merge_partials_or_ds(
+    folded, mode = distinct_values_guarded(
         _rp(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(keep, batch_format="pyarrow")
-        .map_batches(distinct_partial, batch_format="pyarrow"),
-        ["actor_id"], ["n"])
+        .map_batches(keep, batch_format="pyarrow"), "actor_id")
     if mode == "distributed":  # pragma: no cover - past the fold guard
         out = folded.to_pandas()[["actor_id"]]
     else:

@@ -460,3 +460,19 @@ def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
     if folded.num_rows > driver_limit:
         return distributed()
     return folded, "driver"
+
+
+def distinct_values_guarded(ds, key: str, driver_limit: int | None = None):
+    """Distinct values of one column via the GUARDED fold: per-batch
+    (key, n) count partials → ``merge_partials_or_ds``.  Returns the same
+    ``(pa.Table | Dataset, mode)`` contract — the shared partial for set
+    ops (union / intersect / distinct) that must not pay the Ray
+    all-to-all at small cardinalities nor OOM the driver at large ones."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([([], "count_all")])
+        return g.rename_columns([key, "n"])
+
+    return merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key], ["n"], driver_limit=driver_limit)

@@ -1188,7 +1188,7 @@ def cdc_chunk_batch(batch: pa.Table, col: str = "text",
                          "chunk_hash": pa.array([], pa.int64())})
     gv = _splitmix64(codes)
     h = np.zeros(total, dtype=np.uint64)
-    for k in range(window):
+    for k in range(min(window, total)):  # total < window ⇒ no candidates
         h[k:] += gv[:total - k if k else None] << np.uint64(k)
     mask = np.uint64((1 << mask_bits) - 1)
     rel = np.arange(total, dtype=np.int64) \
