@@ -4185,6 +4185,38 @@ def q_source_skew_stats(sf_dir: str):
                          "weighted_rank_sum": [wrs]}).astype("int64")
 
 
+def q_stream_chunk_novelty(sf_dir: str):
+    """STREAMING chunk-level novelty accounting (state/cdc_index.
+    StreamingChunkDeduper): docs arrive in doc_id order; each batch is
+    CDC-chunked and probed against the sharded first-seen chunk index,
+    reporting per-source chars genuinely new vs already-stored — the
+    incremental-crawl storage planner exact doc-hash dedup cannot give
+    (edited re-crawls share most chunks).  Rows-only: gear-hash chunking
+    is not SQL-replayable; planted exact/edited re-crawl truth is pinned
+    in tests/test_state.py."""
+    from timberjack_ray.state.cdc_index import StreamingChunkDeduper
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"]) \
+        .sort("doc_id")
+    acc: dict[str, np.ndarray] = {}
+    with StreamingChunkDeduper(n_shards=8) as d:
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            r = d.account_batch(b.select(["doc_id", "text"]))
+            src = dict(zip(b["doc_id"].to_pylist(),
+                           b["source"].to_pylist()))
+            rd = r.to_pandas()
+            rd["source"] = rd["doc_id"].map(src)
+            for s, sub in rd.groupby("source"):
+                v = sub[["n_chunks", "new_chars", "dup_chars"]] \
+                    .sum().to_numpy(dtype=np.int64)
+                acc[s] = acc.get(s, np.zeros(3, np.int64)) + v
+    rows = [(s, *acc[s]) for s in sorted(acc)]
+    return pd.DataFrame(rows, columns=["source", "n_chunks", "new_chars",
+                                       "dup_chars"]) \
+        .astype({"n_chunks": "int64", "new_chars": "int64",
+                 "dup_chars": "int64"})
+
+
 def q_approx_actor_overlap(sf_dir: str):
     """HLL set algebra (functions/sketch.approx_set_overlap): |users|,
     |customers|, |union| from register-max merges and |intersect| by
@@ -4448,6 +4480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_stitch": q_multiline_stitch,
         "value_trend_components": q_value_trend_components,
         "approx_actor_overlap": q_approx_actor_overlap,
+        "stream_chunk_novelty": q_stream_chunk_novelty,
     }
 
 

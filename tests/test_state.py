@@ -223,3 +223,40 @@ def test_ingest_job_end_to_end(ray_session, tmp_path):
     # s1 had zero survivors but still wrote a schema-only marker file,
     # so BOTH shards skip on resume
     assert m2["skipped_existing"] == 2 and m2["rows_out"] == 3
+
+
+def test_streaming_chunk_deduper_planted(ray_session):
+    """StreamingChunkDeduper: an exact re-crawl is 100% dup chars; an
+    edited re-crawl is mostly dup (boundary resync) with new chars near
+    the edit; batch order determines which copy pays the novelty."""
+    import numpy as np
+    import pyarrow as pa
+
+    from timberjack_ray.state.cdc_index import StreamingChunkDeduper
+
+    rng = np.random.RandomState(31)
+    words = [f"s{i}" for i in range(3000)]
+    base = " ".join(rng.choice(words, 700))
+    edited = base[:1000] + " EDITWORD " + base[1000:]
+    b1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": [base, "unrelated fresh text " * 20]})
+    b2 = pa.table({"doc_id": pa.array([3, 4, 5], pa.int64()),
+                   "text": [base, edited, ""]})
+    with StreamingChunkDeduper(n_shards=4) as d:
+        r1 = d.account_batch(b1).to_pandas().set_index("doc_id")
+        r2 = d.account_batch(b2).to_pandas().set_index("doc_id")
+        size_after = d.index_size()
+    # first sight of base: all chunks new
+    assert r1.loc[1, "dup_chars"] == 0
+    assert r1.loc[1, "new_chars"] == len(base)
+    # exact re-crawl: zero new chars
+    assert r2.loc[3, "new_chars"] == 0
+    assert r2.loc[3, "dup_chars"] == len(base)
+    # edited re-crawl: mostly dup, some new near the edit
+    assert r2.loc[4, "dup_chars"] > 0.8 * len(edited)
+    assert r2.loc[4, "n_new_chunks"] >= 1
+    # empty doc: zero row present
+    assert r2.loc[5].sum() == 0
+    # index holds each distinct chunk once
+    assert size_after == int(r1["n_new_chunks"].sum()
+                             + r2["n_new_chunks"].sum())
