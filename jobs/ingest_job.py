@@ -11,6 +11,10 @@ batch flows through
   → near-dup detection       (state/lsh_index.StreamingNearDup — pairs are
                               LOGGED, not dropped: near-dup policy is a
                               downstream decision)
+  → (optional, --min-new-frac) CDC chunk-novelty policy
+                             (state/cdc_index.StreamingChunkDeduper —
+                              edited re-crawls sharing most chunks with
+                              the corpus drop before spending quota)
   → per-source quota admission (state/quota.QuotaAdmitter, prefix rule)
 
 and survivors append to partitioned parquet under --out-dir (one file per
@@ -49,6 +53,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--min-eq", type=int, default=32)
+    ap.add_argument("--min-new-frac", type=float, default=None,
+                    help="drop docs whose CDC chunk-level new-char "
+                         "fraction vs everything ingested so far is below "
+                         "this (edited re-crawl policy); chunk accounting "
+                         "runs only when set")
     args = ap.parse_args(argv)
 
     import ray
@@ -56,10 +65,12 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init()
 
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from timberjack_ray.state.cdc_index import StreamingChunkDeduper
     from timberjack_ray.state.dedup_index import StreamingDeduper
     from timberjack_ray.state.lsh_index import StreamingNearDup
     from timberjack_ray.state.quota import QuotaAdmitter
@@ -72,12 +83,17 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     n_in = n_exact = n_quota = n_out = n_skipped = 0
+    n_stale = new_chars = dup_chars = 0
     nd_pairs = []
+    import contextlib
+
+    chunky = StreamingChunkDeduper(n_shards=args.n_shards) \
+        if args.min_new_frac is not None else contextlib.nullcontext()
     with StreamingDeduper(n_shards=args.n_shards) as dedup, \
             StreamingNearDup(n_shards=args.n_shards,
                              min_eq=args.min_eq) as near, \
             QuotaAdmitter(budget=args.budget,
-                          n_shards=args.n_shards) as quota:
+                          n_shards=args.n_shards) as quota, chunky:
         for f in files:
             out_f = os.path.join(
                 args.out_dir,
@@ -90,6 +106,21 @@ def main(argv=None) -> int:
                 n_in += t.num_rows
                 fresh = dedup.filter_batch(t, col="text")
                 n_exact += t.num_rows - fresh.num_rows
+                if fresh.num_rows and args.min_new_frac is not None:
+                    # chunk-level novelty vs everything ingested so far:
+                    # edited re-crawls share most chunks and get dropped
+                    # BEFORE they spend quota.  The index claims chunks of
+                    # dropped docs too (seen content stays seen).
+                    acct = chunky.account_batch(fresh).to_pandas() \
+                        .set_index("doc_id")
+                    a = acct.loc[fresh["doc_id"].to_pylist()]
+                    tot = (a["new_chars"] + a["dup_chars"]).to_numpy()
+                    frac = a["new_chars"].to_numpy() / np.maximum(tot, 1)
+                    keep = frac >= args.min_new_frac
+                    new_chars += int(a["new_chars"].sum())
+                    dup_chars += int(a["dup_chars"].sum())
+                    n_stale += int((~keep).sum())
+                    fresh = fresh.filter(pa.array(keep))
                 if fresh.num_rows:
                     p = near.process_batch(fresh)
                     if len(p):
@@ -116,13 +147,17 @@ def main(argv=None) -> int:
             pa.Table.from_pandas(pd.concat(nd_pairs),
                                  preserve_index=False),
             args.near_dup_log)
-    print(json.dumps({
+    metrics = {
         "files": len(files), "skipped_existing": n_skipped,
         "rows_in": n_in, "exact_dups_dropped": n_exact,
         "near_dup_pairs": int(sum(len(p) for p in nd_pairs)),
         "quota_rejected": n_quota, "rows_out": n_out,
         "sec": round(time.perf_counter() - t0, 3),
-    }))
+    }
+    if args.min_new_frac is not None:
+        metrics.update({"stale_dropped": n_stale, "new_chars": new_chars,
+                        "dup_chars": dup_chars})
+    print(json.dumps(metrics))
     return 0
 
 

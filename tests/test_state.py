@@ -260,3 +260,49 @@ def test_streaming_chunk_deduper_planted(ray_session):
     # index holds each distinct chunk once
     assert size_after == int(r1["n_new_chunks"].sum()
                              + r2["n_new_chunks"].sum())
+
+
+def test_ingest_job_chunk_novelty_policy(ray_session, tmp_path):
+    """--min-new-frac drops an edited re-crawl (mostly-shared chunks)
+    while genuinely new docs pass; metrics carry the char accounting."""
+    import contextlib
+    import io
+    import json
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.ingest_job import main
+
+    rng = np.random.RandomState(41)
+    words = [f"n{i}" for i in range(3000)]
+    base = " ".join(rng.choice(words, 600))
+    edited = base[:500] + " NEWBIT " + base[500:]
+    other = " ".join(rng.choice(words, 600))
+    d_in = tmp_path / "in"
+    d_out = tmp_path / "out"
+    d_in.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [1, 2], "source": ["a", "b"],
+        "text": [base, other],
+        "n_chars": [len(base), len(other)]}), str(d_in / "s0.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": [3], "source": ["a"],
+        "text": [edited],                    # near-total chunk overlap
+        "n_chars": [len(edited)]}), str(d_in / "s1.parquet"))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", str(d_in / "*.parquet"),
+                   "--out-dir", str(d_out), "--n-shards", "2",
+                   "--min-new-frac", "0.5"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["rows_in"] == 3 and m["exact_dups_dropped"] == 0
+    assert m["stale_dropped"] == 1            # the edited re-crawl
+    assert m["rows_out"] == 2
+    assert m["dup_chars"] > 0.8 * len(edited)
+    assert m["new_chars"] >= len(base) + len(other)
