@@ -347,3 +347,32 @@ def test_bpe_encoder_fertility(ray_session):
     out = enc(t).to_pandas()
     assert out["n_words"].tolist() == [2, 2, 1]
     assert out["n_bpe"].tolist() == [1 + 3, 4 + 4, 0]
+
+
+def test_span_dedup_distributed_degrade(ray_session, monkeypatch):
+    """With the fold guard forced to 0, both span passes take the
+    distributed-groupby degrade and still produce identical results."""
+    import ray.data as rd
+
+    import timberjack_ray.aggregates as agg
+    from timberjack_ray.functions.dedup import (dup_span_positions,
+                                                remove_dup_spans)
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = [span + " tailA tailB tailC",
+            "headX headY " + span,
+            " ".join(f"u{i}" for i in range(12))]
+    t = pa.table({"doc_id": list(range(3)), "text": docs})
+
+    want_pos = dup_span_positions(rd.from_arrow(t), span_words=8) \
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    want_txt = remove_dup_spans(rd.from_arrow(t), span_words=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    monkeypatch.setattr(agg, "FOLD_GUARD_LIMIT", 0)
+    got_pos = dup_span_positions(rd.from_arrow(t), span_words=8) \
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    got_txt = remove_dup_spans(rd.from_arrow(t), span_words=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got_pos.equals(want_pos) and len(want_pos)
+    assert got_txt.equals(want_txt)

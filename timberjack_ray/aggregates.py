@@ -416,7 +416,8 @@ def top_k(counts_df, key_col: str, n_col: str, k: int):
 
 
 def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
-                         driver_limit: int | None = None):
+                         driver_limit: int | None = None,
+                         ops: list[str] | None = None):
     """GUARDED variant of ``merge_partials`` for result cardinalities that
     are usually small but not bounded by construction (rollup combos,
     per-group stats): stream-fold on the driver while the folded table
@@ -426,23 +427,32 @@ def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
     memory stays bounded at any key cardinality, at the cost of one wasted
     partial pass bounded by driver_limit rows).
 
+    ``ops``: per-column combine, parallel to ``n_cols`` — "sum" (default)
+    or "min"; both are commutative monoids so the driver fold and the
+    distributed degrade agree exactly.
+
     Returns ``(pa.Table, "driver")`` or ``(Dataset, "distributed")``.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
 
     if driver_limit is None:
         driver_limit = FOLD_GUARD_LIMIT
     n_cols = list(n_cols)
+    ops = list(ops) if ops is not None else ["sum"] * len(n_cols)
+    assert len(ops) == len(n_cols) and set(ops) <= {"sum", "min"}
 
     def distributed():
         return partials_ds.groupby(keys).aggregate(
-            *[Sum(c, alias_name=c) for c in n_cols]), "distributed"
+            *[(Sum(c, alias_name=c) if op == "sum"
+               else Min(c, alias_name=c))
+              for c, op in zip(n_cols, ops)]), "distributed"
 
     pending: list[pa.Table] = []
 
     def compact(tables: list[pa.Table]) -> pa.Table:
         t = pa.concat_tables(tables)
-        g = t.group_by(keys).aggregate([(c, "sum") for c in n_cols])
+        g = t.group_by(keys).aggregate(
+            [(c, op) for c, op in zip(n_cols, ops)])
         return g.rename_columns(keys + n_cols)
 
     for b in partials_ds.iter_batches(batch_size=None,

@@ -1098,7 +1098,6 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
     Returns a Dataset of (doc_id, pos) rows.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     def triples(t: pa.Table) -> pa.Table:
         texts = t[col].to_pylist()
@@ -1129,15 +1128,24 @@ def dup_span_positions(ds, span_words: int = 8, col: str = "text",
         g = t.select(["h"]).group_by("h").aggregate([([], "count_all")])
         return g.rename_columns(["h", "n"])
 
-    counts = trip.map_batches(pre_count, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("n", alias_name="n"))
-    dup = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["h"]),
-        batch_format="pyarrow")
-    dup_h = np.sort(np.concatenate(
-        [b["h"].to_numpy(zero_copy_only=False)
-         for b in dup.iter_batches(batch_size=None, batch_format="pyarrow")]
-        or [np.zeros(0, np.int64)]))
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    folded, mode = merge_partials_or_ds(
+        trip.map_batches(pre_count, batch_format="pyarrow"), ["h"], ["n"])
+    if mode == "distributed":
+        # span vocabulary past the guard: filter + collect only the
+        # DUPLICATED hashes (bounded by dup volume, the thing being hunted)
+        dup = folded.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["h"]),
+            batch_format="pyarrow")
+        dup_h = np.sort(np.concatenate(
+            [b["h"].to_numpy(zero_copy_only=False)
+             for b in dup.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")]
+            or [np.zeros(0, np.int64)]))
+    else:
+        dup_h = np.sort(folded.filter(pc.greater_equal(folded["n"], 2))
+                        ["h"].to_numpy(zero_copy_only=False))
     ref = ray.put(dup_h)
 
     def hits(t: pa.Table) -> pa.Table:
@@ -1180,7 +1188,6 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
     cleaned text: a fully-deleted doc's "" re-splits to one empty slot).
     """
     import ray
-    from ray.data.aggregate import Min, Sum
 
     SHIFT = np.int64(1) << np.int64(32)
 
@@ -1219,16 +1226,25 @@ def remove_dup_spans(ds, span_words: int = 8, col: str = "text",
         return pa.table({"h": pa.array(uh), "n": pa.array(n),
                          "mn": pa.array(mn)})
 
-    folded = ds.map_batches(pre_fold, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("n", alias_name="n"),
-                                Min("mn", alias_name="mn")) \
-        .map_batches(lambda t: t.filter(pc.greater_equal(t["n"], 2))
-                     .select(["h", "mn"]), batch_format="pyarrow")
-    parts = [b for b in folded.iter_batches(batch_size=None,
-                                            batch_format="pyarrow")
-             if b.num_rows]
-    if parts:
-        dup = pa.concat_tables(parts)
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(pre_fold, batch_format="pyarrow"),
+        ["h"], ["n", "mn"], ops=["sum", "min"])
+    if mode == "distributed":
+        # span vocabulary past the guard: only DUPLICATED hashes (plus
+        # their global first occurrence) come back — dup-volume-bounded
+        dupd = folded.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2))
+            .select(["h", "mn"]), batch_format="pyarrow")
+        parts = [b for b in dupd.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")
+                 if b.num_rows]
+        dup = pa.concat_tables(parts) if parts else None
+    else:
+        dup = folded.filter(pc.greater_equal(folded["n"], 2))
+        dup = dup if dup.num_rows else None
+    if dup is not None:
         dh = dup["h"].to_numpy(zero_copy_only=False)
         order = np.argsort(dh)
         dup_h = dh[order]
