@@ -2416,30 +2416,28 @@ def q_tpch_q6(sf_dir: str):
 
 def q_tpch_q13(sf_dir: str):
     """TPC-H Q13 shape (customer order-count distribution): per-customer
-    order counts run as per-batch partials → ONE distributed groupby —
-    never a driver fold at customer cardinality; the count HISTOGRAM
-    (bounded by max orders/customer) is the only thing that reaches the
-    driver, plus the zero-order bucket derived from the customer total."""
+    order counts via the GUARDED driver fold (distributed groupby past
+    the customer-cardinality guard); the count HISTOGRAM (bounded by max
+    orders/customer) is all that survives, plus the zero-order bucket
+    derived from the customer total."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
-    from timberjack_ray.aggregates import merge_partials
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"c": t["o_custkey"]}).group_by("c") \
-            .aggregate([([], "count_all")])
-        return g.rename_columns(["c", "n"])
+    from timberjack_ray.aggregates import (distinct_values_guarded,
+                                           merge_partials)
 
     orders = _rp(sf_dir, "orders", columns=["o_custkey"])
-    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
-        .groupby("c").aggregate(Sum("n", alias_name="c_count"))
+    per_cust, mode = distinct_values_guarded(orders, "o_custkey")
 
     def hist(t: pa.Table) -> pa.Table:
-        g = t.group_by("c_count").aggregate([([], "count_all")])
+        g = t.group_by("n").aggregate([([], "count_all")])
         return g.rename_columns(["c_count", "custdist"])
 
-    h = merge_partials(per_cust.map_batches(hist, batch_format="pyarrow"),
-                       ["c_count"], "custdist").to_pandas()
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        h = merge_partials(
+            per_cust.map_batches(hist, batch_format="pyarrow"),
+            ["c_count"], "custdist").to_pandas()
+    else:
+        h = hist(per_cust).to_pandas()
     total = pq.ParquetFile(
         os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
     zero = total - int(h["custdist"].sum())
@@ -3210,12 +3208,11 @@ def q_session_type_pairs(sf_dir: str):
 
 def q_new_users_per_day(sf_dir: str):
     """Cohort-arrival curve: per-day NEW user counts + cumulative total.
-    Per-batch per-user min-day partials → ONE distributed groupby(Min)
-    (never a driver fold at user cardinality) → day histogram partials →
+    Per-batch per-user min-day partials → GUARDED min-fold (distributed
+    groupby(Min) past the user-cardinality guard) → day histogram →
     date-bounded merge → driver cumulative walk."""
-    from ray.data.aggregate import Min
-
-    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.aggregates import merge_partials, \
+        merge_partials_or_ds
 
     def partial(t: pa.Table) -> pa.Table:
         d = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
@@ -3225,15 +3222,20 @@ def q_new_users_per_day(sf_dir: str):
         return g.rename_columns(["user_id", "d"])
 
     ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
-    firsts = ev.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Min("d", alias_name="d"))
+    firsts, mode = merge_partials_or_ds(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["d"], ops=["min"])
 
     def hist(t: pa.Table) -> pa.Table:
         g = t.group_by("d").aggregate([([], "count_all")])
         return g.rename_columns(["d", "n_new"])
 
-    h = merge_partials(firsts.map_batches(hist, batch_format="pyarrow"),
-                       ["d"], "n_new").to_pandas().sort_values("d")
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        h = merge_partials(
+            firsts.map_batches(hist, batch_format="pyarrow"),
+            ["d"], "n_new").to_pandas().sort_values("d")
+    else:
+        h = hist(firsts).to_pandas().sort_values("d")
     h["day"] = pd.to_datetime(h["d"], unit="D").dt.strftime("%Y-%m-%d")
     h["cum_users"] = h["n_new"].cumsum()
     return h[["day", "n_new", "cum_users"]].reset_index(drop=True) \
