@@ -4305,6 +4305,23 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_part_triangles(sf_dir: str):
+    """Exact triangle census of the part CO-PURCHASE graph (parts are
+    vertices, adjacent iff one order contains both): n_nodes / n_edges /
+    n_wedges / n_triangles as exact ints — the global clustering
+    coefficient is the consumer's 3·tri/wedges.  Plan
+    (functions/graph.cooccurrence_triangles): per-batch distinct
+    (order, part) → ONE order-bucket exchange → segmented d-offset pair
+    expansion (fan-out bounded by order size) → guarded distinct-edge
+    fold → degree-ORIENTED wedge probe (O(E^1.5) vectorized on the
+    driver under the limit; distributed wedge-vs-edge GRACE join past
+    it, equality-tested in tests/test_graph.py)."""
+    from timberjack_ray.functions.graph import cooccurrence_triangles
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_triangles(ds, "l_orderkey", "l_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1_qty": q_tpch_q1_qty,
@@ -4483,6 +4500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_components": q_value_trend_components,
         "approx_actor_overlap": q_approx_actor_overlap,
         "stream_chunk_novelty": q_stream_chunk_novelty,
+        "part_triangles": q_part_triangles,
     }
 
 
@@ -6474,6 +6492,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, source, n_chars FROM a
             WHERE cum <= 2000 ORDER BY doc_id
+        """,
+        "part_triangles": """
+            WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            edges AS (SELECT DISTINCT a.i AS u, b.i AS v
+                      FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+            deg AS (SELECT node, COUNT(*) AS d
+                    FROM (SELECT u AS node FROM edges
+                          UNION ALL SELECT v FROM edges)
+                    GROUP BY node),
+            tri AS (SELECT COUNT(*) AS t
+                    FROM edges e1
+                    JOIN edges e2 ON e2.u = e1.v
+                    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+            SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+                   (SELECT COUNT(*) FROM edges) AS n_edges,
+                   CAST(COALESCE((SELECT SUM(d*(d-1)/2) FROM deg), 0)
+                        AS BIGINT) AS n_wedges,
+                   CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
         """,
         "selfjoin_size_by_type": """
             SELECT event_type,

@@ -122,3 +122,61 @@ def test_pagerank_distributed_matches_driver(ray_session):
     got = got.to_pandas().sort_values("node").reset_index(drop=True)
     assert got["node"].tolist() == exp["node"].tolist()
     assert got["rank_fp"].tolist() == exp["rank_fp"].tolist()
+
+
+def _brute_census(edges: set) -> tuple:
+    nodes = sorted({x for e in edges for x in e})
+    adj = {x: set() for x in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    return len(nodes), len(edges), wedges, tri // 3
+
+
+def test_triangle_census_driver_matches_brute():
+    rng = np.random.RandomState(7)
+    from timberjack_ray.functions.graph import _triangle_census_driver
+
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 40, (300, 2))
+             if a != b}
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    got = _triangle_census_driver(u, v).iloc[0]
+    want = _brute_census(edges)
+    assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles) == want
+
+
+def test_cooccurrence_triangles_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import cooccurrence_triangles
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 120, 2000).astype(np.int64)
+    i = rng.randint(0, 60, 2000).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "i": pa.array(i)})
+    driver = cooccurrence_triangles(
+        rd.from_arrow(t).repartition(4), "g", "i", n_buckets=8,
+        edge_driver_limit=10_000_000)
+    dist = cooccurrence_triangles(
+        rd.from_arrow(t).repartition(4), "g", "i", n_buckets=8,
+        edge_driver_limit=1)  # force the distributed tail
+    pd.testing.assert_frame_equal(driver, dist)
+    # and both match an independent brute force
+    edges = set()
+    by_g = {}
+    for gg, ii in zip(g.tolist(), i.tolist()):
+        by_g.setdefault(gg, set()).add(ii)
+    for items in by_g.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                edges.add((s[x], s[y]))
+    want = _brute_census(edges)
+    got = driver.iloc[0]
+    assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles) == want
