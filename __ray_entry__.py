@@ -4305,6 +4305,24 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance-resampling weights (functions/text.dsir_weights):
+    hashed-unigram target (lang='en') vs raw log-ratio models, one count
+    pass + one broadcast-gather scoring pass; returns the 20 most
+    target-like docs (logw desc, doc_id asc).  Rows-only: the log-prob
+    arithmetic is float; the per-doc numbers are pinned against an
+    independent reference in tests/test_text_lm.py."""
+    from timberjack_ray.functions.relational import sorted_topk
+
+    from timberjack_ray.functions.text import dsir_weights
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = dsir_weights(ds, "lang", "en")
+    out = sorted_topk(scored, ["logw", "doc_id"], 20,
+                      descending=[True, False])
+    return out.astype({"doc_id": "int64", "n_words": "int64"})
+
+
 def q_part_triangles(sf_dir: str):
     """Exact triangle census of the part CO-PURCHASE graph (parts are
     vertices, adjacent iff one order contains both): n_nodes / n_edges /
@@ -4501,6 +4519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_actor_overlap": q_approx_actor_overlap,
         "stream_chunk_novelty": q_stream_chunk_novelty,
         "part_triangles": q_part_triangles,
+        "dsir_scores": q_dsir_scores,
     }
 
 

@@ -376,3 +376,54 @@ def test_span_dedup_distributed_degrade(ray_session, monkeypatch):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got_pos.equals(want_pos) and len(want_pos)
     assert got_txt.equals(want_txt)
+
+
+def test_dsir_weights_match_independent_reference(ray_session):
+    """Per-doc DSIR log-weights pinned against a from-scratch reference
+    (dict counting + math.log per word) on a tiny mixed corpus."""
+    import math
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import _feature_buckets, dsir_weights
+
+    docs = ["the cat sat on the mat", "le chat est sur le tapis",
+            "the dog ran", "der hund lief schnell", "", "cat cat cat"]
+    langs = ["en", "fr", "en", "de", "en", "fr"]
+    t = pa.table({"doc_id": list(range(6)), "text": docs, "lang": langs})
+    n_feat, lam = 1 << 16, 1.0
+
+    got = dsir_weights(rd.from_arrow(t).repartition(3), "lang", "en",
+                       n_feat=n_feat, lam=lam) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # independent reference
+    ct, cr = {}, {}
+    for d, lg in zip(docs, langs):
+        words = d.split(" ")
+        b = _feature_buckets(pa.array(words), n_feat)
+        for x in b.tolist():
+            cr[x] = cr.get(x, 0) + 1
+            if lg == "en":
+                ct[x] = ct.get(x, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def ref_logw(d):
+        out = 0.0
+        b = _feature_buckets(pa.array(d.split(" ")), n_feat)
+        for x in b.tolist():
+            out += (math.log(ct.get(x, 0) + lam) - math.log(nt + lam * n_feat)) \
+                - (math.log(cr.get(x, 0) + lam) - math.log(nr + lam * n_feat))
+        return out
+
+    for i, d in enumerate(docs):
+        assert got.loc[i, "n_words"] == len(d.split(" "))
+        # NB: "".split(" ") == [""] — the empty doc contributes one
+        # empty-string word to both the models and its own score, the
+        # same single-space-split convention as word_topk
+        want = ref_logw(d)
+        assert abs(got.loc[i, "logw"] - want) < 1e-9, (i, got.loc[i, "logw"], want)
+    # English docs should outrank the non-English ones
+    en = got[got.doc_id.isin([0, 2])]["logw"].min()
+    other = got[got.doc_id.isin([1, 3])]["logw"].max()
+    assert en > other

@@ -854,3 +854,88 @@ def bpe_token_counts(ds, n_merges: int = 20, col: str = "text",
     return ds.map_batches(
         BpeEncoder(merges, col=col, id_col=id_col, keep_cols=keep_cols),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+def _feature_buckets(flat_words: pa.Array, n_feat: int) -> np.ndarray:
+    """Process-stable hashed-feature bucket per word (vectorized siphash,
+    same family as corpus.add_key_bucket's string branch)."""
+    h = pd.util.hash_array(
+        flat_words.to_numpy(zero_copy_only=False).astype(object))
+    return (h % np.uint64(n_feat)).astype(np.int64)
+
+
+def dsir_weights(ds, target_col: str, target_val: str,
+                 id_col: str = "doc_id", col: str = "text",
+                 n_feat: int = 1 << 16, lam: float = 1.0):
+    """Data Selection via Importance Resampling (Xie et al. 2023, public
+    method): per-doc log importance weight under hashed-UNIGRAM bag-of-
+    words models of a TARGET slice (rows where ``target_col ==
+    target_val``) vs the RAW corpus:
+
+        log w(d) = Σ_f c_f(d) · [log p_t(f) − log p_r(f)],
+
+    p estimated add-λ smoothed over ``n_feat`` hash buckets.  Hashing
+    makes BOTH model sides bounded at ``n_feat`` BY CONSTRUCTION — the
+    open web vocabulary never reaches the driver, so this needs no
+    cardinality guard (that is DSIR's own trick, and why it runs at
+    trillion-token scale).
+
+    Plan: ONE streaming pass computing (bucket, n_target, n_raw) count
+    partials per batch (merge volume ≤ n_feat rows) → driver builds the
+    2·n_feat log-prob ratio vector (n_feat·8 B broadcast) → ONE streaming
+    scoring pass (hash, gather, per-doc reduceat — no per-row Python).
+    Returns a row-volume Dataset of (id, n_words, logw); selection (top
+    fraction / Gumbel resampling) is the consumer's stream op.
+    """
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _word_offsets
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        b = _feature_buckets(flat, n_feat)
+        is_t = np.repeat(
+            pc.equal(t[target_col], target_val).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            np.diff(offsets))
+        g = pa.table({"bucket": pa.array(b),
+                      "n_t": pa.array(is_t),
+                      "n_r": pa.array(np.ones(len(b), dtype=np.int64))}) \
+            .group_by(["bucket"]).aggregate([("n_t", "sum"), ("n_r", "sum")])
+        return g.rename_columns(["bucket", "n_t", "n_r"])
+
+    folded = merge_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["bucket"], ["n_t", "n_r"])
+    ct = np.zeros(n_feat, dtype=np.float64)
+    cr = np.zeros(n_feat, dtype=np.float64)
+    bk = folded["bucket"].to_numpy(zero_copy_only=False)
+    ct[bk] = folded["n_t"].to_numpy(zero_copy_only=False)
+    cr[bk] = folded["n_r"].to_numpy(zero_copy_only=False)
+    logw = (np.log(ct + lam) - np.log(ct.sum() + lam * n_feat)) \
+        - (np.log(cr + lam) - np.log(cr.sum() + lam * n_feat))
+    ref = ray.put(logw)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = fetch_broadcast(ref)
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        lens = np.diff(offsets)
+        vals = w[_feature_buckets(flat, n_feat)] if len(flat) else \
+            np.array([], dtype=np.float64)
+        starts = np.minimum(offsets[:-1], max(len(vals) - 1, 0))
+        sums = np.add.reduceat(np.append(vals, 0.0), starts)[: len(lens)] \
+            if len(lens) else np.array([], dtype=np.float64)
+        sums = np.where(lens > 0, sums, 0.0)
+        return pa.table({id_col: t[id_col],
+                         "n_words": pa.array(lens),
+                         "logw": pa.array(sums)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
