@@ -4305,6 +4305,28 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_stream_heavy_hitters(sf_dir: str):
+    """STREAMING running top-K words (state/topk_index.StreamingTopK):
+    document batches arrive in doc_id order, each batch's words fold to
+    exact distinct counts and merge into sharded Misra-Gries summaries —
+    the "what's exploding right now" monitor over an open stream, with
+    ≤ k·shards slots of state at ANY vocabulary.  Rows-only: MG lower
+    bounds depend on batch boundaries; the guarantee band (true−err ≤
+    n_lo ≤ true, heavy keys always present) is pinned in
+    tests/test_state.py and re-checked here against the exact corpus
+    counts."""
+    import pyarrow.compute as pc2
+
+    from timberjack_ray.state.topk_index import StreamingTopK
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"]).sort("doc_id")
+    with StreamingTopK(n_shards=8, k_per_shard=64) as hh:
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            hh.add_keys(pc2.list_flatten(pc2.split_pattern(b["text"], " ")))
+        top = hh.topk(10)
+    return top
+
+
 def q_dsir_scores(sf_dir: str):
     """DSIR importance-resampling weights (functions/text.dsir_weights):
     hashed-unigram target (lang='en') vs raw log-ratio models, one count
@@ -4520,6 +4542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_chunk_novelty": q_stream_chunk_novelty,
         "part_triangles": q_part_triangles,
         "dsir_scores": q_dsir_scores,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
     }
 
 

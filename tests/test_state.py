@@ -306,3 +306,58 @@ def test_ingest_job_chunk_novelty_policy(ray_session, tmp_path):
     assert m["rows_out"] == 2
     assert m["dup_chars"] > 0.8 * len(edited)
     assert m["new_chars"] >= len(base) + len(other)
+
+
+def test_topk_shard_state_mg_guarantees():
+    """Misra-Gries invariants under a random stream: err <= n/(k+1);
+    every key with true count > err survives; estimates under-count by
+    at most err."""
+    from timberjack_ray.state.topk_index import _ShardState
+
+    rng = np.random.RandomState(3)
+    k = 16
+    s = _ShardState(k)
+    truth = {}
+    # zipf-ish stream: a few hot keys + a long uniform tail, many batches
+    for _ in range(30):
+        hot = np.repeat(np.array(["h1", "h2", "h3"], dtype=object),
+                        rng.randint(5, 25, 3))
+        tail = np.array([f"t{v}" for v in rng.randint(0, 500, 80)],
+                        dtype=object)
+        batch = np.concatenate([hot, tail])
+        uk, cnt = np.unique(batch, return_counts=True)
+        s.add(uk, cnt)
+        for x, c in zip(uk.tolist(), cnt.tolist()):
+            truth[x] = truth.get(x, 0) + int(c)
+    n = sum(truth.values())
+    assert s.n_seen == n
+    assert s.err <= n // (k + 1)
+    est = dict(zip(s.counts.index.tolist(), s.counts.to_numpy().tolist()))
+    for x, c in truth.items():
+        if c > s.err:
+            assert x in est, (x, c, s.err)
+        if x in est:
+            assert c - s.err <= est[x] <= c, (x, c, est[x], s.err)
+
+
+def test_streaming_topk_planted_heavy_hitters(ray_session):
+    from timberjack_ray.state.topk_index import StreamingTopK
+
+    rng = np.random.RandomState(9)
+    truth = {}
+    with StreamingTopK(n_shards=4, k_per_shard=32) as hh:
+        for _ in range(20):
+            hot = np.repeat(np.array(["alpha", "beta"], dtype=object),
+                            [40, 25])
+            tail = np.array([f"w{v}" for v in rng.randint(0, 2000, 100)],
+                            dtype=object)
+            batch = np.concatenate([hot, tail])
+            rng.shuffle(batch)
+            hh.add_keys(batch)
+            for x in batch.tolist():
+                truth[x] = truth.get(x, 0) + 1
+        top = hh.topk(5)
+    assert top.loc[0, "key"] == "alpha" and top.loc[1, "key"] == "beta"
+    for _, r in top.iterrows():
+        true = truth[r["key"]]
+        assert true - r["err"] <= r["n_lo"] <= true
