@@ -1720,6 +1720,17 @@ def q_value_mad_by_type(sf_dir: str):
                        "mad_scaled": "int64"})
 
 
+def q_value_outlier_counts(sf_dir: str):
+    """Robust per-type anomaly counts (functions/relational.
+    grouped_outlier_counts): |cents − median| > 3·MAD as an exact
+    integer inequality — two histogram-sized passes + one broadcast
+    counter pass; merge volume = #types."""
+    from timberjack_ray.functions.relational import grouped_outlier_counts
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_outlier_counts(ds, "event_type", "value", k=3, scale=100)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention matrix (functions/sessions.retention_cohorts):
     cohort = week of first signup; n_users = distinct cohort members active
@@ -4305,6 +4316,21 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_user_decayed_value(sf_dir: str):
+    """Per-user exponentially-decayed activity score (functions/sessions.
+    grouped_decayed_sum): 16-term truncated EWMA over cents, exact int64
+    — the decayed-feature transform, bit-identical to a 16-LAG SQL
+    window.  One key-bucket exchange; W−1 segment-masked shifted adds
+    per bucket; row-volume output streams."""
+    from timberjack_ray.functions.sessions import grouped_decayed_sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_decayed_sum(ds, "user_id", "ts", "event_id", "value") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "decayed": "int64"})
+
+
 def q_stream_heavy_hitters(sf_dir: str):
     """STREAMING running top-K words (state/topk_index.StreamingTopK):
     document batches arrive in doc_id order, each batch's words fold to
@@ -4543,6 +4569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "dsir_scores": q_dsir_scores,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "user_decayed_value": q_user_decayed_value,
+        "value_outlier_counts": q_value_outlier_counts,
     }
 
 
@@ -5546,6 +5574,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE next_type IS NOT NULL
             GROUP BY cur_type, next_type
         """,
+        "value_outlier_counts": """
+            WITH s AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            med AS (
+              SELECT event_type,
+                     CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+              FROM s GROUP BY event_type
+            ),
+            mad AS (
+              SELECT s.event_type, med.m,
+                     CAST(quantile_disc(ABS(s.v - med.m), 0.5) AS BIGINT)
+                       AS d
+              FROM s JOIN med USING (event_type)
+              GROUP BY s.event_type, med.m
+            )
+            SELECT s.event_type, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN ABS(s.v - mad.m) > 3 * mad.d
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM s JOIN mad USING (event_type)
+            GROUP BY s.event_type ORDER BY s.event_type
+        """,
         "value_mad_by_type": """
             WITH s AS (
               SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
@@ -6043,6 +6094,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM p GROUP BY ws ORDER BY ws
+        """,
+        # 16-term truncated EWMA: decayed_i = Σ_j cents_{i-j}·2^(15-j);
+        # the LAG ladder is generated to match grouped_decayed_sum's W=16
+        "user_decayed_value": """
+            SELECT event_id,
+                   CAST((""" + " + ".join(
+            f"COALESCE(LAG(cents, {j}) OVER w, 0) * {1 << (15 - j)}"
+            for j in range(16)) + """) AS BIGINT) AS decayed
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "user_value_cumsum": """
             SELECT event_id,

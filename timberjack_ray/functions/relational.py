@@ -958,3 +958,38 @@ def export_sorted(ds, col: str, out_dir: str, n_ranges: int = 8,
         .map_groups(write_range, batch_format="pyarrow") \
         .to_pandas()
     return manifest.sort_values("range_id").reset_index(drop=True)
+
+
+def grouped_outlier_counts(ds, group_col: str, col: str, k: int = 3,
+                           scale: int = 100) -> pd.DataFrame:
+    """Robust per-group anomaly counts: events where |scaled(x) − median|
+    > k · MAD — the modified-z-score outlier rule with an exact INTEGER
+    inequality (no float threshold to disagree over).  Three streaming
+    passes, the first two histogram-sized (``grouped_mad``), the third a
+    broadcast (group → median, mad) map + per-batch counter partials;
+    merge volume = #groups.  Output (group, n_total, n_outliers)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    mad = grouped_mad(ds, group_col, col, scale)
+    med_map = dict(zip(mad[group_col], mad["median_scaled"]))
+    mad_map = dict(zip(mad[group_col], mad["mad_scaled"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int(t[col], scale).to_numpy()
+        m = pd.Series(g).map(med_map).to_numpy(dtype=np.int64)
+        d = pd.Series(g).map(mad_map).to_numpy(dtype=np.int64)
+        out = (np.abs(v - m) > k * d).astype(np.int64)
+        tbl = pa.table({group_col: pa.array(g),
+                        "n_total": pa.array(np.ones(len(g), np.int64)),
+                        "n_outliers": pa.array(out)})
+        gby = tbl.group_by([group_col]).aggregate(
+            [("n_total", "sum"), ("n_outliers", "sum")])
+        return gby.rename_columns([group_col, "n_total", "n_outliers"])
+
+    folded = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            [group_col], ["n_total", "n_outliers"])
+    return folded.to_pandas().sort_values(group_col) \
+        .reset_index(drop=True) \
+        .astype({"n_total": "int64", "n_outliers": "int64"})

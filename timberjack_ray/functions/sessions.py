@@ -652,3 +652,53 @@ def grouped_cumsum(ds, key_col: str, ts_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def grouped_decayed_sum(ds, key_col: str, ts_col: str, id_col: str,
+                        val_col: str, window: int = 16, scale: int = 100,
+                        n_buckets: int = 256):
+    """Per-key EXPONENTIALLY-DECAYED activity score in event order,
+    truncated at ``window`` events so the arithmetic stays EXACT int64:
+
+        decayed_i = Σ_{j=0..W-1} cents(v_{i−j}) · 2^(W−1−j)
+
+    (half-life = one event; older events shift one bit down; terms beyond
+    W, or across a key boundary, drop).  The truncation is what makes the
+    op hash-checkable — true float EWMA accumulates rounding that depends
+    on evaluation ORDER, so a vectorized engine and a sequential SQL
+    window can legitimately disagree; the W-term form is a plain linear
+    combination both replay bit-identically (SQL: W LAG terms).
+
+    Scale shape: the sessionize exchange (key-hash buckets, ONE lexsort
+    (key, ts, id) per bucket), then W−1 shifted segment-masked adds —
+    trip count = W, independent of key cardinality and row count.  Output
+    is row-volume and streams."""
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+    from timberjack_ray.functions.util import scale_to_int
+
+    proj = ds.select_columns([key_col, ts_col, id_col, val_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+    w = int(window)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int(t[val_col], scale).to_numpy()
+        order = np.lexsort((ids, ts, k))
+        ks, vs = k[order], v[order]
+        seg_id = np.cumsum(np.r_[True, ks[1:] != ks[:-1]])
+        dec = vs * (1 << (w - 1))
+        for j in range(1, w):
+            if j >= len(vs):
+                break
+            same = seg_id[j:] == seg_id[:-j]
+            add = vs[:-j] * (1 << (w - 1 - j))
+            dec[j:] += np.where(same, add, 0)
+        return pa.table({id_col: pa.array(ids[order]),
+                         "decayed": pa.array(dec.astype(np.int64))})
+
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
