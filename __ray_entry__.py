@@ -4316,6 +4316,20 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_bm25_docs(sf_dir: str):
+    """Okapi BM25 top-10 retrieval (functions/text.bm25_topk) for a fixed
+    query over the documents table: two passes both bounded by |query
+    terms| (per-term df fold, then broadcast-(idf, avgdl) scoring with
+    per-batch top-k prune).  Rows-only: BM25 scores are floats; the exact
+    numbers are pinned against an independent reference in
+    tests/test_text_lm.py."""
+    from timberjack_ray.functions.text import bm25_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(ds, "hash join filter", k=10)
+    return out.astype({"doc_id": "int64"})
+
+
 def q_user_decayed_value(sf_dir: str):
     """Per-user exponentially-decayed activity score (functions/sessions.
     grouped_decayed_sum): 16-term truncated EWMA over cents, exact int64
@@ -4571,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "user_decayed_value": q_user_decayed_value,
         "value_outlier_counts": q_value_outlier_counts,
+        "bm25_docs": q_bm25_docs,
     }
 
 

@@ -249,3 +249,37 @@ def test_max_concurrent_planted(ray_session):
     # t=8 -1 ->2; t=10 -1 ->1; t=20 -1 ->0; t=3599 +1 ->1  => max 3
     # window 7200: carry 1, point -1@7201 -> 0
     assert got == {0: 3, 7200: 0}
+
+
+def test_grouped_decayed_sum_matches_sequential_reference(ray_session):
+    import pyarrow as pa
+    """Vectorized shifted-add kernel vs a per-key sequential reference on
+    random data with ts ties (id tie-break) and short/long segments."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import grouped_decayed_sum
+
+    rng = np.random.RandomState(23)
+    n, w = 400, 16
+    k = rng.randint(0, 12, n).astype(np.int64)
+    ts = rng.randint(0, 40, n).astype(np.int64)  # many ties
+    ids = np.arange(n, dtype=np.int64)
+    vals = (rng.randint(0, 10_000, n) / 100.0)
+    t = pa.table({"u": pa.array(k), "ts": pa.array(ts),
+                  "id": pa.array(ids), "v": pa.array(vals)})
+    got = grouped_decayed_sum(rd.from_arrow(t).repartition(4),
+                              "u", "ts", "id", "v", window=w, n_buckets=8) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    want = np.zeros(n, dtype=np.int64)
+    df = pd.DataFrame({"u": k, "ts": ts, "id": ids, "c": cents}) \
+        .sort_values(["u", "ts", "id"]).reset_index(drop=True)
+    for _, sub in df.groupby("u"):
+        c = sub["c"].to_numpy()
+        for i in range(len(c)):
+            acc = 0
+            for j in range(min(w, i + 1)):
+                acc += int(c[i - j]) << (w - 1 - j)
+            want[sub["id"].iloc[i]] = acc
+    assert got["decayed"].to_numpy().tolist() == want[got["id"]].tolist()

@@ -427,3 +427,36 @@ def test_dsir_weights_match_independent_reference(ray_session):
     en = got[got.doc_id.isin([0, 2])]["logw"].min()
     other = got[got.doc_id.isin([1, 3])]["logw"].max()
     assert en > other
+
+
+def test_bm25_topk_matches_independent_reference(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import bm25_topk
+
+    docs = ["the quick brown fox", "the lazy dog", "quick quick fox jumps",
+            "a completely unrelated sentence", "fox", ""]
+    t = pa.table({"doc_id": list(range(6)), "text": docs})
+    query = "quick fox"
+    got = bm25_topk(rd.from_arrow(t).repartition(3), query, k=4)
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    dls = [len(d.split(" ")) for d in docs]
+    avgdl = sum(dls) / n
+    scores = {}
+    for term in sorted(set(query.split(" "))):
+        df = sum(1 for d in docs if term in d.split(" "))
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, d in enumerate(docs):
+            tf = d.split(" ").count(term)
+            if tf:
+                norm = k1 * (1 - b + b * dls[i] / avgdl)
+                scores[i] = scores.get(i, 0.0) + \
+                    idf * tf * (k1 + 1) / (tf + norm)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got["doc_id"].tolist() == [i for i, _ in want]
+    for (_, w), g in zip(want, got["score"].tolist()):
+        assert abs(w - g) < 1e-9

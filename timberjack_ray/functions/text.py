@@ -939,3 +939,84 @@ def dsir_weights(ds, target_col: str, target_val: str,
                          "logw": pa.array(sums)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(ds, query: str, id_col: str = "doc_id", col: str = "text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 retrieval: top-k docs for one query over the corpus —
+    the data-selection / search primitive on top of the inverted-index
+    family.  Two streaming passes, BOTH bounded by |query terms|, never
+    vocabulary: pass 1 folds (per-term df, N, Σdl) — |terms|+1 partial
+    rows per batch; pass 2 scores each doc against the broadcast
+    (idf, avgdl) model (one is-in mask + reduceat per term — terms are
+    few by definition) and prunes to k per batch, so the driver merge
+    sees k × batches rows.  idf = ln(1 + (N−df+0.5)/(df+0.5)) (the
+    non-negative "plus" variant, public Robertson/Sparck-Jones form).
+    Float scores ⇒ rows-only; numbers pinned vs an independent
+    reference in tests/test_text_lm.py."""
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _word_offsets
+    from timberjack_ray.functions.relational import sorted_topk
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    terms = sorted(set(query.split(" ")))
+    tset = pa.array(terms, pa.string())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        lens = np.diff(offsets)
+        nd = len(lens)
+        rows_t, rows_df = ["\x00stats"], [0]
+        rows_n, rows_dl = [nd], [int(lens.sum())]
+        for term in terms:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tf = np.add.reduceat(np.append(m, 0), np.minimum(
+                offsets[:-1], max(len(m) - 1, 0)))[:nd] if len(m) else \
+                np.zeros(nd, np.int64)
+            tf = np.where(lens > 0, tf, 0)
+            rows_t.append(term)
+            rows_df.append(int((tf > 0).sum()))
+            rows_n.append(0)
+            rows_dl.append(0)
+        return pa.table({"term": pa.array(rows_t),
+                         "df": pa.array(rows_df, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "dl": pa.array(rows_dl, pa.int64())})
+
+    folded = merge_partials(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["term"], ["df", "n", "dl"]).to_pandas().set_index("term")
+    n_docs = int(folded.loc["\x00stats", "n"])
+    avgdl = float(folded.loc["\x00stats", "dl"]) / max(n_docs, 1)
+    idf = {t: float(np.log(1.0 + (n_docs - folded.loc[t, "df"] + 0.5)
+                           / (folded.loc[t, "df"] + 0.5)))
+           for t in terms if t in folded.index}
+    ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        model_idf, model_avgdl = fetch_broadcast(ref)
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        lens = np.diff(offsets).astype(np.float64)
+        nd = len(lens)
+        s = np.zeros(nd, dtype=np.float64)
+        norm = k1 * (1.0 - b + b * lens / max(model_avgdl, 1e-12))
+        for term, w in model_idf.items():
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False) \
+                .astype(np.float64) if len(flat) else np.zeros(0)
+            tf = np.add.reduceat(np.append(m, 0.0), np.minimum(
+                offsets[:-1], max(len(m) - 1, 0)))[:nd] if len(m) else \
+                np.zeros(nd)
+            tf = np.where(lens > 0, tf, 0.0)
+            s += w * (tf * (k1 + 1.0)) / np.maximum(tf + norm, 1e-12)
+        # retrieval semantics: docs matching no query term don't rank
+        return pa.table({id_col: t[id_col],
+                         "score": pa.array(s)}).filter(pa.array(s > 0.0))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return sorted_topk(scored, ["score", id_col], k,
+                       descending=[True, False])
