@@ -4316,6 +4316,34 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_semantic_dedup_stats(sf_dir: str):
+    """SemDeDup over the embeddings table (functions/similarity.
+    semantic_dedup): spherical k-means clusters + exact in-cluster
+    cosine dup groups, min-id survivors.  Returns per-cluster
+    (n_rows, n_kept) counts.  Rows-only: cluster assignment depends on
+    float k-means; the dedup CONTRACT (planted copies dropped,
+    transitive chains collapse) is pinned in tests/test_functions.py."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.similarity import semantic_dedup
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=0.95, n_centroids=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        g = t.group_by(["cluster"]).aggregate(
+            [([], "count_all"), ("keep", "sum")])
+        g = g.rename_columns(["cluster", "n_rows", "n_kept"])
+        return g.set_column(2, "n_kept", pc2.cast(g["n_kept"], pa.int64()))
+
+    folded = merge_partials(out.map_batches(partial, batch_format="pyarrow"),
+                            ["cluster"], ["n_rows", "n_kept"])
+    return folded.to_pandas().sort_values("cluster") \
+        .reset_index(drop=True) \
+        .astype({"cluster": "int64", "n_rows": "int64", "n_kept": "int64"})
+
+
 def q_bm25_docs(sf_dir: str):
     """Okapi BM25 top-10 retrieval (functions/text.bm25_topk) for a fixed
     query over the documents table: two passes both bounded by |query
@@ -4586,6 +4614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decayed_value": q_user_decayed_value,
         "value_outlier_counts": q_value_outlier_counts,
         "bm25_docs": q_bm25_docs,
+        "semantic_dedup_stats": q_semantic_dedup_stats,
     }
 
 

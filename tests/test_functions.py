@@ -909,3 +909,47 @@ def test_cdc_vs_scalar_reference():
         t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
         got = cdc_chunk_batch(t).to_pandas()["chunk_len"].tolist()
         assert got == scalar_chunks(text), (trial, n)
+
+
+def test_semantic_dedup_planted_copies_and_chain(ray_session):
+    """SemDeDup path: planted exact copies are dropped (min-id survivor),
+    distinct vectors survive, and a transitive chain a~b~c (a·c below
+    threshold) collapses to ONE survivor — exercising the in-cluster
+    component closure, not just direct pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    d = 16
+    base = rng.randn(20, d).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [v for v in base] + [v.copy() for v in base[:6]]  # 6 exact copies
+    ids = list(range(20)) + [100 + i for i in range(6)]
+    # a near-transitive chain: unit vectors at angles 0, 14°, 28° —
+    # adjacent cos ≈ 0.970 ≥ 0.95, endpoints cos ≈ 0.882 < 0.95
+    for j, ang in enumerate((0.0, 14.0, 28.0)):
+        v = np.zeros(d, dtype=np.float32)
+        v[0], v[1] = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+        vecs.append(v)
+        ids.append(200 + j)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = semantic_dedup(rd.from_arrow(t).repartition(3),
+                         threshold=0.95, n_centroids=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    kept = set(out[out["keep"]]["vec_id"].tolist())
+    # every planted copy loses to its base (same vector ⇒ same cluster)
+    for i in range(6):
+        assert 100 + i not in kept and i in kept
+    # chain members co-cluster (they are near each other); exactly one
+    # survivor among 200..202 IF they landed in one cluster — they must:
+    # their pairwise cosine to any centroid orders identically
+    chain = out[out["vec_id"] >= 200]
+    if chain["cluster"].nunique() == 1:
+        assert chain["keep"].sum() == 1
+        assert chain[chain["keep"]]["vec_id"].iloc[0] == 200
+    # all untouched distinct vectors survive
+    assert all(i in kept for i in range(6, 20))

@@ -642,3 +642,80 @@ def top_principal_component(ds, vec_col: str = "embedding",
     if len(nz) and v[nz[0]] < 0:
         v = -v
     return lam, v, n_tot
+
+
+def semantic_dedup(ds, threshold: float = 0.95, n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 13, refine_iters: int = 1,
+                   max_cluster: int = 8192):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): spherical k-means clusters the embedding space, then EXACT
+    pairwise-cosine dup groups are resolved WITHIN each cluster — pairs
+    crossing cluster boundaries are ignored by design (the method's
+    recall/cost trade; the LSH path ``embedding_near_dup`` is the
+    alternative when cross-cluster recall matters).
+
+    Keep rule: min id per connected dup group (deterministic; the paper
+    keeps the lowest-centroid-similarity member — swap the representative
+    choice downstream if needed).
+
+    Scale shape: centroids train on a seeded uniform sample + distributed
+    Lloyd refinement (existing IVF machinery), broadcast once; ONE
+    cluster-exchange co-locates each cluster; within a cluster the s×s
+    cosine matrix is exact — ``max_cluster`` bounds s (raise
+    ``n_centroids`` with corpus size so clusters stay bounded; SemDeDup's
+    own recipe).  Dup-group resolution is a vectorized min-label
+    propagation over the adjacency matrix — no per-edge Python.
+
+    Returns a row-volume Dataset of (cluster, id, keep) that streams.
+    """
+    import ray
+
+    cents = kmeans_refine(
+        ds, sample_centroids(ds, n_centroids, vec_col, seed=seed),
+        iters=refine_iters, vec_col=vec_col)
+    cent_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import fetch_broadcast
+
+        c = fetch_broadcast(cent_ref)
+        m = _normalize(_to_matrix(t[vec_col]))
+        cl = (np.argmax(m @ c.T, axis=1).astype(np.int64)
+              if len(m) else np.zeros(0, np.int64))
+        return pa.table({"cluster": pa.array(cl),
+                         id_col: t[id_col], vec_col: t[vec_col]})
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = len(ids)
+        if s > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster size {s} exceeds max_cluster="
+                f"{max_cluster}; raise n_centroids so the s² in-cluster "
+                f"verification stays bounded")
+        cl = t["cluster"].to_numpy(zero_copy_only=False)[:1]
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_to_matrix(t[vec_col]))[order]
+        adj = (m @ m.T) >= threshold
+        np.fill_diagonal(adj, True)
+        labels = np.arange(s, dtype=np.int64)
+        # min-label propagation + pointer jumping (labels[labels]): the
+        # same recipe as graph.connected_components, O(log diameter)
+        # rounds; run to stability so long chains close exactly
+        while True:
+            nbr = np.where(adj, labels[None, :], s).min(axis=1)
+            new = np.minimum(labels, nbr)
+            new = np.minimum(new, new[new])
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        keep = labels == np.arange(s)
+        return pa.table({"cluster": pa.array(np.repeat(cl, s)),
+                         id_col: pa.array(ids),
+                         "keep": pa.array(keep)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")
