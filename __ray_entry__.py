@@ -4316,6 +4316,20 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_value_quantiles_bisect(sf_dir: str):
+    """Exact quantiles by DISTRIBUTED SELECTION (functions/sessions.
+    exact_quantile_bisect): iterative pivot-bracket narrowing — each pass
+    one streaming searchsorted-bincount against ≤255 pivots, bracket
+    closes ×254 per pass, so exactness holds at ANY value cardinality
+    with O(pivots) driver state (the unbounded-domain tier the histogram
+    fold can't serve)."""
+    from timberjack_ray.functions.sessions import exact_quantile_bisect
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    out = exact_quantile_bisect(ds, "value", [0.25, 0.5, 0.9], scale=100)
+    return out.astype({"value_scaled": "int64"})
+
+
 def q_semantic_dedup_stats(sf_dir: str):
     """SemDeDup over the embeddings table (functions/similarity.
     semantic_dedup): spherical k-means clusters + exact in-cluster
@@ -4615,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outlier_counts": q_value_outlier_counts,
         "bm25_docs": q_bm25_docs,
         "semantic_dedup_stats": q_semantic_dedup_stats,
+        "value_quantiles_bisect": q_value_quantiles_bisect,
     }
 
 
@@ -4957,6 +4972,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) WHERE is_start = 1 GROUP BY user_id
+        """,
+        "value_quantiles_bisect": """
+            WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+            SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.25) AS BIGINT) AS value_scaled FROM s
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(v, 0.5) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 0.9, CAST(quantile_disc(v, 0.9) AS BIGINT) FROM s
         """,
         "value_quantiles": """
             WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)

@@ -283,3 +283,28 @@ def test_grouped_decayed_sum_matches_sequential_reference(ray_session):
                 acc += int(c[i - j]) << (w - 1 - j)
             want[sub["id"].iloc[i]] = acc
     assert got["decayed"].to_numpy().tolist() == want[got["id"]].tolist()
+
+
+def test_exact_quantile_bisect_wide_range_matches_reference(ray_session):
+    """Multi-pass narrowing on a HUGE sparse domain (the case the
+    histogram fold can't serve): exact type-1 quantiles incl. negatives,
+    verified against a sorted-array reference."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import exact_quantile_bisect
+
+    rng = np.random.RandomState(31)
+    # mixture: dense cluster + far outliers spanning ~2^40
+    v = np.concatenate([
+        rng.randint(-500, 500, 3000),
+        rng.randint(-2**40, 2**40, 50),
+    ]).astype(np.float64) / 100.0  # scale_to_int(·,100) recovers the ints
+    t = pa.table({"value": pa.array(v)})
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    out = exact_quantile_bisect(rd.from_arrow(t).repartition(5),
+                                "value", qs, scale=100)
+    cents = np.sort(np.floor(v * 100 + 0.5).astype(np.int64))
+    for q, got in zip(out["q"], out["value_scaled"]):
+        rank = max(1, int(np.ceil(q * len(cents))))
+        assert got == cents[rank - 1], (q, got, cents[rank - 1])

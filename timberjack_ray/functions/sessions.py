@@ -702,3 +702,86 @@ def grouped_decayed_sum(ds, key_col: str, ts_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def exact_quantile_bisect(ds, col: str, qs: list[float], scale: int = 100,
+                          n_pivots: int = 255, max_passes: int = 12):
+    """EXACT type-1 quantiles on an UNBOUNDED scaled-int domain by
+    distributed selection — the missing tier of the quantile family:
+    ``exact_quantiles`` needs bounded DISTINCT cardinality (histogram
+    fold), the HDR sketch trades exactness for one pass; this trades a
+    few passes for exactness at ANY cardinality with O(n_pivots) driver
+    state.
+
+    Each pass streams one `searchsorted`-bincount of every row against
+    ``n_pivots`` evenly spaced pivots inside the current [lo, hi] bracket
+    (so the bracket narrows ×n_pivots per pass — the 2^63 int range
+    closes in ≤ 8 passes); per-batch partials are (n_pivots+1)-sized
+    count vectors, merged on the driver.  All ranks resolve from the
+    SAME passes (one shared bracket spanning all targets).
+
+    Returns DataFrame (q, value_scaled) — identical to SQL
+    ``quantile_disc`` on the cent domain.
+    """
+    from timberjack_ray.functions.util import scale_to_int
+
+    qs = sorted(qs)
+
+    # pass 0: global n, min, max
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t[col], scale).to_numpy()
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"n": [len(v)], "lo": [int(v.min())],
+                         "hi": [int(v.max())]})
+
+    n_total, lo, hi = 0, None, None
+    for b in ds.map_batches(minmax_partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            n_total += b["n"][i].as_py()
+            blo, bhi = b["lo"][i].as_py(), b["hi"][i].as_py()
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+    if n_total == 0:
+        return pd.DataFrame({"q": qs, "value_scaled": [0] * len(qs)})
+    # type-1 target ranks (1-based): ceil(q * n)
+    ranks = [max(1, int(np.ceil(q * n_total))) for q in qs]
+    lo_b, hi_b = int(lo), int(hi)
+
+    def counts_below(pivots: np.ndarray) -> np.ndarray:
+        """One streaming pass: for each pivot p, #rows with v <= p."""
+        piv = pivots.astype(np.int64)
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = np.sort(scale_to_int(t[col], scale).to_numpy())
+            c = np.searchsorted(v, piv, side="right")
+            return pa.table({"i": pa.array(np.arange(len(piv))),
+                             "c": pa.array(c.astype(np.int64))})
+
+        acc = np.zeros(len(piv), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                acc[b["i"].to_numpy(zero_copy_only=False)] += \
+                    b["c"].to_numpy(zero_copy_only=False)
+        return acc
+
+    out = []
+    for q, rank in zip(qs, ranks):
+        a, b_hi = lo_b, hi_b
+        for _ in range(max_passes):
+            if a >= b_hi:
+                break
+            piv = np.unique(np.linspace(a, b_hi, n_pivots).astype(np.int64))
+            cle = counts_below(piv)
+            # smallest pivot with count(<= pivot) >= rank bounds the answer
+            j = int(np.searchsorted(cle, rank, side="left"))
+            b_hi = int(piv[j])
+            a = int(piv[j - 1]) + 1 if j > 0 else a
+        out.append((q, b_hi))
+    return pd.DataFrame({"q": [o[0] for o in out],
+                         "value_scaled": np.array([o[1] for o in out],
+                                                  dtype=np.int64)})
