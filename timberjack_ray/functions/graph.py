@@ -344,7 +344,7 @@ def _triangle_census_driver(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
 
 def cooccurrence_triangles(ds, group_col: str, item_col: str,
                            n_buckets: int = 64,
-                           edge_driver_limit: int = 200_000,
+                           edge_driver_limit: int = 300_000,
                            node_limit: int = 2_000_000) -> pd.DataFrame:
     """Exact triangle census of the ITEM CO-OCCURRENCE graph: items are
     vertices; two items are adjacent iff some group contains both (e.g.
@@ -357,12 +357,17 @@ def cooccurrence_triangles(ds, group_col: str, item_col: str,
     group-bucket exchange -> per-bucket segmented d-offset pair expansion
     (fan-out bounded by the per-group item alphabet) -> guarded distinct-
     edge fold.  Under ``edge_driver_limit`` the census runs vectorized on
-    the driver (degree orientation caps the wedge work at O(E^1.5));
-    past it the SAME oriented-wedge plan runs distributed: a broadcast
-    (node -> rank) map (precondition: item vocabulary under
-    ``node_limit``), per-bucket wedge expansion, and ONE GRACE
-    co-partitioning join probing wedge keys against oriented edge keys.
-    Driver and distributed paths are equality-tested.
+    the driver (degree orientation caps the wedge work at O(E^1.5);
+    measured crossover vs the distributed plan on this host is ~0.5-1M
+    edges, hence the 300k default); past it the SAME oriented-wedge
+    plan runs distributed: the distinct-edge
+    Dataset is MATERIALIZED once (slim (u, v) rows — every census stage
+    re-reads it, so without this each consumer re-executes the whole
+    upstream exchange), then a broadcast (node -> rank) map
+    (precondition: item vocabulary under ``node_limit``), per-bucket
+    wedge expansion, and ONE GRACE co-partitioning join probing wedge
+    keys against oriented edge keys.  Driver and distributed paths are
+    equality-tested.
 
     Keys must be integers (the within-segment sort is what yields u < v).
     """
@@ -418,6 +423,8 @@ def _triangle_census_distributed(edges_ds, n_buckets: int,
     the rank map broadcasts once, wedges expand per s-bucket, and wedge
     keys probe oriented edge keys through one GRACE join."""
     import ray
+
+    edges_ds = edges_ds.materialize()
 
     from timberjack_ray.aggregates import merge_partials_or_ds
     from timberjack_ray.functions.corpus import add_key_bucket
