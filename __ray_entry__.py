@@ -4316,6 +4316,18 @@ def q_cdc_dedup_stats(sf_dir: str):
     return cdc_dedup_stats(ds).astype("int64")
 
 
+def q_orders_skyline(sf_dir: str):
+    """2-D Pareto skyline (functions/relational.pareto_skyline): orders
+    no other order beats on BOTH price (maximize, cents) and order date
+    (minimize, epoch µs) — the maximal-vector operator.  Skyline
+    distributes over union, so each batch reduces to its local skyline
+    and the driver re-scans the concatenation (guarded)."""
+    from timberjack_ray.functions.relational import pareto_skyline
+
+    ds = _rp(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+    return pareto_skyline(ds, "o_totalprice", "o_orderdate", scale_max=100)
+
+
 def q_value_quantiles_bisect(sf_dir: str):
     """Exact quantiles by DISTRIBUTED SELECTION (functions/sessions.
     exact_quantile_bisect): iterative pivot-bracket narrowing — each pass
@@ -4630,6 +4642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": q_bm25_docs,
         "semantic_dedup_stats": q_semantic_dedup_stats,
         "value_quantiles_bisect": q_value_quantiles_bisect,
+        "orders_skyline": q_orders_skyline,
     }
 
 
@@ -4972,6 +4985,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) WHERE is_start = 1 GROUP BY user_id
+        """,
+        "orders_skyline": """
+            WITH s AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice,
+                     CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate
+              FROM orders
+            )
+            SELECT o_totalprice, o_orderdate FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.o_totalprice >= a.o_totalprice
+                AND b.o_orderdate <= a.o_orderdate
+                AND (b.o_totalprice > a.o_totalprice
+                     OR b.o_orderdate < a.o_orderdate))
+            ORDER BY o_totalprice, o_orderdate
         """,
         "value_quantiles_bisect": """
             WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)

@@ -279,3 +279,44 @@ def test_export_sorted_rejects_mixed_resume(ray_session, tmp_path):
     # different parameters against the same dir must refuse, not mix
     with pytest.raises(ValueError, match="different"):
         export_sorted(ds, "value", out_dir, n_ranges=8)
+
+
+def test_skyline_scan_matches_bruteforce():
+    from timberjack_ray.functions.relational import _skyline_scan
+
+    rng2 = np.random.default_rng(11)
+    x = rng2.integers(0, 40, 300)
+    y = rng2.integers(0, 40, 300)
+    keep = _skyline_scan(x, y)
+    # brute force: dominated iff some row >= on x, <= on y, strict somewhere
+    dom = ((x[:, None] <= x[None, :]) & (y[:, None] >= y[None, :]) &
+           ((x[:, None] < x[None, :]) | (y[:, None] > y[None, :]))).any(axis=1)
+    assert (keep == ~dom).all()
+    # exact ties on both dims all survive
+    x2 = np.array([5, 5, 3], dtype=np.int64)
+    y2 = np.array([2, 2, 9], dtype=np.int64)
+    assert _skyline_scan(x2, y2).tolist() == [True, True, False]
+    assert _skyline_scan(np.array([], dtype=np.int64),
+                         np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_pareto_skyline_dataset(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import pareto_skyline
+
+    rng2 = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "price": np.round(rng2.uniform(1, 100, 4000), 2),
+        "age": rng2.integers(0, 10_000, 4000).astype(np.int64),
+    })
+    out = pareto_skyline(rd.from_pandas(df).repartition(7),
+                         "price", "age", scale_max=100)
+    cents = np.floor(df["price"].to_numpy() * 100 + 0.5).astype(np.int64)
+    age = df["age"].to_numpy()
+    dom = ((cents[:, None] <= cents[None, :]) & (age[:, None] >= age[None, :]) &
+           ((cents[:, None] < cents[None, :]) | (age[:, None] > age[None, :]))).any(axis=1)
+    exp = pd.DataFrame({"price": cents[~dom], "age": age[~dom]}) \
+        .drop_duplicates().sort_values(["price", "age"]).reset_index(drop=True)
+    got = out.drop_duplicates().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

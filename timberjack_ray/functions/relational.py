@@ -993,3 +993,83 @@ def grouped_outlier_counts(ds, group_col: str, col: str, k: int = 3,
     return folded.to_pandas().sort_values(group_col) \
         .reset_index(drop=True) \
         .astype({"n_total": "int64", "n_outliers": "int64"})
+
+
+def _skyline_scan(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean skyline mask for MAXIMIZE-x / MINIMIZE-y dominance:
+    keep rows no other row beats on both dims (strictly on at least one);
+    exact ties on both dims all survive.  Fully vectorized: one lexsort
+    (x desc, y asc), per-equal-x-group minima, and a running min over
+    strictly-higher-x groups — a row survives iff it matches its group's
+    min y AND that min is strictly below every higher-x row's y."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((y, -x))
+    xs, ys = x[order], y[order]
+    new_grp = np.r_[True, xs[1:] != xs[:-1]]
+    gid = np.cumsum(new_grp) - 1
+    gmin = ys[new_grp]  # ys ascending within a group => first is the min
+    sentinel = np.iinfo(np.int64).max
+    prev_best = np.r_[sentinel, np.minimum.accumulate(gmin)[:-1]]
+    keep_sorted = (ys == gmin[gid]) & (ys < prev_best[gid])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_skyline(ds, max_col: str, min_col: str, scale_max: int = 1,
+                   scale_min: int = 1, driver_limit: int = 2_000_000
+                   ) -> pd.DataFrame:
+    """2-D Pareto skyline (the SKYLINE / maximal-vector operator): rows
+    not dominated by any other row — maximize ``max_col``, minimize
+    ``min_col``; dominance is >= / <= with strict on at least one dim;
+    exact ties on both dims all survive.
+
+    Scale shape: the skyline DISTRIBUTES over union — skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B) — so each batch reduces to its local skyline
+    (one lexsort + running-min scan) and the driver re-runs the same
+    scan over the concatenated local skylines (guarded; skylines of
+    random data are ~O(log²) of batch size).  Values are scaled to
+    int64 so dominance ties are exact and the SQL NOT-EXISTS oracle
+    replays them bit-for-bit.
+    """
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.util import scale_to_int
+
+    def as_int(col, scale):
+        # timestamps compare as epoch microseconds (exact); numerics
+        # scale to ints so dominance ties are exact
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(col, pa.int64())
+        return scale_to_int(col, scale)
+
+    def local(t: pa.Table) -> pa.Table:
+        x = as_int(t[max_col].combine_chunks(), scale_max).to_numpy()
+        y = as_int(t[min_col].combine_chunks(), scale_min).to_numpy()
+        keep = _skyline_scan(x, y)
+        return pa.table({max_col: pa.array(x[keep]),
+                         min_col: pa.array(y[keep])})
+
+    rows = []
+    total = 0
+    for b in ds.map_batches(local, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            rows.append(b)
+            total += b.num_rows
+            if total > driver_limit:
+                raise ValueError(
+                    "pareto_skyline: local skylines exceed driver_limit "
+                    "— re-reduce via a second distributed pass")
+    if not rows:
+        return pd.DataFrame({max_col: pd.Series([], dtype="int64"),
+                             min_col: pd.Series([], dtype="int64")})
+    t = pa.concat_tables(rows)
+    x = t[max_col].to_numpy(zero_copy_only=False)
+    y = t[min_col].to_numpy(zero_copy_only=False)
+    keep = _skyline_scan(x, y)
+    out = pd.DataFrame({max_col: x[keep], min_col: y[keep]})
+    return out.sort_values([max_col, min_col]).reset_index(drop=True) \
+        .astype({max_col: "int64", min_col: "int64"})
