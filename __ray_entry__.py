@@ -4987,18 +4987,30 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE is_start = 1 GROUP BY user_id
         """,
         "orders_skyline": """
+            -- skyline via the running-min window identity (the quadratic
+            -- NOT-EXISTS spec is equivalent but O(n^2) in DuckDB): a row
+            -- survives iff its date equals its price-group's min date AND
+            -- that min is strictly below every strictly-higher price's date
             WITH s AS (
               SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice,
                      CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate
               FROM orders
+            ),
+            g AS (
+              SELECT o_totalprice, MIN(o_orderdate) AS gmin FROM s
+              GROUP BY o_totalprice
+            ),
+            r AS (
+              SELECT o_totalprice, gmin,
+                     MIN(gmin) OVER (ORDER BY o_totalprice DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_best
+              FROM g
             )
-            SELECT o_totalprice, o_orderdate FROM s a
-            WHERE NOT EXISTS (
-              SELECT 1 FROM s b
-              WHERE b.o_totalprice >= a.o_totalprice
-                AND b.o_orderdate <= a.o_orderdate
-                AND (b.o_totalprice > a.o_totalprice
-                     OR b.o_orderdate < a.o_orderdate))
+            SELECT s.o_totalprice, s.o_orderdate
+            FROM s JOIN r USING (o_totalprice)
+            WHERE s.o_orderdate = r.gmin
+              AND (r.prev_best IS NULL OR s.o_orderdate < r.prev_best)
             ORDER BY o_totalprice, o_orderdate
         """,
         "value_quantiles_bisect": """
