@@ -430,6 +430,42 @@ def q_asof_signup(sf_dir: str):
     return res.astype({"event_id": "int64", "signup_us": "int64"})
 
 
+def q_event_last_order_gap(sf_dir: str):
+    """LARGE×LARGE as-of join (functions/relational.asof_join_bucketed):
+    each event matched to the user's most recent order at or before it —
+    neither side broadcast; both sides co-partition by hash(user) in ONE
+    GRACE exchange, each bucket resolves with a segmented-cummax
+    sort-merge (no per-key Python).  Aggregated to per-event-type match
+    counts + total staleness seconds; only the matched TIME feeds the
+    sums, so the answer is unambiguous under duplicate order timestamps
+    and hash-gateable."""
+    from timberjack_ray.functions.relational import asof_join_bucketed
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    j = asof_join_bucketed(ev, orders, "user_id", "ts",
+                           "o_custkey", "o_orderdate", ["event_type"],
+                           n_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "sum_gap_s": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
+        gap = pc.divide(pc.subtract(t["ts"], t["o_orderdate_matched"]),
+                        pa.scalar(1_000_000, pa.int64()))
+        t2 = pa.table({"event_type": t["event_type"], "gap_s": gap})
+        g = t2.group_by("event_type").aggregate(
+            [("gap_s", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "sum_gap_s", "n_matched"])
+
+    p = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("event_type", as_index=False).agg(
+        sum_gap_s=("sum_gap_s", "sum"), n_matched=("n_matched", "sum"))
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"sum_gap_s": "int64", "n_matched": "int64"})
+
+
 def q_event_pairs_1h(sf_dir: str):
     """Banded range join (functions/relational.range_join): every ordered
     pair of same-user events at most 1 hour apart (b.ts in [a.ts − 1h,
@@ -4643,6 +4679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_stats": q_semantic_dedup_stats,
         "value_quantiles_bisect": q_value_quantiles_bisect,
         "orders_skyline": q_orders_skyline,
+        "event_last_order_gap": q_event_last_order_gap,
     }
 
 
@@ -4985,6 +5022,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
               )
             ) WHERE is_start = 1 GROUP BY user_id
+        """,
+        "event_last_order_gap": """
+            WITH m AS (
+              SELECT e.event_type,
+                     epoch_us(e.ts) AS t,
+                     (SELECT MAX(epoch_us(o.o_orderdate)) FROM orders o
+                       WHERE o.o_custkey = e.user_id
+                         AND o.o_orderdate <= e.ts) AS mt
+              FROM events e)
+            SELECT event_type,
+                   CAST(SUM((t - mt) // 1000000) AS BIGINT) AS sum_gap_s,
+                   COUNT(*) AS n_matched
+            FROM m WHERE mt IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "orders_skyline": """
             -- skyline via the running-min window identity (the quadratic

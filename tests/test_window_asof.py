@@ -86,3 +86,53 @@ def test_asof_join_inner_drops_unmatched(ray_session):
                     value_cols=["val"]).to_pandas()
     assert out["lid"].tolist() == [0]  # ts=1 has no right row ≤ it
     assert out["val_r"].tolist() == [42]
+
+
+def test_asof_join_bucketed_vs_merge_asof(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import asof_join_bucketed
+
+    rng = np.random.default_rng(5)
+    nl, nr = 3000, 2000
+    left = pd.DataFrame({
+        "k": rng.integers(0, 400, nl),          # some keys miss the right side
+        "t": rng.integers(0, 10_000, nl).astype("int64"),
+        "tag": rng.choice(list("xyz"), nl),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 300, nr),
+        "rt": rng.integers(0, 10_000, nr).astype("int64"),
+    })
+    # force exact-tie rows: backward as-of must INCLUDE right_on == left_on
+    left.loc[0, ["k", "t"]] = [7, 5000]
+    right.loc[0, ["rk", "rt"]] = [7, 5000]
+
+    out = asof_join_bucketed(
+        rd.from_pandas(left).repartition(6), rd.from_pandas(right).repartition(5),
+        "k", "t", "rk", "rt", ["tag"], n_buckets=16,
+    ).to_pandas().sort_values(["k", "t", "tag"]).reset_index(drop=True)
+
+    m = pd.merge_asof(
+        left.sort_values("t", kind="stable"), right.sort_values("rt", kind="stable"),
+        left_on="t", right_on="rt", left_by="k", right_by="rk",
+        direction="backward", allow_exact_matches=True,
+    ).dropna(subset=["rt"])
+    exp = pd.DataFrame({"k": m["k"], "t": m["t"], "tag": m["tag"],
+                        "rt_matched": m["rt"].astype("int64")}) \
+        .sort_values(["k", "t", "tag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "t", "tag", "rt_matched"]], exp, check_dtype=False)
+
+
+def test_asof_join_bucketed_null_key_raises(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import asof_join_bucketed
+
+    left = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                         "t": [1, 2], "tag": ["a", "b"]})
+    right = pd.DataFrame({"rk": [1], "rt": [0]})
+    with pytest.raises(Exception, match="null"):
+        asof_join_bucketed(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", "t", "rk", "rt", ["tag"]).to_pandas()

@@ -1073,3 +1073,124 @@ def pareto_skyline(ds, max_col: str, min_col: str, scale_max: int = 1,
     out = pd.DataFrame({max_col: x[keep], min_col: y[keep]})
     return out.sort_values([max_col, min_col]).reset_index(drop=True) \
         .astype({max_col: "int64", min_col: "int64"})
+
+
+def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
+                       right_by: str, right_on: str, left_cols: list[str],
+                       n_buckets: int = 64):
+    """Backward as-of join for two LARGE sides (neither fits a broadcast)
+    — the documented scale path of :func:`asof_join`: co-partition both
+    inputs by ``hash(by) % n_buckets`` with ONE groupby exchange on the
+    tagged union (same GRACE shape as :func:`bucket_hash_join`), then
+    resolve each bucket with a fully vectorized sort-merge: one lexsort of
+    the combined rows by (key, time, side) and a segment-reset running
+    max (the ``code·(n+1) + pos`` cummax trick — no per-key Python) finds,
+    for every left row, the latest right row with the same key and
+    ``right_on <= left_on``.
+
+    Returns a Dataset (inner join) with columns ``[left_by,
+    left_on, *left_cols, f"{right_on}_matched"]``; the two time columns
+    are int64 epoch microseconds so downstream arithmetic is exact.  Only
+    the matched right TIME is emitted — it is tie-unambiguous (the max
+    right time ≤ t) regardless of duplicate right rows, so the operator
+    stays deterministic under any partitioning; carry right payloads by
+    joining back on (key, matched time) with a defined tie rule.
+
+    Scale shape: each row crosses the exchange exactly once; per-bucket
+    memory is ~(|L|+|R|)/n_buckets — size ``n_buckets`` so a bucket fits a
+    worker heap.  Keys must be non-null integers (raises otherwise).
+    """
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    matched_col = f"{right_on}_matched"
+
+    def _as_us(col):
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(col, pa.int64())
+        return pc.cast(col, pa.int64())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        k = t[left_by]
+        if k.null_count:
+            raise ValueError(f"asof_join_bucketed: null {left_by} keys")
+        ids = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)) \
+            % np.uint64(n_buckets)
+        out = {"__b": pa.array(b.astype(np.int64)),
+               "__side": pa.array(np.ones(t.num_rows, np.int8)),
+               "__k": pc.cast(k, pa.int64()),
+               "__t": _as_us(t[left_on].combine_chunks())}
+        for c in left_cols:
+            out[c] = t[c]
+        return pa.table(out)
+
+    # the union needs ONE schema: probe the left schema for payload types
+    # (pandas-block datasets report numpy/object dtypes — map them to Arrow)
+    lschema = left_ds.schema()
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()  # object dtype: strings in this engine
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = {c: _arrow_type(ltypes[c]) for c in left_cols}
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        k = t[right_by]
+        if k.null_count:
+            raise ValueError(f"asof_join_bucketed: null {right_by} keys")
+        ids = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)) \
+            % np.uint64(n_buckets)
+        out = {"__b": pa.array(b.astype(np.int64)),
+               "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+               "__k": pc.cast(k, pa.int64()),
+               "__t": _as_us(t[right_on].combine_chunks())}
+        for c in left_cols:
+            out[c] = pa.nulls(t.num_rows, ltypes[c])
+        return pa.table(out)
+
+    tagged = left_ds.map_batches(prep_left,
+                                 batch_format="pyarrow") \
+        .union(right_ds.map_batches(prep_right, batch_format="pyarrow"))
+
+    def bucket_join(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0 or not (side == 1).any():
+            return pa.table({left_by: pa.array([], pa.int64()),
+                             left_on: pa.array([], pa.int64()),
+                             **{c: pa.array([], ltypes[c])
+                                for c in left_cols},
+                             matched_col: pa.array([], pa.int64())})
+        # right rows sort before left rows on equal (key, time): backward
+        # as-of is INCLUSIVE of right_on == left_on
+        order = np.lexsort((side, ts, k))
+        ks, ts_s, side_s = k[order], ts[order], side[order]
+        code = np.cumsum(np.r_[True, ks[1:] != ks[:-1]]) - 1
+        pos = np.arange(n, dtype=np.int64)
+        val = np.where(side_s == 0, pos + 1, 0)
+        cm = np.maximum.accumulate(code * np.int64(n + 1) + val)
+        ptr = cm - code * np.int64(n + 1) - 1  # sorted-pos of latest right
+        is_left = side_s == 1
+        hit = is_left & (ptr >= 0)
+        matched = ts_s[np.where(hit, ptr, 0)]
+        keep_sorted = np.flatnonzero(hit)
+        orig = order[keep_sorted]
+        out = {left_by: pa.array(ks[keep_sorted]),
+               left_on: pa.array(ts_s[keep_sorted])}
+        for c in left_cols:
+            out[c] = t[c].take(pa.array(orig))
+        out[matched_col] = pa.array(matched[keep_sorted])
+        return pa.table(out)
+
+    return tagged.groupby("__b").map_groups(bucket_join,
+                                            batch_format="pyarrow")
