@@ -779,6 +779,28 @@ def q_user_rolling_value(sf_dir: str):
     return out.astype({"event_id": "int64", "roll_sum": "int64"})
 
 
+def q_user_value_window_1h(sf_dir: str):
+    """Per-user TIME-RANGE windowed sum (relational.range_window_sum_per_key_ds):
+    each event's sum of the user's cents-values over the trailing hour —
+    the RANGE-frame window (equal-ts peers after the row included) so the
+    answer is a pure function of (user, ts) and hash-gateable.  One bucket
+    exchange; both frame bounds via composite-key searchsorted — no
+    per-key Python."""
+    from timberjack_ray.functions.relational import range_window_sum_per_key_ds
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = range_window_sum_per_key_ds(ds, "user_id", "ts", "event_id",
+                                      "value", width_us=3_600 * 1_000_000,
+                                      scale=100)
+    frames = [b.to_pandas() for b in
+              out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    frames = [f for f in frames if len(f)]
+    res = pd.concat(frames, ignore_index=True).rename(
+        columns={"win_sum": "win_sum_c"})
+    return res.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "win_sum_c": "int64"})
+
+
 def q_shuffle_export_counts(sf_dir: str):
     """Shuffled training-data export: scramble-bucketed partitioned Parquet
     sink (resume unit = bucket directory), then counts re-read FROM THE
@@ -1144,6 +1166,35 @@ def q_actor_ids_intersect(sf_dir: str):
         return pa.table({"actor_id": k.filter(pc.is_in(k, value_set=small))})
 
     from timberjack_ray.aggregates import distinct_values_guarded
+
+    folded, mode = distinct_values_guarded(
+        _rp(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(keep, batch_format="pyarrow"), "actor_id")
+    if mode == "distributed":  # pragma: no cover - past the fold guard
+        out = folded.to_pandas()[["actor_id"]]
+    else:
+        out = folded.select(["actor_id"]).to_pandas()
+    return out.sort_values("actor_id").reset_index(drop=True) \
+        .astype({"actor_id": "int64"})
+
+
+def q_actor_ids_except(sf_dir: str):
+    """Set op EXCEPT: customers who placed orders but NEVER produced an
+    event — completes the union/intersect family.  The subtrahend side's
+    distinct keys broadcast once (counts_by partials — merge volume =
+    distinct event users); the minuend side anti-filters with an inverted
+    Arrow is_in probe per batch (no shuffle); survivors dedup via the
+    guarded driver fold (degrades to a distributed groupby past the
+    limit)."""
+    from timberjack_ray.aggregates import counts_by, distinct_values_guarded
+
+    ev = counts_by(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
+    block = pa.array(ev["user_id"].astype("int64"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({"actor_id": k.filter(
+            pc.invert(pc.is_in(k, value_set=block)))})
 
     folded, mode = distinct_values_guarded(
         _rp(sf_dir, "orders", columns=["o_custkey"])
@@ -3651,6 +3702,63 @@ def q_tpch_q9(sf_dir: str):
         .astype({"o_year": "int64", "profit_scaled": "int64"})
 
 
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (excess-stock supplier promotion; the synth schema
+    has no partsupp, so "excess" is re-based on shipped volume): NATION_5
+    suppliers having some 'gear' part whose 1995-shipped quantity exceeds
+    the per-supplier AVERAGE for that part — the correlated-AVG threshold
+    resolved as the exact integer cross-multiplication qc·c_p > tot_p
+    (q17's trick).  Plan: gear-part keys broadcast (dimension-bounded);
+    ONE streaming pass folds (part, supp) qty-cent partials — merge
+    volume ≤ |gear parts| × |suppliers| (dimension product, never rows;
+    open domains ⇒ swap the fold for a distributed groupby, documented);
+    the driver resolves thresholds on that dimension-sized table and
+    decorates with the supplier dim."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    gear = part.filter(pc.match_substring(part["p_name"], "gear"))
+    ref = ray.put(np.sort(gear["p_partkey"].to_numpy()))
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1996-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import sorted_member_mask
+
+        pk = fetch_broadcast(ref)
+        d = t["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi) & sorted_member_mask(pk, p)))
+        qc = pa.array(_scale100(t["l_quantity"].to_numpy(zero_copy_only=False)))
+        g = pa.table({"p": t["l_partkey"], "s": t["l_suppkey"], "qc": qc}) \
+            .group_by(["p", "s"]).aggregate([("qc", "sum")])
+        return g.rename_columns(["p", "s", "qc"])
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    pairs = merge_partials(li.map_batches(partial, batch_format="pyarrow"),
+                           ["p", "s"], "qc").to_pandas()
+    tot = pairs.groupby("p").agg(tot=("qc", "sum"), c=("qc", "size"))
+    j = pairs.merge(tot, on="p")
+    excess_supp = set(j.loc[j["qc"] * j["c"] > j["tot"], "s"].tolist())
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.filter(pc.equal(nation["n_name"], "NATION_5")) \
+        ["n_nationkey"][0].as_py()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name", "s_nationkey"]) \
+        .to_pandas()
+    out = supp[(supp["s_nationkey"] == nk)
+               & supp["s_suppkey"].isin(excess_supp)][["s_name"]]
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
 def q_tpch_q16(sf_dir: str):
     """TPC-H Q16 shape (supplier-relationship count; the synth schema has
     no partsupp, so the part–supplier relation is the distinct
@@ -4680,6 +4788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_bisect": q_value_quantiles_bisect,
         "orders_skyline": q_orders_skyline,
         "event_last_order_gap": q_event_last_order_gap,
+        "actor_ids_except": q_actor_ids_except,
+        "user_value_window_1h": q_user_value_window_1h,
+        "tpch_q20": q_tpch_q20,
     }
 
 
@@ -5276,6 +5387,14 @@ def oracle_sql() -> dict[str, str]:
                    AS roll_sum
             FROM events
         """,
+        "user_value_window_1h": """
+            SELECT event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS win_sum_c
+            FROM events
+        """,
         "shuffle_export_counts": """
             SELECT CAST((doc_id::HUGEINT * 2654435761) % 4294967296
                         // 268435456 AS BIGINT) AS bucket, COUNT(*) AS n
@@ -5458,6 +5577,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS actor_id FROM events
             INTERSECT
             SELECT CAST(o_custkey AS BIGINT) FROM orders
+        """,
+        "actor_ids_except": """
+            SELECT CAST(o_custkey AS BIGINT) AS actor_id FROM orders
+            EXCEPT
+            SELECT user_id FROM events
         """,
         "normalized_distinct_docs": """
             SELECT lang, COUNT(DISTINCT trim(regexp_replace(regexp_replace(
@@ -6511,6 +6635,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY n.n_name, year(o.o_orderdate)
             ORDER BY n.n_name, o_year
+        """,
+        "tpch_q20": """
+            WITH q AS (
+              SELECT l_partkey AS p, l_suppkey AS s,
+                     SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qc
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE '%gear%'
+                AND l_shipdate >= DATE '1995-01-01'
+                AND l_shipdate <  DATE '1996-01-01'
+              GROUP BY 1, 2),
+            t AS (SELECT p, SUM(qc) AS tot, COUNT(*) AS c FROM q GROUP BY p)
+            SELECT DISTINCT s_name FROM supplier
+            JOIN (SELECT s FROM q JOIN t USING (p) WHERE q.qc * t.c > t.tot)
+              ON s = s_suppkey
+            WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                                  WHERE n_name = 'NATION_5')
+            ORDER BY s_name
         """,
         "tpch_q16": """
             SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,

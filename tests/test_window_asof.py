@@ -136,3 +136,34 @@ def test_asof_join_bucketed_null_key_raises(ray_session):
     with pytest.raises(Exception, match="null"):
         asof_join_bucketed(rd.from_pandas(left), rd.from_pandas(right),
                            "k", "t", "rk", "rt", ["tag"]).to_pandas()
+
+
+def test_range_window_sum_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import range_window_sum_per_key_ds
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        # coarse grid => many duplicate timestamps per key (RANGE peers)
+        "t": rng.integers(0, 500, n).astype("int64") * 10,
+        "id": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 100, n).astype("int64"),
+    })
+    w = 100
+    out = range_window_sum_per_key_ds(
+        rd.from_pandas(df).repartition(7), "k", "t", "id", "v",
+        width_us=w, scale=1, n_buckets=8,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+
+    # RANGE frame: ALL rows of the key with t in [t_i - w, t_i] -- equal-t
+    # peers after the current row included
+    exp = []
+    for _, r in df.iterrows():
+        g = df[df.k == r.k]
+        exp.append(g.v[(g.t >= r.t - w) & (g.t <= r.t)].sum())
+    expect = df.assign(win_sum=np.array(exp, dtype="int64")) \
+        .sort_values("id").reset_index(drop=True)
+    assert out["win_sum"].tolist() == expect["win_sum"].tolist()

@@ -634,6 +634,73 @@ def rolling_sum_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
 
 
+def range_window_sum_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
+                                val_col: str, width_us: int, scale: int = 1,
+                                n_buckets: int = 256):
+    """Per-key TIME-RANGE windowed sum: SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN width PRECEDING AND CURRENT ROW)``.
+
+    RANGE-frame semantics (not ROWS): the frame is every row of the key
+    with ``ts in [t − width, t]`` — equal-ts peers AFTER the current row
+    are in the frame too, so the result is a pure function of (key, ts)
+    and deterministic under any partitioning or tie order.
+
+    Scale shape: ONE groupby exchange on ``hash(key) % n_buckets``; inside
+    a bucket all keys resolve in one vectorized pass — a single lexsort
+    (key, ts, id), one prefix-sum, and BOTH frame bounds found by global
+    ``np.searchsorted`` on a composite ``segment·OFF + (ts − base)`` key
+    (OFF > bucket time-span + width keeps segments disjoint, so the probe
+    can never cross a key boundary).  Never per-key Python; if the
+    composite would overflow int64 (≳2^62 / time-span keys in ONE bucket)
+    a per-segment probe loop takes over — raise ``n_buckets`` long before
+    that.  Values scale to ints (``floor(x·s + .5)`` = SQL ROUND on
+    non-negative input) so sums are exact.  Output: (id, win_sum) per
+    input row, streaming."""
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    w = int(width_us)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int_np
+
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "win_sum": pa.array([], pa.int64())})
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int_np(t[val_col].to_numpy(zero_copy_only=False), scale)
+        order = np.lexsort((ids, ts, k))
+        ks, ts_s, vs = k[order], ts[order], v[order]
+        starts, sizes = _segments(ks)
+        n = len(ks)
+        code = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        base = int(ts_s.min())
+        rel = ts_s - base
+        off = int(rel.max()) + w + 2
+        csum = np.concatenate([[0], np.cumsum(vs)])
+        if len(starts) * off < 2**62:
+            comp = code * np.int64(off) + rel
+            target = code * np.int64(off) + np.maximum(rel - w, 0)
+            lo = np.searchsorted(comp, target, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:  # pragma: no cover - composite overflow guard
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, z in zip(starts, sizes):
+                seg = ts_s[s:s + z]
+                lo[s:s + z] = s + np.searchsorted(seg, seg - w, side="left")
+                hi[s:s + z] = s + np.searchsorted(seg, seg, side="right")
+        out = csum[hi] - csum[lo]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "win_sum": pa.array(out)})
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
+
+
 def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
                         val_col: str, window: int, scale: int = 1,
                         n_buckets: int = 256) -> pd.DataFrame:
