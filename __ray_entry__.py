@@ -466,6 +466,45 @@ def q_event_last_order_gap(sf_dir: str):
         .astype({"sum_gap_s": "int64", "n_matched": "int64"})
 
 
+def q_event_next_order_wait(sf_dir: str):
+    """FORWARD as-of join (asof_join_bucketed direction="forward"): each
+    event matched to the SAME user's earliest 'purchase' event at or
+    after it — the conversion-lag / time-to-next-action direction (a
+    purchase matches itself at wait 0).  Both sides are the large events
+    table (the right side filtered map-side), so this exercises the
+    LARGE×LARGE forward path: same single GRACE exchange and
+    segmented-cummax kernel as the backward form (the time axis negates
+    on the way in and out); per-type wait-sum partials."""
+    from timberjack_ray.functions.relational import asof_join_bucketed
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    purch = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                     .select(["user_id", "ts"]),
+                     batch_format="pyarrow")
+    j = asof_join_bucketed(ev, purch, "user_id", "ts",
+                           "user_id", "ts", ["event_type"],
+                           n_buckets=32, direction="forward")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "sum_wait_s": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
+        wait = pc.divide(pc.subtract(t["ts_matched"], t["ts"]),
+                         pa.scalar(1_000_000, pa.int64()))
+        t2 = pa.table({"event_type": t["event_type"], "wait_s": wait})
+        g = t2.group_by("event_type").aggregate(
+            [("wait_s", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "sum_wait_s", "n_matched"])
+
+    p = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("event_type", as_index=False).agg(
+        sum_wait_s=("sum_wait_s", "sum"), n_matched=("n_matched", "sum"))
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"sum_wait_s": "int64", "n_matched": "int64"})
+
+
 def q_event_pairs_1h(sf_dir: str):
     """Banded range join (functions/relational.range_join): every ordered
     pair of same-user events at most 1 hour apart (b.ts in [a.ts − 1h,
@@ -2247,6 +2286,30 @@ def q_ann_topk_q8(sf_dir: str):
         emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(),
         dtype=np.float64)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk_q8(ds, q0[None, :], k=10)
+    return out[["vec_id", "score_q", "rank"]].astype(
+        {"vec_id": "int64", "score_q": "int64", "rank": "int64"})
+
+
+def q_ann_topk_filtered(sf_dir: str):
+    """Metadata-FILTERED vector search (the vector-DB "filtered top-k"
+    pattern): top-10 by quantized dot product among label=3 vectors only.
+    Pure composition — a vectorized per-batch predicate prunes BEFORE
+    quantization/scoring, so the filter rides the same single streaming
+    pass (pre-filtering beats post-filtering top-k, which can starve the
+    result set when the label is rare)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import brute_force_topk_q8
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t["label"], 3))
+                     .select(["vec_id", "embedding"]),
+                     batch_format="pyarrow")
     out = brute_force_topk_q8(ds, q0[None, :], k=10)
     return out[["vec_id", "score_q", "rank"]].astype(
         {"vec_id": "int64", "score_q": "int64", "rank": "int64"})
@@ -4791,6 +4854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_ids_except": q_actor_ids_except,
         "user_value_window_1h": q_user_value_window_1h,
         "tpch_q20": q_tpch_q20,
+        "ann_topk_filtered": q_ann_topk_filtered,
+        "event_next_order_wait": q_event_next_order_wait,
     }
 
 
@@ -5144,6 +5209,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events e)
             SELECT event_type,
                    CAST(SUM((t - mt) // 1000000) AS BIGINT) AS sum_gap_s,
+                   COUNT(*) AS n_matched
+            FROM m WHERE mt IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "event_next_order_wait": """
+            WITH m AS (
+              SELECT e.event_type,
+                     epoch_us(e.ts) AS t,
+                     (SELECT MIN(epoch_us(p.ts)) FROM events p
+                       WHERE p.user_id = e.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts >= e.ts) AS mt
+              FROM events e)
+            SELECT event_type,
+                   CAST(SUM((mt - t) // 1000000) AS BIGINT) AS sum_wait_s,
                    COUNT(*) AS n_matched
             FROM m WHERE mt IS NOT NULL
             GROUP BY event_type ORDER BY event_type
@@ -5744,6 +5824,31 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT qe FROM qz)),
                        p -> p[1] * p[2])) AS BIGINT) AS score_q
               FROM embeddings
+            )
+            SELECT vec_id, score_q, rank FROM (
+              SELECT vec_id, score_q,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_q DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ann_topk_filtered": """
+            WITH qz AS (
+              SELECT list_transform(embedding,
+                       e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE) * 127
+                                 + 0.5) AS BIGINT), -127), 127)) AS qe
+              FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(
+                       list_zip(
+                         list_transform(embedding,
+                           e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE)
+                                     * 127 + 0.5) AS BIGINT), -127), 127)),
+                         (SELECT qe FROM qz)),
+                       p -> p[1] * p[2])) AS BIGINT) AS score_q
+              FROM embeddings WHERE label = 3
             )
             SELECT vec_id, score_q, rank FROM (
               SELECT vec_id, score_q,

@@ -167,3 +167,39 @@ def test_range_window_sum_vs_pandas(ray_session):
     expect = df.assign(win_sum=np.array(exp, dtype="int64")) \
         .sort_values("id").reset_index(drop=True)
     assert out["win_sum"].tolist() == expect["win_sum"].tolist()
+
+
+def test_asof_join_bucketed_forward(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import asof_join_bucketed
+
+    rng = np.random.default_rng(13)
+    nl, nr = 2500, 1500
+    left = pd.DataFrame({
+        "k": rng.integers(0, 300, nl),
+        "t": rng.integers(0, 10_000, nl).astype("int64"),
+        "tag": rng.choice(list("pq"), nl),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 250, nr),
+        "rt": rng.integers(0, 10_000, nr).astype("int64"),
+    })
+    left.loc[0, ["k", "t"]] = [3, 4000]   # exact tie must match (inclusive)
+    right.loc[0, ["rk", "rt"]] = [3, 4000]
+
+    out = asof_join_bucketed(
+        rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(4),
+        "k", "t", "rk", "rt", ["tag"], n_buckets=16, direction="forward",
+    ).to_pandas().sort_values(["k", "t", "tag"]).reset_index(drop=True)
+
+    m = pd.merge_asof(
+        left.sort_values("t", kind="stable"), right.sort_values("rt", kind="stable"),
+        left_on="t", right_on="rt", left_by="k", right_by="rk",
+        direction="forward", allow_exact_matches=True,
+    ).dropna(subset=["rt"])
+    exp = pd.DataFrame({"k": m["k"], "t": m["t"], "tag": m["tag"],
+                        "rt_matched": m["rt"].astype("int64")}) \
+        .sort_values(["k", "t", "tag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "t", "tag", "rt_matched"]], exp, check_dtype=False)

@@ -1144,8 +1144,9 @@ def pareto_skyline(ds, max_col: str, min_col: str, scale_max: int = 1,
 
 def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
                        right_by: str, right_on: str, left_cols: list[str],
-                       n_buckets: int = 64):
-    """Backward as-of join for two LARGE sides (neither fits a broadcast)
+                       n_buckets: int = 64, direction: str = "backward"):
+    """Backward (default) or forward as-of join for two LARGE sides
+    (neither fits a broadcast)
     — the documented scale path of :func:`asof_join`: co-partition both
     inputs by ``hash(by) % n_buckets`` with ONE groupby exchange on the
     tagged union (same GRACE shape as :func:`bucket_hash_join`), then
@@ -1166,17 +1167,25 @@ def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
     Scale shape: each row crosses the exchange exactly once; per-bucket
     memory is ~(|L|+|R|)/n_buckets — size ``n_buckets`` so a bucket fits a
     worker heap.  Keys must be non-null integers (raises otherwise).
+
+    ``direction="forward"`` matches the EARLIEST right row with
+    ``right_on >= left_on`` instead — implemented by negating the time
+    axis on the way in and back out, so both directions share one kernel
+    (forward-inclusive ties hold because backward is inclusive).
     """
     import pyarrow.compute as pc
 
     from timberjack_ray.functions.corpus import KNUTH32, _POW32
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = np.int64(-1 if direction == "forward" else 1)
     matched_col = f"{right_on}_matched"
 
     def _as_us(col):
-        if pa.types.is_timestamp(col.type):
-            return pc.cast(col, pa.int64())
-        return pc.cast(col, pa.int64())
+        out = pc.cast(col, pa.int64())
+        return pc.multiply(out, pa.scalar(int(sign), pa.int64())) \
+            if sign < 0 else out
 
     def prep_left(t: pa.Table) -> pa.Table:
         k = t[left_by]
@@ -1253,10 +1262,10 @@ def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
         keep_sorted = np.flatnonzero(hit)
         orig = order[keep_sorted]
         out = {left_by: pa.array(ks[keep_sorted]),
-               left_on: pa.array(ts_s[keep_sorted])}
+               left_on: pa.array(sign * ts_s[keep_sorted])}
         for c in left_cols:
             out[c] = t[c].take(pa.array(orig))
-        out[matched_col] = pa.array(matched[keep_sorted])
+        out[matched_col] = pa.array(sign * matched[keep_sorted])
         return pa.table(out)
 
     return tagged.groupby("__b").map_groups(bucket_join,
