@@ -139,6 +139,31 @@ def q_event_trends(sf_dir: str):
     return counts_by(ds.map_batches(bucket, batch_format="pyarrow"), "ts_hour")
 
 
+def q_event_trends_gapfilled(sf_dir: str):
+    """Dense-axis trend counts: hourly event counts with EMPTY HOURS
+    zero-filled over [min, max] — time-series pipelines need the dense
+    axis (a missing hour is a 0, not an absent row).  Counts travel as
+    epoch-hour ints (partial+merge, #hours rows); the fill is a driver
+    reindex over the bounded hour range, rendered to the same strftime
+    key as event_trends."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"h": h})
+
+    c = counts_by(ds.map_batches(bucket, batch_format="pyarrow"), "h")
+    hs = c["h"].to_numpy().astype(np.int64)
+    dense = np.arange(hs.min(), hs.max() + 1, dtype=np.int64)
+    n = pd.Series(c["n"].to_numpy(), index=hs).reindex(dense, fill_value=0)
+    labels = pd.to_datetime(dense * 3600, unit="s").strftime("%Y-%m-%d %H")
+    return pd.DataFrame({"ts_hour": labels, "n": n.to_numpy()}) \
+        .astype({"n": "int64"}).reset_index(drop=True)
+
+
 def q_event_top3(sf_dir: str):
     """K1: deterministic top-K (count desc, key asc) with rank."""
     from timberjack_ray.aggregates import counts_by, top_k
@@ -1810,6 +1835,20 @@ def q_orders_rollup(sf_dir: str):
              columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
     return rollup_sums(ds, ["o_orderpriority", "o_orderstatus"],
                        "o_totalprice", scale=100)
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status) revenue sums
+    (functions/relational.cube_sums → grouping_sets_sums): all 2^k
+    grouping sets expanded inside map_batches, so the whole cube comes
+    out of ONE input pass; merge volume is distinct-combo-sized.
+    Cent-scaled int sums replay exactly in SQL."""
+    from timberjack_ray.functions.relational import cube_sums
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return cube_sums(ds, ["o_orderpriority", "o_orderstatus"],
+                     "o_totalprice", scale=100)
 
 
 def q_bloom_decontaminate_docs(sf_dir: str):
@@ -4856,6 +4895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20": q_tpch_q20,
         "ann_topk_filtered": q_ann_topk_filtered,
         "event_next_order_wait": q_event_next_order_wait,
+        "orders_cube": q_orders_cube,
+        "event_trends_gapfilled": q_event_trends_gapfilled,
     }
 
 
@@ -4964,6 +5005,18 @@ def oracle_sql() -> dict[str, str]:
         "event_trends": """
             SELECT strftime(ts, '%Y-%m-%d %H') AS ts_hour, COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "event_trends_gapfilled": """
+            WITH c AS (
+              SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+              FROM events GROUP BY 1),
+            s AS (
+              SELECT UNNEST(generate_series((SELECT MIN(h) FROM c),
+                                            (SELECT MAX(h) FROM c))) AS h)
+            SELECT strftime(make_timestamp(s.h * 3600000000),
+                            '%Y-%m-%d %H') AS ts_hour,
+                   COALESCE(c.n, 0) AS n
+            FROM s LEFT JOIN c USING (h) ORDER BY ts_hour
         """,
         "event_top3": """
             SELECT event_type, n, rank FROM (
@@ -5785,6 +5838,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_o_totalprice_scaled,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
         """,
         "stream_windowed_counts": """
             WITH a AS (

@@ -555,6 +555,31 @@ def test_rollup_sums_levels(ray_session):
     }
 
 
+def test_cube_sums_all_subsets(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import (cube_sums,
+                                                     grouping_sets_sums)
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y"]),
+        "b": pa.array(["p", "q", "p", "p"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = cube_sums(ds, ["a", "b"], "v", scale=100)
+    got = {(r["a"], r["b"]): (r["sum_v_scaled"], r["n"])
+           for r in out.to_dict("records")}
+    assert got == {
+        ("x", "p"): (100, 1), ("x", "q"): (200, 1), ("y", "p"): (700, 2),
+        ("x", "ALL"): (300, 2), ("y", "ALL"): (700, 2),
+        ("ALL", "p"): (800, 3), ("ALL", "q"): (200, 1),
+        ("ALL", "ALL"): (1000, 4),
+    }
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_sums(ds, ["a", "b"], [("a",), ("a",)], "v")
+
+
 def test_quantized_topk_recall_vs_float(ray_session):
     import ray.data as rd
 

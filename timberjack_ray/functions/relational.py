@@ -718,31 +718,43 @@ def rolling_sum_per_key(ds, key_col: str, ts_col: str, id_col: str,
         .reset_index(drop=True)
 
 
-def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
-                total_label: str = "ALL", driver_limit: int | None = None):
-    """SQL ``GROUP BY ROLLUP(keys)`` sums: one result row per key-prefix
-    level, coarser levels' key columns filled with ``total_label`` (the
+def grouping_sets_sums(ds, keys: list[str], sets, val_col: str,
+                       scale: int = 1, total_label: str = "ALL",
+                       driver_limit: int | None = None):
+    """SQL ``GROUP BY GROUPING SETS`` sums: one result row per (set,
+    combo), with the keys OUTSIDE a set folded to ``total_label`` (the
     COALESCE('ALL') convention, so the oracle can replay it without NULL
-    plumbing).  Columns: ``keys + [f"sum_{val_col}_scaled", "n"]``.
+    plumbing).  ``ROLLUP`` = the prefix sets, ``CUBE`` = the power set —
+    both are thin wrappers.  Columns: ``keys + [f"sum_{val_col}_scaled",
+    "n"]``.
 
-    Scale shape: the rollup EXPANSION happens inside ``map_batches`` — each
-    batch collapses to its (finest-grain combos × (len(keys)+1) levels)
-    partial rows before anything crosses the exchange, so the merge volume
-    is bounded by the distinct-combo count, never row count, and every
-    level is computed in the same single pass (no per-level re-scan of the
-    input).  Sums run on the scaled-int domain (util.scale_to_int) so the
-    reduction is order-independent and an oracle replays it exactly.
+    Scale shape: the EXPANSION happens inside ``map_batches`` — each
+    batch collapses to (finest-grain combos × len(sets)) partial rows
+    before anything crosses the exchange, so the merge volume is bounded
+    by the distinct-combo count, never row count, and every grouping set
+    comes out of ONE pass (no per-set re-scan of the input).  Sums run on
+    the scaled-int domain (util.scale_to_int) so the reduction is
+    order-independent and an oracle replays it exactly.
 
     GUARDED driver fold: the distinct-combo count is not bounded by
-    construction (a rollup over a high-cardinality key is result-unbounded),
+    construction (sets over a high-cardinality key are result-unbounded),
     so past ``driver_limit`` combos the fold degrades to a distributed
-    multi-key ``groupby().Sum`` and returns that DATASET for the caller to
-    stream (``merge_partials_or_ds``); pandas under the limit.
+    multi-key ``groupby().Sum`` and returns that DATASET for the caller
+    to stream (``merge_partials_or_ds``); pandas under the limit.
     """
     from timberjack_ray.aggregates import merge_partials_or_ds
     from timberjack_ray.functions.util import scale_to_int
 
     keys = list(keys)
+    sets = [tuple(s) for s in sets]
+    if len(set(sets)) != len(sets):
+        # SQL emits duplicate rows for duplicate sets; the keyed merge
+        # would silently SUM them together instead — refuse
+        raise ValueError("grouping_sets_sums: duplicate grouping sets")
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping_sets_sums: unknown keys {unknown}")
     sum_col = f"sum_{val_col}_scaled"
 
     def partial(t: pa.Table) -> pa.Table:
@@ -752,23 +764,24 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
             col = t[k]
             if col.null_count:
                 # the oracle's COALESCE(k,'ALL') would fold data NULLs into
-                # the rollup-total rows — refuse instead of silently
+                # the set-total rows — refuse instead of silently
                 # diverging (filter or fill nulls upstream)
-                raise ValueError(f"rollup_sums: null values in key {k!r}")
+                raise ValueError(f"grouping_sets_sums: null values in key {k!r}")
             if pc.any(pc.equal(col.cast(pa.string()), total_label)).as_py():
                 raise ValueError(
-                    f"rollup_sums: key {k!r} contains the total sentinel "
-                    f"{total_label!r} — pick a different total_label")
+                    f"grouping_sets_sums: key {k!r} contains the total "
+                    f"sentinel {total_label!r} — pick a different total_label")
         base = pa.table(
             {k: t[k].cast(pa.string()) for k in keys}
             | {"__v": scale_to_int(t[val_col], scale)})
         outs = []
-        for lvl in range(len(keys), -1, -1):
+        for s in sets:
             lt = base
-            for k in keys[lvl:]:
-                lt = lt.set_column(lt.schema.get_field_index(k), k,
-                                   pa.array([total_label] * len(lt),
-                                            type=pa.string()))
+            for k in keys:
+                if k not in s:
+                    lt = lt.set_column(lt.schema.get_field_index(k), k,
+                                       pa.array([total_label] * len(lt),
+                                                type=pa.string()))
             g = lt.group_by(keys).aggregate([("__v", "sum"),
                                              ([], "count_all")])
             outs.append(g.rename_columns(keys + [sum_col, "n"]))
@@ -782,6 +795,32 @@ def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
     out = merged.to_pandas().sort_values(keys).reset_index(drop=True)
     out.attrs["mode"] = "driver"
     return out.astype({sum_col: "int64", "n": "int64"})
+
+
+def rollup_sums(ds, keys: list[str], val_col: str, scale: int = 1,
+                total_label: str = "ALL", driver_limit: int | None = None):
+    """SQL ``GROUP BY ROLLUP(keys)`` sums — the key-prefix grouping sets;
+    see :func:`grouping_sets_sums` for the shared one-pass plan."""
+    keys = list(keys)
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_sums(ds, keys, sets, val_col, scale=scale,
+                              total_label=total_label,
+                              driver_limit=driver_limit)
+
+
+def cube_sums(ds, keys: list[str], val_col: str, scale: int = 1,
+              total_label: str = "ALL", driver_limit: int | None = None):
+    """SQL ``GROUP BY CUBE(keys)`` sums — every subset of ``keys`` as a
+    grouping set (2^k sets, still ONE input pass); see
+    :func:`grouping_sets_sums` for the shared plan."""
+    keys = list(keys)
+    sets = []
+    for mask in range(2 ** len(keys) - 1, -1, -1):
+        sets.append(tuple(k for i, k in enumerate(keys)
+                          if mask & (1 << i)))
+    return grouping_sets_sums(ds, keys, sets, val_col, scale=scale,
+                              total_label=total_label,
+                              driver_limit=driver_limit)
 
 
 def grouped_comoment_sums(ds, group_col: str, x_col: str, y_col: str,
