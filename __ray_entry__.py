@@ -865,6 +865,40 @@ def q_user_value_window_1h(sf_dir: str):
         .astype({"event_id": "int64", "win_sum_c": "int64"})
 
 
+def q_actor_activity_full(sf_dir: str):
+    """FULL OUTER per-actor activity (relational.cogroup_counts): order
+    count and event count per actor id INCLUDING one-sided actors — the
+    COGROUP form: tagged per-batch count partials from both sides cross
+    ONE exchange; a missing side is a 0 by construction, no outer-join
+    algorithm needed.  Output streams one row per distinct actor."""
+    from timberjack_ray.functions.relational import cogroup_counts
+
+    j = cogroup_counts(_rp(sf_dir, "orders", columns=["o_custkey"]),
+                       _rp(sf_dir, "events", columns=["user_id"]),
+                       "o_custkey", "user_id", n_buckets=32)
+    frames = [b.to_pandas() for b in
+              j.iter_batches(batch_size=None, batch_format="pyarrow")]
+    out = pd.concat([f for f in frames if len(f)], ignore_index=True) \
+        .rename(columns={"key": "actor_id", "n_left": "n_orders",
+                         "n_right": "n_events"})
+    return out.sort_values("actor_id").reset_index(drop=True) \
+        .astype({"actor_id": "int64", "n_orders": "int64",
+                 "n_events": "int64"})
+
+
+def q_user_longest_streak(sf_dir: str):
+    """Gaps-and-islands streak analysis (sessions.longest_streak_histogram):
+    longest run of consecutive active DAYS per user, as a (streak_days,
+    n_users) histogram.  Distinct (user, day) pairs shrink the single
+    bucket exchange; islands via the day − rank identity, per-key max by
+    maximum.reduceat — only the streak histogram leaves a bucket."""
+    from timberjack_ray.functions.sessions import longest_streak_histogram
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    out = longest_streak_histogram(ds, "user_id", "ts")
+    return out.rename(columns={"n_keys": "n_users"})
+
+
 def q_shuffle_export_counts(sf_dir: str):
     """Shuffled training-data export: scramble-bucketed partitioned Parquet
     sink (resume unit = bucket directory), then counts re-read FROM THE
@@ -4897,6 +4931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_next_order_wait": q_event_next_order_wait,
         "orders_cube": q_orders_cube,
         "event_trends_gapfilled": q_event_trends_gapfilled,
+        "user_longest_streak": q_user_longest_streak,
+        "actor_activity_full": q_actor_activity_full,
     }
 
 
@@ -5519,6 +5555,36 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS roll_sum
             FROM events
+        """,
+        "actor_activity_full": """
+            SELECT COALESCE(o.id, e.id) AS actor_id,
+                   COALESCE(o.n, 0) AS n_orders,
+                   COALESCE(e.n, 0) AS n_events
+            FROM (SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n
+                    FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT user_id AS id, COUNT(*) AS n
+                    FROM events GROUP BY 1) e
+              ON o.id = e.id
+            ORDER BY actor_id
+        """,
+        "user_longest_streak": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events),
+            r AS (
+              SELECT user_id, d,
+                     d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY d) AS isl
+              FROM ud),
+            runs AS (SELECT user_id, COUNT(*) AS len
+                     FROM r GROUP BY user_id, isl),
+            longest AS (SELECT user_id, MAX(len) AS streak_days
+                        FROM runs GROUP BY user_id)
+            SELECT CAST(streak_days AS BIGINT) AS streak_days,
+                   COUNT(*) AS n_users
+            FROM longest GROUP BY streak_days ORDER BY streak_days
         """,
         "user_value_window_1h": """
             SELECT event_id,

@@ -308,3 +308,31 @@ def test_exact_quantile_bisect_wide_range_matches_reference(ray_session):
     for q, got in zip(out["q"], out["value_scaled"]):
         rank = max(1, int(np.ceil(q * len(cents))))
         assert got == cents[rank - 1], (q, got, cents[rank - 1])
+
+
+def test_longest_streak_histogram_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import longest_streak_histogram
+
+    DAY = 86_400_000_000
+    rows = []
+    # key 1: days 0,1,2 then 5,6 -> longest 3
+    for d in [0, 1, 2, 5, 6]:
+        rows.append((1, d * DAY + 123))
+    # key 2: duplicate events on day 4; days 4,5 -> longest 2
+    for d in [4, 4, 4, 5]:
+        rows.append((2, d * DAY + 999))
+    # key 3: isolated days 10, 20 -> longest 1
+    for d in [10, 20]:
+        rows.append((3, d * DAY))
+    # key 4: one long run 0..7 -> longest 8
+    for d in range(8):
+        rows.append((4, d * DAY + 5))
+    df = pd.DataFrame(rows, columns=["k", "t"])
+    out = longest_streak_histogram(
+        rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(5),
+        "k", "t", n_buckets=4)
+    got = dict(zip(out["streak_days"], out["n_keys"]))
+    assert got == {3: 1, 2: 1, 1: 1, 8: 1}

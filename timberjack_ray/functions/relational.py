@@ -1309,3 +1309,64 @@ def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
 
     return tagged.groupby("__b").map_groups(bucket_join,
                                             batch_format="pyarrow")
+
+
+def cogroup_counts(left_ds, right_ds, left_key: str, right_key: str,
+                   n_buckets: int = 64):
+    """FULL OUTER join of per-key COUNTS from two large sides as a
+    COGROUP: per-batch (key, n) partials from each side are tagged and
+    union'd through ONE ``hash(key) % n_buckets`` exchange; inside a
+    bucket each side's partials complete with a C ``group_by`` and a
+    vectorized searchsorted pivot scatters them into (key, n_left,
+    n_right) — keys missing from a side get 0, which is exactly FULL
+    OUTER semantics, by construction rather than by a join algorithm.
+
+    Scale shape: the exchange carries partial-count rows (≤ distinct
+    keys per batch per side), never raw rows; output is one streaming
+    row per distinct key.  Keys must be non-null integers (raises)."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    def prep(key_col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[key_col]
+            if k.null_count:
+                raise ValueError(f"cogroup_counts: null keys in {key_col!r}")
+            g = pa.table({"__k": pc.cast(k, pa.int64())}) \
+                .group_by(["__k"]).aggregate([([], "count_all")]) \
+                .rename_columns(["__k", "n"])
+            ids = g["__k"].to_numpy().astype(np.uint64)
+            b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)) \
+                % np.uint64(n_buckets)
+            return g.append_column("__b", pa.array(b.astype(np.int64))) \
+                .append_column("__side",
+                               pa.array(np.full(len(g), side, np.int8)))
+        return f
+
+    tagged = left_ds.map_batches(prep(left_key, 0), batch_format="pyarrow") \
+        .union(right_ds.map_batches(prep(right_key, 1),
+                                    batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "n_left": pa.array([], pa.int64()),
+                          "n_right": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["__k", "__side"]).aggregate([("n", "sum")])
+        k = g["__k"].to_numpy(zero_copy_only=False)
+        s = g["__side"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(k)
+        pos = np.searchsorted(uniq, k)
+        a = np.zeros(len(uniq), np.int64)
+        b = np.zeros(len(uniq), np.int64)
+        a[pos[s == 0]] = n[s == 0]
+        b[pos[s == 1]] = n[s == 1]
+        return pa.table({"key": pa.array(uniq),
+                         "n_left": pa.array(a), "n_right": pa.array(b)})
+
+    return tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")

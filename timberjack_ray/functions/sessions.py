@@ -785,3 +785,64 @@ def exact_quantile_bisect(ds, col: str, qs: list[float], scale: int = 100,
     return pd.DataFrame({"q": [o[0] for o in out],
                          "value_scaled": np.array([o[1] for o in out],
                                                   dtype=np.int64)})
+
+
+def longest_streak_histogram(ds, key_col: str, ts_col: str,
+                             day_us: int = 86_400_000_000,
+                             n_buckets: int = 256) -> pd.DataFrame:
+    """Gaps-and-islands: per-key longest run of CONSECUTIVE active days,
+    folded to a (streak_days, n_keys) histogram — the classic SQL-hard
+    streak analysis (retention / habit metrics), replayable via the
+    ``day − ROW_NUMBER()`` island identity.
+
+    Scale shape: per-batch DISTINCT (key, day) pairs shrink the exchange
+    to active-day volume; ONE key-hash bucket exchange co-locates each
+    key; inside a bucket every key resolves in one vectorized pass —
+    lexsort, global pair dedup, island id = day − within-key rank
+    (constant exactly on consecutive runs), run lengths by diff over run
+    starts, per-key max by ``maximum.reduceat`` (runs are contiguous per
+    key after the sort).  Only the (streak → count) histogram leaves a
+    bucket, bounded by the longest streak, never key cardinality."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t[ts_col], pa.int64()),
+                      pa.scalar(int(day_us), pa.int64()))
+        return pa.table({"k": t[key_col], "d": d}) \
+            .group_by(["k", "d"]).aggregate([])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"streak_days": pa.array([], pa.int64()),
+                          "n_keys": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t["k"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, days = k[order], d[order]
+        # global (key, day) dedup: every row of a key is in this bucket
+        keep = np.r_[True, (ks[1:] != ks[:-1]) | (days[1:] != days[:-1])]
+        ks, days = ks[keep], days[keep]
+        starts, sizes = _segments(ks)
+        rank = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, sizes)
+        isl = days - rank
+        run_start = np.flatnonzero(
+            np.r_[True, (ks[1:] != ks[:-1]) | (isl[1:] != isl[:-1])])
+        run_len = np.diff(np.r_[run_start, len(ks)])
+        key_run_starts, _ = _segments(ks[run_start])
+        longest = np.maximum.reduceat(run_len, key_run_starts)
+        vals, cnts = np.unique(longest, return_counts=True)
+        return pa.table({"streak_days": pa.array(vals.astype(np.int64)),
+                         "n_keys": pa.array(cnts.astype(np.int64))})
+
+    bucketed = add_key_bucket(ds.map_batches(pre, batch_format="pyarrow"),
+                              "k", n_buckets)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, ["streak_days"], "n_keys").to_pandas()
+    return out.sort_values("streak_days").reset_index(drop=True) \
+        .astype({"streak_days": "int64", "n_keys": "int64"})
