@@ -1525,6 +1525,56 @@ def q_content_hash_docs(sf_dir: str):
     return out[["doc_id", "chash"]].astype({"doc_id": "int64", "chash": "int64"})
 
 
+def q_split_leakage(sf_dir: str):
+    """Split-hygiene audit: distinct CONTENTS that leak across id-based
+    train/eval splits (doc_id % 10) — the id-keyed split every naive
+    pipeline uses, which duplicate texts straddle (the content-keyed
+    split_counts scheme can't, by construction).  Every 7th doc is
+    cloned under a shifted id (deterministic in-batch augmentation, the
+    stream_near_dup_pairs pattern — base corpus has no raw dups at small
+    sf), replayed identically by the oracle.  Per-batch distinct
+    (chash, split) pairs → ONE groupby(chash) Min/Max(split) exchange
+    (9 B pairs only; text never shuffles) → leaked = min≠max folds to
+    two ints per batch."""
+    from ray.data.aggregate import Max, Min
+
+    from timberjack_ray.functions.corpus import add_content_hash
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        clone = t.filter(pa.array(ids % 7 == 0))
+        clone = clone.set_column(
+            clone.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(clone["doc_id"], pa.scalar(1_000_001, pa.int64())))
+        t = pa.concat_tables([t, clone])
+        t = add_content_hash(t)
+        s = pc.cast(pc.subtract(
+            t["doc_id"],
+            pc.multiply(pc.divide(t["doc_id"], pa.scalar(10, pa.int64())),
+                        pa.scalar(10, pa.int64()))), pa.int64())
+        return pa.table({"chash": pc.cast(t["chash"], pa.int64()), "s": s}) \
+            .group_by(["chash", "s"]).aggregate([])
+
+    g = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("chash").aggregate(Min("s", alias_name="mn"),
+                                    Max("s", alias_name="mx"))
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_leaked": pa.array([], pa.int64()),
+                             "n_contents": pa.array([], pa.int64())})
+        leaked = int(pc.sum(pc.cast(pc.not_equal(t["mn"], t["mx"]),
+                                    pa.int64())).as_py() or 0)
+        return pa.table({"n_leaked": pa.array([leaked], pa.int64()),
+                         "n_contents": pa.array([t.num_rows], pa.int64())})
+
+    p = g.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n_leaked": [int(p["n_leaked"].sum())],
+                         "n_contents": [int(p["n_contents"].sum())]})
+
+
 def q_sampled_docs(sf_dir: str):
     """Deterministic multiplicative-hash sample (~20%): reproducible across
     runs/engines/partitionings, no RNG coordination at 10^12 rows."""
@@ -2386,6 +2436,32 @@ def q_ann_topk_filtered(sf_dir: str):
     out = brute_force_topk_q8(ds, q0[None, :], k=10)
     return out[["vec_id", "score_q", "rank"]].astype(
         {"vec_id": "int64", "score_q": "int64", "rank": "int64"})
+
+
+def q_logreg_label3(sf_dir: str):
+    """Distributed iterative ML (functions/ml.logreg_train): one-vs-rest
+    logistic classifier for label 3 over the embedding column —
+    parameter-server-pattern batch GD where each round is ONE streaming
+    pass emitting (dim+1)-int gradient partials per batch (per-ROW
+    quantization makes the fold bit-identical under any partitioning).
+    Rows-only: the sigmoid is float, not SQL-replayable; determinism and
+    reference parity are pinned in tests/test_ml.py."""
+    from timberjack_ray.functions.ml import logreg_train
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding", "label"])
+    return logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding stats (similarity.embedding_dim_stats):
+    exact scaled-int (min, max, sum, n) per coordinate — the
+    normalization/clipping planning pass before quantization or
+    whitening.  Each batch collapses to dim rows; merge volume is
+    dim-bounded, independent of corpus size."""
+    from timberjack_ray.functions.similarity import embedding_dim_stats
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_dim_stats(ds, "embedding", scale=1000)
 
 
 def q_stream_windowed_counts(sf_dir: str):
@@ -4933,6 +5009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trends_gapfilled": q_event_trends_gapfilled,
         "user_longest_streak": q_user_longest_streak,
         "actor_activity_full": q_actor_activity_full,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "split_leakage": q_split_leakage,
+        "logreg_label3": q_logreg_label3,
     }
 
 
@@ -5555,6 +5634,35 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS roll_sum
             FROM events
+        """,
+        "split_leakage": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000001, text FROM documents
+              WHERE doc_id % 7 = 0),
+            p AS (SELECT DISTINCT text, doc_id % 10 AS s
+                  FROM aug),
+            g AS (SELECT text, COUNT(*) AS ns FROM p GROUP BY text)
+            SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_leaked,
+                   COUNT(*) AS n_contents
+            FROM g
+        """,
+        "embedding_dim_stats": """
+            WITH x AS (
+              SELECT UNNEST(embedding) AS e,
+                     UNNEST(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   MIN(CAST(FLOOR(CAST(e AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS min_q,
+                   MAX(CAST(FLOOR(CAST(e AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS max_q,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_q,
+                   COUNT(*) AS n
+            FROM x GROUP BY dim ORDER BY dim
         """,
         "actor_activity_full": """
             SELECT COALESCE(o.id, e.id) AS actor_id,

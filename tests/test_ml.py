@@ -1,0 +1,64 @@
+"""Distributed logistic regression: bit-determinism across partitionings
+and parity with a single-process reference running the identical
+quantized-partial loop."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _make_data(n=600, dim=8, seed=4):
+    rng = np.random.default_rng(seed)
+    w_true = rng.normal(size=dim)
+    x = rng.normal(size=(n, dim))
+    y = (x @ w_true + 0.25 * rng.normal(size=n) > 0).astype(np.int32)
+    lab = np.where(y == 1, 3, 1).astype(np.int32)
+    return x.astype(np.float32), lab
+
+
+def _reference(x, lab, pos_label, rounds, lr=0.5, l2=1e-3, S=1_000_000):
+    from timberjack_ray.functions.ml import logreg_grad_partial
+
+    y = (lab == pos_label).astype(np.float64)
+    w = np.zeros(x.shape[1] + 1, np.float64)
+    correct = 0
+    for _ in range(rounds):
+        g, n, correct = logreg_grad_partial(x.astype(np.float64), y, w, S)
+        grad = g.astype(np.float64) / (S * n)
+        grad[:-1] += l2 * w[:-1]
+        w = w - lr * grad
+    wq = np.floor(w * 1e6 + 0.5).astype(np.int64)
+    return wq, correct
+
+
+def _ds_of(x, lab, parts):
+    import ray.data as rd
+
+    t = pa.table({
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32()),
+    })
+    return rd.from_arrow(t).repartition(parts)
+
+
+def test_logreg_matches_reference_and_partitioning(ray_session):
+    from timberjack_ray.functions.ml import logreg_train
+
+    x, lab = _make_data()
+    wq_ref, correct_ref = _reference(x, lab, 3, rounds=6)
+
+    outs = []
+    for parts in (3, 7):
+        out = logreg_train(_ds_of(x, lab, parts), "embedding", "label",
+                           pos_label=3, rounds=6)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+
+    got = outs[0]
+    w_got = got[got["component"] >= 0].sort_values("component")["w_q"].to_numpy()
+    assert w_got.tolist() == wq_ref.tolist()
+    acc_row = got[got["component"] == -1]["w_q"].iloc[0]
+    assert acc_row == correct_ref
+    # the classifier actually learns the separable concept
+    assert correct_ref / len(lab) > 0.9

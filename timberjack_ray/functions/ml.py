@@ -1,0 +1,106 @@
+"""Distributed iterative ML on Dataset batches — the parameter-server
+pattern expressed Ray-Data-first: each training round is ONE streaming
+``map_batches`` pass producing an exact-integer gradient partial per
+batch; the driver folds partials (ints — order-independent), takes the
+step, and broadcasts the new weights into the next round's task closure.
+
+Determinism contract: every per-row gradient contribution is quantized
+to int64 BEFORE summation (``floor(g·S + ½)`` per component), so the
+fold is bit-identical under ANY partitioning / batch order — float
+accumulation order never enters.  The quantization bias (≤ ½/S per row
+per component) is part of the model definition, matched exactly by the
+single-process reference in tests.
+
+At 100 TB: gradient traffic per round is (dim+1)·8 B per batch —
+independent of row count; weights broadcast once per round (dim floats).
+Rounds are full passes (deterministic batch GD), the classic large-batch
+regime; for epoch-style SGD swap the pass for a ``random_sample`` pass
+per round (same plumbing, loses bit-determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    e = np.exp(z[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def logreg_grad_partial(m: np.ndarray, y: np.ndarray, w: np.ndarray,
+                        grad_scale: int) -> tuple[np.ndarray, int, int]:
+    """One batch's exact-int gradient partial for binary logistic
+    regression: per-row contributions ``(p_i − y_i)·[x_i, 1]`` quantized
+    per COMPONENT to int64, then summed.  Returns (int gradient vector
+    of dim+1, n_rows, n_correct@0.5) — all exactly mergeable."""
+    z = m @ w[:-1] + w[-1]
+    p = _sigmoid(z)
+    r = p - y
+    g = np.concatenate([r[:, None] * m, r[:, None]], axis=1)
+    q = np.floor(g * float(grad_scale) + 0.5).astype(np.int64)
+    correct = int(((p >= 0.5) == (y >= 0.5)).sum())
+    return q.sum(axis=0), len(y), correct
+
+
+def logreg_train(ds, vec_col: str, label_col: str, pos_label: int,
+                 rounds: int = 10, lr: float = 0.5, l2: float = 1e-3,
+                 grad_scale: int = 1_000_000) -> pd.DataFrame:
+    """Train a one-vs-rest logistic classifier over an embedding column
+    with deterministic distributed full-batch gradient descent (module
+    docstring for the plan and the determinism contract).
+
+    Returns one row per weight component: (component, w_q) with
+    ``w_q = floor(w·10⁶ + ½)`` (component dim = bias last), plus a final
+    ``train_acc`` accounting row (component = −1, w_q = n_correct) from
+    the LAST round's partials — every emitted number is an exact int."""
+    from timberjack_ray.functions.similarity import _to_matrix
+
+    dim = None
+    w = None
+    n = correct = 0
+    for _ in range(rounds):
+        w_now = w
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = _to_matrix(t[vec_col]).astype(np.float64)
+            if m.size == 0:
+                return pa.table({"g": pa.array([], pa.int64()),
+                                 "i": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            y = (t[label_col].to_numpy(zero_copy_only=False)
+                 == pos_label).astype(np.float64)
+            wv = w_now if w_now is not None \
+                else np.zeros(m.shape[1] + 1, np.float64)
+            g, nn, cc = logreg_grad_partial(m, y, wv, grad_scale)
+            k = len(g)
+            return pa.table({"g": pa.array(g),
+                             "i": pa.array(np.arange(k, dtype=np.int64)),
+                             "n": pa.array(np.full(k, nn, np.int64)),
+                             "c": pa.array(np.full(k, cc, np.int64))})
+
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = p.groupby("i", as_index=False).agg(g=("g", "sum"))
+        gi = agg.sort_values("i")["g"].to_numpy()
+        # n/c replicate per component; component 0's rows carry the totals
+        n = int(p.loc[p["i"] == 0, "n"].sum())
+        correct = int(p.loc[p["i"] == 0, "c"].sum())
+        if dim is None:
+            dim = len(gi) - 1
+            w = np.zeros(dim + 1, np.float64)
+        grad = gi.astype(np.float64) / (float(grad_scale) * max(n, 1))
+        grad[:-1] += l2 * w[:-1]
+        w = w - lr * grad
+
+    wq = np.floor(w * 1e6 + 0.5).astype(np.int64)
+    comp = np.arange(len(wq), dtype=np.int64)
+    out = pd.DataFrame({"component": np.r_[comp, [-1]],
+                        "w_q": np.r_[wq, [np.int64(correct)]]})
+    return out.astype({"component": "int64", "w_q": "int64"})

@@ -719,3 +719,43 @@ def semantic_dedup(ds, threshold: float = 0.95, n_centroids: int = 16,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(
         per_cluster, batch_format="pyarrow")
+
+
+def embedding_dim_stats(ds, vec_col: str = "embedding",
+                        scale: int = 1000) -> pd.DataFrame:
+    """Per-DIMENSION (min, max, sum, n) over a vector column on the
+    scaled-int domain — the feature-normalization planning pass every
+    embedding pipeline needs before quantization / whitening / clipping
+    (pick per-dim clip ranges and offsets from exact corpus extrema).
+
+    One streaming pass; each batch collapses to dim rows (min/max/sum
+    per column of the matrix), merged on the driver by min/min, max/max,
+    sum/sum — partial volume is dim-bounded, independent of row count.
+    ``floor(x·scale + ½)`` applies to NEGATIVE coordinates too (plain
+    floor, not round-half-away) and the oracle replays the same rule, so
+    results are exact ints."""
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "min_q": pa.array([], pa.int64()),
+                             "max_q": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        q = scale_to_int_np(m, scale)
+        dim = np.arange(1, m.shape[1] + 1, dtype=np.int64)
+        return pa.table({"dim": pa.array(dim),
+                         "min_q": pa.array(q.min(axis=0)),
+                         "max_q": pa.array(q.max(axis=0)),
+                         "sum_q": pa.array(q.sum(axis=0)),
+                         "n": pa.array(np.full(m.shape[1], m.shape[0],
+                                               np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("dim", as_index=False).agg(
+        min_q=("min_q", "min"), max_q=("max_q", "max"),
+        sum_q=("sum_q", "sum"), n=("n", "sum"))
+    return out.sort_values("dim").reset_index(drop=True) \
+        .astype({c: "int64" for c in out.columns})
