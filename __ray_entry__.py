@@ -2438,6 +2438,23 @@ def q_ann_topk_filtered(sf_dir: str):
         {"vec_id": "int64", "score_q": "int64", "rank": "int64"})
 
 
+def q_embedding_knn_join(sf_dir: str):
+    """Approximate k-NN self-join (similarity.knn_join): every vector's
+    top-3 in-cell neighbors, IVF cluster exchange + exact int-quantized
+    dot ranking inside each cell (bit-stable tie rule: score desc, id
+    asc).  Rows-only: cross-cell misses are by design; planted-copy
+    rank-1 recovery and in-cell exactness are pinned in tests."""
+    from timberjack_ray.functions.similarity import knn_join
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_join(ds, k=3, n_centroids=8)
+    frames = [b.to_pandas() for b in
+              out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    res = pd.concat([f for f in frames if len(f)], ignore_index=True)
+    return res.sort_values(["vec_id", "rank"]).reset_index(drop=True) \
+        .astype({c: "int64" for c in res.columns})
+
+
 def q_logreg_label3(sf_dir: str):
     """Distributed iterative ML (functions/ml.logreg_train): one-vs-rest
     logistic classifier for label 3 over the embedding column —
@@ -5012,6 +5029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "split_leakage": q_split_leakage,
         "logreg_label3": q_logreg_label3,
+        "embedding_knn_join": q_embedding_knn_join,
     }
 
 

@@ -978,3 +978,31 @@ def test_semantic_dedup_planted_copies_and_chain(ray_session):
         assert chain[chain["keep"]]["vec_id"].iloc[0] == 200
     # all untouched distinct vectors survive
     assert all(i in kept for i in range(6, 20))
+
+
+def test_knn_join_planted_and_exact_in_cell(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import knn_join
+
+    rng = np.random.RandomState(9)
+    m = rng.randn(300, 16).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    # plant exact copies: 5..9 duplicate 0..4 (same cell by construction)
+    m[5:10] = m[0:5]
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    out = knn_join(rd.from_arrow(t).repartition(5), k=3, n_centroids=4,
+                   seed=7).to_pandas()
+    # every planted copy pair finds each other at rank 1 (identical
+    # vectors -> max possible int score, min-id tie rule)
+    r1 = out[out["rank"] == 1].set_index("vec_id")["nbr_id"]
+    for a, b in zip(range(0, 5), range(5, 10)):
+        assert r1[a] == b and r1[b] == a
+    # determinism: same input partitioned differently -> identical rows
+    out2 = knn_join(rd.from_arrow(t).repartition(11), k=3, n_centroids=4,
+                    seed=7).to_pandas()
+    key = ["vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True))

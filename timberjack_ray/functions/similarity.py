@@ -721,6 +721,81 @@ def semantic_dedup(ds, threshold: float = 0.95, n_centroids: int = 16,
         per_cluster, batch_format="pyarrow")
 
 
+def knn_join(ds, k: int = 3, n_centroids: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 13, refine_iters: int = 1,
+             max_cluster: int = 8192, q_scale: int = 16384):
+    """Approximate k-NN SELF-join: every vector's top-k most-similar
+    neighbors, IVF-style — spherical k-means partitions the space, ONE
+    cluster exchange co-locates each cell, and neighbors are resolved
+    EXACTLY within the cell (cross-cell neighbors are missed by design,
+    the IVF recall/cost trade; raise ``n_centroids`` with corpus size to
+    keep the in-cell s×k work bounded, cap enforced at ``max_cluster``).
+
+    Determinism: normalized vectors quantize to ints (``floor(x·q_scale)``)
+    and similarity is the INT dot product, so scores and the
+    (score desc, id asc) ranking are bit-stable across runs, partitions
+    and engines — float cosine would tie-break unpredictably.  int64
+    bound: dim · q_scale² ≪ 2⁶³ (dim ≤ ~2^35/q_scale²).
+
+    Returns a streaming Dataset (id, nbr_id, rank, score_q): k rows per
+    vector (fewer in cells smaller than k+1)."""
+    import ray
+
+    cents = kmeans_refine(
+        ds, sample_centroids(ds, n_centroids, vec_col, seed=seed),
+        iters=refine_iters, vec_col=vec_col)
+    cent_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import fetch_broadcast
+
+        c = fetch_broadcast(cent_ref)
+        m = _normalize(_to_matrix(t[vec_col]))
+        cl = (np.argmax(m @ c.T, axis=1).astype(np.int64)
+              if len(m) else np.zeros(0, np.int64))
+        return pa.table({"cluster": pa.array(cl),
+                         id_col: t[id_col], vec_col: t[vec_col]})
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "score_q": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = len(ids)
+        if s < 2:
+            return empty
+        if s > max_cluster:
+            raise ValueError(
+                f"knn_join: cluster size {s} exceeds max_cluster="
+                f"{max_cluster}; raise n_centroids")
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_to_matrix(t[vec_col]))[order]
+        q = np.floor(m.astype(np.float64) * q_scale).astype(np.int64)
+        neg = -(q @ q.T)
+        # exclude self AFTER negation (negating int64.min would overflow
+        # back to the minimum and make every row match itself)
+        np.fill_diagonal(neg, np.iinfo(np.int64).max)
+        kk = min(k, s - 1)
+        # ids ascend along columns, so a STABLE argsort of -sim gives the
+        # (score desc, id asc) tie rule with no composite key
+        nbr = np.argsort(neg, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = ids[nbr.ravel()]
+        scores = -np.take_along_axis(neg, nbr, axis=1).ravel()
+        ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), s)
+        return pa.table({id_col: pa.array(rows),
+                         "nbr_id": pa.array(cols),
+                         "rank": pa.array(ranks),
+                         "score_q": pa.array(scores)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")
+
+
 def embedding_dim_stats(ds, vec_col: str = "embedding",
                         scale: int = 1000) -> pd.DataFrame:
     """Per-DIMENSION (min, max, sum, n) over a vector column on the
