@@ -556,6 +556,28 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_event_pairs_1h_grace(sf_dir: str):
+    """The LARGE×LARGE form of event_pairs_1h
+    (relational.range_join_bucketed): same band-join semantics but
+    NEITHER side broadcasts — both co-partition by hash(user) in ONE
+    tagged-union GRACE exchange; per bucket both band bounds come from
+    composite-key searchsorted and matches emit by ragged expand.
+    Closes range_join's documented two-large-sides gap the way
+    asof_join_bucketed closed asof_join's."""
+    from timberjack_ray.functions.relational import range_join_bucketed
+
+    ev_l = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ev_r = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    j = range_join_bucketed(ev_l, ev_r, "user_id", "ts", "event_id",
+                            "user_id", "ts", "event_id",
+                            lo_us=-3_600_000_000, hi_us=0, n_buckets=32)
+    pairs = j.map_batches(
+        lambda t: t.filter(pc.not_equal(t["a_id"], t["b_id"])),
+        batch_format="pyarrow").to_pandas()
+    return pairs.astype({"a_id": "int64", "b_id": "int64"}) \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def q_orders_top3_per_cust(sf_dir: str):
     """Grouped top-K (functions/relational.grouped_topk): 3 most expensive
     orders per customer, deterministic tie-break (price desc, orderkey asc).
@@ -5030,6 +5052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,
         "logreg_label3": q_logreg_label3,
         "embedding_knn_join": q_embedding_knn_join,
+        "event_pairs_1h_grace": q_event_pairs_1h_grace,
     }
 
 
@@ -5348,6 +5371,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w ORDER BY n DESC, word LIMIT 10
         """,
         "event_pairs_1h": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+             AND a.event_id <> b.event_id
+            ORDER BY a_id, b_id
+        """,
+        "event_pairs_1h_grace": """
             SELECT a.event_id AS a_id, b.event_id AS b_id
             FROM events a JOIN events b
               ON a.user_id = b.user_id

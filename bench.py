@@ -160,6 +160,8 @@ def main() -> None:
         timed("curation_pipeline", lambda: em.q_curation_pipeline(SF_DIR))
         timed("span_dedup", lambda: em.q_remove_dup_spans(SF_DIR))
         timed("bpe_train20", lambda: em.q_bpe_merges(SF_DIR))
+        timed("asof_gap", lambda: em.q_event_last_order_gap(SF_DIR))
+        timed("knn_join", lambda: em.q_embedding_knn_join(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {

@@ -203,3 +203,33 @@ def test_asof_join_bucketed_forward(ray_session):
         .sort_values(["k", "t", "tag"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         out[["k", "t", "tag", "rt_matched"]], exp, check_dtype=False)
+
+
+def test_range_join_bucketed_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import range_join_bucketed
+
+    rng = np.random.default_rng(21)
+    nl, nr = 1200, 900
+    left = pd.DataFrame({
+        "k": rng.integers(0, 120, nl),
+        "t": rng.integers(0, 5_000, nl).astype("int64"),
+        "id": np.arange(nl, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 100, nr),
+        "rt": rng.integers(0, 5_000, nr).astype("int64"),
+        "rid": np.arange(10_000, 10_000 + nr, dtype="int64"),
+    })
+    lo, hi = -200, 100   # asymmetric band incl. forward reach
+    out = range_join_bucketed(
+        rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(4),
+        "k", "t", "id", "rk", "rt", "rid", lo_us=lo, hi_us=hi, n_buckets=16,
+    ).to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+    m = left.merge(right, left_on="k", right_on="rk")
+    m = m[(m.rt >= m.t + lo) & (m.rt <= m.t + hi)]
+    exp = m[["id", "rid"]].rename(columns={"id": "a_id", "rid": "b_id"}) \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

@@ -1311,6 +1311,101 @@ def asof_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
                                             batch_format="pyarrow")
 
 
+def range_join_bucketed(left_ds, right_ds, left_by: str, left_on: str,
+                        left_id: str, right_by: str, right_on: str,
+                        right_id: str, lo_us: int, hi_us: int,
+                        n_buckets: int = 64):
+    """Banded range join for two LARGE sides — the documented scale path
+    of :func:`range_join` (whose right side broadcasts): co-partition
+    both inputs by ``hash(by) % n_buckets`` with ONE tagged-union GRACE
+    exchange (same shape as :func:`asof_join_bucketed`), then resolve
+    each bucket fully vectorized: right rows sort once by (key, time)
+    and BOTH band bounds ``[t + lo_us, t + hi_us]`` (inclusive) come
+    from global ``np.searchsorted`` over a composite ``segment·OFF +
+    (ts − base)`` key — OFF > bucket-span + 2 keeps segments disjoint
+    and the clip into [0, span+1] keeps every probe inside its own key's
+    run, so no per-key Python at any cardinality.  Matches emit by a
+    ragged arange expand.
+
+    Returns a streaming Dataset of (``a_id``, ``b_id``) pairs (left id,
+    matched right id) — fan-out is band-width-bounded per row.  Keys
+    must be non-null integers."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    lo_us, hi_us = int(lo_us), int(hi_us)
+
+    def prep(by_col: str, on_col: str, id_col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[by_col]
+            if k.null_count:
+                raise ValueError(f"range_join_bucketed: null {by_col} keys")
+            ids = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((ids * np.uint64(KNUTH32)) % np.uint64(_POW32)) \
+                % np.uint64(n_buckets)
+            return pa.table({
+                "__b": pa.array(b.astype(np.int64)),
+                "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+                "__k": pc.cast(k, pa.int64()),
+                "__t": pc.cast(t[on_col], pa.int64()),
+                "__id": pc.cast(t[id_col], pa.int64())})
+        return f
+
+    tagged = left_ds.map_batches(prep(left_by, left_on, left_id, 1),
+                                 batch_format="pyarrow") \
+        .union(right_ds.map_batches(prep(right_by, right_on, right_id, 0),
+                                    batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        if len(side) == 0 or not (side == 1).any() or not (side == 0).any():
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        rid = t["__id"].to_numpy(zero_copy_only=False)
+        is_r = side == 0
+        rk, rt, rv = k[is_r], ts[is_r], rid[is_r]
+        lk, lt, lv = k[~is_r], ts[~is_r], rid[~is_r]
+        ro = np.lexsort((rt, rk))
+        rk, rt, rv = rk[ro], rt[ro], rv[ro]
+        # right keys → dense codes; left keys map in via searchsorted
+        rstarts = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+        rkeys = rk[rstarts]
+        lcode = np.searchsorted(rkeys, lk)
+        has_key = (lcode < len(rkeys))
+        lcode_c = np.minimum(lcode, len(rkeys) - 1)
+        has_key &= rkeys[lcode_c] == lk
+        rcode = np.cumsum(np.r_[True, rk[1:] != rk[:-1]]) - 1
+        base = int(min(rt.min(), lt.min()))
+        span = int(max(rt.max(), lt.max())) - base
+        off = span + 2
+        if len(rkeys) * off >= 2**62:  # pragma: no cover - overflow guard
+            raise ValueError("range_join_bucketed: composite overflow — "
+                             "raise n_buckets")
+        comp_r = rcode * np.int64(off) + (rt - base)
+        lrel = lt - base
+        tlo = np.clip(lrel + lo_us, 0, span + 1)
+        thi = np.clip(lrel + hi_us + 1, 0, span + 1)
+        lo_i = np.searchsorted(comp_r, lcode_c * np.int64(off) + tlo, "left")
+        hi_i = np.searchsorted(comp_r, lcode_c * np.int64(off) + thi, "left")
+        n = np.where(has_key, hi_i - lo_i, 0)
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        cum = np.cumsum(n)
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(cum - n, n) + np.repeat(lo_i, n))
+        return pa.table({"a_id": pa.array(np.repeat(lv, n)),
+                         "b_id": pa.array(rv[flat])})
+
+    return tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+
+
 def cogroup_counts(left_ds, right_ds, left_key: str, right_key: str,
                    n_buckets: int = 64):
     """FULL OUTER join of per-key COUNTS from two large sides as a
