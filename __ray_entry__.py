@@ -556,6 +556,50 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_skewed_user_revenue(sf_dir: str):
+    """Skew-aware hybrid join (relational.skew_join): events ⋈ orders on
+    user with a PLANTED hot key (every 6th event cloned onto user 7 —
+    SQL-replayed) — the one-bucket-straggler case a plain GRACE join
+    degrades on.  The count pre-pass routes the hottest keys through a
+    broadcast of their (small) right fan-in — hot rows never shuffle —
+    while the cold remainder takes the normal GRACE exchange; the
+    per-bucket aggregate (bucket_fn) applies on both paths so only
+    (event_type, rev, n) partials ever leave workers."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import skew_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        clone = t.filter(pa.array(ids % 6 == 0))
+        clone = clone.set_column(
+            clone.schema.get_field_index("user_id"), "user_id",
+            pa.array(np.full(clone.num_rows, 7, np.int64)))
+        t = pa.concat_tables([t, clone])
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "pc_": scale_to_int(t["o_totalprice"], 100)})
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("pc_", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "rev_c", "n"])
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type"]) \
+        .map_batches(aug, batch_format="pyarrow")
+    od = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+    j = skew_join(ev, od, "user_id", "o_custkey",
+                  ["event_type"], ["pc_"], hot_limit=4, n_buckets=32,
+                  bucket_fn=agg)
+    out = merge_partials(j, ["event_type"], ["rev_c", "n"]).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"rev_c": "int64", "n": "int64"})
+
+
 def q_event_pairs_1h_grace(sf_dir: str):
     """The LARGE×LARGE form of event_pairs_1h
     (relational.range_join_bucketed): same band-join semantics but
@@ -5053,6 +5097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_label3": q_logreg_label3,
         "embedding_knn_join": q_embedding_knn_join,
         "event_pairs_1h_grace": q_event_pairs_1h_grace,
+        "skewed_user_revenue": q_skewed_user_revenue,
     }
 
 
@@ -5385,6 +5430,19 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "skewed_user_revenue": """
+            WITH ev AS (
+              SELECT event_type, user_id FROM events
+              UNION ALL
+              SELECT event_type, 7 FROM events WHERE event_id % 6 = 0),
+            j AS (
+              SELECT e.event_type,
+                     CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS p
+              FROM ev e JOIN orders o ON o.o_custkey = e.user_id)
+            SELECT event_type, CAST(SUM(p) AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM j GROUP BY event_type ORDER BY event_type
         """,
         "orders_top3_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM orders

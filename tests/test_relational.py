@@ -320,3 +320,34 @@ def test_pareto_skyline_dataset(ray_session):
         .drop_duplicates().sort_values(["price", "age"]).reset_index(drop=True)
     got = out.drop_duplicates().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_skew_join_matches_grace_join(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     skew_join)
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    # heavy skew: 30% of left rows hit key 7
+    k = rng.integers(0, 200, n)
+    k[rng.random(n) < 0.3] = 7
+    left = pd.DataFrame({"k": k.astype("int64"),
+                         "tag": rng.choice(list("abc"), n)})
+    right = pd.DataFrame({"rk": rng.integers(0, 180, 800).astype("int64"),
+                          "val": rng.integers(0, 100, 800).astype("int64")})
+
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(4)
+    a = skew_join(lds, rds, "k", "rk", ["tag"], ["val"],
+                  hot_limit=3, n_buckets=8).to_pandas()
+    b = bucket_hash_join(rd.from_pandas(left).repartition(6),
+                         rd.from_pandas(right).repartition(4),
+                         "k", "rk", ["tag"], ["val"],
+                         n_buckets=8).to_pandas()
+    key = ["k", "tag", "val"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
