@@ -556,6 +556,51 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_orders_upsert_latest(sf_dir: str):
+    """MERGE / upsert (SCD keep-latest) semantics: a planted update
+    stream (every 5th order re-emitted a day later with status 'U' —
+    SQL-replayed) merges into the base table and the LATEST row per key
+    wins, resolved as ONE packed-integer Max groupby — (version, status)
+    pack into one int64 so the winner and its payload travel together
+    through a single mergeable aggregate (the dedup_keep_best shape on a
+    fact table).  Output: final status census."""
+    from ray.data.aggregate import Max
+
+    code = {"F": 0, "O": 1, "P": 2, "U": 3}
+    dec = {v: k for k, v in code.items()}
+
+    def aug(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = t["o_orderstatus"].to_pandas().map(code).to_numpy(np.int64)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        packed = (d * 2 + 0) * 4 + s
+        upd = k % 5 == 0
+        pk = np.concatenate([packed, ((d[upd] + 86_400_000_000) * 2 + 1) * 4
+                             + np.int64(code["U"])])
+        kk = np.concatenate([k, k[upd]])
+        return pa.table({"o_orderkey": pa.array(kk), "pk": pa.array(pk)})
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate",
+                                        "o_orderstatus"])
+    g = ds.map_batches(aug, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Max("pk", alias_name="pk"))
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"status": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        s = t["pk"].to_numpy(zero_copy_only=False) % 4
+        vals, cnts = np.unique(s, return_counts=True)
+        return pa.table({"status": pa.array([dec[int(v)] for v in vals]),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    p = g.map_batches(census, batch_format="pyarrow").to_pandas()
+    out = p.groupby("status", as_index=False).agg(n=("n", "sum"))
+    return out.sort_values("status").reset_index(drop=True) \
+        .astype({"n": "int64"})
+
+
 def q_skewed_user_revenue(sf_dir: str):
     """Skew-aware hybrid join (relational.skew_join): events ⋈ orders on
     user with a PLANTED hot key (every 6th event cloned onto user 7 —
@@ -5098,6 +5143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_join": q_embedding_knn_join,
         "event_pairs_1h_grace": q_event_pairs_1h_grace,
         "skewed_user_revenue": q_skewed_user_revenue,
+        "orders_upsert_latest": q_orders_upsert_latest,
     }
 
 
@@ -5430,6 +5476,23 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "orders_upsert_latest": """
+            WITH aug AS (
+              SELECT o_orderkey,
+                     (epoch_us(o_orderdate) * 2 + 0) * 4 +
+                     CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1
+                          WHEN 'P' THEN 2 END AS pk
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey,
+                     ((epoch_us(o_orderdate) + 86400000000) * 2 + 1) * 4 + 3
+              FROM orders WHERE o_orderkey % 5 = 0),
+            w AS (SELECT o_orderkey, MAX(pk) AS pk FROM aug GROUP BY 1)
+            SELECT CASE pk % 4 WHEN 0 THEN 'F' WHEN 1 THEN 'O'
+                        WHEN 2 THEN 'P' WHEN 3 THEN 'U' END AS status,
+                   COUNT(*) AS n
+            FROM w GROUP BY status ORDER BY status
         """,
         "skewed_user_revenue": """
             WITH ev AS (
