@@ -556,6 +556,30 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_join_size_exact(sf_dir: str):
+    """Join-size planning pass: the EXACT output cardinality of
+    events ⋈ orders on user — Σ_k |A_k|·|B_k| — computed from per-key
+    count partials through cogroup_counts' single exchange (count rows,
+    never raw rows), folding to ONE integer.  The planner input that
+    decides broadcast vs GRACE vs skew_join; the sketch companion is
+    selfjoin_size_ams."""
+    from timberjack_ray.functions.relational import cogroup_counts
+
+    j = cogroup_counts(_rp(sf_dir, "events", columns=["user_id"]),
+                       _rp(sf_dir, "orders", columns=["o_custkey"]),
+                       "user_id", "o_custkey", n_buckets=32)
+
+    def prod(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"join_rows": pa.array([], pa.int64())})
+        n = (t["n_left"].to_numpy(zero_copy_only=False)
+             * t["n_right"].to_numpy(zero_copy_only=False)).sum()
+        return pa.table({"join_rows": pa.array([int(n)], pa.int64())})
+
+    p = j.map_batches(prod, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"join_rows": [int(p["join_rows"].sum())]})
+
+
 def q_orders_upsert_latest(sf_dir: str):
     """MERGE / upsert (SCD keep-latest) semantics: a planted update
     stream (every 5th order re-emitted a day later with status 'U' —
@@ -5144,6 +5168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_1h_grace": q_event_pairs_1h_grace,
         "skewed_user_revenue": q_skewed_user_revenue,
         "orders_upsert_latest": q_orders_upsert_latest,
+        "join_size_exact": q_join_size_exact,
     }
 
 
@@ -5476,6 +5501,13 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "join_size_exact": """
+            SELECT CAST(SUM(e.n * o.n) AS BIGINT) AS join_rows
+            FROM (SELECT user_id AS id, COUNT(*) AS n
+                    FROM events GROUP BY 1) e
+            JOIN (SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n
+                    FROM orders GROUP BY 1) o USING (id)
         """,
         "orders_upsert_latest": """
             WITH aug AS (
