@@ -556,6 +556,26 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_mmr_diverse_topk(sf_dir: str):
+    """MMR diverse top-10 vs the vec_id=0 embedding
+    (similarity.mmr_select): retrieve-then-rerank — one streaming pass
+    keeps per-batch top-m int-quantized candidates, the driver reranks
+    the m-pool with the greedy λ-rational MMR rule (λ=0.7).  Rows-only:
+    the greedy recurrence isn't SQL-expressible; the integer argmax +
+    id-asc tie rule make it bit-deterministic, pinned vs a brute-force
+    greedy reference in tests/test_functions.py."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import mmr_select
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return mmr_select(ds, q0, k=10, lam_num=7, lam_den=10, m=128)
+
+
 def q_join_size_exact(sf_dir: str):
     """Join-size planning pass: the EXACT output cardinality of
     events ⋈ orders on user — Σ_k |A_k|·|B_k| — computed from per-key
@@ -5169,6 +5189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skewed_user_revenue": q_skewed_user_revenue,
         "orders_upsert_latest": q_orders_upsert_latest,
         "join_size_exact": q_join_size_exact,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
     }
 
 

@@ -1006,3 +1006,41 @@ def test_knn_join_planted_and_exact_in_cell(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(key).reset_index(drop=True),
         out2.sort_values(key).reset_index(drop=True))
+
+
+def test_mmr_select_matches_greedy_reference(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import (_normalize, mmr_select)
+
+    rng = np.random.RandomState(17)
+    n, d, k, m_pool = 250, 12, 8, 250   # pool = everything -> exact greedy
+    m = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(d)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    out = mmr_select(rd.from_arrow(t).repartition(5), q, k=k,
+                     lam_num=7, lam_den=10, m=m_pool)
+
+    # brute-force greedy reference on the same int-quantized domain
+    S = 16384
+    mn = _normalize(m).astype(np.float64)
+    qm = np.floor(mn * S).astype(np.int64)
+    qn = q / np.linalg.norm(q)
+    qq = np.floor(qn * S).astype(np.int64)
+    qsim = qm @ qq
+    ids = np.arange(n)
+    sel, max_sel = [], np.full(n, np.iinfo(np.int64).min)
+    for _ in range(k):
+        score = 7 * qsim - (3 * max_sel if sel else 0)
+        score = np.where(np.isin(ids, sel), np.iinfo(np.int64).min, score)
+        best = np.flatnonzero(score == score.max())
+        j = best[np.argmin(ids[best])]
+        sel.append(j)
+        max_sel = np.maximum(max_sel, qm @ qm[j])
+    assert out["vec_id"].tolist() == [int(x) for x in sel]
+
+    # determinism under a different partitioning
+    out2 = mmr_select(rd.from_arrow(t).repartition(9), q, k=k,
+                      lam_num=7, lam_den=10, m=m_pool)
+    pd.testing.assert_frame_equal(out, out2)

@@ -834,3 +834,78 @@ def embedding_dim_stats(ds, vec_col: str = "embedding",
         sum_q=("sum_q", "sum"), n=("n", "sum"))
     return out.sort_values("dim").reset_index(drop=True) \
         .astype({c: "int64" for c in out.columns})
+
+
+def mmr_select(ds, query: np.ndarray, k: int = 10, lam_num: int = 7,
+               lam_den: int = 10, m: int = 256,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_scale: int = 16384) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k — the retrieve-then-rerank
+    pattern: stage 1 streams ONE pass of int-quantized query similarities
+    keeping the per-batch top-m (partial volume = m rows + vectors per
+    batch); the driver merges to the global top-m candidate pool; stage 2
+    runs the greedy MMR loop over that m-sized pool only.
+
+    MMR argmax uses the λ-rational integer form
+    ``lam_num·qsim − (lam_den−lam_num)·max_sel_sim`` (monotone in the
+    real-valued score for λ = lam_num/lam_den), so with int-quantized
+    similarities and an id-ascending tie rule the selection is
+    bit-deterministic across runs and partitionings.  Pinned against a
+    brute-force greedy reference in tests.
+
+    At scale m bounds BOTH the driver pool (m × dim ints) and the greedy
+    cost (k·m dots); recall of the diverse tail beyond the top-m
+    relevance pool is the documented trade (raise m, not k)."""
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    qv = np.asarray(query, dtype=np.float64).reshape(-1)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    qq = np.floor(qn * q_scale).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "qsim": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.list_(pa.int64()))})
+        mx = _to_matrix(t[vec_col])
+        if mx.shape[0] == 0:
+            return empty
+        mn = _normalize(mx).astype(np.float64)
+        qm = np.floor(mn * q_scale).astype(np.int64)
+        sims = qm @ qq
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # top-m by (sim desc, id asc): ids ascend after this argsort chain
+        order = np.lexsort((ids, -sims))[:m]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "qsim": pa.array(sims[order]),
+                         "q": pa.array(list(qm[order]),
+                                       pa.list_(pa.int64()))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(p) == 0:
+        return pd.DataFrame({id_col: [], "rank": [], "mmr_num": []})
+    p = p.sort_values(["qsim", id_col], ascending=[False, True]).head(m)
+    ids = p[id_col].to_numpy(np.int64)
+    qsim = p["qsim"].to_numpy(np.int64)
+    vecs = np.array(p["q"].tolist(), dtype=np.int64)
+
+    sel: list[int] = []
+    sel_mask = np.zeros(len(ids), bool)
+    max_sel = np.full(len(ids), np.iinfo(np.int64).min)
+    out_rows = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        if not sel:
+            score = lam_num * qsim
+        else:
+            score = lam_num * qsim - (lam_den - lam_num) * max_sel
+        score = np.where(sel_mask, np.iinfo(np.int64).min, score)
+        # argmax with id-asc tie rule: ids are sorted only by qsim, so
+        # resolve ties explicitly
+        best = np.flatnonzero(score == score.max())
+        j = best[np.argmin(ids[best])]
+        sel.append(j)
+        sel_mask[j] = True
+        out_rows.append((int(ids[j]), rank, int(score[j])))
+        sims_j = vecs @ vecs[j]
+        max_sel = np.maximum(max_sel, sims_j)
+    return pd.DataFrame(out_rows, columns=[id_col, "rank", "mmr_num"]) \
+        .astype({id_col: "int64", "rank": "int64", "mmr_num": "int64"})
