@@ -556,6 +556,34 @@ def q_event_pairs_1h(sf_dir: str):
         .sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_user_active_time(sf_dir: str):
+    """Interval-union dwell time (sessions.interval_union_per_key): each
+    event opens a 5-minute activity interval; a user's active seconds =
+    the UNION length of their overlapping intervals — merged islands,
+    not a sum of durations.  One bucket exchange; segment-reset running
+    max via the composite accumulate; SQL replays the running-MAX(end)
+    island rule."""
+    from timberjack_ray.functions.sessions import interval_union_per_key
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "s": s,
+                         "e": pc.add(s, pa.scalar(300_000_000, pa.int64()))})
+
+    j = interval_union_per_key(ds.map_batches(iv, batch_format="pyarrow"),
+                               "user_id", "s", "e")
+    frames = [b.to_pandas() for b in
+              j.iter_batches(batch_size=None, batch_format="pyarrow")]
+    out = pd.concat([f for f in frames if len(f)], ignore_index=True)
+    out["active_s"] = out["covered_us"] // 1_000_000
+    return out[["user_id", "active_s"]].sort_values("user_id") \
+        .reset_index(drop=True).astype({"user_id": "int64",
+                                        "active_s": "int64"})
+
+
 def q_mmr_diverse_topk(sf_dir: str):
     """MMR diverse top-10 vs the vec_id=0 embedding
     (similarity.mmr_select): retrieve-then-rerank — one streaming pass
@@ -5190,6 +5218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert_latest": q_orders_upsert_latest,
         "join_size_exact": q_join_size_exact,
         "mmr_diverse_topk": q_mmr_diverse_topk,
+        "user_active_time": q_user_active_time,
     }
 
 
@@ -5522,6 +5551,33 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "user_active_time": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 300000000 AS e
+              FROM events),
+            o AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pme
+              FROM iv),
+            fl AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END
+                     AS ns
+              FROM o),
+            isl AS (
+              SELECT user_id, s, e,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS iid
+              FROM fl),
+            g AS (SELECT user_id, iid, MIN(s) AS s0, MAX(e) AS e1
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(e1 - s0) // 1000000 AS BIGINT) AS active_s
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "join_size_exact": """
             SELECT CAST(SUM(e.n * o.n) AS BIGINT) AS join_rows

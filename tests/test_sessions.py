@@ -336,3 +336,60 @@ def test_longest_streak_histogram_planted(ray_session):
         "k", "t", n_buckets=4)
     got = dict(zip(out["streak_days"], out["n_keys"]))
     assert got == {3: 1, 2: 1, 1: 1, 8: 1}
+
+
+def test_interval_union_per_key_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import interval_union_per_key
+
+    rows = [
+        # key 1: [0,10) + [5,12) merge -> 12; [20,25) separate -> 5 => 17
+        (1, 0, 10), (1, 5, 12), (1, 20, 25),
+        # key 2: nested [0,100) contains [10,20) => 100
+        (2, 0, 100), (2, 10, 20),
+        # key 3: touching [0,5) [5,9) -> NOT overlapping (s > pme false at
+        # s == pme? s=5 > pme=5 is False -> same island) => 9
+        (3, 0, 5), (3, 5, 9),
+        # key 4: duplicates
+        (4, 3, 7), (4, 3, 7),
+    ]
+    df = pd.DataFrame(rows, columns=["k", "s", "e"])
+    out = interval_union_per_key(
+        rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(4),
+        "k", "s", "e", n_buckets=3).to_pandas()
+    got = dict(zip(out["k"], out["covered_us"]))
+    assert got == {1: 17, 2: 100, 3: 9, 4: 4}
+
+
+def test_interval_union_random_vs_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import interval_union_per_key
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "s": rng.integers(0, 10_000, n).astype("int64"),
+    })
+    df["e"] = df["s"] + rng.integers(1, 500, n)
+    out = interval_union_per_key(
+        rd.from_pandas(df).repartition(6), "k", "s", "e",
+        n_buckets=8).to_pandas()
+    got = dict(zip(out["k"], out["covered_us"]))
+    for k, g in df.groupby("k"):
+        iv = sorted(zip(g.s, g.e))
+        tot, cs, ce = 0, None, None
+        for s, e in iv:
+            if cs is None:
+                cs, ce = s, e
+            elif s > ce:
+                tot += ce - cs
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        tot += ce - cs
+        assert got[k] == tot, k

@@ -846,3 +846,64 @@ def longest_streak_histogram(ds, key_col: str, ts_col: str,
     out = merge_partials(p, ["streak_days"], "n_keys").to_pandas()
     return out.sort_values("streak_days").reset_index(drop=True) \
         .astype({"streak_days": "int64", "n_keys": "int64"})
+
+
+def interval_union_per_key(ds, key_col: str, start_col: str, end_col: str,
+                           n_buckets: int = 256):
+    """Per-key UNION LENGTH of (possibly overlapping) intervals — dwell /
+    active-time accounting: merge each key's overlapping intervals into
+    islands and sum the covered microseconds.  SQL-replayable via the
+    classic running-MAX(end)-over-preceding island rule, which this
+    kernel reproduces exactly on the integer domain.
+
+    Scale shape: ONE key-bucket exchange; per bucket ALL keys resolve in
+    one vectorized pass — lexsort (key, start, end), a segment-reset
+    running max of END via the ``code·OFF + (end − base)`` composite
+    (OFF > bucket span keeps the accumulate from crossing keys), island
+    starts where ``start > prev running max``, island extents by
+    ``maximum.reduceat``, per-key sums by ``add.reduceat``.  Output
+    streams one (key, covered_us) row per key."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "covered_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        s = t[start_col].to_numpy(zero_copy_only=False)
+        e = t[end_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, k))
+        ks, ss, es = k[order], s[order], e[order]
+        starts, sizes = _segments(ks)
+        n = len(ks)
+        code = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        base = int(min(ss.min(), es.min()))
+        span = int(max(ss.max(), es.max())) - base
+        off = span + 2
+        if len(starts) * off >= 2**62:  # pragma: no cover - overflow guard
+            raise ValueError("interval_union_per_key: composite overflow — "
+                             "raise n_buckets")
+        comp = np.maximum.accumulate(code * np.int64(off) + (es - base))
+        run_end = comp - code * np.int64(off) + base  # per-key cummax(end)
+        seg_first = np.zeros(n, bool)
+        seg_first[starts] = True
+        prev = np.empty(n, np.int64)
+        prev[1:] = run_end[:-1]
+        prev[0] = 0
+        new_isl = seg_first | (~seg_first & (ss > prev))
+        isl_starts = np.flatnonzero(new_isl)
+        isl_end = np.maximum.reduceat(es, isl_starts)
+        isl_len = isl_end - ss[isl_starts]
+        isl_key = ks[isl_starts]
+        kstarts, _ = _segments(isl_key)
+        covered = np.add.reduceat(isl_len, kstarts)
+        return pa.table({key_col: pa.array(isl_key[kstarts]),
+                         "covered_us": pa.array(covered.astype(np.int64))})
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
