@@ -2652,6 +2652,22 @@ def q_logreg_label3(sf_dir: str):
     return logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
 
 
+def q_logreg_auc(sf_dir: str):
+    """Model-evaluation pass (functions/ml.score_auc_exact): exact
+    ROC-AUC of the trained label-3 classifier as integer Mann-Whitney
+    rank statistics over a quantized-logit histogram — histogram volume
+    bounded by the logit range, independent of corpus size.  Rows-only
+    (the model isn't SQL-expressible); the statistic is pinned against a
+    pairwise-comparison reference in tests/test_ml.py."""
+    from timberjack_ray.functions.ml import logreg_train, score_auc_exact
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding", "label"])
+    trained = logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
+    w = trained[trained["component"] >= 0].sort_values("component")["w_q"] \
+        .to_numpy(np.int64).astype(np.float64) / 1e6
+    return score_auc_exact(ds, "embedding", "label", 3, w)
+
+
 def q_embedding_dim_stats(sf_dir: str):
     """Per-dimension embedding stats (similarity.embedding_dim_stats):
     exact scaled-int (min, max, sum, n) per coordinate — the
@@ -5219,6 +5235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_exact": q_join_size_exact,
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "user_active_time": q_user_active_time,
+        "logreg_auc": q_logreg_auc,
     }
 
 

@@ -62,3 +62,25 @@ def test_logreg_matches_reference_and_partitioning(ray_session):
     assert acc_row == correct_ref
     # the classifier actually learns the separable concept
     assert correct_ref / len(lab) > 0.9
+
+
+def test_score_auc_exact_matches_pairwise(ray_session):
+    from timberjack_ray.functions.ml import score_auc_exact
+
+    x, lab = _make_data(n=400, seed=9)
+    wq, _ = _reference(x, lab, 3, rounds=6)
+    w = wq.astype(np.float64) / 1e6
+
+    out = score_auc_exact(_ds_of(x, lab, 5), "embedding", "label", 3, w)
+    # pairwise reference on the SAME quantized-bin domain
+    z = x.astype(np.float64) @ w[:-1] + w[-1]
+    b = np.floor(z * 1000).astype(np.int64)
+    pos, neg = b[lab == 3], b[lab != 3]
+    num2 = 0
+    for p in pos:
+        num2 += 2 * int((neg < p).sum()) + int((neg == p).sum())
+    assert out["auc_num2"].iloc[0] == num2
+    assert out["n_pos"].iloc[0] == len(pos)
+    assert out["n_neg"].iloc[0] == len(neg)
+    auc = num2 / (2 * len(pos) * len(neg))
+    assert 0.8 < auc <= 1.0  # the separable concept is learnable

@@ -104,3 +104,56 @@ def logreg_train(ds, vec_col: str, label_col: str, pos_label: int,
     out = pd.DataFrame({"component": np.r_[comp, [-1]],
                         "w_q": np.r_[wq, [np.int64(correct)]]})
     return out.astype({"component": "int64", "w_q": "int64"})
+
+
+def score_auc_exact(ds, vec_col: str, label_col: str, pos_label: int,
+                    w: np.ndarray, z_scale: int = 1000) -> pd.DataFrame:
+    """Exact ROC-AUC of a linear scorer as INTEGER rank statistics: one
+    streaming pass folds a (score-bin, n_pos, n_neg) histogram —
+    ``bin = floor(z·z_scale)`` of the logit (monotone in the
+    probability, so AUC is identical) — then the driver computes the
+    Mann-Whitney numerator exactly from the two histograms:
+    ``auc_num2 = Σ_b n_pos_b · (2·cum_neg_below + n_neg_b)`` (ties count
+    half, hence the ×2 integer form).  AUC = auc_num2 / (2·P·N), left to
+    the consumer so every emitted number is an exact int.
+
+    Histogram volume is bounded by the logit range × z_scale (logits are
+    O(‖w‖) bounded), independent of row count — the evaluation-pass
+    shape that works at any corpus size."""
+    from timberjack_ray.functions.similarity import _to_matrix
+
+    wv = np.asarray(w, dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "n_neg": pa.array([], pa.int64())})
+        y = (t[label_col].to_numpy(zero_copy_only=False)
+             == pos_label)
+        z = m @ wv[:-1] + wv[-1]
+        b = np.floor(z * z_scale).astype(np.int64)
+        pv, pc_ = np.unique(b[y], return_counts=True)
+        nv, nc_ = np.unique(b[~y], return_counts=True)
+        bins = np.union1d(pv, nv)
+        n_pos = np.zeros(len(bins), np.int64)
+        n_neg = np.zeros(len(bins), np.int64)
+        n_pos[np.searchsorted(bins, pv)] = pc_
+        n_neg[np.searchsorted(bins, nv)] = nc_
+        return pa.table({"bin": pa.array(bins),
+                         "n_pos": pa.array(n_pos),
+                         "n_neg": pa.array(n_neg)})
+
+    from timberjack_ray.aggregates import merge_partials
+
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["bin"], ["n_pos", "n_neg"]).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    n_pos = h["n_pos"].to_numpy(np.int64)
+    n_neg = h["n_neg"].to_numpy(np.int64)
+    cum_neg_below = np.concatenate([[0], np.cumsum(n_neg)[:-1]])
+    auc_num2 = int((n_pos * (2 * cum_neg_below + n_neg)).sum())
+    return pd.DataFrame({"auc_num2": [auc_num2],
+                         "n_pos": [int(n_pos.sum())],
+                         "n_neg": [int(n_neg.sum())]})
