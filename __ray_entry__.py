@@ -2652,6 +2652,32 @@ def q_logreg_label3(sf_dir: str):
     return logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
 
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order clustering layout (relational.zorder_layout_stats) over
+    events (user_id × activity day): per-curve-range bounding boxes in
+    BOTH dimensions — the multi-dim data-skipping plan a single-column
+    sort can't give.  Three streaming passes (minima, morton histogram →
+    equi-depth boundaries, per-range stats), no sort; the oracle replays
+    the 16-bit interleave as a generated SQL bit expression."""
+    from timberjack_ray.functions.relational import zorder_layout_stats
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"x": pc.cast(t["user_id"], pa.int64()), "y": d})
+
+    return zorder_layout_stats(ds.map_batches(proj, batch_format="pyarrow"),
+                               "x", "y", n_ranges=16)
+
+
+_ZORDER_TERMS = " + ".join(
+    f"(((x - x0) >> {i}) & 1) * {1 << (2 * i)} + "
+    f"(((y - y0) >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(16))
+
+
 def q_logreg_auc(sf_dir: str):
     """Model-evaluation pass (functions/ml.score_auc_exact): exact
     ROC-AUC of the trained label-3 classifier as integer Mann-Whitney
@@ -5236,6 +5262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "user_active_time": q_user_active_time,
         "logreg_auc": q_logreg_auc,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -5568,6 +5595,25 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "zorder_layout": f"""
+            WITH base AS (
+              SELECT user_id AS x,
+                     epoch_us(ts) // 86400000000 AS y
+              FROM events),
+            mn AS (SELECT MIN(x) AS x0, MIN(y) AS y0 FROM base),
+            mo AS (
+              SELECT CAST({_ZORDER_TERMS} AS BIGINT) AS m, x, y
+              FROM base, mn),
+            b AS (SELECT quantile_disc(m, [{", ".join(str(i / 16)
+                                            for i in range(1, 16))}]) AS qs
+                  FROM mo)
+            SELECT CAST(len(list_filter(b.qs, q -> q < mo.m)) AS BIGINT)
+                     AS range_id,
+                   COUNT(*) AS n,
+                   MIN(x) AS min_x, MAX(x) AS max_x,
+                   MIN(y) AS min_y, MAX(y) AS max_y
+            FROM mo, b GROUP BY 1 ORDER BY 1
         """,
         "user_active_time": """
             WITH iv AS (

@@ -1556,3 +1556,94 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
         left_key, right_key, left_cols, right_cols,
         n_buckets=n_buckets, join_type=join_type, bucket_fn=bucket_fn)
     return hot_out.union(cold_out)
+
+
+def _morton_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread each of the low 16 bits of ``v`` to the even bit positions
+    (classic magic-mask interleave), vectorized int64."""
+    v = v.astype(np.int64)
+    v = (v | (v << 8)) & np.int64(0x00FF00FF)
+    v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+    v = (v | (v << 2)) & np.int64(0x33333333)
+    v = (v | (v << 1)) & np.int64(0x55555555)
+    return v
+
+
+def zorder_layout_stats(ds, x_col: str, y_col: str, n_ranges: int = 16,
+                        bits: int = 16) -> pd.DataFrame:
+    """Z-ORDER (Morton-curve) clustering layout — the lakehouse
+    multi-dimension data-skipping optimization: interleaving the bits of
+    two columns orders rows so that CONTIGUOUS curve ranges have small
+    bounding boxes in BOTH dimensions, letting min/max zone maps prune
+    scans filtered on either column (a single-column sort can only ever
+    prune one).  This op plans the layout and PROVES the property:
+    per-range (n, min/max of both dims).
+
+    Three streaming passes, no sort: (1) global minima (one tiny partial
+    per batch) rebase both dims to ≥0; (2) the exact Morton-value
+    histogram (domain-product-bounded — guard: values must fit ``bits``)
+    yields equi-depth type-1 quantile boundaries; (3) every row assigns
+    range_id = #boundaries < morton and folds per-range stats.  All
+    integers; the oracle replays the interleave as a 2·bits-term SQL
+    bit expression.  The execution twin is ``export_sorted`` keyed on
+    the morton column."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.sessions import exact_quantiles
+
+    def mins(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return pa.table({"mx": pa.array([], pa.int64()),
+                             "my": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array([int(x.min())]),
+                         "my": pa.array([int(y.min())])})
+
+    m = ds.map_batches(mins, batch_format="pyarrow").to_pandas()
+    x0, y0 = int(m["mx"].min()), int(m["my"].min())
+
+    def morton_of(t: pa.Table) -> np.ndarray:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64) - x0
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64) - y0
+        if len(x) and (int(x.max()) >= 2**bits or int(y.max()) >= 2**bits):
+            raise ValueError(
+                f"zorder_layout_stats: rebased dim exceeds {bits} bits — "
+                "coarsen the dimension (bucket it) first")
+        return _morton_spread16(x) | (_morton_spread16(y) << 1)
+
+    def mtbl(t: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array(morton_of(t))})
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = exact_quantiles(ds.map_batches(mtbl, batch_format="pyarrow"),
+                             "m", qs, scale=1)["value_scaled"] \
+        .to_numpy().astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["range_id", "n", "min_x", "max_x",
+                              "min_y", "max_y"]})
+        mm = morton_of(t)
+        rid = np.searchsorted(bounds, mm, side="left").astype(np.int64)
+        g = pa.table({
+            "range_id": pa.array(rid),
+            "x": pc.cast(t[x_col], pa.int64()),
+            "y": pc.cast(t[y_col], pa.int64())}) \
+            .group_by("range_id").aggregate(
+                [([], "count_all"), ("x", "min"), ("x", "max"),
+                 ("y", "min"), ("y", "max")])
+        return g.rename_columns(["range_id", "n", "min_x", "max_x",
+                                 "min_y", "max_y"])
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    t = pa.concat_tables(parts).group_by("range_id").aggregate(
+        [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+         ("min_y", "min"), ("max_y", "max")])
+    out = t.rename_columns(["range_id", "n", "min_x", "max_x",
+                            "min_y", "max_y"]).to_pandas() \
+        .sort_values("range_id").reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns})
