@@ -2652,6 +2652,49 @@ def q_logreg_label3(sf_dir: str):
     return logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
 
 
+def q_urgent_revenue_bloom(sf_dir: str):
+    """Selective GRACE join with Bloom semi-join pushdown
+    (bucket_hash_join bloom_prefilter): lineitem ⋈ URGENT-priority
+    orders (~20% of orders — too large to broadcast at scale, selective
+    enough that most lineitem rows can't match).  A fixed 512 KB Bloom
+    over the right keys broadcasts first and prunes non-matching
+    lineitem rows BEFORE the exchange (false positives only waste
+    exchange rows; the per-bucket C join removes them), cutting shuffle
+    volume ~5×.  Revenue cents by order year."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        y = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pa.array(y)})
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": scale_to_int(t["l_extendedprice"], 100)})
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_year").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_year", "rev_c", "n"])
+
+    j = bucket_hash_join(
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["cents"], ["o_year"],
+        n_buckets=32, bloom_prefilter=True, bucket_fn=agg)
+    out = merge_partials(j, ["o_year"], ["rev_c", "n"]).to_pandas()
+    return out.sort_values("o_year").reset_index(drop=True) \
+        .astype({"o_year": "int64", "rev_c": "int64", "n": "int64"})
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout (relational.zorder_layout_stats) over
     events (user_id × activity day): per-curve-range bounding boxes in
@@ -5263,6 +5306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": q_user_active_time,
         "logreg_auc": q_logreg_auc,
         "zorder_layout": q_zorder_layout,
+        "urgent_revenue_bloom": q_urgent_revenue_bloom,
     }
 
 
@@ -5595,6 +5639,16 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "urgent_revenue_bloom": """
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                     AS o_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o_year ORDER BY o_year
         """,
         "zorder_layout": f"""
             WITH base AS (

@@ -351,3 +351,41 @@ def test_skew_join_matches_grace_join(ray_session):
     b = b[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_bloom_prefilter_join_equality(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     key_bloom,
+                                                     key_bloom_mask)
+
+    rng = np.random.default_rng(41)
+    left = pd.DataFrame({"k": rng.integers(0, 5000, 4000).astype("int64"),
+                         "a": rng.integers(0, 9, 4000).astype("int64")})
+    # selective right side: only 10% of the key space can match
+    right = pd.DataFrame({"rk": rng.integers(0, 500, 600).astype("int64"),
+                          "b": rng.integers(0, 9, 600).astype("int64")})
+
+    kwargs = dict(n_buckets=8)
+    a = bucket_hash_join(rd.from_pandas(left).repartition(5),
+                         rd.from_pandas(right).repartition(3),
+                         "k", "rk", ["a"], ["b"], **kwargs).to_pandas()
+    b = bucket_hash_join(rd.from_pandas(left).repartition(5),
+                         rd.from_pandas(right).repartition(3),
+                         "k", "rk", ["a"], ["b"], bloom_prefilter=True,
+                         **kwargs).to_pandas()
+    key = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+
+    # no false negatives: every inserted key passes its own bloom
+    bm = key_bloom(rd.from_pandas(right), "rk")
+    assert key_bloom_mask(right["rk"].to_numpy(), bm).all()
+    # outer joins refuse the prefilter
+    with pytest.raises(ValueError, match="inner"):
+        bucket_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         "k", "rk", ["a"], ["b"], join_type="left outer",
+                         bloom_prefilter=True)

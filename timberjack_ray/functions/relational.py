@@ -430,11 +430,70 @@ def grouped_topk(ds, group_col: str, sort_col: str, k: int, tie_col: str,
             batch_format="pyarrow")
 
 
+_BLOOM_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_bloom(ds, key_col: str, m_bits: int = 1 << 22,
+              n_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom filter over an integer KEY column: each batch
+    collapses to one packed-uint64 bitmap row (vectorized bit set), the
+    driver OR-folds — bitmap size is FIXED (512 KB default) regardless
+    of key cardinality.  Keys mix through a 64-bit multiplicative hash
+    first so dense integer domains spread."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.dedup import _bloom_coords
+
+    n_words = (m_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(k):
+            h = np.unique(k.astype(np.uint64) * _BLOOM_KEY_MIX)
+            for pos in _bloom_coords(h, m_bits, n_hashes):
+                np.bitwise_or.at(
+                    bm, pos >> 6,
+                    np.uint64(1) << (pos & np.int64(63)).astype(np.uint64))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b["bm"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+    return acc
+
+
+def key_bloom_mask(keys: np.ndarray, bm: np.ndarray, m_bits: int = 1 << 22,
+                   n_hashes: int = 4) -> np.ndarray:
+    """Membership mask of integer keys against a ``key_bloom`` bitmap —
+    NO false negatives (every inserted key passes); false positives at
+    the bitmap's FP rate only cost wasted exchange rows downstream."""
+    from timberjack_ray.functions.dedup import _bloom_coords
+
+    h = keys.astype(np.uint64) * _BLOOM_KEY_MIX
+    mask = np.ones(len(h), dtype=bool)
+    for pos in _bloom_coords(h, m_bits, n_hashes):
+        bit = (bm[pos >> 6] >> (pos & np.int64(63)).astype(np.uint64)) \
+            & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask
+
+
 def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
                      left_cols: list[str], right_cols: list[str],
                      n_buckets: int = 64, join_type: str = "inner",
-                     bucket_fn=None):
+                     bucket_fn=None, bloom_prefilter: bool = False,
+                     bloom_m_bits: int = 1 << 22):
     """Shuffle hash join for two LARGE sides (neither fits a broadcast).
+
+    ``bloom_prefilter=True`` (INNER joins only — outer joins must keep
+    non-matching left rows): a fixed-size Bloom filter over the right
+    keys broadcasts first and prunes left rows that cannot match BEFORE
+    they cross the exchange — the classic shuffle-volume reduction for
+    selective joins; false positives only add wasted exchange rows, the
+    per-bucket C join removes them exactly.
 
     Plan: both inputs are tagged and bucketed by ``hash(key) % n_buckets``
     in a map stage, the union is co-partitioned with ONE groupby exchange
@@ -485,14 +544,31 @@ def bucket_hash_join(left_ds, right_ds, left_key: str, right_key: str,
     l_types = _types(left_ds, left_cols)
     r_types = _types(right_ds, right_cols)
 
+    bloom_ref = None
+    if bloom_prefilter:
+        if join_type != "inner":
+            raise ValueError("bucket_hash_join: bloom_prefilter requires an "
+                             "inner join (outer joins keep non-matching rows)")
+        import ray
+        bloom_ref = ray.put(key_bloom(right_ds, right_key, bloom_m_bits))
+
     def prep(side: str, key_col: str, own: dict, other: dict):
         def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
             key = pc.cast(t[key_col], pa.int64())
             if key.null_count:
                 raise ValueError(
                     f"bucket_hash_join: null join keys in {key_col!r} "
                     "(filter nulls upstream; null keys never match in SQL)")
+            if side == "l" and bloom_ref is not None:
+                from timberjack_ray.functions.util import fetch_broadcast
+
+                bm = fetch_broadcast(bloom_ref)
+                m = key_bloom_mask(key.to_numpy(zero_copy_only=False), bm,
+                                   bloom_m_bits)
+                if not m.all():
+                    t = t.filter(pa.array(m))
+                    key = pc.cast(t[key_col], pa.int64())
+            n = t.num_rows
             ids = key.to_numpy(zero_copy_only=False).astype(np.uint64)
             bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)
                       ) % np.uint64(n_buckets)
