@@ -2091,6 +2091,19 @@ def q_user_funnel(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def q_user_funnel_1h(sf_dir: str):
+    """Conversion-WINDOW funnel (funnel_counts window_s): the
+    view→click→purchase funnel where each later step must land within
+    ONE HOUR of the previous step's first qualifying time — the
+    "converted within the hour" product-analytics refinement; same
+    single bucketed exchange and steps-sized merge as user_funnel."""
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"], window_s=3600)
+
+
 def q_orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(priority, status) revenue sums
     (functions/relational.rollup_sums): the rollup expansion happens inside
@@ -5307,6 +5320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_auc": q_logreg_auc,
         "zorder_layout": q_zorder_layout,
         "urgent_revenue_bloom": q_urgent_revenue_bloom,
+        "user_funnel_1h": q_user_funnel_1h,
     }
 
 
@@ -5639,6 +5653,32 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "user_funnel_1h": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   COUNT(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', COUNT(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM s3
         """,
         "urgent_revenue_bloom": """
             SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)

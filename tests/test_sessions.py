@@ -393,3 +393,29 @@ def test_interval_union_random_vs_reference(ray_session):
                 ce = max(ce, e)
         tot += ce - cs
         assert got[k] == tot, k
+
+
+def test_funnel_window_constraint_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import funnel_counts
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: view@0, click@0.5h, purchase@1h after click -> all in
+        (1, 0, "view"), (1, H // 2, "click"), (1, H // 2 + H, "purchase"),
+        # user 2: click 2h after view -> window kills step 2
+        (2, 0, "view"), (2, 2 * H, "click"), (2, 3 * H, "purchase"),
+        # user 3: exact boundary click at t1 + 1h (inclusive) -> qualifies
+        (3, 0, "view"), (3, H, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "t", "ty"])
+    df["t"] = pd.to_datetime(df["t"], unit="us")
+    out = funnel_counts(rd.from_pandas(df).repartition(3), "u", "t", "ty",
+                        ["view", "click", "purchase"], window_s=3600)
+    assert out["n_users"].tolist() == [3, 2, 1]
+    # unwindowed: user 2's late click/purchase count again
+    out2 = funnel_counts(rd.from_pandas(df).repartition(3), "u", "t", "ty",
+                         ["view", "click", "purchase"])
+    assert out2["n_users"].tolist() == [3, 3, 2]

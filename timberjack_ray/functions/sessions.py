@@ -138,12 +138,18 @@ def session_stats(ds, key_col: str, ts_col: str, gap_s: int,
 
 
 def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
-                  steps: list[str], n_buckets: int = 256) -> pd.DataFrame:
+                  steps: list[str], n_buckets: int = 256,
+                  window_s: int | None = None) -> pd.DataFrame:
     """Ordered-funnel conversion counts: for each prefix of ``steps``, the
     number of distinct keys whose events contain those step types in strict
     temporal order (each step's timestamp strictly after the previous
     step's FIRST qualifying timestamp — the classic product-analytics
     funnel the reference has no counterpart for).
+
+    ``window_s``: optional CONVERSION WINDOW — step j (j ≥ 2) must also
+    land within ``window_s`` seconds of step j−1's first qualifying
+    time (the "converted within the hour" refinement); the first step
+    is unconstrained.
 
     Scale shape: one all-to-all of the (key, ts, type) projection into
     ``n_buckets`` hash co-partitions (same exchange as sessionize); inside
@@ -170,9 +176,22 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
         big = np.iinfo(np.int64).max
         # prev[i] = per-segment first-ts of the previous step (row-expanded)
         prev = np.full(len(ks), np.iinfo(np.int64).min, dtype=np.int64)
+        w_us = None if window_s is None else np.int64(
+            int(window_s) * (1_000_000 if np.issubdtype(ts.dtype,
+                                                        np.datetime64)
+                             else 1))
         counts = []
-        for step in steps:
-            masked = np.where((tys == step) & (ss > prev), ss, big)
+        for j, step in enumerate(steps):
+            cond = (tys == step) & (ss > prev)
+            if w_us is not None and j > 0:
+                # prev can hold the ±int64 sentinels — add the window only
+                # where a real previous-step time exists (failed keys'
+                # cond is already False via ss > prev)
+                valid = (prev > np.iinfo(np.int64).min) & (prev < big)
+                upper = np.where(valid, prev + np.where(valid, w_us, 0),
+                                 np.iinfo(np.int64).min)
+                cond &= ss <= upper
+            masked = np.where(cond, ss, big)
             if len(starts):
                 seg_min = np.minimum.reduceat(masked, starts)
             else:
