@@ -2091,6 +2091,39 @@ def q_user_funnel(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def q_auto_join_revenue(sf_dir: str):
+    """Cost-based join planning (relational.auto_join): revenue by
+    priority where the ENGINE picks the physical join — at sf0.001 the
+    orders side is under the broadcast limit and never shuffles; at
+    sf0.01+ the same query takes the GRACE exchange; a skewed probe side
+    would route hot keys around it.  The result is plan-invariant, so
+    ONE oracle hash-checks every path the scale selects."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import auto_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": scale_to_int(t["l_extendedprice"], 100)})
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "rev_c", "n"])
+
+    j, plan = auto_join(
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        "l_orderkey", "o_orderkey", ["cents"], ["o_orderpriority"],
+        broadcast_limit=10_000, n_buckets=32, bucket_fn=agg)
+    out = merge_partials(j, ["o_orderpriority"], ["rev_c", "n"]).to_pandas()
+    out = out.sort_values("o_orderpriority").reset_index(drop=True) \
+        .astype({"rev_c": "int64", "n": "int64"})
+    out.attrs["plan"] = plan
+    return out
+
+
 def q_user_funnel_1h(sf_dir: str):
     """Conversion-WINDOW funnel (funnel_counts window_s): the
     view→click→purchase funnel where each later step must land within
@@ -5321,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": q_zorder_layout,
         "urgent_revenue_bloom": q_urgent_revenue_bloom,
         "user_funnel_1h": q_user_funnel_1h,
+        "auto_join_revenue": q_auto_join_revenue,
     }
 
 
@@ -5653,6 +5687,14 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "auto_join_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
         "user_funnel_1h": """
             WITH s1 AS (

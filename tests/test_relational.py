@@ -389,3 +389,46 @@ def test_bloom_prefilter_join_equality(ray_session):
         bucket_hash_join(rd.from_pandas(left), rd.from_pandas(right),
                          "k", "rk", ["a"], ["b"], join_type="left outer",
                          bloom_prefilter=True)
+
+
+def test_auto_join_picks_each_plan_and_agrees(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import auto_join, bucket_hash_join
+
+    rng = np.random.default_rng(51)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 3000).astype("int64"),
+                         "a": rng.integers(0, 9, 3000).astype("int64")})
+    right = pd.DataFrame({"rk": rng.integers(0, 280, 400).astype("int64"),
+                          "b": rng.integers(0, 9, 400).astype("int64")})
+    expect = bucket_hash_join(rd.from_pandas(left).repartition(4),
+                              rd.from_pandas(right).repartition(3),
+                              "k", "rk", ["a"], ["b"], n_buckets=8) \
+        .to_pandas()
+    key = ["k", "a", "b"]
+    expect = expect[key].sort_values(key).reset_index(drop=True)
+
+    def run(**kw):
+        ds, plan = auto_join(rd.from_pandas(left).repartition(4),
+                             rd.from_pandas(right).repartition(3),
+                             "k", "rk", ["a"], ["b"], n_buckets=8, **kw)
+        got = ds.to_pandas()[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect)
+        return plan
+
+    assert run(broadcast_limit=1000) == "broadcast"   # right fits
+    assert run(broadcast_limit=10) == "grace"         # no skew, no fit
+
+    skew_left = left.copy()
+    skew_left.loc[:900, "k"] = 7                      # 30% on one key
+    expect_s = bucket_hash_join(rd.from_pandas(skew_left).repartition(4),
+                                rd.from_pandas(right).repartition(3),
+                                "k", "rk", ["a"], ["b"], n_buckets=8) \
+        .to_pandas()[key].sort_values(key).reset_index(drop=True)
+    ds, plan = auto_join(rd.from_pandas(skew_left).repartition(4),
+                        rd.from_pandas(right).repartition(3),
+                        "k", "rk", ["a"], ["b"], n_buckets=8,
+                        broadcast_limit=10)
+    assert plan == "skew"
+    got = ds.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect_s)

@@ -1723,3 +1723,76 @@ def zorder_layout_stats(ds, x_col: str, y_col: str, n_ranges: int = 16,
                             "min_y", "max_y"]).to_pandas() \
         .sort_values("range_id").reset_index(drop=True)
     return out.astype({c: "int64" for c in out.columns})
+
+
+def auto_join(left_ds, right_ds, left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              broadcast_limit: int = 500_000, hot_limit: int = 64,
+              hot_frac: float = 0.05, n_buckets: int = 64,
+              bucket_fn=None):
+    """Cost-based INNER-join planner over the three physical join
+    operators — the decision every query engine makes, made explicit:
+
+    1. a per-batch count pass sizes the RIGHT side; under
+       ``broadcast_limit`` rows it collects + broadcasts
+       (:func:`broadcast_join` — no exchange at all);
+    2. otherwise a LEFT key-count pre-pass (distinct-key partials) looks
+       for skew: if the hottest key carries more than ``hot_frac`` of
+       the rows, :func:`skew_join` routes the hot keys around the
+       exchange;
+    3. otherwise the plain GRACE :func:`bucket_hash_join`.
+
+    Results are PLAN-INVARIANT (the point: the same query hash-checks
+    whichever path the data's scale/skew selects — at sf0.001 a
+    dimension side broadcasts, at sf0.1 the same query takes the GRACE
+    exchange).  Returns (Dataset, plan) with plan ∈ {"broadcast",
+    "skew", "grace"}.  ``bucket_fn`` applies under every plan (for the
+    broadcast path it runs per joined batch)."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"one": pa.array([0], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    r_n = int(merge_partials(
+        right_ds.map_batches(count_rows, batch_format="pyarrow"),
+        ["one"], "n").to_pandas()["n"].iloc[0])
+
+    if r_n <= broadcast_limit:
+        from timberjack_ray.functions.util import collect_table_under
+
+        right = collect_table_under(
+            right_ds.select_columns([right_key] + right_cols),
+            broadcast_limit)
+        assert right is not None  # counted ≤ limit above
+        joined = broadcast_join(left_ds.select_columns(
+            [left_key] + left_cols), right, keys=left_key,
+            right_keys=right_key, join_type="inner")
+        joined = joined.map_batches(
+            lambda t: t.select([left_key] + left_cols + right_cols),
+            batch_format="pyarrow")
+        if bucket_fn is not None:
+            joined = joined.map_batches(bucket_fn, batch_format="pyarrow")
+        return joined, "broadcast"
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": pc.cast(t[left_key], pa.int64())}) \
+            .group_by(["k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    counts = merge_partials(
+        left_ds.map_batches(key_counts, batch_format="pyarrow"),
+        ["k"], "n").to_pandas()
+    l_n = int(counts["n"].sum())
+    hottest = int(counts["n"].max()) if len(counts) else 0
+
+    if l_n and hottest > hot_frac * l_n:
+        return skew_join(left_ds, right_ds, left_key, right_key,
+                         left_cols, right_cols, hot_limit=hot_limit,
+                         n_buckets=n_buckets,
+                         bucket_fn=bucket_fn), "skew"
+    return bucket_hash_join(left_ds, right_ds, left_key, right_key,
+                            left_cols, right_cols, n_buckets=n_buckets,
+                            bucket_fn=bucket_fn), "grace"
