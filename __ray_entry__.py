@@ -632,11 +632,15 @@ def q_orders_upsert_latest(sf_dir: str):
     """MERGE / upsert (SCD keep-latest) semantics: a planted update
     stream (every 5th order re-emitted a day later with status 'U' —
     SQL-replayed) merges into the base table and the LATEST row per key
-    wins, resolved as ONE packed-integer Max groupby — (version, status)
-    pack into one int64 so the winner and its payload travel together
-    through a single mergeable aggregate (the dedup_keep_best shape on a
-    fact table).  Output: final status census."""
-    from ray.data.aggregate import Max
+    wins, resolved as ONE packed-integer Max — (version, status) pack
+    into one int64 so the winner and its payload travel together through
+    a single mergeable aggregate (the dedup_keep_best shape on a fact
+    table).  Per-batch per-key Max partials feed the GUARDED driver fold
+    (key-bounded; degrades to the distributed groupby(Max) past the
+    limit — the session-5 q18 pattern that avoids the Ray all-to-all's
+    multi-second fixed cost at gate scales).  Output: final status
+    census."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
 
     code = {"F": 0, "O": 1, "P": 2, "U": 3}
     dec = {v: k for k, v in code.items()}
@@ -651,24 +655,34 @@ def q_orders_upsert_latest(sf_dir: str):
         pk = np.concatenate([packed, ((d[upd] + 86_400_000_000) * 2 + 1) * 4
                              + np.int64(code["U"])])
         kk = np.concatenate([k, k[upd]])
-        return pa.table({"o_orderkey": pa.array(kk), "pk": pa.array(pk)})
+        g = pa.table({"o_orderkey": pa.array(kk), "pk": pa.array(pk)}) \
+            .group_by("o_orderkey").aggregate([("pk", "max")])
+        return g.rename_columns(["o_orderkey", "pk"])
 
     ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate",
                                         "o_orderstatus"])
-    g = ds.map_batches(aug, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Max("pk", alias_name="pk"))
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(aug, batch_format="pyarrow"),
+        ["o_orderkey"], ["pk"], ops=["max"])
 
-    def census(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"status": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        s = t["pk"].to_numpy(zero_copy_only=False) % 4
+    def census_np(pk: np.ndarray) -> pd.DataFrame:
+        s = pk % 4
         vals, cnts = np.unique(s, return_counts=True)
-        return pa.table({"status": pa.array([dec[int(v)] for v in vals]),
-                         "n": pa.array(cnts.astype(np.int64))})
+        return pd.DataFrame({"status": [dec[int(v)] for v in vals],
+                             "n": cnts.astype(np.int64)})
 
-    p = g.map_batches(census, batch_format="pyarrow").to_pandas()
-    out = p.groupby("status", as_index=False).agg(n=("n", "sum"))
+    if mode == "driver":
+        out = census_np(folded["pk"].to_numpy(zero_copy_only=False))
+    else:  # pragma: no cover - past the fold guard
+        def census(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"status": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            d = census_np(t["pk"].to_numpy(zero_copy_only=False))
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        p = folded.map_batches(census, batch_format="pyarrow").to_pandas()
+        out = p.groupby("status", as_index=False).agg(n=("n", "sum"))
     return out.sort_values("status").reset_index(drop=True) \
         .astype({"n": "int64"})
 

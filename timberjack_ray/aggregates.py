@@ -427,24 +427,24 @@ def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
     memory stays bounded at any key cardinality, at the cost of one wasted
     partial pass bounded by driver_limit rows).
 
-    ``ops``: per-column combine, parallel to ``n_cols`` — "sum" (default)
-    or "min"; both are commutative monoids so the driver fold and the
-    distributed degrade agree exactly.
+    ``ops``: per-column combine, parallel to ``n_cols`` — "sum" (default),
+    "min" or "max"; all are commutative monoids so the driver fold and
+    the distributed degrade agree exactly.
 
     Returns ``(pa.Table, "driver")`` or ``(Dataset, "distributed")``.
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     if driver_limit is None:
         driver_limit = FOLD_GUARD_LIMIT
     n_cols = list(n_cols)
     ops = list(ops) if ops is not None else ["sum"] * len(n_cols)
-    assert len(ops) == len(n_cols) and set(ops) <= {"sum", "min"}
+    assert len(ops) == len(n_cols) and set(ops) <= {"sum", "min", "max"}
+    _AGGS = {"sum": Sum, "min": Min, "max": Max}
 
     def distributed():
         return partials_ds.groupby(keys).aggregate(
-            *[(Sum(c, alias_name=c) if op == "sum"
-               else Min(c, alias_name=c))
+            *[_AGGS[op](c, alias_name=c)
               for c, op in zip(n_cols, ops)]), "distributed"
 
     pending: list[pa.Table] = []
