@@ -2105,6 +2105,37 @@ def q_user_funnel(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median: the quantity-weighted median of lineitem
+    unit prices (each row counts with weight = its quantity) — the
+    inventory-/volume-weighted statistic a plain median misstates.  One
+    streaming pass folds the (value-cents, weight-sum) histogram
+    (distinct-value-bounded, same shape as exact_quantiles); the driver
+    walk picks the first value whose doubled cumulative weight reaches
+    the total (lower weighted median — integer rule, no interpolation),
+    replayed in SQL by a running-sum window."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t["l_extendedprice"], 100)
+        w = scale_to_int(t["l_quantity"], 1)
+        g = pa.table({"v": v, "w": w}).group_by("v") \
+            .aggregate([("w", "sum")])
+        return g.rename_columns(["v", "w"])
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["v"], "w").to_pandas().sort_values("v")
+    v = h["v"].to_numpy(np.int64)
+    w = h["w"].to_numpy(np.int64)
+    cum = np.cumsum(w)
+    tot = int(cum[-1])
+    med = int(v[np.searchsorted(2 * cum, tot, side="left")])
+    return pd.DataFrame({"wmedian_scaled": [med],
+                         "total_weight": [tot]})
+
+
 def q_auto_join_revenue(sf_dir: str):
     """Cost-based join planning (relational.auto_join): revenue by
     priority where the ENGINE picks the physical join — at sf0.001 the
@@ -5369,6 +5400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_revenue_bloom": q_urgent_revenue_bloom,
         "user_funnel_1h": q_user_funnel_1h,
         "auto_join_revenue": q_auto_join_revenue,
+        "weighted_median_price": q_weighted_median_price,
     }
 
 
@@ -5701,6 +5733,22 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "weighted_median_price": """
+            WITH h AS (
+              SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS w
+              FROM lineitem GROUP BY v),
+            c AS (
+              SELECT v,
+                     SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cum,
+                     SUM(w) OVER () AS tot
+              FROM h)
+            SELECT CAST(MIN(v) AS BIGINT) AS wmedian_scaled,
+                   CAST(MIN(tot) AS BIGINT) AS total_weight
+            FROM c WHERE 2 * cum >= tot
         """,
         "auto_join_revenue": """
             SELECT o.o_orderpriority,
