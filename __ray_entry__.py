@@ -4779,6 +4779,32 @@ def q_stream_quota_admit(sf_dir: str):
         .astype({"doc_id": "int64", "n_chars": "int64"})
 
 
+def q_stream_rate_limit(sf_dir: str):
+    """Streaming windowed rate limiter (state/rate_limit.RateLimiter):
+    events arrive in (ts, id) order; each (user, DAY) admits its first
+    2 events and drops the flood (~30% of this corpus) — per-key state
+    resets every window so shard memory is one live counter per key at
+    any stream length.  Deterministic arrival order makes the admission
+    SQL-replayable (ROW_NUMBER per (user, day) ≤ 2); admitted counts
+    per type."""
+    from timberjack_ray.state.rate_limit import RateLimiter
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"]) \
+        .sort(["ts", "event_id"])
+    counts: dict[str, int] = {}
+    with RateLimiter(k=2, window_s=86_400, n_shards=4) as rl:
+        for b in ds.iter_batches(batch_size=512, batch_format="pyarrow"):
+            kept = rl.filter_batch(b, "user_id", "ts")
+            if kept.num_rows:
+                g = kept.group_by("event_type").aggregate([([], "count_all")])
+                for ty, n in zip(g["event_type"].to_pylist(),
+                                 g["count_all"].to_pylist()):
+                    counts[ty] = counts.get(ty, 0) + int(n)
+    return pd.DataFrame(sorted(counts.items()),
+                        columns=["event_type", "n"]).astype({"n": "int64"})
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """Normalization-level dedup keeping the BEST copy (functions/dedup
     .exact_dedup_keep_best): groups = C4-normalized text, survivor = max
@@ -5401,6 +5427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_1h": q_user_funnel_1h,
         "auto_join_revenue": q_auto_join_revenue,
         "weighted_median_price": q_weighted_median_price,
+        "stream_rate_limit": q_stream_rate_limit,
     }
 
 
@@ -5733,6 +5760,17 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "stream_rate_limit": """
+            WITH r AS (
+              SELECT event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT event_type, COUNT(*) AS n
+            FROM r WHERE rn <= 2
+            GROUP BY event_type ORDER BY event_type
         """,
         "weighted_median_price": """
             WITH h AS (

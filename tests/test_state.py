@@ -361,3 +361,48 @@ def test_streaming_topk_planted_heavy_hitters(ray_session):
     for _, r in top.iterrows():
         true = truth[r["key"]]
         assert true - r["err"] <= r["n_lo"] <= true
+
+
+def test_rate_shard_window_reset():
+    from timberjack_ray.state.rate_limit import _RateShardState
+
+    s = _RateShardState(k=2, window_us=100)
+    #          t:   0   10  20  120 130 140 210
+    keep = s.admit(["u"] * 7,
+                   np.array([0, 10, 20, 120, 130, 140, 210], np.int64))
+    # window 0: first 2 admitted; window 1: resets, first 2; window 2: 1
+    assert keep.tolist() == [True, True, False, True, True, False, True]
+    assert s.n_keys() == 1  # one live counter, not one per window
+
+
+def test_rate_limiter_vs_window_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.state.rate_limit import RateLimiter
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "k": rng.integers(0, 30, n).astype("int64"),
+        "t": np.sort(rng.integers(0, 3_000_000, n)).astype("int64"),
+    })
+    kept = []
+    ds = rd.from_pandas(df).repartition(5).sort(["t", "id"])
+    with RateLimiter(k=3, window_s=1, n_shards=3) as rl:  # 1s windows (us ts)
+        for b in ds.iter_batches(batch_size=300, batch_format="pyarrow"):
+            f = rl.filter_batch(b, "k", "t")
+            if f.num_rows:
+                kept.append(f.to_pandas())
+    got = pd.concat(kept).sort_values("id")["id"].tolist()
+
+    con = duckdb.connect()
+    con.register("ev", df)
+    exp = con.execute("""
+        SELECT id FROM (
+          SELECT id, ROW_NUMBER() OVER (
+            PARTITION BY k, t // 1000000 ORDER BY t, id) AS rn
+          FROM ev) WHERE rn <= 3 ORDER BY id""").df()["id"].tolist()
+    assert got == exp
