@@ -2105,6 +2105,57 @@ def q_user_funnel(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation — the classic customer-analytics composition:
+    per-customer (Recency = days since last order vs the corpus max,
+    Frequency = order count, Monetary = cents total) from ONE streaming
+    pass of per-batch per-customer partials (max/count/sum — all
+    mergeable); each dimension cuts at its exact type-1 MEDIAN over the
+    customer-bounded table (GUARDED fold; distributed degrade
+    documented), yielding the 2×2×2 segment census.  Integer rules
+    (r ≤ med, f > med, m > med) replay exactly in SQL."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "c": t["o_custkey"],
+            "d": pc.cast(t["o_orderdate"], pa.int64()),
+            "m": scale_to_int(t["o_totalprice"], 100),
+        }).group_by("c").aggregate(
+            [("d", "max"), ([], "count_all"), ("m", "sum")])
+        return g.rename_columns(["c", "last_us", "f", "m"])
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], ["last_us", "f", "m"], ops=["max", "sum", "sum"])
+    if mode != "driver":  # pragma: no cover - past the customer guard
+        raise ValueError("rfm_segments: customer cardinality exceeds the "
+                         "fold guard — stream the per-customer Dataset and "
+                         "cut on sampled quantiles instead")
+    last = folded["last_us"].to_numpy(zero_copy_only=False)
+    f = folded["f"].to_numpy(zero_copy_only=False)
+    m = folded["m"].to_numpy(zero_copy_only=False)
+    r = (int(last.max()) - last) // 86_400_000_000
+
+    def med(v: np.ndarray) -> int:  # type-1 / quantile_disc(0.5)
+        s = np.sort(v)
+        return int(s[int(np.ceil(0.5 * len(s))) - 1])
+
+    rc, fc, mc = med(r), med(f), med(m)
+    seg = pd.DataFrame({
+        "r_recent": (r <= rc).astype(np.int64),
+        "f_hi": (f > fc).astype(np.int64),
+        "m_hi": (m > mc).astype(np.int64),
+    })
+    out = seg.groupby(["r_recent", "f_hi", "m_hi"]).size() \
+        .reset_index(name="n")
+    return out.sort_values(["r_recent", "f_hi", "m_hi"]) \
+        .reset_index(drop=True).astype({"n": "int64"})
+
+
 def q_weighted_median_price(sf_dir: str):
     """Exact WEIGHTED median: the quantity-weighted median of lineitem
     unit prices (each row counts with weight = its quantity) — the
@@ -5428,6 +5479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_join_revenue": q_auto_join_revenue,
         "weighted_median_price": q_weighted_median_price,
         "stream_rate_limit": q_stream_rate_limit,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -5760,6 +5812,31 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     MAX(epoch_us(o_orderdate)) AS last_us,
+                     COUNT(*) AS f,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+              FROM orders GROUP BY o_custkey),
+            dims AS (
+              SELECT o_custkey,
+                     ((SELECT MAX(last_us) FROM pc) - last_us)
+                       // 86400000000 AS r,
+                     f, m
+              FROM pc),
+            cuts AS (
+              SELECT quantile_disc(r, 0.5) AS rc,
+                     quantile_disc(f, 0.5) AS fc,
+                     quantile_disc(m, 0.5) AS mc
+              FROM dims)
+            SELECT CAST(r <= rc AS BIGINT) AS r_recent,
+                   CAST(f > fc AS BIGINT) AS f_hi,
+                   CAST(m > mc AS BIGINT) AS m_hi,
+                   COUNT(*) AS n
+            FROM dims, cuts
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "stream_rate_limit": """
             WITH r AS (
