@@ -1575,6 +1575,35 @@ def q_session_spans(sf_dir: str):
     return out[["user_id", "session_id", "n_events", "span_us"]].astype("int64")
 
 
+def q_session_size_histogram(sf_dir: str):
+    """Session-size distribution — the bounce-rate diagnostic (a
+    1-event session is a bounce; the share is the consumer's division
+    from this exact histogram): sessionize (bucketed segmented
+    assignment) → per-(user, session) count partials merged split-proof
+    → size histogram bounded by the longest session, never session
+    count."""
+    from timberjack_ray.functions.sessions import sessionize
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_s=3600)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "session_id"]) \
+            .group_by(["user_id", "session_id"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["user_id", "session_id", "n"])
+
+    p = pa.concat_tables(list(
+        sess.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    per = p.groupby(["user_id", "session_id"], as_index=False).agg(
+        n=("n", "sum"))
+    out = per.groupby("n").size().reset_index(name="n_sessions") \
+        .rename(columns={"n": "n_events"})
+    return out.sort_values("n_events").reset_index(drop=True) \
+        .astype({"n_events": "int64", "n_sessions": "int64"})
+
+
 def q_rare_bigram_counts(sf_dir: str):
     """LM-free fluency proxy: per-doc count of corpus-rare bigrams
     (corpus count ≤ 2).  Two passes; the rare set broadcasts once and the
@@ -2103,6 +2132,31 @@ def q_user_funnel(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
     return funnel_counts(ds, "user_id", "ts", "event_type",
                          ["view", "click", "purchase"])
+
+
+def q_weekly_event_growth(sf_dir: str):
+    """Time-series growth: per (type, ISO-ish week = epoch_us // 7d)
+    event counts with the week-over-week DELTA (LAG diff) — the
+    monitoring series every telemetry pipeline charts.  Counts travel as
+    (type, week) partials (merge bounded by types × weeks); the LAG is a
+    driver walk over that bounded table, gap weeks contributing a full
+    drop (delta vs 0 would be wrong — the diff is vs the PREVIOUS
+    OBSERVED week, exactly what the SQL LAG does)."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(7 * 86_400_000_000, pa.int64()))
+        g = pa.table({"event_type": t["event_type"], "week": w}) \
+            .group_by(["event_type", "week"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "week", "n"])
+
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type"])
+    h = merge_partials(ds.map_batches(bucket, batch_format="pyarrow"),
+                       ["event_type", "week"], "n").to_pandas() \
+        .sort_values(["event_type", "week"]).reset_index(drop=True)
+    h["delta"] = h.groupby("event_type")["n"].diff().fillna(0)
+    return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
 def q_rfm_segments(sf_dir: str):
@@ -5480,6 +5534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "stream_rate_limit": q_stream_rate_limit,
         "rfm_segments": q_rfm_segments,
+        "weekly_event_growth": q_weekly_event_growth,
+        "session_size_histogram": q_session_size_histogram,
     }
 
 
@@ -5812,6 +5868,37 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              AND a.event_id <> b.event_id
             ORDER BY a_id, b_id
+        """,
+        "session_size_histogram": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 3600000000
+                          OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS st
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), a AS (
+              SELECT user_id, us,
+                     SUM(st) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            ), g AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events
+              FROM a GROUP BY 1, 2)
+            SELECT CAST(n_events AS BIGINT) AS n_events,
+                   COUNT(*) AS n_sessions
+            FROM g GROUP BY n_events ORDER BY n_events
+        """,
+        "weekly_event_growth": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 604800000000 AS week,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, week, n,
+                   CAST(COALESCE(n - LAG(n) OVER (
+                     PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
+                   AS delta
+            FROM c ORDER BY event_type, week
         """,
         "rfm_segments": """
             WITH pc AS (
