@@ -2159,6 +2159,42 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_flag_weighted_median_price(sf_dir: str):
+    """GROUPED exact weighted median: quantity-weighted price median per
+    return flag — the grouped form of weighted_median_price.  One pass
+    folds the (flag, value-cents, weight-sum) histogram (groups ×
+    distinct values bounded); the driver walks each group's cumulative
+    weights with the same 2·cum ≥ tot integer rule, replayed per group
+    by a partitioned running-sum window."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"flag": t["l_returnflag"],
+                      "v": scale_to_int(t["l_extendedprice"], 100),
+                      "w": scale_to_int(t["l_quantity"], 1)}) \
+            .group_by(["flag", "v"]).aggregate([("w", "sum")])
+        return g.rename_columns(["flag", "v", "w"])
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["flag", "v"], "w").to_pandas() \
+        .sort_values(["flag", "v"])
+    rows = []
+    for flag, g in h.groupby("flag"):
+        v = g["v"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        med = int(v[np.searchsorted(2 * cum, tot, side="left")])
+        rows.append((flag, med, tot))
+    return pd.DataFrame(rows, columns=["flag", "wmedian_scaled",
+                                       "total_weight"]) \
+        .sort_values("flag").reset_index(drop=True) \
+        .astype({"wmedian_scaled": "int64", "total_weight": "int64"})
+
+
 def q_rfm_segments(sf_dir: str):
     """RFM segmentation — the classic customer-analytics composition:
     per-customer (Recency = days since last order vs the corpus max,
@@ -5536,6 +5572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "weekly_event_growth": q_weekly_event_growth,
         "session_size_histogram": q_session_size_histogram,
+        "flag_weighted_median_price": q_flag_weighted_median_price,
     }
 
 
@@ -5899,6 +5936,24 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "flag_weighted_median_price": """
+            WITH h AS (
+              SELECT l_returnflag AS flag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2),
+            c AS (
+              SELECT flag, v,
+                     SUM(w) OVER (PARTITION BY flag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(w) OVER (PARTITION BY flag) AS tot
+              FROM h)
+            SELECT flag, CAST(MIN(v) AS BIGINT) AS wmedian_scaled,
+                   CAST(MIN(tot) AS BIGINT) AS total_weight
+            FROM c WHERE 2 * cum >= tot
+            GROUP BY flag ORDER BY flag
         """,
         "rfm_segments": """
             WITH pc AS (
