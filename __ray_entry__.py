@@ -2159,6 +2159,44 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_ship_latency_quantiles(sf_dir: str):
+    """Join→grouped-quantile chain: per-priority P50/P90 of the
+    order-to-ship latency in days — the fulfillment-SLA report.  ONE
+    GRACE exchange joins lineitem to orders (neither side broadcast, the
+    latency needs columns from both), the day-diff is computed in-bucket,
+    and grouped_quantiles folds only the (priority, days) histogram —
+    quantile traffic is value-histogram-sized, never row-sized."""
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     grouped_quantiles)
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "prio": t["o_orderpriority"]})
+
+    def lat(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.subtract(t["ship_us"], t["ord_us"]),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"prio": t["prio"], "lat_days": d})
+
+    j = bucket_hash_join(
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["ship_us"], ["ord_us", "prio"],
+        n_buckets=32, bucket_fn=lat)
+    out = grouped_quantiles(j, "prio", "lat_days", [0.5, 0.9], scale=1)
+    return out.rename(columns={"value_scaled": "lat_days"}) \
+        .sort_values(["prio", "q"]).reset_index(drop=True) \
+        .astype({"lat_days": "int64"})
+
+
 def q_flag_weighted_median_price(sf_dir: str):
     """GROUPED exact weighted median: quantity-weighted price median per
     return flag — the grouped form of weighted_median_price.  One pass
@@ -5573,6 +5611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_event_growth": q_weekly_event_growth,
         "session_size_histogram": q_session_size_histogram,
         "flag_weighted_median_price": q_flag_weighted_median_price,
+        "ship_latency_quantiles": q_ship_latency_quantiles,
     }
 
 
@@ -5936,6 +5975,19 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "ship_latency_quantiles": """
+            WITH s AS (
+              SELECT o.o_orderpriority AS prio,
+                     (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // 86400000000 AS d
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT prio, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(d, 0.5) AS BIGINT) AS lat_days
+            FROM s GROUP BY prio
+            UNION ALL
+            SELECT prio, 0.9, CAST(quantile_disc(d, 0.9) AS BIGINT)
+            FROM s GROUP BY prio
         """,
         "flag_weighted_median_price": """
             WITH h AS (
