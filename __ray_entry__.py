@@ -2159,6 +2159,19 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_event_type_user_overlap(sf_dir: str):
+    """Audience co-engagement matrix (corpus.item_group_overlap — the
+    generic bitmask core source_vocab_overlap now delegates to): exact
+    pairwise |users(a) ∩ users(b)| / |∪| between event types via ONE
+    user-bucket exchange and an n²-bounded per-bucket matmul collapse —
+    merge volume never depends on user cardinality."""
+    from timberjack_ray.functions.corpus import item_group_overlap
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    out = item_group_overlap(ds, "event_type", "user_id")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ship_latency_quantiles(sf_dir: str):
     """Join→grouped-quantile chain: per-priority P50/P90 of the
     order-to-ship latency in days — the fulfillment-SLA report.  ONE
@@ -5612,6 +5625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_histogram": q_session_size_histogram,
         "flag_weighted_median_price": q_flag_weighted_median_price,
         "ship_latency_quantiles": q_ship_latency_quantiles,
+        "event_type_user_overlap": q_event_type_user_overlap,
     }
 
 
@@ -5975,6 +5989,19 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "event_type_user_overlap": """
+            WITH p AS (SELECT DISTINCT event_type AS g, user_id AS i
+                       FROM events),
+            c AS (SELECT g, COUNT(*) AS n FROM p GROUP BY g),
+            j AS (SELECT x.g AS ga, y.g AS gb, COUNT(*) AS inter
+                  FROM p x JOIN p y ON x.i = y.i AND x.g < y.g
+                  GROUP BY 1, 2)
+            SELECT ga AS a, gb AS b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(ca.n + cb.n - inter AS BIGINT) AS uni
+            FROM j JOIN c ca ON ca.g = ga JOIN c cb ON cb.g = gb
+            ORDER BY a, b
         """,
         "ship_latency_quantiles": """
             WITH s AS (

@@ -1018,28 +1018,21 @@ def corpus_diff_counts(old_ds, new_ds, col: str = "text") -> pd.DataFrame:
     return out.sort_values("status").reset_index(drop=True)
 
 
-def source_vocab_overlap(ds, group_col: str = "source",
-                         col: str = "text") -> pd.DataFrame:
-    """Pairwise vocabulary overlap between sources: (a, b, inter, uni)
-    where inter = |vocab(a) ∩ vocab(b)| and uni = |vocab(a) ∪ vocab(b)| —
-    exact integers (Jaccard is the consumer's division).  The corpus-level
-    similarity matrix behind domain-mixing and cross-source-dedup
-    decisions.  Pairs with zero intersection are omitted.
-
-    Plan: the source list is tiny (broadcast as a position map); each
-    batch emits its DISTINCT (word, source-bitmask) partial ORs; ONE
-    word-hash bucket exchange co-locates each word, a segmented
-    ``bitwise_or.reduceat`` folds its final bitmask, and each bucket then
-    collapses its masks to an n_src × n_src co-occurrence matrix with one
-    matmul — so merge volume is ≤ n_src² rows per bucket BY CONSTRUCTION
-    (never words, never distinct mask combinations).  The driver sums the
-    tiny matrices and reads pairs off the upper triangle.
-    Precondition: ≤ 60 distinct sources (bitmask packs into int64)."""
-    import pyarrow.compute as pc2
-
+def item_group_overlap(ds, group_col: str, item_col: str) -> pd.DataFrame:
+    """Pairwise DISTINCT-item overlap between groups: (a, b, inter, uni)
+    with inter = |items(a) ∩ items(b)|, uni = |items(a) ∪ items(b)| —
+    exact integers (Jaccard is the consumer's division).  The generic
+    core of :func:`source_vocab_overlap` (items are existing column
+    values; the vocab op feeds it split words): each batch emits its
+    DISTINCT (item, group-bitmask) partial ORs; ONE item-hash bucket
+    exchange co-locates each item, a segmented ``bitwise_or.reduceat``
+    folds its final mask, and each bucket collapses to an n×n
+    co-occurrence matrix by one matmul — merge volume ≤ n_groups² per
+    bucket BY CONSTRUCTION.  Precondition: ≤ 60 distinct groups (the
+    int64 bitmask)."""
     from timberjack_ray.aggregates import merge_partials
 
-    sources = sorted(
+    groups = sorted(
         merge_partials(
             ds.select_columns([group_col]).map_batches(
                 lambda t: t.group_by(group_col)
@@ -1047,39 +1040,33 @@ def source_vocab_overlap(ds, group_col: str = "source",
                 .rename_columns([group_col, "n"]),
                 batch_format="pyarrow"),
             [group_col], "n").to_pandas()[group_col])
-    if len(sources) > 60:
-        raise ValueError(f"{len(sources)} sources exceed the 60-bit mask")
-    pos = {s: i for i, s in enumerate(sources)}
+    if len(groups) > 60:
+        raise ValueError(f"{len(groups)} groups exceed the 60-bit mask")
+    pos = {g: i for i, g in enumerate(groups)}
+    n_src = len(groups)
 
     def partial(t: pa.Table) -> pa.Table:
-        words = pc2.split_pattern(t[col], " ")
-        lens = pc2.list_value_length(words).to_numpy(zero_copy_only=False)
-        flat = pc2.list_flatten(words)
         src = t[group_col].to_pandas().map(pos).to_numpy(np.int64)
-        masks = np.int64(1) << np.repeat(src, lens)
-        # per-batch dedup of identical (word, single-source-bit) rows; the
-        # per-bucket segmented OR below folds the bits across batches
-        u = pa.table({"word": flat, "m": pa.array(masks)}) \
-            .group_by(["word", "m"]).aggregate([([], "count_all")])
-        return u.select(["word", "m"])
+        masks = np.int64(1) << src
+        u = pa.table({"item": t[item_col], "m": pa.array(masks)}) \
+            .group_by(["item", "m"]).aggregate([([], "count_all")])
+        return u.select(["item", "m"])
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
-    bucketed = add_key_bucket(pairs, "word", 256)
-
-    n_src = len(sources)
+    bucketed = add_key_bucket(pairs, "item", 256)
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        w = t["word"].to_numpy(zero_copy_only=False)
+        w = t["item"].to_numpy(zero_copy_only=False)
         m = t["m"].to_numpy(zero_copy_only=False)
         order = np.argsort(w, kind="stable")
         ws, ms = w[order], m[order]
         starts, _ = _segments(ws)
         final = np.bitwise_or.reduceat(ms, starts)
         u, n = np.unique(final, return_counts=True)
-        # collapse to the n_src × n_src co-occurrence matrix: B[k,i] = bit i
-        # of mask k; C = Bᵀ·(B·diag(n)) — C[i,j] = words in both i and j,
-        # diagonal = per-source vocab totals.  Bounded output regardless of
-        # how many distinct mask combinations this bucket saw.
+        # collapse to the n × n co-occurrence matrix: B[k,i] = bit i of
+        # mask k; C = Bᵀ·(B·diag(n)) — C[i,j] = items in both i and j,
+        # diagonal = per-group distinct totals.  Bounded output regardless
+        # of how many distinct mask combinations this bucket saw.
         bits = ((u[:, None] >> np.arange(n_src, dtype=np.int64)) & 1) \
             .astype(np.int64)
         cooc = (bits * n[:, None].astype(np.int64)).T @ bits
@@ -1097,15 +1084,36 @@ def source_vocab_overlap(ds, group_col: str = "source",
     mat[cooc["ai"].to_numpy(), cooc["bj"].to_numpy()] = \
         cooc["n"].to_numpy().astype(np.int64)
     rows = []
-    for i, a in enumerate(sources):
+    for i, a in enumerate(groups):
         for j in range(i + 1, n_src):
             inter = int(mat[i, j])
             if inter == 0:
                 continue
-            rows.append((a, sources[j], inter,
+            rows.append((a, groups[j], inter,
                          int(mat[i, i]) + int(mat[j, j]) - inter))
     return pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
         .astype({"inter": "int64", "uni": "int64"})
+
+
+def source_vocab_overlap(ds, group_col: str = "source",
+                         col: str = "text") -> pd.DataFrame:
+    """Pairwise vocabulary overlap between sources — the corpus-level
+    similarity matrix behind domain-mixing and cross-source-dedup
+    decisions: split text to words map-side, then the generic
+    :func:`item_group_overlap` bitmask plan (one item-bucket exchange,
+    n_src²-bounded merge; ≤ 60 sources)."""
+    import pyarrow.compute as pc2
+
+    def split(t: pa.Table) -> pa.Table:
+        words = pc2.split_pattern(t[col], " ")
+        lens = pc2.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc2.list_flatten(words)
+        src = pa.array(np.repeat(
+            t[group_col].to_numpy(zero_copy_only=False), lens))
+        return pa.table({group_col: src, "item": flat})
+
+    return item_group_overlap(ds.map_batches(split, batch_format="pyarrow"),
+                              group_col, "item")
 
 
 # ---------------------------------------------------------------------------
