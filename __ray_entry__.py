@@ -2159,6 +2159,48 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_order_value_lorenz(sf_dir: str):
+    """Exact Lorenz-curve points — the value-concentration diagnostic
+    behind the Gini family (source_skew_stats): at each decile of ORDERS
+    (ranked by value asc), the exact cumulative cents held by that
+    bottom share.  One (value-cents, n, sum) histogram pass
+    (distinct-value-bounded); the driver walk resolves each decile's
+    cumulative value in pure ints — equal values contribute equally, so
+    the result is tie-order-independent and replays as a SQL
+    running-sum window picked at ROW_NUMBER = ceil(N·d/10)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t["o_totalprice"], 100)
+        g = pa.table({"v": v}).group_by("v").aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["v", "n"])
+        return g.append_column(
+            "s", pc.multiply(g["v"], pc.cast(g["n"], pa.int64())))
+
+    ds = _rp(sf_dir, "orders", columns=["o_totalprice"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["v"], ["n", "s"]).to_pandas().sort_values("v")
+    v = h["v"].to_numpy(np.int64)
+    n = h["n"].to_numpy(np.int64)
+    s = h["s"].to_numpy(np.int64)
+    cum_n = np.cumsum(n)
+    cum_s = np.cumsum(s)
+    N = int(cum_n[-1])
+    rows = []
+    for d in range(1, 11):
+        k = -(-N * d // 10)  # ceil(N*d/10)
+        i = int(np.searchsorted(cum_n, k, side="left"))
+        below_n = int(cum_n[i - 1]) if i else 0
+        below_s = int(cum_s[i - 1]) if i else 0
+        cum_val = below_s + (k - below_n) * int(v[i])
+        rows.append((d, k, cum_val))
+    out = pd.DataFrame(rows, columns=["decile", "n_orders", "cum_value_c"])
+    out["total_value_c"] = int(cum_s[-1])
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def q_event_type_user_overlap(sf_dir: str):
     """Audience co-engagement matrix (corpus.item_group_overlap — the
     generic bitmask core source_vocab_overlap now delegates to): exact
@@ -5626,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_weighted_median_price": q_flag_weighted_median_price,
         "ship_latency_quantiles": q_ship_latency_quantiles,
         "event_type_user_overlap": q_event_type_user_overlap,
+        "order_value_lorenz": q_order_value_lorenz,
     }
 
 
@@ -5989,6 +6032,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "order_value_lorenz": """
+            WITH o AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders),
+            r AS (
+              SELECT v,
+                     ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                     SUM(v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cum,
+                     COUNT(*) OVER () AS nn,
+                     SUM(v) OVER () AS tot
+              FROM o),
+            d AS (SELECT UNNEST(range(1, 11)) AS decile)
+            SELECT CAST(d.decile AS BIGINT) AS decile,
+                   CAST(CEIL(r.nn * d.decile / 10.0) AS BIGINT) AS n_orders,
+                   CAST(r.cum AS BIGINT) AS cum_value_c,
+                   CAST(r.tot AS BIGINT) AS total_value_c
+            FROM d JOIN r ON r.rn = CAST(CEIL(r.nn * d.decile / 10.0)
+                                         AS BIGINT)
+            ORDER BY decile
         """,
         "event_type_user_overlap": """
             WITH p AS (SELECT DISTINCT event_type AS g, user_id AS i
