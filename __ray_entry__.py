@@ -2159,6 +2159,20 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_signup_to_purchase_survival(sf_dir: str):
+    """Survival-analysis inputs (sessions.survival_day_histogram): the
+    per-day (n_event, n_censored) table for signup→first-purchase
+    durations, never-converting users censored at the corpus max ts —
+    the exact-integer Kaplan-Meier input (the estimator is the
+    consumer's float product).  One corpus-max pre-pass + one bucketed
+    exchange; only the day-bounded histogram leaves a bucket."""
+    from timberjack_ray.functions.sessions import survival_day_histogram
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return survival_day_histogram(ds, "user_id", "ts", "event_type",
+                                  "signup", "purchase")
+
+
 def q_order_value_lorenz(sf_dir: str):
     """Exact Lorenz-curve points — the value-concentration diagnostic
     behind the Gini family (source_skew_stats): at each decile of ORDERS
@@ -5669,6 +5683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_quantiles": q_ship_latency_quantiles,
         "event_type_user_overlap": q_event_type_user_overlap,
         "order_value_lorenz": q_order_value_lorenz,
+        "signup_to_purchase_survival": q_signup_to_purchase_survival,
     }
 
 
@@ -6032,6 +6047,34 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "signup_to_purchase_survival": """
+            WITH tm AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events),
+            s AS (SELECT user_id, MIN(epoch_us(ts)) AS s0 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p0
+                  FROM events e JOIN s USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= s.s0
+                  GROUP BY e.user_id),
+            d AS (
+              SELECT s.user_id,
+                     CASE WHEN p.p0 IS NOT NULL
+                          THEN (p.p0 - s.s0) // 86400000000 END AS de,
+                     CASE WHEN p.p0 IS NULL
+                          THEN ((SELECT t_max FROM tm) - s.s0)
+                               // 86400000000 END AS dc
+              FROM s LEFT JOIN p USING (user_id))
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(SUM(ne) AS BIGINT) AS n_event,
+                   CAST(SUM(nc) AS BIGINT) AS n_censored
+            FROM (
+              SELECT de AS day, COUNT(*) AS ne, 0 AS nc FROM d
+              WHERE de IS NOT NULL GROUP BY 1
+              UNION ALL
+              SELECT dc, 0, COUNT(*) FROM d
+              WHERE dc IS NOT NULL GROUP BY 1)
+            GROUP BY day ORDER BY day
         """,
         "order_value_lorenz": """
             WITH o AS (

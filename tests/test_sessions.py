@@ -419,3 +419,31 @@ def test_funnel_window_constraint_planted(ray_session):
     out2 = funnel_counts(rd.from_pandas(df).repartition(3), "u", "t", "ty",
                          ["view", "click", "purchase"])
     assert out2["n_users"].tolist() == [3, 3, 2]
+
+
+def test_survival_histogram_censoring_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import survival_day_histogram
+
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: signup day 0, purchase day 3 -> event at day 3
+        (1, 0, "signup"), (1, 3 * DAY, "purchase"),
+        # user 2: signup day 1, never purchases -> censored at t_max
+        (2, 1 * DAY, "signup"), (2, 2 * DAY, "view"),
+        # user 3: purchase BEFORE signup doesn't count; censored
+        (3, 5 * DAY, "purchase"), (3, 6 * DAY, "signup"),
+        # user 4: no signup -> excluded entirely
+        (4, 0, "purchase"),
+        # corpus max: day 10 (user 2 censored at 9 days, user 3 at 4)
+        (1, 10 * DAY, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "t", "ty"])
+    out = survival_day_histogram(
+        rd.from_pandas(df.sample(frac=1, random_state=2)).repartition(3),
+        "u", "t", "ty", "signup", "purchase", n_buckets=2)
+    got = {int(r.day): (int(r.n_event), int(r.n_censored))
+           for r in out.itertuples()}
+    assert got == {3: (1, 0), 9: (0, 1), 4: (0, 1)}

@@ -926,3 +926,78 @@ def interval_union_per_key(ds, key_col: str, start_col: str, end_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def survival_day_histogram(ds, key_col: str, ts_col: str, type_col: str,
+                           start_type: str, event_type: str,
+                           day_us: int = 86_400_000_000,
+                           n_buckets: int = 256) -> pd.DataFrame:
+    """Survival-analysis input statistics: per key, the whole-day
+    duration from its FIRST ``start_type`` event to its first
+    ``event_type`` at-or-after it; keys that never convert are CENSORED
+    at the corpus max timestamp.  Returns the (day, n_event,
+    n_censored) histogram — the exact-integer Kaplan-Meier input (the
+    estimator itself is the consumer's float product).
+
+    Scale shape: one corpus-max pre-pass (one tiny partial per batch);
+    ONE key-bucket exchange; per bucket every key resolves in one
+    vectorized pass (lexsort + two masked segmented ``minimum.reduceat``
+    — the funnel kernel emitting TIMES instead of counts); only the
+    day-bounded histogram leaves a bucket."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def maxp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        ts = pc.cast(t[ts_col], pa.int64())
+        return pa.table({"mx": pa.array([int(pc.max(ts).as_py())])})
+
+    t_max = int(ds.map_batches(maxp, batch_format="pyarrow")
+                .to_pandas()["mx"].max())
+
+    proj = ds.select_columns([key_col, ts_col, type_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+    big = np.iinfo(np.int64).max
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_event": pa.array([], pa.int64()),
+                          "n_censored": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        ks, ss, tys = k[order], ts[order], ty[order]
+        starts, sizes = _segments(ks)
+        s0 = np.minimum.reduceat(np.where(tys == start_type, ss, big),
+                                 starts)
+        prev = np.repeat(s0, sizes)
+        p0 = np.minimum.reduceat(
+            np.where((tys == event_type) & (ss >= prev), ss, big), starts)
+        has_start = s0 < big
+        converted = has_start & (p0 < big)
+        censored = has_start & ~converted
+        days_e = (p0[converted] - s0[converted]) // day_us
+        days_c = (t_max - s0[censored]) // day_us
+        ve, ne = np.unique(days_e, return_counts=True)
+        vc, nc = np.unique(days_c, return_counts=True)
+        bins = np.union1d(ve, vc)
+        oe = np.zeros(len(bins), np.int64)
+        oc = np.zeros(len(bins), np.int64)
+        oe[np.searchsorted(bins, ve)] = ne
+        oc[np.searchsorted(bins, vc)] = nc
+        return pa.table({"day": pa.array(bins.astype(np.int64)),
+                         "n_event": pa.array(oe),
+                         "n_censored": pa.array(oc)})
+
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, ["day"], ["n_event", "n_censored"]).to_pandas()
+    return out.sort_values("day").reset_index(drop=True) \
+        .astype({"day": "int64", "n_event": "int64", "n_censored": "int64"})
