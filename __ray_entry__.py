@@ -2159,6 +2159,64 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_error_cusum_alarms(sf_dir: str):
+    """Sequential change-point detection — integer CUSUM over the hourly
+    error-count series: S_t = max(0, S_{t-1} + x_t − k) with slack k =
+    ceil(mean) + 1; windows where S reaches h = 5·k alarm, and S decays
+    by k − x per quiet hour after the burst.  A PLANTED burst (every
+    3rd error re-emitted into hour min+100 — the synth series is
+    stationary, SQL-replayed) gives the detector something to find.
+    Per-window counts fold to #windows rows; the CUSUM recursion is a
+    driver walk over that bounded series (no SQL window expresses the
+    max(0, ·) recursion — the oracle replays it with a RECURSIVE CTE,
+    gap hours contributing x = 0).  Output: (hour, s) for alarmed
+    windows only."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        h = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        # planted burst: clones land at (corpus min hour + 100); the min
+        # over THIS batch is wrong — emit clone counts keyed by a
+        # sentinel and rebase after the merge (min hour is global)
+        n_clone = int((ids % 3 == 0).sum())
+        hh = np.concatenate([h, [np.iinfo(np.int64).min]])
+        nn = np.concatenate([np.ones(len(h), np.int64), [n_clone]])
+        g = pa.table({"h": pa.array(hh), "n": pa.array(nn)}) \
+            .group_by("h").aggregate([("n", "sum")])
+        return g.rename_columns(["h", "n"])
+
+    ds = _rp(sf_dir, "events", columns=["ts", "event_type", "event_id"])
+    cnt = merge_partials(ds.map_batches(bucket, batch_format="pyarrow"),
+                         ["h"], "n").to_pandas().sort_values("h")
+    sentinel = np.iinfo(np.int64).min
+    burst_n = int(cnt.loc[cnt["h"] == sentinel, "n"].sum())
+    cnt = cnt[cnt["h"] != sentinel]
+    burst_h = int(cnt["h"].min()) + 100
+    extra = pd.DataFrame({"h": [burst_h], "n": [burst_n]})
+    cnt = pd.concat([cnt, extra]).groupby("h", as_index=False) \
+        .agg(n=("n", "sum")).sort_values("h")
+    hs = cnt["h"].to_numpy(np.int64)
+    ns = cnt["n"].to_numpy(np.int64)
+    dense = np.arange(hs.min(), hs.max() + 1, dtype=np.int64)
+    x = np.zeros(len(dense), np.int64)
+    x[np.searchsorted(dense, hs)] = ns
+    total = int(ns.sum())
+    k = -(-total // len(dense)) + 1  # ceil(mean) + 1 slack
+    hthr = 5 * k
+    s = 0
+    rows = []
+    for hh, xx in zip(dense.tolist(), x.tolist()):
+        s = max(0, s + xx - k)
+        if s >= hthr:
+            rows.append((hh, s))
+    return pd.DataFrame(rows, columns=["h", "s"]) \
+        .astype({"h": "int64", "s": "int64"})
+
+
 def q_signup_to_purchase_survival(sf_dir: str):
     """Survival-analysis inputs (sessions.survival_day_histogram): the
     per-day (n_event, n_censored) table for signup→first-purchase
@@ -5684,6 +5742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_user_overlap": q_event_type_user_overlap,
         "order_value_lorenz": q_order_value_lorenz,
         "signup_to_purchase_survival": q_signup_to_purchase_survival,
+        "error_cusum_alarms": q_error_cusum_alarms,
     }
 
 
@@ -6047,6 +6106,35 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "error_cusum_alarms": """
+            WITH RECURSIVE aug AS (
+              SELECT epoch_us(ts) // 3600000000 AS h FROM events
+              WHERE event_type = 'error'
+              UNION ALL
+              SELECT (SELECT MIN(epoch_us(ts) // 3600000000) FROM events
+                       WHERE event_type = 'error') + 100
+              FROM events WHERE event_type = 'error' AND event_id % 3 = 0),
+            c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM aug GROUP BY h),
+            b AS (SELECT MIN(h) AS h0, MAX(h) AS h1,
+                         CAST(SUM(n) AS BIGINT) AS tot FROM c),
+            kk AS (SELECT ((tot + (h1 - h0 + 1) - 1) // (h1 - h0 + 1)) + 1
+                     AS k FROM b),
+            walk AS (
+              SELECT b.h0 AS h,
+                     GREATEST(0, COALESCE((SELECT n FROM c
+                                            WHERE c.h = b.h0), 0) - kk.k)
+                       AS s
+              FROM b, kk
+              UNION ALL
+              SELECT w.h + 1,
+                     GREATEST(0, w.s + COALESCE((SELECT n FROM c
+                                WHERE c.h = w.h + 1), 0) - (SELECT k FROM kk))
+              FROM walk w WHERE w.h < (SELECT h1 FROM b))
+            SELECT CAST(h AS BIGINT) AS h, CAST(s AS BIGINT) AS s
+            FROM walk WHERE s >= 5 * (SELECT k FROM kk)
+            ORDER BY h
         """,
         "signup_to_purchase_survival": """
             WITH tm AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events),
