@@ -2159,6 +2159,57 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_customer_ltv_curve(sf_dir: str):
+    """Cohort LTV curve: revenue cents by customer TENURE month (order
+    date − that customer's first order, in 30-day buckets) — how value
+    accrues over a relationship's lifetime.  ONE exchange on custkey;
+    per bucket every customer resolves in one vectorized pass (lexsort +
+    segmented min rebases each order to its customer's first date) and
+    only (tenure_month, rev_c, n_orders) partials leave — bounded by the
+    corpus time span, never customer count."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+    from timberjack_ray.functions.util import scale_to_int
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["o_custkey"],
+                         "d": pc.cast(t["o_orderdate"], pa.int64()),
+                         "m": scale_to_int(t["o_totalprice"], 100)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tenure_month": pa.array([], pa.int64()),
+                          "rev_c": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, c))
+        cs, ds_, ms = c[order], d[order], m[order]
+        starts, sizes = _segments(cs)
+        first = np.repeat(ds_[starts], sizes)
+        month = (ds_ - first) // (30 * 86_400_000_000)
+        g = pa.table({"tenure_month": pa.array(month),
+                      "m": pa.array(ms)}) \
+            .group_by("tenure_month").aggregate(
+                [("m", "sum"), ([], "count_all")])
+        return g.rename_columns(["tenure_month", "rev_c", "n_orders"])
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "c", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, ["tenure_month"], ["rev_c", "n_orders"]) \
+        .to_pandas()
+    return out.sort_values("tenure_month").reset_index(drop=True) \
+        .astype({"tenure_month": "int64", "rev_c": "int64",
+                 "n_orders": "int64"})
+
+
 def q_error_cusum_alarms(sf_dir: str):
     """Sequential change-point detection — integer CUSUM over the hourly
     error-count series: S_t = max(0, S_{t-1} + x_t − k) with slack k =
@@ -5743,6 +5794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_lorenz": q_order_value_lorenz,
         "signup_to_purchase_survival": q_signup_to_purchase_survival,
         "error_cusum_alarms": q_error_cusum_alarms,
+        "customer_ltv_curve": q_customer_ltv_curve,
     }
 
 
@@ -6106,6 +6158,18 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "customer_ltv_curve": """
+            WITH f AS (
+              SELECT o_custkey, MIN(epoch_us(o_orderdate)) AS first_us
+              FROM orders GROUP BY o_custkey)
+            SELECT (epoch_us(o.o_orderdate) - f.first_us)
+                     // 2592000000000 AS tenure_month,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN f USING (o_custkey)
+            GROUP BY tenure_month ORDER BY tenure_month
         """,
         "error_cusum_alarms": """
             WITH RECURSIVE aug AS (
