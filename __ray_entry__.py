@@ -2159,6 +2159,46 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_ab_experiment_report(sf_dir: str):
+    """A/B experiment census: users assign to arms by the deterministic
+    multiplicative hash (no RNG state — the same subset-stable trick as
+    sampled_docs, so an arm is reproducible across engines and reruns);
+    per arm, exact (n_users, n_converted = users with MORE purchases
+    than views — a predicate that actually splits this corpus).  The
+    two-proportion test statistic is the consumer's float — these four
+    ints are the sufficient statistics.  Per-batch distinct (user, flag)
+    partials → guarded Max fold (user-bounded; distributed degrade
+    kept)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import KNUTH32
+
+    def partial(t: pa.Table) -> pa.Table:
+        p_ = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        v_ = pc.cast(pc.equal(t["event_type"], "view"), pa.int64())
+        g = pa.table({"u": t["user_id"], "p": p_, "v": v_}) \
+            .group_by("u").aggregate([("p", "sum"), ("v", "sum")])
+        return g.rename_columns(["u", "p", "v"])
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    folded, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["u"], ["p", "v"], ops=["sum", "sum"])
+    if mode != "driver":  # pragma: no cover - past the user guard
+        folded = pa.concat_tables(list(
+            folded.iter_batches(batch_size=None, batch_format="pyarrow")))
+    u = folded["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    f = (folded["p"].to_numpy(zero_copy_only=False)
+         > folded["v"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    arm = (((u * np.uint64(KNUTH32)) % np.uint64(2**32))
+           % np.uint64(2)).astype(np.int64)
+    rows = []
+    for a in (0, 1):
+        m = arm == a
+        rows.append((a, int(m.sum()), int(f[m].sum())))
+    return pd.DataFrame(rows, columns=["arm", "n_users", "n_converted"]) \
+        .astype("int64")
+
+
 def q_customer_ltv_curve(sf_dir: str):
     """Cohort LTV curve: revenue cents by customer TENURE month (order
     date − that customer's first order, in 30-day buckets) — how value
@@ -5795,6 +5835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_to_purchase_survival": q_signup_to_purchase_survival,
         "error_cusum_alarms": q_error_cusum_alarms,
         "customer_ltv_curve": q_customer_ltv_curve,
+        "ab_experiment_report": q_ab_experiment_report,
     }
 
 
@@ -6158,6 +6199,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "ab_experiment_report": """
+            WITH pu AS (
+              SELECT user_id,
+                     CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END)
+                             > SUM(CASE WHEN event_type = 'view'
+                                        THEN 1 ELSE 0 END)
+                          THEN 1 ELSE 0 END AS f
+              FROM events GROUP BY user_id)
+            SELECT CAST((user_id::HUGEINT * 2654435761) % 4294967296 % 2
+                        AS BIGINT) AS arm,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(f) AS BIGINT) AS n_converted
+            FROM pu GROUP BY arm ORDER BY arm
         """,
         "customer_ltv_curve": """
             WITH f AS (
