@@ -162,6 +162,8 @@ def main() -> None:
         timed("bpe_train20", lambda: em.q_bpe_merges(SF_DIR))
         timed("asof_gap", lambda: em.q_event_last_order_gap(SF_DIR))
         timed("knn_join", lambda: em.q_embedding_knn_join(SF_DIR))
+        timed("range_join_grace", lambda: em.q_event_pairs_1h_grace(SF_DIR))
+        timed("skew_join", lambda: em.q_skewed_user_revenue(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
