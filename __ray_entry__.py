@@ -2159,6 +2159,58 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_copurchase_top20(sf_dir: str):
+    """Market-basket association output: the 20 most co-purchased part
+    PAIRS (parts appearing together in the most orders) — the
+    recommendation-rule miner over part_triangles' exact edge machinery:
+    distinct (order, part) per batch → ONE order-bucket exchange →
+    segmented d-offset pair expansion (fan-out bounded by order size) →
+    guarded (u, v, n) edge fold → top-20 by (n desc, u, v)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import _offset_pairs
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        a, b = _offset_pairs(gs, it)
+        if not len(a):
+            return empty
+        tbl = pa.table({"u": pa.array(a), "v": pa.array(b)})
+        gby = tbl.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["u", "v", "n"])
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "l_orderkey", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
+    if mode != "driver":  # pragma: no cover - past the edge guard
+        edges = pa.concat_tables(list(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow")))
+    e = edges.to_pandas()
+    out = e.sort_values(["n", "u", "v"],
+                        ascending=[False, True, True]).head(20)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "u", "v", "n"]].astype("int64")
+
+
 def q_ab_experiment_report(sf_dir: str):
     """A/B experiment census: users assign to arms by the deterministic
     multiplicative hash (no RNG state — the same subset-stable trick as
@@ -5836,6 +5888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_cusum_alarms": q_error_cusum_alarms,
         "customer_ltv_curve": q_customer_ltv_curve,
         "ab_experiment_report": q_ab_experiment_report,
+        "copurchase_top20": q_copurchase_top20,
     }
 
 
@@ -6199,6 +6252,19 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "copurchase_top20": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+                       FROM lineitem),
+            e AS (SELECT x.pk AS u, y.pk AS v, COUNT(*) AS n
+                  FROM p x JOIN p y ON x.o = y.o AND x.pk < y.pk
+                  GROUP BY 1, 2),
+            r AS (SELECT u, v, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, u, v) AS rank
+                  FROM e)
+            SELECT CAST(rank AS BIGINT) AS rank, u, v, CAST(n AS BIGINT)
+                     AS n
+            FROM r WHERE rank <= 20 ORDER BY rank
         """,
         "ab_experiment_report": """
             WITH pu AS (
