@@ -2159,6 +2159,20 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_transition_latency(sf_dir: str):
+    """Markov chain WITH holding times (transition_counts
+    with_latency=True): per (cur_type, next_type), the count AND exact
+    summed sojourn microseconds between adjacent same-user events —
+    mean dwell is the consumer's division.  Same single exchange and
+    alphabet²-bounded merge as event_transitions."""
+    from timberjack_ray.functions.sessions import transition_counts
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds, "user_id", "ts", "event_type",
+                             "event_id", with_latency=True)
+
+
 def q_copurchase_top20(sf_dir: str):
     """Market-basket association output: the 20 most co-purchased part
     PAIRS (parts appearing together in the most orders) — the
@@ -5889,6 +5903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ltv_curve": q_customer_ltv_curve,
         "ab_experiment_report": q_ab_experiment_report,
         "copurchase_top20": q_copurchase_top20,
+        "transition_latency": q_transition_latency,
     }
 
 
@@ -6252,6 +6267,18 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "transition_latency": """
+            WITH s AS (
+              SELECT event_type AS cur_type,
+                     LEAD(event_type) OVER w AS next_type,
+                     LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT cur_type, next_type, COUNT(*) AS n,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "copurchase_top20": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk

@@ -240,7 +240,8 @@ def exact_quantiles(ds, col: str, qs: list[float], scale: int = 1) -> pd.DataFra
 
 
 def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
-                      id_col: str, n_buckets: int = 256) -> pd.DataFrame:
+                      id_col: str, n_buckets: int = 256,
+                      with_latency: bool = False) -> pd.DataFrame:
     """Per-key next-event transition counts — the Markov-chain sufficient
     statistics: for each ordered pair (cur_type, next_type), how many times
     an event of cur_type is IMMEDIATELY followed (same key, (ts, id) order
@@ -252,6 +253,10 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
     key-hash buckets, one stable lexsort per bucket, a vectorized shift
     with segment-boundary masking, then (cur, next) partial counts; only
     |type_alphabet|² rows per bucket reach the merge.
+
+    ``with_latency=True`` additionally folds the SOJOURN time — exact
+    ``sum_gap_us`` per transition (the Markov chain with holding times;
+    the mean is the consumer's division, so everything stays int).
     """
     from timberjack_ray.functions.corpus import add_key_bucket
 
@@ -265,19 +270,30 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
         ids = t[id_col].to_numpy(zero_copy_only=False)
         tvals = _ts_to_int(ts)
         order = np.lexsort((ids, tvals, k))
-        ks, tys = k[order], ty[order]
+        ks, tys, ss = k[order], ty[order], tvals[order]
         same = ks[1:] == ks[:-1]
         cur, nxt = tys[:-1][same], tys[1:][same]
+        if with_latency:
+            gap = (ss[1:] - ss[:-1])[same]
+            g = pa.table({"cur_type": pa.array(cur),
+                          "next_type": pa.array(nxt),
+                          "g": pa.array(gap)}) \
+                .group_by(["cur_type", "next_type"]).aggregate(
+                    [([], "count_all"), ("g", "sum")])
+            return g.rename_columns(["cur_type", "next_type", "n",
+                                     "sum_gap_us"])
         g = pa.table({"cur_type": pa.array(cur), "next_type": pa.array(nxt)}) \
             .group_by(["cur_type", "next_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["cur_type", "next_type", "n"])
 
     partials = bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])), batch_format="pyarrow")
-    merged = merge_partials(partials, ["cur_type", "next_type"], "n")
+    n_cols = ["n", "sum_gap_us"] if with_latency else "n"
+    merged = merge_partials(partials, ["cur_type", "next_type"], n_cols)
     out = merged.to_pandas().sort_values(["cur_type", "next_type"]) \
         .reset_index(drop=True)
-    return out.astype({"n": "int64"})
+    casts = {"n": "int64"} | ({"sum_gap_us": "int64"} if with_latency else {})
+    return out.astype(casts)
 
 
 def retention_cohorts(ds, key_col: str, ts_col: str, type_col: str,
