@@ -2159,6 +2159,71 @@ def q_weekly_event_growth(sf_dir: str):
     return h.astype({"week": "int64", "n": "int64", "delta": "int64"})
 
 
+def q_funnel_step_latency(sf_dir: str):
+    """Per-STEP conversion latency: for each funnel step ≥ 2, the exact
+    P50 of the seconds from the previous step's first qualifying time
+    (converted users only) — the "where does the funnel stall" metric.
+    Same single exchange and masked-reduceat kernel as user_funnel, but
+    each bucket emits (step, gap-seconds) HISTOGRAM partials; the
+    quantile walk runs on the step×distinct-gap-bounded merge."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    steps = ["view", "click", "purchase"]
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    bucketed = add_key_bucket(
+        ds.select_columns(["user_id", "ts", "event_type"]), "user_id", 64)
+    big = np.iinfo(np.int64).max
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"step": pa.array([], pa.int64()),
+                          "gap_s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        ks, ss, tys = k[order], ts[order], ty[order]
+        starts, sizes = _segments(ks)
+        prev = np.full(len(ks), np.iinfo(np.int64).min, dtype=np.int64)
+        outs = []
+        for j, step in enumerate(steps):
+            masked = np.where((tys == step) & (ss > prev), ss, big)
+            seg_min = np.minimum.reduceat(masked, starts) \
+                if len(starts) else np.empty(0, np.int64)
+            if j > 0:
+                prev_first = prev[starts]
+                conv = (seg_min < big) & (prev_first > np.iinfo(np.int64).min)
+                gaps = (seg_min[conv] - prev_first[conv]) // 1_000_000
+                v, n = np.unique(gaps, return_counts=True)
+                outs.append(pa.table({
+                    "step": pa.array(np.full(len(v), j + 1, np.int64)),
+                    "gap_s": pa.array(v.astype(np.int64)),
+                    "n": pa.array(n.astype(np.int64))}))
+            prev = np.repeat(seg_min, sizes)
+        return pa.concat_tables(outs) if outs else empty
+
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    h = merge_partials(p, ["step", "gap_s"], "n").to_pandas() \
+        .sort_values(["step", "gap_s"])
+    rows = []
+    for step, g in h.groupby("step"):
+        cum = g["n"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        med = int(g["gap_s"].to_numpy()[
+            np.searchsorted(cum, max(-(-tot // 2), 1), side="left")])
+        rows.append((int(step), steps[int(step) - 1], med, tot))
+    return pd.DataFrame(rows, columns=["step", "step_type", "p50_gap_s",
+                                       "n_converted"]) \
+        .astype({"step": "int64", "p50_gap_s": "int64",
+                 "n_converted": "int64"})
+
+
 def q_transition_latency(sf_dir: str):
     """Markov chain WITH holding times (transition_counts
     with_latency=True): per (cur_type, next_type), the count AND exact
@@ -5904,6 +5969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_experiment_report": q_ab_experiment_report,
         "copurchase_top20": q_copurchase_top20,
         "transition_latency": q_transition_latency,
+        "funnel_step_latency": q_funnel_step_latency,
     }
 
 
@@ -6267,6 +6333,34 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "funnel_step_latency": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id),
+            g2 AS (SELECT (epoch_us(t2) - epoch_us(t1)) // 1000000 AS gap
+                   FROM s2 JOIN s1 USING (user_id)),
+            g3 AS (SELECT (epoch_us(t3) - epoch_us(t2)) // 1000000 AS gap
+                   FROM s3 JOIN s2 USING (user_id))
+            SELECT CAST(2 AS BIGINT) AS step, 'click' AS step_type,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_s,
+                   COUNT(*) AS n_converted
+            FROM g2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(quantile_disc(gap, 0.5) AS BIGINT),
+                   COUNT(*)
+            FROM g3
+            ORDER BY step
         """,
         "transition_latency": """
             WITH s AS (
