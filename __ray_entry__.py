@@ -3314,6 +3314,22 @@ def q_urgent_revenue_bloom(sf_dir: str):
         .astype({"o_year": "int64", "rev_c": "int64", "n": "int64"})
 
 
+def q_logreg_calibration(sf_dir: str):
+    """Model calibration table (functions/ml.score_calibration): the
+    trained label-3 classifier's reliability-diagram input — equi-depth
+    score deciles over the quantized-logit histogram × exact (n, n_pos).
+    A boundary bin stays whole in its earlier decile (binned equi-depth
+    can't split a bin; deterministic rule).  Rows-only (the model isn't
+    SQL-expressible); invariants pinned in tests/test_ml.py."""
+    from timberjack_ray.functions.ml import logreg_train, score_calibration
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding", "label"])
+    trained = logreg_train(ds, "embedding", "label", pos_label=3, rounds=8)
+    w = trained[trained["component"] >= 0].sort_values("component")["w_q"] \
+        .to_numpy(np.int64).astype(np.float64) / 1e6
+    return score_calibration(ds, "embedding", "label", 3, w)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout (relational.zorder_layout_stats) over
     events (user_id × activity day): per-curve-range bounding boxes in
@@ -5970,6 +5986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_top20": q_copurchase_top20,
         "transition_latency": q_transition_latency,
         "funnel_step_latency": q_funnel_step_latency,
+        "logreg_calibration": q_logreg_calibration,
     }
 
 

@@ -84,3 +84,23 @@ def test_score_auc_exact_matches_pairwise(ray_session):
     assert out["n_neg"].iloc[0] == len(neg)
     auc = num2 / (2 * len(pos) * len(neg))
     assert 0.8 < auc <= 1.0  # the separable concept is learnable
+
+
+def test_score_calibration_invariants(ray_session):
+    from timberjack_ray.functions.ml import score_calibration
+
+    x, lab = _make_data(n=500, seed=11)
+    wq, _ = _reference(x, lab, 3, rounds=6)
+    w = wq.astype(np.float64) / 1e6
+    out = score_calibration(_ds_of(x, lab, 4), "embedding", "label", 3, w)
+
+    assert out["n"].sum() == 500
+    assert out["n_pos"].sum() == int((lab == 3).sum())
+    assert (out["n_pos"] <= out["n"]).all()
+    assert out["bin_hi"].is_monotonic_increasing
+    # monotone model: conversion rate rises from bottom to top decile
+    lo = out.iloc[0]; hi = out.iloc[-1]
+    assert hi["n_pos"] / hi["n"] > lo["n_pos"] / max(lo["n"], 1)
+    # deterministic across partitionings
+    out2 = score_calibration(_ds_of(x, lab, 9), "embedding", "label", 3, w)
+    pd.testing.assert_frame_equal(out, out2)

@@ -157,3 +157,68 @@ def score_auc_exact(ds, vec_col: str, label_col: str, pos_label: int,
     return pd.DataFrame({"auc_num2": [auc_num2],
                          "n_pos": [int(n_pos.sum())],
                          "n_neg": [int(n_neg.sum())]})
+
+
+def score_calibration(ds, vec_col: str, label_col: str, pos_label: int,
+                      w: np.ndarray, n_bins: int = 10,
+                      z_scale: int = 1000) -> pd.DataFrame:
+    """Calibration table for a linear scorer: equi-depth score deciles
+    (type-1 quantile boundaries over the quantized-logit histogram, the
+    same exact-int machinery as :func:`score_auc_exact`) × exact
+    (n, n_pos) per bin — the reliability-diagram input; observed rate
+    and predicted probability are the consumer's floats.
+
+    Two streaming passes, both bounded by the logit-bin domain: (1) the
+    (bin, n_pos, n_neg) histogram; (2) nothing — the decile assignment
+    is a driver walk over the SAME histogram (no second scan needed:
+    bins are already exact)."""
+    h = _logit_histogram(ds, vec_col, label_col, pos_label, w, z_scale)
+    n_all = (h["n_pos"] + h["n_neg"]).to_numpy()
+    cum = np.cumsum(n_all)
+    total = int(cum[-1])
+    rows = []
+    lo_idx = 0
+    for d in range(1, n_bins + 1):
+        k = -(-total * d // n_bins)  # ceil
+        hi_idx = int(np.searchsorted(cum, k, side="left"))
+        seg = h.iloc[lo_idx:hi_idx + 1]
+        rows.append((d, int(seg["n_pos"].sum() + seg["n_neg"].sum()),
+                     int(seg["n_pos"].sum()),
+                     int(h["bin"].iloc[hi_idx])))
+        lo_idx = hi_idx + 1
+        if lo_idx >= len(h):
+            lo_idx = len(h) - 1
+    return pd.DataFrame(rows, columns=["decile", "n", "n_pos",
+                                       "bin_hi"]).astype("int64")
+
+
+def _logit_histogram(ds, vec_col, label_col, pos_label, w, z_scale):
+    """Shared (bin, n_pos, n_neg) logit histogram (see score_auc_exact)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.similarity import _to_matrix
+
+    wv = np.asarray(w, dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "n_neg": pa.array([], pa.int64())})
+        y = t[label_col].to_numpy(zero_copy_only=False) == pos_label
+        z = m @ wv[:-1] + wv[-1]
+        b = np.floor(z * z_scale).astype(np.int64)
+        pv, pc_ = np.unique(b[y], return_counts=True)
+        nv, nc_ = np.unique(b[~y], return_counts=True)
+        bins = np.union1d(pv, nv)
+        n_pos = np.zeros(len(bins), np.int64)
+        n_neg = np.zeros(len(bins), np.int64)
+        n_pos[np.searchsorted(bins, pv)] = pc_
+        n_neg[np.searchsorted(bins, nv)] = nc_
+        return pa.table({"bin": pa.array(bins),
+                         "n_pos": pa.array(n_pos),
+                         "n_neg": pa.array(n_neg)})
+
+    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["bin"], ["n_pos", "n_neg"]).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
