@@ -3314,6 +3314,18 @@ def q_urgent_revenue_bloom(sf_dir: str):
         .astype({"o_year": "int64", "rev_c": "int64", "n": "int64"})
 
 
+def q_source_compress_ratio(sf_dir: str):
+    """Per-source compressibility (text.compress_ratio_by_group): exact
+    (n_docs, raw_bytes, zlib_bytes) — the boilerplate/redundancy quality
+    proxy; compression is PER DOCUMENT so the sums are partition- and
+    batch-boundary-independent.  Rows-only (no SQL zlib); exact numbers
+    pinned by an independent recompute in tests/test_functions.py."""
+    from timberjack_ray.functions.text import compress_ratio_by_group
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+    return compress_ratio_by_group(ds)
+
+
 def q_logreg_calibration(sf_dir: str):
     """Model calibration table (functions/ml.score_calibration): the
     trained label-3 classifier's reliability-diagram input — equi-depth
@@ -5987,6 +5999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_latency": q_transition_latency,
         "funnel_step_latency": q_funnel_step_latency,
         "logreg_calibration": q_logreg_calibration,
+        "source_compress_ratio": q_source_compress_ratio,
     }
 
 

@@ -1044,3 +1044,26 @@ def test_mmr_select_matches_greedy_reference(ray_session):
     out2 = mmr_select(rd.from_arrow(t).repartition(9), q, k=k,
                       lam_num=7, lam_den=10, m=m_pool)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compress_ratio_matches_recompute(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import compress_ratio_by_group
+
+    texts = ["aaaa " * 50, "the quick brown fox " * 10,
+             "x" * 3, "qwZk81!#", "aaaa " * 50]
+    groups = ["a", "a", "b", "b", "c"]
+    t = pa.table({"source": pa.array(groups), "text": pa.array(texts)})
+    out = compress_ratio_by_group(rd.from_arrow(t).repartition(3))
+    got = {r.source: (r.n_docs, r.raw_b, r.comp_b)
+           for r in out.itertuples()}
+    for g in "abc":
+        idx = [i for i, s in enumerate(groups) if s == g]
+        raw = sum(len(texts[i].encode()) for i in idx)
+        comp = sum(len(zlib.compress(texts[i].encode(), 6)) for i in idx)
+        assert got[g] == (len(idx), raw, comp)
+    # redundant group compresses far better than the short/random group
+    assert got["a"][2] / got["a"][1] < got["b"][2] / got["b"][1]

@@ -1020,3 +1020,50 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id", col: str = "text",
     scored = ds.map_batches(score, batch_format="pyarrow")
     return sorted_topk(scored, ["score", id_col], k,
                        descending=[True, False])
+
+
+def compress_ratio_by_group(ds, group_col: str = "source",
+                            col: str = "text", level: int = 6):
+    """Per-group COMPRESSIBILITY — the redundancy/boilerplate signal
+    (highly compressible text ≈ templated or repetitive, a classic
+    corpus-quality proxy): exact (n_docs, raw_bytes, zlib_bytes) per
+    group, compressed PER DOCUMENT so the sums are independent of batch
+    boundaries and partitioning (batch-level compression would leak
+    cross-doc redundancy into the measurement AND break determinism).
+
+    zlib at a fixed level is deterministic for a given input, so the
+    integer sums are engine-stable; the per-payload C call is the same
+    actor-pool-CPU shape as the multimodal codecs (not a vectorizable
+    kernel — the payload IS the work unit).  Partial volume = one row
+    per group per batch.  Returns (group, n_docs, raw_b, comp_b);
+    ratio = the consumer's division."""
+    import zlib
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "raw_b": pa.array([], pa.int64()),
+                             "comp_b": pa.array([], pa.int64())})
+        texts = t[col].to_pylist()
+        groups = t[group_col].to_pylist()
+        raw = np.fromiter((len(s.encode("utf-8")) for s in texts),
+                          np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(s.encode("utf-8"), level)) for s in texts),
+            np.int64, len(texts))
+        df = pd.DataFrame({group_col: groups, "raw_b": raw,
+                           "comp_b": comp})
+        g = df.groupby(group_col, as_index=False).agg(
+            n_docs=("raw_b", "size"), raw_b=("raw_b", "sum"),
+            comp_b=("comp_b", "sum"))
+        return pa.Table.from_pandas(g[[group_col, "n_docs", "raw_b",
+                                       "comp_b"]], preserve_index=False)
+
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         [group_col], ["n_docs", "raw_b", "comp_b"]) \
+        .to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True) \
+        .astype({"n_docs": "int64", "raw_b": "int64", "comp_b": "int64"})
