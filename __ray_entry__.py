@@ -3314,6 +3314,53 @@ def q_urgent_revenue_bloom(sf_dir: str):
         .astype({"o_year": "int64", "rev_c": "int64", "n": "int64"})
 
 
+def q_event_heatmap(sf_dir: str):
+    """Calendar heatmap counts — the (day-of-week × hour-of-day) crosstab
+    every ops dashboard draws: 168-cell bounded partials from one pass
+    (dow from the epoch-day mod 7, hour from epoch-us — pure int
+    calendar math both engines share)."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7  # epoch day 0 = Thursday = 4
+        hod = (us // 3_600_000_000) % 24
+        g = pa.table({"dow": pa.array(dow), "hour": pa.array(hod)}) \
+            .group_by(["dow", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hour", "n"])
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    out = merge_partials(ds.map_batches(bucket, batch_format="pyarrow"),
+                         ["dow", "hour"], "n").to_pandas()
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True) \
+        .astype({"dow": "int64", "hour": "int64", "n": "int64"})
+
+
+def q_value_log2_histogram(sf_dir: str):
+    """Exponential (log2-binned) value histogram — the latency-histogram
+    convention for long-tailed domains: bin = floor(log2(cents)), exact
+    via the float64 frexp exponent (ints < 2^53 are represented exactly,
+    so the exponent is never off-by-one); the oracle replays it with
+    printf('%b') length — bit math, no float log on either side."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = scale_to_int(t["value"], 100).to_numpy()
+        v = v[v > 0]
+        b = np.frexp(v.astype(np.float64))[1] - 1
+        g = pa.table({"bin": pa.array(b.astype(np.int64))}) \
+            .group_by("bin").aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "n"])
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    out = merge_partials(ds.map_batches(bucket, batch_format="pyarrow"),
+                         ["bin"], "n").to_pandas()
+    return out.sort_values("bin").reset_index(drop=True) \
+        .astype({"bin": "int64", "n": "int64"})
+
+
 def q_source_compress_ratio(sf_dir: str):
     """Per-source compressibility (text.compress_ratio_by_group): exact
     (n_docs, raw_bytes, zlib_bytes) — the boilerplate/redundancy quality
@@ -6000,6 +6047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_step_latency": q_funnel_step_latency,
         "logreg_calibration": q_logreg_calibration,
         "source_compress_ratio": q_source_compress_ratio,
+        "event_heatmap": q_event_heatmap,
+        "value_log2_histogram": q_value_log2_histogram,
     }
 
 
@@ -6363,6 +6412,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "event_heatmap": """
+            SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "value_log2_histogram": """
+            SELECT CAST(LENGTH(printf('%b',
+                     CAST(ROUND(value * 100) AS BIGINT))) - 1 AS BIGINT)
+                     AS bin,
+                   COUNT(*) AS n
+            FROM events
+            WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+            GROUP BY 1 ORDER BY 1
         """,
         "funnel_step_latency": """
             WITH s1 AS (
