@@ -3314,6 +3314,57 @@ def q_urgent_revenue_bloom(sf_dir: str):
         .astype({"o_year": "int64", "rev_c": "int64", "n": "int64"})
 
 
+def q_customer_monthly_streaks(sf_dir: str):
+    """Gaps-and-islands at MONTH granularity — longest run of
+    consecutive 30-day periods with ≥1 order per customer
+    (longest_streak_histogram reused with a coarser unit): the
+    engagement-consistency metric behind subscription-style retention."""
+    from timberjack_ray.functions.sessions import longest_streak_histogram
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    out = longest_streak_histogram(ds, "o_custkey", "o_orderdate",
+                                   day_us=30 * 86_400_000_000)
+    return out.rename(columns={"streak_days": "streak_months",
+                               "n_keys": "n_customers"})
+
+
+def q_basket_size_histogram(sf_dir: str):
+    """Basket-size distribution: distinct parts per order → size
+    histogram (bounded by the largest basket) — the order-composition
+    diagnostic feeding the co-purchase miner."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_parts": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        os_, ps = o[order], p[order]
+        keep = np.r_[True, (os_[1:] != os_[:-1]) | (ps[1:] != ps[:-1])]
+        os_ = os_[keep]
+        _, sizes = np.unique(os_, return_counts=True)
+        v, n = np.unique(sizes, return_counts=True)
+        return pa.table({"n_parts": pa.array(v.astype(np.int64)),
+                         "n_orders": pa.array(n.astype(np.int64))})
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "l_orderkey", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, ["n_parts"], "n_orders").to_pandas()
+    return out.sort_values("n_parts").reset_index(drop=True) \
+        .astype({"n_parts": "int64", "n_orders": "int64"})
+
+
 def q_event_heatmap(sf_dir: str):
     """Calendar heatmap counts — the (day-of-week × hour-of-day) crosstab
     every ops dashboard draws: 168-cell bounded partials from one pass
@@ -6049,6 +6100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_compress_ratio": q_source_compress_ratio,
         "event_heatmap": q_event_heatmap,
         "value_log2_histogram": q_value_log2_histogram,
+        "customer_monthly_streaks": q_customer_monthly_streaks,
+        "basket_size_histogram": q_basket_size_histogram,
     }
 
 
@@ -6412,6 +6465,32 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
                    AS delta
             FROM c ORDER BY event_type, week
+        """,
+        "customer_monthly_streaks": """
+            WITH ud AS (
+              SELECT DISTINCT o_custkey,
+                     epoch_us(o_orderdate) // 2592000000000 AS d
+              FROM orders),
+            r AS (
+              SELECT o_custkey, d,
+                     d - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                            ORDER BY d) AS isl
+              FROM ud),
+            runs AS (SELECT o_custkey, COUNT(*) AS len
+                     FROM r GROUP BY o_custkey, isl),
+            longest AS (SELECT o_custkey, MAX(len) AS streak
+                        FROM runs GROUP BY o_custkey)
+            SELECT CAST(streak AS BIGINT) AS streak_months,
+                   COUNT(*) AS n_customers
+            FROM longest GROUP BY streak ORDER BY streak
+        """,
+        "basket_size_histogram": """
+            WITH b AS (
+              SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_parts
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT CAST(n_parts AS BIGINT) AS n_parts,
+                   COUNT(*) AS n_orders
+            FROM b GROUP BY n_parts ORDER BY n_parts
         """,
         "event_heatmap": """
             SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
