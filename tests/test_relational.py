@@ -353,6 +353,54 @@ def test_skew_join_matches_grace_join(ray_session):
     assert len(a) > 0
 
 
+def test_skew_join_both_sides_hot_salted_fallback(ray_session):
+    """When the hot right slice overflows hot_right_limit the guarded
+    fold bails and the salted GRACE fallback must produce the identical
+    inner-join result (VERDICT r3 'What's wrong #4')."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     skew_join)
+
+    rng = np.random.default_rng(57)
+    n = 4000
+    k = rng.integers(0, 100, n)
+    k[rng.random(n) < 0.4] = 5  # both sides hot on key 5
+    left = pd.DataFrame({"k": k.astype("int64"),
+                         "tag": rng.choice(list("xyz"), n)})
+    rk = rng.integers(0, 90, 3000)
+    rk[rng.random(3000) < 0.4] = 5
+    right = pd.DataFrame({"rk": rk.astype("int64"),
+                          "val": rng.integers(0, 50, 3000).astype("int64")})
+
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(4)
+    # hot_right_limit far below the hot slice size -> salted fallback
+    a = skew_join(lds, rds, "k", "rk", ["tag"], ["val"], hot_limit=2,
+                  n_buckets=8, hot_right_limit=50, n_salts=4).to_pandas()
+    b = bucket_hash_join(rd.from_pandas(left).repartition(6),
+                         rd.from_pandas(right).repartition(4),
+                         "k", "rk", ["tag"], ["val"],
+                         n_buckets=8).to_pandas()
+    key = ["k", "tag", "val"]
+    a = a.groupby(key).size().reset_index(name="n").sort_values(key) \
+        .reset_index(drop=True)
+    b = b.groupby(key).size().reset_index(name="n").sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    # bucket_fn + overflow is refused (per-key aggregates would be partial)
+    with pytest.raises(ValueError, match="bucket_fn"):
+        skew_join(lds, rds, "k", "rk", ["tag"], ["val"], hot_limit=2,
+                  hot_right_limit=50, bucket_fn=lambda t: t).to_pandas()
+
+    # non-inner join types are refused up front
+    with pytest.raises(ValueError, match="inner"):
+        skew_join(lds, rds, "k", "rk", ["tag"], ["val"],
+                  join_type="left outer")
+
+
 def test_bloom_prefilter_join_equality(ray_session):
     import ray.data as rd
 

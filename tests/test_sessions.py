@@ -310,6 +310,31 @@ def test_exact_quantile_bisect_wide_range_matches_reference(ray_session):
         assert got == cents[rank - 1], (q, got, cents[rank - 1])
 
 
+def test_exact_quantile_bisect_full_int64_domain(ray_session):
+    """Pivots above 2^53 — float linspace loses integer resolution there
+    and could stall the bracket (ADVICE r3); integer pivot arithmetic
+    must stay exact over the whole int64 domain, from shared passes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import exact_quantile_bisect
+
+    rng = np.random.RandomState(7)
+    v = np.concatenate([
+        rng.randint(2**60, 2**62, 2000),          # > 2^53 cluster
+        rng.randint(-2**62, -2**60, 2000),
+        rng.randint(-1000, 1000, 1000),
+    ]).astype(np.int64)
+    t = pa.table({"value": pa.array(v)})
+    qs = [0.05, 0.5, 0.95]
+    out = exact_quantile_bisect(rd.from_arrow(t).repartition(4),
+                                "value", qs, scale=1, max_passes=16)
+    ref = np.sort(v)
+    for q, got in zip(out["q"], out["value_scaled"]):
+        rank = max(1, int(np.ceil(q * len(ref))))
+        assert got == ref[rank - 1], (q, got, ref[rank - 1])
+
+
 def test_longest_streak_histogram_planted(ray_session):
     import pandas as pd
     import ray.data as rd

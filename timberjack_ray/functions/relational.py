@@ -830,9 +830,10 @@ def grouping_sets_sums(ds, keys: list[str], sets, val_col: str,
 
     keys = list(keys)
     sets = [tuple(s) for s in sets]
-    if len(set(sets)) != len(sets):
+    if len({frozenset(s) for s in sets}) != len(sets):
         # SQL emits duplicate rows for duplicate sets; the keyed merge
-        # would silently SUM them together instead — refuse
+        # would silently SUM them together instead — refuse.  Compare as
+        # frozensets: ('a','b') and ('b','a') expand to identical groups.
         raise ValueError("grouping_sets_sums: duplicate grouping sets")
     for s in sets:
         unknown = set(s) - set(keys)
@@ -1553,7 +1554,8 @@ def cogroup_counts(left_ds, right_ds, left_key: str, right_key: str,
 def skew_join(left_ds, right_ds, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               hot_limit: int = 64, n_buckets: int = 64,
-              join_type: str = "inner", bucket_fn=None):
+              join_type: str = "inner", bucket_fn=None,
+              hot_right_limit: int = 2_000_000, n_salts: int = 8):
     """Skew-aware large×large hash join — the hot-key hybrid the brief's
     "salt hot keys" guidance asks for: a GRACE bucket join collapses
     under key skew because every occurrence of a key lands in ONE bucket
@@ -1564,17 +1566,32 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
     Plan: (1) one streaming count pass over the LEFT (probe) side's key
     partials — merge volume = distinct keys per batch, top ``hot_limit``
     keys by count are "hot"; (2) the RIGHT rows carrying hot keys fold
-    to the driver and broadcast (bounded by hot_limit × per-key right
-    fan-in — the dimension-like slice of a skewed fact join; if the
-    right side is ALSO skew-heavy on the same keys this operator is the
-    wrong tool and a salted pre-aggregation is needed); (3) hot left
+    to the driver and broadcast — GUARDED by ``hot_right_limit``
+    (``collect_table_under``): a skewed fact join's hot right slice is
+    dimension-like and small, but if the right side is ALSO skew-heavy
+    on the same keys the fold would be unbounded, so past the limit the
+    hot rows take a SALTED GRACE join instead (dense hot-key index ×
+    ``n_salts``; right hot rows replicate ``n_salts`` ways, left hot
+    rows spread round-robin — each hot key fans across ``n_salts``
+    buckets instead of collapsing into one straggler); (3) hot left
     rows join map-side against the broadcast slice inside the SAME
     filter pass that routes cold rows into the GRACE exchange — the hot
-    rows never shuffle at all.  Output = union of both paths (same
-    schema as :func:`bucket_hash_join`); ``bucket_fn`` (per-bucket
-    post-join transform) applies to BOTH paths so grouped-aggregate
-    tails stay correct.
+    rows never shuffle at all (broadcast path).  Output = union of both
+    paths (same schema as :func:`bucket_hash_join`); ``bucket_fn``
+    (per-bucket post-join transform) applies to BOTH paths so
+    grouped-aggregate tails stay correct — except under the salted
+    fallback, where a key's rows span salts and per-key aggregates
+    inside ``bucket_fn`` would be partial: that combination raises.
+
+    INNER only: the hot path joins each left batch against the right
+    slice independently, which would emit unmatched right rows once per
+    batch (or drop them) for right/full outer semantics.
     """
+    if join_type != "inner":
+        raise ValueError(
+            f"skew_join: join_type={join_type!r} unsupported — the hot "
+            "broadcast path is per-left-batch and only inner semantics "
+            "survive that; use bucket_hash_join for outer joins")
     import pyarrow.compute as pc
 
     from timberjack_ray.aggregates import merge_partials
@@ -1600,31 +1617,73 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
             return t.filter(pa.array(is_hot if keep_hot else ~is_hot))
         return f
 
-    # hot slice of the right side: driver fold + broadcast
+    # hot slice of the right side: GUARDED driver fold + broadcast
     import ray
-    hot_parts = [
-        b.select([right_key] + right_cols) for b in
-        right_ds.map_batches(split(right_key, True), batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")]
-    hot_parts = [b for b in hot_parts if b.num_rows] or hot_parts[:1]
-    if not hot_parts:
-        raise ValueError("skew_join: right side produced no batches")
-    hot_right = pa.concat_tables(hot_parts)
-    hot_ref = ray.put(hot_right)
 
-    def hot_join(t: pa.Table) -> pa.Table:
-        from timberjack_ray.functions.util import fetch_broadcast
+    from timberjack_ray.functions.util import collect_table_under
 
-        r = fetch_broadcast(hot_ref)
-        lt = t.select([left_key] + left_cols)
-        out = lt.join(r, keys=left_key, right_keys=right_key,
-                      join_type=join_type)
-        out = out.select([left_key] + left_cols + right_cols)
-        return bucket_fn(out) if bucket_fn is not None else out
+    hot_right_ds = right_ds.map_batches(split(right_key, True),
+                                        batch_format="pyarrow") \
+        .map_batches(lambda t: t.select([right_key] + right_cols),
+                     batch_format="pyarrow")
+    hot_right = collect_table_under(hot_right_ds, hot_right_limit)
 
-    hot_out = left_ds.map_batches(split(left_key, True),
-                                  batch_format="pyarrow") \
-        .map_batches(hot_join, batch_format="pyarrow")
+    hot_left_ds = left_ds.map_batches(split(left_key, True),
+                                      batch_format="pyarrow")
+
+    if hot_right is not None:
+        hot_ref = ray.put(hot_right)
+
+        def hot_join(t: pa.Table) -> pa.Table:
+            from timberjack_ray.functions.util import fetch_broadcast
+
+            r = fetch_broadcast(hot_ref)
+            lt = t.select([left_key] + left_cols)
+            out = lt.join(r, keys=left_key, right_keys=right_key,
+                          join_type=join_type)
+            out = out.select([left_key] + left_cols + right_cols)
+            return bucket_fn(out) if bucket_fn is not None else out
+
+        hot_out = hot_left_ds.map_batches(hot_join, batch_format="pyarrow")
+    else:
+        # Both sides hot (or hot slice empty — collect_table_under folds
+        # both to None): salted replication.  Hot keys are few (dense
+        # index via hot_sorted), so the composite __skewk = didx*S + salt
+        # stays tiny and collision-free while fanning each hot key over
+        # n_salts GRACE buckets.
+        if bucket_fn is not None:
+            raise ValueError(
+                "skew_join: hot right slice exceeds hot_right_limit and "
+                "bucket_fn is set — per-key aggregates would be partial "
+                "across salts; pre-aggregate the right side or raise "
+                "hot_right_limit")
+
+        def salt_left(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[left_key], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            didx = np.searchsorted(hot_sorted, k).astype(np.int64)
+            salt = np.arange(len(k), dtype=np.int64) % n_salts
+            return t.select([left_key] + left_cols).append_column(
+                "__skewk", pa.array(didx * n_salts + salt))
+
+        def salt_right(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[right_key], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            didx = np.searchsorted(hot_sorted, k).astype(np.int64)
+            reps = []
+            for s in range(n_salts):
+                reps.append(t.select(right_cols).append_column(
+                    "__skewk", pa.array(didx * n_salts + s)))
+            return pa.concat_tables(reps)
+
+        salted = bucket_hash_join(
+            hot_left_ds.map_batches(salt_left, batch_format="pyarrow"),
+            hot_right_ds.map_batches(salt_right, batch_format="pyarrow"),
+            "__skewk", "__skewk", [left_key] + left_cols, right_cols,
+            n_buckets=n_buckets, join_type="inner")
+        hot_out = salted.map_batches(
+            lambda t: t.select([left_key] + left_cols + right_cols),
+            batch_format="pyarrow")
 
     cold_out = bucket_hash_join(
         left_ds.map_batches(split(left_key, False), batch_format="pyarrow"),
@@ -1653,7 +1712,8 @@ def zorder_layout_stats(ds, x_col: str, y_col: str, n_ranges: int = 16,
     bounding boxes in BOTH dimensions, letting min/max zone maps prune
     scans filtered on either column (a single-column sort can only ever
     prune one).  This op plans the layout and PROVES the property:
-    per-range (n, min/max of both dims).
+    per-range (n, min/max of both dims).  ``bits`` must be ≤ 16 — the
+    spread kernel interleaves the low 16 bits only.
 
     Three streaming passes, no sort: (1) global minima (one tiny partial
     per batch) rebase both dims to ≥0; (2) the exact Morton-value
@@ -1666,6 +1726,12 @@ def zorder_layout_stats(ds, x_col: str, y_col: str, n_ranges: int = 16,
     import pyarrow.compute as pc
 
     from timberjack_ray.functions.sessions import exact_quantiles
+
+    if not 1 <= bits <= 16:
+        raise ValueError(
+            f"zorder_layout_stats: bits={bits} out of range — the magic-mask "
+            "spread interleaves the low 16 bits only; coarsen (bucket) the "
+            "dimensions instead of raising bits")
 
     def mins(t: pa.Table) -> pa.Table:
         x = t[x_col].to_numpy(zero_copy_only=False)

@@ -748,12 +748,14 @@ def exact_quantile_bisect(ds, col: str, qs: list[float], scale: int = 100,
     few passes for exactness at ANY cardinality with O(n_pivots) driver
     state.
 
-    Each pass streams one `searchsorted`-bincount of every row against
-    ``n_pivots`` evenly spaced pivots inside the current [lo, hi] bracket
-    (so the bracket narrows ×n_pivots per pass — the 2^63 int range
-    closes in ≤ 8 passes); per-batch partials are (n_pivots+1)-sized
-    count vectors, merged on the driver.  All ranks resolve from the
-    SAME passes (one shared bracket spanning all targets).
+    Each pass streams ONE `searchsorted`-bincount of every row against a
+    SHARED pivot grid covering every unresolved rank's bracket (≈
+    ``n_pivots // n_unresolved`` integer-spaced pivots per bracket,
+    endpoints included), so all ranks narrow from the same passes.
+    Pivots use integer arithmetic ``a + (span·i)//(m−1)`` — float
+    linspace loses integer resolution above ~2^53 and can stall the
+    bracket.  Raises RuntimeError if any bracket fails to close within
+    ``max_passes`` (never returns an inexact value).
 
     Returns DataFrame (q, value_scaled) — identical to SQL
     ``quantile_disc`` on the cent domain.
@@ -804,22 +806,40 @@ def exact_quantile_bisect(ds, col: str, qs: list[float], scale: int = 100,
                     b["c"].to_numpy(zero_copy_only=False)
         return acc
 
-    out = []
-    for q, rank in zip(qs, ranks):
-        a, b_hi = lo_b, hi_b
-        for _ in range(max_passes):
-            if a >= b_hi:
-                break
-            piv = np.unique(np.linspace(a, b_hi, n_pivots).astype(np.int64))
-            cle = counts_below(piv)
-            # smallest pivot with count(<= pivot) >= rank bounds the answer
-            j = int(np.searchsorted(cle, rank, side="left"))
-            b_hi = int(piv[j])
-            a = int(piv[j - 1]) + 1 if j > 0 else a
-        out.append((q, b_hi))
-    return pd.DataFrame({"q": [o[0] for o in out],
-                         "value_scaled": np.array([o[1] for o in out],
-                                                  dtype=np.int64)})
+    # one bracket per target rank; ALL unresolved brackets narrow from
+    # each shared streaming pass
+    lo_by = {r: lo_b for r in set(ranks)}
+    hi_by = {r: hi_b for r in set(ranks)}
+    for _ in range(max_passes):
+        open_ranks = [r for r in lo_by if lo_by[r] < hi_by[r]]
+        if not open_ranks:
+            break
+        m = max(3, n_pivots // len(open_ranks))
+        grid: list[int] = []
+        for r in open_ranks:
+            a, b_hi = lo_by[r], hi_by[r]
+            span = b_hi - a
+            # integer pivot arithmetic — exact on the full int64 domain
+            grid.extend(a + (span * i) // (m - 1) for i in range(m))
+        piv = np.unique(np.array(grid, dtype=np.int64))
+        cle = counts_below(piv)
+        for r in open_ranks:
+            # smallest pivot with count(<= pivot) >= rank bounds the
+            # answer above; the previous pivot (count < rank) + 1 below.
+            # cle is monotone in pivot value, and r's own bracket top is
+            # in the grid with count >= rank, so j always resolves.
+            j = int(np.searchsorted(cle, r, side="left"))
+            hi_by[r] = min(hi_by[r], int(piv[j]))
+            if j > 0:
+                lo_by[r] = max(lo_by[r], int(piv[j - 1]) + 1)
+    unresolved = [r for r in lo_by if lo_by[r] < hi_by[r]]
+    if unresolved:
+        raise RuntimeError(
+            f"exact_quantile_bisect: {len(unresolved)} rank bracket(s) did "
+            f"not close in {max_passes} passes — raise max_passes/n_pivots")
+    return pd.DataFrame({"q": qs,
+                         "value_scaled": np.array(
+                             [hi_by[r] for r in ranks], dtype=np.int64)})
 
 
 def longest_streak_histogram(ds, key_col: str, ts_col: str,

@@ -13,14 +13,25 @@ def scale_to_int(col, scale: float) -> pa.Array:
     while numpy/Arrow round() is half-to-even; on NON-NEGATIVE values
     (prices, latencies, sizes — the only inputs here) floor(x·s + 0.5)
     reproduces the SQL tie rule exactly, so data with values landing on
-    .5 after scaling can't flip the gate (ADVICE r02)."""
+    .5 after scaling can't flip the gate (ADVICE r02).
+
+    scale=1 on an already-integer column is an exact identity cast —
+    the float round-trip would corrupt |v| > 2^53 (full-int64-domain
+    callers like ``exact_quantile_bisect`` rely on this)."""
+    typ = col.type if hasattr(col, "type") else None
+    if float(scale) == 1.0 and typ is not None and pa.types.is_integer(typ):
+        return pc.cast(col, pa.int64())
     return pc.cast(pc.floor(pc.add(pc.multiply(col, float(scale)), 0.5)),
                    pa.int64())
 
 
 def scale_to_int_np(v: np.ndarray, scale: float) -> np.ndarray:
-    """numpy twin of ``scale_to_int`` (same non-negative precondition)."""
-    return np.floor(np.asarray(v, dtype=np.float64) * float(scale) + 0.5) \
+    """numpy twin of ``scale_to_int`` (same non-negative precondition,
+    same scale=1 integer identity)."""
+    v = np.asarray(v)
+    if float(scale) == 1.0 and v.dtype.kind in "iu":
+        return v.astype(np.int64)
+    return np.floor(v.astype(np.float64) * float(scale) + 0.5) \
         .astype(np.int64)
 
 
