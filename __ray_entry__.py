@@ -1713,7 +1713,8 @@ def q_curation_pipeline(sf_dir: str):
     slim = scored.map_batches(project, batch_format="pyarrow")
     survivors = slim.groupby("chash").map_groups(
         lambda t: t.sort_by("doc_id").slice(0, 1), batch_format="pyarrow")
-    packed = pack_sequences_ds(survivors, "source", "doc_id", "n_tok", budget=256)
+    packed = pack_sequences_ds(survivors, "source", "doc_id", "n_tok",
+                               budget=256, n_shards=4)
     out = _pack_summary(packed, "source", "n_tok", "n_docs")
     if not len(out):
         return pd.DataFrame({"source": [], "n_docs": [], "n_bins": [], "sum_tok": []})
@@ -1838,6 +1839,30 @@ def q_seq_pack_bins(sf_dir: str):
     slim = ds.map_batches(sizes, batch_format="pyarrow")
     out = pack_sequences(slim, "source", "doc_id", "n_tok", budget=256)
     return out.astype({"doc_id": "int64", "n_tok": "int64", "pack_bin": "int64"})
+
+
+def q_seq_pack_sharded(sf_dir: str):
+    """SHARDED greedy context packing (budget 256, 4 deterministic
+    doc-id-hash shards per source) — the 100-TB packer path: no task
+    materializes a whole source, bins never straddle shards, global bin
+    ids stay dense via per-shard prefix-sum bases.  Oracle: recursive CTE
+    partitioned by (source, shard) + windowed base sum — the exact rule
+    the distributed plan executes."""
+    from timberjack_ray.functions.corpus import pack_sequences
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        return pa.table({"source": t["source"], "doc_id": t["doc_id"],
+                         "n_tok": n_tok})
+
+    slim = ds.map_batches(sizes, batch_format="pyarrow")
+    out = pack_sequences(slim, "source", "doc_id", "n_tok", budget=256,
+                         n_shards=4)
+    return out.astype({"doc_id": "int64", "n_tok": "int64",
+                       "pack_bin": "int64"})
 
 
 def _pack_summary(packed_ds, group_col: str, size_col: str,
@@ -6119,6 +6144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_log2_histogram": q_value_log2_histogram,
         "customer_monthly_streaks": q_customer_monthly_streaks,
         "basket_size_histogram": q_basket_size_histogram,
+        "seq_pack_sharded": q_seq_pack_sharded,
     }
 
 
@@ -7081,6 +7107,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pack_bin AS BIGINT) AS pack_bin
             FROM r
         """,
+        "seq_pack_sharded": """
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                          AS BIGINT) % 4 AS shard,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source,
+                         CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                              AS BIGINT) % 4
+                       ORDER BY doc_id) AS rn
+              FROM documents
+            ), r AS (
+              SELECT source, shard, doc_id, n_tok, rn,
+                     0 AS local_bin, n_tok AS fill FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.shard, d.doc_id, d.n_tok, d.rn,
+                     CASE WHEN r.fill + d.n_tok > 256
+                          THEN r.local_bin + 1 ELSE r.local_bin END,
+                     CASE WHEN r.fill + d.n_tok > 256
+                          THEN d.n_tok ELSE r.fill + d.n_tok END
+              FROM r JOIN d ON d.source = r.source AND d.shard = r.shard
+                           AND d.rn = r.rn + 1
+            ), nb AS (
+              SELECT source, shard, MAX(local_bin) + 1 AS n_bins
+              FROM r GROUP BY source, shard
+            ), base AS (
+              SELECT source, shard,
+                     COALESCE(SUM(n_bins) OVER (
+                       PARTITION BY source ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS b
+              FROM nb
+            )
+            SELECT r.source, r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tok,
+                   CAST(r.local_bin + base.b AS BIGINT) AS pack_bin
+            FROM r JOIN base ON r.source = base.source
+                            AND r.shard = base.shard
+        """,
         "bigram_topk": """
             WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
             b AS (
@@ -7293,24 +7358,37 @@ def oracle_sql() -> dict[str, str]:
             ),
             e AS (
               SELECT source, doc_id, n_tok,
-                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                     CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                          AS BIGINT) % 4 AS shard,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source,
+                         CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                              AS BIGINT) % 4
+                       ORDER BY doc_id) AS rn
               FROM d
             ),
             r AS (
-              SELECT source, doc_id, n_tok, rn, 0 AS pack_bin, n_tok AS fill
+              SELECT source, shard, doc_id, n_tok, rn,
+                     0 AS pack_bin, n_tok AS fill
               FROM e WHERE rn = 1
               UNION ALL
-              SELECT e.source, e.doc_id, e.n_tok, e.rn,
+              SELECT e.source, e.shard, e.doc_id, e.n_tok, e.rn,
                      CASE WHEN r.fill + e.n_tok > 256
                           THEN r.pack_bin + 1 ELSE r.pack_bin END,
                      CASE WHEN r.fill + e.n_tok > 256
                           THEN e.n_tok ELSE r.fill + e.n_tok END
-              FROM r JOIN e ON e.source = r.source AND e.rn = r.rn + 1
+              FROM r JOIN e ON e.source = r.source AND e.shard = r.shard
+                           AND e.rn = r.rn + 1
+            ),
+            nb AS (
+              SELECT source, shard, MAX(pack_bin) + 1 AS bins,
+                     COUNT(*) AS n, SUM(n_tok) AS st
+              FROM r GROUP BY source, shard
             )
-            SELECT source, COUNT(*) AS n_docs,
-                   CAST(MAX(pack_bin) + 1 AS BIGINT) AS n_bins,
-                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-            FROM r GROUP BY source
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(bins) AS BIGINT) AS n_bins,
+                   CAST(SUM(st) AS BIGINT) AS sum_tok
+            FROM nb GROUP BY source
         """,
         "recent_event_counts": """
             SELECT event_type, COUNT(*) AS n FROM events

@@ -103,6 +103,65 @@ def test_pack_sequences_parallel_groups(ray_session):
         assert g["pack_bin"].tolist() == pack_ref([4] * 10, 8)
 
 
+def test_pack_sequences_sharded_matches_reference_rule(ray_session):
+    """n_shards>1: bins replay 'greedy per (source, shard) + prefix-sum
+    base' exactly — the 100-TB path (VERDICT r3 #1)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import _POW32, KNUTH32
+
+    rng = np.random.default_rng(11)
+    n = 600
+    src = np.repeat(["a", "b", "c"], n // 3)
+    doc = np.arange(n, dtype=np.int64)
+    tok = rng.integers(1, 40, n).astype(np.int64)
+    t = pa.table({"source": src, "doc_id": doc, "n_tok": tok})
+    S, B = 4, 64
+    out = corpus.pack_sequences(rd.from_arrow(t).repartition(5),
+                                "source", "doc_id", "n_tok",
+                                budget=B, n_shards=S)
+    # reference: same rule in plain python
+    shard = ((doc.astype(np.uint64) * np.uint64(KNUTH32)) % np.uint64(_POW32)
+             % np.uint64(S)).astype(np.int64)
+    ref = {}
+    for s in ("a", "b", "c"):
+        base = 0
+        for sh in range(S):
+            m = (src == s) & (shard == sh)
+            ids = doc[m]           # already doc_id-sorted
+            bins = pack_ref(tok[m].tolist(), B)
+            for d, b in zip(ids, bins):
+                ref[d] = base + b
+            base += (max(bins) + 1) if bins else 0
+    got = dict(zip(out["doc_id"], out["pack_bin"]))
+    assert got == ref
+    # bins are dense per source: 0..n_bins-1 with no holes
+    for s in ("a", "b", "c"):
+        bs = sorted(set(out[out["source"] == s]["pack_bin"]))
+        assert bs == list(range(len(bs)))
+
+
+def test_pack_sequences_max_group_rows_guard(ray_session):
+    """One giant group: unsharded packing must trip the per-task row
+    guard; sharding the same input under the same guard must pass."""
+    import ray.data as rd
+
+    n = 4000
+    t = pa.table({"source": ["hot"] * n,
+                  "doc_id": np.arange(n, dtype=np.int64),
+                  "n_tok": np.full(n, 5, dtype=np.int64)})
+    with pytest.raises(Exception, match="max_group_rows"):
+        corpus.pack_sequences(rd.from_arrow(t), "source", "doc_id", "n_tok",
+                              budget=64, max_group_rows=1500)
+    out = corpus.pack_sequences(rd.from_arrow(t), "source", "doc_id",
+                                "n_tok", budget=64, n_shards=4,
+                                max_group_rows=1500)
+    assert len(out) == n
+    # still dense bins and budget respected
+    per_bin = out.groupby("pack_bin")["n_tok"].sum()
+    assert (per_bin <= 64).all()
+
+
 def test_interarrival_stats_sorted_diffs(ray_session):
     import ray.data as rd
 
