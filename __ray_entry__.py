@@ -5656,28 +5656,27 @@ def q_stream_chunk_novelty(sf_dir: str):
     CDC-chunked and probed against the sharded first-seen chunk index,
     reporting per-source chars genuinely new vs already-stored — the
     incremental-crawl storage planner exact doc-hash dedup cannot give
-    (edited re-crawls share most chunks).  Rows-only: gear-hash chunking
-    is not SQL-replayable; planted exact/edited re-crawl truth is pinned
-    in tests/test_state.py."""
-    from timberjack_ray.state.cdc_index import StreamingChunkDeduper
+    (edited re-crawls share most chunks).  The probes run INSIDE
+    map_batches tasks holding the shard actor handles (ChunkNoveltyStage
+    — VERDICT r3 #2): text never crosses the driver, only per-source
+    partials fold.  Rows-only: gear-hash chunking is not SQL-replayable;
+    planted exact/edited re-crawl truth is pinned in tests/test_state.py."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.state.cdc_index import (ChunkNoveltyStage,
+                                                StreamingChunkDeduper)
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"]) \
         .sort("doc_id")
-    acc: dict[str, np.ndarray] = {}
     with StreamingChunkDeduper(n_shards=8) as d:
-        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
-            r = d.account_batch(b.select(["doc_id", "text"]))
-            src = dict(zip(b["doc_id"].to_pylist(),
-                           b["source"].to_pylist()))
-            rd = r.to_pandas()
-            rd["source"] = rd["doc_id"].map(src)
-            for s, sub in rd.groupby("source"):
-                v = sub[["n_chunks", "new_chars", "dup_chars"]] \
-                    .sum().to_numpy(dtype=np.int64)
-                acc[s] = acc.get(s, np.zeros(3, np.int64)) + v
-    rows = [(s, *acc[s]) for s in sorted(acc)]
-    return pd.DataFrame(rows, columns=["source", "n_chunks", "new_chars",
-                                       "dup_chars"]) \
+        parts = ds.map_batches(
+            ChunkNoveltyStage,
+            fn_constructor_kwargs=dict(shards=d.shards,
+                                       cdc_params=d.cdc_params),
+            batch_format="pyarrow", batch_size=256, concurrency=4)
+        out = merge_partials(parts, ["source"],
+                             ["n_chunks", "new_chars", "dup_chars"]) \
+            .to_pandas()
+    return out.sort_values("source").reset_index(drop=True) \
         .astype({"n_chunks": "int64", "new_chars": "int64",
                  "dup_chars": "int64"})
 

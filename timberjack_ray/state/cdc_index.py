@@ -82,6 +82,83 @@ class StreamingChunkDeduper(ShardPool):
         return sum(self._ray.get([s.size.remote() for s in self.shards]))
 
 
+class ChunkNoveltyStage:
+    """``map_batches`` actor-pool stage that probes the sharded chunk
+    index from the TASKS instead of the driver (VERDICT r3 #2): each
+    worker CDC-chunks its batch locally, ships ONLY chunk hashes to the
+    owning shard actors, and emits per-source ``(n_chunks, new_chars,
+    dup_chars)`` partials — document text never crosses the driver, the
+    chunking compute parallelizes, and driver traffic is partial-sized.
+
+    Determinism: per-source ``n_chunks`` and the GLOBAL new/dup totals
+    are exact and reproducible (a chunk hash is claimed exactly once and
+    same hash ⇒ same length); the per-source new/dup SPLIT of a chunk
+    seen concurrently from two sources follows scheduling order — use
+    the driver-sequenced ``StreamingChunkDeduper.account_batch`` when a
+    replayable per-doc attribution is required (tests/test_state.py).
+    """
+
+    def __init__(self, shards, cdc_params: dict, source_col: str = "source",
+                 col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.shards = list(shards)
+        self.n_shards = len(self.shards)
+        self.cdc_params = dict(cdc_params)
+        self.source_col, self.col, self.id_col = source_col, col, id_col
+        self._ray = ray
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.corpus import cdc_chunk_batch
+
+        empty = pa.table({self.source_col: pa.array([], pa.string()),
+                          "n_chunks": pa.array([], pa.int64()),
+                          "new_chars": pa.array([], pa.int64()),
+                          "dup_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        chunks = cdc_chunk_batch(t, col=self.col, id_col=self.id_col,
+                                 **self.cdc_params)
+        h = chunks["chunk_hash"].to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        new = np.zeros(len(h), dtype=bool)
+        if len(h):
+            owner = (h % np.uint64(self.n_shards)).astype(np.int64)
+            parts = [(s, idx) for s in range(self.n_shards)
+                     if len(idx := np.flatnonzero(owner == s))]
+            refs = [self.shards[s].probe_insert.remote(h[idx])
+                    for s, idx in parts]
+            for (s, idx), mask in zip(parts, self._ray.get(refs)):
+                new[idx] = mask
+        # chunk row -> source via the batch's unique doc ids
+        bd = t[self.id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(bd)
+        cid = chunks[self.id_col].to_numpy(zero_copy_only=False)
+        pos = order[np.searchsorted(bd[order], cid)]
+        src_all = t[self.source_col].to_numpy(zero_copy_only=False)
+        ln = chunks["chunk_len"].to_numpy(zero_copy_only=False)
+        # zero rows keep all-empty-doc sources present in the output
+        part = pa.table({
+            self.source_col: pa.array(
+                np.r_[src_all[pos], np.unique(src_all)].astype(object),
+                pa.string()),
+            "n_chunks": pa.array(np.r_[np.ones(len(ln), np.int64),
+                                       np.zeros(len(np.unique(src_all)),
+                                                np.int64)]),
+            "new_chars": pa.array(np.r_[np.where(new, ln, 0),
+                                        np.zeros(len(np.unique(src_all)),
+                                                 np.int64)].astype(np.int64)),
+            "dup_chars": pa.array(np.r_[np.where(new, 0, ln),
+                                        np.zeros(len(np.unique(src_all)),
+                                                 np.int64)].astype(np.int64)),
+        })
+        g = part.group_by(self.source_col).aggregate(
+            [("n_chunks", "sum"), ("new_chars", "sum"),
+             ("dup_chars", "sum")])
+        return g.rename_columns([self.source_col, "n_chunks", "new_chars",
+                                 "dup_chars"])
+
+
 def _zero_rows_for_missing(all_ids, present, id_col: str) -> pa.Table | None:
     """Zero-stat rows for ids in ``all_ids`` but not ``present``."""
     import pyarrow.compute as pc
