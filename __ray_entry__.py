@@ -2072,36 +2072,29 @@ def q_multimodal_decode_real(sf_dir: str):
 
 
 def q_frame_sample_real(sf_dir: str):
-    """Real video-container leg (round 3): MJPEG-AVI payloads built
-    in-process (RIFF/movi/00dc layout) and frame-EXTRACTED by
-    backend="real" — the pure-stdlib RIFF walker
-    (functions/multimodal._avi_mjpeg_frames); MJPEG frames are
-    self-contained JPEGs so extraction needs no codec.  Emits the sampled
-    frame indices and byte sizes.  Rows-only."""
-    import struct
-
+    """Real video-container leg: MJPEG payloads muxed in-process as
+    RIFF-AVI (even rows) AND ISO BMFF / MP4 (odd rows — round 4, VERDICT
+    r3 #7) and frame-EXTRACTED by the same backend="real" stage — the
+    pure-stdlib container walkers (functions/multimodal
+    ._container_frames); MJPEG frames are self-contained JPEGs so
+    extraction needs no codec.  Emits the sampled frame indices and byte
+    sizes.  Rows-only."""
     import ray.data as rd
 
-    from timberjack_ray.functions.multimodal import sample_frames
-
-    def mux(frames):
-        body = b"movi"
-        for fr in frames:
-            body += b"00dc" + struct.pack("<I", len(fr)) + fr
-            if len(fr) & 1:
-                body += b"\x00"
-        movi = b"LIST" + struct.pack("<I", len(body)) + body
-        riff = b"AVI " + movi
-        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    from timberjack_ray.functions.multimodal import (mux_mjpeg_avi,
+                                                     mux_mjpeg_mp4,
+                                                     sample_frames)
 
     n = 32
     payloads = [
-        mux([b"\xff\xd8" + bytes([j]) * (10 + j) + b"\xff\xd9"
+        (mux_mjpeg_avi if i % 2 == 0 else mux_mjpeg_mp4)(
+            [b"\xff\xd8" + bytes([j]) * (10 + j) + b"\xff\xd9"
              for j in range(3 + i % 5)])
         for i in range(n)
     ]
     t = pa.table({
-        "media_id": pa.array([f"avi-{i:04d}" for i in range(n)]),
+        "media_id": pa.array(
+            [f"{'avi' if i % 2 == 0 else 'mp4'}-{i:04d}" for i in range(n)]),
         "payload": pa.array(payloads, pa.binary()),
     })
     out = sample_frames(rd.from_arrow(t), max_frames=3,

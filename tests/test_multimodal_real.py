@@ -224,3 +224,87 @@ def test_frame_sampler_real_mjpeg_avi(ray_session):
     t2 = pa.table({"media_id": [1], "n_frames": [10]})
     out2 = FrameSampler(max_frames=2)(t2).to_pandas()
     assert out2["frame_idx"].tolist() == [0, 9]
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _make_mjpeg_mp4(frames: list[bytes], co64: bool = False) -> bytes:
+    """Minimal ISO BMFF: ftyp + mdat(samples) + moov/trak/mdia/minf/stbl
+    with stsz (per-sample sizes), stsc (one run), stco or co64 (one
+    chunk) — the layout a real MP4 muxer produces for one video track."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_body_off = len(ftyp) + 8           # absolute offset of samples
+
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, len(frames))
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1)
+                + struct.pack(">III", 1, len(frames), 1))
+    if co64:
+        stco = _box(b"co64", struct.pack(">II", 0, 1)
+                    + struct.pack(">Q", mdat_body_off))
+    else:
+        stco = _box(b"stco", struct.pack(">II", 0, 1)
+                    + struct.pack(">I", mdat_body_off))
+    stbl = _box(b"stbl", stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + b"\x00" * 12 + b"VideoHandler\x00")
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_sample_extraction_and_frame_sampler(ray_session):
+    import pyarrow as pa
+
+    from timberjack_ray.functions.multimodal import (FrameSampler,
+                                                     _mp4_video_samples)
+
+    frames = [b"\xff\xd8MP4FRAME%d\xff\xd9" % i for i in range(6)]
+    mp4 = _make_mjpeg_mp4(frames)
+    assert _mp4_video_samples(mp4) == frames
+    # 64-bit chunk offsets too
+    assert _mp4_video_samples(_make_mjpeg_mp4(frames, co64=True)) == frames
+
+    t = pa.table({"media_id": [3], "payload": [mp4]})
+    out = FrameSampler(max_frames=3, backend="real")(t).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 2, 5]
+    assert out["frame_bytes"].tolist() == [frames[0], frames[2], frames[5]]
+
+    # mixed container batch: AVI and MP4 rows through one stage
+    avi = _make_mjpeg_avi(frames[:3])
+    t2 = pa.table({"media_id": [1, 2], "payload": [avi, mp4]})
+    out2 = FrameSampler(max_frames=2, backend="real")(t2).to_pandas()
+    assert out2[out2["media_id"] == 1]["frame_idx"].tolist() == [0, 2]
+    assert out2[out2["media_id"] == 2]["frame_idx"].tolist() == [0, 5]
+
+
+def test_mp4_extraction_rejections():
+    import struct
+
+    import pytest
+
+    from timberjack_ray.functions.multimodal import (_container_frames,
+                                                     _mp4_video_samples)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        _mp4_video_samples(b"\x00" * 64)
+    # ftyp but no moov
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    with pytest.raises(ValueError, match="moov"):
+        _mp4_video_samples(ftyp)
+    # audio-only track: hdlr != vide
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"soun" + b"\x00" * 12)
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", hdlr)))
+    with pytest.raises(ValueError, match="vide"):
+        _mp4_video_samples(ftyp + moov)
+    with pytest.raises(ValueError, match="container"):
+        _container_frames(b"GIF89a not a video")

@@ -13,9 +13,11 @@ Backends (round 3 — VERDICT r02 #5 upgraded ``real`` from a stub):
   installed on the cluster; otherwise pure-stdlib fallbacks that genuinely
   decode PNG (zlib inflate + PNG unfiltering, 8-bit gray/RGB/RGBA,
   non-interlaced) and PCM WAV (the ``wave`` module).  Formats neither path
-  supports raise a clear ValueError.  Video frame EXTRACTION stays
-  NotImplementedError under ``real`` — no container parser is feasible
-  without a codec library.
+  supports raise a clear ValueError.  Video frame EXTRACTION under
+  ``real`` parses RIFF-AVI (MJPEG chunks) and ISO BMFF / MP4 (sample
+  tables) with pure-stdlib struct walkers — MJPEG frames are
+  self-contained JPEGs so extraction needs no codec; other codecs'
+  samples extract but cannot be DECODED in this environment.
 """
 
 from __future__ import annotations
@@ -351,6 +353,148 @@ def _avi_mjpeg_frames(buf: bytes) -> list[bytes]:
     return frames
 
 
+def _mp4_video_samples(buf: bytes) -> list[bytes]:
+    """Pure-stdlib ISO BMFF (MP4) sample extractor for the FIRST video
+    track: walks moov → trak → mdia → minf → stbl, expands the
+    stsz + stsc + stco/co64 tables into absolute (offset, size) sample
+    ranges and returns the sample byte strings in track order.
+
+    Same no-codec story as MJPEG-AVI: EXTRACTION needs only the box
+    tables; MJPEG samples are self-contained JPEGs, other codecs extract
+    but can't be decoded in this environment.  Raises ValueError when
+    the buffer is not an ISO BMFF container or has no video track."""
+    import struct
+
+    def boxes(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            (size,) = struct.unpack(">I", buf[off:off + 4])
+            typ = buf[off + 4:off + 8]
+            body = off + 8
+            if size == 1:                    # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[off + 8:off + 16])
+                body = off + 16
+            elif size == 0:                  # to end of enclosing box
+                size = hi - off
+            if size < 8 or off + size > hi:
+                raise ValueError("corrupt MP4 box")
+            yield typ, body, off + size
+            off += size
+
+    def find(lo: int, hi: int, name: bytes):
+        for t, b, e in boxes(lo, hi):
+            if t == name:
+                return b, e
+        return None
+
+    tops = list(boxes(0, len(buf)))
+    if not any(t == b"ftyp" for t, _, _ in tops):
+        raise ValueError("not an ISO BMFF (MP4) container: no ftyp box")
+    moov = next(((b, e) for t, b, e in tops if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    for t, b, e in boxes(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        # handler_type sits at byte 8 of the hdlr payload
+        if hdlr is None or buf[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsz = find(*stbl, b"stsz")
+        stsc = find(*stbl, b"stsc")
+        stco = find(*stbl, b"stco")
+        co64 = find(*stbl, b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("MP4 video track missing sample tables")
+        fixed, n_samples = struct.unpack(">II", buf[stsz[0] + 4:stsz[0] + 12])
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            sizes = list(struct.unpack(
+                f">{n_samples}I",
+                buf[stsz[0] + 12:stsz[0] + 12 + 4 * n_samples]))
+        (n_sc,) = struct.unpack(">I", buf[stsc[0] + 4:stsc[0] + 8])
+        sc = [struct.unpack(">III", buf[stsc[0] + 8 + 12 * i:
+                                        stsc[0] + 20 + 12 * i])
+              for i in range(n_sc)]
+        if co64 is not None:
+            (n_ch,) = struct.unpack(">I", buf[co64[0] + 4:co64[0] + 8])
+            offs = struct.unpack(
+                f">{n_ch}Q", buf[co64[0] + 8:co64[0] + 8 + 8 * n_ch])
+        else:
+            (n_ch,) = struct.unpack(">I", buf[stco[0] + 4:stco[0] + 8])
+            offs = struct.unpack(
+                f">{n_ch}I", buf[stco[0] + 8:stco[0] + 8 + 4 * n_ch])
+        samples: list[bytes] = []
+        si = 0
+        for ci in range(n_ch):
+            # samples-per-chunk for this chunk = the last stsc run whose
+            # first_chunk (1-based) is <= ci+1
+            spc = next((r[1] for r in reversed(sc) if r[0] <= ci + 1), 0)
+            pos = offs[ci]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                samples.append(bytes(buf[pos:pos + sizes[si]]))
+                pos += sizes[si]
+                si += 1
+        return samples
+    raise ValueError("MP4 has no video ('vide') track")
+
+
+def mux_mjpeg_avi(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI muxer: one 'movi' LIST holding one word-aligned
+    '00dc' chunk per frame — for synthesizing test/bench video rows."""
+    body = b"movi"
+    for fr in frames:
+        body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(body)) + body
+    riff = b"AVI " + movi
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def mux_mjpeg_mp4(frames: list[bytes]) -> bytes:
+    """Minimal ISO BMFF muxer (ftyp + mdat + moov with stsz/stsc/stco for
+    one video track, one chunk) — the MP4 twin of ``mux_mjpeg_avi``."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    mdat_body_off = len(ftyp) + 8
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, len(frames))
+               + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1)
+               + struct.pack(">III", 1, len(frames), 1))
+    stco = box(b"stco", struct.pack(">II", 0, 1)
+               + struct.pack(">I", mdat_body_off))
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+               + b"\x00" * 12 + b"VideoHandler\x00")
+    moov = box(b"moov", box(b"trak", box(b"mdia", hdlr + box(
+        b"minf", box(b"stbl", stsz + stsc + stco)))))
+    return ftyp + mdat + moov
+
+
+def _container_frames(buf: bytes) -> list[bytes]:
+    """Dispatch on container magic: RIFF-AVI (MJPEG chunks) or ISO BMFF
+    (MP4 sample tables).  Raises ValueError for anything else."""
+    if len(buf) >= 12 and buf[:4] == b"RIFF":
+        return _avi_mjpeg_frames(buf)
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return _mp4_video_samples(buf)
+    raise ValueError(
+        "unsupported video container: expected RIFF-AVI or ISO BMFF (MP4)")
+
+
 class FrameSampler:
     """Actor-pool stage: sample ≤ ``max_frames`` frames per video row
     (uniform, deterministic), one output row per sampled frame.
@@ -358,11 +502,12 @@ class FrameSampler:
     ``backend="fake"`` (default) works from the ``n_frames`` metadata
     column and emits (media_id, frame_idx) — the plumbing-only mode.
     ``backend="real"`` parses the ``payload`` binary column as an
-    MJPEG-AVI container (``_avi_mjpeg_frames`` — frame EXTRACTION needs
-    no codec, each frame chunk is a self-contained JPEG) and additionally
-    emits the sampled frames' bytes as ``frame_bytes``.  Non-MJPEG codecs
-    would need a decoder this environment doesn't ship — extraction of
-    their raw chunks still works, decoding them does not."""
+    MJPEG-AVI **or ISO BMFF (MP4)** container (``_container_frames`` —
+    frame EXTRACTION needs no codec; MJPEG frames/samples are
+    self-contained JPEGs) and additionally emits the sampled frames'
+    bytes as ``frame_bytes``.  Non-MJPEG codecs would need a decoder
+    this environment doesn't ship — extraction of their raw samples
+    still works, decoding them does not."""
 
     def __init__(self, max_frames: int = 4, backend: str = "fake",
                  payload_col: str = "payload"):
@@ -375,7 +520,7 @@ class FrameSampler:
         if self.backend == "real":
             for mid, payload in zip(batch["media_id"].to_pylist(),
                                     batch[self.payload_col].to_pylist()):
-                fr = _avi_mjpeg_frames(payload)
+                fr = _container_frames(payload)
                 n = len(fr)
                 take = np.linspace(0, max(n - 1, 0),
                                    min(self.max_frames, max(n, 1))) \

@@ -272,42 +272,44 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_prob
         cent = kmeans_refine(ds, cent, iters=refine_iters, vec_col=vec_col)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    probe_sets = [set(p.tolist()) for p in probes]
+    # (n_centroids × nq) probe-membership matrix, built ONCE (VERDICT r3
+    # #5 — the per-batch per-query np.isin loop was quadratic-ish waste)
+    probe_mat = np.zeros((cent.shape[0], q.shape[0]), dtype=bool)
+    probe_mat[probes.ravel(),
+              np.repeat(np.arange(q.shape[0]), probes.shape[1])] = True
     cent_ref = ray.put(cent)
     q_ref = ray.put(q)
-    probes_ref = ray.put(probe_sets)
+    probes_ref = ray.put(probe_mat)
 
     class IVFStage:
         def __init__(self):
             self.cent = ray.get(cent_ref)
             self.q = ray.get(q_ref)
-            self.probes = ray.get(probes_ref)
+            self.probe_mat = ray.get(probes_ref)   # (n_centroids, nq)
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "query_idx": pa.array([], pa.int32()),
+                              "score": pa.array([], pa.float64())})
             m = _normalize(_to_matrix(batch[vec_col]))
             if m.shape[0] == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "query_idx": pa.array([], pa.int32()),
-                                 "score": pa.array([], pa.float64())})
+                return empty
             cells = np.argmax(m @ self.cent.T, axis=1)
-            ids = np.asarray(batch[id_col])
-            out_id, out_q, out_s = [], [], []
-            for qi, pset in enumerate(self.probes):
-                mask = np.isin(cells, list(pset))
-                if not mask.any():
-                    continue
-                sub = m[mask]
-                sub_ids = ids[mask]
-                scores = sub @ self.q[qi]
-                kk = min(self.k, len(scores))
-                part = np.argpartition(-scores, kk - 1)[:kk]
-                out_id.extend(sub_ids[part].tolist())
-                out_q.extend([qi] * kk)
-                out_s.extend(scores[part].astype(np.float64).tolist())
-            return pa.table({id_col: pa.array(out_id, pa.int64()),
-                             "query_idx": pa.array(out_q, pa.int32()),
-                             "score": pa.array(out_s, pa.float64())})
+            probed = self.probe_mat[cells]          # (n, nq) bool
+            any_q = probed.any(axis=1)              # rows ANY query probes
+            if not any_q.any():
+                return empty
+            sub = m[any_q]
+            scores = sub @ self.q.T                 # (n_sub, nq)
+            scores[~probed[any_q]] = -np.inf        # mask un-probed cells
+            ids = np.asarray(batch[id_col]).astype(np.int64)[any_q]
+            rows, qidx = _topk_rows_tiesafe(scores, ids, self.k)
+            out_s = scores[rows, qidx].astype(np.float64)
+            keep = np.isfinite(out_s)               # short candidate lists
+            return pa.table({id_col: pa.array(ids[rows[keep]]),
+                             "query_idx": pa.array(qidx[keep]),
+                             "score": pa.array(out_s[keep])})
 
     partial = ds.map_batches(IVFStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1).to_pandas()
     return _rank_merge(partial, id_col, "score", k)
