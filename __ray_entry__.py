@@ -933,6 +933,25 @@ def q_ann_ivf(sf_dir: str):
     return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
 
 
+def q_ann_ivf_full(sf_dir: str):
+    """IVF top-k with n_probe = n_centroids (round 4): probing every cell
+    makes the IVF plan EXACT, so the vectorized probe-matrix kernel is
+    hash-checked against the same SQL cosine top-k oracle as brute force
+    — the driver-checkable determinism anchor for the approximate family
+    (ann_ivf keeps the honest n_probe<n_centroids recall path)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.similarity import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, q0[None, :], k=10, n_centroids=8, n_probe=8)
+    return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
+
+
 def q_quality_scores(sf_dir: str):
     from timberjack_ray.functions.text import QualityScorer
 
@@ -956,6 +975,51 @@ def q_fingerprints(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(add_fingerprints, batch_format="pyarrow").to_pandas()
     return out[["doc_id", "fp64"]].astype({"doc_id": "int64", "fp64": "int64"})
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Oracle-checked winnowing-style fingerprint (round 4 — converts the
+    fingerprint family from rows-only to hash-checked): per doc the MIN
+    over rolling 5-word-gram Horner hashes, word hash = codepoint Horner
+    fold, short docs fall back to the whole-text content hash.  The
+    DuckDB oracle replays every fold with HUGEINT modular arithmetic."""
+    from timberjack_ray.functions.text import add_winnow_fp
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_winnow_fp, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "fp"]].astype({"doc_id": "int64", "fp": "int64"})
+
+
+def q_minhash_signatures(sf_dir: str):
+    """Oracle-checked MinHash SIGNATURE primitive (round 4): 8-perm
+    signatures over 3-word-gram Horner hashes with affine permutations
+    ``g → (POLY_BASE^(p+1)·g + p·KNUTH32) mod 2^64`` — the DuckDB oracle
+    replays the modular multiply with a 32-bit split (HUGEINT would
+    overflow on a full 64×64 product).  The LSH pairing tier above this
+    (minhash_pairs) stays rows-only; the signature math itself is now
+    driver-checkable."""
+    from timberjack_ray.functions.dedup import minhash_horner_signature
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(minhash_horner_signature,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "perm"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "perm": "int64", "minhash": "int64"})
+
+
+def q_simhash16(sf_dir: str):
+    """Oracle-checked SimHash primitive (round 4): 16-bit signature where
+    bit b is set iff a strict majority of the doc's words carry bit b of
+    their codepoint-Horner hash — pure integer majority votes, replayed
+    bit-by-bit in SQL.  The banded pairing tier (simhash_pairs) stays
+    rows-only; the signature math is now driver-checkable."""
+    from timberjack_ray.functions.dedup import simhash16_horner
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(simhash16_horner, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "simhash": "int64"})
 
 
 def q_revenue_by_priority(sf_dir: str):
@@ -6137,6 +6201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_monthly_streaks": q_customer_monthly_streaks,
         "basket_size_histogram": q_basket_size_histogram,
         "seq_pack_sharded": q_seq_pack_sharded,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_ivf_full": q_ann_ivf_full,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash16": q_simhash16,
     }
 
 
@@ -7098,6 +7166,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
                    CAST(pack_bin AS BIGINT) AS pack_bin
             FROM r
+        """,
+        "ann_ivf_full": """
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                       vec_id ASC) AS BIGINT) AS rank
+              FROM embeddings
+            ) WHERE rank <= 10
+        """,
+        "stream_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "minhash_signatures": """
+            WITH wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl,
+                list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(
+                    list_filter(string_split_regex(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)),
+                  (h, c) -> (h * 1000003 + c)
+                            % 18446744073709551616::HUGEINT) AS chash
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                CASE WHEN len(whl) >= 3 THEN
+                  list_transform(generate_series(1, len(whl) - 2),
+                    i -> list_reduce(list_prepend(0::HUGEINT, whl[i:i+2]),
+                         (h, c) -> (h * 1000003 + c)
+                                   % 18446744073709551616::HUGEINT))
+                ELSE [chash] END AS ghl
+              FROM wh
+            ), perms(perm, a, b) AS (VALUES (0, 1000003::HUGEINT, 0::HUGEINT), (1, 1000006000009::HUGEINT, 2654435761::HUGEINT), (2, 1000009000027000027::HUGEINT, 5308871522::HUGEINT), (3, 14003818205314896721::HUGEINT, 7963307283::HUGEINT), (4, 14453212906556403763::HUGEINT, 10617743044::HUGEINT), (5, 10923514805226455897::HUGEINT, 13272178805::HUGEINT), (6, 12924618581234127435::HUGEINT, 15926614566::HUGEINT), (7, 1460077494926286753::HUGEINT, 18581050327::HUGEINT)),
+            mh AS (
+              SELECT g.doc_id, perms.perm,
+                list_min(list_transform(g.ghl,
+                  x -> (((x // 4294967296 * perms.a)
+                          % 18446744073709551616::HUGEINT) * 4294967296
+                        + (x % 4294967296) * perms.a
+                        + perms.b) % 18446744073709551616::HUGEINT)) AS h
+              FROM g, perms
+            )
+            SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+              CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN h - 18446744073709551616::HUGEINT
+                        ELSE h END AS BIGINT) AS minhash
+            FROM mh
+        """,
+        "simhash16": """
+            WITH wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(0, 15),
+                b -> CASE WHEN 2 * list_sum(list_transform(whl,
+                            h -> CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
+                                 THEN 1 ELSE 0 END)) > len(whl)
+                     THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS simhash
+            FROM wh
+        """,
+        "winnow_fingerprints": """
+            WITH wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl,
+                list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(
+                    list_filter(string_split_regex(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)),
+                  (h, c) -> (h * 1000003 + c)
+                            % 18446744073709551616::HUGEINT) AS chash
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                CASE WHEN len(whl) >= 5 THEN
+                  list_min(list_transform(
+                    generate_series(1, len(whl) - 4),
+                    i -> list_reduce(
+                           list_prepend(0::HUGEINT, whl[i:i+4]),
+                           (h, c) -> (h * 1000003 + c)
+                                     % 18446744073709551616::HUGEINT)))
+                ELSE chash END AS h
+              FROM wh
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN h - 18446744073709551616::HUGEINT
+                        ELSE h END AS BIGINT) AS fp
+            FROM f
         """,
         "seq_pack_sharded": """
             WITH RECURSIVE d AS (

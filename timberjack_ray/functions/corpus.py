@@ -55,7 +55,18 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     n = batch.num_rows
     if n == 0:
         return batch.append_column(out_col, pa.array([], pa.int64()))
-    arr = batch[col].combine_chunks()
+    h = horner_hash_strings(batch[col])
+    return batch.append_column(out_col, pa.array(h.view(np.int64)))
+
+
+def horner_hash_strings(col) -> np.ndarray:
+    """The vectorized Horner-fold kernel behind ``add_content_hash``,
+    exposed for per-WORD hashing (winnowing fingerprints): one uint64
+    hash per string in ``col``, no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
     if arr.null_count:
         arr = pc.fill_null(arr, "")
         if isinstance(arr, pa.ChunkedArray):
@@ -74,7 +85,7 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     offsets = np.concatenate([[0], np.cumsum(lens)])
     total = int(offsets[-1])
     if total == 0:
-        return batch.append_column(out_col, pa.array(np.zeros(n, np.int64)))
+        return np.zeros(n, np.uint64)
     maxlen = int(lens.max())
     powers = np.ones(maxlen, dtype=np.uint64)
     if maxlen > 1:
@@ -88,7 +99,7 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     starts = np.minimum(offsets[:-1], total)
     h = np.add.reduceat(terms, starts)
     h[lens == 0] = np.uint64(0)
-    return batch.append_column(out_col, pa.array(h.view(np.int64)))
+    return h
 
 
 def assign_split(batch: pa.Table, col: str = "text",

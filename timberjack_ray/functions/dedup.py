@@ -1485,3 +1485,109 @@ def ngram_novelty(ds, col: str = "text", id_col: str = "doc_id",
     return partials.groupby(id_col).aggregate(
         Sum("n_grams", alias_name="n_grams"),
         Sum("n_novel", alias_name="n_novel"))
+
+
+def minhash_horner_signature(batch: pa.Table, col: str = "text",
+                             id_col: str = "doc_id", ngram: int = 3,
+                             n_perm: int = 8) -> pa.Table:
+    """SQL-REPLAYABLE MinHash signature (round 4 — the oracle-checked
+    twin of ``MinHasher``'s siphash path): grams = ``ngram``-word Horner
+    chains over per-word codepoint Horner hashes, permutation ``p`` maps
+    ``g → (A_p·g + B_p) mod 2^64`` with ``A_p = POLY_BASE^(p+1)`` (odd ⇒
+    a bijection of Z_2^64) and ``B_p = p·KNUTH32``; the signature entry
+    is the min over grams.  Docs shorter than ``ngram`` words use the
+    whole-text content hash as their single gram.  Every step is HUGEINT
+    modular arithmetic in DuckDB.
+
+    Output: long format (id, perm, minhash) — n_perm rows per doc.
+    Fully vectorized (flat word-hash pass, per-perm affine + masked
+    ``minimum.reduceat``)."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import (KNUTH32, POLY_BASE,
+                                                 _word_offsets,
+                                                 horner_hash_strings)
+
+    n = batch.num_rows
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "perm": pa.array([], pa.int64()),
+                         "minhash": pa.array([], pa.int64())})
+    chash = horner_hash_strings(batch[col])
+    words = pc.split_pattern(batch[col], " ")
+    flat, offsets = _word_offsets(words)
+    wc = np.diff(offsets)
+    total = int(offsets[-1])
+    long_mask = wc >= ngram
+
+    # per-doc gram-hash segments (short docs: the single chash gram)
+    if total >= ngram and long_mask.any():
+        wh = horner_hash_strings(flat)
+        ngr = total - ngram + 1
+        gh = np.zeros(ngr, dtype=np.uint64)
+        for i in range(ngram):
+            gh = gh * POLY_BASE + wh[i:i + ngr]
+        delta = np.zeros(ngr + 1, dtype=np.int64)
+        np.add.at(delta, offsets[:-1][long_mask], 1)
+        np.add.at(delta, (offsets[:-1] + wc - ngram + 1)[long_mask], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+    else:
+        gh = np.zeros(0, dtype=np.uint64)
+        valid = np.zeros(0, dtype=bool)
+
+    U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out_id = np.repeat(ids, n_perm)
+    out_p = np.tile(np.arange(n_perm, dtype=np.int64), n)
+    out_mh = np.empty(n * n_perm, dtype=np.uint64)
+    a_int = 1
+    for p in range(n_perm):
+        a_int = (a_int * int(POLY_BASE)) % (1 << 64)  # POLY_BASE^(p+1)
+        a = np.uint64(a_int)
+        b = np.uint64(p * KNUTH32)
+        mh = (chash * a + b)         # short-doc fallback per doc
+        if len(gh):
+            ph = np.append(np.where(valid, gh * a + b, U64), U64)
+            seg_starts = np.minimum(offsets[:-1], len(gh))
+            seg_mins = np.minimum.reduceat(ph, seg_starts)
+            mh = np.where(long_mask, seg_mins, mh)
+        out_mh[p::n_perm] = mh
+    return pa.table({id_col: pa.array(out_id),
+                     "perm": pa.array(out_p),
+                     "minhash": pa.array(out_mh.view(np.int64))})
+
+
+def simhash16_horner(batch: pa.Table, col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """SQL-REPLAYABLE 16-bit SimHash (round 4 — oracle-checked twin of
+    ``SimHasher``): per doc, bit ``b`` is set iff MORE than half of its
+    words (single-space split, empties kept, word hash = codepoint
+    Horner fold) have bit ``b`` set — i.e. ``2·ones_b > n_words``, pure
+    integer arithmetic DuckDB replays with ``//`` and ``%``.
+
+    Vectorized: one flat word-hash pass, 16 shifted-mask ``add.reduceat``
+    sums."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import (_word_offsets,
+                                                 horner_hash_strings)
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "simhash": pa.array([], pa.int64())})
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.split_pattern(batch[col], " ")
+    flat, offsets = _word_offsets(words)
+    wc = np.diff(offsets)
+    wh = horner_hash_strings(flat)
+    total = int(offsets[-1])
+    sig = np.zeros(n, dtype=np.int64)
+    starts = np.minimum(offsets[:-1], max(total, 0))
+    for b in range(16):
+        bits = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        bits = np.append(bits, 0)    # sentinel for trailing empty docs
+        ones = np.add.reduceat(bits, starts) if total else np.zeros(n, np.int64)
+        ones = np.where(wc > 0, ones, 0)
+        sig |= ((2 * ones > wc).astype(np.int64)) << b
+    return pa.table({id_col: pa.array(ids), "simhash": pa.array(sig)})

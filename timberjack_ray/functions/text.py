@@ -210,6 +210,51 @@ def add_fingerprints(batch: pa.Table, col: str = "text", ngram: int = 5) -> pa.T
     )
 
 
+def add_winnow_fp(batch: pa.Table, col: str = "text", ngram: int = 5,
+                  out_col: str = "fp") -> pa.Table:
+    """SQL-REPLAYABLE document fingerprint (round 4 — the oracle-checked
+    twin of ``add_fingerprints``'s siphash sketch): min over rolling
+    word-``ngram`` Horner hashes, where word hash = the codepoint Horner
+    fold (``corpus.horner_hash_strings``) and the gram fold chains word
+    hashes with the same POLY_BASE — every step is HUGEINT-replayable in
+    DuckDB.  Words = single-space split (string_split parity, empties
+    kept).  Documents shorter than ``ngram`` words fall back to the
+    whole-text content hash (``add_content_hash`` value).
+
+    Fully vectorized: one flat word-hash pass, ``ngram`` shifted-slice
+    multiplies for the gram fold, boundary masking to U64_MAX, one
+    ``minimum.reduceat``."""
+    from timberjack_ray.functions.corpus import (POLY_BASE, _word_offsets,
+                                                 horner_hash_strings)
+
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column(out_col, pa.array([], pa.int64()))
+    texts = batch[col]
+    fp = horner_hash_strings(texts)  # short-doc fallback = content hash
+    words = pc.split_pattern(texts, " ")
+    flat, offsets = _word_offsets(words)
+    wc = np.diff(offsets)
+    total = int(offsets[-1])
+    long_mask = wc >= ngram
+    if total >= ngram and long_mask.any():
+        wh = horner_hash_strings(flat)
+        ng = total - ngram + 1
+        gh = np.zeros(ng, dtype=np.uint64)
+        for i in range(ngram):  # ngram iterations, each fully vectorized
+            gh = gh * POLY_BASE + wh[i:i + ng]
+        delta = np.zeros(ng + 1, dtype=np.int64)
+        np.add.at(delta, offsets[:-1][long_mask], 1)
+        np.add.at(delta, (offsets[:-1] + wc - ngram + 1)[long_mask], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        gh_m = np.append(np.where(valid, gh, _U64_MAX), _U64_MAX)
+        seg_starts = np.minimum(offsets[:-1], ng)
+        seg_mins = np.minimum.reduceat(gh_m, seg_starts)
+        fp = fp.copy()
+        fp[long_mask] = seg_mins[long_mask]
+    return batch.append_column(out_col, pa.array(fp.view(np.int64)))
+
+
 # PII patterns, RE2 syntax (pyarrow.compute AND DuckDB both run RE2, so the
 # oracle replays the scrub byte-identically).  Applied in tuple order;
 # emails first so ordinary addresses are consumed as one unit before the
