@@ -3462,6 +3462,135 @@ def q_basket_size_histogram(sf_dir: str):
         .astype({"n_parts": "int64", "n_orders": "int64"})
 
 
+def q_user_event_runs(sf_dir: str):
+    """Run-length-encoding census (round 4): per event type, the number
+    of maximal same-type RUNS within a user's (ts, event_id)-ordered
+    stream plus total events — gaps-and-islands compression stats,
+    SQL-replayable via LAG run starts (functions/sessions
+    .run_length_stats: one key-bucket exchange, |alphabet| partials)."""
+    from timberjack_ray.functions.sessions import run_length_stats
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return run_length_stats(ds, "user_id", "ts", "event_type", "event_id")
+
+
+def q_value_bucket_transitions(sf_dir: str):
+    """Value-quartile Markov transitions (round 4): bucket each event's
+    cents into global exact quartiles (type-1), then count per-user
+    next-event transitions between buckets — the discretized-state
+    Markov sufficient statistics.  Two passes: exact_quantiles (tiny
+    count-per-value merge) then the sessionize exchange via
+    transition_counts on the derived bucket column."""
+    from timberjack_ray.functions.sessions import (exact_quantiles,
+                                                   transition_counts)
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    qs = exact_quantiles(ds, "value", [0.25, 0.5, 0.75], scale=100)
+    b1, b2, b3 = (int(v) for v in qs["value_scaled"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = _scale100(t["value"].to_numpy(zero_copy_only=False))
+        vb = np.where(c <= b1, 0, np.where(c <= b2, 1,
+                      np.where(c <= b3, 2, 3))).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"],
+                         "vb": pa.array(vb.astype(str))})
+
+    out = transition_counts(ds.map_batches(add_bucket,
+                                           batch_format="pyarrow"),
+                            "user_id", "ts", "vb", "event_id")
+    out = out.rename(columns={"cur_type": "cur_vb", "next_type": "next_vb"})
+    return out.astype({"cur_vb": "int64", "next_vb": "int64", "n": "int64"})
+
+
+def q_source_charclass_counts(sf_dir: str):
+    """Per-source exact character-class census (round 4): alpha / digit /
+    space / other char counts over the corpus — the byte-level quality
+    profile at exact-integer fidelity.  One pass, Arrow regex count
+    kernels per batch, 4-int partials per source."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = pc.utf8_length(t["text"]).cast(pa.int64())
+        alpha = pc.count_substring_regex(t["text"], "[A-Za-z]") \
+            .cast(pa.int64())
+        digit = pc.count_substring_regex(t["text"], "[0-9]").cast(pa.int64())
+        space = pc.count_substring(t["text"], " ").cast(pa.int64())
+        other = pc.subtract(pc.subtract(pc.subtract(total, alpha), digit),
+                            space)
+        g = pa.table({"source": t["source"], "n_alpha": alpha,
+                      "n_digit": digit, "n_space": space,
+                      "n_other": other}) \
+            .group_by("source").aggregate(
+                [("n_alpha", "sum"), ("n_digit", "sum"),
+                 ("n_space", "sum"), ("n_other", "sum")])
+        return g.rename_columns(["source", "n_alpha", "n_digit",
+                                 "n_space", "n_other"])
+
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["source"],
+                         ["n_alpha", "n_digit", "n_space", "n_other"]) \
+        .to_pandas()
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({c: "int64" for c in ["n_alpha", "n_digit", "n_space",
+                                      "n_other"]})
+
+
+def q_mode_value_per_type(sf_dir: str):
+    """Exact grouped MODE with deterministic tie-break (round 4): per
+    event type, the most frequent value-cent (ties → smallest cent) and
+    its count.  Guarded (type, cent) count fold; past the guard the
+    merged Dataset resolves per-type argmax distributedly via
+    grouped_topk — same answer either way."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _scale100(t["value"].to_numpy(zero_copy_only=False))
+        g = pa.table({"event_type": t["event_type"], "c": pa.array(c)}) \
+            .group_by(["event_type", "c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "c", "n"])
+
+    merged, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "c"], ["n"])
+    if mode != "driver":  # pragma: no cover - past the cent-domain guard
+        from timberjack_ray.functions.relational import grouped_topk
+        out = grouped_topk(merged, "event_type", "n", 1, tie_col="c")
+    else:
+        df = merged.to_pandas()
+        df = df.sort_values(["event_type", "n", "c"],
+                            ascending=[True, False, True])
+        out = df.groupby("event_type", as_index=False).head(1)
+    out = out.rename(columns={"c": "mode_cents"}) \
+        .sort_values("event_type").reset_index(drop=True)
+    return out[["event_type", "mode_cents", "n"]] \
+        .astype({"mode_cents": "int64", "n": "int64"})
+
+
+def q_returnflag_priority_contingency(sf_dir: str):
+    """Return-flag × order-priority contingency table (round 4): the χ²
+    sufficient statistics as exact integer counts.  GRACE bucketed join
+    (lineitem ⋈ orders on orderkey — both large), per-batch crosstab
+    partials, |flags × priorities| merge."""
+    from timberjack_ray.aggregates import counts_by
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                              left_cols=["l_returnflag"],
+                              right_cols=["o_orderpriority"], n_buckets=32)
+    out = counts_by(joined, ["l_returnflag", "o_orderpriority"])
+    return out.sort_values(["l_returnflag", "o_orderpriority"]) \
+        .reset_index(drop=True).astype({"n": "int64"})
+
+
 def q_event_heatmap(sf_dir: str):
     """Calendar heatmap counts — the (day-of-week × hour-of-day) crosstab
     every ops dashboard draws: 168-cell bounded partials from one pass
@@ -5729,7 +5858,10 @@ def q_stream_chunk_novelty(sf_dir: str):
             ChunkNoveltyStage,
             fn_constructor_kwargs=dict(shards=d.shards,
                                        cdc_params=d.cdc_params),
-            batch_format="pyarrow", batch_size=256, concurrency=4)
+            # autoscaling pool (min 1): the 8 shard actors hold 2.0 CPUs,
+            # so a FIXED pool of 4 can never schedule at num_cpus=4 and
+            # Ray Data waits forever (found as a pytest-session deadlock)
+            batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
         out = merge_partials(parts, ["source"],
                              ["n_chunks", "new_chars", "dup_chars"]) \
             .to_pandas()
@@ -6205,6 +6337,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": q_ann_ivf_full,
         "minhash_signatures": q_minhash_signatures,
         "simhash16": q_simhash16,
+        "user_event_runs": q_user_event_runs,
+        "value_bucket_transitions": q_value_bucket_transitions,
+        "source_charclass_counts": q_source_charclass_counts,
+        "mode_value_per_type": q_mode_value_per_type,
+        "returnflag_priority_contingency": q_returnflag_priority_contingency,
     }
 
 
@@ -7176,6 +7313,71 @@ def oracle_sql() -> dict[str, str]:
                        vec_id ASC) AS BIGINT) AS rank
               FROM embeddings
             ) WHERE rank <= 10
+        """,
+        "user_event_runs": """
+            WITH o AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                       THEN 1 ELSE 0 END)::BIGINT AS n_runs
+            FROM o GROUP BY event_type
+        """,
+        "value_bucket_transitions": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), b AS (
+              SELECT quantile_disc(c, 0.25) AS b1, quantile_disc(c, 0.5) AS b2,
+                     quantile_disc(c, 0.75) AS b3 FROM s
+            ), e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN c <= b1 THEN 0 WHEN c <= b2 THEN 1
+                          WHEN c <= b3 THEN 2 ELSE 3 END AS vb
+              FROM s, b
+            ), o AS (
+              SELECT vb, LEAD(vb) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS nvb
+              FROM e
+            )
+            SELECT CAST(vb AS BIGINT) AS cur_vb, CAST(nvb AS BIGINT) AS next_vb,
+                   COUNT(*) AS n
+            FROM o WHERE nvb IS NOT NULL GROUP BY vb, nvb
+        """,
+        "source_charclass_counts": """
+            SELECT source,
+              SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT
+                AS n_alpha,
+              SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))::BIGINT
+                AS n_digit,
+              SUM(length(text) - length(replace(text, ' ', '')))::BIGINT
+                AS n_space,
+              SUM(length(text)
+                  - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  - (length(text) - length(replace(text, ' ', ''))))::BIGINT
+                AS n_other
+            FROM documents GROUP BY source
+        """,
+        "mode_value_per_type": """
+            SELECT event_type, c AS mode_cents, n FROM (
+              SELECT event_type, c, COUNT(*) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY COUNT(*) DESC, c ASC) AS rn
+              FROM (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY event_type, c
+            ) WHERE rn = 1
+        """,
+        "returnflag_priority_contingency": """
+            SELECT l_returnflag, o_orderpriority, COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag, o_orderpriority
         """,
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

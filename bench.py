@@ -164,6 +164,12 @@ def main() -> None:
         timed("knn_join", lambda: em.q_embedding_knn_join(SF_DIR))
         timed("range_join_grace", lambda: em.q_event_pairs_1h_grace(SF_DIR))
         timed("skew_join", lambda: em.q_skewed_user_revenue(SF_DIR))
+        # round-4 trackers: the sharded packer, the map_batches CDC probe,
+        # the vectorized IVF stage, and the Horner signature primitives
+        timed("seq_pack_sharded", lambda: em.q_seq_pack_sharded(SF_DIR))
+        timed("chunk_novelty", lambda: em.q_stream_chunk_novelty(SF_DIR))
+        timed("ann_ivf", lambda: em.q_ann_ivf(SF_DIR))
+        timed("minhash_signatures", lambda: em.q_minhash_signatures(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {

@@ -842,6 +842,48 @@ def exact_quantile_bisect(ds, col: str, qs: list[float], scale: int = 100,
                              [hi_by[r] for r in ranks], dtype=np.int64)})
 
 
+def run_length_stats(ds, key_col: str, ts_col: str, type_col: str,
+                     id_col: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Run-length-encoding stats of per-key event streams (round 4): for
+    each type, how many RUNS (maximal same-type stretches in (ts, id)
+    order within a key) and how many events total — the gaps-and-islands
+    compression census, SQL-replayable via ``LAG(type)`` run starts.
+
+    Scale shape: the sessionize exchange (key-hash buckets, one lexsort
+    per bucket, vectorized run-start mask); only |alphabet| partials per
+    bucket reach the merge."""
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    proj = ds.select_columns([key_col, ts_col, type_col, id_col])
+    bucketed = add_key_bucket(proj, key_col, n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "n_events": pa.array([], pa.int64()),
+                          "n_runs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, _ts_to_int(ts), k))
+        ks, tys = k[order], ty[order]
+        start = np.r_[True, (ks[1:] != ks[:-1]) | (tys[1:] != tys[:-1])]
+        g = pa.table({type_col: pa.array(tys),
+                      "s": pa.array(start.astype(np.int64))}) \
+            .group_by(type_col).aggregate([([], "count_all"), ("s", "sum")])
+        return g.rename_columns([type_col, "n_events", "n_runs"])
+
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(partials, [type_col], ["n_events", "n_runs"]) \
+        .to_pandas()
+    return out.sort_values(type_col).reset_index(drop=True) \
+        .astype({"n_events": "int64", "n_runs": "int64"})
+
+
 def longest_streak_histogram(ds, key_col: str, ts_col: str,
                              day_us: int = 86_400_000_000,
                              n_buckets: int = 256) -> pd.DataFrame:
