@@ -322,43 +322,62 @@ def pack_sequences_ds(ds, group_col: str, order_col: str, size_col: str,
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
 
-    # pre-pass: per-(group, shard) bin count — same greedy fold over the
-    # slim sizes, emitting ONE row per unit (groups × n_shards total)
-    def nbins(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE exchange total: each (group, shard) unit packs with LOCAL bin
+    # ids in the groupby pass; the locally-packed slim Dataset (tens of
+    # bytes/row — spill-safe at corpus scale) is checkpointed, the tiny
+    # per-unit bin counts fold on the driver into prefix-sum bases, and
+    # a plain map_batches rebase (no second exchange) emits global dense
+    # bin ids.  (A groupby per pass costs a full all-to-all — measured
+    # ~2× the whole sf0.1 curation pipeline.)
+    def pack_local(g: pd.DataFrame) -> pd.DataFrame:
         _check(len(g))
-        g = g.sort_values(order_col)
-        bins = _greedy_bins(_sizes_in_order(g), budget)
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            "__shard": [g["__shard"].iloc[0]],
-            "n_bins": [int(bins[-1]) + 1 if len(bins) else 0]})
+        g = g.sort_values(order_col).reset_index(drop=True)
+        g["__local_bin"] = _greedy_bins(_sizes_in_order(g), budget)
+        return g[[group_col, order_col, size_col, "__shard", "__local_bin"]]
+
+    packed_local = sharded.groupby([group_col, "__shard"]).map_groups(
+        pack_local, batch_format="pandas").materialize()
+
+    def nbins_partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, "__shard", "__local_bin"]) \
+            .group_by([group_col, "__shard"]) \
+            .aggregate([("__local_bin", "max")])
+        return g.rename_columns([group_col, "__shard", "max_bin"])
 
     counts = collect_table_under(
-        sharded.groupby([group_col, "__shard"]).map_groups(
-            nbins, batch_format="pandas"),
+        packed_local.map_batches(nbins_partial, batch_format="pyarrow"),
         limit_rows=1_000_000)
     if counts is None:
         raise ValueError(
             "pack_sequences_ds: groups × n_shards exceeds the driver base "
             "map limit — group cardinality is this operator's parallelism "
             "assumption; pre-bucket the group key")
-    cdf = counts.to_pandas().sort_values([group_col, "__shard"])
+    cdf = counts.to_pandas().groupby([group_col, "__shard"],
+                                     as_index=False)["max_bin"].max() \
+        .sort_values([group_col, "__shard"])
+    cdf["n_bins"] = cdf["max_bin"] + 1
     cdf["base"] = cdf.groupby(group_col)["n_bins"].cumsum() - cdf["n_bins"]
     base_map = {(g, int(s)): int(b) for g, s, b in
                 zip(cdf[group_col], cdf["__shard"], cdf["base"])}
     base_ref = ray.put(base_map)
 
-    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
-        _check(len(g))
+    def rebase(t: pa.Table) -> pa.Table:
         bases = ray.get(base_ref)
-        g = g.sort_values(order_col).reset_index(drop=True)
-        key = (g[group_col].iloc[0], int(g["__shard"].iloc[0]))
-        g["pack_bin"] = _greedy_bins(_sizes_in_order(g), budget) \
-            + np.int64(bases[key])
-        return g[[group_col, order_col, size_col, "pack_bin"]]
+        gvals = t[group_col].to_numpy(zero_copy_only=False)
+        svals = t["__shard"].to_numpy(zero_copy_only=False)
+        lb = t["__local_bin"].to_numpy(zero_copy_only=False)
+        # vectorize the dict lookup over the batch's few distinct units
+        out = lb.astype(np.int64).copy()
+        import pandas as pd_
 
-    return sharded.groupby([group_col, "__shard"]).map_groups(
-        pack_shard, batch_format="pandas")
+        codes, uniques = pd_.factorize(
+            pd_.Series(list(zip(gvals, svals.tolist()))))
+        add = np.array([bases[u] for u in uniques], dtype=np.int64)
+        out += add[codes]
+        return pa.table({group_col: t[group_col], order_col: t[order_col],
+                         size_col: t[size_col], "pack_bin": pa.array(out)})
+
+    return packed_local.map_batches(rebase, batch_format="pyarrow")
 
 
 def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
