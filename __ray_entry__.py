@@ -6024,6 +6024,60 @@ def q_bm25_docs(sf_dir: str):
     return out.astype({"doc_id": "int64"})
 
 
+def q_order_gap_quantiles(sf_dir: str):
+    """Inter-order gap distribution (round 4): exact type-1 quantiles of
+    per-customer consecutive-order gaps in whole days — the re-purchase
+    cadence statistic.  ONE custkey-bucket exchange; per bucket a
+    lexsort + segment-masked diff emits a (gap_days, n) HISTOGRAM
+    partial, the merge is gap-domain-bounded, and the driver does the
+    cumulative type-1 walk (the exact_quantiles rule)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["o_custkey"],
+                         "d": pc.cast(t["o_orderdate"], pa.int64()),
+                         "k": t["o_orderkey"]})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gap_days": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        cs, ds_ = c[order], d[order]
+        same = cs[1:] == cs[:-1]
+        gaps = ((ds_[1:] - ds_[:-1]) // DAY)[same]
+        if not len(gaps):
+            return empty
+        v, n = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_days": pa.array(v.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "c", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    hist = merge_partials(p, ["gap_days"], "n").to_pandas() \
+        .sort_values("gap_days").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    qs = [0.25, 0.5, 0.75, 0.9]
+    vals = [int(hist["gap_days"].iloc[
+        int(np.searchsorted(cum, max(1, int(np.ceil(q * total)))))])
+        for q in qs]
+    return pd.DataFrame({"q": qs, "gap_days": vals}) \
+        .astype({"gap_days": "int64"})
+
+
 def q_user_decayed_value(sf_dir: str):
     """Per-user exponentially-decayed activity score (functions/sessions.
     grouped_decayed_sum): 16-term truncated EWMA over cents, exact int64
@@ -6342,6 +6396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_charclass_counts": q_source_charclass_counts,
         "mode_value_per_type": q_mode_value_per_type,
         "returnflag_priority_contingency": q_returnflag_priority_contingency,
+        "order_gap_quantiles": q_order_gap_quantiles,
     }
 
 
@@ -7373,6 +7428,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM events)
               GROUP BY event_type, c
             ) WHERE rn = 1
+        """,
+        "order_gap_quantiles": """
+            WITH g AS (
+              SELECT (epoch_us(o_orderdate)
+                      - epoch_us(LAG(o_orderdate) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)))
+                     // 86400000000 AS gap_days
+              FROM orders
+            ), v AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(gap_days, 0.25) AS BIGINT) AS gap_days
+            FROM v
+            UNION ALL SELECT 0.5, CAST(quantile_disc(gap_days, 0.5) AS BIGINT) FROM v
+            UNION ALL SELECT 0.75, CAST(quantile_disc(gap_days, 0.75) AS BIGINT) FROM v
+            UNION ALL SELECT 0.9, CAST(quantile_disc(gap_days, 0.9) AS BIGINT) FROM v
         """,
         "returnflag_priority_contingency": """
             SELECT l_returnflag, o_orderpriority, COUNT(*) AS n
