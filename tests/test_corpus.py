@@ -515,3 +515,13 @@ def test_source_vocab_overlap_planted(ray_session):
     out = source_vocab_overlap(ds)
     # vocab: s1={a,b,c,d}, s2={a,c,d,e}, s3={zz}; zero-overlap pairs omitted
     assert out.values.tolist() == [["s1", "s2", 3, 5]]
+
+
+def test_pack_sequences_sharded_rejects_string_order(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"source": ["a", "a"], "doc_id": ["x", "y"],
+                  "n_tok": [1, 2]})
+    with pytest.raises(Exception, match="integer order"):
+        corpus.pack_sequences(rd.from_arrow(t), "source", "doc_id",
+                              "n_tok", budget=8, n_shards=2)

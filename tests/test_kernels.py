@@ -3,6 +3,8 @@ regex semantics on every fixture and synthetic line."""
 
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import fixtures
 from timberjack_ray import kernels
@@ -145,3 +147,86 @@ def test_detect_format():
     # mixed head with <40% JSON in first 5 → generic
     assert kernels.detect_format(fixtures.MIXED_FORMATS) == "generic"
     assert kernels.detect_format([]) == "generic"
+
+
+# ---- round-4 Horner signature kernels vs naive references ----------------
+
+def _naive_horner(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 1000003 + ord(ch)) % (1 << 64)
+    return h
+
+
+def _naive_winnow(text: str, ngram: int = 5) -> int:
+    words = text.split(" ")
+    if len(words) < ngram:
+        return _naive_horner(text)
+    whs = [_naive_horner(w) for w in words]
+    best = None
+    for i in range(len(whs) - ngram + 1):
+        g = 0
+        for wh in whs[i:i + ngram]:
+            g = (g * 1000003 + wh) % (1 << 64)
+        best = g if best is None else min(best, g)
+    return best
+
+
+def _naive_minhash(text: str, ngram: int = 3, n_perm: int = 8):
+    words = text.split(" ")
+    whs = [_naive_horner(w) for w in words]
+    if len(words) >= ngram:
+        grams = []
+        for i in range(len(whs) - ngram + 1):
+            g = 0
+            for wh in whs[i:i + ngram]:
+                g = (g * 1000003 + wh) % (1 << 64)
+            grams.append(g)
+    else:
+        grams = [_naive_horner(text)]
+    out = []
+    a = 1
+    for p in range(n_perm):
+        a = (a * 1000003) % (1 << 64)
+        b = p * 2654435761
+        out.append(min((g * a + b) % (1 << 64) for g in grams))
+    return out
+
+
+def _naive_simhash16(text: str) -> int:
+    whs = [_naive_horner(w) for w in text.split(" ")]
+    sig = 0
+    for b in range(16):
+        ones = sum((h >> b) & 1 for h in whs)
+        if 2 * ones > len(whs):
+            sig |= 1 << b
+    return sig
+
+
+@given(st.lists(st.text(alphabet="abé 日x", min_size=0, max_size=30),
+                min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_winnow_minhash_simhash_match_naive(texts):
+    import pyarrow as pa
+
+    from timberjack_ray.functions.dedup import (minhash_horner_signature,
+                                                simhash16_horner)
+    from timberjack_ray.functions.text import add_winnow_fp
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    fp = add_winnow_fp(t)["fp"].to_numpy(zero_copy_only=False)
+    for i, txt in enumerate(texts):
+        want = _naive_winnow(txt)
+        got = int(fp[i]) % (1 << 64)
+        assert got == want, (i, txt)
+
+    mh = minhash_horner_signature(t).to_pandas()
+    for i, txt in enumerate(texts):
+        got = [int(v) % (1 << 64)
+               for v in mh[mh["doc_id"] == i].sort_values("perm")["minhash"]]
+        assert got == _naive_minhash(txt), (i, txt)
+
+    sh = simhash16_horner(t).to_pandas().set_index("doc_id")["simhash"]
+    for i, txt in enumerate(texts):
+        assert int(sh[i]) == _naive_simhash16(txt), (i, txt)
