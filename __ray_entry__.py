@@ -6068,6 +6068,9 @@ def q_order_gap_quantiles(sf_dir: str):
         batch_format="pyarrow")
     hist = merge_partials(p, ["gap_days"], "n").to_pandas() \
         .sort_values("gap_days").reset_index(drop=True)
+    if not len(hist):  # no customer has two orders at this scale
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "gap_days": pd.Series([], dtype="int64")})
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()
     qs = [0.25, 0.5, 0.75, 0.9]
