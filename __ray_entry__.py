@@ -6081,6 +6081,52 @@ def q_order_gap_quantiles(sf_dir: str):
         .astype({"gap_days": "int64"})
 
 
+def q_events_csv_roundtrip(sf_dir: str):
+    """CSV source-format leg (round 4): the events table exported once
+    per sf to sharded CSV (scaffolding, cached in /dev/shm), read back
+    through ``ray.data.read_csv``, then per-type exact (count, cent-sum)
+    partials — hash-checked against the parquet oracle, proving the CSV
+    reader path (typed float parse included: CSV writes shortest-
+    round-trip doubles, so cents survive exactly) end to end."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import merge_partials
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/dev/shm/tj_csv_{tag}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "value"])
+        n, k = t.num_rows, 4
+        for i in range(k):
+            lo = i * n // k
+            pcsv.write_csv(t.slice(lo, (i + 1) * n // k - lo),
+                           f"{out}/part-{i}.csv")
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    ds = rd.read_csv(sorted(_glob.glob(f"{out}/part-*.csv")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        g = pa.table({"event_type": t["event_type"],
+                      "cents": scale_to_int(t["value"], 100)}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    outdf = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["event_type"], ["n", "cents"]).to_pandas()
+    return outdf.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "cents": "int64"})
+
+
 def q_user_decayed_value(sf_dir: str):
     """Per-user exponentially-decayed activity score (functions/sessions.
     grouped_decayed_sum): 16-term truncated EWMA over cents, exact int64
@@ -6400,6 +6446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_value_per_type": q_mode_value_per_type,
         "returnflag_priority_contingency": q_returnflag_priority_contingency,
         "order_gap_quantiles": q_order_gap_quantiles,
+        "events_csv_roundtrip": q_events_csv_roundtrip,
     }
 
 
@@ -7431,6 +7478,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM events)
               GROUP BY event_type, c
             ) WHERE rn = 1
+        """,
+        "events_csv_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type
         """,
         "order_gap_quantiles": """
             WITH g AS (
