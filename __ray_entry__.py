@@ -6199,6 +6199,253 @@ def q_part_triangles(sf_dir: str):
     return cooccurrence_triangles(ds, "l_orderkey", "l_partkey")
 
 
+def q_rolling_7d_active_users(sf_dir: str):
+    """Sliding-window DISTINCT (round 4): for every active day, how many
+    users had >=1 event in the trailing 7 days.  Exact, ONE user-bucket
+    exchange: each batch ships only locally-deduped (user, day) int
+    pairs; bucketing by user co-locates all of a user's days, so the
+    7-day coverage expansion and the (user, covered_day) dedup both run
+    inside the bucket task, and only (day, n, real) partials — bounded
+    by the calendar domain — merge on the driver.  Days with zero events
+    are not emitted (the SQL active-day join semantics)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    DAY = 86_400_000_000
+    WIN = 7
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "real": pa.array([], pa.int64())})
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) \
+            // DAY
+        pr = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table({"u": pa.array(pr[:, 0].astype(np.int64)),
+                         "d": pa.array(pr[:, 1].astype(np.int64))})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        pr = np.unique(np.stack([u, d], axis=1), axis=0)  # cross-batch dedup
+        uu, dd = pr[:, 0], pr[:, 1]
+        cov_u = np.repeat(uu, WIN)
+        cov_d = (dd[:, None] + np.arange(WIN, dtype=np.int64)[None, :]) \
+            .ravel()
+        cov = np.unique(np.stack([cov_u, cov_d], axis=1), axis=0)
+        days, n = np.unique(cov[:, 1], return_counts=True)
+        real = np.unique(dd)
+        return pa.table({
+            "day": pa.array(np.concatenate([days, real]).astype(np.int64)),
+            "n": pa.array(np.concatenate(
+                [n.astype(np.int64), np.zeros(len(real), np.int64)])),
+            "real": pa.array(np.concatenate(
+                [np.zeros(len(days), np.int64), np.ones(len(real),
+                                                        np.int64)]))})
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"]) \
+        .map_batches(pairs_batch, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "u", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    m = merge_partials(p, ["day"], ["n", "real"]).to_pandas()
+    m = m[m["real"] > 0].sort_values("day")[["day", "n"]] \
+        .reset_index(drop=True)
+    return m.astype({"day": "int64", "n": "int64"})
+
+
+def q_price_cume_dist(sf_dir: str):
+    """Per-ROW percentile rank via a broadcast CDF (round 4) — a plan
+    shape no other query uses: pass 1 folds (flag, cents) COUNT-PER-VALUE
+    partials (the merge is value-DOMAIN-bounded, the exact_quantiles
+    rule, never row-volume); the driver turns them into per-flag sorted
+    (values, cumcounts) arrays and broadcasts them once via ``ray.put``;
+    pass 2 is a stateless row transform assigning each lineitem its
+    tie-inclusive rank ``rank_le`` (rows in its flag with cents ≤ its
+    cents) and group size by searchsorted against the shared CDF — the
+    exact integer numerator/denominator of SQL's CUME_DIST.  Row-volume
+    output streams; no row ever crosses an exchange."""
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"f": t["l_returnflag"],
+                      "cents": scale_to_int(t["l_extendedprice"], 100)}) \
+            .group_by(["f", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["f", "cents", "n"])
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_extendedprice"])
+    hist = merge_partials(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["f", "cents"], "n").to_pandas().sort_values(["f", "cents"])
+    cdf = {}
+    for f, grp in hist.groupby("f"):
+        vals = grp["cents"].to_numpy(np.int64)
+        cum = grp["n"].to_numpy(np.int64).cumsum()
+        cdf[f] = (vals, cum, int(cum[-1]))
+    cdf_ref = ray.put(cdf)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cdf_ref)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        cents = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        rank = np.empty(len(cents), np.int64)
+        gn = np.empty(len(cents), np.int64)
+        for f, (vals, cum, total) in c.items():
+            m = flags == f
+            if not m.any():
+                continue
+            idx = np.searchsorted(vals, cents[m], side="right") - 1
+            rank[m] = cum[idx]
+            gn[m] = total
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": pc.cast(t["l_linenumber"],
+                                                 pa.int64()),
+                         "l_returnflag": t["l_returnflag"],
+                         "cents": pa.array(cents),
+                         "rank_le": pa.array(rank),
+                         "group_n": pa.array(gn)})
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True).astype(
+            {"l_orderkey": "int64", "l_linenumber": "int64",
+             "cents": "int64", "rank_le": "int64", "group_n": "int64"})
+
+
+def q_tpch_q10_top20(sf_dir: str):
+    """TPC-H Q10 shape (round 4): top-20 customers by returned-item
+    revenue in one quarter.  lineitem(R) ⋈ orders(window) goes through
+    the GRACE bucket join with a per-bucket (custkey, Σrev) partial —
+    the join output never materializes row-per-lineitem; the slim
+    custkey partials take ONE more bucket exchange where each custkey is
+    complete, so per-bucket top-20s are sound partials and the driver
+    merge sees ≤ 20 × n_buckets rows.  The 20 winners pick up
+    name/nation driver-side from the small dimension tables (broadcast
+    semantics, no shuffle)."""
+    import pyarrow.parquet as pq
+
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import scale_to_int
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((d >= lo) & (d < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    def returned(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        # orderkeys are co-located here; the custkey sum is NOT complete
+        # per bucket (a customer spans orderkey buckets) so this emits a
+        # partial, not a top-k
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(window_orders, batch_format="pyarrow")
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"]) \
+        .map_batches(returned, batch_format="pyarrow")
+    partials = bucket_hash_join(orders, li, "o_orderkey", "l_orderkey",
+                                left_cols=["o_custkey"],
+                                right_cols=["rev"], n_buckets=32,
+                                bucket_fn=bucket_partial)
+
+    def cust_top(t: pa.Table) -> pa.Table:
+        # bucketing by custkey makes each customer's sum COMPLETE here
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["c_custkey", "revenue_scaled"])
+        return g.sort_by([("revenue_scaled", "descending"),
+                          ("c_custkey", "ascending")]).slice(0, 20)
+
+    tops = add_key_bucket(partials, "o_custkey", 32).groupby("__kb") \
+        .map_groups(lambda t: cust_top(t.drop_columns(["__kb"])),
+                    batch_format="pyarrow").to_pandas()
+    top20 = tops.sort_values(["revenue_scaled", "c_custkey"],
+                             ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top20.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["revenue_scaled", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1)
+    return out[["c_custkey", "c_name", "n_name", "revenue_scaled",
+                "rank"]].astype({"c_custkey": "int64",
+                                 "revenue_scaled": "int64",
+                                 "rank": "int64"})
+
+
+def q_events_jsonl_roundtrip(sf_dir: str):
+    """JSONL source-format leg (round 4): the events table exported once
+    per sf to sharded JSONL (scaffolding, cached in /dev/shm), read back
+    through ``ray.data.read_json`` (pyarrow.json block reader), then the
+    same per-type exact (count, cent-sum) partials as the CSV leg —
+    hash-checked against the parquet oracle, closing the
+    parquet/CSV/JSONL source matrix."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import merge_partials
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/dev/shm/tj_jsonl_{tag}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "value"])
+        df = t.to_pandas()
+        n, k = len(df), 4
+        for i in range(k):
+            df.iloc[i * n // k:(i + 1) * n // k].to_json(
+                f"{out}/part-{i}.jsonl", orient="records", lines=True,
+                double_precision=15)
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    ds = rd.read_json(sorted(_glob.glob(f"{out}/part-*.jsonl")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        g = pa.table({"event_type": t["event_type"],
+                      "cents": scale_to_int(t["value"], 100)}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    outdf = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["event_type"], ["n", "cents"]).to_pandas()
+    return outdf.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "cents": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -6447,6 +6694,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority_contingency": q_returnflag_priority_contingency,
         "order_gap_quantiles": q_order_gap_quantiles,
         "events_csv_roundtrip": q_events_csv_roundtrip,
+        "rolling_7d_active_users": q_rolling_7d_active_users,
+        "price_cume_dist": q_price_cume_dist,
+        "tpch_q10_top20": q_tpch_q10_top20,
+        "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
     }
 
 
@@ -9458,5 +9709,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
                    CAST(SUM(x * x) AS BIGINT) AS sum_xx
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "rolling_7d_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT days.d AS day,
+                   CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS n
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1 ORDER BY 1
+        """,
+        "price_cume_dist": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_returnflag,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS cents,
+                   CAST(COUNT(*) OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY FLOOR(l_extendedprice * 100 + 0.5))
+                     AS BIGINT) AS rank_le,
+                   CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                     AS BIGINT) AS group_n
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "tpch_q10_top20": """
+            SELECT c_custkey, c_name, n_name, revenue_scaled, rank FROM (
+              SELECT c.c_custkey, c.c_name, n.n_name,
+                     CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue_scaled,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * (100 - CAST(ROUND(l.l_discount * 100)
+                                                  AS BIGINT))) DESC,
+                                c.c_custkey) AS BIGINT) AS rank
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= DATE '1996-01-01'
+                AND o.o_orderdate < DATE '1996-04-01'
+              GROUP BY 1, 2, 3)
+            WHERE rank <= 20 ORDER BY rank
+        """,
+        "events_jsonl_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type
         """,
     }
