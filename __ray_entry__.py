@@ -6446,6 +6446,127 @@ def q_events_jsonl_roundtrip(sf_dir: str):
         .astype({"n": "int64", "cents": "int64"})
 
 
+def q_minhash_lsh_pairs(sf_dir: str):
+    """Oracle-checked LSH PAIRING tier (round 4): completes the MinHash
+    chain on the SQL-replayable Horner family — 8-perm signatures
+    (minhash_signatures math) banded 4×2, docs sharing an exact
+    (band, m0, m1) bucket become candidates through the segmented
+    in-bucket d-offset pair kernel, and a candidate survives at
+    n_eq ≥ 4 equal perms (estimated Jaccard ≥ 0.5).  ONE bucket
+    exchange over slim (band, m0, m1, doc) int rows; the result is
+    pair-volume by definition, so the cross-band dedup and the
+    signature-lookup verify run on the collected result (candidates ≪
+    corpus; the production near-dup path with capped buckets and a
+    distributed verify is minhash_dedup — this query makes the BANDING
+    math itself driver-checkable)."""
+    import ray
+
+    from timberjack_ray.functions.dedup import minhash_horner_signature
+
+    N_PERM, R, MIN_EQ = 8, 2, 4
+    bempty = pa.table({"band": pa.array([], pa.int64()),
+                       "m0": pa.array([], pa.int64()),
+                       "m1": pa.array([], pa.int64()),
+                       "doc": pa.array([], pa.int64()),
+                       "__kb": pa.array([], pa.int64())})
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        s = minhash_horner_signature(t)
+        if not s.num_rows:
+            return bempty
+        ids = s["doc_id"].to_numpy(zero_copy_only=False)
+        perm = s["perm"].to_numpy(zero_copy_only=False)
+        mh = s["minhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((perm, ids))
+        sig = mh[order].reshape(-1, N_PERM)
+        docs = ids[order][::N_PERM]
+        parts = []
+        for b in range(N_PERM // R):
+            m0, m1 = sig[:, R * b], sig[:, R * b + 1]
+            with np.errstate(over="ignore"):  # intentional mod-2^64 mix
+                h = (np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+                     + m0.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                     + m1.astype(np.uint64) * np.uint64(0x165667B19E3779F9))
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(docs), b, np.int64)),
+                "m0": pa.array(m0), "m1": pa.array(m1),
+                "doc": pa.array(docs.astype(np.int64)),
+                "__kb": pa.array((h % np.uint64(64)).astype(np.int64))}))
+        return pa.concat_tables(parts)
+
+    pempty = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64())})
+
+    def pair_expand(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pempty
+        band = t["band"].to_numpy(zero_copy_only=False)
+        m0 = t["m0"].to_numpy(zero_copy_only=False)
+        m1 = t["m1"].to_numpy(zero_copy_only=False)
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, m1, m0, band))
+        b_, m0_, m1_, d_ = band[order], m0[order], m1[order], d[order]
+        new = np.ones(len(d_), bool)
+        new[1:] = ((b_[1:] != b_[:-1]) | (m0_[1:] != m0_[:-1])
+                   | (m1_[1:] != m1_[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(d_)))
+        mx = int(sizes.max())
+        if mx < 2:
+            return pempty
+        outs_a, outs_b = [], []
+        for off in range(1, mx):
+            valid = sizes > off
+            cnt = sizes[valid] - off
+            base = np.repeat(starts[valid], cnt)
+            step = (np.arange(len(base))
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            i = base + step
+            outs_a.append(d_[i])
+            outs_b.append(d_[i + off])
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        pr = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1),
+                       axis=0)
+        return pa.table({"a": pa.array(pr[:, 0]), "b": pa.array(pr[:, 1])})
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = bands.groupby("__kb").map_groups(
+        lambda t: pair_expand(t.drop_columns(["__kb"])),
+        batch_format="pyarrow").to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "n_eq": pd.Series([], dtype="int64")})
+    pr = np.unique(np.stack([pairs["a"].to_numpy(np.int64),
+                             pairs["b"].to_numpy(np.int64)], 1), axis=0)
+
+    cand = np.unique(pr)
+    cand_ref = ray.put(cand)  # sorted by construction
+
+    def sig_of_cands(t: pa.Table) -> pa.Table:
+        s = minhash_horner_signature(t)
+        c = ray.get(cand_ref)
+        ids = s["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(c, ids)
+        idx[idx >= len(c)] = 0
+        return s.filter(pa.array(c[idx] == ids))
+
+    sig = ds.map_batches(sig_of_cands, batch_format="pyarrow").to_pandas()
+    sig = sig.sort_values(["doc_id", "perm"])
+    S = sig["minhash"].to_numpy(np.int64).reshape(-1, N_PERM)
+    sdocs = sig["doc_id"].to_numpy(np.int64)[::N_PERM]
+    ia = np.searchsorted(sdocs, pr[:, 0])
+    ib = np.searchsorted(sdocs, pr[:, 1])
+    n_eq = (S[ia] == S[ib]).sum(axis=1).astype(np.int64)
+    keep = n_eq >= MIN_EQ
+    out = pd.DataFrame({"a": pr[keep, 0], "b": pr[keep, 1],
+                        "n_eq": n_eq[keep]})
+    return out.sort_values(["a", "b"]).reset_index(drop=True) \
+        .astype({"a": "int64", "b": "int64", "n_eq": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -6698,6 +6819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_cume_dist": q_price_cume_dist,
         "tpch_q10_top20": q_tpch_q10_top20,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
     }
 
 
@@ -6708,6 +6830,45 @@ def oracle_sql() -> dict[str, str]:
 
     def _sw(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    # Horner MinHash signature CTE chain, shared by the signature and the
+    # LSH-pairing oracles (mh: doc_id, perm, h as HUGEINT mod 2^64)
+    mh_core = """wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl,
+                list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(
+                    list_filter(string_split_regex(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)),
+                  (h, c) -> (h * 1000003 + c)
+                            % 18446744073709551616::HUGEINT) AS chash
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                CASE WHEN len(whl) >= 3 THEN
+                  list_transform(generate_series(1, len(whl) - 2),
+                    i -> list_reduce(list_prepend(0::HUGEINT, whl[i:i+2]),
+                         (h, c) -> (h * 1000003 + c)
+                                   % 18446744073709551616::HUGEINT))
+                ELSE [chash] END AS ghl
+              FROM wh
+            ), perms(perm, a, b) AS (VALUES (0, 1000003::HUGEINT, 0::HUGEINT), (1, 1000006000009::HUGEINT, 2654435761::HUGEINT), (2, 1000009000027000027::HUGEINT, 5308871522::HUGEINT), (3, 14003818205314896721::HUGEINT, 7963307283::HUGEINT), (4, 14453212906556403763::HUGEINT, 10617743044::HUGEINT), (5, 10923514805226455897::HUGEINT, 13272178805::HUGEINT), (6, 12924618581234127435::HUGEINT, 15926614566::HUGEINT), (7, 1460077494926286753::HUGEINT, 18581050327::HUGEINT)),
+            mh AS (
+              SELECT g.doc_id, perms.perm,
+                list_min(list_transform(g.ghl,
+                  x -> (((x // 4294967296 * perms.a)
+                          % 18446744073709551616::HUGEINT) * 4294967296
+                        + (x % 4294967296) * perms.a
+                        + perms.b) % 18446744073709551616::HUGEINT)) AS h
+              FROM g, perms
+            )"""
 
     # PII gate: the aug line replays _plant_pii with SQL concat; the scrub
     # chain is generated FROM functions/text.PII_PATTERNS so pattern parity
@@ -7759,48 +7920,34 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
-        "minhash_signatures": """
-            WITH wh AS (
-              SELECT doc_id,
-                list_transform(string_split(text, ' '),
-                  w -> list_reduce(list_prepend(0::HUGEINT,
-                         list_transform(
-                           list_filter(string_split_regex(w, ''),
-                                       c -> c <> ''),
-                           c -> unicode(c)::HUGEINT)),
-                       (h, c) -> (h * 1000003 + c)
-                                 % 18446744073709551616::HUGEINT)) AS whl,
-                list_reduce(list_prepend(0::HUGEINT,
-                  list_transform(
-                    list_filter(string_split_regex(text, ''), c -> c <> ''),
-                    c -> unicode(c)::HUGEINT)),
-                  (h, c) -> (h * 1000003 + c)
-                            % 18446744073709551616::HUGEINT) AS chash
-              FROM documents
-            ), g AS (
-              SELECT doc_id,
-                CASE WHEN len(whl) >= 3 THEN
-                  list_transform(generate_series(1, len(whl) - 2),
-                    i -> list_reduce(list_prepend(0::HUGEINT, whl[i:i+2]),
-                         (h, c) -> (h * 1000003 + c)
-                                   % 18446744073709551616::HUGEINT))
-                ELSE [chash] END AS ghl
-              FROM wh
-            ), perms(perm, a, b) AS (VALUES (0, 1000003::HUGEINT, 0::HUGEINT), (1, 1000006000009::HUGEINT, 2654435761::HUGEINT), (2, 1000009000027000027::HUGEINT, 5308871522::HUGEINT), (3, 14003818205314896721::HUGEINT, 7963307283::HUGEINT), (4, 14453212906556403763::HUGEINT, 10617743044::HUGEINT), (5, 10923514805226455897::HUGEINT, 13272178805::HUGEINT), (6, 12924618581234127435::HUGEINT, 15926614566::HUGEINT), (7, 1460077494926286753::HUGEINT, 18581050327::HUGEINT)),
-            mh AS (
-              SELECT g.doc_id, perms.perm,
-                list_min(list_transform(g.ghl,
-                  x -> (((x // 4294967296 * perms.a)
-                          % 18446744073709551616::HUGEINT) * 4294967296
-                        + (x % 4294967296) * perms.a
-                        + perms.b) % 18446744073709551616::HUGEINT)) AS h
-              FROM g, perms
-            )
+        "minhash_signatures": f"""
+            WITH {mh_core}
             SELECT doc_id, CAST(perm AS BIGINT) AS perm,
               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
                         THEN h - 18446744073709551616::HUGEINT
                         ELSE h END AS BIGINT) AS minhash
             FROM mh
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {mh_core},
+            band AS (
+              SELECT doc_id, perm // 2 AS band,
+                     MAX(CASE WHEN perm % 2 = 0 THEN h END) AS m0,
+                     MAX(CASE WHEN perm % 2 = 1 THEN h END) AS m1
+              FROM mh GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM band x JOIN band y
+                ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+                AND x.doc_id < y.doc_id)
+            SELECT a, b, n_eq FROM (
+              SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_eq
+              FROM cand c
+              JOIN mh sa ON sa.doc_id = c.a
+              JOIN mh sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+                AND sb.h = sa.h
+              GROUP BY 1, 2)
+            WHERE n_eq >= 4 ORDER BY a, b
         """,
         "simhash16": """
             WITH wh AS (
