@@ -6567,6 +6567,124 @@ def q_minhash_lsh_pairs(sf_dir: str):
         .astype({"a": "int64", "b": "int64", "n_eq": "int64"})
 
 
+def q_simhash_lsh_pairs(sf_dir: str):
+    """Oracle-checked SimHash PAIRING tier (round 4): the Hamming-space
+    twin of minhash_lsh_pairs — full-width 64-bit majority-vote
+    signatures (simhash16_horner with n_bits=64), banded 4×16 bits; docs
+    sharing an exact band word become candidates through the same
+    segmented in-bucket pair kernel, and a candidate survives at
+    popcount(xor) ≤ 3.  ONE bucket exchange over slim
+    (band, bkey, doc) int rows; pair-volume result dedup + the
+    signature-lookup Hamming verify run on the collected result (SQL
+    replays banding with HUGEINT shifts and the verify with
+    bit_count(xor)).  The production near-dup path with capped buckets
+    is simhash_candidates; this query makes the banding + Hamming math
+    driver-checkable."""
+    import ray
+
+    from timberjack_ray.functions.dedup import simhash16_horner
+
+    N_BANDS, BITS, MAX_HAM = 4, 16, 3
+    bempty = pa.table({"band": pa.array([], pa.int64()),
+                       "bkey": pa.array([], pa.int64()),
+                       "doc": pa.array([], pa.int64()),
+                       "__kb": pa.array([], pa.int64())})
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        s = simhash16_horner(t, n_bits=64)
+        if not s.num_rows:
+            return bempty
+        docs = s["doc_id"].to_numpy(zero_copy_only=False)
+        sig = s["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        for b in range(N_BANDS):
+            bkey = (sig >> np.uint64(BITS * b)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):  # intentional mod-2^64 mix
+                h = (np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+                     + bkey * np.uint64(0xC2B2AE3D27D4EB4F))
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(docs), b, np.int64)),
+                "bkey": pa.array(bkey.astype(np.int64)),
+                "doc": pa.array(docs.astype(np.int64)),
+                "__kb": pa.array((h % np.uint64(64)).astype(np.int64))}))
+        return pa.concat_tables(parts)
+
+    pempty = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64())})
+
+    def pair_expand(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pempty
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bkey = t["bkey"].to_numpy(zero_copy_only=False)
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, bkey, band))
+        b_, k_, d_ = band[order], bkey[order], d[order]
+        new = np.ones(len(d_), bool)
+        new[1:] = (b_[1:] != b_[:-1]) | (k_[1:] != k_[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(d_)))
+        mx = int(sizes.max())
+        if mx < 2:
+            return pempty
+        outs_a, outs_b = [], []
+        for off in range(1, mx):
+            valid = sizes > off
+            cnt = sizes[valid] - off
+            base = np.repeat(starts[valid], cnt)
+            step = (np.arange(len(base))
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            i = base + step
+            outs_a.append(d_[i])
+            outs_b.append(d_[i + off])
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        pr = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1),
+                       axis=0)
+        return pa.table({"a": pa.array(pr[:, 0]), "b": pa.array(pr[:, 1])})
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = bands.groupby("__kb").map_groups(
+        lambda t: pair_expand(t.drop_columns(["__kb"])),
+        batch_format="pyarrow").to_pandas()
+    out_empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+    if not len(pairs):
+        return out_empty
+    pr = np.unique(np.stack([pairs["a"].to_numpy(np.int64),
+                             pairs["b"].to_numpy(np.int64)], 1), axis=0)
+
+    cand = np.unique(pr)
+    cand_ref = ray.put(cand)
+
+    def sig_of_cands(t: pa.Table) -> pa.Table:
+        s = simhash16_horner(t, n_bits=64)
+        c = ray.get(cand_ref)
+        ids = s["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(c, ids)
+        idx[idx >= len(c)] = 0
+        return s.filter(pa.array(c[idx] == ids))
+
+    sig = ds.map_batches(sig_of_cands, batch_format="pyarrow").to_pandas()
+    sig = sig.sort_values("doc_id")
+    svals = sig["simhash"].to_numpy(np.int64).view(np.uint64)
+    sdocs = sig["doc_id"].to_numpy(np.int64)
+    xa = svals[np.searchsorted(sdocs, pr[:, 0])]
+    xb = svals[np.searchsorted(sdocs, pr[:, 1])]
+    x = xa ^ xb
+    ham = np.zeros(len(x), np.int64)
+    for _ in range(64):          # Kernighan-free vectorized popcount
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    keep = ham <= MAX_HAM
+    out = pd.DataFrame({"a": pr[keep, 0], "b": pr[keep, 1],
+                        "hamming": ham[keep]})
+    return out.sort_values(["a", "b"]).reset_index(drop=True) \
+        .astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -6820,6 +6938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_top20": q_tpch_q10_top20,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_lsh_pairs": q_simhash_lsh_pairs,
     }
 
 
@@ -7948,6 +8067,49 @@ def oracle_sql() -> dict[str, str]:
                 AND sb.h = sa.h
               GROUP BY 1, 2)
             WHERE n_eq >= 4 ORDER BY a, b
+        """,
+        "simhash_lsh_pairs": """
+            WITH wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl
+              FROM documents
+            ), s64 AS (
+              SELECT doc_id,
+                list_sum(list_transform(generate_series(0, 63),
+                  b -> CASE WHEN 2 * list_sum(list_transform(whl,
+                              h -> CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
+                                   THEN 1 ELSE 0 END)) > len(whl)
+                       THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS s
+              FROM wh
+            ), sig AS (
+              SELECT doc_id,
+                CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                          THEN s - 18446744073709551616::HUGEINT
+                          ELSE s END AS BIGINT) AS sv, s
+              FROM s64
+            ), band AS (
+              SELECT doc_id, t.b AS band,
+                     (s // (1::HUGEINT << (16 * t.b))) % 65536 AS bkey
+              FROM sig, generate_series(0, 3) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM band x JOIN band y
+                ON x.band = y.band AND x.bkey = y.bkey
+                AND x.doc_id < y.doc_id)
+            SELECT c.a, c.b,
+                   CAST(bit_count(xor(sa.sv, sb.sv)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b
+            WHERE bit_count(xor(sa.sv, sb.sv)) <= 3
+            ORDER BY c.a, c.b
         """,
         "simhash16": """
             WITH wh AS (

@@ -1558,15 +1558,17 @@ def minhash_horner_signature(batch: pa.Table, col: str = "text",
 
 
 def simhash16_horner(batch: pa.Table, col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
+                     id_col: str = "doc_id", n_bits: int = 16) -> pa.Table:
     """SQL-REPLAYABLE 16-bit SimHash (round 4 — oracle-checked twin of
     ``SimHasher``): per doc, bit ``b`` is set iff MORE than half of its
     words (single-space split, empties kept, word hash = codepoint
     Horner fold) have bit ``b`` set — i.e. ``2·ones_b > n_words``, pure
     integer arithmetic DuckDB replays with ``//`` and ``%``.
 
-    Vectorized: one flat word-hash pass, 16 shifted-mask ``add.reduceat``
-    sums."""
+    Vectorized: one flat word-hash pass, ``n_bits`` shifted-mask
+    ``add.reduceat`` sums.  ``n_bits=64`` gives the full-width signature
+    (bit 63 lands in the int64 sign — equality/XOR semantics unchanged,
+    and the SQL replay converts mod-2^64 the same way minhash does)."""
     import pyarrow.compute as pc
 
     from timberjack_ray.functions.corpus import (_word_offsets,
@@ -1582,12 +1584,13 @@ def simhash16_horner(batch: pa.Table, col: str = "text",
     wc = np.diff(offsets)
     wh = horner_hash_strings(flat)
     total = int(offsets[-1])
-    sig = np.zeros(n, dtype=np.int64)
+    sig = np.zeros(n, dtype=np.uint64)   # uint accumulate: bit 63 safe
     starts = np.minimum(offsets[:-1], max(total, 0))
-    for b in range(16):
+    for b in range(n_bits):
         bits = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
         bits = np.append(bits, 0)    # sentinel for trailing empty docs
         ones = np.add.reduceat(bits, starts) if total else np.zeros(n, np.int64)
         ones = np.where(wc > 0, ones, 0)
-        sig |= ((2 * ones > wc).astype(np.int64)) << b
-    return pa.table({id_col: pa.array(ids), "simhash": pa.array(sig)})
+        sig |= (2 * ones > wc).astype(np.uint64) << np.uint64(b)
+    return pa.table({id_col: pa.array(ids),
+                     "simhash": pa.array(sig.view(np.int64))})
