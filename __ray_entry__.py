@@ -6685,6 +6685,44 @@ def q_simhash_lsh_pairs(sf_dir: str):
         .astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
 
+def q_event_value_drift(sf_dir: str):
+    """Distribution-drift detector (round 4): the EXACT total-variation
+    distance between two event types' value distributions, as the
+    integer ``tv_num = Σ_v |c1(v)·N2 − c2(v)·N1|`` over the shared cent
+    domain (TV = tv_num / (2·N1·N2)) — the corpus-drift / dataset-shift
+    statistic a training pipeline runs between snapshots.  One
+    (type, cents) count-per-value partial pass; the merge is
+    value-DOMAIN-bounded; the cross-product terms fold on the driver in
+    PYTHON ints so no scale overflows int64 before the final cast."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    A, B = "purchase", "click"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([A, B])))
+        g = pa.table({"event_type": t["event_type"],
+                      "cents": scale_to_int(t["value"], 100)}) \
+            .group_by(["event_type", "cents"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "cents"], "c").to_pandas()
+    ca = dict(zip(h[h["event_type"] == A]["cents"],
+                  h[h["event_type"] == A]["c"]))
+    cb = dict(zip(h[h["event_type"] == B]["cents"],
+                  h[h["event_type"] == B]["c"]))
+    n1 = sum(ca.values())
+    n2 = sum(cb.values())
+    tv = sum(abs(int(ca.get(v, 0)) * n2 - int(cb.get(v, 0)) * n1)
+             for v in set(ca) | set(cb))
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "tv_num": [tv]}) \
+        .astype({"n1": "int64", "n2": "int64", "tv_num": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -6939,6 +6977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_lsh_pairs": q_simhash_lsh_pairs,
+        "event_value_drift": q_event_value_drift,
     }
 
 
@@ -8110,6 +8149,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sb ON sb.doc_id = c.b
             WHERE bit_count(xor(sa.sv, sb.sv)) <= 3
             ORDER BY c.a, c.b
+        """,
+        "event_value_drift": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                     COUNT(*) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1, 2),
+            p AS (SELECT cents, c FROM h WHERE event_type = 'purchase'),
+            k AS (SELECT cents, c FROM h WHERE event_type = 'click'),
+            n AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM p) AS n1,
+                         (SELECT COALESCE(SUM(c), 0) FROM k) AS n2),
+            j AS (SELECT COALESCE(p.c, 0) AS c1, COALESCE(k.c, 0) AS c2
+                  FROM p FULL JOIN k ON p.cents = k.cents)
+            SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(SUM(ABS(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS tv_num
+            FROM j, n GROUP BY n.n1, n.n2
         """,
         "simhash16": """
             WITH wh AS (
