@@ -6494,46 +6494,13 @@ def q_minhash_lsh_pairs(sf_dir: str):
                 "__kb": pa.array((h % np.uint64(64)).astype(np.int64))}))
         return pa.concat_tables(parts)
 
-    pempty = pa.table({"a": pa.array([], pa.int64()),
-                       "b": pa.array([], pa.int64())})
-
-    def pair_expand(t: pa.Table) -> pa.Table:
-        if t.num_rows < 2:
-            return pempty
-        band = t["band"].to_numpy(zero_copy_only=False)
-        m0 = t["m0"].to_numpy(zero_copy_only=False)
-        m1 = t["m1"].to_numpy(zero_copy_only=False)
-        d = t["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, m1, m0, band))
-        b_, m0_, m1_, d_ = band[order], m0[order], m1[order], d[order]
-        new = np.ones(len(d_), bool)
-        new[1:] = ((b_[1:] != b_[:-1]) | (m0_[1:] != m0_[:-1])
-                   | (m1_[1:] != m1_[:-1]))
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(d_)))
-        mx = int(sizes.max())
-        if mx < 2:
-            return pempty
-        outs_a, outs_b = [], []
-        for off in range(1, mx):
-            valid = sizes > off
-            cnt = sizes[valid] - off
-            base = np.repeat(starts[valid], cnt)
-            step = (np.arange(len(base))
-                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
-            i = base + step
-            outs_a.append(d_[i])
-            outs_b.append(d_[i + off])
-        a = np.concatenate(outs_a)
-        b = np.concatenate(outs_b)
-        pr = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1),
-                       axis=0)
-        return pa.table({"a": pa.array(pr[:, 0]), "b": pa.array(pr[:, 1])})
+    from timberjack_ray.functions.dedup import bucket_pair_expand
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = bands.groupby("__kb").map_groups(
-        lambda t: pair_expand(t.drop_columns(["__kb"])),
+        lambda t: bucket_pair_expand(t.drop_columns(["__kb"]),
+                                     ["band", "m0", "m1"]),
         batch_format="pyarrow").to_pandas()
     if not len(pairs):
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -6609,44 +6576,13 @@ def q_simhash_lsh_pairs(sf_dir: str):
                 "__kb": pa.array((h % np.uint64(64)).astype(np.int64))}))
         return pa.concat_tables(parts)
 
-    pempty = pa.table({"a": pa.array([], pa.int64()),
-                       "b": pa.array([], pa.int64())})
-
-    def pair_expand(t: pa.Table) -> pa.Table:
-        if t.num_rows < 2:
-            return pempty
-        band = t["band"].to_numpy(zero_copy_only=False)
-        bkey = t["bkey"].to_numpy(zero_copy_only=False)
-        d = t["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, bkey, band))
-        b_, k_, d_ = band[order], bkey[order], d[order]
-        new = np.ones(len(d_), bool)
-        new[1:] = (b_[1:] != b_[:-1]) | (k_[1:] != k_[:-1])
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(d_)))
-        mx = int(sizes.max())
-        if mx < 2:
-            return pempty
-        outs_a, outs_b = [], []
-        for off in range(1, mx):
-            valid = sizes > off
-            cnt = sizes[valid] - off
-            base = np.repeat(starts[valid], cnt)
-            step = (np.arange(len(base))
-                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
-            i = base + step
-            outs_a.append(d_[i])
-            outs_b.append(d_[i + off])
-        a = np.concatenate(outs_a)
-        b = np.concatenate(outs_b)
-        pr = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1),
-                       axis=0)
-        return pa.table({"a": pa.array(pr[:, 0]), "b": pa.array(pr[:, 1])})
+    from timberjack_ray.functions.dedup import bucket_pair_expand
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = bands.groupby("__kb").map_groups(
-        lambda t: pair_expand(t.drop_columns(["__kb"])),
+        lambda t: bucket_pair_expand(t.drop_columns(["__kb"]),
+                                     ["band", "bkey"]),
         batch_format="pyarrow").to_pandas()
     out_empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),

@@ -402,3 +402,30 @@ def test_bpe_train_matches_reference(ray_session, docs, n_merges):
     got = bpe_train(ds, n_merges=n_merges)
     want = _bpe_ref(docs, n_merges)
     assert [tuple(r) for r in got[["left", "right", "n"]].values] == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # band
+              st.integers(min_value=0, max_value=5),      # key
+              st.integers(min_value=0, max_value=40)),    # doc
+    min_size=0, max_size=120))
+def test_bucket_pair_expand_matches_bruteforce(rows):
+    from itertools import combinations
+
+    from timberjack_ray.functions.dedup import bucket_pair_expand
+
+    t = pa.table({"band": pa.array([r[0] for r in rows], pa.int64()),
+                  "key": pa.array([r[1] for r in rows], pa.int64()),
+                  "doc": pa.array([r[2] for r in rows], pa.int64())})
+    got = bucket_pair_expand(t, ["band", "key"])
+    got_set = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+
+    want = set()
+    for (b, k), grp in __import__("itertools").groupby(
+            sorted(rows), key=lambda r: (r[0], r[1])):
+        docs = sorted({d for _, _, d in grp})
+        for x, y in combinations(docs, 2):
+            want.add((x, y))
+    # duplicate docs inside one bucket never self-pair
+    assert got_set == want

@@ -1594,3 +1594,52 @@ def simhash16_horner(batch: pa.Table, col: str = "text",
         sig |= (2 * ones > wc).astype(np.uint64) << np.uint64(b)
     return pa.table({id_col: pa.array(ids),
                      "simhash": pa.array(sig.view(np.int64))})
+
+
+def bucket_pair_expand(t: pa.Table, key_cols: list[str],
+                       doc_col: str = "doc") -> pa.Table:
+    """All unordered ``(a, b)`` doc pairs sharing an EXACT key tuple —
+    the in-bucket candidate-pair kernel behind the oracle-checked LSH
+    pairing queries (minhash_lsh_pairs / simhash_lsh_pairs).
+
+    One lexsort finds the equal-key segments; the d-offset loop (off =
+    1..max segment size) emits every within-segment pair fully
+    vectorized, so work is bounded by Σ s·(s−1)/2 over segment sizes s —
+    the honest candidate count — with no per-row Python.  Pairs are
+    returned min-first and de-duplicated within the call; callers
+    holding a bucketed exchange (same key tuple never spans buckets)
+    get globally-correct candidates from the per-bucket union."""
+    pempty = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64())})
+    if t.num_rows < 2:
+        return pempty
+    keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    d = t[doc_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort(tuple([d] + keys[::-1]))
+    ks = [k[order] for k in keys]
+    d_ = d[order]
+    new = np.zeros(len(d_), bool)
+    new[0] = True
+    for k in ks:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(d_)))
+    mx = int(sizes.max())
+    if mx < 2:
+        return pempty
+    outs_a, outs_b = [], []
+    for off in range(1, mx):
+        valid = sizes > off
+        cnt = sizes[valid] - off
+        base = np.repeat(starts[valid], cnt)
+        step = np.arange(len(base)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        i = base + step
+        outs_a.append(d_[i])
+        outs_b.append(d_[i + off])
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    ne = a != b          # duplicate (key, doc) rows never self-pair
+    a, b = a[ne], b[ne]
+    pr = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1),
+                   axis=0)
+    return pa.table({"a": pa.array(pr[:, 0]), "b": pa.array(pr[:, 1])})
