@@ -6659,6 +6659,99 @@ def q_event_value_drift(sf_dir: str):
         .astype({"n1": "int64", "n2": "int64", "tv_num": "int64"})
 
 
+def q_value_time_regression(sf_dir: str):
+    """Per-type OLS trend of event value over time
+    (functions/relational.grouped_regression_sums): x = hour index since
+    2024-01-01, y = value in cents — the five integer sufficient sums
+    merge per type, then slope/intercept are emitted as exact
+    floor-of-magnitude ppm rationals (functions/relational._ratio_ppm),
+    so the whole regression replays bit-for-bit in SQL with no float
+    summation anywhere.  One streaming pass; partial volume = #types."""
+    from timberjack_ray.functions.relational import (_ratio_ppm,
+                                                     grouped_regression_sums)
+    from timberjack_ray.functions.util import scale_to_int
+
+    BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
+    HOUR_US = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        x = pc.divide(pc.subtract(ts, BASE_US), HOUR_US)
+        return pa.table({"event_type": t["event_type"], "x": x,
+                         "y": scale_to_int(t["value"], 100)})
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    s = grouped_regression_sums(ds, "event_type", "x", "y")
+    rows = []
+    for r in s.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sum_x), int(r.sum_y)
+        sxy, sxx = int(r.sum_xy), int(r.sum_xx)
+        nu = n * sxy - sx * sy
+        de = n * sxx - sx * sx
+        if de == 0:  # all events in one hour: flat line at the mean
+            slope, icept = 0, _ratio_ppm(sy, n)
+        else:
+            slope = _ratio_ppm(nu, de)
+            icept = _ratio_ppm(sy * de - nu * sx, n * de)
+        rows.append((r.event_type, n, slope, icept))
+    return pd.DataFrame(rows, columns=["event_type", "n", "slope_ppm",
+                                       "intercept_ppm"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "slope_ppm": "int64",
+                 "intercept_ppm": "int64"})
+
+
+def q_user_type_hhi(sf_dir: str):
+    """Per-user Herfindahl concentration of event types in ppm
+    (functions/relational.grouped_hhi_ds) — the behavioral-diversity
+    signal (10⁶ = single-type user, 2·10⁵ = uniform over 5 types).
+    Integer-exact; one bucket exchange; output streams one row per user."""
+    from timberjack_ray.functions.relational import grouped_hhi_ds
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_hhi_ds(ds, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "n_rows": "int64", "hhi_ppm": "int64"})
+
+
+def q_ttr_by_source(sf_dir: str):
+    """Per-source type-token ratio statistics (functions/corpus.
+    ttr_by_group): exact (n_tokens, n_types) integers — the lexical-
+    diversity corpus signal.  Distinct-(source, word) partials collapse
+    per batch; the fold is guarded past vocab×sources cardinality."""
+    from timberjack_ray.functions.corpus import ttr_by_group
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+    return ttr_by_group(ds, "source")
+
+
+def q_pmi_top_pairs(sf_dir: str):
+    """Top-20 word pairs by document-co-occurrence PMI over the top-16
+    vocabulary (functions/corpus.pmi_top_pairs): ranked by the exact
+    integer rational c_ab·N·10⁶ // (df_a·df_b) — PMI is monotone in that
+    ratio, so the ranking IS the PMI ranking with no log computed.  The
+    vocab cap (pass-1 guarded df fold → top-16 broadcast) bounds pair
+    partials at C(16,2) rows per batch at any corpus size."""
+    from timberjack_ray.functions.corpus import pmi_top_pairs
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return pmi_top_pairs(ds, v=16, k=20)
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Top-20 skip-bigrams at distances 2 and 3 (functions/corpus.
+    skipgram_topk) — the word2vec-window co-occurrence family beyond
+    adjacent bigrams.  Pairs never cross document boundaries (vectorized
+    doc-id compare); per-batch partials collapse to the distinct
+    (w1, w2, gap) set; the fold guard degrades to a distributed
+    groupby + sort past vocab² cardinality."""
+    from timberjack_ray.functions.corpus import skipgram_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return skipgram_topk(ds, k=20, gaps=(2, 3))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -6914,6 +7007,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_lsh_pairs": q_simhash_lsh_pairs,
         "event_value_drift": q_event_value_drift,
+        "value_time_regression": q_value_time_regression,
+        "user_type_hhi": q_user_type_hhi,
+        "ttr_by_source": q_ttr_by_source,
+        "pmi_top_pairs": q_pmi_top_pairs,
+        "skipgram_counts": q_skipgram_counts,
     }
 
 
@@ -10062,5 +10160,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
             FROM events GROUP BY event_type
+        """,
+        "value_time_regression": """
+            WITH b AS (
+              SELECT event_type,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+            ), s AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx
+              FROM b GROUP BY event_type
+            ), r AS (
+              SELECT event_type, n, sx, sy,
+                     n*sxy - sx*sy AS nu, n*sxx - sx*sx AS de
+              FROM s
+            ), f AS (
+              SELECT event_type, n, sy, nu, de,
+                     sy*de - nu*sx AS inu, n*de AS ide
+              FROM r
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN de = 0 THEN 0
+                             WHEN nu >= 0 THEN (nu*1000000) // de
+                             ELSE -(((-nu)*1000000) // de)
+                        END AS BIGINT) AS slope_ppm,
+                   CAST(CASE WHEN de = 0 THEN
+                               CASE WHEN sy >= 0 THEN (sy*1000000) // n
+                                    ELSE -(((-sy)*1000000) // n) END
+                             WHEN inu >= 0 THEN (inu*1000000) // ide
+                             ELSE -(((-inu)*1000000) // ide)
+                        END AS BIGINT) AS intercept_ppm
+            FROM f ORDER BY event_type
+        """,
+        "user_type_hhi": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::HUGEINT AS c
+              FROM events GROUP BY user_id, event_type
+            ), a AS (
+              SELECT user_id, sum(c) AS tot, sum(c*c) AS sq
+              FROM c GROUP BY user_id
+            )
+            SELECT user_id, CAST(tot AS BIGINT) AS n_rows,
+                   CAST((sq*1000000) // (tot*tot) AS BIGINT) AS hhi_ppm
+            FROM a ORDER BY user_id
+        """,
+        "ttr_by_source": """
+            WITH w AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT w) AS n_types
+            FROM w GROUP BY source ORDER BY source
+        """,
+        "pmi_top_pairs": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), dw AS (
+              SELECT DISTINCT doc_id, w FROM w
+            ), df AS (
+              SELECT w, count(*)::HUGEINT AS df FROM dw GROUP BY w
+            ), v AS (
+              SELECT w, df FROM df ORDER BY df DESC, w LIMIT 16
+            ), nd AS (
+              SELECT count(*)::HUGEINT AS n FROM documents
+            ), p AS (
+              SELECT a.w AS wa, b.w AS wb, count(*)::HUGEINT AS c_ab
+              FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+              WHERE a.w IN (SELECT w FROM v) AND b.w IN (SELECT w FROM v)
+              GROUP BY a.w, b.w
+            )
+            SELECT wa, wb, CAST(c_ab AS BIGINT) AS c_ab,
+                   CAST((c_ab * nd.n * 1000000)
+                        // (va.df * vb.df) AS BIGINT) AS score_ppm
+            FROM p
+            CROSS JOIN nd
+            JOIN v va ON va.w = p.wa
+            JOIN v vb ON vb.w = p.wb
+            ORDER BY score_ppm DESC, wa, wb LIMIT 20
+        """,
+        "skipgram_counts": """
+            WITH t AS (
+              SELECT string_split(text, ' ') AS l FROM documents
+            ), s AS (
+              SELECT l[i] AS w1, l[i+2] AS w2, 2 AS gap
+              FROM t, unnest(generate_series(1, len(l)-2)) AS u(i)
+              UNION ALL
+              SELECT l[i] AS w1, l[i+3] AS w2, 3 AS gap
+              FROM t, unnest(generate_series(1, len(l)-3)) AS u(i)
+            )
+            SELECT w1, w2, gap, count(*) AS n
+            FROM s GROUP BY w1, w2, gap
+            ORDER BY n DESC, w1, w2, gap LIMIT 20
         """,
     }

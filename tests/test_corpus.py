@@ -525,3 +525,84 @@ def test_pack_sequences_sharded_rejects_string_order(ray_session):
     with pytest.raises(Exception, match="integer order"):
         corpus.pack_sequences(rd.from_arrow(t), "source", "doc_id",
                               "n_tok", budget=8, n_shards=2)
+
+
+# --- round-4 batch: skip-grams, PMI pairs, TTR ------------------------------
+
+def _docs_ds(texts, extra=None):
+    import ray
+
+    cols = {"text": texts}
+    if extra:
+        cols.update(extra)
+    return ray.data.from_pandas(pd.DataFrame(cols))
+
+
+def _naive_skipgrams(texts, gaps):
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for g in gaps:
+            for i in range(len(w) - g):
+                c[(w[i], w[i + g], g)] += 1
+    return c
+
+
+def test_skipgram_topk_matches_naive(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefgh")
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(60)]
+    out = corpus.skipgram_topk(_docs_ds(texts), k=1000, gaps=(2, 3))
+    naive = _naive_skipgrams(texts, (2, 3))
+    got = {(r.w1, r.w2, r.gap): r.n for r in out.itertuples(index=False)}
+    assert got == dict(naive)
+    # tie-break ordering: n desc, then w1/w2/gap asc
+    keys = list(zip(-out["n"], out["w1"], out["w2"], out["gap"]))
+    assert keys == sorted(keys)
+
+
+def test_skipgram_pairs_never_cross_docs(ray_session):
+    # two docs of 2 words each: no gap-2/3 pair exists inside either
+    out = corpus.skipgram_topk(_docs_ds(["a b", "c d"]), k=10, gaps=(2, 3))
+    assert len(out) == 0
+
+
+def test_pmi_top_pairs_matches_naive(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 10)))
+             for _ in range(80)]
+    v, k = 5, 100
+    out = corpus.pmi_top_pairs(_docs_ds(texts), v=v, k=k)
+
+    # naive reference: doc frequency, top-v vocab, doc-distinct pairs
+    from collections import Counter
+    df = Counter()
+    for t in texts:
+        for w in set(t.split(" ")):
+            df[w] += 1
+    top = sorted(df.items(), key=lambda x: (-x[1], x[0]))[:v]
+    vs = {w for w, _ in top}
+    dfs = dict(top)
+    c_ab = Counter()
+    for t in texts:
+        ws = sorted(set(t.split(" ")) & vs)
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                c_ab[(ws[i], ws[j])] += 1
+    n = len(texts)
+    want = {(a, b): (cnt, cnt * n * 1_000_000 // (dfs[a] * dfs[b]))
+            for (a, b), cnt in c_ab.items()}
+    got = {(r.wa, r.wb): (r.c_ab, r.score_ppm)
+           for r in out.itertuples(index=False)}
+    assert got == want
+
+
+def test_ttr_by_group_matches_naive(ray_session):
+    texts = ["a b b c", "a a", "x y", "x x x"]
+    srcs = ["s1", "s1", "s2", "s2"]
+    out = corpus.ttr_by_group(_docs_ds(texts, {"source": srcs}), "source")
+    assert out.to_dict("list") == {
+        "source": ["s1", "s2"], "n_tokens": [6, 5], "n_types": [3, 2]}

@@ -480,3 +480,67 @@ def test_auto_join_picks_each_plan_and_agrees(ray_session):
     assert plan == "skew"
     got = ds.to_pandas()[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect_s)
+
+
+# --- round-4 batch: regression sums, ratio ppm, HHI -------------------------
+
+def test_ratio_ppm_sign_and_floor():
+    from timberjack_ray.functions.relational import _ratio_ppm
+
+    assert _ratio_ppm(5, 3) == 1_666_666
+    assert _ratio_ppm(-5, 3) == -1_666_666  # trunc-toward-zero on magnitude
+    assert _ratio_ppm(0, 7) == 0
+    with pytest.raises(ValueError):
+        _ratio_ppm(1, 0)
+
+
+def test_grouped_regression_sums_matches_numpy(ray_session):
+    import ray
+
+    from timberjack_ray.functions.relational import grouped_regression_sums
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "x": rng.integers(0, 720, size=n).astype("int64"),
+        "y": rng.integers(-100, 10_000, size=n).astype("int64"),
+    })
+    out = grouped_regression_sums(ray.data.from_pandas(df), "g", "x", "y")
+    for r in out.itertuples(index=False):
+        sub = df[df["g"] == r.g]
+        assert r.n == len(sub)
+        assert r.sum_x == sub["x"].sum()
+        assert r.sum_y == sub["y"].sum()
+        assert r.sum_xy == (sub["x"] * sub["y"]).sum()
+        assert r.sum_xx == (sub["x"] ** 2).sum()
+        # slope rational vs numpy polyfit (float reference, loose tol)
+        nu = r.n * r.sum_xy - r.sum_x * r.sum_y
+        de = r.n * r.sum_xx - r.sum_x * r.sum_x
+        slope_np = np.polyfit(sub["x"], sub["y"], 1)[0]
+        assert abs(nu / de - slope_np) < 1e-6
+
+
+def test_grouped_hhi_matches_naive(ray_session):
+    import ray
+
+    from timberjack_ray.functions.relational import grouped_hhi_ds
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=400).astype("int64"),
+        "cat": rng.choice(list("xyz"), size=400),
+    })
+    out = grouped_hhi_ds(ray.data.from_pandas(df), "k", "cat") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for r in out.itertuples(index=False):
+        counts = df[df["k"] == r.k]["cat"].value_counts().to_numpy()
+        tot = counts.sum()
+        assert r.n_rows == tot
+        assert r.hhi_ppm == (int((counts.astype(object) ** 2).sum())
+                             * 1_000_000) // (int(tot) ** 2)
+    # single-category key → exactly 10⁶
+    one = grouped_hhi_ds(
+        ray.data.from_pandas(pd.DataFrame({"k": [1, 1], "cat": ["x", "x"]})),
+        "k", "cat").to_pandas()
+    assert one["hhi_ppm"].tolist() == [1_000_000]

@@ -1420,3 +1420,211 @@ def cdc_dedup_stats(ds, col: str = "text", id_col: str = "doc_id",
         st = folded.map_batches(stat, batch_format="pyarrow").to_pandas()
         return pd.DataFrame([st.sum(axis=0).astype("int64")])
     return stat(folded).to_pandas()
+
+
+def skipgram_topk(ds, k: int = 20, gaps: tuple[int, ...] = (2, 3),
+                  col: str = "text", driver_limit: int | None = None):
+    """Exact top-K SKIP-bigrams — word pairs (w_i, w_{i+g}) at fixed skip
+    distances ``gaps`` within a document — the wider co-occurrence signal
+    collocation/embedding pipelines use beyond adjacent bigrams
+    (word2vec's window is exactly this family).  Tie-break
+    (n desc, w1 asc, w2 asc, gap asc) makes the result hash-checkable.
+
+    Per batch: Arrow split → one flat word array + per-position doc ids
+    (np.repeat) → for each g the pair mask is a single vectorized
+    ``doc[i] == doc[i+g]`` compare → Arrow group_by collapses the batch to
+    its distinct (w1, w2, gap) set.  The fold is GUARDED: past
+    ``driver_limit`` distinct pairs (vocab² is unbounded on web text) it
+    degrades to a distributed groupby + sort/limit, so driver memory stays
+    bounded at any vocabulary."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    gaps = tuple(int(g) for g in gaps)
+    if not gaps or min(gaps) < 1:
+        raise ValueError("skipgram_topk: gaps must be positive")
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        n = len(flat)
+        doc = np.repeat(np.arange(len(offsets) - 1),
+                        np.diff(offsets).astype(np.int64))
+        outs = []
+        for g in gaps:
+            if n <= g:
+                continue
+            same = doc[: n - g] == doc[g:]
+            if not same.any():
+                continue
+            am = pa.array(same)
+            outs.append(pa.table({
+                "w1": flat.slice(0, n - g).filter(am),
+                "w2": flat.slice(g, n - g).filter(am),
+                "gap": pa.array(np.full(int(same.sum()), g, dtype=np.int64)),
+            }))
+        if not outs:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "gap": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.concat_tables(outs).group_by(["w1", "w2", "gap"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "gap", "n"])
+
+    merged, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2", "gap"], ["n"], driver_limit)
+    if mode == "distributed":
+        top = merged.sort(["n", "w1", "w2", "gap"],
+                          descending=[True, False, False, False]) \
+            .limit(k).to_pandas()
+    else:
+        top = merged.to_pandas().sort_values(
+            ["n", "w1", "w2", "gap"],
+            ascending=[False, True, True, True]).head(k)
+    out = top.reset_index(drop=True).astype({"gap": "int64", "n": "int64"})
+    out.attrs["mode"] = mode
+    return out
+
+
+def pmi_top_pairs(ds, v: int = 16, k: int = 20, col: str = "text",
+                  df_limit: int | None = None) -> pd.DataFrame:
+    """Top-K word pairs by (vocab-capped) pointwise mutual information
+    over DOCUMENT co-occurrence, ranked integer-exactly: PMI =
+    log(N·c_ab / (df_a·df_b)) is monotone in the RATIO, so we rank by
+    ``score_ppm = floor(c_ab·N·10⁶ / (df_a·df_b))`` — exact integers both
+    here and in the SQL oracle, no transcendental ever computed.
+    Tie-break (score desc, wa asc, wb asc).
+
+    Scale shape: pass 1 folds doc-frequency partials under the word_topk
+    GUARD (CMS degrade past ``df_limit`` distinct words) and keeps only
+    the top-``v`` vocabulary (df desc, word asc) — the cap that bounds
+    everything downstream: pass 2 broadcasts those ``v`` words in the
+    task closure, keeps per-doc DISTINCT vocab hits, and expands pairs
+    with a precomputed ≤C(v,2) combination table (docs × combos matrix,
+    no per-doc Python) — pair-count partials are ≤C(v,2) rows per batch,
+    so the final merge is bounded by construction."""
+    from timberjack_ray.aggregates import merge_counts_guarded, merge_partials
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        doc = np.repeat(np.arange(len(offsets) - 1),
+                        np.diff(offsets).astype(np.int64))
+        dw = pa.table({"d": pa.array(doc), "w": flat}) \
+            .group_by(["d", "w"]).aggregate([])
+        g = dw.select(["w"]).group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    folded = merge_counts_guarded(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        "word", "n", df_limit)
+    vocab_df = folded.top_k(v)
+    vocab = vocab_df["word"].tolist()
+    dfs = {w: int(n) for w, n in zip(vocab_df["word"], vocab_df["n"])}
+    n_docs = int(ds.count())
+
+    # precompute the a<b local-index combination table once (≤ C(v,2))
+    vv = len(vocab)
+    ia, ib = np.triu_indices(vv, k=1)
+    vocab_arr = pa.array(vocab)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"wa": pa.array([], pa.string()),
+                          "wb": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        doc = np.repeat(np.arange(len(offsets) - 1),
+                        np.diff(offsets).astype(np.int64))
+        keep = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False)
+        if not keep.any():
+            return empty
+        dw = pa.table({"d": pa.array(doc[keep]), "w": flat.filter(pa.array(keep))}) \
+            .group_by(["d", "w"]).aggregate([])
+        d = dw["d"].to_numpy(zero_copy_only=False)
+        w = dw["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, d))
+        d, w = d[order], w[order]
+        starts, sizes = _segments(d)
+        if not len(starts):
+            return empty
+        # (docs × combos) matrix of flat indices; keep combos inside each
+        # doc's segment (ib < size) — a<b in sorted word order
+        m = ib[None, :] < sizes[:, None]
+        if not m.any():
+            return empty
+        fa = (starts[:, None] + ia[None, :])[m]
+        fb = (starts[:, None] + ib[None, :])[m]
+        g = pa.table({"wa": pa.array(w[fa]), "wb": pa.array(w[fb])}) \
+            .group_by(["wa", "wb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["wa", "wb", "n"])
+
+    pairs = merge_partials(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["wa", "wb"], "n").to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"wa": pd.Series([], dtype="str"),
+                             "wb": pd.Series([], dtype="str"),
+                             "c_ab": pd.Series([], dtype="int64"),
+                             "score_ppm": pd.Series([], dtype="int64")})
+    score = [(int(c) * n_docs * 1_000_000) // (dfs[a] * dfs[b])
+             for a, b, c in zip(pairs["wa"], pairs["wb"], pairs["n"])]
+    pairs = pairs.rename(columns={"n": "c_ab"})
+    pairs["score_ppm"] = score
+    out = pairs.sort_values(["score_ppm", "wa", "wb"],
+                            ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True).astype({"c_ab": "int64",
+                                        "score_ppm": "int64"})
+    out.attrs["mode"] = folded.mode
+    return out
+
+
+def ttr_by_group(ds, group_col: str = "source", col: str = "text",
+                 driver_limit: int | None = None) -> pd.DataFrame:
+    """Type-token ratio statistics per group: (n_tokens, n_types) as exact
+    integers — the lexical-diversity corpus signal (callers divide; the
+    rational stays exact).  Per batch: Arrow split → (group, word) count
+    partial (collapses to the batch's distinct pairs).  The fold is
+    GUARDED: past ``driver_limit`` distinct (group, word) pairs it
+    degrades to a distributed groupby whose UNIQUE (group, word) rows are
+    then re-folded as one (group, types, tokens) partial per block —
+    bounded by #groups either way."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col], " ")
+        flat, offsets = _word_offsets(words)
+        grp = np.repeat(t[group_col].to_numpy(zero_copy_only=False),
+                        np.diff(offsets).astype(np.int64))
+        g = pa.table({group_col: pa.array(grp), "w": flat}) \
+            .group_by([group_col, "w"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "w", "n"])
+
+    merged, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "w"], ["n"], driver_limit)
+
+    if mode == "distributed":
+        # merged's rows are now GLOBALLY unique (group, w, n): fold one
+        # (group, tokens, types) partial per block — bounded by #groups
+        def stat(t: pa.Table) -> pa.Table:
+            ones = pa.table({group_col: t[group_col], "n_tokens": t["n"]})
+            g = ones.group_by(group_col).aggregate(
+                [("n_tokens", "sum"), ([], "count_all")])
+            return g.rename_columns([group_col, "n_tokens", "n_types"])
+
+        folded, _ = merge_partials_or_ds(
+            merged.map_batches(stat, batch_format="pyarrow"),
+            [group_col], ["n_tokens", "n_types"])
+        df = folded.to_pandas()
+        out = df[[group_col, "n_tokens", "n_types"]]
+    else:
+        df = merged.to_pandas()
+        out = df.groupby(group_col, as_index=False).agg(
+            n_tokens=("n", "sum"), n_types=("w", "count"))
+    out = out.sort_values(group_col).reset_index(drop=True) \
+        .astype({"n_tokens": "int64", "n_types": "int64"})
+    out.attrs["mode"] = mode
+    return out

@@ -1862,3 +1862,111 @@ def auto_join(left_ds, right_ds, left_key: str, right_key: str,
     return bucket_hash_join(left_ds, right_ds, left_key, right_key,
                             left_cols, right_cols, n_buckets=n_buckets,
                             bucket_fn=bucket_fn), "grace"
+
+
+def grouped_regression_sums(ds, group_col: str, x_col: str, y_col: str,
+                            driver_limit: int | None = None):
+    """Per-group OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²) over
+    ALREADY-INTEGER x/y columns — everything downstream (slope, intercept,
+    Pearson r) is a RATIONAL in these five integers, so callers can rank
+    and emit exact scaled values that any engine replays bit-for-bit
+    (``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``); no float summation
+    order ever enters.
+
+    One streaming pass; partial volume = #groups per batch.  int64 bounds
+    the per-batch sums (|x·y| · batch_rows < 2⁶³ — rebase x to a small
+    epoch, e.g. hours since the corpus start, before calling); the DRIVER
+    merge accumulates in Python ints via pandas object fallback only in
+    the caller.  GUARDED fold like ``grouped_comoment_sums``: past
+    ``driver_limit`` groups it degrades to a distributed groupby Dataset.
+    """
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.int64()).to_numpy()
+        y = pc.cast(t[y_col], pa.int64()).to_numpy()
+        g = pa.table({group_col: t[group_col], "sum_x": pa.array(x),
+                      "sum_y": pa.array(y), "sum_xy": pa.array(x * y),
+                      "sum_xx": pa.array(x * x)}) \
+            .group_by(group_col).aggregate(
+                [("sum_x", "sum"), ("sum_y", "sum"), ("sum_xy", "sum"),
+                 ("sum_xx", "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "sum_x", "sum_y", "sum_xy",
+                                 "sum_xx", "n"])
+
+    merged, mode = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], ["sum_x", "sum_y", "sum_xy", "sum_xx", "n"],
+        driver_limit)
+    if mode == "distributed":
+        return merged
+    out = merged.to_pandas().sort_values(group_col).reset_index(drop=True)
+    out.attrs["mode"] = "driver"
+    return out
+
+
+def _ratio_ppm(num: int, den: int, scale: int = 1_000_000) -> int:
+    """Exact sign·(|num|·scale // den) — the floor-of-magnitude scaled
+    rational both Python and the DuckDB oracle compute identically
+    (DuckDB ``//`` truncates toward zero, so both sides divide
+    NON-NEGATIVE magnitudes; den must be > 0)."""
+    if den <= 0:
+        raise ValueError("_ratio_ppm: denominator must be positive")
+    mag = (abs(int(num)) * scale) // int(den)
+    return -mag if num < 0 else mag
+
+
+def grouped_hhi_ds(ds, key_col: str, cat_col: str, n_buckets: int = 256):
+    """Per-key Herfindahl–Hirschman concentration of a category column in
+    PARTS-PER-MILLION: ``hhi_ppm = floor(Σc_i² · 10⁶ / (Σc_i)²)`` where
+    c_i counts category i's rows for that key — 10⁶ = single-category,
+    10⁶/k = uniform over k.  Integer-exact end to end (replayable in SQL).
+
+    Scale shape: per-batch (key, cat) count partials collapse each batch
+    to its distinct pairs; ONE bucket exchange on hash(key) co-locates
+    every partial of a key; per bucket a lexsort + two segmented
+    reductions (inner (key,cat) sums, then per-key Σc and Σc²) emit one
+    row per key.  Output streams — one row per key, never a driver fold.
+    Returns a Dataset of (key, n_rows, hhi_ppm)."""
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, cat_col]).group_by([key_col, cat_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key_col, cat_col, "pc_"])
+
+    bucketed = add_key_bucket(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], t.schema.field(key_col).type),
+                          "n_rows": pa.array([], pa.int64()),
+                          "hhi_ppm": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        # collapse cross-batch partials for the same (key, cat)
+        g = t.group_by([key_col, cat_col]).aggregate([("pc_", "sum")]) \
+            .rename_columns([key_col, cat_col, "c"])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, c = keys[order], c[order]
+        starts, sizes = _segments(keys)
+        tot = np.add.reduceat(c, starts)
+        sq = np.add.reduceat(c * c, starts)
+        # Σc² ≤ (Σc)² ≤ 2⁶³/10⁶ ⇒ per-key rows < ~3e6 for int64 ppm math;
+        # object (Python int) path keeps it exact past that
+        if tot.max(initial=0) >= 3_000_000:
+            hhi = np.array([(int(s) * 1_000_000) // (int(n) * int(n))
+                            for s, n in zip(sq, tot)], dtype=np.int64)
+        else:
+            hhi = (sq * 1_000_000) // (tot * tot)
+        return pa.table({key_col: pa.array(keys[starts]),
+                         "n_rows": pa.array(tot.astype(np.int64)),
+                         "hhi_ppm": pa.array(hhi.astype(np.int64))})
+
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
