@@ -6752,6 +6752,189 @@ def q_skipgram_counts(sf_dir: str):
     return skipgram_topk(ds, k=20, gaps=(2, 3))
 
 
+def q_hourly_acf_by_type(sf_dir: str):
+    """Per-type hourly time-series health stats, integer-exact: index of
+    dispersion (variance/mean of the zero-filled hourly count series) and
+    the lag-1 autocorrelation (Box-Jenkins ACF estimator) — burstiness +
+    short-memory signals over event streams.  Both are RATIONALS in the
+    hour-count integers (D = (HΣx²−S²)/(H·S); r₁ = Σ(Hxₜ−S)(Hxₜ₊₁−S) /
+    (H·(HΣx²−S²))), emitted as floor-of-magnitude ppm — no float ever.
+
+    Scale shape: (type, hour) count partials collapse per batch; the
+    merge is CALENDAR-bounded (types × hours — a decade is 87 600 hours),
+    so the driver fold is bounded by construction; zero-fill + the two
+    dot products run on the tiny merged series."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import _ratio_ppm
+
+    BASE_US = 1_704_067_200_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
+                      HOUR_US)
+        g = pa.table({"event_type": t["event_type"], "h": h}) \
+            .group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "c"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "h"], "c").to_pandas()
+    rows = []
+    for et, sub in m.groupby("event_type"):
+        mn, mx = int(sub["h"].min()), int(sub["h"].max())
+        series = np.zeros(mx - mn + 1, dtype=np.int64)
+        series[sub["h"].to_numpy() - mn] = sub["c"].to_numpy()
+        H = len(series)
+        S = int(series.sum())
+        sxx = int((series.astype(object) ** 2).sum())
+        nd = H * sxx - S * S          # ≥ 0 (H·variance·H)
+        disp = (nd * 1_000_000) // (H * S)
+        if nd == 0 or H < 2:
+            acf = 0
+        else:
+            d = H * series.astype(object) - S
+            acf = _ratio_ppm(int((d[:-1] * d[1:]).sum()), H * nd)
+        rows.append((et, H, disp, acf))
+    return pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                       "disp_ppm", "acf1_ppm"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_hours": "int64", "disp_ppm": "int64",
+                 "acf1_ppm": "int64"})
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """K-anonymity privacy audit over the quasi-identifier grid
+    (lang, source, n_chars//200): for each k ∈ {2, 5, 10}, how many
+    quasi-identifier groups and how many DOCUMENTS sit in groups smaller
+    than k — the re-identification-risk census run before releasing a
+    corpus (Sweeney 2002).  Exact integers; the per-batch partials
+    collapse to the grid, whose size is bounded by
+    langs × sources × length-buckets."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        cb = pc.divide(t["n_chars"], 200)
+        g = pa.table({"lang": t["lang"], "source": t["source"], "cb": cb}) \
+            .group_by(["lang", "source", "cb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "cb", "c"])
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "source", "cb"], "c").to_pandas()
+    c = m["c"].to_numpy()
+    rows = [(k, int((c < k).sum()), int(c[c < k].sum()))
+            for k in (2, 5, 10)]
+    return pd.DataFrame(rows, columns=["k", "groups_below",
+                                       "rows_below"]).astype("int64")
+
+
+def q_copurchase_lift_top20(sf_dir: str):
+    """Market-basket LIFT mining: the 20 part pairs with the highest
+    lift = P(u,v)/(P(u)·P(v)) among pairs co-purchased in ≥ 3 orders —
+    the association-rule strength behind copurchase_top20's raw counts.
+    Lift is monotone in the integer rational c_uv·N/(c_u·c_v), emitted
+    exactly as floor ppm (no float), tie-break (lift desc, u, v).
+
+    Scale shape: ONE orderkey-bucket exchange; per bucket the segmented
+    pair kernel emits edge partials AND two fused side-aggregates on the
+    SAME exchange (per-part order frequencies, distinct-order count —
+    exact because buckets partition orderkeys).  The edge fold is
+    GUARDED: past it, lift is computed per edge block against the
+    broadcast part-frequency map (catalog-sized ≪ edge count) with a
+    per-block top-k prune, so the driver never holds the edge set."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import _offset_pairs
+
+    MIN_SUPPORT = 3
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        parts = []
+        a, b = _offset_pairs(gs, it)
+        if len(a):
+            tbl = pa.table({"u": pa.array(a), "v": pa.array(b)})
+            parts.append(tbl.group_by(["u", "v"])
+                         .aggregate([([], "count_all")])
+                         .rename_columns(["u", "v", "n"]))
+        # fused side-aggregates (exact: buckets partition orderkeys):
+        # (-2, part, n) = per-part distinct-order frequency;
+        # (-1, -1, n) = distinct orders in this bucket
+        pv, pn = np.unique(it, return_counts=True)
+        parts.append(pa.table({"u": pa.array(np.full(len(pv), -2,
+                                                     dtype=np.int64)),
+                               "v": pa.array(pv.astype(np.int64)),
+                               "n": pa.array(pn.astype(np.int64))}))
+        n_orders = int((np.r_[True, gs[1:] != gs[:-1]]).sum())
+        parts.append(pa.table({"u": pa.array([-1], pa.int64()),
+                               "v": pa.array([-1], pa.int64()),
+                               "n": pa.array([n_orders], pa.int64())}))
+        return pa.concat_tables(parts)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    bucketed = add_key_bucket(ds, "l_orderkey", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    merged, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
+
+    def top20(edges: pd.DataFrame, dfs: dict, n_orders: int) -> pd.DataFrame:
+        edges = edges[edges["n"] >= MIN_SUPPORT]
+        lift = [(int(n) * n_orders * 1_000_000)
+                // (dfs[int(u)] * dfs[int(v)])
+                for u, v, n in zip(edges["u"], edges["v"], edges["n"])]
+        out = edges.assign(lift_ppm=lift).sort_values(
+            ["lift_ppm", "u", "v"], ascending=[False, True, True]).head(20)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["rank", "u", "v", "n", "lift_ppm"]] \
+            .reset_index(drop=True).astype("int64")
+
+    if mode == "driver":
+        df = merged.to_pandas()
+        n_orders = int(df.loc[(df["u"] == -1) & (df["v"] == -1), "n"].sum())
+        pf = df[df["u"] == -2]
+        dfs = dict(zip(pf["v"].astype(int), pf["n"].astype(int)))
+        return top20(df[df["u"] >= 0], dfs, n_orders)
+
+    # degraded: edges stream; part frequencies are catalog-sized, so the
+    # side-aggregates still fold on the driver and broadcast per block
+    import ray
+    side = merged.filter(lambda r: r["u"] < 0).to_pandas()
+    n_orders = int(side.loc[side["u"] == -1, "n"].sum())
+    pf = side[side["u"] == -2]
+    dfs_ref = ray.put(dict(zip(pf["v"].astype(int), pf["n"].astype(int))))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["u"] >= 0]
+        got = top20(df, _fetch_ref(dfs_ref), n_orders)
+        return pa.Table.from_pandas(got, preserve_index=False)
+
+    cands = merged.map_batches(block_topk,
+                               batch_format="pyarrow").to_pandas()
+    out = cands.sort_values(["lift_ppm", "u", "v"],
+                            ascending=[False, True, True]).head(20) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "u", "v", "n", "lift_ppm"]].astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -7012,6 +7195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_by_source": q_ttr_by_source,
         "pmi_top_pairs": q_pmi_top_pairs,
         "skipgram_counts": q_skipgram_counts,
+        "hourly_acf_by_type": q_hourly_acf_by_type,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "copurchase_lift_top20": q_copurchase_lift_top20,
     }
 
 
@@ -10255,5 +10441,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, gap, count(*) AS n
             FROM s GROUP BY w1, w2, gap
             ORDER BY n DESC, w1, w2, gap LIMIT 20
+        """,
+        "hourly_acf_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 AS h
+              FROM events
+            ), rng AS (
+              SELECT event_type, min(h) AS mn, max(h) AS mx
+              FROM b GROUP BY event_type
+            ), grid AS (
+              SELECT event_type, unnest(generate_series(mn, mx)) AS h
+              FROM rng
+            ), cnt AS (
+              SELECT event_type, h, count(*)::HUGEINT AS c
+              FROM b GROUP BY event_type, h
+            ), ser AS (
+              SELECT g.event_type, g.h, coalesce(cnt.c, 0::HUGEINT) AS x
+              FROM grid g LEFT JOIN cnt
+                ON cnt.event_type = g.event_type AND cnt.h = g.h
+            ), s AS (
+              SELECT event_type, count(*)::HUGEINT AS hh,
+                     sum(x) AS sx, sum(x*x) AS sxx
+              FROM ser GROUP BY event_type
+            ), lagd AS (
+              SELECT ser.event_type,
+                     (s.hh*ser.x - s.sx) AS d0,
+                     (s.hh * lead(ser.x) OVER
+                        (PARTITION BY ser.event_type ORDER BY ser.h)
+                      - s.sx) AS d1
+              FROM ser JOIN s USING (event_type)
+            ), a AS (
+              SELECT event_type, sum(d0*d1) AS na
+              FROM lagd WHERE d1 IS NOT NULL GROUP BY event_type
+            )
+            SELECT s.event_type, CAST(s.hh AS BIGINT) AS n_hours,
+                   CAST(((s.hh*s.sxx - s.sx*s.sx) * 1000000)
+                        // (s.hh*s.sx) AS BIGINT) AS disp_ppm,
+                   CAST(CASE
+                     WHEN s.hh*s.sxx - s.sx*s.sx = 0
+                          OR a.na IS NULL THEN 0
+                     WHEN a.na >= 0 THEN
+                       (a.na*1000000)
+                       // (s.hh*(s.hh*s.sxx - s.sx*s.sx))
+                     ELSE
+                       -(((-a.na)*1000000)
+                         // (s.hh*(s.hh*s.sxx - s.sx*s.sx)))
+                   END AS BIGINT) AS acf1_ppm
+            FROM s LEFT JOIN a USING (event_type)
+            ORDER BY s.event_type
+        """,
+        "k_anonymity_audit": """
+            WITH g AS (
+              SELECT lang, source, n_chars // 200 AS cb,
+                     count(*)::BIGINT AS c
+              FROM documents GROUP BY lang, source, cb
+            ), ks(k) AS (VALUES (2), (5), (10))
+            SELECT CAST(k AS BIGINT) AS k,
+                   coalesce(sum(CASE WHEN c < k THEN 1 ELSE 0 END),
+                            0)::BIGINT AS groups_below,
+                   coalesce(sum(CASE WHEN c < k THEN c ELSE 0 END),
+                            0)::BIGINT AS rows_below
+            FROM ks CROSS JOIN g GROUP BY k ORDER BY k
+        """,
+        "copurchase_lift_top20": """
+            WITH dp AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), no AS (
+              SELECT count(DISTINCT l_orderkey)::HUGEINT AS n FROM lineitem
+            ), pf AS (
+              SELECT l_partkey, count(*)::HUGEINT AS c FROM dp
+              GROUP BY l_partkey
+            ), e AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v,
+                     count(*)::HUGEINT AS c_ab
+              FROM dp a JOIN dp b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING count(*) >= 3
+            ), l AS (
+              SELECT u, v, CAST(c_ab AS BIGINT) AS n,
+                     CAST((c_ab * no.n * 1000000)
+                          // (pu.c * pv.c) AS BIGINT) AS lift_ppm
+              FROM e CROSS JOIN no
+              JOIN pf pu ON pu.l_partkey = e.u
+              JOIN pf pv ON pv.l_partkey = e.v
+            ), r AS (
+              SELECT *, row_number() OVER
+                (ORDER BY lift_ppm DESC, u, v) AS rank
+              FROM l
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, u, v, n, lift_ppm
+            FROM r WHERE rank <= 20 ORDER BY rank
         """,
     }

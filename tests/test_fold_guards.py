@@ -321,3 +321,19 @@ def test_ab_experiment_report_distributed_degrade(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_copurchase_lift_distributed_degrade(ray_session, monkeypatch):
+    """The lift variant's degrade branch computes lift per edge block
+    against the broadcast part-frequency map — must equal driver mode."""
+    import timberjack_ray.aggregates as agg
+
+    import __ray_entry__ as e
+
+    want = e.q_copurchase_lift_top20(SF)
+    assert len(want) and (want["lift_ppm"] > 0).all()
+    monkeypatch.setattr(agg, "FOLD_GUARD_LIMIT", 10)  # force degrade
+    got = e.q_copurchase_lift_top20(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
