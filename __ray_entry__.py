@@ -6935,6 +6935,206 @@ def q_copurchase_lift_top20(sf_dir: str):
     return out[["rank", "u", "v", "n", "lift_ppm"]].astype("int64")
 
 
+def _hourly_cents_by_type(sf_dir: str) -> pd.DataFrame:
+    """Shared (event_type, hour-index, total-cents) series: per-batch
+    (type, hour) cent-sum partials collapse each batch, then a
+    CALENDAR-bounded merge (types × hours) — the input both robust-trend
+    operators (Theil–Sen, Kendall) fold over."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    BASE_US = 1_704_067_200_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
+                      HOUR_US)
+        g = pa.table({"event_type": t["event_type"], "h": h,
+                      "y": scale_to_int(t["value"], 100)}) \
+            .group_by(["event_type", "h"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "h", "y"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type", "h"], "y").to_pandas()
+
+
+def q_theilsen_trend_by_type(sf_dir: str):
+    """Per-type Theil–Sen robust trend of hourly total value: the LOWER
+    MEDIAN of all pairwise integer slopes sign·(|Δcents|·10⁶ // Δhour)
+    over the observed (hour, total-cents) points — the outlier-immune
+    alternative to the OLS trend (value_time_regression), exact to the
+    ppm floor with no float anywhere.
+
+    Scale shape: (type, hour) cent-sum partials → calendar-bounded merge
+    (types × hours); the pairwise fold is C(H,2) per type — fine for
+    multi-month hourly series (720 h → 259 k pairs); for decade-scale
+    series switch to the repeated-median variant or pre-bucket to days."""
+    m = _hourly_cents_by_type(sf_dir)
+    rows = []
+    for et, sub in m.groupby("event_type"):
+        sub = sub.sort_values("h")
+        h = sub["h"].to_numpy(dtype=np.int64)
+        y = sub["y"].to_numpy(dtype=np.int64).astype(object)
+        n_h = len(h)
+        if n_h < 2:
+            rows.append((et, n_h, 0, 0))
+            continue
+        i, j = np.triu_indices(n_h, k=1)
+        dy = y[j] - y[i]
+        dh = (h[j] - h[i]).astype(object)
+        mag = (np.abs(dy) * 1_000_000) // dh
+        s = np.where(dy < 0, -mag, mag)
+        s = np.sort(s.astype(np.int64))
+        rows.append((et, n_h, len(s), int(s[(len(s) - 1) // 2])))
+    return pd.DataFrame(rows, columns=["event_type", "n_hours", "n_pairs",
+                                       "slope_ppm"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_hours": "int64", "n_pairs": "int64",
+                 "slope_ppm": "int64"})
+
+
+def q_kendall_hourly_by_type(sf_dir: str):
+    """Per-type Kendall concordance census between hour index and hourly
+    total value: exact (concordant, discordant, tied) pair counts over
+    all hour pairs h₁<h₂ — the integer sufficient statistics of
+    Kendall's τ-b (x-ties impossible: hours are distinct), published as
+    counts so no float division ever happens.
+
+    Scale shape: same calendar-bounded (type, hour) merge as the
+    Theil–Sen fold; the pair census is a vectorized sign count over
+    C(H,2) index pairs per type."""
+    m = _hourly_cents_by_type(sf_dir)
+    rows = []
+    for et, sub in m.groupby("event_type"):
+        sub = sub.sort_values("h")
+        y = sub["y"].to_numpy(dtype=np.int64)
+        n_h = len(y)
+        i, j = np.triu_indices(n_h, k=1)
+        d = y[j] - y[i]
+        rows.append((et, n_h, int((d > 0).sum()), int((d < 0).sum()),
+                     int((d == 0).sum())))
+    return pd.DataFrame(rows, columns=["event_type", "n_hours", "n_conc",
+                                       "n_disc", "n_tie"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({c: "int64" for c in ["n_hours", "n_conc", "n_disc",
+                                      "n_tie"]})
+
+
+def q_mann_whitney_pairs(sf_dir: str):
+    """Mann–Whitney U between every unordered pair of event types on the
+    value distribution (cents): emits 2·U_a as an exact integer (twice
+    the statistic so midrank ties stay integral) — the nonparametric
+    A/B-shift test run between segments before/after a pipeline change.
+    2U_a = Σ_v cA(v)·(2·cumB(<v) + cB(v)); identity 2U_a + 2U_b = 2·n_a·n_b.
+
+    Scale shape: (type, cents) count-per-value partials (the same
+    value-domain-bounded exchange the exact-quantile family uses) →
+    driver fold bounded by types × distinct values; per pair the
+    combine is one searchsorted + cumsum, never a row-level sort."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"t": t["event_type"],
+                      "v": scale_to_int(t["value"], 100)}) \
+            .group_by(["t", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t", "v", "c"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["t", "v"], "c").to_pandas()
+    per = {}
+    for t, sub in m.groupby("t"):
+        sub = sub.sort_values("v")
+        per[t] = (sub["v"].to_numpy(np.int64),
+                  sub["c"].to_numpy(np.int64))
+    rows = []
+    types = sorted(per)
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            ta, tb = types[ai], types[bi]
+            va, ca = per[ta]
+            vb, cb = per[tb]
+            cum_b = np.concatenate([[0], np.cumsum(cb.astype(object))])
+            lt = cum_b[np.searchsorted(vb, va, side="left")]
+            eq_idx = np.searchsorted(vb, va, side="left")
+            eq = np.where((eq_idx < len(vb)) & (vb[np.minimum(eq_idx, len(vb) - 1)] == va),
+                          cb[np.minimum(eq_idx, len(vb) - 1)], 0)
+            # lt = #(b<a), eq = #(b=a) per a-row → Σ ca·(2·lt+eq) = 2·U_a
+            u2a = int((ca.astype(object) * (2 * lt + eq)).sum())
+            rows.append((ta, tb, int(ca.sum()), int(cb.sum()),
+                         u2a, 2 * int(ca.sum()) * int(cb.sum()) - u2a))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_a", "n_b",
+                                       "u2_a", "u2_b"]) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True) \
+        .astype({c: "int64" for c in ["n_a", "n_b", "u2_a", "u2_b"]})
+
+
+def q_benford_digit_counts(sf_dir: str):
+    """Benford first-significant-digit census of order totals (cents),
+    stratified by order priority — the classic numeric-forgery /
+    synthetic-data audit (Benford 1938): exact counts per (priority,
+    leading digit), no expected-law division so the result is pure
+    integers.  First digit is taken on the DECIMAL STRING of the cent
+    amount (always ≥ 1 cent), so both engines agree bit-for-bit.
+    One streaming pass; partial volume = priorities × 9."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = scale_to_int(t["o_totalprice"], 100)
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        g = pa.table({"o_orderpriority": t["o_orderpriority"], "digit": d}) \
+            .group_by(["o_orderpriority", "digit"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "digit", "n"])
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderpriority", "digit"], "n").to_pandas()
+    return out.sort_values(["o_orderpriority", "digit"]) \
+        .reset_index(drop=True).astype({"digit": "int64", "n": "int64"})
+
+
+def q_rule_agreement_kappa(sf_dir: str):
+    """Cohen's κ agreement between two independent quality-filter rules
+    (A: ≥ 60 whitespace tokens; B: ≥ 330 chars) — the annotation-QA
+    check run when two labeling heuristics gate the same corpus.  The
+    2×2 contingency folds as four integers; κ is the exact rational
+    (n·(n₁₁+n₀₀) − Σmarginals) / (n² − Σmarginals) emitted as
+    floor-of-magnitude ppm (functions/relational._ratio_ppm) — zero
+    floats.  One vectorized pass; partial volume = 4 counters."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import _ratio_ppm
+
+    def partial(t: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(pc.split_pattern(t["text"], " ")) \
+            .cast(pa.int64())
+        a = pc.cast(pc.greater_equal(nw, 60), pa.int64())
+        b = pc.cast(pc.greater_equal(t["n_chars"], 330), pa.int64())
+        g = pa.table({"a": a, "b": b}).group_by(["a", "b"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "n"])
+
+    ds = _rp(sf_dir, "documents", columns=["text", "n_chars"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["a", "b"], "n").to_pandas()
+    cell = {(int(r.a), int(r.b)): int(r.n) for r in m.itertuples(index=False)}
+    n11 = cell.get((1, 1), 0)
+    n10 = cell.get((1, 0), 0)
+    n01 = cell.get((0, 1), 0)
+    n00 = cell.get((0, 0), 0)
+    n = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    den = n * n - pe_num
+    kappa = 0 if den == 0 else _ratio_ppm(n * (n11 + n00) - pe_num, den)
+    return pd.DataFrame([(n, n11, n10, n01, n00, kappa)],
+                        columns=["n", "n11", "n10", "n01", "n00",
+                                 "kappa_ppm"]).astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -7198,6 +7398,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_acf_by_type": q_hourly_acf_by_type,
         "k_anonymity_audit": q_k_anonymity_audit,
         "copurchase_lift_top20": q_copurchase_lift_top20,
+        "theilsen_trend_by_type": q_theilsen_trend_by_type,
+        "kendall_hourly_by_type": q_kendall_hourly_by_type,
+        "mann_whitney_pairs": q_mann_whitney_pairs,
+        "benford_digit_counts": q_benford_digit_counts,
+        "rule_agreement_kappa": q_rule_agreement_kappa,
     }
 
 
@@ -10535,4 +10740,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, u, v, n, lift_ppm
             FROM r WHERE rank <= 20 ORDER BY rank
         """,
+        "theilsen_trend_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 AS h,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+            ), m AS (
+              SELECT event_type, h, sum(y)::HUGEINT AS y
+              FROM b GROUP BY event_type, h
+            ), c AS (
+              SELECT event_type, count(*) AS n_h FROM m GROUP BY event_type
+            ), p AS (
+              SELECT a.event_type,
+                     CASE WHEN b2.y >= a.y
+                          THEN ((b2.y - a.y) * 1000000) // (b2.h - a.h)
+                          ELSE -(((a.y - b2.y) * 1000000) // (b2.h - a.h))
+                     END AS s
+              FROM m a JOIN m b2
+                ON a.event_type = b2.event_type AND a.h < b2.h
+            ), r AS (
+              SELECT event_type, s,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY s) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS np
+              FROM p
+            )
+            SELECT c.event_type, CAST(c.n_h AS BIGINT) AS n_hours,
+                   CAST(COALESCE(max(r.np), 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(max(CASE WHEN r.rk = (r.np + 1) // 2
+                                          THEN r.s END), 0) AS BIGINT)
+                     AS slope_ppm
+            FROM c LEFT JOIN r ON c.event_type = r.event_type
+            GROUP BY c.event_type, c.n_h
+            ORDER BY c.event_type
+""",
+        "kendall_hourly_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 AS h,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+            ), m AS (
+              SELECT event_type, h, sum(y)::HUGEINT AS y
+              FROM b GROUP BY event_type, h
+            ), c AS (
+              SELECT event_type, count(*) AS n_h FROM m GROUP BY event_type
+            ), p AS (
+              SELECT a.event_type, b2.y - a.y AS d
+              FROM m a JOIN m b2
+                ON a.event_type = b2.event_type AND a.h < b2.h
+            )
+            SELECT c.event_type, CAST(c.n_h AS BIGINT) AS n_hours,
+                   CAST(COALESCE(sum(CASE WHEN p.d > 0 THEN 1 END), 0)
+                        AS BIGINT) AS n_conc,
+                   CAST(COALESCE(sum(CASE WHEN p.d < 0 THEN 1 END), 0)
+                        AS BIGINT) AS n_disc,
+                   CAST(COALESCE(sum(CASE WHEN p.d = 0 THEN 1 END), 0)
+                        AS BIGINT) AS n_tie
+            FROM c LEFT JOIN p ON c.event_type = p.event_type
+            GROUP BY c.event_type, c.n_h
+            ORDER BY c.event_type
+""",
+        "mann_whitney_pairs": """
+            WITH cnt AS (
+              SELECT event_type AS t,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     count(*)::HUGEINT AS c
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT t, sum(c)::HUGEINT AS n FROM cnt GROUP BY t
+            ), pairs AS (
+              SELECT a.t AS ta, b.t AS tb FROM tot a JOIN tot b ON a.t < b.t
+            ), merged AS (
+              SELECT p.ta, p.tb, c.v,
+                     sum(CASE WHEN c.t = p.ta THEN c.c ELSE 0 END) AS c_a,
+                     sum(CASE WHEN c.t = p.tb THEN c.c ELSE 0 END) AS c_b
+              FROM pairs p JOIN cnt c ON c.t IN (p.ta, p.tb)
+              GROUP BY p.ta, p.tb, c.v
+            ), w AS (
+              SELECT ta, tb, c_a, c_b,
+                     COALESCE(sum(c_b) OVER (PARTITION BY ta, tb ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb_lt
+              FROM merged
+            )
+            SELECT w.ta AS type_a, w.tb AS type_b,
+                   CAST(max(na.n) AS BIGINT) AS n_a,
+                   CAST(max(nb.n) AS BIGINT) AS n_b,
+                   CAST(sum(w.c_a * (2 * w.cumb_lt + w.c_b)) AS BIGINT)
+                     AS u2_a,
+                   CAST(2 * max(na.n) * max(nb.n)
+                        - sum(w.c_a * (2 * w.cumb_lt + w.c_b)) AS BIGINT)
+                     AS u2_b
+            FROM w JOIN tot na ON na.t = w.ta JOIN tot nb ON nb.t = w.tb
+            GROUP BY w.ta, w.tb
+            ORDER BY type_a, type_b
+""",
+        "benford_digit_counts": """
+            SELECT o_orderpriority,
+                   CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                         AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM orders
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+""",
+        "rule_agreement_kappa": """
+            WITH f AS (
+              SELECT CASE WHEN len(string_split(text, ' ')) >= 60
+                          THEN 1 ELSE 0 END AS a,
+                     CASE WHEN n_chars >= 330 THEN 1 ELSE 0 END AS b
+              FROM documents
+            ), c AS (
+              SELECT
+                COALESCE(sum(CASE WHEN a = 1 AND b = 1 THEN 1 END), 0)::HUGEINT AS n11,
+                COALESCE(sum(CASE WHEN a = 1 AND b = 0 THEN 1 END), 0)::HUGEINT AS n10,
+                COALESCE(sum(CASE WHEN a = 0 AND b = 1 THEN 1 END), 0)::HUGEINT AS n01,
+                COALESCE(sum(CASE WHEN a = 0 AND b = 0 THEN 1 END), 0)::HUGEINT AS n00
+              FROM f
+            ), k AS (
+              SELECT n11, n10, n01, n00,
+                     n11 + n10 + n01 + n00 AS n,
+                     (n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00) AS pe
+              FROM c
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+                   CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+                   CAST(n00 AS BIGINT) AS n00,
+                   CAST(CASE WHEN n * n - pe = 0 THEN 0
+                             WHEN n * (n11 + n00) - pe >= 0
+                             THEN ((n * (n11 + n00) - pe) * 1000000)
+                                  // (n * n - pe)
+                             ELSE -(((pe - n * (n11 + n00)) * 1000000)
+                                    // (n * n - pe))
+                        END AS BIGINT) AS kappa_ppm
+            FROM k
+""",
     }
