@@ -7135,6 +7135,146 @@ def q_rule_agreement_kappa(sf_dir: str):
                                  "kappa_ppm"]).astype("int64")
 
 
+def q_ams_f2_checked(sf_dir: str):
+    """AMS tug-of-war F2 sketch, hash-checked (promotes the rows-only
+    `selfjoin_size_ams` family): the pre-hash is splitmix64 of the INTEGER
+    user_id — no string hashing — so every per-estimator sign, and
+    therefore the whole sketch state, replays in SQL via HUGEINT mod-2^64
+    arithmetic (same 32-bit-split multiply the MinHash oracle uses).
+    Output = the 9 per-group sums of 24 squared estimator states per
+    event_type (median-of-means sufficient statistics: the F2 estimate is
+    median(s2_sum)/24, left to the consumer so everything stays integer).
+
+    Scale shape: the state is LINEAR in counts, so per-batch partials fold
+    exactly under addition; exchange volume = types × 216 ints per batch
+    regardless of user cardinality."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import _splitmix64
+
+    D, PER = 216, 24
+    salts = _splitmix64(np.arange(1, D + 1, dtype=np.uint64) * np.uint64(15))
+    js = np.arange(D, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"t": t["event_type"], "u": t["user_id"]}) \
+            .group_by(["t", "u"]).aggregate([([], "count_all")]) \
+            .rename_columns(["t", "u", "c"])
+        types = g["t"].to_numpy(zero_copy_only=False)
+        x = _splitmix64(g["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sign = 1 - 2 * (_splitmix64(x[None, :] ^ salts[:, None])
+                        & np.uint64(1)).astype(np.int64)   # (D, n)
+        out_t, out_j, out_s = [], [], []
+        for et in np.unique(types):
+            mask = types == et
+            out_t.append(np.full(D, et, dtype=object))
+            out_j.append(js)
+            out_s.append(sign[:, mask] @ c[mask])
+        return pa.table({"event_type": pa.array(np.concatenate(out_t)),
+                         "j": pa.array(np.concatenate(out_j)),
+                         "s": pa.array(np.concatenate(out_s))})
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "j"], "s").to_pandas()
+    m["grp"] = m["j"] // PER
+    m["s2"] = m["s"].astype(object) ** 2
+    out = m.groupby(["event_type", "grp"])["s2"].sum().reset_index(name="s2_sum")
+    return out.sort_values(["event_type", "grp"]).reset_index(drop=True) \
+        .astype({"grp": "int64", "s2_sum": "int64"})
+
+
+def q_hll_register_hist(sf_dir: str):
+    """HyperLogLog register-rank census (p=14) over splitmix64(user_id) —
+    promotes the rows-only HLL family to hash-checked: rank =
+    clz((h<<14) | 2^13) + 1 per register index h>>50, registers max-merge,
+    and the output is the histogram of register values INCLUDING the zero
+    bucket.  The float estimate stays in `approx_distinct_users`; this
+    pins the exact register state it derives from bit-for-bit (the oracle
+    recomputes clz as 65 − bit_length via DuckDB bin()).
+
+    Scale: per-batch partial = one 16 KiB register blob, max-fold on the
+    driver — constant regardless of cardinality."""
+    from timberjack_ray.functions.corpus import _splitmix64
+    from timberjack_ray.functions.sketch import HyperLogLog
+
+    P = 14
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(P)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hll.add_hashed(_splitmix64(u))
+        return pa.table({"regs": pa.array([hll.registers.tobytes()],
+                                          pa.binary())})
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    total = HyperLogLog(P)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for regs in b["regs"].to_pylist():
+            total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+    ranks, counts = np.unique(total.registers, return_counts=True)
+    return pd.DataFrame({"rank": ranks.astype(np.int64),
+                         "n_regs": counts.astype(np.int64)})
+
+
+_CMS_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+          0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_CMS_B = (0, 0x85EBCA6B, 0xFD7046C5, 0xCB22A355)
+
+
+def q_cms_word_hitters(sf_dir: str):
+    """Count-Min heavy-hitter words, hash-checked (promotes the rows-only
+    `heavy_hitter_words`): words hash with the Horner mod-2^64 fold the
+    MinHash oracle already replays, and the 4 multiply-shift rows use
+    LITERAL odd constants (col = high-32-bits of a·x+b, mod width 8192),
+    so the merged sketch table — and every candidate's min-over-rows
+    estimate — is SQL-reproducible.  The oracle estimates over ALL
+    distinct words; parity holds because CMS never under-counts: every
+    true top-10 word is inside some batch's top-4096 exact candidates,
+    and this hash check asserts the margin keeps non-candidates out.
+
+    Scale: per-batch partial = 4×8192 int64 + ≤4096 candidate strings,
+    independent of vocabulary size."""
+    from timberjack_ray.functions.corpus import horner_hash_strings
+    from timberjack_ray.functions.sketch import CountMinSketch
+
+    DEPTH, WIDTH, CAND = 4, 8192, 4096
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = pa.table({"w": words}).group_by("w") \
+            .aggregate([([], "count_all")]).rename_columns(["w", "c"])
+        cms = CountMinSketch(DEPTH, WIDTH)
+        cms.a = np.array(_CMS_A, np.uint64)
+        cms.b = np.array(_CMS_B, np.uint64)
+        c = vc["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms.add_hashed(horner_hash_strings(vc["w"]), c)
+        df = vc.to_pandas().sort_values(["c", "w"], ascending=[False, True])
+        cand = df["w"].head(CAND).astype(str).tolist()
+        return pa.table({
+            "table": pa.array([cms.table.tobytes()], pa.large_binary()),
+            "cands": pa.array([cand], pa.large_list(pa.string())),
+        })
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    total = CountMinSketch(DEPTH, WIDTH)
+    total.a = np.array(_CMS_A, np.uint64)
+    total.b = np.array(_CMS_B, np.uint64)
+    cands: set = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for tbl, cd in zip(b["table"].to_pylist(), b["cands"].to_pylist()):
+            total.merge_table(np.frombuffer(tbl, dtype=np.int64))
+            cands.update(cd)
+    cand_list = sorted(cands)
+    est = total.query_hashed(
+        horner_hash_strings(pa.array(cand_list, pa.string())))
+    out = pd.DataFrame({"word": cand_list, "est_n": est})
+    return out.sort_values(["est_n", "word"], ascending=[False, True]) \
+        .head(10).reset_index(drop=True).astype({"est_n": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -7403,6 +7543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney_pairs": q_mann_whitney_pairs,
         "benford_digit_counts": q_benford_digit_counts,
         "rule_agreement_kappa": q_rule_agreement_kappa,
+        "ams_f2_checked": q_ams_f2_checked,
+        "hll_register_hist": q_hll_register_hist,
+        "cms_word_hitters": q_cms_word_hitters,
     }
 
 
@@ -7452,6 +7595,23 @@ def oracle_sql() -> dict[str, str]:
                         + perms.b) % 18446744073709551616::HUGEINT)) AS h
               FROM g, perms
             )"""
+
+    # splitmix64 replay (functions/corpus._splitmix64) as a 6-stage CTE
+    # chain: mod-2^64 adds via HUGEINT, the two 64x64 multiplies via the
+    # same 32-bit-split trick as mh_core, xor/shifts native.  `carry` =
+    # columns threaded through; input expression must be in [0, 2^64).
+    _P64 = "18446744073709551616::HUGEINT"
+    _SM_C2 = "13787848793156543929::HUGEINT"  # 0xBF58476D1CE4E5B9
+    _SM_C3 = "10723151780598845931::HUGEINT"  # 0x94D049BB133111EB
+
+    def _sm_ctes(tag: str, src: str, xexpr: str, carry: list[str]) -> str:
+        cols = ", ".join(carry) + (", " if carry else "")
+        return f"""{tag}0 AS (SELECT {cols}(({xexpr}) + 11400714819323198485::HUGEINT) % {_P64} AS z FROM {src}),
+            {tag}1 AS (SELECT {cols}xor(z, z // 1073741824) AS y FROM {tag}0),
+            {tag}2 AS (SELECT {cols}((y // 4294967296 * {_SM_C2} % {_P64}) * 4294967296 + (y % 4294967296) * {_SM_C2}) % {_P64} AS z FROM {tag}1),
+            {tag}3 AS (SELECT {cols}xor(z, z // 134217728) AS y FROM {tag}2),
+            {tag}4 AS (SELECT {cols}((y // 4294967296 * {_SM_C3} % {_P64}) * 4294967296 + (y % 4294967296) * {_SM_C3}) % {_P64} AS z FROM {tag}3),
+            {tag}x AS (SELECT {cols}xor(z, z // 2147483648) AS h FROM {tag}4)"""
 
     # PII gate: the aug line replays _plant_pii with SQL concat; the scrub
     # chain is generated FROM functions/text.PII_PATTERNS so pattern parity
@@ -10878,5 +11038,79 @@ def oracle_sql() -> dict[str, str]:
                                     // (n * n - pe))
                         END AS BIGINT) AS kappa_ppm
             FROM k
+""",
+        "ams_f2_checked": f"""
+            WITH cu AS (
+              SELECT event_type AS t, user_id::HUGEINT AS u,
+                     count(*)::HUGEINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            {_sm_ctes("a", "cu", "u", ["t", "c"])},
+            jsrc AS (SELECT j FROM generate_series(0, 215) AS g(j)),
+            {_sm_ctes("b", "jsrc", "(j + 1) * 15", ["j"])},
+            cross0 AS (
+              SELECT ax.t, ax.c, bx.j, xor(ax.h, bx.h) AS xs FROM ax, bx
+            ),
+            {_sm_ctes("p", "cross0", "xs", ["t", "c", "j"])},
+            s AS (
+              SELECT t, j, sum((1 - 2 * (h % 2)) * c) AS s
+              FROM px GROUP BY t, j
+            )
+            SELECT t AS event_type, CAST(j // 24 AS BIGINT) AS grp,
+                   CAST(sum(s * s) AS BIGINT) AS s2_sum
+            FROM s GROUP BY t, j // 24
+            ORDER BY event_type, grp
+""",
+        "hll_register_hist": f"""
+            WITH users AS (
+              SELECT DISTINCT user_id::HUGEINT AS u FROM events
+            ),
+            {_sm_ctes("h", "users", "u", ["u"])},
+            r AS (
+              SELECT h // 1125899906842624 AS idx,
+                     65 - length(bin((((h * 16384) % {_P64})
+                                      + 8192)::UBIGINT)) AS rank
+              FROM hx
+            ),
+            reg AS (SELECT idx, max(rank) AS rank FROM r GROUP BY idx),
+            hist AS (
+              SELECT rank, count(*) AS n FROM reg GROUP BY rank
+              UNION ALL
+              SELECT 0 AS rank, 16384 - (SELECT count(*) FROM reg) AS n
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n_regs
+            FROM hist WHERE n > 0 ORDER BY rank
+""",
+        "cms_word_hitters": f"""
+            WITH wc AS (
+              SELECT w, count(*)::HUGEINT AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w
+            ), wh2 AS (
+              SELECT w, c, list_reduce(list_prepend(0::HUGEINT,
+                list_transform(
+                  list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                  ch -> unicode(ch)::HUGEINT)),
+                (h, ch) -> (h * 1000003 + ch) % {_P64}) AS x
+              FROM wc
+            ), rows_(d, a, b) AS (VALUES
+              (0, 11400714819323198485::HUGEINT, 0::HUGEINT),
+              (1, 14029467366897019727::HUGEINT, 2246822507::HUGEINT),
+              (2, 1609587929392839161::HUGEINT, 4251740869::HUGEINT),
+              (3, 2870177450012600261::HUGEINT, 3407782741::HUGEINT)),
+            cols AS (
+              SELECT wh2.w, wh2.c, r.d,
+                ((((wh2.x // 4294967296 * r.a % {_P64}) * 4294967296
+                   + (wh2.x % 4294967296) * r.a) % {_P64} + r.b) % {_P64}
+                 // 4294967296) % 8192 AS col
+              FROM wh2, rows_ r
+            ), bucket AS (
+              SELECT d, col, sum(c) AS s FROM cols GROUP BY d, col
+            ), est AS (
+              SELECT cols.w, min(bucket.s) AS est_n
+              FROM cols JOIN bucket USING (d, col) GROUP BY cols.w
+            )
+            SELECT w AS word, CAST(est_n AS BIGINT) AS est_n
+            FROM est ORDER BY est_n DESC, word ASC LIMIT 10
 """,
     }
