@@ -7275,6 +7275,265 @@ def q_cms_word_hitters(sf_dir: str):
         .head(10).reset_index(drop=True).astype({"est_n": "int64"})
 
 
+def q_semi_f_customers_by_nation(sf_dir: str):
+    """SEMI-join leg: customers with at least one 'F'-status order,
+    counted per nation — the EXISTS-subquery shape (reference filter
+    semantics over a second table) the anti-join leg already mirrors.
+    Plan: filter+project orders to per-batch distinct custkeys, GRACE
+    bucket-join against customer (one exchange, each row crosses once),
+    then the residual cross-batch duplicates collapse in the exact
+    (nation, custkey) distinct-count — no driver materialization."""
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     distinct_count_by)
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def fkeys(t: pa.Table) -> pa.Table:
+        k = pc.filter(t["o_custkey"], pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"o_custkey": pc.unique(pc.cast(k, pa.int64()))})
+
+    keys = orders.map_batches(fkeys, batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = bucket_hash_join(keys, cust, "o_custkey", "c_custkey",
+                              [], ["c_nationkey"])
+    out = distinct_count_by(joined, "c_nationkey", "o_custkey",
+                            name="n_customers")
+    return out.sort_values("c_nationkey").reset_index(drop=True) \
+        .astype({"c_nationkey": "int64", "n_customers": "int64"})
+
+
+def q_gini_impurity_by_source(sf_dir: str):
+    """Per-source Gini impurity of the language mix — the label-purity
+    signal a corpus curator reads before deciding whether a source needs
+    per-language routing.  Exact rational emitted as floor ppm:
+    gini = (n² − Σ c_lang²) / n².  One (source, lang) count exchange,
+    bounded by sources × langs."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "n"])
+
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["source", "lang"], "n").to_pandas()
+    rows = []
+    for src, sub in m.groupby("source"):
+        c = sub["n"].to_numpy(np.int64).astype(object)
+        n = int(c.sum())
+        rows.append((src, n, int(((n * n - int((c * c).sum())) * 1_000_000)
+                                 // (n * n))))
+    return pd.DataFrame(rows, columns=["source", "n", "gini_ppm"]) \
+        .sort_values("source").reset_index(drop=True) \
+        .astype({"n": "int64", "gini_ppm": "int64"})
+
+
+def q_chi2_type_hour(sf_dir: str):
+    """Chi-square independence census between event_type and hour-of-day:
+    per type, the sum over its 24 cells of the floored-ppm contribution
+    ((o·N − r·c)² · 10⁶) // (r·c·N) — uniformity-of-daily-profile audit,
+    defined as sum-of-floored-cells so both engines agree bit-for-bit
+    (zero cells included via the observed-margin grid; margins are
+    positive by construction).  One (type, hod) count exchange, ≤ types
+    × 24 merge rows.  SQL replay is HUGEINT-bounded (per-cell products
+    < 2^127), fine to ~10⁹ rows; past that emit raw cells instead."""
+    from timberjack_ray.aggregates import merge_partials
+
+    BASE_US = 1_704_067_200_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
+                        HOUR_US)
+        hod = pc.subtract(hod, pc.multiply(pc.divide(hod, 24), 24))
+        g = pa.table({"t": t["event_type"], "hod": hod}) \
+            .group_by(["t", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t", "hod", "o"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["t", "hod"], "o").to_pandas()
+    piv = m.pivot_table(index="t", columns="hod", values="o",
+                        fill_value=0, aggfunc="sum").astype(object)
+    N = int(piv.values.sum())
+    r = piv.sum(axis=1)
+    c = piv.sum(axis=0)
+    rows = []
+    for t in piv.index:
+        ppm = 0
+        for h in piv.columns:
+            o, ri, cj = int(piv.loc[t, h]), int(r[t]), int(c[h])
+            ppm += ((o * N - ri * cj) ** 2 * 1_000_000) // (ri * cj * N)
+        rows.append((t, int(r[t]), ppm))
+    return pd.DataFrame(rows, columns=["event_type", "n_type", "chi2_ppm"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_type": "int64", "chi2_ppm": "int64"})
+
+
+def q_wow_value_change(sf_dir: str):
+    """Week-over-week percent change of total event value (cents) per
+    type, as exact floor-of-magnitude ppm vs the previous OBSERVED week
+    (LAG semantics) — the drift dashboard's headline series.  One
+    (type, week) cent-sum exchange; weeks bounded by the calendar."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import _ratio_ppm
+    from timberjack_ray.functions.util import scale_to_int
+
+    BASE_US = 1_704_067_200_000_000
+    WEEK_US = 604_800_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
+                      WEEK_US)
+        g = pa.table({"t": t["event_type"], "w": w,
+                      "y": scale_to_int(t["value"], 100)}) \
+            .group_by(["t", "w"]).aggregate([("y", "sum")])
+        return g.rename_columns(["t", "w", "y"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    m = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["t", "w"], "y").to_pandas().sort_values(["t", "w"])
+    rows = []
+    for t, sub in m.groupby("t"):
+        y = sub["y"].to_numpy(np.int64)
+        w = sub["w"].to_numpy(np.int64)
+        for i in range(1, len(y)):
+            rows.append((t, int(w[i]),
+                         _ratio_ppm(int(y[i]) - int(y[i - 1]),
+                                    int(y[i - 1]))))
+    return pd.DataFrame(rows, columns=["event_type", "week", "wow_ppm"]) \
+        .sort_values(["event_type", "week"]).reset_index(drop=True) \
+        .astype({"week": "int64", "wow_ppm": "int64"})
+
+
+def q_vocab_coverage_top100(sf_dir: str):
+    """Vocabulary-concentration audit: what fraction (floor ppm) of all
+    token occurrences the top-100 words cover — the go/no-go number for
+    a frequency-pruned tokenizer vocab.  Word counts fold under the
+    vocab guard; on degrade the totals come from a scalar partial pass
+    and the top-100 from the batchwise top-k merge (no driver blowup)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.relational import sorted_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        g = pa.table({"word": w}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    folded, mode = merge_partials_or_ds(parts, ["word"], ["n"])
+    if mode == "driver":
+        df = folded.to_pandas()
+        total, n_distinct = int(df["n"].sum()), len(df)
+        top = df.sort_values(["n", "word"], ascending=[False, True]) \
+            .head(100)
+        top_n = int(top["n"].sum())
+    else:
+        stats = folded.map_batches(
+            lambda t: pa.table({"s": [int(pc.sum(t["n"]).as_py() or 0)],
+                                "d": [t.num_rows]}),
+            batch_format="pyarrow").to_pandas()
+        total, n_distinct = int(stats["s"].sum()), int(stats["d"].sum())
+        top = sorted_topk(folded, ["n", "word"], 100,
+                          descending=[True, False])
+        top_n = int(top["n"].sum())
+    return pd.DataFrame([(total, n_distinct, top_n,
+                          top_n * 1_000_000 // total)],
+                        columns=["n_tokens", "n_distinct", "top100_n",
+                                 "coverage_ppm"]).astype("int64")
+
+
+def _dbl_midranks(y: np.ndarray) -> np.ndarray:
+    """Doubled midranks (2·midrank = 2·rank_min + tie_count − 1): integers
+    even under ties, matching SQL's 2·RANK() + COUNT() OVER (value) − 1."""
+    order = np.argsort(y, kind="stable")
+    ys = y[order]
+    _, first, counts = np.unique(ys, return_index=True, return_counts=True)
+    dbl = 2 * (first + 1) + counts - 1
+    out = np.empty(len(y), dtype=np.int64)
+    out[order] = np.repeat(dbl, counts)
+    return out
+
+
+def q_spearman_hourly_pairs(sf_dir: str):
+    """Spearman rank-concordance sufficient statistics between every pair
+    of event types on their hourly total-value series, joined on common
+    hours: n_h and Σ d² with d = doubled-midrank difference (so sum_d2x4
+    = 4·Σ(rank_a − rank_b)², integer even under ties) — ρ = 1 −
+    6·(sum_d2x4/4)/(n(n²−1)) left to the consumer.  Same calendar-bounded
+    (type, hour) merge as the Theil–Sen family; ranks are per-pair over
+    the common-hour sub-series (the statistically correct alignment)."""
+    m = _hourly_cents_by_type(sf_dir)
+    per = {t: sub.set_index("h")["y"] for t, sub in m.groupby("event_type")}
+    types = sorted(per)
+    rows = []
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            ta, tb = types[ai], types[bi]
+            common = per[ta].index.intersection(per[tb].index)
+            ya = per[ta].loc[common].to_numpy(np.int64)
+            yb = per[tb].loc[common].to_numpy(np.int64)
+            d = _dbl_midranks(ya).astype(object) - _dbl_midranks(yb)
+            rows.append((ta, tb, len(common), int((d * d).sum())))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_h",
+                                       "sum_d2x4"]) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True) \
+        .astype({"n_h": "int64", "sum_d2x4": "int64"})
+
+
+def q_hapax_ratio_by_lang(sf_dir: str):
+    """Per-language hapax-legomena census: distinct words, words occurring
+    exactly once GLOBALLY, and the floor-ppm hapax share of the
+    vocabulary — the OOV-risk signal for per-language tokenizer sizing.
+    (lang, word) count partials collapse per batch; the fold is guarded,
+    degrading to a distributed groupby whose unique-key blocks partial
+    into per-lang (distinct, hapax) counters."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(w).cast(pa.int64())
+        langs = pa.array(np.repeat(t["lang"].to_numpy(zero_copy_only=False),
+                                   n.to_numpy(zero_copy_only=False)))
+        g = pa.table({"lang": langs, "word": pc.list_flatten(w)}) \
+            .group_by(["lang", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "word", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    folded, mode = merge_partials_or_ds(parts, ["lang", "word"], ["n"])
+    if mode == "driver":
+        df = folded.to_pandas()
+        out = df.groupby("lang").agg(
+            n_distinct=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum()))).reset_index()
+    else:
+        def fold(t: pa.Table) -> pa.Table:
+            one = pc.cast(pc.equal(t["n"], 1), pa.int64())
+            g = pa.table({"lang": t["lang"], "d": np.ones(t.num_rows,
+                                                          np.int64),
+                          "h": one}) \
+                .group_by("lang").aggregate([("d", "sum"), ("h", "sum")])
+            return g.rename_columns(["lang", "d", "h"])
+
+        # two-column fold, bounded by langs
+        t2, _ = merge_partials_or_ds(
+            folded.map_batches(fold, batch_format="pyarrow"),
+            ["lang"], ["d", "h"], driver_limit=1 << 20)
+        df2 = t2.to_pandas()
+        out = df2.rename(columns={"d": "n_distinct", "h": "n_hapax"})
+    out["hapax_ppm"] = (out["n_hapax"].astype("int64") * 1_000_000
+                        // out["n_distinct"].astype("int64"))
+    return out.sort_values("lang").reset_index(drop=True) \
+        .astype({"n_distinct": "int64", "n_hapax": "int64",
+                 "hapax_ppm": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -7546,6 +7805,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_checked": q_ams_f2_checked,
         "hll_register_hist": q_hll_register_hist,
         "cms_word_hitters": q_cms_word_hitters,
+        "semi_f_customers_by_nation": q_semi_f_customers_by_nation,
+        "gini_impurity_by_source": q_gini_impurity_by_source,
+        "chi2_type_hour": q_chi2_type_hour,
+        "wow_value_change": q_wow_value_change,
+        "vocab_coverage_top100": q_vocab_coverage_top100,
+        "spearman_hourly_pairs": q_spearman_hourly_pairs,
+        "hapax_ratio_by_lang": q_hapax_ratio_by_lang,
     }
 
 
@@ -11112,5 +11378,133 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w AS word, CAST(est_n AS BIGINT) AS est_n
             FROM est ORDER BY est_n DESC, word ASC LIMIT 10
+""",
+        "semi_f_customers_by_nation": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+            GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+        "gini_impurity_by_source": """
+            WITH m AS (
+              SELECT source, lang, count(*)::HUGEINT AS n
+              FROM documents GROUP BY 1, 2
+            ), s AS (
+              SELECT source, sum(n) AS n, sum(n * n) AS ss FROM m GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST((n * n - ss) * 1000000 // (n * n) AS BIGINT)
+                     AS gini_ppm
+            FROM s ORDER BY source
+""",
+        "chi2_type_hour": """
+            WITH b AS (
+              SELECT event_type AS t,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 % 24
+                       AS hod
+              FROM events
+            ), o AS (
+              SELECT t, hod, count(*)::HUGEINT AS o FROM b GROUP BY 1, 2
+            ), grid AS (
+              SELECT tt.t, hh.hod
+              FROM (SELECT DISTINCT t FROM o) tt,
+                   (SELECT DISTINCT hod FROM o) hh
+            ), f AS (
+              SELECT grid.t, grid.hod, COALESCE(o.o, 0) AS o
+              FROM grid LEFT JOIN o ON grid.t = o.t AND grid.hod = o.hod
+            ), m AS (
+              SELECT t, o, sum(o) OVER (PARTITION BY t) AS r,
+                     sum(o) OVER (PARTITION BY hod) AS c,
+                     sum(o) OVER () AS n
+              FROM f
+            ), cell AS (
+              SELECT t, r,
+                     ((o * n - r * c) * (o * n - r * c) * 1000000)
+                       // (r * c * n) AS ppm
+              FROM m
+            )
+            SELECT t AS event_type, CAST(max(r) AS BIGINT) AS n_type,
+                   CAST(sum(ppm) AS BIGINT) AS chi2_ppm
+            FROM cell GROUP BY t ORDER BY t
+""",
+        "wow_value_change": """
+            WITH b AS (
+              SELECT event_type AS t,
+                     (epoch_us(ts) - 1704067200000000) // 604800000000 AS w,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+            ), m AS (
+              SELECT t, w, sum(y)::HUGEINT AS y FROM b GROUP BY 1, 2
+            ), l AS (
+              SELECT t, w, y, lag(y) OVER (PARTITION BY t ORDER BY w) AS p
+              FROM m
+            )
+            SELECT t AS event_type, CAST(w AS BIGINT) AS week,
+                   CAST(CASE WHEN y >= p THEN ((y - p) * 1000000) // p
+                             ELSE -(((p - y) * 1000000) // p)
+                        END AS BIGINT) AS wow_ppm
+            FROM l WHERE p IS NOT NULL ORDER BY t, w
+""",
+        "vocab_coverage_top100": """
+            WITH wc AS (
+              SELECT w, count(*)::HUGEINT AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w
+            ), r AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+              FROM wc
+            )
+            SELECT CAST((SELECT sum(c) FROM wc) AS BIGINT) AS n_tokens,
+                   CAST((SELECT count(*) FROM wc) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END)
+                        AS BIGINT) AS top100_n,
+                   CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) * 1000000
+                        // (SELECT sum(c) FROM wc) AS BIGINT)
+                     AS coverage_ppm
+            FROM r
+""",
+        "spearman_hourly_pairs": """
+            WITH b AS (
+              SELECT event_type,
+                     (epoch_us(ts) - 1704067200000000) // 3600000000 AS h,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events
+            ), m AS (
+              SELECT event_type, h, sum(y)::HUGEINT AS y
+              FROM b GROUP BY event_type, h
+            ), pj AS (
+              SELECT a.event_type AS ta, b2.event_type AS tb,
+                     a.y AS ya, b2.y AS yb
+              FROM m a JOIN m b2
+                ON a.h = b2.h AND a.event_type < b2.event_type
+            ), rk AS (
+              SELECT ta, tb,
+                     2 * rank() OVER (PARTITION BY ta, tb ORDER BY ya)
+                       + count(*) OVER (PARTITION BY ta, tb, ya) - 1 AS mra,
+                     2 * rank() OVER (PARTITION BY ta, tb ORDER BY yb)
+                       + count(*) OVER (PARTITION BY ta, tb, yb) - 1 AS mrb
+              FROM pj
+            )
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(sum((mra - mrb) * (mra - mrb)) AS BIGINT)
+                     AS sum_d2x4
+            FROM rk GROUP BY ta, tb ORDER BY ta, tb
+""",
+        "hapax_ratio_by_lang": """
+            WITH wc AS (
+              SELECT lang, w, count(*)::HUGEINT AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              GROUP BY 1, 2
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS hapax_ppm
+            FROM wc GROUP BY lang ORDER BY lang
 """,
     }
