@@ -7534,6 +7534,280 @@ def q_hapax_ratio_by_lang(sf_dir: str):
                  "hapax_ppm": "int64"})
 
 
+def q_tpch_q5_local_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from LOCAL supply chains
+    (customer and supplier in the SAME nation) within one region and one
+    order year — the deepest join composition in the suite (6 tables).
+    Plan: nation/region resolve driver-side (tiny dims); supplier's
+    (suppkey → nationkey) int-pair map broadcasts via ray.put (one fetch
+    per worker process, ~16 B/supplier); windowed orders GRACE-join
+    customer (custkey exchange) to pick up c_nationkey; lineitem maps to
+    (orderkey, s_nationkey, rev-cents·(100−disc)) with the broadcast
+    lookup + region filter BEFORE the second exchange; the orderkey
+    GRACE join's bucket_fn filters c_nationkey == s_nationkey and
+    collapses to per-nation revenue partials — the join output never
+    materializes row-per-lineitem.  Two exchanges total, each row
+    crossing once, both pre-filtered."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+    from timberjack_ray.functions.util import fetch_broadcast, scale_to_int
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    asia_keys = set(int(k) for k in asia["n_nationkey"])
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    smap_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                        sup["s_nationkey"].to_numpy(np.int64)))
+    asia_arr = np.array(sorted(asia_keys), dtype=np.int64)
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((d >= lo) & (d < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    def asia_cust(t: pa.Table) -> pa.Table:
+        m = np.isin(t["c_nationkey"].to_numpy(zero_copy_only=False),
+                    asia_arr)
+        return t.filter(pa.array(m)).select(["c_custkey", "c_nationkey"])
+
+    def li_map(t: pa.Table) -> pa.Table:
+        keys, nats = fetch_broadcast(smap_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = nats[np.searchsorted(keys, sk)]
+        m = np.isin(snat, asia_arr)
+        t = t.filter(pa.array(m))
+        price = scale_to_int(t["l_extendedprice"], 100).to_numpy()
+        disc = scale_to_int(t["l_discount"], 100).to_numpy()
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "snat": pa.array(snat[m]),
+                         "rev": pa.array(price * (100 - disc))})
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(window_orders, batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(asia_cust, batch_format="pyarrow")
+    j1 = bucket_hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_nationkey"],
+        bucket_fn=lambda t: t.select(["o_orderkey", "c_nationkey"]))
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"]) \
+        .map_batches(li_map, batch_format="pyarrow")
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_nationkey"], t["snat"]))
+        g = t.group_by("c_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_nationkey", "revenue_scaled"])
+
+    partials = bucket_hash_join(j1, li, "o_orderkey", "l_orderkey",
+                                left_cols=["c_nationkey"],
+                                right_cols=["snat", "rev"], n_buckets=32,
+                                bucket_fn=bucket_partial)
+    out = merge_partials(partials, ["n_nationkey"], "revenue_scaled") \
+        .to_pandas()
+    out = out.merge(nat[["n_nationkey", "n_name"]], on="n_nationkey")
+    return out.sort_values(["revenue_scaled", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True) \
+        [["n_name", "revenue_scaled"]].astype({"revenue_scaled": "int64"})
+
+
+def q_word_burstiness_top20(sf_dir: str):
+    """Collection-frequency vs document-frequency census for the top-20
+    words by cf: cf/df (floor ppm) is the classic burstiness signal —
+    words with cf ≫ df concentrate in few documents (topical), cf ≈ df
+    spread evenly (function words).  Per-batch partial = per-word cf plus
+    per-word df from the batch's (doc, word) dedup; both fold under the
+    vocab guard (degrade = batchwise top-k merge on the grouped Dataset)."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.relational import sorted_topk
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(w).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        flat = pa.table({"d": pa.array(docs), "w": pc.list_flatten(w)})
+        cf = flat.group_by("w").aggregate([([], "count_all")]) \
+            .rename_columns(["w", "cf"])
+        dfp = flat.group_by(["d", "w"]).aggregate([]) \
+            .group_by("w").aggregate([([], "count_all")]) \
+            .rename_columns(["w", "df"])
+        j = cf.join(dfp, keys="w", join_type="inner")
+        return j.rename_columns(["word", "cf", "df"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    folded, mode = merge_partials_or_ds(parts, ["word"], ["cf", "df"])
+    if mode == "driver":
+        df = folded.to_pandas()
+        top = df.sort_values(["cf", "word"], ascending=[False, True]) \
+            .head(20).reset_index(drop=True)
+    else:
+        top = sorted_topk(folded, ["cf", "word"], 20,
+                          descending=[True, False]).reset_index(drop=True)
+    top["cf_per_df_ppm"] = (top["cf"].astype("int64") * 1_000_000
+                            // top["df"].astype("int64"))
+    return top[["word", "cf", "df", "cf_per_df_ppm"]] \
+        .astype({"cf": "int64", "df": "int64", "cf_per_df_ppm": "int64"})
+
+
+def q_word_len_stats_by_lang(sf_dir: str):
+    """Per-language word-length profile: token count, total codepoint
+    chars across tokens, and mean length as floor ppm — the
+    morphology-complexity signal behind per-language tokenizer budgets.
+    Three-int partials per lang, one tiny merge."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(w).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        langs = pa.array(np.repeat(
+            t["lang"].to_numpy(zero_copy_only=False), n))
+        lens = pc.utf8_length(pc.list_flatten(w)).cast(pa.int64())
+        g = pa.table({"lang": langs, "n": np.ones(int(n.sum()), np.int64),
+                      "chars": lens}) \
+            .group_by("lang").aggregate([("n", "sum"), ("chars", "sum")])
+        return g.rename_columns(["lang", "n", "chars"])
+
+    t2, _ = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n", "chars"], driver_limit=1 << 20)
+    m = t2.to_pandas()
+    m["mean_len_ppm"] = (m["chars"].astype("int64") * 1_000_000
+                         // m["n"].astype("int64"))
+    return m.rename(columns={"n": "n_words", "chars": "total_chars"}) \
+        .sort_values("lang").reset_index(drop=True) \
+        .astype({"n_words": "int64", "total_chars": "int64",
+                 "mean_len_ppm": "int64"})
+
+
+def q_stopword_density_by_source(sf_dir: str):
+    """Per-source stopword density over the union stopword list (the
+    same list the quality/langid oracles use): n_tokens, n_stopwords,
+    and the floor-ppm share — boilerplate-vs-content signal per crawl
+    source.  Two-int partials per source, one tiny merge."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.text import _STOPWORDS
+
+    stop = pa.array(sorted(set().union(*_STOPWORDS.values())), pa.string())
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(w).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        srcs = pa.array(np.repeat(
+            t["source"].to_numpy(zero_copy_only=False), n))
+        is_stop = pc.cast(pc.is_in(pc.list_flatten(w), value_set=stop),
+                          pa.int64())
+        g = pa.table({"source": srcs,
+                      "n": np.ones(int(n.sum()), np.int64),
+                      "s": is_stop}) \
+            .group_by("source").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["source", "n", "s"])
+
+    t2, _ = merge_partials_or_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n", "s"], driver_limit=1 << 20)
+    m = t2.to_pandas()
+    m["stop_ppm"] = (m["s"].astype("int64") * 1_000_000
+                     // m["n"].astype("int64"))
+    return m.rename(columns={"n": "n_tokens", "s": "n_stop"}) \
+        .sort_values("source").reset_index(drop=True) \
+        .astype({"n_tokens": "int64", "n_stop": "int64",
+                 "stop_ppm": "int64"})
+
+
+def q_dup_bigram_fraction(sf_dir: str):
+    """Per-document duplicate-bigram occupancy (the Gopher repetition
+    family, occurrence-count form): n_bigrams, repeat occurrences
+    (n_bigrams − distinct bigrams), and the floor-ppm duplicate share —
+    all integers, so the whole quality gate hashes.  Vectorized: flat
+    word array + doc-boundary mask builds the batch's (doc, w1, w2)
+    table; per-doc distinct via one Arrow group_by."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(w).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        docs = np.repeat(ids, n)
+        flat = pc.list_flatten(w)
+        same = docs[:-1] == docs[1:] if len(docs) > 1 \
+            else np.zeros(0, bool)
+        pairs = pa.table({"d": pa.array(docs[:-1][same]),
+                          "w1": flat.slice(0, max(len(docs) - 1, 0))
+                                    .filter(pa.array(same)),
+                          "w2": flat.slice(1).filter(pa.array(same))})
+        nd = pairs.group_by(["d", "w1", "w2"]).aggregate([]) \
+            .group_by("d").aggregate([([], "count_all")]) \
+            .rename_columns(["d", "nd"]).to_pandas().set_index("d")["nd"]
+        nb = pd.Series(np.maximum(n - 1, 0), index=ids)
+        ndv = nd.reindex(nb.index, fill_value=0).astype("int64")
+        dup = (nb - ndv).astype("int64")
+        ppm = np.where(nb > 0, dup * 1_000_000 // np.maximum(nb, 1), 0)
+        return pa.table({"doc_id": pa.array(nb.index.to_numpy(np.int64)),
+                         "n_bigrams": pa.array(nb.to_numpy(np.int64)),
+                         "n_dup_occ": pa.array(dup.to_numpy(np.int64)),
+                         "dup_ppm": pa.array(ppm.astype(np.int64))})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_priority_transition_counts(sf_dir: str):
+    """Global order-priority transition census: for each customer's
+    order sequence (by o_orderdate, o_orderkey tie-break), count every
+    consecutive (from → to) priority pair — the Markov-chain input for
+    priority-escalation analysis.  ONE custkey-bucket exchange; per
+    bucket a lexsort + boundary-masked shift; merge bounded at
+    priorities² rows."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderkey", "o_orderdate",
+                      "o_orderpriority"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        date = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, date, cust))
+        cs, ps = cust[order], prio[order]
+        same = cs[:-1] == cs[1:] if len(cs) > 1 else np.zeros(0, bool)
+        g = pa.table({"prio_from": pa.array(ps[:-1][same]),
+                      "prio_to": pa.array(ps[1:][same])}) \
+            .group_by(["prio_from", "prio_to"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["prio_from", "prio_to", "n"])
+
+    parts = add_key_bucket(ds, "o_custkey", 32).groupby("__kb").map_groups(
+        lambda t: bucket_fn(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(parts, ["prio_from", "prio_to"], "n").to_pandas()
+    return out.sort_values(["prio_from", "prio_to"]) \
+        .reset_index(drop=True).astype({"n": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -7812,6 +8086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_top100": q_vocab_coverage_top100,
         "spearman_hourly_pairs": q_spearman_hourly_pairs,
         "hapax_ratio_by_lang": q_hapax_ratio_by_lang,
+        "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
+        "word_burstiness_top20": q_word_burstiness_top20,
+        "word_len_stats_by_lang": q_word_len_stats_by_lang,
+        "stopword_density_by_source": q_stopword_density_by_source,
+        "dup_bigram_fraction": q_dup_bigram_fraction,
+        "priority_transition_counts": q_priority_transition_counts,
     }
 
 
@@ -11506,5 +11786,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
                         // count(*) AS BIGINT) AS hapax_ppm
             FROM wc GROUP BY lang ORDER BY lang
+""",
+        "tpch_q5_local_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_scaled
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name ORDER BY revenue_scaled DESC, n_name
+""",
+        "word_burstiness_top20": """
+            WITH ex AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), agg AS (
+              SELECT w, count(*)::HUGEINT AS cf,
+                     count(DISTINCT doc_id)::HUGEINT AS df
+              FROM ex GROUP BY w
+            )
+            SELECT w AS word, CAST(cf AS BIGINT) AS cf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(cf * 1000000 // df AS BIGINT) AS cf_per_df_ppm
+            FROM agg ORDER BY cf DESC, word ASC LIMIT 20
+""",
+        "word_len_stats_by_lang": """
+            WITH ex AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), agg AS (
+              SELECT lang, count(*)::HUGEINT AS n,
+                     sum(length(w))::HUGEINT AS chars
+              FROM ex GROUP BY lang
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n_words,
+                   CAST(chars AS BIGINT) AS total_chars,
+                   CAST(chars * 1000000 // n AS BIGINT) AS mean_len_ppm
+            FROM agg ORDER BY lang
+""",
+        "stopword_density_by_source": f"""
+            WITH ex AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), agg AS (
+              SELECT source, count(*)::HUGEINT AS n,
+                     sum(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0
+                         END)::HUGEINT AS s
+              FROM ex GROUP BY source
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(s AS BIGINT) AS n_stop,
+                   CAST(s * 1000000 // n AS BIGINT) AS stop_ppm
+            FROM agg ORDER BY source
+""",
+        "dup_bigram_fraction": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     greatest(len(ws) - 1, 0) AS nb,
+                     CASE WHEN len(ws) >= 2 THEN
+                       len(list_distinct(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || chr(31) || ws[i + 1])))
+                     ELSE 0 END AS nd
+              FROM w
+            )
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   CAST(nb - nd AS BIGINT) AS n_dup_occ,
+                   CAST(CASE WHEN nb > 0
+                             THEN (nb - nd) * 1000000 // nb
+                             ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM bg ORDER BY doc_id
+""",
+        "priority_transition_counts": """
+            WITH s AS (
+              SELECT o_orderpriority AS p,
+                     lag(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS pf
+              FROM orders
+            )
+            SELECT pf AS prio_from, p AS prio_to,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE pf IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
