@@ -7808,6 +7808,151 @@ def q_priority_transition_counts(sf_dir: str):
         .reset_index(drop=True).astype({"n": "int64"})
 
 
+def q_user_activity_gini(sf_dir: str):
+    """Gini concentration of events across users, computed from the
+    COUNT-OF-COUNTS histogram — the scale-correct fold for an UNBOUNDED
+    key domain (contrast source_skew_stats, which driver-sorts because
+    sources are few): one user-bucket exchange completes per-user counts,
+    per-bucket count-of-counts partials merge bounded by the max activity
+    level, and the exact weighted rank sum comes from contiguous tie
+    blocks: users at level v with m ties occupying ranks (r0, r0+m]
+    contribute v·(m·r0 + m(m+1)/2).  gini_ppm = floor ppm of
+    (2·WRS − (n+1)·total) / (n·total)."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.relational import _ratio_ppm
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "k"])
+        h = g.group_by("k").aggregate([([], "count_all")])
+        return h.rename_columns(["k", "m"])
+
+    parts = add_key_bucket(ds, "user_id", 32).groupby("__kb").map_groups(
+        lambda t: bucket_fn(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    hist = merge_partials(parts, ["k"], "m").to_pandas().sort_values("k")
+    k = hist["k"].to_numpy(np.int64).astype(object)
+    m = hist["m"].to_numpy(np.int64).astype(object)
+    n_users = int(m.sum())
+    total = int((k * m).sum())
+    r0 = np.concatenate([[0], np.cumsum(m)[:-1]])
+    wrs = int((k * (m * r0 + m * (m + 1) // 2)).sum())
+    gini = _ratio_ppm(2 * wrs - (n_users + 1) * total, n_users * total)
+    return pd.DataFrame([(n_users, total, wrs, gini)],
+                        columns=["n_users", "total_events",
+                                 "weighted_rank_sum", "gini_ppm"]) \
+        .astype("int64")
+
+
+def q_orders_per_customer_hist(sf_dir: str):
+    """Histogram of per-customer order counts (the engagement-depth
+    distribution): one custkey-bucket exchange completes each customer's
+    count, per-bucket count-of-counts partials merge bounded by the max
+    order count — per-key results never reach the driver."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")]) \
+            .rename_columns(["o_custkey", "k"])
+        h = g.group_by("k").aggregate([([], "count_all")])
+        return h.rename_columns(["n_orders", "n_customers"])
+
+    parts = add_key_bucket(ds, "o_custkey", 32).groupby("__kb").map_groups(
+        lambda t: bucket_fn(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(parts, ["n_orders"], "n_customers").to_pandas()
+    return out.sort_values("n_orders").reset_index(drop=True) \
+        .astype({"n_orders": "int64", "n_customers": "int64"})
+
+
+def q_fulfillment_latency_hist(sf_dir: str):
+    """Ship-vs-order latency histogram in whole days (truncated toward
+    zero, so negative synthetic latencies bucket symmetrically and both
+    engines agree): lineitem GRACE-joins orders on orderkey with a
+    bucket_fn that collapses straight to (days, n) partials — the join
+    output never materializes; merge volume = the latency day domain."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.relational import bucket_hash_join
+
+    DAY_US = 86_400_000_000
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"], "ots": pa.array(d)})
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "sts": pa.array(d)})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        diff = (t["sts"].to_numpy(zero_copy_only=False)
+                - t["ots"].to_numpy(zero_copy_only=False))
+        days = np.sign(diff) * (np.abs(diff) // DAY_US)
+        g = pa.table({"days": pa.array(days.astype(np.int64))}) \
+            .group_by("days").aggregate([([], "count_all")])
+        return g.rename_columns(["days", "n"])
+
+    parts = bucket_hash_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        li.map_batches(prep_l, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", left_cols=["ots"], right_cols=["sts"],
+        n_buckets=32, bucket_fn=bucket_fn)
+    out = merge_partials(parts, ["days"], "n").to_pandas()
+    return out.sort_values("days").reset_index(drop=True) \
+        .astype({"days": "int64", "n": "int64"})
+
+
+def q_session_duration_hist(sf_dir: str):
+    """Histogram of 1h-gap session durations in whole minutes — the
+    engagement-length distribution downstream of sessionization, kept as
+    a histogram so the exchange volume is the duration domain, never the
+    session count.  One user-bucket exchange; per bucket a lexsort, a
+    vectorized gap/boundary segmentation, and min/max reduceat per
+    session."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    GAP_US, MIN_US = 3_600_000_000, 60_000_000
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        if len(us) == 0:
+            return pa.table({"duration_min": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        new = np.ones(len(us), bool)
+        new[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > GAP_US)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(us)]])
+        mins = (tss[ends - 1] - tss[starts]) // MIN_US
+        g = pa.table({"duration_min": pa.array(mins.astype(np.int64))}) \
+            .group_by("duration_min").aggregate([([], "count_all")])
+        return g.rename_columns(["duration_min", "n_sessions"])
+
+    parts = add_key_bucket(ds, "user_id", 32).groupby("__kb").map_groups(
+        lambda t: bucket_fn(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(parts, ["duration_min"], "n_sessions").to_pandas()
+    return out.sort_values("duration_min").reset_index(drop=True) \
+        .astype({"duration_min": "int64", "n_sessions": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8092,6 +8237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_density_by_source": q_stopword_density_by_source,
         "dup_bigram_fraction": q_dup_bigram_fraction,
         "priority_transition_counts": q_priority_transition_counts,
+        "user_activity_gini": q_user_activity_gini,
+        "orders_per_customer_hist": q_orders_per_customer_hist,
+        "fulfillment_latency_hist": q_fulfillment_latency_hist,
+        "session_duration_hist": q_session_duration_hist,
     }
 
 
@@ -11878,5 +12027,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE pf IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "user_activity_gini": """
+            WITH cnt AS (
+              SELECT count(*)::HUGEINT AS k FROM events GROUP BY user_id
+            ), rk AS (
+              SELECT k, row_number() OVER (ORDER BY k) AS r FROM cnt
+            ), s AS (
+              SELECT count(*)::HUGEINT AS n, sum(k)::HUGEINT AS total,
+                     sum(k * r)::HUGEINT AS wrs
+              FROM rk
+            )
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(total AS BIGINT) AS total_events,
+                   CAST(wrs AS BIGINT) AS weighted_rank_sum,
+                   CAST(CASE WHEN 2 * wrs >= (n + 1) * total
+                             THEN ((2 * wrs - (n + 1) * total) * 1000000)
+                                  // (n * total)
+                             ELSE -((((n + 1) * total - 2 * wrs) * 1000000)
+                                    // (n * total))
+                        END AS BIGINT) AS gini_ppm
+            FROM s
+""",
+        "orders_per_customer_hist": """
+            SELECT CAST(k AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM (SELECT count(*) AS k FROM orders GROUP BY o_custkey)
+            GROUP BY k ORDER BY k
+""",
+        "fulfillment_latency_hist": """
+            WITH d AS (
+              SELECT epoch_us(l_shipdate) - epoch_us(o_orderdate) AS diff
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT CAST(CASE WHEN diff >= 0 THEN diff // 86400000000
+                             ELSE -((-diff) // 86400000000)
+                        END AS BIGINT) AS days,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1 ORDER BY 1
+""",
+        "session_duration_hist": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 3600000000
+                          THEN 1 ELSE 0 END AS is_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ), d AS (
+              SELECT (max(t) - min(t)) // 60000000 AS mins
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT CAST(mins AS BIGINT) AS duration_min,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM d GROUP BY mins ORDER BY mins
 """,
     }
