@@ -170,6 +170,10 @@ def main() -> None:
         timed("chunk_novelty", lambda: em.q_stream_chunk_novelty(SF_DIR))
         timed("ann_ivf", lambda: em.q_ann_ivf(SF_DIR))
         timed("minhash_signatures", lambda: em.q_minhash_signatures(SF_DIR))
+        # round-4 late trackers: the deepest join composition and the
+        # count-of-counts exchange family
+        timed("tpch_q5", lambda: em.q_tpch_q5_local_revenue(SF_DIR))
+        timed("user_gini", lambda: em.q_user_activity_gini(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
