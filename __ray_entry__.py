@@ -2837,9 +2837,12 @@ def q_orders_cube(sf_dir: str):
 def q_bloom_decontaminate_docs(sf_dir: str):
     """Bloom-filter decontamination (functions/dedup.bloom_decontaminate):
     constant-size broadcast bitmap instead of the exact gram array; may
-    over-drop (bounded FP) but never keeps a contaminated doc, so no SQL
-    oracle — the superset-of-exact property and the FP bound are asserted
-    in tests/test_functions.py."""
+    over-drop (bounded FP) but never keeps a contaminated doc.  Round 4:
+    runs the ``hasher="poly"`` Horner gram family so the ENTIRE bitmap —
+    Kirsch–Mitzenmacher coords off a mod-2^64 multiply, power-of-two
+    modulus — replays in SQL (positions are mod 2^22, and 2^22 | 2^64
+    makes the wrap-then-mod exactly HUGEINT mod); hash-checked.  The FNV
+    family superset/FP properties stay pinned in tests/test_functions.py."""
     from timberjack_ray.functions.dedup import bloom_decontaminate
 
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2850,7 +2853,8 @@ def q_bloom_decontaminate_docs(sf_dir: str):
 
     bench = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(bench_slice, batch_format="pyarrow")
-    kept = bloom_decontaminate(docs, bench).select_columns(["doc_id"])
+    kept = bloom_decontaminate(docs, bench, hasher="poly") \
+        .select_columns(["doc_id"])
     out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return out.astype({"doc_id": "int64"})
 
@@ -9386,6 +9390,73 @@ def oracle_sql() -> dict[str, str]:
                 AND sb.h = sa.h
               GROUP BY 1, 2)
             WHERE n_eq >= 4 ORDER BY a, b
+        """,
+        # Bloom bitmap replay: word hashes from the shared Horner family,
+        # gram fold with the odd GOLDEN multiplier (dedup.gram_hashes_poly
+        # — NOT mh_core's POLY_BASE fold, which lets digits swap across
+        # word boundaries), Kirsch–Mitzenmacher coords h1 + i·h2 with
+        # h2 = ((h xor h>>33)·GOLDEN mod 2^64) | 1 via the 32-bit-split
+        # multiply; the 2^22 position modulus divides 2^64, so the mod-2^64
+        # wrap never has to be emulated before the % 4194304.
+        "bloom_decontaminate_docs": """
+            WITH wh AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT)) AS whl,
+                list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(
+                    list_filter(string_split_regex(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)),
+                  (h, c) -> (h * 1000003 + c)
+                            % 18446744073709551616::HUGEINT) AS chash
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                CASE WHEN len(whl) >= 3 THEN
+                  list_transform(generate_series(1, len(whl) - 2),
+                    i -> list_reduce(list_prepend(0::HUGEINT, whl[i:i+2]),
+                         (h, c) -> ((h // 4294967296
+                                       * 11400714819323198485::HUGEINT
+                                       % 18446744073709551616::HUGEINT)
+                                      * 4294967296
+                                    + (h % 4294967296)
+                                      * 11400714819323198485::HUGEINT
+                                    + c)
+                                   % 18446744073709551616::HUGEINT))
+                ELSE [chash] END AS ghl
+              FROM wh
+            ),
+            tg AS (
+              SELECT DISTINCT doc_id, h
+              FROM (SELECT doc_id, unnest(ghl) AS h FROM g)),
+            tpr AS (
+              SELECT doc_id, h,
+                     ((hx // 4294967296 * 11400714819323198485::HUGEINT
+                         % 18446744073709551616::HUGEINT) * 4294967296
+                      + (hx % 4294967296) * 11400714819323198485::HUGEINT)
+                     % 18446744073709551616::HUGEINT AS pr
+              FROM (SELECT doc_id, h, xor(h, h // 8589934592) AS hx
+                    FROM tg)),
+            bpos AS (
+              SELECT DISTINCT (h + i.i * (pr - pr % 2 + 1)) % 4194304 AS pos
+              FROM tpr, generate_series(0, 3) AS i(i)
+              WHERE doc_id % 17 = 0),
+            hits AS (
+              SELECT doc_id
+              FROM tpr, generate_series(0, 3) AS i(i)
+              GROUP BY doc_id, h, pr
+              HAVING COUNT(DISTINCT i.i) FILTER (
+                WHERE (h + i.i * (pr - pr % 2 + 1)) % 4194304
+                      IN (SELECT pos FROM bpos)) = 4)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
         """,
         "simhash_lsh_pairs": """
             WITH wh AS (

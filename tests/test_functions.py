@@ -515,6 +515,54 @@ def test_bloom_decontaminate_superset_of_exact(ray_session):
     assert len(small) >= len(exact) * 0.7
 
 
+def test_bloom_poly_family_matches_exact_and_kernel(ray_session):
+    """The SQL-replayable Horner gram family: same equivalence classes as
+    the FNV family on all-long docs (wc > k on both), so a well-sized
+    poly-hashed bitmap reproduces the exact survivor set; and the flat
+    kernel output must equal a per-doc naive Horner reference."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import POLY_BASE
+    from timberjack_ray.functions.dedup import (bloom_decontaminate,
+                                                decontaminate,
+                                                gram_hashes_poly)
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{j}" for j in range(300)]
+    train = [" ".join(rng.choice(vocab, size=25)) for _ in range(120)]
+    bench = train[::9][:10] + [" ".join(rng.choice(vocab, size=25)) for _ in range(10)]
+    train_ds = rd.from_arrow(docs_table(train)).repartition(4)
+    bench_ds = rd.from_arrow(docs_table(bench))
+
+    exact = set(decontaminate(train_ds, bench_ds, k=3).to_pandas()["doc_id"])
+    poly = set(bloom_decontaminate(train_ds, bench_ds, k=3, m_bits=1 << 20,
+                                   hasher="poly").to_pandas()["doc_id"])
+    assert poly == exact
+
+    def naive_word(w: str) -> int:
+        v = 0
+        for c in w:
+            v = (v * int(POLY_BASE) + ord(c)) % (1 << 64)
+        return v
+
+    texts = ["alpha beta gamma delta", "xy", "", "a b c", "t " * 3]
+    h, offs = gram_hashes_poly(texts, 3)
+    GOLDEN = 0x9E3779B97F4A7C15  # the gram-fold multiplier (_BLOOM_MIX)
+    expected = []
+    for t in texts:
+        ws = t.split(" ")
+        if len(ws) >= 3:
+            for i in range(len(ws) - 2):
+                g = 0
+                for w in ws[i:i + 3]:
+                    g = (g * GOLDEN + naive_word(w)) % (1 << 64)
+                expected.append(g)
+        else:
+            expected.append(naive_word(t))
+    assert [int(x) for x in h] == expected
+    assert offs[-1] == len(expected)
+
+
 def test_funnel_counts_ordering_semantics(ray_session):
     import ray.data as rd
 

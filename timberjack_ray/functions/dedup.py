@@ -879,6 +879,64 @@ def decontaminate(train_ds, bench_ds, col: str = "text",
 _BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def gram_hashes_poly(texts, k: int = 3):
+    """SQL-replayable word-k-gram hashes → (flat uint64 values, offsets).
+
+    The Horner-family twin of ``gram_hashes_batch``: word hash = Horner
+    fold over codepoints (``corpus.horner_hash_strings``), gram hash = a
+    k-term Horner chain of word hashes folded with ``_BLOOM_MIX`` (the
+    odd golden-ratio constant) — NOT ``POLY_BASE``: reusing the small
+    intra-word base for the gram fold makes digits swap across word
+    boundaries without changing the hash (``b1·B² + a2·B`` terms align),
+    which MinHash tolerates but set-membership (Bloom) cannot.  A huge
+    odd multiplier keeps the fold a bijection per step while destroying
+    the positional overlap; DuckDB replays it with the 32-bit-split
+    HUGEINT multiply.  Docs with FEWER than ``k`` words contribute ONE
+    gram: the whole-text content hash (``len(whl) >= k`` windows in the
+    SQL twin — note this boundary differs from ``gram_hashes_batch``'s
+    ``<= k`` fallback).  Grams never cross document boundaries."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import (_word_offsets,
+                                                 horner_hash_strings)
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array([str(x) for x in texts], pa.string())
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    chash = horner_hash_strings(col)
+    words = pc.split_pattern(col, " ")
+    flat, w_offs = _word_offsets(words)
+    wc = np.diff(w_offs)
+    total = int(w_offs[-1])
+    long_mask = wc >= k
+
+    out_c = np.where(long_mask, wc - k + 1, 1).astype(np.int64)
+    out_offs = np.concatenate([[0], np.cumsum(out_c)])
+    final = np.empty(int(out_offs[-1]), dtype=np.uint64)
+
+    if total >= k and long_mask.any():
+        wh = horner_hash_strings(flat)
+        ngr = total - k + 1
+        gh = np.zeros(ngr, dtype=np.uint64)
+        for i in range(k):
+            gh = gh * _BLOOM_MIX + wh[i:i + ngr]
+        delta = np.zeros(ngr + 1, dtype=np.int64)
+        np.add.at(delta, w_offs[:-1][long_mask], 1)
+        np.add.at(delta, (w_offs[:-1] + wc - k + 1)[long_mask], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        gh_valid = gh[valid]
+        lc = out_c[long_mask]
+        if lc.sum():
+            run_starts = np.concatenate([[0], np.cumsum(lc)[:-1]])
+            idx = (np.repeat(out_offs[:-1][long_mask], lc)
+                   + np.arange(int(lc.sum())) - np.repeat(run_starts, lc))
+            final[idx] = gh_valid
+    final[out_offs[:-1][~long_mask]] = chash[~long_mask]
+    return final, out_offs
+
+
 def _bloom_coords(h: np.ndarray, m_bits: int, n_hashes: int):
     """Kirsch–Mitzenmacher double hashing: positions h1 + i*h2 (mod m)."""
     h1 = h
@@ -889,7 +947,8 @@ def _bloom_coords(h: np.ndarray, m_bits: int, n_hashes: int):
 
 
 def benchmark_bloom(bench_ds, col: str = "text", k: int = 3,
-                    m_bits: int = 1 << 22, n_hashes: int = 4) -> np.ndarray:
+                    m_bits: int = 1 << 22, n_hashes: int = 4,
+                    hasher: str = "fnv") -> np.ndarray:
     """Distributed Bloom build over the benchmark side's gram hashes.
 
     Each batch collapses to ONE fixed-size packed-uint64 bitmap row
@@ -901,10 +960,11 @@ def benchmark_bloom(bench_ds, col: str = "text", k: int = 3,
     with ``n_hashes=4``.
     """
     n_words = (m_bits + 63) // 64
+    gram_fn = gram_hashes_poly if hasher == "poly" else gram_hashes_batch
 
     def partial(t: pa.Table) -> pa.Table:
         bm = np.zeros(n_words, dtype=np.uint64)
-        h, _ = gram_hashes_batch(t[col].to_pylist(), k)
+        h, _ = gram_fn(t[col].to_pylist(), k)
         if len(h):
             hu = np.unique(h)
             for pos in _bloom_coords(hu, m_bits, n_hashes):
@@ -922,7 +982,8 @@ def benchmark_bloom(bench_ds, col: str = "text", k: int = 3,
 
 def bloom_decontaminate(train_ds, bench_ds, col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        m_bits: int = 1 << 22, n_hashes: int = 4):
+                        m_bits: int = 1 << 22, n_hashes: int = 4,
+                        hasher: str = "fnv"):
     """Bloom-membership decontamination pass: broadcast the bitmap once
     (``ray.put``), then one streaming ``map_batches`` over the training side
     — per gram, a gram "hits" iff ALL its Bloom bits are set; a doc is
@@ -932,15 +993,16 @@ def bloom_decontaminate(train_ds, bench_ds, col: str = "text",
     surviving-rows Dataset (same schema as ``train_ds``)."""
     import ray
 
-    bm = benchmark_bloom(bench_ds, col, k, m_bits, n_hashes)
+    bm = benchmark_bloom(bench_ds, col, k, m_bits, n_hashes, hasher)
     ref = ray.put(bm)
+    gram_fn = gram_hashes_poly if hasher == "poly" else gram_hashes_batch
 
     def keep_clean(t: pa.Table) -> pa.Table:
         bits = _fetch_bench(ref)
         texts = t[col].to_pylist()
         if len(texts) == 0:
             return t
-        h, offs = gram_hashes_batch(texts, k)
+        h, offs = gram_fn(texts, k)
         if len(h) == 0:
             return t
         hit = np.ones(len(h), dtype=bool)
