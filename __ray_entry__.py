@@ -7957,6 +7957,125 @@ def q_session_duration_hist(sf_dir: str):
         .astype({"duration_min": "int64", "n_sessions": "int64"})
 
 
+def q_concurrent_session_pairs(sf_dir: str):
+    """Interval-OVERLAP self-join (functions/sessions.concurrent_span_pairs):
+    count pairs of sessions from different users whose [first,last] spans
+    intersect, charged to the day of the later start — bucketed sweep
+    (rank − ended searchsorted), no all-pairs, only span ints shuffle."""
+    from timberjack_ray.functions.sessions import concurrent_span_pairs
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return concurrent_span_pairs(ds, "user_id", "ts", gap_s=3600)
+
+
+def q_type_crosscorr_lags(sf_dir: str):
+    """Lagged cross-correlation (raw integer dot products) between the
+    hourly 'view' and 'click' count series: one partial-counts pass, then
+    the lag products on the driver over the merged series — series length
+    is bounded by the time range, never by row count."""
+    from timberjack_ray.aggregates import counts_by
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["view", "click"]))
+        t2 = t.filter(m)
+        us = t2["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t2["event_type"],
+                         "h": pa.array(us // 3_600_000_000)})
+
+    counts = counts_by(ds.map_batches(hourly, batch_format="pyarrow"),
+                       ["event_type", "h"])
+    v = counts[counts["event_type"] == "view"].set_index("h")["n"]
+    c = counts[counts["event_type"] == "click"].set_index("h")["n"]
+    rows = []
+    for lag in range(7):
+        tot = sum(int(n) * int(c.get(h + lag, 0)) for h, n in v.items())
+        rows.append({"lag": lag, "xcorr": tot})
+    return pd.DataFrame(rows).astype({"lag": "int64", "xcorr": "int64"})
+
+
+def q_source_bottomk_containment(sf_dir: str):
+    """Bottom-k sketch containment between source vocabularies: per source
+    the 64 smallest DISTINCT Horner word hashes (a mergeable order sketch
+    — per-batch bottom-k partials union to the exact global bottom-k),
+    then |sketch(A) ∩ sketch(B)| per source pair — the corpus-overlap
+    estimator's integer core (n_common/64 ≈ containment of the union).
+    Only sources × 64 ints ever reach the driver; pair fan-out is
+    O(sources²), the documented small-dimension assumption."""
+    from timberjack_ray.functions.corpus import (_word_offsets,
+                                                 horner_hash_strings)
+
+    K = 64
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        flat, offs = _word_offsets(words)
+        wh = horner_hash_strings(flat)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        np.diff(offs))
+        df = pd.DataFrame({"source": src, "h": wh}).drop_duplicates()
+        df = df.sort_values(["source", "h"]).groupby("source").head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    p = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    sk = p.drop_duplicates().sort_values(["source", "h"]) \
+        .groupby("source").head(K)
+    j = sk.merge(sk, on="h", suffixes=("_a", "_b"))
+    j = j[j["source_a"] < j["source_b"]]
+    out = j.groupby(["source_a", "source_b"], as_index=False) \
+        .size().rename(columns={"size": "n_common"})
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True).astype({"n_common": "int64"})
+
+
+def q_hive_partition_prune(sf_dir: str):
+    """Hive-partitioned WRITE + partition-PRUNED read: write documents
+    partitioned by source (one directory per key — the resumable layout
+    the 100-TB contract asks for), then scan ONLY the source=src7
+    directory; no byte of the other 19 partitions is listed or read."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out_dir = tempfile.mkdtemp(prefix="tj_hive_")
+    try:
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+        ds.write_parquet(out_dir, partition_cols=["source"])
+        pruned = rd.read_parquet(os.path.join(out_dir, "source=src7"))
+
+        def part(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"n_rows": pa.array([len(ids)], pa.int64()),
+                             "sum_doc_id": pa.array([int(ids.sum())],
+                                                    pa.int64())})
+
+        parts = pa.concat_tables(list(
+            pruned.map_batches(part, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        n = int(pc.sum(parts["n_rows"]).as_py() or 0)
+        s = int(pc.sum(parts["sum_doc_id"]).as_py() or 0)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({"n_rows": [n], "sum_doc_id": [s]}).astype(
+        {"n_rows": "int64", "sum_doc_id": "int64"})
+
+
+def q_embedding_knn_join_q8(sf_dir: str):
+    """Exact int8-quantized kNN self-join (functions/similarity.
+    knn_join_q8): integer dot products, tie-break (score desc, id asc) —
+    the oracle-checked exact twin of the IVF-bucketed embedding_knn_join
+    and its recall yardstick."""
+    from timberjack_ray.functions.similarity import knn_join_q8
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_join_q8(ds, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8245,6 +8364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_hist": q_orders_per_customer_hist,
         "fulfillment_latency_hist": q_fulfillment_latency_hist,
         "session_duration_hist": q_session_duration_hist,
+        "concurrent_session_pairs": q_concurrent_session_pairs,
+        "type_crosscorr_lags": q_type_crosscorr_lags,
+        "source_bottomk_containment": q_source_bottomk_containment,
+        "hive_partition_prune": q_hive_partition_prune,
+        "embedding_knn_join_q8": q_embedding_knn_join_q8,
     }
 
 
@@ -12159,4 +12283,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_sessions
             FROM d GROUP BY mins ORDER BY mins
 """,
+        # pair charged to the LATER start's day; strict (s, user, sid)
+        # order counts each overlapping cross-user pair exactly once
+        "concurrent_session_pairs": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                               > 3600000000
+                          OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS st
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), a AS (
+              SELECT user_id, us,
+                     SUM(st) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS sid
+              FROM s
+            ), sp AS (
+              SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e
+              FROM a GROUP BY 1, 2
+            )
+            SELECT CAST(b.s // 86400000000 AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM sp a JOIN sp b
+              ON a.e >= b.s
+             AND (a.s < b.s OR (a.s = b.s AND (a.user_id < b.user_id
+                  OR (a.user_id = b.user_id AND a.sid < b.sid))))
+            GROUP BY 1 ORDER BY 1
+        """,
+        "type_crosscorr_lags": """
+            WITH v AS (
+              SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+              FROM events WHERE event_type = 'click' GROUP BY 1
+            ), p AS (
+              SELECT c.h - v.h AS lag, SUM(v.n * c.n) AS s
+              FROM v, c WHERE c.h - v.h BETWEEN 0 AND 6 GROUP BY 1
+            )
+            SELECT CAST(g.lag AS BIGINT) AS lag,
+                   CAST(COALESCE(p.s, 0) AS BIGINT) AS xcorr
+            FROM generate_series(0, 6) g(lag) LEFT JOIN p ON p.lag = g.lag
+            ORDER BY 1
+        """,
+        # bottom-64 DISTINCT Horner word hashes per source (exact order
+        # sketch: ROW_NUMBER over ascending unsigned hash), then pairwise
+        # sketch intersections
+        "source_bottomk_containment": """
+            WITH wh AS (
+              SELECT source,
+                unnest(list_transform(string_split(text, ' '),
+                  w -> list_reduce(list_prepend(0::HUGEINT,
+                         list_transform(
+                           list_filter(string_split_regex(w, ''),
+                                       c -> c <> ''),
+                           c -> unicode(c)::HUGEINT)),
+                       (h, c) -> (h * 1000003 + c)
+                                 % 18446744073709551616::HUGEINT))) AS h
+              FROM documents
+            ), d AS (SELECT DISTINCT source, h FROM wh),
+            r AS (
+              SELECT source, h,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+              FROM d
+            ), s AS (SELECT source, h FROM r WHERE rk <= 64)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hive_partition_prune": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents WHERE source = 'src7'
+        """,
+        "embedding_knn_join_q8": """
+            WITH qz AS (
+              SELECT vec_id, list_transform(embedding,
+                e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE) * 127
+                          + 0.5) AS BIGINT), -127), 127)) AS qe
+              FROM embeddings
+            ), sc AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                       p -> p[1] * p[2])) AS BIGINT) AS score_q
+              FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, score_q, rank FROM (
+              SELECT vec_id, neighbor_id, score_q,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY score_q DESC, neighbor_id ASC) AS BIGINT)
+                       AS rank
+              FROM sc
+            ) WHERE rank <= 3 ORDER BY vec_id, rank
+        """,
     }

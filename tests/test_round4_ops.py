@@ -80,3 +80,73 @@ def test_hll_rank_equals_bit_length_form(h):
     idx = h >> (64 - p)
     rest = ((h << p) | (1 << (p - 1))) & (2**64 - 1)
     assert hll.registers[idx] == 65 - rest.bit_length()
+
+
+def brute_pairs_by_day(spans, bucket_us):
+    """O(n²) reference for concurrent_span_pairs: pair charged to day of
+    later start under (s, key, sid) order."""
+    from collections import Counter
+    days = Counter()
+    for i, (ki, si, a1, e1) in enumerate(spans):
+        for j, (kj, sj, a2, e2) in enumerate(spans):
+            if (a1, ki, si) < (a2, kj, sj) and e1 >= a2:
+                days[a2 // bucket_us] += 1
+    return dict(days)
+
+
+def test_concurrent_span_pairs_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import concurrent_span_pairs
+
+    B = 1000  # small bucket to force cross-bucket spans
+    rng = np.random.RandomState(7)
+    rows = []
+    # events per (user): a few bursts; gaps > gap_s split sessions
+    for u in range(12):
+        t = int(rng.randint(0, 3 * B))
+        for _ in range(rng.randint(2, 6)):
+            n = rng.randint(1, 5)
+            for _ in range(n):
+                rows.append({"user_id": u, "ts": t})
+                t += int(rng.randint(0, 40))  # within-session
+            t += 200 + int(rng.randint(0, 3 * B))  # gap > gap_s => new session
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(4)
+    # integer ts columns compare RAW values against gap_s (sessionize's
+    # non-datetime branch): threshold 50 splits exactly at the bursts
+    out = concurrent_span_pairs(ds, "user_id", "ts", gap_s=50, bucket_us=B)
+    gap_us = 50
+    spans = []
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy())
+        new = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(new) - 1
+        for s in np.unique(sid):
+            seg = ts[sid == s]
+            spans.append((u, int(s), int(seg.min()), int(seg.max())))
+    ref = brute_pairs_by_day(spans, B)
+    got = dict(zip(out["day"], out["n_pairs"]))
+    assert got == {k: v for k, v in ref.items() if v > 0}
+
+
+def test_knn_join_q8_guard_and_ties(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import knn_join_q8
+
+    # duplicate vectors: tie-break must pick ascending neighbor ids
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": [10, 11, 12, 13], "embedding": vecs}))
+    out = knn_join_q8(ds, k=2)
+    r10 = out[out["vec_id"] == 10]
+    assert r10["neighbor_id"].tolist() == [11, 12]   # score ties, id asc
+    assert (out[out["vec_id"] == 13]["neighbor_id"] == [10, 11]).all()
+    assert not (out["neighbor_id"] == out["vec_id"]).any()
+
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_join_q8(ds, k=1, max_rows=2)

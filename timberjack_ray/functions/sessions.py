@@ -1079,3 +1079,84 @@ def survival_day_histogram(ds, key_col: str, ts_col: str, type_col: str,
     out = merge_partials(p, ["day"], ["n_event", "n_censored"]).to_pandas()
     return out.sort_values("day").reset_index(drop=True) \
         .astype({"day": "int64", "n_event": "int64", "n_censored": "int64"})
+
+
+def concurrent_span_pairs(ds, key_col: str, ts_col: str, gap_s: int,
+                          bucket_us: int = 86_400_000_000) -> pd.DataFrame:
+    """Interval-OVERLAP self-join, counting form: sessionize per key, then
+    count pairs of sessions from DIFFERENT keys whose closed time spans
+    [first_ts, last_ts] intersect — the "how many concurrent sessions"
+    join the point-in-time ``max_concurrent_values`` op can't answer.
+    Output: (day, n_pairs) where a pair is charged to the day of its
+    LATER start (ties broken by (key, session)), so every pair counts
+    exactly once and the assignment replays in SQL.
+
+    Plan — no all-pairs: spans flat-map to one replica per ``bucket_us``
+    window they touch (sessions are gap-bounded, so the replication
+    factor is ~1); inside a bucket one lexsort + two searchsorteds run
+    the classic sweep: a pair is counted when its later interval starts
+    while the earlier one is still active, i.e.
+    ``active_before(i) = rank(i) − #{ends < start_i}`` — O(B log B) per
+    bucket, only (start, end, key, session) ints ever shuffle.  Same-key
+    sessions can never overlap (successive sessions are > gap apart), so
+    no same-key exclusion term is needed.
+    """
+    from ray.data.aggregate import Max, Min
+
+    sess = sessionize(ds, key_col, ts_col, gap_s)
+
+    def spans_partial(t: pa.Table) -> pa.Table:
+        us = _ts_to_int(t[ts_col].to_numpy(zero_copy_only=False))
+        g = pa.table({key_col: t[key_col],
+                      "session_id": t["session_id"],
+                      "us": pa.array(us)}) \
+            .group_by([key_col, "session_id"]) \
+            .aggregate([("us", "min"), ("us", "max")])
+        return g.rename_columns([key_col, "session_id", "s", "e"])
+
+    spans = sess.map_batches(spans_partial, batch_format="pyarrow") \
+        .groupby([key_col, "session_id"]) \
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+
+    B = int(bucket_us)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = t["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d0, d1 = s // B, e // B
+        reps = (d1 - d0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        return pa.table({"day": pa.array(d0[idx] + off),
+                         "s": pa.array(s[idx]), "e": pa.array(e[idx]),
+                         "k": pa.array(kk[idx]), "sid": pa.array(sid[idx])})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        day = int(t["day"][0].as_py())
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        kk = t["k"].to_numpy(zero_copy_only=False)
+        sid = t["sid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sid, kk, s))
+        s, e = s[order], e[order]
+        in_bucket = (s // B) == day
+        if not in_bucket.any():
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        ranks = np.arange(len(s), dtype=np.int64)
+        ended = np.searchsorted(np.sort(e), s, side="left")
+        n = int((ranks - ended)[in_bucket].sum())
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        return pa.table({"day": pa.array([day], pa.int64()),
+                         "n_pairs": pa.array([n], pa.int64())})
+
+    p = spans.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("day").map_groups(sweep, batch_format="pyarrow")
+    out = merge_partials(p, ["day"], "n_pairs").to_pandas()
+    return out.sort_values("day").reset_index(drop=True) \
+        .astype({"day": "int64", "n_pairs": "int64"})

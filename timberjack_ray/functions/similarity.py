@@ -540,6 +540,67 @@ def brute_force_topk_q8(ds, queries: np.ndarray, k: int = 10,
     return _rank_merge(partial, id_col, "score_q", k)
 
 
+def knn_join_q8(ds, k: int = 3, id_col: str = "vec_id",
+                vec_col: str = "embedding", scale: int = 127,
+                max_rows: int = 2_000_000) -> pd.DataFrame:
+    """Exact int8-quantized kNN SELF-join: every vector's top-``k``
+    neighbors (self excluded) by integer dot product, tie-break
+    (score desc, neighbor id asc) — fully deterministic, so the whole
+    result replays in SQL (the oracle-checked exact twin of the
+    IVF-bucketed ``embedding_knn_join``; use that one past ``max_rows``,
+    this one is the baseline and its recall yardstick).
+
+    Plan: quantize once (4× smaller), gather the quantized matrix to the
+    driver under a row guard, ``ray.put`` it ONCE, then one streaming
+    ``map_batches`` of int32 matmuls — each batch row scores against the
+    broadcast matrix, n·d ints cross the wire once.  Raises past the
+    guard instead of silently materializing an unbounded matrix."""
+    import ray
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    qds = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col,
+                              scale=scale).materialize()
+    tbl = collect_table_under(qds, max_rows)
+    if tbl is None:
+        raise ValueError(
+            "knn_join_q8: corpus exceeds max_rows — the exact self-join "
+            "broadcasts the full quantized matrix; use the IVF-bucketed "
+            "embedding_knn_join at this scale")
+    all_ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _to_matrix(tbl["qvec"]).astype(np.int32)
+    ref = ray.put((all_ids, M))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)
+        b_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(b_ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        B = _to_matrix(t["qvec"]).astype(np.int32)
+        s = (mat @ B.T).astype(np.int64)          # (n_corpus, n_batch)
+        # self-exclusion: sink the matching id below any reachable score.
+        # NOT int64.min — the tie-safe top-k negates scores and −int64.min
+        # overflows back to itself, corrupting the threshold.
+        self_mask = ids_all[:, None] == b_ids[None, :]
+        s_excl = np.where(self_mask, np.int64(-(1 << 62)), s)
+        rows, qidx = _topk_rows_tiesafe(s_excl, ids_all, k)
+        return pa.table({
+            id_col: pa.array(b_ids[qidx]),
+            "neighbor_id": pa.array(ids_all[rows]),
+            "score_q": pa.array(s[rows, qidx]),
+            "rank": pa.array((np.arange(len(rows), dtype=np.int64) % k) + 1)})
+
+    out = pa.concat_tables(list(
+        qds.map_batches(score, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    return out.sort_values([id_col, "rank"]).reset_index(drop=True).astype(
+        {id_col: "int64", "neighbor_id": "int64", "score_q": "int64",
+         "rank": "int64"})
+
+
 def embedding_dispersion(ds, group_col: str, vec_col: str = "embedding",
                          scale: int = 1000) -> pd.DataFrame:
     """Per-group embedding dispersion moments on the scaled-int domain:
