@@ -8065,6 +8065,23 @@ def q_hive_partition_prune(sf_dir: str):
         {"n_rows": "int64", "sum_doc_id": "int64"})
 
 
+def q_part_kcore(sf_dir: str):
+    """Bounded-round k-core peeling (k=3, 8 rounds) of the part
+    co-purchase graph (functions/graph.kcore_peel over
+    graph.cooccurrence_edges): the graph-based curation filter that
+    keeps only densely co-occurring items — components/pagerank/
+    triangles' missing sibling.  Rounds are part of the SEMANTICS so
+    the oracle unrolls them as CTE stages (open-ended peeling is not
+    expressible in vanilla recursive SQL); the fixpoint early-exit is
+    equivalence-preserving."""
+    from timberjack_ray.functions.graph import (cooccurrence_edges,
+                                                kcore_peel)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return kcore_peel(edges, k=3, rounds=8)
+
+
 def q_embedding_knn_join_q8(sf_dir: str):
     """Exact int8-quantized kNN self-join (functions/similarity.
     knn_join_q8): integer dot products, tie-break (score desc, id asc) —
@@ -8369,7 +8386,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_bottomk_containment": q_source_bottomk_containment,
         "hive_partition_prune": q_hive_partition_prune,
         "embedding_knn_join_q8": q_embedding_knn_join_q8,
+        "part_kcore": q_part_kcore,
     }
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Bounded-round k-core peel as an unrolled CTE chain — each round is
+    one (degrees, survivors, restricted edges) stage, exactly the
+    graph.kcore_peel semantics (vanilla recursive SQL can't aggregate
+    over the accumulated working table, so unrolling IS the spec)."""
+    # AS MATERIALIZED is load-bearing: each e_{r+1} references e_r three
+    # times, so inlined CTEs expand 3^rounds scans of the base table —
+    # DuckDB runs out of file handles before it runs out of patience.
+    ctes = ["""gi AS MATERIALIZED (
+                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem)""",
+            """e0 AS MATERIALIZED (
+                 SELECT DISTINCT a.i AS u, b.i AS v
+                 FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i)"""]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM "
+            f"(SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}) "
+            f"GROUP BY node)")
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r} "
+            f"WHERE u IN (SELECT node FROM k{r}) "
+            f"AND v IN (SELECT node FROM k{r}))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, CAST(d AS BIGINT) AS degree FROM "
+            f"(SELECT node, COUNT(*) AS d FROM "
+            f"(SELECT u AS node FROM e{rounds} "
+            f"UNION ALL SELECT v FROM e{rounds}) GROUP BY node) "
+            f"ORDER BY node")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12356,6 +12407,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents WHERE source = 'src7'
         """,
+        "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
         "embedding_knn_join_q8": """
             WITH qz AS (
               SELECT vec_id, list_transform(embedding,

@@ -180,3 +180,41 @@ def test_cooccurrence_triangles_distributed_matches_driver(ray_session):
     want = _brute_census(edges)
     got = driver.iloc[0]
     assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles) == want
+
+
+def test_kcore_peel_driver_vs_distributed_and_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import _kcore_driver, kcore_peel
+
+    rng = np.random.RandomState(31)
+    n = 80
+    a = rng.randint(0, n, 400)
+    b = rng.randint(0, n, 400)
+    m = a != b
+    u, v = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    edges = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    # brute-force reference: peel to fixpoint (8 rounds is plenty at n=80)
+    eu, ev = edges["u"].to_numpy(), edges["v"].to_numpy()
+    for _ in range(100):
+        nodes, deg = np.unique(np.concatenate([eu, ev]), return_counts=True)
+        keep = set(nodes[deg >= 3])
+        mm = np.array([x in keep and y in keep for x, y in zip(eu, ev)])
+        if mm.all():
+            break
+        eu, ev = eu[mm], ev[mm]
+    nodes, deg = np.unique(np.concatenate([eu, ev]), return_counts=True)
+    ref = pd.DataFrame({"node": nodes, "degree": deg})
+
+    drv = _kcore_driver(edges["u"].to_numpy().astype(np.int64),
+                        edges["v"].to_numpy().astype(np.int64), 3, 100)
+    assert drv.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+    eds = rd.from_pandas(edges).repartition(4)
+    dist = kcore_peel(eds, k=3, rounds=100, driver_limit=0)  # force distributed
+    assert dist.attrs["mode"] == "distributed"
+    assert dist[["node", "degree"]].reset_index(drop=True).equals(
+        ref.astype({"node": "int64", "degree": "int64"})
+        .reset_index(drop=True))

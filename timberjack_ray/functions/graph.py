@@ -505,3 +505,157 @@ def _triangle_census_distributed(edges_ds, n_buckets: int,
             tri += int(np.sum(b["m"].to_numpy(zero_copy_only=False)))
     return pd.DataFrame({"n_nodes": [n], "n_edges": [n_edges],
                          "n_wedges": [n_wedges], "n_triangles": [tri]})
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       n_buckets: int = 64,
+                       edge_driver_limit: int = 300_000):
+    """Distinct item co-occurrence edge list (u < v), the shared front end
+    of the census/peeling family: per-batch distinct (group, item) →
+    ONE group-bucket exchange → segmented d-offset pair expansion →
+    guarded distinct-edge fold.  Returns ``(edges, mode)`` from
+    ``merge_partials_or_ds``: a pyarrow-backed pandas frame under
+    ``edge_driver_limit``, else a Dataset of (u, v, n)."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select([group_col, item_col])
+                .group_by([group_col, item_col]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        i = (t[item_col].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        a, b = _offset_pairs(gs, it)
+        if not len(a):
+            return empty
+        tbl = pa.table({"u": pa.array(a), "v": pa.array(b)})
+        gby = tbl.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["u", "v", "n"])
+
+    proj = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    bucketed = add_key_bucket(proj, group_col, n_buckets)
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    return merge_partials_or_ds(partials, ["u", "v"], ["n"],
+                                edge_driver_limit)
+
+
+def _kcore_driver(u: np.ndarray, v: np.ndarray, k: int,
+                  rounds: int) -> pd.DataFrame:
+    for _ in range(rounds):
+        if len(u) == 0:
+            break
+        nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+        keep = nodes[deg >= k]
+        m = np.isin(u, keep) & np.isin(v, keep)
+        if m.all():
+            break   # fixpoint: every further round is a no-op
+        u, v = u[m], v[m]
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "degree": deg.astype(np.int64)})
+
+
+def kcore_peel(edges, k: int = 3, rounds: int = 8,
+               driver_limit: int = 2_000_000,
+               node_limit: int = 2_000_000) -> pd.DataFrame:
+    """Bounded-round k-core peeling: ``rounds`` iterations of "drop every
+    node with degree < k, restrict edges to survivors", then the degree
+    table of the surviving edge set.  With ``rounds`` large enough to hit
+    the fixpoint this IS the k-core; bounding the rounds makes the
+    semantics exactly unrollable (the SQL oracle replays each round as a
+    CTE stage — an open-ended recursive peel is not expressible in
+    vanilla SQL because the recursive term may not aggregate over the
+    accumulated working table).
+
+    ``edges`` is a (u, v) pandas frame or Dataset (``cooccurrence_edges``
+    output).  Under ``driver_limit`` edges: one numpy loop with fixpoint
+    early-exit.  Past it: per round ONE degree groupby exchange + a
+    broadcast survivor filter pass (survivor vocabulary must fit
+    ``node_limit`` — the same precondition the triangle census broadcast
+    documents); edge rows only ever stream, never fold."""
+    import pyarrow.compute as pc
+
+    if isinstance(edges, pa.Table):
+        return _kcore_driver(
+            edges["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            edges["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+            k, rounds)
+    if isinstance(edges, pd.DataFrame):
+        return _kcore_driver(
+            edges["u"].to_numpy().astype(np.int64),
+            edges["v"].to_numpy().astype(np.int64), k, rounds)
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(edges, driver_limit)
+    if small is not None:
+        out = _kcore_driver(
+            small["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            small["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+            k, rounds)
+        out.attrs["mode"] = "driver"
+        return out
+
+    cur = edges.select_columns(["u", "v"]).materialize()
+
+    def degrees(eds):
+        flat = eds.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t["u"].combine_chunks(), t["v"].combine_chunks()])}),
+            batch_format="pyarrow")
+        return flat.groupby("node").aggregate(Count(alias_name="degree"))
+
+    for _ in range(rounds):
+        deg = collect_table_under(degrees(cur), node_limit)
+        if deg is None:
+            if cur.count() == 0:
+                break   # everything peeled: the empty fixpoint
+            raise ValueError(
+                "kcore_peel: surviving node vocabulary exceeds node_limit "
+                "— shard the broadcast (GRACE semi-join per round) before "
+                "raising the limit")
+        d = deg["degree"].to_numpy(zero_copy_only=False)
+        keep = np.sort(deg["node"].to_numpy(zero_copy_only=False)[d >= k])
+        if len(keep) == len(deg):
+            break
+        ref = ray.put(keep)
+
+        def filt(t: pa.Table, _r=ref) -> pa.Table:
+            kp = ray.get(_r)
+            uu = t["u"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(kp, uu)
+            iv = np.searchsorted(kp, vv)
+            mu = (iu < len(kp)) & (kp[np.minimum(iu, len(kp) - 1)] == uu)
+            mv = (iv < len(kp)) & (kp[np.minimum(iv, len(kp) - 1)] == vv)
+            return t.filter(pa.array(mu & mv))
+
+        cur = cur.map_batches(filt, batch_format="pyarrow").materialize()
+
+    deg = collect_table_under(degrees(cur), node_limit)
+    out = deg.to_pandas().sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "degree": "int64"}) \
+        if deg is not None else pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "degree": pd.Series([], dtype="int64")})
+    out.attrs["mode"] = "distributed"
+    return out
