@@ -8078,7 +8078,11 @@ def q_part_kcore(sf_dir: str):
                                                 kcore_peel)
 
     ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    # edge_driver_limit=2M aligns with kcore_peel's own driver_limit so
+    # the sf0.1 graph (1.2 M edges) takes the driver peel without an
+    # extra distributed distinct-merge exchange first.
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
     return kcore_peel(edges, k=3, rounds=8)
 
 
@@ -8091,6 +8095,126 @@ def q_embedding_knn_join_q8(sf_dir: str):
 
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_join_q8(ds, k=3)
+
+
+def q_part_common_neighbors(sf_dir: str):
+    """Common-neighbor link prediction on the part co-purchase graph
+    (functions/graph.common_neighbors_topk over graph.cooccurrence_edges):
+    the top-20 NON-adjacent part pairs sharing the most co-purchase
+    context through hub-damped centers (degree <= 48) — the neighborhood
+    recommender ("customers who bought these also bought...") that
+    completes the graph family: components/pagerank/triangles/kcore
+    census EXISTING structure, this ranks MISSING links.  The degree cap
+    is part of the semantics (bounds wedge fan-out at cap^2/2 per center
+    at any scale) and the SQL oracle replays the identical restriction."""
+    from timberjack_ray.functions.graph import (common_neighbors_topk,
+                                                cooccurrence_edges)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    # edge_driver_limit=2M matches kcore/pair guards: measured crossover
+    # at sf0.1 is 4.5 s driver vs 19.6 s distributed (two saved
+    # all-to-alls); past 2M edges the distributed plan takes over.
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
+    return common_neighbors_topk(edges, k=20, degree_cap=48)
+
+
+def q_event_value_ks(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov distance between the purchase
+    and click value distributions, as the integer
+    ``ks_num = max_v |F1(v)·N2 − F2(v)·N1|`` over the shared cent domain
+    (KS = ks_num / (N1·N2)) — the rank-based drift detector that
+    complements event_value_drift's total-variation statistic (TV sees
+    mass moved anywhere; KS sees where the CDFs diverge, robust to
+    binning).  One (type, cents) count-per-value partial pass; the merge
+    is value-DOMAIN-bounded; the CDF scan folds on the driver in PYTHON
+    ints so the cross terms can't overflow before the final cast."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    A, B = "purchase", "click"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([A, B])))
+        g = pa.table({"event_type": t["event_type"],
+                      "cents": scale_to_int(t["value"], 100)}) \
+            .group_by(["event_type", "cents"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "cents"], "c").to_pandas()
+    ca = dict(zip(h[h["event_type"] == A]["cents"],
+                  h[h["event_type"] == A]["c"]))
+    cb = dict(zip(h[h["event_type"] == B]["cents"],
+                  h[h["event_type"] == B]["c"]))
+    n1 = int(sum(ca.values()))
+    n2 = int(sum(cb.values()))
+    f1 = f2 = 0
+    ks = 0
+    for v in sorted(set(ca) | set(cb)):
+        f1 += int(ca.get(v, 0))
+        f2 += int(cb.get(v, 0))
+        ks = max(ks, abs(f1 * n2 - f2 * n1))
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "ks_num": [ks]}) \
+        .astype({"n1": "int64", "n2": "int64", "ks_num": "int64"})
+
+
+def q_events_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather) source-format leg: the events table exported
+    once per sf to sharded IPC files (scaffolding, cached in /dev/shm),
+    read back DISTRIBUTED through ``read_binary_files`` + a per-file
+    ``pa.ipc.open_file`` decode inside ``map_batches`` (the custom-
+    binary-source plumbing pattern — CSV/JSONL use built-in readers,
+    this leg proves the opaque-bytes decode path multimodal sources
+    share), then per-type exact (count, cent-sum) partials hash-checked
+    against the parquet oracle.  IPC preserves the Arrow doubles
+    bit-exactly, so the cents replay is an identity."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.ipc as pipc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import merge_partials
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/dev/shm/tj_ipc_{tag}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "value"])
+        n, k = t.num_rows, 4
+        for i in range(k):
+            lo = i * n // k
+            with pipc.new_file(f"{out}/part-{i}.arrow",
+                               t.schema) as w:
+                w.write_table(t.slice(lo, (i + 1) * n // k - lo))
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    files = rd.read_binary_files(sorted(_glob.glob(f"{out}/part-*.arrow")))
+
+    def decode_and_partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int
+
+        # file-level loop (a batch holds whole files, never rows)
+        tabs = [pipc.open_file(pa.BufferReader(b.as_py())).read_all()
+                for b in t["bytes"]]
+        ev = pa.concat_tables(tabs)
+        g = pa.table({"event_type": ev["event_type"],
+                      "cents": scale_to_int(ev["value"], 100)}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    outdf = merge_partials(
+        files.map_batches(decode_and_partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "cents"]).to_pandas()
+    return outdf.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "cents": "int64"})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -8387,6 +8511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_partition_prune": q_hive_partition_prune,
         "embedding_knn_join_q8": q_embedding_knn_join_q8,
         "part_kcore": q_part_kcore,
+        "part_common_neighbors": q_part_common_neighbors,
+        "event_value_ks": q_event_value_ks,
+        "events_ipc_roundtrip": q_events_ipc_roundtrip,
     }
 
 
@@ -12408,6 +12535,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source = 'src7'
         """,
         "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
+        "part_common_neighbors": """
+            WITH gi AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.i AS u, b.i AS v
+              FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+            deg AS (SELECT node, COUNT(*) AS d FROM
+                      (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            csym AS (
+              SELECT c, nbr FROM
+                (SELECT u AS c, v AS nbr FROM e
+                 UNION ALL SELECT v, u FROM e)
+              WHERE c IN (SELECT node FROM deg WHERE d <= 48)),
+            w AS (SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS cn
+                  FROM csym a JOIN csym b
+                    ON a.c = b.c AND a.nbr < b.nbr
+                  GROUP BY 1, 2)
+            SELECT x, y, CAST(cn AS BIGINT) AS cn FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.u = w.x AND e.v = w.y)
+            ORDER BY cn DESC, x, y LIMIT 20
+        """,
+        "event_value_ks": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                     COUNT(*) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1, 2),
+            p AS (SELECT cents, c FROM h WHERE event_type = 'purchase'),
+            k AS (SELECT cents, c FROM h WHERE event_type = 'click'),
+            n AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM p) AS n1,
+                         (SELECT COALESCE(SUM(c), 0) FROM k) AS n2),
+            j AS (SELECT COALESCE(p.cents, k.cents) AS cents,
+                         COALESCE(p.c, 0) AS c1, COALESCE(k.c, 0) AS c2
+                  FROM p FULL JOIN k ON p.cents = k.cents),
+            cum AS (SELECT SUM(c1) OVER (ORDER BY cents) AS f1,
+                           SUM(c2) OVER (ORDER BY cents) AS f2
+                    FROM j)
+            SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS ks_num
+            FROM cum, n GROUP BY n.n1, n.n2
+        """,
+        "events_ipc_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type
+        """,
         "embedding_knn_join_q8": """
             WITH qz AS (
               SELECT vec_id, list_transform(embedding,

@@ -218,3 +218,69 @@ def test_kcore_peel_driver_vs_distributed_and_bruteforce(ray_session):
     assert dist[["node", "degree"]].reset_index(drop=True).equals(
         ref.astype({"node": "int64", "degree": "int64"})
         .reset_index(drop=True))
+
+
+def test_common_neighbors_driver_and_distributed_match_brute(ray_session):
+    """common_neighbors_topk: driver path, distributed path (forced via
+    pair_driver_limit=0), and a set-based brute force agree on random
+    graphs, including the hub cap and the non-adjacency anti filter."""
+    import collections
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import (_common_neighbors_driver,
+                                                common_neighbors_topk)
+
+    def brute(u, v, k, cap):
+        adj = collections.defaultdict(set)
+        for a, b in zip(u, v):
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = collections.Counter()
+        for w, s in adj.items():
+            if len(s) > cap:
+                continue
+            for a, b in itertools.combinations(sorted(s), 2):
+                cnt[(a, b)] += 1
+        es = set(zip(u, v))
+        rows = [(a, b, c) for (a, b), c in cnt.items() if (a, b) not in es]
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return rows[:k]
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n_nodes = int(rng.integers(5, 40))
+        es = set()
+        for _ in range(int(rng.integers(1, 120))):
+            a, b = rng.integers(0, n_nodes, 2)
+            if a != b:
+                es.add((int(min(a, b)), int(max(a, b))))
+        u = np.array([e[0] for e in es], dtype=np.int64)
+        v = np.array([e[1] for e in es], dtype=np.int64)
+        cap = int(rng.integers(2, 10))
+        k = int(rng.integers(1, 8))
+        exp = brute(u, v, k, cap)
+        got = _common_neighbors_driver(u, v, k, cap)
+        assert list(zip(got["x"], got["y"], got["cn"])) == exp, trial
+        eds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+        got2 = common_neighbors_topk(eds, k=k, degree_cap=cap, n_buckets=4,
+                                     pair_driver_limit=0)
+        assert list(zip(got2["x"], got2["y"], got2["cn"])) == exp, trial
+
+
+def test_common_neighbors_empty_and_all_hubs():
+    import numpy as np
+
+    from timberjack_ray.functions.graph import _common_neighbors_driver
+
+    out = _common_neighbors_driver(np.array([], dtype=np.int64),
+                                   np.array([], dtype=np.int64), 5, 4)
+    assert out.empty
+    # every node a hub above the cap: no centers, no candidate pairs
+    u = np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+    v = np.array([1, 2, 3, 2, 3, 3], dtype=np.int64)
+    out = _common_neighbors_driver(u, v, 5, 0)
+    assert out.empty

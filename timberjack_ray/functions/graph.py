@@ -659,3 +659,210 @@ def kcore_peel(edges, k: int = 3, rounds: int = 8,
              "degree": pd.Series([], dtype="int64")})
     out.attrs["mode"] = "distributed"
     return out
+
+
+def _common_neighbors_driver(u: np.ndarray, v: np.ndarray, k: int,
+                             degree_cap: int) -> pd.DataFrame:
+    """Driver tail of ``common_neighbors_topk``: vectorized numpy over a
+    distinct (u < v) edge array that already fits the driver."""
+    empty = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                          "y": pd.Series([], dtype="int64"),
+                          "cn": pd.Series([], dtype="int64")})
+    if not len(u):
+        return empty
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    centers = nodes[deg <= degree_cap]
+    m = int(nodes.max()) + 1
+    c = np.concatenate([u, v])
+    nbr = np.concatenate([v, u])
+    idx = np.searchsorted(centers, c)
+    ok = (idx < len(centers)) & (centers[np.minimum(idx, max(len(centers) - 1, 0))] == c) \
+        if len(centers) else np.zeros(len(c), dtype=bool)
+    c, nbr = c[ok], nbr[ok]
+    if len(c) < 2:
+        return empty
+    order = np.lexsort((nbr, c))
+    x, y = _offset_pairs(c[order], nbr[order])
+    if not len(x):
+        return empty
+    pkey, cn = np.unique(x * m + y, return_counts=True)
+    ekey = np.sort(u.astype(np.int64) * m + v)
+    j = np.searchsorted(ekey, pkey)
+    adjacent = (j < len(ekey)) & (ekey[np.minimum(j, len(ekey) - 1)] == pkey)
+    pkey, cn = pkey[~adjacent], cn[~adjacent]
+    if not len(pkey):
+        return empty
+    top = np.lexsort((pkey, -cn))[:k]
+    pkey, cn = pkey[top], cn[top]
+    return pd.DataFrame({"x": (pkey // m).astype(np.int64),
+                         "y": (pkey % m).astype(np.int64),
+                         "cn": cn.astype(np.int64)})
+
+
+def common_neighbors_topk(edges, k: int = 20, degree_cap: int = 48,
+                          n_buckets: int = 64,
+                          node_limit: int = 2_000_000,
+                          pair_driver_limit: int = 2_000_000,
+                          edge_driver_limit: int = 2_000_000):
+    """Common-neighbor link prediction over a DISTINCT undirected edge set
+    (u < v, ``cooccurrence_edges`` output): for every NON-adjacent pair
+    (x, y), cn(x, y) = number of shared neighbors reachable through hub-
+    damped centers (degree <= ``degree_cap``); returns the global top-k
+    by (cn desc, x asc, y asc) — "items never bought together that share
+    the most co-purchase context", the classic neighborhood recommender
+    (triangles/kcore's forward-looking sibling: those census EXISTING
+    closure, this ranks MISSING links).
+
+    The degree cap is part of the SEMANTICS, not a tuning knob: hub
+    damping is standard in common-neighbor predictors (a hub shares
+    neighbors with everything, adding noise), and it bounds per-center
+    wedge fan-out at cap^2/2 so total pair work is O(nodes * cap^2) at
+    ANY scale — the SQL oracle replays the identical restriction.
+
+    Scale shape: degrees fold to a node-vocabulary-sized table (guarded
+    by ``node_limit``, same precondition as the triangle census); the
+    center set broadcasts once; wedge pairs expand per center-bucket
+    (ONE exchange) into (pair-key, count) partials whose merge is guarded
+    by ``pair_driver_limit`` — past it the SAME plan degrades to a
+    distributed groupby + a ``bucket_hash_join(join_type='left anti')``
+    against the edge keys + ``sorted_topk``, so no stage ever folds the
+    unbounded pair domain on the driver.
+    """
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        return _common_neighbors_driver(
+            edges["u"].to_numpy().astype(np.int64),
+            edges["v"].to_numpy().astype(np.int64), k, degree_cap)
+
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     sorted_topk)
+    from timberjack_ray.functions.util import collect_table_under
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        g = pa.table({"node": pa.array(both)}) \
+            .group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    deg_tbl, deg_mode = merge_partials_or_ds(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], ["d"], node_limit)
+    if deg_mode != "driver":
+        raise ValueError(
+            f"common_neighbors_topk: node vocabulary exceeds node_limit="
+            f"{node_limit}; the center set no longer broadcasts")
+    nodes = deg_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = deg_tbl["d"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    nodes, d = nodes[order], d[order]
+    m = int(nodes.max()) + 1 if len(nodes) else 1
+    centers_ref = ray.put(nodes[d <= degree_cap])
+
+    def sym_center(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import fetch_broadcast
+
+        cset = fetch_broadcast(centers_ref)
+        c = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        nbr = np.concatenate([t["v"].to_numpy(zero_copy_only=False),
+                              t["u"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        if len(cset):
+            i = np.searchsorted(cset, c)
+            ok = (i < len(cset)) & (cset[np.minimum(i, len(cset) - 1)] == c)
+        else:
+            ok = np.zeros(len(c), dtype=bool)
+        return pa.table({"c": pa.array(c[ok]), "nbr": pa.array(nbr[ok])})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pkey": pa.array([], pa.int64()),
+                          "cn": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, c))
+        x, y = _offset_pairs(c[order], nbr[order])
+        if not len(x):
+            return empty
+        g = pa.table({"pkey": pa.array(x * m + y)}) \
+            .group_by(["pkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pkey", "cn"])
+
+    sym = edges.map_batches(sym_center, batch_format="pyarrow")
+    partials = add_key_bucket(sym, "c", n_buckets).groupby("__kb") \
+        .map_groups(lambda t: pair_bucket(t.drop_columns(["__kb"])),
+                    batch_format="pyarrow")
+    pairs, mode = merge_partials_or_ds(partials, ["pkey"], ["cn"],
+                                       pair_driver_limit)
+    if mode == "driver":
+        ekeys_tbl = collect_table_under(
+            edges.map_batches(
+                lambda t: pa.table({"ekey": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    * m + t["v"].to_numpy(zero_copy_only=False))}),
+                batch_format="pyarrow"), edge_driver_limit)
+        pkey = pairs["pkey"].to_numpy(zero_copy_only=False)
+        cn = pairs["cn"].to_numpy(zero_copy_only=False)
+        if ekeys_tbl is not None:
+            ekey = np.sort(ekeys_tbl["ekey"].to_numpy(zero_copy_only=False))
+            j = np.searchsorted(ekey, pkey)
+            adj = (j < len(ekey)) & \
+                (ekey[np.minimum(j, max(len(ekey) - 1, 0))] == pkey)
+            pkey, cn = pkey[~adj], cn[~adj]
+        else:
+            # pairs fit the driver but the edge set does not: distributed anti
+            pairs_ds = _one_block_ds(pkey, cn)
+            return _cn_distributed_tail(pairs_ds, edges, m, k, n_buckets)
+        top = np.lexsort((pkey, -cn))[:k]
+        pkey, cn = pkey[top], cn[top]
+        return pd.DataFrame({"x": (pkey // m).astype(np.int64),
+                             "y": (pkey % m).astype(np.int64),
+                             "cn": cn.astype(np.int64)})
+    return _cn_distributed_tail(pairs, edges, m, k, n_buckets)
+
+
+def _one_block_ds(pkey: np.ndarray, cn: np.ndarray):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"pkey": pa.array(pkey.astype(np.int64)),
+                                   "cn": pa.array(cn.astype(np.int64))}))
+
+
+def _cn_distributed_tail(pairs_ds, edges, m: int, k: int, n_buckets: int):
+    """Distributed anti + top-k tail of ``common_neighbors_topk``."""
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     sorted_topk)
+
+    ekeys = edges.map_batches(
+        lambda t: pa.table({"ekey": pa.array(
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64) * m
+            + t["v"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow")
+    anti = bucket_hash_join(pairs_ds, ekeys, "pkey", "ekey",
+                            left_cols=["cn"], right_cols=[],
+                            n_buckets=n_buckets, join_type="left anti")
+    named = anti.map_batches(
+        lambda t: pa.table({
+            "x": pa.array(t["pkey"].to_numpy(zero_copy_only=False) // m),
+            "y": pa.array(t["pkey"].to_numpy(zero_copy_only=False) % m),
+            "cn": t["cn"]}),
+        batch_format="pyarrow")
+    out = sorted_topk(named, ["cn", "x", "y"], k,
+                      descending=[True, False, False])
+    if out.empty:
+        return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                             "y": pd.Series([], dtype="int64"),
+                             "cn": pd.Series([], dtype="int64")})
+    return out.reset_index(drop=True).astype(
+        {"x": "int64", "y": "int64", "cn": "int64"})
