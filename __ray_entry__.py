@@ -8217,6 +8217,88 @@ def q_events_ipc_roundtrip(sf_dir: str):
         .astype({"n": "int64", "cents": "int64"})
 
 
+def q_fk_violation_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema
+    (functions/validate.fk_orphan_count): for each FK relation, the exact
+    count of child rows whose non-null key has no parent row — the
+    cross-TABLE data-quality gate (validate() checks per-row contracts;
+    this checks cross-table contracts) every warehouse ingest runs.
+    Each relation is ONE co-partitioning left-anti exchange over (key, n)
+    child partials vs distinct parent keys; neither side ever broadcasts
+    or folds on the driver, so the audit holds at any dimension size."""
+    import ray
+
+    from timberjack_ray.functions.validate import (fk_orphan_count,
+                                                   fk_orphan_probe_multi,
+                                                   parent_keys_under)
+
+    parents = {
+        "nation": ("n_nationkey",),
+        "customer": ("c_custkey",),
+        "orders": ("o_orderkey",),
+        "part": ("p_partkey",),
+        "supplier": ("s_suppkey",),
+    }
+    refs = {}
+    for tbl, (pk,) in parents.items():
+        keys = parent_keys_under(_rp(sf_dir, tbl, columns=[pk]), pk)
+        refs[tbl] = ray.put(keys) if keys is not None else None
+
+    # fact-table passes: each child table is scanned ONCE however many
+    # FKs it carries (lineitem probes 3 dimensions in one pass)
+    plan = [
+        ("customer", [("c_nationkey", "nation",
+                       "customer.c_nationkey->nation")]),
+        ("events", [("user_id", "customer", "events.user_id->customer")]),
+        ("lineitem", [
+            ("l_orderkey", "orders", "lineitem.l_orderkey->orders"),
+            ("l_partkey", "part", "lineitem.l_partkey->part"),
+            ("l_suppkey", "supplier", "lineitem.l_suppkey->supplier")]),
+        ("orders", [("o_custkey", "customer",
+                     "orders.o_custkey->customer")]),
+    ]
+    rows = []
+    for child_tbl, fks in plan:
+        bcast = [(ck, ptbl, rel) for ck, ptbl, rel in fks
+                 if refs[ptbl] is not None]
+        anti = [(ck, ptbl, rel) for ck, ptbl, rel in fks
+                if refs[ptbl] is None]
+        if bcast:
+            cds = _rp(sf_dir, child_tbl,
+                      columns=[ck for ck, _, _ in bcast])
+            res = fk_orphan_probe_multi(
+                cds, [(ck, refs[ptbl]) for ck, ptbl, _ in bcast])
+            rows += [(rel, nc, no) for (_, _, rel), (nc, no)
+                     in zip(bcast, res)]
+        for ck, ptbl, rel in anti:  # dimension too large to broadcast
+            pk = parents[ptbl][0]
+            nc, no = fk_orphan_count(
+                _rp(sf_dir, child_tbl, columns=[ck]), ck,
+                _rp(sf_dir, ptbl, columns=[pk]), pk)
+            rows.append((rel, nc, no))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["relation", "n_child", "n_orphans"]) \
+        .astype({"n_child": "int64", "n_orphans": "int64"})
+
+
+def q_source_p95_median(sf_dir: str):
+    """Quantile-of-quantiles roll-up: each source's EXACT type-1 p95 of
+    document length (functions/relational.grouped_quantiles — shuffle
+    volume is the value histogram, never rows), then the type-1 median of
+    those p95s across sources on the driver (source domain, bounded) —
+    the two-level "typical worst case per shard" summary fleet dashboards
+    aggregate, exact at both levels."""
+    from timberjack_ray.functions.relational import grouped_quantiles
+
+    ds = _rp(sf_dir, "documents", columns=["source", "n_chars"])
+    per_src = grouped_quantiles(ds, "source", "n_chars", [0.95], scale=1)
+    p95 = np.sort(per_src["value_scaled"].to_numpy())
+    n = len(p95)
+    med = int(p95[max(int(np.ceil(0.5 * n)), 1) - 1]) if n else 0
+    return pd.DataFrame({"n_sources": [n], "median_p95": [med]}) \
+        .astype({"n_sources": "int64", "median_p95": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8514,6 +8596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_common_neighbors": q_part_common_neighbors,
         "event_value_ks": q_event_value_ks,
         "events_ipc_roundtrip": q_events_ipc_roundtrip,
+        "fk_violation_audit": q_fk_violation_audit,
+        "source_p95_median": q_source_p95_median,
     }
 
 
@@ -12583,6 +12667,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
             FROM events GROUP BY event_type
+        """,
+        "fk_violation_audit": """
+            WITH r AS (
+              SELECT 'customer.c_nationkey->nation' AS relation,
+                     (SELECT COUNT(*) FROM customer) AS n_child,
+                     (SELECT COUNT(*) FROM customer c
+                      WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM nation n
+                         WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+              UNION ALL
+              SELECT 'events.user_id->customer',
+                     (SELECT COUNT(*) FROM events),
+                     (SELECT COUNT(*) FROM events e
+                      WHERE e.user_id IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = e.user_id))
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem l
+                      WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem l
+                      WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM part p
+                         WHERE p.p_partkey = l.l_partkey))
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem l
+                      WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM supplier s
+                         WHERE s.s_suppkey = l.l_suppkey))
+              UNION ALL
+              SELECT 'orders.o_custkey->customer',
+                     (SELECT COUNT(*) FROM orders),
+                     (SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)))
+            SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_orphans AS BIGINT) AS n_orphans
+            FROM r ORDER BY relation
+        """,
+        "source_p95_median": """
+            WITH q AS (SELECT source,
+                              quantile_disc(n_chars, 0.95) AS p95
+                       FROM documents GROUP BY source)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(quantile_disc(p95, 0.5) AS BIGINT) AS median_p95
+            FROM q
         """,
         "embedding_knn_join_q8": """
             WITH qz AS (

@@ -174,6 +174,13 @@ def main() -> None:
         # count-of-counts exchange family
         timed("tpch_q5", lambda: em.q_tpch_q5_local_revenue(SF_DIR))
         timed("user_gini", lambda: em.q_user_activity_gini(SF_DIR))
+        # round-4 session-8 trackers: the graph link-prediction family and
+        # the drift/IPC legs
+        timed("part_kcore", lambda: em.q_part_kcore(SF_DIR))
+        timed("common_neighbors", lambda: em.q_part_common_neighbors(SF_DIR))
+        timed("event_value_ks", lambda: em.q_event_value_ks(SF_DIR))
+        timed("ipc_roundtrip", lambda: em.q_events_ipc_roundtrip(SF_DIR))
+        timed("fk_audit", lambda: em.q_fk_violation_audit(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {

@@ -61,3 +61,37 @@ def test_profile_numeric_nulls_and_merge(ray_session):
     assert rows["a"]["min_v"] == -3.0 and rows["a"]["max_v"] == 12.0
     assert rows["b"]["n_null"] == 0
     assert rows["b"]["min_v"] == -1.5 and rows["b"]["max_v"] == 9.75
+
+
+def test_fk_orphan_count_both_plans(ray_session):
+    """fk_orphan_count: broadcast probe and anti-join exchange agree on a
+    planted-orphan table, including null child keys (never violations)
+    and duplicated parent keys (must not double-count)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.validate import fk_orphan_count
+
+    child = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 99, 100, None, 1], pa.int64())})) \
+        .repartition(3)
+    parent = rd.from_arrow(pa.table({
+        "p": pa.array([1, 2, 3, 3, 4], pa.int64())})).repartition(2)
+    # orphans: 99, 100 (the None is not a violation) -> 2 of 8 rows
+    for limit in (2_000_000, 0):
+        got = fk_orphan_count(child, "k", parent, "p", n_buckets=4,
+                              parent_broadcast_limit=limit)
+        assert got == (8, 2), (limit, got)
+
+
+def test_fk_orphan_count_empty_parent(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.validate import fk_orphan_count
+
+    child = rd.from_arrow(pa.table({"k": pa.array([5, 6], pa.int64())}))
+    parent = rd.from_arrow(pa.table({"p": pa.array([], pa.int64())}))
+    assert fk_orphan_count(child, "k", parent, "p",
+                           parent_broadcast_limit=2_000_000) == (2, 2)
