@@ -8299,6 +8299,24 @@ def q_source_p95_median(sf_dir: str):
         .astype({"n_sources": "int64", "median_p95": "int64"})
 
 
+def q_quantile_norm_chars(sf_dir: str):
+    """EXACT quantile normalization of document length across sources
+    (functions/corpus.quantile_normalize_ds): each doc's within-source
+    rank maps onto the GLOBAL length distribution, so every source ends
+    up with identical normalized-length distribution — the calibration
+    step that makes one corpus-wide threshold meaningful over
+    heterogeneous sources.  One histogram fold (value-domain-bounded) +
+    one source-bucket exchange; replays in SQL as ROW_NUMBER windows
+    joined to global order statistics with the same integer ceil-div."""
+    from timberjack_ray.functions.corpus import quantile_normalize_ds
+
+    ds = _rp(sf_dir, "documents", columns=["source", "n_chars", "doc_id"])
+    out = quantile_normalize_ds(ds, "source", "n_chars", "doc_id",
+                                out_col="norm_chars").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "norm_chars": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8598,6 +8616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ipc_roundtrip": q_events_ipc_roundtrip,
         "fk_violation_audit": q_fk_violation_audit,
         "source_p95_median": q_source_p95_median,
+        "quantile_norm_chars": q_quantile_norm_chars,
     }
 
 
@@ -12722,6 +12741,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
                    CAST(quantile_disc(p95, 0.5) AS BIGINT) AS median_p95
             FROM q
+        """,
+        "quantile_norm_chars": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            r AS (SELECT doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY n_chars, doc_id) AS r,
+                         COUNT(*) OVER (PARTITION BY source) AS ns
+                  FROM documents),
+            g AS (SELECT n_chars AS v,
+                         ROW_NUMBER() OVER (ORDER BY n_chars) AS gr
+                  FROM documents)
+            SELECT r.doc_id, CAST(g.v AS BIGINT) AS norm_chars
+            FROM r CROSS JOIN nn
+            JOIN g ON g.gr = (r.r * nn.n + r.ns - 1) // r.ns
+            ORDER BY doc_id
         """,
         "embedding_knn_join_q8": """
             WITH qz AS (

@@ -1628,3 +1628,83 @@ def ttr_by_group(ds, group_col: str = "source", col: str = "text",
         .astype({"n_tokens": "int64", "n_types": "int64"})
     out.attrs["mode"] = mode
     return out
+
+
+def quantile_normalize_ds(ds, group_col: str, val_col: str, id_col: str,
+                          out_col: str = "norm",
+                          n_buckets: int = 256,
+                          hist_limit: int = 2_000_000):
+    """EXACT quantile normalization (the bioinformatics / feature-
+    calibration classic): each row's within-GROUP rank maps onto the
+    GLOBAL value distribution — out = the ``ceil(r*N / n_g)``-th smallest
+    global value, where r = ROW_NUMBER within the group ordered by
+    (value, id) and n_g = the group's row count.  After the transform
+    every group has the same value distribution (the global one), which
+    is what score calibration across heterogeneous sources needs before
+    a single corpus-wide quality threshold is meaningful.
+
+    Scale shape: pass 1 folds the GLOBAL (value, count) histogram
+    (value-DOMAIN-bounded, guarded by ``hist_limit`` — raises past it;
+    quantile-normalizing an unbounded continuous domain needs a
+    pre-binning step) and broadcasts (values, cumcounts) once; pass 2 is
+    ONE group-bucket exchange, a per-bucket lexsort + segment ranks, and
+    a vectorized searchsorted into the broadcast CDF.  Row volume
+    streams; nothing folds on the driver but the histogram.
+
+    Precondition: N * max(n_g) must fit int64 (N <= ~3e9); the rank
+    product is checked and raises rather than silently wrapping.
+    """
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select([val_col]).group_by([val_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["v", "n"])
+
+    hist, mode = merge_partials_or_ds(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["v"], ["n"], hist_limit)
+    if mode != "driver":
+        raise ValueError(
+            f"quantile_normalize_ds: value domain exceeds hist_limit="
+            f"{hist_limit}; pre-bin the column first")
+    v = hist["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = hist["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v)
+    v, n = v[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    if total and total > 3_000_000_000:
+        raise ValueError(
+            "quantile_normalize_ds: N too large for the int64 rank "
+            "product (r*N); shard by group range first")
+    ref = ray.put((v, cum, total))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        vals, cdf, N = fetch_broadcast(ref)
+        if t.num_rows == 0 or N == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, x, g))
+        gs, ids = g[order], i[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sizes = np.diff(np.r_[starts, len(gs)])
+        seg_start = np.repeat(starts, sizes)
+        ns = np.repeat(sizes, sizes).astype(np.int64)
+        r = np.arange(len(gs), dtype=np.int64) - seg_start + 1
+        target = (r * N + ns - 1) // ns
+        idx = np.searchsorted(cdf, target, side="left")
+        return pa.table({id_col: pa.array(ids),
+                         out_col: pa.array(vals[idx])})
+
+    bucketed = add_key_bucket(ds.select_columns(
+        [group_col, val_col, id_col]), group_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
