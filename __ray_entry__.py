@@ -8317,6 +8317,21 @@ def q_quantile_norm_chars(sf_dir: str):
         .astype({"doc_id": "int64", "norm_chars": "int64"})
 
 
+def q_part_bfs_hops(sf_dir: str):
+    """Bounded-round BFS distances (functions/graph.bfs_hops, 4 rounds)
+    from the minimum part over the co-purchase graph — per-node exact
+    shortest-hop distance, the graph family's "how far?" member
+    (components answer "same cluster?", pagerank "how central?").
+    Rounds are SEMANTICS (the oracle unrolls each frontier expansion as
+    a CTE stage); the fixpoint early-exit is equivalence-preserving."""
+    from timberjack_ray.functions.graph import bfs_hops, cooccurrence_edges
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
+    return bfs_hops(edges, rounds=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8617,7 +8632,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violation_audit": q_fk_violation_audit,
         "source_p95_median": q_source_p95_median,
         "quantile_norm_chars": q_quantile_norm_chars,
+        "part_bfs_hops": q_part_bfs_hops,
     }
+
+
+def _bfs_unrolled_sql(rounds: int) -> str:
+    """Bounded-round BFS as an unrolled CTE chain — each round one
+    (new frontier, accumulated distances) stage, exactly the
+    graph.bfs_hops semantics (vanilla recursive SQL cannot join the
+    recursive term against the accumulated distance table)."""
+    ctes = ["""gi AS MATERIALIZED (
+                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem)""",
+            """e0 AS MATERIALIZED (
+                 SELECT DISTINCT a.i AS u, b.i AS v
+                 FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i)""",
+            """se AS MATERIALIZED (
+                 SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""",
+            """d0 AS MATERIALIZED (
+                 SELECT MIN(u) AS node, 0 AS hop FROM e0)""",
+            "f0 AS MATERIALIZED (SELECT node FROM d0)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT DISTINCT s.v AS node "
+            f"FROM se s JOIN f{r - 1} p ON s.u = p.node "
+            f"WHERE s.v NOT IN (SELECT node FROM d{r - 1}))")
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, hop FROM d{r - 1} "
+            f"UNION ALL SELECT node, {r} AS hop FROM f{r})")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, CAST(hop AS BIGINT) AS hop FROM d{rounds} "
+            f"ORDER BY node")
 
 
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
@@ -12638,6 +12683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source = 'src7'
         """,
         "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
+        "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

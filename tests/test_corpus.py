@@ -606,3 +606,53 @@ def test_ttr_by_group_matches_naive(ray_session):
     out = corpus.ttr_by_group(_docs_ds(texts, {"source": srcs}), "source")
     assert out.to_dict("list") == {
         "source": ["s1", "s2"], "n_tokens": [6, 5], "n_types": [3, 2]}
+
+
+def test_quantile_normalize_matches_duckdb_window_replay(ray_session):
+    """quantile_normalize_ds == the ROW_NUMBER/order-statistics SQL on
+    random data with ties, singleton groups, and skewed group sizes."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import quantile_normalize_ds
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(20, 400))
+        df = pd.DataFrame({
+            "grp": rng.choice(["a", "b", "c", "solo"][: int(rng.integers(2, 5))],
+                              size=n, p=None),
+            "val": rng.integers(0, 12, size=n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64)})
+        # force one singleton group
+        df.loc[n - 1, "grp"] = "zz_single"
+        got = quantile_normalize_ds(
+            rd.from_pandas(df).repartition(4), "grp", "val", "rid",
+            out_col="norm", n_buckets=4).to_pandas() \
+            .sort_values("rid").reset_index(drop=True)
+        exp = duckdb.connect().execute("""
+            WITH nn AS (SELECT COUNT(*) AS n FROM df),
+            r AS (SELECT rid, ROW_NUMBER() OVER (PARTITION BY grp
+                               ORDER BY val, rid) AS r,
+                         COUNT(*) OVER (PARTITION BY grp) AS ns FROM df),
+            g AS (SELECT val AS v, ROW_NUMBER() OVER (ORDER BY val) AS gr
+                  FROM df)
+            SELECT r.rid, g.v AS norm FROM r CROSS JOIN nn
+            JOIN g ON g.gr = (r.r * nn.n + r.ns - 1) // r.ns
+            ORDER BY rid""").df()
+        assert (got["norm"].to_numpy() == exp["norm"].to_numpy()).all(), trial
+    # post-condition: every group's normalized multiset is a global
+    # quantile sample — identical across equal-size groups
+    m = 60
+    df = pd.DataFrame({
+        "grp": np.repeat(["x", "y", "z"], m),
+        "val": rng.integers(0, 1000, size=3 * m).astype(np.int64),
+        "rid": np.arange(3 * m, dtype=np.int64)})
+    out = quantile_normalize_ds(rd.from_pandas(df), "grp", "val", "rid",
+                                out_col="norm").to_pandas()
+    j = out.merge(df, on="rid")
+    sets = [np.sort(j[j["grp"] == g]["norm"].to_numpy()) for g in "xyz"]
+    assert (sets[0] == sets[1]).all() and (sets[1] == sets[2]).all()

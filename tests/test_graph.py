@@ -284,3 +284,50 @@ def test_common_neighbors_empty_and_all_hubs():
     v = np.array([1, 2, 3, 2, 3, 3], dtype=np.int64)
     out = _common_neighbors_driver(u, v, 5, 0)
     assert out.empty
+
+
+def test_bfs_hops_driver_vs_distributed_vs_networkx_style(ray_session):
+    """bfs_hops: driver walk, distributed per-round semi-join (forced via
+    driver_limit=0), and a dict-based reference BFS agree, including the
+    round bound truncating distances."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import bfs_hops
+
+    def ref_bfs(u, v, seed, rounds):
+        adj = collections.defaultdict(set)
+        for a, b in zip(u, v):
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {seed: 0}
+        frontier = [seed]
+        for hop in range(1, rounds + 1):
+            nxt = sorted({y for x in frontier for y in adj[x]
+                          if y not in dist})
+            for y in nxt:
+                dist[y] = hop
+            frontier = nxt
+        return sorted(dist.items())
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        n_nodes = int(rng.integers(4, 30))
+        es = set()
+        for _ in range(int(rng.integers(1, 60))):
+            a, b = rng.integers(0, n_nodes, 2)
+            if a != b:
+                es.add((int(min(a, b)), int(max(a, b))))
+        u = np.array([e[0] for e in es], dtype=np.int64)
+        v = np.array([e[1] for e in es], dtype=np.int64)
+        rounds = int(rng.integers(1, 5))
+        seed = int(min(u.min(), v.min()))
+        exp = ref_bfs(u, v, seed, rounds)
+        got = bfs_hops(pa.table({"u": u, "v": v}), rounds=rounds)
+        assert list(zip(got["node"], got["hop"])) == exp, trial
+        eds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+        got2 = bfs_hops(eds, rounds=rounds, driver_limit=0)
+        assert list(zip(got2["node"], got2["hop"])) == exp, (trial, "dist")

@@ -866,3 +866,115 @@ def _cn_distributed_tail(pairs_ds, edges, m: int, k: int, n_buckets: int):
                              "cn": pd.Series([], dtype="int64")})
     return out.reset_index(drop=True).astype(
         {"x": "int64", "y": "int64", "cn": "int64"})
+
+
+def _bfs_driver(u: np.ndarray, v: np.ndarray, seed: int,
+                rounds: int) -> pd.DataFrame:
+    """Driver tail of ``bfs_hops``: numpy frontier expansion over a
+    symmetrized CSR-ish sorted edge array."""
+    c = np.concatenate([u, v])
+    nbr = np.concatenate([v, u])
+    order = np.argsort(c, kind="stable")
+    c, nbr = c[order], nbr[order]
+    dist: dict[int, int] = {int(seed): 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for hop in range(1, rounds + 1):
+        if not len(frontier):
+            break
+        lo = np.searchsorted(c, frontier, side="left")
+        hi = np.searchsorted(c, frontier, side="right")
+        if not (hi > lo).any():
+            break
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)
+                              if b > a])
+        cand = np.unique(nbr[idx])
+        new = np.array([x for x in cand if int(x) not in dist],
+                       dtype=np.int64)
+        for x in new:
+            dist[int(x)] = hop
+        frontier = new
+    out = pd.DataFrame(sorted(dist.items()), columns=["node", "hop"])
+    return out.astype({"node": "int64", "hop": "int64"})
+
+
+def bfs_hops(edges, seed: int | None = None, rounds: int = 6,
+             driver_limit: int = 2_000_000,
+             node_limit: int = 2_000_000) -> pd.DataFrame:
+    """Bounded-round BFS distances from one seed over an undirected
+    DISTINCT edge set (u < v): (node, hop) for every node within
+    ``rounds`` hops, hop = exact shortest distance (0 at the seed).
+    ``seed=None`` uses the minimum node id (deterministic).  Like
+    ``kcore_peel``, the round bound is part of the SEMANTICS so the SQL
+    oracle unrolls each frontier expansion as a CTE stage — completes
+    the graph family with per-node DISTANCE (components answer "same
+    cluster?", pagerank "how central?", this "how far?").
+
+    Under ``driver_limit`` edges: one numpy frontier walk.  Past it: per
+    round ONE streaming semi-join pass over the edge Dataset against the
+    broadcast frontier (distinct-neighbor fold guarded by ``node_limit``
+    — the reached set must fit the driver, the same precondition every
+    broadcast-label graph op here documents); edge rows only ever
+    stream."""
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        u = edges["u"].to_numpy().astype(np.int64)
+        v = edges["v"].to_numpy().astype(np.int64)
+        if not len(u):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "hop": pd.Series([], dtype="int64")})
+        s = int(min(u.min(), v.min())) if seed is None else int(seed)
+        return _bfs_driver(u, v, s, rounds)
+
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(edges.select_columns(["u", "v"]),
+                                driver_limit)
+    if small is not None:
+        return bfs_hops(small, seed=seed, rounds=rounds)
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+    if seed is None:
+        from ray.data.aggregate import Min
+
+        mu = edges.aggregate(Min("u"), Min("v"))
+        seed = int(min(mu["min(u)"], mu["min(v)"]))
+    dist: dict[int, int] = {int(seed): 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for hop in range(1, rounds + 1):
+        if not len(frontier):
+            break
+        ref = ray.put(np.sort(frontier))
+
+        def nbrs(t: pa.Table, _r=ref) -> pa.Table:
+            fr = ray.get(_r)
+            c = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                                t["v"].to_numpy(zero_copy_only=False)]) \
+                .astype(np.int64)
+            nb = np.concatenate([t["v"].to_numpy(zero_copy_only=False),
+                                 t["u"].to_numpy(zero_copy_only=False)]) \
+                .astype(np.int64)
+            i = np.searchsorted(fr, c)
+            ok = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == c)
+            g = pa.table({"node": pa.array(np.unique(nb[ok]))})
+            return g.append_column("one", pa.array(
+                np.ones(g.num_rows, dtype=np.int64)))
+
+        cand, mode = merge_partials_or_ds(
+            edges.map_batches(nbrs, batch_format="pyarrow"),
+            ["node"], ["one"], node_limit)
+        if mode != "driver":
+            raise ValueError(
+                "bfs_hops: reached-node set exceeds node_limit — shard "
+                "the frontier (GRACE semi-join per round) before raising")
+        cand_nodes = cand["node"].to_numpy(zero_copy_only=False)
+        new = np.array([x for x in cand_nodes if int(x) not in dist],
+                       dtype=np.int64)
+        for x in new:
+            dist[int(x)] = hop
+        frontier = new
+    out = pd.DataFrame(sorted(dist.items()), columns=["node", "hop"])
+    return out.astype({"node": "int64", "hop": "int64"})
