@@ -8299,6 +8299,60 @@ def q_source_p95_median(sf_dir: str):
         .astype({"n_sources": "int64", "median_p95": "int64"})
 
 
+def q_events_orc_roundtrip(sf_dir: str):
+    """ORC source-format leg: events exported once per sf to sharded ORC
+    (scaffolding, cached in /dev/shm), read back DISTRIBUTED through
+    ``read_binary_files`` + per-file ``pyarrow.orc`` decode inside
+    ``map_batches``, then per-type exact (count, cent-sum) partials
+    hash-checked against the parquet oracle — the third columnar-format
+    leg (Parquet native, Arrow IPC, ORC) plus CSV/JSONL text legs.  ORC
+    stores the doubles bit-exactly, so the cents replay is an identity."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.orc as porc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import merge_partials
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/dev/shm/tj_orc_{tag}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "value"])
+        n, k = t.num_rows, 4
+        for i in range(k):
+            lo = i * n // k
+            porc.write_table(t.slice(lo, (i + 1) * n // k - lo),
+                             f"{out}/part-{i}.orc")
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    files = rd.read_binary_files(sorted(_glob.glob(f"{out}/part-*.orc")))
+
+    def decode_and_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as porc2
+
+        from timberjack_ray.functions.util import scale_to_int
+
+        # file-level loop (a batch holds whole files, never rows)
+        tabs = [porc2.ORCFile(pa.BufferReader(b.as_py())).read()
+                for b in t["bytes"]]
+        ev = pa.concat_tables(tabs)
+        g = pa.table({"event_type": ev["event_type"],
+                      "cents": scale_to_int(ev["value"], 100)}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    outdf = merge_partials(
+        files.map_batches(decode_and_partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "cents"]).to_pandas()
+    return outdf.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": "int64", "cents": "int64"})
+
+
 def q_quantile_norm_chars(sf_dir: str):
     """EXACT quantile normalization of document length across sources
     (functions/corpus.quantile_normalize_ds): each doc's within-source
@@ -8633,6 +8687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_p95_median": q_source_p95_median,
         "quantile_norm_chars": q_quantile_norm_chars,
         "part_bfs_hops": q_part_bfs_hops,
+        "events_orc_roundtrip": q_events_orc_roundtrip,
     }
 
 
@@ -12684,6 +12739,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
+        "events_orc_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type
+        """,
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
