@@ -8353,6 +8353,19 @@ def q_events_orc_roundtrip(sf_dir: str):
         .astype({"n": "int64", "cents": "int64"})
 
 
+def q_embedding_top_pc_q8(sf_dir: str):
+    """Dominant principal direction by INTEGER power iteration on the q8
+    Gram matrix (functions/similarity.top_pc_q8, 8 rounds) — the
+    hash-checked twin of the float embedding_top_pc: only the d² Gram
+    partials cross the exchange, the 8 fixed rounds run in python ints
+    on the driver, and the SQL oracle unrolls each round with HUGEINT
+    arithmetic and the same trunc-safe sign·(|w|·scale // max) rule."""
+    from timberjack_ray.functions.similarity import top_pc_q8
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding"])
+    return top_pc_q8(ds, rounds=8)
+
+
 def q_quantile_norm_chars(sf_dir: str):
     """EXACT quantile normalization of document length across sources
     (functions/corpus.quantile_normalize_ds): each doc's within-source
@@ -8688,7 +8701,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_norm_chars": q_quantile_norm_chars,
         "part_bfs_hops": q_part_bfs_hops,
         "events_orc_roundtrip": q_events_orc_roundtrip,
+        "embedding_top_pc_q8": q_embedding_top_pc_q8,
     }
+
+
+def _toppc_unrolled_sql(rounds: int, v_scale: int = 1_000_000) -> str:
+    """Integer power iteration unrolled: Gram CTE + one (w, m, v) stage
+    per round, HUGEINT arithmetic, the same trunc-safe
+    sign(w)*((|w|*scale) // max|w|) normalization as top_pc_q8."""
+    ctes = ["""qz AS MATERIALIZED (
+                 SELECT list_transform(embedding,
+                   e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE) * 127
+                             + 0.5) AS BIGINT), -127), 127)) AS qe
+                 FROM embeddings)""",
+            """dims AS MATERIALIZED (
+                 SELECT UNNEST(generate_series(1,
+                   (SELECT len(qe) FROM qz LIMIT 1))) AS i)""",
+            """gm AS MATERIALIZED (
+                 SELECT a.i AS i, b.i AS j,
+                        SUM(qe[a.i] * qe[b.i])::HUGEINT AS g
+                 FROM qz CROSS JOIN dims a CROSS JOIN dims b
+                 GROUP BY a.i, b.i)""",
+            f"v0 AS MATERIALIZED (SELECT i, {v_scale}::HUGEINT AS v "
+            f"FROM dims)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT gm.i AS i, "
+            f"SUM(gm.g * v.v)::HUGEINT AS w "
+            f"FROM gm JOIN v{r - 1} v ON gm.j = v.i GROUP BY gm.i)")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{r})")
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT i, CASE WHEN w < 0 "
+            f"THEN -((-w * {v_scale}) // mm.m) "
+            f"ELSE (w * {v_scale}) // mm.m END AS v FROM w{r}, m{r} mm)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT CAST(i - 1 AS BIGINT) AS component, "
+            f"CAST(v AS BIGINT) AS v_scaled FROM v{rounds} "
+            f"ORDER BY component")
 
 
 def _bfs_unrolled_sql(rounds: int) -> str:
@@ -12744,6 +12794,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
             FROM events GROUP BY event_type
         """,
+        "embedding_top_pc_q8": _toppc_unrolled_sql(rounds=8),
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -104,3 +104,47 @@ def test_score_calibration_invariants(ray_session):
     # deterministic across partitionings
     out2 = score_calibration(_ds_of(x, lab, 9), "embedding", "label", 3, w)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_top_pc_q8_planted_direction_and_rayleigh(ray_session):
+    """top_pc_q8: (1) a planted dominant direction is recovered to
+    cosine >= 0.999 in 8 rounds; (2) on a near-isotropic corpus the
+    returned vector's Rayleigh quotient is >= 0.98 of the max eigenvalue
+    (the variance-captured guarantee that holds regardless of the
+    spectral gap); (3) partition-invariant (exact integer partials)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.similarity import top_pc_q8
+
+    rng = np.random.default_rng(5)
+    d = 16
+    spike = rng.normal(size=d)
+    spike /= np.linalg.norm(spike)
+    rows = []
+    for _ in range(300):
+        base = 0.9 * spike * rng.choice([1, -1]) + 0.1 * rng.normal(size=d)
+        rows.append(base / np.linalg.norm(base))
+    df = pd.DataFrame({"embedding": [r.astype(np.float32) for r in rows]})
+    out = top_pc_q8(rd.from_pandas(df).repartition(4), rounds=8)
+    v = out["v_scaled"].to_numpy().astype(np.float64)
+    cos = abs(v @ spike) / np.linalg.norm(v)
+    assert cos >= 0.999, cos
+
+    iso = [x / np.linalg.norm(x) for x in rng.normal(size=(400, d))]
+    df2 = pd.DataFrame({"embedding": [r.astype(np.float32) for r in iso]})
+    out2 = top_pc_q8(rd.from_pandas(df2).repartition(4), rounds=40)
+    q = np.clip(np.floor(np.vstack(iso).astype(np.float64) * 127 + 0.5),
+                -127, 127)
+    G = q.T @ q
+    v2 = out2["v_scaled"].to_numpy().astype(np.float64)
+    rq = (v2 @ G @ v2) / (v2 @ v2)
+    lmax = np.linalg.eigvalsh(G)[-1]
+    # 40 rounds because an isotropic spectrum has no gap — convergence
+    # rate is (l2/l1)^rounds; the 8-round production setting trades
+    # final-percent precision for a 3x smaller unrolled oracle
+    assert rq >= 0.98 * lmax, (rq, lmax)
+
+    out3 = top_pc_q8(rd.from_pandas(df2).repartition(9), rounds=40)
+    assert (out3["v_scaled"].to_numpy() == out2["v_scaled"].to_numpy()).all()

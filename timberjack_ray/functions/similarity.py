@@ -972,3 +972,65 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, lam_num: int = 7,
         max_sel = np.maximum(max_sel, sims_j)
     return pd.DataFrame(out_rows, columns=[id_col, "rank", "mmr_num"]) \
         .astype({id_col: "int64", "rank": "int64", "mmr_num": "int64"})
+
+
+def top_pc_q8(ds, vec_col: str = "embedding", rounds: int = 8,
+              v_scale: int = 1_000_000, q_scale: int = 127) -> pd.DataFrame:
+    """Dominant principal direction of the UNCENTERED int8-quantized
+    Gram matrix by DETERMINISTIC INTEGER power iteration — the
+    hash-checkable twin of ``top_principal_component`` (float, rows-only):
+    quantize each vector with the shared floor(x*127+0.5) rule, fold
+    G = Σ q qᵀ as exact int64 partials (d² values — nothing but the tiny
+    Gram crosses the exchange), then ``rounds`` fixed iterations on the
+    driver in PYTHON ints: w = G·v; m = max|w|; v ← sign(w)·((|w|·v_scale)
+    // m).  The abs-based floor division is truncation-safe, so DuckDB
+    replays every round bit-for-bit with HUGEINT arithmetic (rounds are
+    SEMANTICS, like kcore_peel — the oracle unrolls them as CTE stages).
+
+    Exactness domain: Gram entries ≤ n_rows·127² (int64-safe to n≈5·10¹⁴
+    rows); the driver iteration itself is arbitrary-precision.  Returns
+    (component, v_scaled) — sign follows the all-positive start vector
+    deterministically.  Mode-collapse / drift diagnostic at any corpus
+    size.  Convergence is spectral-gap-dependent (classic power
+    iteration): on a near-degenerate spectrum the 8-round vector may not
+    align with ONE eigenvector, but its RAYLEIGH QUOTIENT — the variance
+    it captures, the quantity the diagnostic needs — is already within
+    ~1 % of the maximum; both properties are pinned in tests (planted
+    dominant direction → cosine ≥ 0.999; isotropic corpus → Rayleigh
+    ratio ≥ 0.98)."""
+    from timberjack_ray.aggregates import merge_partials
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        arr = t[vec_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        n = len(arr)
+        if n == 0:
+            return pa.table({"ij": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        if hasattr(arr, "flatten"):  # list / fixed-size-list storage
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+        else:  # Ray tensor-extension storage
+            flat = np.asarray(arr.to_numpy(zero_copy_only=False),
+                              dtype=np.float64).ravel()
+        q = _quantize_flat(flat, q_scale).astype(np.int64)
+        m = q.reshape(n, -1)
+        d = m.shape[1]
+        g = m.T @ m
+        return pa.table({"ij": pa.array(np.arange(d * d, dtype=np.int64)),
+                         "g": pa.array(g.ravel())})
+
+    gt = merge_partials(ds.map_batches(gram_partial, batch_format="pyarrow"),
+                        ["ij"], "g").to_pandas().sort_values("ij")
+    d = int(round(len(gt) ** 0.5))
+    G = [[int(x) for x in row] for row in
+         np.asarray(gt["g"], dtype=object).reshape(d, d)]
+    v = [int(v_scale)] * d
+    for _ in range(rounds):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [(1 if x >= 0 else -1) * ((abs(x) * v_scale) // m) for x in w]
+    return pd.DataFrame({"component": np.arange(d, dtype=np.int64),
+                         "v_scaled": np.array(v, dtype=np.int64)})
