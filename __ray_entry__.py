@@ -8366,6 +8366,19 @@ def q_embedding_top_pc_q8(sf_dir: str):
     return top_pc_q8(ds, rounds=8)
 
 
+def q_mmr_diverse_topk_q8(sf_dir: str):
+    """MMR diverse top-5 under pure int64 arithmetic (functions/
+    similarity.mmr_select_q8, query = corpus vector 0, pool m=64,
+    λ=7/10) — the hash-checked twin of the float mmr_diverse_topk: the
+    shared q8 clamp quantization removes the one float-normalization
+    step SQL could not replay, and the greedy selection unrolls as one
+    (max-sel-sim join + argmax LIMIT 1) CTE stage per rank."""
+    from timberjack_ray.functions.similarity import mmr_select_q8
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return mmr_select_q8(ds, query_id=0, k=5, m=64)
+
+
 def q_quantile_norm_chars(sf_dir: str):
     """EXACT quantile normalization of document length across sources
     (functions/corpus.quantile_normalize_ds): each doc's within-source
@@ -8702,7 +8715,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": q_part_bfs_hops,
         "events_orc_roundtrip": q_events_orc_roundtrip,
         "embedding_top_pc_q8": q_embedding_top_pc_q8,
+        "mmr_diverse_topk_q8": q_mmr_diverse_topk_q8,
     }
+
+
+def _mmr_unrolled_sql(k: int, m: int, lam_num: int, lam_den: int,
+                      query_id: int = 0) -> str:
+    """MMR greedy unrolled: q8 pool window + per-rank (max-sel-sim join,
+    argmax LIMIT 1) CTE stages — the exact integer selection of
+    similarity.mmr_select_q8."""
+    mu = lam_den - lam_num
+    ctes = ["""qz AS MATERIALIZED (
+                 SELECT vec_id, list_transform(embedding,
+                   e -> LEAST(GREATEST(CAST(FLOOR(CAST(e AS DOUBLE) * 127
+                             + 0.5) AS BIGINT), -127), 127)) AS qe
+                 FROM embeddings)""",
+            f"qv AS MATERIALIZED (SELECT qe FROM qz "
+            f"WHERE vec_id = {query_id})",
+            """ps AS MATERIALIZED (
+                 SELECT z.vec_id, z.qe,
+                        CAST(list_sum(list_transform(list_zip(z.qe, q.qe),
+                          p -> p[1] * p[2])) AS BIGINT) AS qsim
+                 FROM qz z CROSS JOIN qv q)""",
+            f"pool AS MATERIALIZED (SELECT vec_id, qe, qsim FROM "
+            f"(SELECT *, ROW_NUMBER() OVER (ORDER BY qsim DESC, vec_id "
+            f"ASC) AS rn FROM ps) WHERE rn <= {m})",
+            """cs AS MATERIALIZED (
+                 SELECT a.vec_id AS ia, b.vec_id AS ib,
+                        CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                          p -> p[1] * p[2])) AS BIGINT) AS s
+                 FROM pool a CROSS JOIN pool b)""",
+            f"p1 AS MATERIALIZED (SELECT vec_id, {lam_num} * qsim AS "
+            f"mmr_num FROM pool ORDER BY mmr_num DESC, vec_id ASC "
+            f"LIMIT 1)",
+            "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"ms{r} AS MATERIALIZED (SELECT c.ib AS vec_id, MAX(c.s) AS "
+            f"ms FROM cs c JOIN sel{r - 1} s ON c.ia = s.vec_id "
+            f"GROUP BY c.ib)")
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT pool.vec_id, "
+            f"{lam_num} * pool.qsim - {mu} * ms{r}.ms AS mmr_num "
+            f"FROM pool JOIN ms{r} ON pool.vec_id = ms{r}.vec_id "
+            f"WHERE pool.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}) "
+            f"ORDER BY mmr_num DESC, pool.vec_id ASC LIMIT 1)")
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT vec_id FROM sel{r - 1} "
+            f"UNION ALL SELECT vec_id FROM p{r})")
+    picks = " UNION ALL ".join(
+        f"SELECT vec_id, {r} AS rank, mmr_num FROM p{r}"
+        for r in range(1, k + 1))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT vec_id, CAST(rank AS BIGINT) AS rank, "
+            f"CAST(mmr_num AS BIGINT) AS mmr_num FROM ({picks}) "
+            f"ORDER BY rank")
 
 
 def _toppc_unrolled_sql(rounds: int, v_scale: int = 1_000_000) -> str:
@@ -12795,6 +12862,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "embedding_top_pc_q8": _toppc_unrolled_sql(rounds=8),
+        "mmr_diverse_topk_q8": _mmr_unrolled_sql(k=5, m=64, lam_num=7,
+                                                 lam_den=10),
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -1034,3 +1034,90 @@ def top_pc_q8(ds, vec_col: str = "embedding", rounds: int = 8,
         v = [(1 if x >= 0 else -1) * ((abs(x) * v_scale) // m) for x in w]
     return pd.DataFrame({"component": np.arange(d, dtype=np.int64),
                          "v_scaled": np.array(v, dtype=np.int64)})
+
+
+def mmr_select_q8(ds, query_id: int = 0, k: int = 5, m: int = 64,
+                  lam_num: int = 7, lam_den: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  q_scale: int = 127) -> pd.DataFrame:
+    """MMR diverse top-k, the hash-checkable twin of ``mmr_select``:
+    inputs must be unit-norm (the embeddings-table contract), so
+    quantization is the SHARED floor(x*127+0.5) clamp with NO float
+    normalization — the one mmr_select step whose summation order SQL
+    could not replay bit-for-bit.  The query is the corpus vector
+    ``query_id``, so the oracle reads it from the same table.
+
+    Plan: (1) a tiny filtered gather fetches + quantizes the query row
+    and broadcasts it; (2) ONE streaming pass keeps each batch's integer
+    top-m (qsim desc, id asc) WITH its quantized vectors — driver pool
+    is m rows per batch, merged to the global m; (3) the λ-rational
+    integer greedy of mmr_select (first pick maximizes relevance; then
+    argmax of lam_num·qsim − (lam_den−lam_num)·max_sel_sim, id-asc tie
+    rule).  Every comparison is int64, so the whole selection unrolls in
+    SQL: pool = ROW_NUMBER window, each greedy round one
+    (max-sel-sim join, argmax LIMIT 1) CTE stage."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    qrow_t = ds.map_batches(
+        lambda t: t.filter(pc.equal(t[id_col], query_id)),
+        batch_format="pyarrow").take(1)
+    if not qrow_t:
+        raise ValueError(f"mmr_select_q8: query_id={query_id} not found")
+    qv = np.asarray(qrow_t[0][vec_col], dtype=np.float64)
+    qq = np.clip(np.floor(qv * q_scale + 0.5), -q_scale,
+                 q_scale).astype(np.int64)
+    qref = ray.put(qq)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import fetch_broadcast
+
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "qsim": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.list_(pa.int64()))})
+        mx = _to_matrix(t[vec_col])
+        if mx.shape[0] == 0:
+            return empty
+        qv_ = fetch_broadcast(qref)
+        qm = np.clip(np.floor(mx.astype(np.float64) * q_scale + 0.5),
+                     -q_scale, q_scale).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qm @ qv_
+        order = np.lexsort((ids, -sims))[:m]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "qsim": pa.array(sims[order]),
+                         "q": pa.array(list(qm[order]),
+                                       pa.list_(pa.int64()))})
+
+    pool = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if pool.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "mmr_num": pd.Series([], dtype="int64")})
+    pool = pool.sort_values(["qsim", id_col],
+                            ascending=[False, True]).head(m)
+    ids = pool[id_col].to_numpy(np.int64)
+    qsim = pool["qsim"].to_numpy(np.int64)
+    vecs = np.array(pool["q"].tolist(), dtype=np.int64)
+
+    sel: list[int] = []
+    sel_mask = np.zeros(len(ids), bool)
+    max_sel = None  # true MAX over selected sims — no zero clamp, the
+    out_rows = []   # SQL MAX() must see negative sims identically
+    for rank in range(1, min(k, len(ids)) + 1):
+        if max_sel is None:
+            score = lam_num * qsim
+        else:
+            score = lam_num * qsim - (lam_den - lam_num) * max_sel
+        score = np.where(sel_mask, np.iinfo(np.int64).min, score)
+        best = np.flatnonzero(score == score.max())
+        j = best[np.argmin(ids[best])]
+        sel.append(j)
+        sel_mask[j] = True
+        out_rows.append((int(ids[j]), rank, int(score[j])))
+        sims_j = vecs @ vecs[j]
+        max_sel = sims_j if max_sel is None \
+            else np.maximum(max_sel, sims_j)
+    return pd.DataFrame(out_rows, columns=[id_col, "rank", "mmr_num"]) \
+        .astype({id_col: "int64", "rank": "int64", "mmr_num": "int64"})
