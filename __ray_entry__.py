@@ -8379,6 +8379,26 @@ def q_mmr_diverse_topk_q8(sf_dir: str):
     return mmr_select_q8(ds, query_id=0, k=5, m=64)
 
 
+def q_user_rolling_median(sf_dir: str):
+    """Per-user EXACT rolling median of event value over the last 15
+    events (functions/relational.rolling_quantile_per_key_ds) — the
+    robust anomaly baseline a rolling MEAN cannot give (one spike drags
+    a mean for 15 rows; a median shrugs it off).  One user-bucket
+    exchange; per bucket a single lexsort + a (n×15) shifted-column sort
+    with segment-sentinel masking; bit-exact vs the SQL
+    quantile_disc window."""
+    from timberjack_ray.functions.relational import \
+        rolling_quantile_per_key_ds
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    out = rolling_quantile_per_key_ds(ds, "user_id", "ts", "event_id",
+                                      "value", window=15, q=0.5,
+                                      scale=100).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "roll_q": "int64"})
+
+
 def q_quantile_norm_chars(sf_dir: str):
     """EXACT quantile normalization of document length across sources
     (functions/corpus.quantile_normalize_ds): each doc's within-source
@@ -8716,6 +8736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orc_roundtrip": q_events_orc_roundtrip,
         "embedding_top_pc_q8": q_embedding_top_pc_q8,
         "mmr_diverse_topk_q8": q_mmr_diverse_topk_q8,
+        "user_rolling_median": q_user_rolling_median,
     }
 
 
@@ -12864,6 +12885,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_top_pc_q8": _toppc_unrolled_sql(rounds=8),
         "mmr_diverse_topk_q8": _mmr_unrolled_sql(k=5, m=64, lam_num=7,
                                                  lam_den=10),
+        "user_rolling_median": """
+            SELECT event_id,
+                   quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                                 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+                     AS roll_q
+            FROM events ORDER BY event_id
+        """,
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

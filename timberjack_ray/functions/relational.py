@@ -1970,3 +1970,67 @@ def grouped_hhi_ds(ds, key_col: str, cat_col: str, n_buckets: int = 256):
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def rolling_quantile_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
+                                val_col: str, window: int, q: float = 0.5,
+                                scale: int = 1, n_buckets: int = 256):
+    """Per-key EXACT rolling discrete quantile over the last ``window``
+    rows ordered by (ts, id): SQL ``quantile_disc(v, q) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS window-1 PRECEDING)`` — the ROBUST
+    sibling of ``rolling_sum_per_key_ds`` (a rolling median shrugs off
+    the spikes a rolling mean chases; the anomaly-baseline smoother).
+
+    Same ONE-exchange shape as the rolling sum; inside a bucket every
+    key resolves in one vectorized pass: lexsort (key, ts, id), a
+    (n × window) shifted-column matrix with +INF sentinels where the
+    frame crosses a segment start, one row-wise sort (windows are small
+    by design), and the type-1 rank pick ``ceil(q·L)`` per row against
+    each row's true frame length L.  O(n·W log W), never per-key Python.
+    Values scale to integers so the pick is bit-exact vs the oracle.
+    """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    if not 0 < q <= 1:
+        raise ValueError(f"rolling_quantile_per_key_ds: q={q} outside (0, 1]")
+
+    SENT = np.iinfo(np.int64).max  # sorts after every real value
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int_np
+
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "roll_q": pa.array([], pa.int64())})
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = scale_to_int_np(t[val_col].to_numpy(zero_copy_only=False),
+                            scale)
+        order = np.lexsort((ids, ts, k))
+        ks, vs = k[order], v[order]
+        starts, sizes = _segments(ks)
+        n = len(vs)
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        frame_len = np.minimum(idx - seg_start + 1, window)
+        cols = []
+        for d in range(window):
+            shifted = np.full(n, SENT, dtype=np.int64)
+            if d == 0:
+                shifted = vs.copy()
+            elif d < n:
+                shifted[d:] = vs[:-d]
+            shifted[idx - d < seg_start] = SENT
+            cols.append(shifted)
+        mat = np.sort(np.column_stack(cols), axis=1)
+        rank = np.ceil(q * frame_len).astype(np.int64)
+        out = mat[idx, np.maximum(rank, 1) - 1]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "roll_q": pa.array(out)})
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    return bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
