@@ -181,6 +181,8 @@ def main() -> None:
         timed("event_value_ks", lambda: em.q_event_value_ks(SF_DIR))
         timed("ipc_roundtrip", lambda: em.q_events_ipc_roundtrip(SF_DIR))
         timed("fk_audit", lambda: em.q_fk_violation_audit(SF_DIR))
+        timed("quantile_norm", lambda: em.q_quantile_norm_chars(SF_DIR))
+        timed("rolling_median", lambda: em.q_user_rolling_median(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
