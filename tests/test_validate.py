@@ -95,3 +95,28 @@ def test_fk_orphan_count_empty_parent(ray_session):
     parent = rd.from_arrow(pa.table({"p": pa.array([], pa.int64())}))
     assert fk_orphan_count(child, "k", parent, "p",
                            parent_broadcast_limit=2_000_000) == (2, 2)
+
+
+def test_fk_orphan_probe_multi_one_scan_two_fks(ray_session):
+    """fk_orphan_probe_multi: one pass over a two-FK fact table probes
+    both dimensions; counts match per-relation fk_orphan_count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from timberjack_ray.functions.validate import (fk_orphan_count,
+                                                   fk_orphan_probe_multi)
+
+    child = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 9, None, 1], pa.int64()),
+        "b": pa.array([10, 20, 77, 10, 20, None], pa.int64())})) \
+        .repartition(3)
+    pa_keys = np.array([1, 2, 3], dtype=np.int64)
+    pb_keys = np.array([10, 20], dtype=np.int64)
+    res = fk_orphan_probe_multi(
+        child, [("a", ray.put(pa_keys)), ("b", ray.put(pb_keys))])
+    # a-orphans: 9 (None skipped) -> 1; b-orphans: 77 -> 1
+    assert res == [(6, 1), (6, 1)], res
+    pda = rd.from_arrow(pa.table({"p": pa.array([1, 2, 3], pa.int64())}))
+    assert fk_orphan_count(child, "a", pda, "p") == res[0]
