@@ -8432,6 +8432,45 @@ def q_part_bfs_hops(sf_dir: str):
     return bfs_hops(edges, rounds=4)
 
 
+def q_part_neighbor_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction on the part co-purchase
+    graph (functions/graph.neighbor_jaccard_topk over
+    graph.cooccurrence_edges): the top-20 NON-adjacent part pairs by the
+    scaled-integer Jaccard of their neighborhoods
+    ``jscore = cn*1e9 // (deg(x)+deg(y)-cn)`` — the NORMALIZED sibling
+    of part_common_neighbors (raw cn favors big-degree pairs; Jaccard
+    surfaces low-degree twins), completing the link-prediction pair the
+    way value_mad_by_type complements plain stddev.  The degree-48 hub
+    cap on wedge centers is shared semantics with the cn query and the
+    SQL oracle replays both the cap and the integer floor division."""
+    from timberjack_ray.functions.graph import (cooccurrence_edges,
+                                                neighbor_jaccard_topk)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
+    return neighbor_jaccard_topk(edges, k=20, degree_cap=48)
+
+
+def q_copurchase_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics of the part
+    co-purchase graph (functions/graph.degree_assortativity_stats):
+    ONE row (m2, sxy, sx, sx2) of exact ints over the symmetrized edge
+    list — Pearson assortativity r = (m2*sxy−sx²)/(m2*sx2−sx²) is the
+    consumer's float.  Answers "do popular parts co-sell with popular
+    parts?" (r>0) vs "hubs bridge long tails" (r<0) — the one-number
+    structural profile that tells you whether hot-key salting will see
+    hub-hub edges (both sides hot) or hub-leaf (one side).  Degrees fold
+    under the node-vocabulary guard and broadcast once; edges stream."""
+    from timberjack_ray.functions.graph import (cooccurrence_edges,
+                                                degree_assortativity_stats)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
+    return degree_assortativity_stats(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8737,6 +8776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_pc_q8": q_embedding_top_pc_q8,
         "mmr_diverse_topk_q8": q_mmr_diverse_topk_q8,
         "user_rolling_median": q_user_rolling_median,
+        "part_neighbor_jaccard": q_part_neighbor_jaccard,
+        "copurchase_assortativity": q_copurchase_assortativity,
     }
 
 
@@ -12893,6 +12934,51 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
                      AS roll_q
             FROM events ORDER BY event_id
+        """,
+        "part_neighbor_jaccard": """
+            WITH gi AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.i AS u, b.i AS v
+              FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+            deg AS (SELECT node, COUNT(*) AS d FROM
+                      (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            csym AS (
+              SELECT c, nbr FROM
+                (SELECT u AS c, v AS nbr FROM e
+                 UNION ALL SELECT v, u FROM e)
+              WHERE c IN (SELECT node FROM deg WHERE d <= 48)),
+            w AS (SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS cn
+                  FROM csym a JOIN csym b
+                    ON a.c = b.c AND a.nbr < b.nbr
+                  GROUP BY 1, 2)
+            SELECT w.x, w.y, CAST(w.cn AS BIGINT) AS cn,
+                   CAST((w.cn * 1000000000)
+                        // (dx.d + dy.d - w.cn) AS BIGINT) AS jscore
+            FROM w JOIN deg dx ON dx.node = w.x
+                   JOIN deg dy ON dy.node = w.y
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.u = w.x AND e.v = w.y)
+            ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "copurchase_assortativity": """
+            WITH gi AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.i AS u, b.i AS v
+              FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+            deg AS (SELECT node, COUNT(*) AS d FROM
+                      (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            s AS (SELECT u AS x, v AS y FROM e
+                  UNION ALL SELECT v, u FROM e)
+            SELECT COUNT(*) AS m2,
+                   CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+                   CAST(SUM(dx.d) AS BIGINT) AS sx,
+                   CAST(SUM(dx.d * dx.d) AS BIGINT) AS sx2
+            FROM s JOIN deg dx ON dx.node = s.x
+                   JOIN deg dy ON dy.node = s.y
         """,
         "part_common_neighbors": """
             WITH gi AS MATERIALIZED (

@@ -331,3 +331,115 @@ def test_bfs_hops_driver_vs_distributed_vs_networkx_style(ray_session):
         eds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
         got2 = bfs_hops(eds, rounds=rounds, driver_limit=0)
         assert list(zip(got2["node"], got2["hop"])) == exp, (trial, "dist")
+
+
+def test_neighbor_jaccard_driver_and_distributed_match_brute(ray_session):
+    """neighbor_jaccard_topk: driver path, distributed path (forced via
+    pair_driver_limit=0), and a set-based brute force agree on random
+    graphs — the scaled-int jscore, the hub cap on centers (cn counts
+    only center-mediated wedges while degrees stay FULL), and the
+    non-adjacency anti filter."""
+    import collections
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import (JACCARD_SCALE,
+                                                _neighbor_jaccard_driver,
+                                                neighbor_jaccard_topk)
+
+    def brute(u, v, k, cap):
+        adj = collections.defaultdict(set)
+        for a, b in zip(u, v):
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = collections.Counter()
+        for w, s in adj.items():
+            if len(s) > cap:
+                continue
+            for a, b in itertools.combinations(sorted(s), 2):
+                cnt[(a, b)] += 1
+        es = set(zip(u, v))
+        rows = []
+        for (a, b), c in cnt.items():
+            if (a, b) in es:
+                continue
+            js = c * JACCARD_SCALE // (len(adj[a]) + len(adj[b]) - c)
+            rows.append((a, b, c, js))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return rows[:k]
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n_nodes = int(rng.integers(5, 40))
+        es = set()
+        for _ in range(int(rng.integers(1, 120))):
+            a, b = rng.integers(0, n_nodes, 2)
+            if a != b:
+                es.add((int(min(a, b)), int(max(a, b))))
+        u = np.array([e[0] for e in es], dtype=np.int64)
+        v = np.array([e[1] for e in es], dtype=np.int64)
+        cap = int(rng.integers(2, 10))
+        k = int(rng.integers(1, 8))
+        exp = brute(u, v, k, cap)
+        got = _neighbor_jaccard_driver(u, v, k, cap)
+        assert list(zip(got["x"], got["y"], got["cn"],
+                        got["jscore"])) == exp, trial
+        eds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+        got2 = neighbor_jaccard_topk(eds, k=k, degree_cap=cap, n_buckets=4,
+                                     pair_driver_limit=0)
+        assert list(zip(got2["x"], got2["y"], got2["cn"],
+                        got2["jscore"])) == exp, trial
+
+
+def test_degree_assortativity_driver_vs_distributed(ray_session):
+    """degree_assortativity_stats: the 4-int sufficient statistics agree
+    between the numpy driver path, the distributed broadcast-degree
+    partial pass, and a dict brute force; star vs clique sanity signs."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import (_assortativity_driver,
+                                                degree_assortativity_stats)
+
+    def brute(u, v):
+        deg = collections.Counter()
+        for a, b in zip(u, v):
+            deg[a] += 1
+            deg[b] += 1
+        m2 = sxy = sx = sx2 = 0
+        for a, b in zip(u, v):
+            for x, y in ((a, b), (b, a)):
+                m2 += 1
+                sxy += deg[x] * deg[y]
+                sx += deg[x]
+                sx2 += deg[x] ** 2
+        return [m2, sxy, sx, sx2]
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        es = set()
+        for _ in range(int(rng.integers(1, 150))):
+            a, b = rng.integers(0, 30, 2)
+            if a != b:
+                es.add((int(min(a, b)), int(max(a, b))))
+        u = np.array([e[0] for e in es], dtype=np.int64)
+        v = np.array([e[1] for e in es], dtype=np.int64)
+        exp = brute(u, v)
+        assert _assortativity_driver(u, v).iloc[0].tolist() == exp, trial
+        eds = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+        got = degree_assortativity_stats(eds)
+        assert got.iloc[0].tolist() == exp, trial
+
+    # a star graph is maximally disassortative: r < 0
+    u = np.zeros(5, dtype=np.int64)
+    v = np.arange(1, 6, dtype=np.int64)
+    s = _assortativity_driver(u, v).iloc[0]
+    num = s.m2 * s.sxy - s.sx ** 2
+    den = s.m2 * s.sx2 - s.sx ** 2
+    assert num < 0 < den

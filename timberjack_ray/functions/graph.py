@@ -978,3 +978,335 @@ def bfs_hops(edges, seed: int | None = None, rounds: int = 6,
         frontier = new
     out = pd.DataFrame(sorted(dist.items()), columns=["node", "hop"])
     return out.astype({"node": "int64", "hop": "int64"})
+
+
+def degree_assortativity_stats(edges, node_limit: int = 2_000_000
+                               ) -> pd.DataFrame:
+    """EXACT degree-assortativity sufficient statistics over a DISTINCT
+    undirected edge set (u < v, ``cooccurrence_edges`` output): over the
+    SYMMETRIZED directed edge list (2m rows — each edge once per
+    direction, the standard convention) returns ONE row
+
+        (m2, sxy, sx, sx2)   with dx = degree of the source endpoint:
+        m2 = 2m,  sxy = SUM dx*dy,  sx = SUM dx,  sx2 = SUM dx*dx
+
+    Pearson degree assortativity r = (m2*sxy - sx^2)/(m2*sx2 - sx^2) is
+    the consumer's float — these four ints are its exact sufficient
+    statistics (hub-attracts-hub vs hub-attracts-leaf structure, the
+    graph-family companion of lineitem_corr_stats' moment census).
+
+    Scale shape: degrees fold to a node-vocabulary-sized table (guarded
+    by ``node_limit``, the same broadcast precondition as the triangle /
+    common-neighbor census) and broadcast ONCE via ``ray.put``; edges
+    then stream through one ``map_batches`` pass emitting 4-int partials
+    (per-batch sums stay < 2^63 for degree <= node_limit and batch rows
+    <= ~1e5); the driver folds #blocks tiny rows in PYTHON ints."""
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        u = edges["u"].to_numpy().astype(np.int64)
+        v = edges["v"].to_numpy().astype(np.int64)
+        return _assortativity_driver(u, v)
+
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        g = pa.table({"node": pa.array(both)}) \
+            .group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    deg_tbl, deg_mode = merge_partials_or_ds(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], ["d"], node_limit)
+    if deg_mode != "driver":
+        raise ValueError(
+            f"degree_assortativity_stats: node vocabulary exceeds "
+            f"node_limit={node_limit}; the degree map no longer broadcasts")
+    nodes = deg_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = deg_tbl["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    deg_ref = ray.put((nodes[order], d[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        nsort, dsort = fetch_broadcast(deg_ref)
+        x = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        y = np.concatenate([t["v"].to_numpy(zero_copy_only=False),
+                            t["u"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        dx = dsort[np.searchsorted(nsort, x)]
+        dy = dsort[np.searchsorted(nsort, y)]
+        return pa.table({
+            "m2": pa.array([int(len(x))], pa.int64()),
+            "sxy": pa.array([int(np.sum(dx * dy))], pa.int64()),
+            "sx": pa.array([int(np.sum(dx))], pa.int64()),
+            "sx2": pa.array([int(np.sum(dx * dx))], pa.int64())})
+
+    tot = {"m2": 0, "sxy": 0, "sx": 0, "sx2": 0}
+    return _assort_fold(edges.map_batches(partial, batch_format="pyarrow"),
+                        tot)
+
+
+def _assort_fold(partials_ds, tot: dict) -> pd.DataFrame:
+    for b in partials_ds.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        for k in tot:
+            tot[k] += int(pa.compute.sum(t[k]).as_py() or 0)
+    return pd.DataFrame({k: [v] for k, v in tot.items()}).astype("int64")
+
+
+def _assortativity_driver(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+    empty = pd.DataFrame({"m2": [0], "sxy": [0], "sx": [0],
+                          "sx2": [0]}).astype("int64")
+    if not len(u):
+        return empty
+    nodes, d = np.unique(np.concatenate([u, v]), return_counts=True)
+    d = d.astype(np.int64)
+    x = np.concatenate([u, v])
+    y = np.concatenate([v, u])
+    dx = d[np.searchsorted(nodes, x)]
+    dy = d[np.searchsorted(nodes, y)]
+
+    def exact_sum(a: np.ndarray) -> int:
+        # chunked Python-int fold: each 1M-row chunk sum stays < 2^63
+        # for per-element products <= (node count)^2 <= 4e12
+        return sum(int(np.sum(a[i:i + 1_000_000]))
+                   for i in range(0, len(a), 1_000_000))
+
+    return pd.DataFrame({
+        "m2": [int(len(x))],
+        "sxy": [exact_sum(dx * dy)],
+        "sx": [exact_sum(dx)],
+        "sx2": [exact_sum(dx * dx)]}).astype("int64")
+
+
+JACCARD_SCALE = 1_000_000_000
+
+
+def _neighbor_jaccard_driver(u: np.ndarray, v: np.ndarray, k: int,
+                             degree_cap: int) -> pd.DataFrame:
+    """Driver tail of ``neighbor_jaccard_topk``: numpy over a distinct
+    (u < v) edge array that already fits the driver."""
+    empty = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                          "y": pd.Series([], dtype="int64"),
+                          "cn": pd.Series([], dtype="int64"),
+                          "jscore": pd.Series([], dtype="int64")})
+    if not len(u):
+        return empty
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    deg = deg.astype(np.int64)
+    centers = nodes[deg <= degree_cap]
+    m = int(nodes.max()) + 1
+    c = np.concatenate([u, v])
+    nbr = np.concatenate([v, u])
+    if len(centers):
+        idx = np.searchsorted(centers, c)
+        ok = (idx < len(centers)) & \
+            (centers[np.minimum(idx, len(centers) - 1)] == c)
+    else:
+        ok = np.zeros(len(c), dtype=bool)
+    c, nbr = c[ok], nbr[ok]
+    if len(c) < 2:
+        return empty
+    order = np.lexsort((nbr, c))
+    x, y = _offset_pairs(c[order], nbr[order])
+    if not len(x):
+        return empty
+    pkey, cn = np.unique(x * m + y, return_counts=True)
+    ekey = np.sort(u.astype(np.int64) * m + v)
+    j = np.searchsorted(ekey, pkey)
+    adjacent = (j < len(ekey)) & (ekey[np.minimum(j, len(ekey) - 1)] == pkey)
+    pkey, cn = pkey[~adjacent], cn[~adjacent]
+    if not len(pkey):
+        return empty
+    xs = (pkey // m).astype(np.int64)
+    ys = (pkey % m).astype(np.int64)
+    dx = deg[np.searchsorted(nodes, xs)]
+    dy = deg[np.searchsorted(nodes, ys)]
+    jscore = cn * JACCARD_SCALE // (dx + dy - cn)
+    top = np.lexsort((ys, xs, -jscore))[:k]
+    return pd.DataFrame({"x": xs[top], "y": ys[top],
+                         "cn": cn[top].astype(np.int64),
+                         "jscore": jscore[top].astype(np.int64)})
+
+
+def neighbor_jaccard_topk(edges, k: int = 20, degree_cap: int = 48,
+                          n_buckets: int = 64,
+                          node_limit: int = 2_000_000,
+                          pair_driver_limit: int = 2_000_000,
+                          edge_driver_limit: int = 2_000_000):
+    """Neighborhood-JACCARD link prediction over a DISTINCT undirected
+    edge set (u < v): for every NON-adjacent pair (x, y) sharing at
+    least one hub-damped common neighbor (a center of degree <=
+    ``degree_cap``), rank by the scaled-integer Jaccard of their
+    neighborhoods
+
+        jscore = cn * 1e9 // (deg(x) + deg(y) - cn)
+
+    (cn = shared neighbors reachable through centers; degrees are FULL
+    degrees) and return the global top-k by (jscore desc, x, y) with the
+    raw cn alongside.  Jaccard normalizes common_neighbors_topk's raw
+    count by neighborhood size, so two low-degree twins outrank a pair
+    that shares many neighbors merely because both are large — the
+    normalized sibling of the cn recommender, exact by integer floor
+    division (the SQL oracle replays the identical `cn*1e9 // (dx+dy-cn)`
+    rational rank).
+
+    Scale shape is common_neighbors_topk's: guarded node-vocabulary
+    degree fold → broadcast centers → ONE center-bucket exchange for
+    wedge pairs → guarded (pair, cn) merge; past ``pair_driver_limit``
+    the SAME plan degrades to a distributed left-anti bucket join vs the
+    edge keys, a broadcast-degree jscore stage, and a ``sorted_topk`` —
+    no stage folds the unbounded pair domain on the driver."""
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        return _neighbor_jaccard_driver(
+            edges["u"].to_numpy().astype(np.int64),
+            edges["v"].to_numpy().astype(np.int64), k, degree_cap)
+
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.util import (collect_table_under,
+                                               fetch_broadcast)
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        g = pa.table({"node": pa.array(both)}) \
+            .group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    deg_tbl, deg_mode = merge_partials_or_ds(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], ["d"], node_limit)
+    if deg_mode != "driver":
+        raise ValueError(
+            f"neighbor_jaccard_topk: node vocabulary exceeds node_limit="
+            f"{node_limit}; the degree map no longer broadcasts")
+    nodes = deg_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = deg_tbl["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, d = nodes[order], d[order]
+    m = int(nodes.max()) + 1 if len(nodes) else 1
+    deg_ref = ray.put((nodes, d))
+    centers_ref = ray.put(nodes[d <= degree_cap])
+
+    def sym_center(t: pa.Table) -> pa.Table:
+        cset = fetch_broadcast(centers_ref)
+        c = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        nbr = np.concatenate([t["v"].to_numpy(zero_copy_only=False),
+                              t["u"].to_numpy(zero_copy_only=False)]) \
+            .astype(np.int64)
+        if len(cset):
+            i = np.searchsorted(cset, c)
+            ok = (i < len(cset)) & (cset[np.minimum(i, len(cset) - 1)] == c)
+        else:
+            ok = np.zeros(len(c), dtype=bool)
+        return pa.table({"c": pa.array(c[ok]), "nbr": pa.array(nbr[ok])})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pkey": pa.array([], pa.int64()),
+                          "cn": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((nbr, c))
+        x, y = _offset_pairs(c[order2], nbr[order2])
+        if not len(x):
+            return empty
+        g = pa.table({"pkey": pa.array(x * m + y)}) \
+            .group_by(["pkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pkey", "cn"])
+
+    def jscore_cols(pkey: np.ndarray, cn: np.ndarray, nsort, dsort):
+        xs = (pkey // m).astype(np.int64)
+        ys = (pkey % m).astype(np.int64)
+        dx = dsort[np.searchsorted(nsort, xs)]
+        dy = dsort[np.searchsorted(nsort, ys)]
+        return xs, ys, cn * JACCARD_SCALE // (dx + dy - cn)
+
+    sym = edges.map_batches(sym_center, batch_format="pyarrow")
+    partials = add_key_bucket(sym, "c", n_buckets).groupby("__kb") \
+        .map_groups(lambda t: pair_bucket(t.drop_columns(["__kb"])),
+                    batch_format="pyarrow")
+    pairs, mode = merge_partials_or_ds(partials, ["pkey"], ["cn"],
+                                       pair_driver_limit)
+    if mode == "driver":
+        ekeys_tbl = collect_table_under(
+            edges.map_batches(
+                lambda t: pa.table({"ekey": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    * m + t["v"].to_numpy(zero_copy_only=False))}),
+                batch_format="pyarrow"), edge_driver_limit)
+        pkey = pairs["pkey"].to_numpy(zero_copy_only=False)
+        cn = pairs["cn"].to_numpy(zero_copy_only=False)
+        if ekeys_tbl is None:
+            pairs = _one_block_ds(pkey, cn)
+        else:
+            ekey = np.sort(ekeys_tbl["ekey"].to_numpy(zero_copy_only=False))
+            j = np.searchsorted(ekey, pkey)
+            adj = (j < len(ekey)) & \
+                (ekey[np.minimum(j, max(len(ekey) - 1, 0))] == pkey)
+            pkey, cn = pkey[~adj], cn[~adj]
+            if not len(pkey):
+                return _neighbor_jaccard_driver(
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64), k, degree_cap)
+            xs, ys, js = jscore_cols(pkey, cn, nodes, d)
+            top = np.lexsort((ys, xs, -js))[:k]
+            return pd.DataFrame({
+                "x": xs[top], "y": ys[top],
+                "cn": cn[top].astype(np.int64),
+                "jscore": js[top].astype(np.int64)}).astype("int64")
+    # distributed tail: anti vs edge keys, broadcast-degree jscore, top-k
+    from timberjack_ray.functions.relational import (bucket_hash_join,
+                                                     sorted_topk)
+
+    ekeys = edges.map_batches(
+        lambda t: pa.table({"ekey": pa.array(
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64) * m
+            + t["v"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow")
+    anti = bucket_hash_join(pairs, ekeys, "pkey", "ekey",
+                            left_cols=["cn"], right_cols=[],
+                            n_buckets=n_buckets, join_type="left anti")
+
+    def named(t: pa.Table) -> pa.Table:
+        nsort, dsort = fetch_broadcast(deg_ref)
+        pk = t["pkey"].to_numpy(zero_copy_only=False)
+        cn2 = t["cn"].to_numpy(zero_copy_only=False)
+        xs, ys, js = jscore_cols(pk, cn2, nsort, dsort)
+        return pa.table({"x": pa.array(xs), "y": pa.array(ys),
+                         "cn": pa.array(cn2.astype(np.int64)),
+                         "jscore": pa.array(js.astype(np.int64))})
+
+    out = sorted_topk(anti.map_batches(named, batch_format="pyarrow"),
+                      ["jscore", "x", "y"], k,
+                      descending=[True, False, False])
+    if out.empty:
+        return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                             "y": pd.Series([], dtype="int64"),
+                             "cn": pd.Series([], dtype="int64"),
+                             "jscore": pd.Series([], dtype="int64")})
+    return out[["x", "y", "cn", "jscore"]].reset_index(drop=True) \
+        .astype("int64")
