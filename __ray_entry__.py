@@ -8471,6 +8471,26 @@ def q_copurchase_assortativity(sf_dir: str):
     return degree_assortativity_stats(edges)
 
 
+def q_value_zscore_breaches(sf_dir: str):
+    """Rolling z-score control-chart census over event values
+    (functions/window.rolling_zscore_breach_counts): per user, order by
+    (ts, event_id); over each FULL 15-row trailing window flag values
+    more than 3 population sigmas from the window mean via the
+    denominator-cleared integer rule (15x−S)² > 9(15Q−S²) on cents —
+    per-event-type (n_eval, n_breach).  The point-outlier companion of
+    error_cusum_alarms (CUSUM detects sustained level SHIFTS; a control
+    chart counts isolated spikes against a LOCAL baseline — the
+    telemetry-quality op a log pipeline runs on latency columns).  One
+    key-bucket exchange, segmented padded cumsums, group-bounded merge."""
+    from timberjack_ray.functions.window import rolling_zscore_breach_counts
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value", "event_type"])
+    return rolling_zscore_breach_counts(
+        ds, "user_id", "ts", "event_id", "value", "event_type",
+        window=15, k_sigma=3, scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8778,6 +8798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_median": q_user_rolling_median,
         "part_neighbor_jaccard": q_part_neighbor_jaccard,
         "copurchase_assortativity": q_copurchase_assortativity,
+        "value_zscore_breaches": q_value_zscore_breaches,
     }
 
 
@@ -12961,6 +12982,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM e
                               WHERE e.u = w.x AND e.v = w.y)
             ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "value_zscore_breaches": """
+            WITH b AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            w AS (
+              SELECT event_type, c,
+                     COUNT(*) OVER win AS n,
+                     SUM(c) OVER win AS s,
+                     SUM(c * c) OVER win AS q
+              FROM b
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+            SELECT event_type, COUNT(*) AS n_eval,
+                   CAST(SUM(CASE WHEN (15*c - s)*(15*c - s)
+                                      > 9*(15*q - s*s)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+            FROM w WHERE n = 15
+            GROUP BY event_type ORDER BY event_type
         """,
         "copurchase_assortativity": """
             WITH gi AS MATERIALIZED (

@@ -150,3 +150,48 @@ def test_knn_join_q8_guard_and_ties(ray_session):
 
     with pytest.raises(ValueError, match="max_rows"):
         knn_join_q8(ds, k=1, max_rows=2)
+
+
+def test_rolling_zscore_breach_matches_pandas_reference(ray_session):
+    """rolling_zscore_breach_counts: the bucketed segmented-cumsum kernel
+    agrees with a per-key Python loop applying the integer rule
+    (W*x - S)^2 > k^2*(W*Q - S^2) over full windows only, spikes planted."""
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import rolling_zscore_breach_counts
+
+    rng = np.random.default_rng(5)
+    n, W, K = 1500, 7, 2
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n) * 1000, unit="us"),
+        "event_id": np.arange(n),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    df.loc[rng.choice(n, 30, replace=False), "value"] = 7000.0
+
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d2 = df.assign(c=cents).sort_values(["user_id", "ts", "event_id"])
+    out = {et: [0, 0] for et in ["a", "b", "c"]}
+    for _, g in d2.groupby("user_id"):
+        c = g["c"].to_numpy()
+        ets = g["event_type"].to_numpy()
+        for i in range(W - 1, len(c)):
+            w = c[i + 1 - W:i + 1]
+            S, Q, x = int(w.sum()), int(sum(int(v) ** 2 for v in w)), int(c[i])
+            out[ets[i]][0] += 1
+            if (W * x - S) ** 2 > K * K * (W * Q - S * S):
+                out[ets[i]][1] += 1
+    ref = pd.DataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(out.items()) if v[0] > 0],
+        columns=["event_type", "n_eval", "n_breach"]) \
+        .astype({"n_eval": "int64", "n_breach": "int64"})
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    got = rolling_zscore_breach_counts(
+        ds, "user_id", "ts", "event_id", "value", "event_type",
+        window=W, k_sigma=K, n_buckets=8).reset_index(drop=True)
+    assert got.equals(ref), (got, ref)

@@ -437,3 +437,82 @@ def multiline_stitch_stats(ds, id_col: str, type_col: str,
     return out.sort_values("event_type").reset_index(drop=True) \
         .astype({"n_records": "int64", "total_lines": "int64",
                  "max_lines": "int64"})
+
+
+def rolling_zscore_breach_counts(ds, key_col: str, ts_col: str, id_col: str,
+                                 val_col: str, by_col: str, window: int = 15,
+                                 k_sigma: int = 3, scale: int = 100,
+                                 n_buckets: int = 256) -> pd.DataFrame:
+    """Rolling z-score control-chart census: per key, order rows by
+    (ts, id) and over each FULL trailing window of ``window`` rows
+    (current row included) flag a breach when the current value sits
+    more than ``k_sigma`` population standard deviations from the window
+    mean — evaluated as the PURE-INTEGER inequality
+
+        (n*x - S)^2  >  k^2 * (n*Q - S^2)        (n = window,
+                                                  S = sum, Q = sum of squares,
+                                                  x scaled to ints by ``scale``)
+
+    which is z^2 > k^2 cleared of denominators, so the census is
+    bit-exact and the SQL oracle replays it with window SUMs.  Returns
+    per ``by_col`` group: rows evaluated (full windows only) and breach
+    count — the streaming anomaly-rate profile (CUSUM detects level
+    SHIFTS; this counts point outliers against a local baseline).
+
+    Scale shape: ONE key-bucket exchange; inside a bucket every key
+    resolves in one vectorized pass (lexsort, padded segmented cumsums
+    of x and x^2, full-window mask) — never per-key Python; partials are
+    |by_col| rows per bucket and the merge is group-domain-bounded.
+    Int64 headroom: the x^2 running cumsum caps at rows_per_bucket *
+    (scale*max_val)^2, fine below ~1e9 rows/bucket at cents magnitude.
+    """
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+
+    k2 = int(k_sigma) * int(k_sigma)
+    W = int(window)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from timberjack_ray.functions.util import scale_to_int_np
+
+        empty = pa.table({by_col: pa.array([], pa.string()),
+                          "n_eval": pa.array([], pa.int64()),
+                          "n_breach": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        x = scale_to_int_np(t[val_col].to_numpy(zero_copy_only=False),
+                            scale)
+        by = t[by_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, key))
+        ks, xs, bys = key[order], x[order], by[order]
+        starts, sizes = _segments(ks)
+        n = len(xs)
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n)
+        full = idx - seg_start + 1 >= W
+        if not full.any():
+            return empty
+        cs = np.r_[0, np.cumsum(xs)]
+        cq = np.r_[0, np.cumsum(xs * xs)]
+        # full-window sums: window = rows (i-W+1 .. i), all inside the
+        # segment exactly when full[i]
+        S = cs[idx + 1] - cs[idx + 1 - W]
+        Q = cq[idx + 1] - cq[idx + 1 - W]
+        lhs = (W * xs - S) ** 2
+        rhs = k2 * (W * Q - S * S)
+        breach = full & (lhs > rhs)
+        g = pa.table({by_col: pa.array(bys[full]),
+                      "b": pa.array(breach[full].astype(np.int64))}) \
+            .group_by([by_col]).aggregate([([], "count_all"), ("b", "sum")])
+        return g.rename_columns([by_col, "n_eval", "n_breach"])
+
+    bucketed = add_key_bucket(ds, key_col, n_buckets)
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    out = merge_partials(partials, [by_col], ["n_eval", "n_breach"]) \
+        .to_pandas().sort_values(by_col).reset_index(drop=True)
+    return out.astype({"n_eval": "int64", "n_breach": "int64"})
