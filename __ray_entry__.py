@@ -8491,6 +8491,25 @@ def q_value_zscore_breaches(sf_dir: str):
         window=15, k_sigma=3, scale=100)
 
 
+def q_session_path_top20(sf_dir: str):
+    """Clickstream path mining (functions/sessions.session_path_topk):
+    sessionize events per user with the 1-hour gap rule (the
+    session_counts rule), render each session as its '>'-joined
+    event-type sequence in (ts, event_id) order, census identical
+    journeys, return the top-20 by (n desc, path) — the whole-journey
+    census (event_path_trigrams sees 3-grams; funnels test ONE
+    hypothesis; this surfaces the journeys you didn't hypothesize).
+    Full paths fold to per-bucket partials immediately and never
+    re-shuffle; the merge is path-vocabulary-guarded with a distributed
+    sorted_topk degrade."""
+    from timberjack_ray.functions.sessions import session_path_topk
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return session_path_topk(ds, "user_id", "ts", "event_id",
+                             "event_type", gap_s=3600, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8799,6 +8818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_neighbor_jaccard": q_part_neighbor_jaccard,
         "copurchase_assortativity": q_copurchase_assortativity,
         "value_zscore_breaches": q_value_zscore_breaches,
+        "session_path_top20": q_session_path_top20,
     }
 
 
@@ -12982,6 +13002,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM e
                               WHERE e.u = w.x AND e.v = w.y)
             ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "session_path_top20": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts)
+                                  > 3600000000
+                          THEN 1 ELSE 0 END AS is_start
+              FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid)
+            SELECT path, COUNT(*) AS n FROM p
+            GROUP BY path ORDER BY n DESC, path LIMIT 20
         """,
         "value_zscore_breaches": """
             WITH b AS (

@@ -472,3 +472,56 @@ def test_survival_histogram_censoring_planted(ray_session):
     got = {int(r.day): (int(r.n_event), int(r.n_censored))
            for r in out.itertuples()}
     assert got == {3: (1, 0), 9: (0, 1), 4: (0, 1)}
+
+
+def test_session_path_topk_matches_pandas_reference(ray_session):
+    """session_path_topk: bucketed vectorized paths match a per-key
+    Python reference applying the same gap rule and (ts, id) order,
+    including exact-gap boundaries and duplicate timestamps."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import session_path_topk
+
+    rng = np.random.default_rng(17)
+    n, gap_s = 1200, 60
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n),
+        # coarse sparse grid -> real gaps, exact-gap ties, dup stamps
+        "ts": pd.to_datetime(
+            rng.integers(0, 3000, n) * gap_s * 1_000_000, unit="us"),
+        "event_id": rng.permutation(n),
+        "event_type": rng.choice(["v", "c", "p"], n),
+    })
+
+    ref_counts: dict = {}
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]) \
+            .groupby("user_id"):
+        tvals = g["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        ets = g["event_type"].to_numpy()
+        cur = [ets[0]]
+        for i in range(1, len(g)):
+            if tvals[i] - tvals[i - 1] > gap_s * 1_000_000:
+                p = ">".join(cur)
+                ref_counts[p] = ref_counts.get(p, 0) + 1
+                cur = []
+            cur.append(ets[i])
+        p = ">".join(cur)
+        ref_counts[p] = ref_counts.get(p, 0) + 1
+    ref = pd.DataFrame(sorted(ref_counts.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:15],
+                       columns=["path", "n"]).astype({"n": "int64"})
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+    got = session_path_topk(ds, "user_id", "ts", "event_id", "event_type",
+                            gap_s=gap_s, k=15, n_buckets=8) \
+        .reset_index(drop=True)
+    assert got.equals(ref), (got, ref)
+    # forced distributed degrade agrees
+    got2 = session_path_topk(ds, "user_id", "ts", "event_id", "event_type",
+                             gap_s=gap_s, k=15, n_buckets=8,
+                             path_driver_limit=0).reset_index(drop=True)
+    assert got2.equals(ref), (got2, ref)

@@ -1160,3 +1160,75 @@ def concurrent_span_pairs(ds, key_col: str, ts_col: str, gap_s: int,
     out = merge_partials(p, ["day"], "n_pairs").to_pandas()
     return out.sort_values("day").reset_index(drop=True) \
         .astype({"day": "int64", "n_pairs": "int64"})
+
+
+def session_path_topk(ds, key_col: str, ts_col: str, id_col: str,
+                      type_col: str, gap_s: int, k: int = 20,
+                      sep: str = ">", n_buckets: int = 256,
+                      path_driver_limit: int = 2_000_000):
+    """Top-k SESSION PATHS: sessionize per key (new session when the gap
+    since the previous event exceeds ``gap_s`` seconds), render each
+    session as the ``sep``-joined sequence of ``type_col`` values in
+    (ts, id) order, and return the ``k`` most frequent paths by
+    (n desc, path asc) — clickstream path mining, the sequence-census
+    big sibling of event_path_trigrams (trigrams census local windows;
+    this censuses WHOLE journeys, the "what do converting sessions look
+    like" query).
+
+    Scale shape: ONE key-bucket exchange (events for one key land in one
+    task); inside a bucket all keys resolve in a single vectorized pass
+    — lexsort (key, ts, id), µs-exact gap flags forced False at segment
+    starts, segmented cumsum for session ids — and path strings fold to
+    per-bucket (path, n) partials immediately, so full paths never
+    re-shuffle.  The partial merge is path-vocabulary-sized, guarded by
+    ``path_driver_limit``: past it the SAME partials degrade to a
+    distributed groupby-sum + ``sorted_topk`` and nothing unbounded
+    touches the driver."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import _segments, add_key_bucket
+    from timberjack_ray.functions.relational import sorted_topk
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        ts = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ets = t[type_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, key))
+        ks, ss, es = key[order], ts[order], ets[order]
+        starts, sizes = _segments(ks)
+        # new session at every key-segment start or gap break; the cumsum
+        # gives bucket-unique session labels (keys never split buckets)
+        brk = np.r_[False, np.diff(ss) > gap_us]
+        brk[starts] = True
+        sid = np.cumsum(brk)
+        paths = pd.Series(es).groupby(sid, sort=False).agg(sep.join)
+        g = pa.table({"path": pa.array(paths.to_numpy(), pa.string())}) \
+            .group_by(["path"]).aggregate([([], "count_all")])
+        return g.rename_columns(["path", "n"])
+
+    bucketed = add_key_bucket(
+        ds.select_columns([key_col, ts_col, id_col, type_col]),
+        key_col, n_buckets)
+    partials = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    merged, mode = merge_partials_or_ds(partials, ["path"], ["n"],
+                                        path_driver_limit)
+    if mode == "driver":
+        out = merged.to_pandas().sort_values(
+            ["n", "path"], ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+    else:
+        out = sorted_topk(merged, ["n", "path"], k,
+                          descending=[True, False]).reset_index(drop=True)
+    if out.empty:
+        return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    return out[["path", "n"]].astype({"n": "int64"})
