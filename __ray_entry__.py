@@ -8510,6 +8510,32 @@ def q_session_path_top20(sf_dir: str):
                              "event_type", gap_s=3600, k=20)
 
 
+def q_doc_rrf_fusion_top20(sf_dir: str):
+    """Hybrid-retrieval rank fusion (functions/text.rrf_fusion_topk):
+    fuse two deterministic integer relevance rankings over documents —
+    by n_chars and by single-space token count (the doc_token_counts
+    rule) — with reciprocal-rank fusion under RANK() tie semantics and
+    the exact-integer score sum(1e12 // (60 + rank_i)); top-20 by
+    (rrf desc, doc_id).  The combiner that merges a BM25 list with an
+    ANN list in hybrid search, run here over SQL-replayable signals so
+    the whole fusion is hash-checked (bm25_docs/ann stay the rows-only
+    float twins).  Two streaming passes, histogram-guarded rank census,
+    NO row shuffle — rank ties share a value by construction so no
+    global sort is needed."""
+    from timberjack_ray.functions.text import rrf_fusion_topk
+
+    def scores(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"],
+                         "n_tok": toks})
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(scores, batch_format="pyarrow")
+    return rrf_fusion_topk(ds, "doc_id", ["n_chars", "n_tok"], k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8819,6 +8845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "value_zscore_breaches": q_value_zscore_breaches,
         "session_path_top20": q_session_path_top20,
+        "doc_rrf_fusion_top20": q_doc_rrf_fusion_top20,
     }
 
 
@@ -13002,6 +13029,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM e
                               WHERE e.u = w.x AND e.v = w.y)
             ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "doc_rrf_fusion_top20": """
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     RANK() OVER (ORDER BY n_chars DESC) AS r1,
+                     RANK() OVER (ORDER BY n_tok DESC) AS r2
+              FROM t)
+            SELECT doc_id,
+                   CAST(r1 AS BIGINT) AS rank_n_chars,
+                   CAST(r2 AS BIGINT) AS rank_n_tok,
+                   CAST(1000000000000 // (60 + r1)
+                        + 1000000000000 // (60 + r2) AS BIGINT) AS rrf
+            FROM r ORDER BY rrf DESC, doc_id LIMIT 20
         """,
         "session_path_top20": """
             WITH o AS (

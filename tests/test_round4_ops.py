@@ -195,3 +195,40 @@ def test_rolling_zscore_breach_matches_pandas_reference(ray_session):
         ds, "user_id", "ts", "event_id", "value", "event_type",
         window=W, k_sigma=K, n_buckets=8).reset_index(drop=True)
     assert got.equals(ref), (got, ref)
+
+
+def test_rrf_fusion_matches_bruteforce_with_ties(ray_session):
+    """rrf_fusion_topk: histogram-derived RANK() ranks + integer fused
+    score agree with a brute force on tie-heavy random scores; the
+    hist_limit guard raises past the domain bound."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from timberjack_ray.functions.text import rrf_fusion_topk
+
+    rng = np.random.default_rng(23)
+    n, scale, krrf = 400, 10**12, 60
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "s1": rng.integers(0, 12, n),      # heavy ties
+        "s2": rng.integers(0, 300, n),
+    })
+
+    def rank_desc(col):
+        v = df[col].to_numpy()
+        return np.array([1 + int((v > x).sum()) for x in v], dtype=np.int64)
+
+    r1, r2 = rank_desc("s1"), rank_desc("s2")
+    rrf = scale // (krrf + r1) + scale // (krrf + r2)
+    ref = pd.DataFrame({"doc_id": df["doc_id"], "rank_s1": r1,
+                        "rank_s2": r2, "rrf": rrf}) \
+        .sort_values(["rrf", "doc_id"], ascending=[False, True]) \
+        .head(15).reset_index(drop=True).astype("int64")
+
+    ds = rd.from_pandas(df).repartition(4)
+    got = rrf_fusion_topk(ds, "doc_id", ["s1", "s2"], k=15)
+    assert got.equals(ref), (got, ref)
+
+    with pytest.raises(ValueError, match="hist_limit"):
+        rrf_fusion_topk(ds, "doc_id", ["s1", "s2"], k=5, hist_limit=3)

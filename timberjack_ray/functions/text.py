@@ -1112,3 +1112,95 @@ def compress_ratio_by_group(ds, group_col: str = "source",
         .to_pandas()
     return out.sort_values(group_col).reset_index(drop=True) \
         .astype({"n_docs": "int64", "raw_b": "int64", "comp_b": "int64"})
+
+
+def rrf_fusion_topk(ds, id_col: str, score_cols: list[str], k: int = 20,
+                    k_rrf: int = 60, scale: int = 10**12,
+                    hist_limit: int = 2_000_000) -> pd.DataFrame:
+    """Reciprocal-rank fusion of N deterministic integer rankings: each
+    row ranks within every ``score_cols`` column by RANK() semantics
+    (rank = 1 + count of rows with a STRICTLY greater score — ties share
+    a rank, which is what makes the rank derivable from a histogram),
+    and the fused score is the pure-integer
+
+        rrf = sum_i  scale // (k_rrf + rank_i)
+
+    — Cormack et al.'s reciprocal-rank fusion with the float 1/(k+r)
+    scaled to an exact integer so the SQL oracle (RANK() OVER + integer
+    floor division) replays it bit-for-bit.  Returns the top-``k`` rows
+    by (rrf desc, id asc) with each per-column rank alongside — the
+    hybrid-retrieval combiner (BM25 list + ANN list -> one list) run
+    here over any integer relevance signals.
+
+    Scale shape: TWO streaming passes and no row-level shuffle — pass 1
+    folds per-column (value, count) histogram partials (merge bounded by
+    the score DOMAIN, guarded by ``hist_limit``); the driver converts
+    each histogram to a strictly-greater prefix table broadcast via
+    ``ray.put``; pass 2 maps every row to its ranks + fused score by
+    ``searchsorted`` and a distributed ``sorted_topk`` keeps <= k rows
+    per block.  Rank ties share a value by construction, so no
+    within-tie global ordering (the thing that WOULD need a sort) is
+    ever required."""
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.relational import sorted_topk
+    from timberjack_ray.functions.util import fetch_broadcast
+
+    cols = list(score_cols)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for i, c in enumerate(cols):
+            g = pa.table({"col": pa.array(
+                np.full(t.num_rows, i, dtype=np.int64)),
+                "val": t[c].cast(pa.int64())}) \
+                .group_by(["col", "val"]).aggregate([([], "count_all")])
+            outs.append(g.rename_columns(["col", "val", "n"]))
+        return pa.concat_tables(outs)
+
+    hist, mode = merge_partials_or_ds(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["col", "val"], ["n"], hist_limit)
+    if mode != "driver":
+        raise ValueError(
+            f"rrf_fusion_topk: score-value domain exceeds hist_limit="
+            f"{hist_limit}; bucket the scores (the rank census no longer "
+            f"broadcasts)")
+    hcol = hist["col"].to_numpy(zero_copy_only=False)
+    hval = hist["val"].to_numpy(zero_copy_only=False)
+    hn = hist["n"].to_numpy(zero_copy_only=False)
+    maps = []
+    for i in range(len(cols)):
+        m = hcol == i
+        vals = hval[m]
+        ns = hn[m]
+        order = np.argsort(vals)
+        vals, ns = vals[order], ns[order]
+        # strictly-greater counts: suffix sum excluding the value itself
+        greater = np.r_[np.cumsum(ns[::-1])[::-1][1:], 0]
+        maps.append((vals, greater))
+    maps_ref = ray.put(maps)
+
+    def rank_fuse(t: pa.Table) -> pa.Table:
+        ms = fetch_broadcast(maps_ref)
+        out = {id_col: t[id_col]}
+        rrf = np.zeros(t.num_rows, dtype=np.int64)
+        for i, c in enumerate(cols):
+            vals, greater = ms[i]
+            x = t[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            r = greater[np.searchsorted(vals, x)] + 1
+            out[f"rank_{c}"] = pa.array(r.astype(np.int64))
+            rrf += scale // (k_rrf + r)
+        out["rrf"] = pa.array(rrf)
+        return pa.table(out)
+
+    out = sorted_topk(ds.map_batches(rank_fuse, batch_format="pyarrow"),
+                      ["rrf", id_col], k, descending=[True, False])
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             **{f"rank_{c}": pd.Series([], dtype="int64")
+                                for c in cols},
+                             "rrf": pd.Series([], dtype="int64")})
+    keep = [id_col] + [f"rank_{c}" for c in cols] + ["rrf"]
+    return out[keep].reset_index(drop=True).astype("int64")
