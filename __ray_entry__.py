@@ -8536,6 +8536,23 @@ def q_doc_rrf_fusion_top20(sf_dir: str):
     return rrf_fusion_topk(ds, "doc_id", ["n_chars", "n_tok"], k=20)
 
 
+def q_value_moment_stats(sf_dir: str):
+    """Per-event-type EXACT moment sufficient statistics to order 4
+    (functions/relational.grouped_moment_stats): (n, Σc, Σc², Σc³, Σc⁴)
+    on cents, the Σc³/Σc⁴ sums carried through int64-safe LIMB
+    arithmetic (c²=a·1e5+b decomposition, Python-int recombination on
+    the type-bounded fold) and emitted as base-1e18 (hi, lo) pairs that
+    the SQL oracle replays from HUGEINT sums with the identical
+    non-negative-remainder split.  Skewness/kurtosis — the
+    distribution-SHAPE drift signals that move before the mean does —
+    are the consumer's floats over these ints.  One streaming pass, no
+    shuffle, partials |types| rows per batch."""
+    from timberjack_ray.functions.relational import grouped_moment_stats
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_moment_stats(ds, "event_type", "value", scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8846,6 +8863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_breaches": q_value_zscore_breaches,
         "session_path_top20": q_session_path_top20,
         "doc_rrf_fusion_top20": q_doc_rrf_fusion_top20,
+        "value_moment_stats": q_value_moment_stats,
     }
 
 
@@ -13029,6 +13047,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM e
                               WHERE e.u = w.x AND e.v = w.y)
             ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "value_moment_stats": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(c) AS s1,
+                     SUM(CAST(c AS HUGEINT) * c) AS s2,
+                     SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+                     SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+              FROM b GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+                   CAST((s3 - ((s3 % 1000000000000000000 + 1000000000000000000) % 1000000000000000000)) // 1000000000000000000
+                        AS BIGINT) AS s3_hi,
+                   CAST(((s3 % 1000000000000000000 + 1000000000000000000) % 1000000000000000000) AS BIGINT) AS s3_lo,
+                   CAST((s4 - ((s4 % 1000000000000000000 + 1000000000000000000) % 1000000000000000000)) // 1000000000000000000
+                        AS BIGINT) AS s4_hi,
+                   CAST(((s4 % 1000000000000000000 + 1000000000000000000) % 1000000000000000000) AS BIGINT) AS s4_lo
+            FROM s ORDER BY event_type
         """,
         "doc_rrf_fusion_top20": """
             WITH t AS (

@@ -232,3 +232,43 @@ def test_rrf_fusion_matches_bruteforce_with_ties(ray_session):
 
     with pytest.raises(ValueError, match="hist_limit"):
         rrf_fusion_topk(ds, "doc_id", ["s1", "s2"], k=5, hist_limit=3)
+
+
+def test_grouped_moment_stats_limb_exactness(ray_session):
+    """grouped_moment_stats: limb-recombined Σc³/Σc⁴ equal a Python-int
+    brute force, including NEGATIVE values (odd moments go negative and
+    the base-1e18 split must keep lo >= 0) and s4 past int64."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_moment_stats
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        # values in dollars, negatives included; |cents| <= 1e5 bound
+        "v": np.round(rng.uniform(-999, 999, n), 2),
+    })
+    got = grouped_moment_stats(
+        rd.from_pandas(df).repartition(4), "g", "v", scale=100)
+
+    E = 10**18
+    for gname, sub in df.groupby("g"):
+        c = [int(np.floor(x * 100 + 0.5)) for x in sub["v"]]
+        s3 = sum(x**3 for x in c)
+        s4 = sum(x**4 for x in c)
+        row = got[got["g"] == gname].iloc[0]
+        assert int(row.n) == len(c)
+        assert int(row.s1) == sum(c)
+        assert int(row.s2) == sum(x * x for x in c)
+        assert (int(row.s3_hi), int(row.s3_lo)) == divmod(s3, E)
+        assert (int(row.s4_hi), int(row.s4_lo)) == divmod(s4, E)
+        assert 0 <= int(row.s3_lo) < E and 0 <= int(row.s4_lo) < E
+
+    # magnitude contract enforced, not silently wrapped (the ValueError
+    # surfaces wrapped in RayTaskError from the map task)
+    big = pd.DataFrame({"g": ["a"], "v": [2000.0]})
+    with pytest.raises(Exception, match="max_abs_scaled"):
+        grouped_moment_stats(rd.from_pandas(big), "g", "v", scale=100)

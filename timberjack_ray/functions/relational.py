@@ -2034,3 +2034,85 @@ def rolling_quantile_per_key_ds(ds, key_col: str, ts_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+_LIMB = 100_000            # limb base for c^2 = a*LIMB + b
+_SPLIT = 10**18            # output hi/lo split base
+
+
+def grouped_moment_stats(ds, group_col: str, val_col: str,
+                         scale: int = 100,
+                         max_abs_scaled: int = 100_000) -> pd.DataFrame:
+    """EXACT per-group central-moment sufficient statistics up to order
+    4 over a scaled-integer value column: per group returns
+
+        (n, s1, s2, s3_hi, s3_lo, s4_hi, s4_lo)
+
+    where s_k = SUM(c^k) on c = round(value*scale), and the order-3/4
+    sums — which overflow int64 long before any realistic row count —
+    are computed EXACTLY via limb arithmetic (c^2 = a*1e5 + b; c^3 =
+    (c*a)*1e5 + c*b; c^4 = a^2*1e10 + 2ab*1e5 + b^2; each limb sum
+    stays < 2^63 per partial, the recombination happens in PYTHON ints
+    on the type-bounded driver fold) and emitted as a base-1e18
+    (hi, lo) pair with lo >= 0 — the same non-negative-remainder split
+    the SQL oracle replays from HUGEINT sums.  Skewness and kurtosis
+    are the consumer's floats; these ints are their exact inputs (the
+    distribution-shape profiler: outlier tails show in kurtosis before
+    they show in the mean).
+
+    Magnitude contract: |c| <= ``max_abs_scaled`` (default 1e5 = $1000
+    at cents) keeps every limb partial safe below ~1e9 rows per batch;
+    violated rows raise rather than silently wrap.  s1/s2 stay plain
+    int64 (exact below ~4e8 rows per group at that magnitude — past
+    that, widen them to the same hi/lo scheme).
+    One streaming pass; partials are |groups| rows per batch; no
+    shuffle."""
+    from timberjack_ray.functions.util import scale_to_int_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        c = scale_to_int_np(t[val_col].to_numpy(zero_copy_only=False),
+                            scale)
+        if len(c) and int(np.abs(c).max()) > max_abs_scaled:
+            raise ValueError(
+                f"grouped_moment_stats: |scaled value| "
+                f"{int(np.abs(c).max())} exceeds max_abs_scaled="
+                f"{max_abs_scaled}; raise scale-aware limbs first")
+        c2 = c * c
+        a, b = c2 // _LIMB, c2 % _LIMB
+        tbl = pa.table({
+            group_col: g,
+            "s1": pa.array(c), "s2": pa.array(c2),
+            "s3a": pa.array(c * a), "s3b": pa.array(c * b),
+            "s4a": pa.array(a * a), "s4b": pa.array(a * b),
+            "s4c": pa.array(b * b)})
+        out = tbl.group_by([group_col]).aggregate(
+            [([], "count_all")] + [(x, "sum") for x in
+                                   ["s1", "s2", "s3a", "s3b",
+                                    "s4a", "s4b", "s4c"]])
+        return out.rename_columns([group_col, "n", "s1", "s2", "s3a",
+                                   "s3b", "s4a", "s4b", "s4c"])
+
+    acc: dict = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        d = t.to_pydict()
+        for i in range(len(d[group_col])):
+            k = d[group_col][i]
+            row = acc.setdefault(k, [0] * 8)
+            for j, col in enumerate(["n", "s1", "s2", "s3a", "s3b",
+                                     "s4a", "s4b", "s4c"]):
+                row[j] += int(d[col][i])
+    rows = []
+    for k in sorted(acc):
+        n, s1, s2, s3a, s3b, s4a, s4b, s4c = acc[k]
+        s3 = s3a * _LIMB + s3b
+        s4 = s4a * _LIMB * _LIMB + 2 * s4b * _LIMB + s4c
+        s3_hi, s3_lo = divmod(s3, _SPLIT)
+        s4_hi, s4_lo = divmod(s4, _SPLIT)
+        rows.append((k, n, s1, s2, s3_hi, s3_lo, s4_hi, s4_lo))
+    return pd.DataFrame(rows, columns=[
+        group_col, "n", "s1", "s2", "s3_hi", "s3_lo",
+        "s4_hi", "s4_lo"]).astype({c: "int64" for c in
+                                   ["n", "s1", "s2", "s3_hi", "s3_lo",
+                                    "s4_hi", "s4_lo"]})
