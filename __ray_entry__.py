@@ -8553,6 +8553,40 @@ def q_value_moment_stats(sf_dir: str):
     return grouped_moment_stats(ds, "event_type", "value", scale=100)
 
 
+def q_order_session_overlap(sf_dir: str):
+    """Keyed interval-overlap join, counting form
+    (functions/sessions.session_window_overlap_counts): user sessions
+    (1-hour gap rule) vs the 3-hour window after each PURCHASE event by
+    the same user — per purchase day-of-month: total overlapping
+    (session, window) pairs (a 3h window can span several sessions —
+    the gap rule is 1h), windows with >= 1 overlapping session, and
+    window count.  The attribution interval join ("was the user
+    mid-session while the offer window was open?") that asof_join
+    (nearest point) and range_join (banded points) don't express: BOTH
+    sides are intervals.  One tagged-union hash(key) exchange; per-key
+    session disjointness turns the count into two composite
+    searchsorteds — no pair expansion.  (Orders vs events would be the
+    natural pairing but the synth tables put them in disjoint YEARS —
+    purchase windows keep the truth non-degenerate.)"""
+    from timberjack_ray.functions.sessions import \
+        session_window_overlap_counts
+
+    events = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        t = t.filter(m)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "day": pc.strftime(t["ts"], format="%d")})
+
+    right = _rp(sf_dir, "events",
+                columns=["user_id", "ts", "event_type"]) \
+        .map_batches(purchases, batch_format="pyarrow")
+    return session_window_overlap_counts(
+        events, "user_id", "ts", 3600, right, "user_id",
+        "ts", 10_800_000_000, "day")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8864,6 +8898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_path_top20": q_session_path_top20,
         "doc_rrf_fusion_top20": q_doc_rrf_fusion_top20,
         "value_moment_stats": q_value_moment_stats,
+        "order_session_overlap": q_order_session_overlap,
     }
 
 
@@ -13047,6 +13082,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM e
                               WHERE e.u = w.x AND e.v = w.y)
             ORDER BY jscore DESC, w.x, w.y LIMIT 20
+        """,
+        "order_session_overlap": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts)
+                                  > 3600000000
+                          THEN 1 ELSE 0 END AS is_start
+              FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS prev_ts
+                FROM events)),
+            sx AS (
+              SELECT user_id, ts,
+                     SUM(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+            sp AS (
+              SELECT user_id, sid,
+                     MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+              FROM sx GROUP BY user_id, sid),
+            w AS (
+              SELECT ROW_NUMBER() OVER () AS wid,
+                     strftime(ts, '%d') AS day, user_id,
+                     epoch_us(ts) AS a,
+                     epoch_us(ts) + 10800000000 AS b
+              FROM events WHERE event_type = 'purchase'),
+            j AS (
+              SELECT w.day, w.wid, COUNT(sp.sid) AS cnt
+              FROM w LEFT JOIN sp
+                ON sp.user_id = w.user_id
+               AND sp.s <= w.b AND w.a <= sp.e
+              GROUP BY 1, 2)
+            SELECT day,
+                   CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit,
+                   COUNT(*) AS n_right
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -525,3 +525,66 @@ def test_session_path_topk_matches_pandas_reference(ray_session):
                              gap_s=gap_s, k=15, n_buckets=8,
                              path_driver_limit=0).reset_index(drop=True)
     assert got2.equals(ref), (got2, ref)
+
+
+def test_session_window_overlap_matches_bruteforce(ray_session):
+    """session_window_overlap_counts: the two-searchsorted disjoint-
+    interval count agrees with an all-pairs brute force (closed-interval
+    intersection), including right keys with no sessions and windows
+    spanning several sessions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import \
+        session_window_overlap_counts
+
+    rng = np.random.default_rng(31)
+    n, gap_s = 800, 60
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n),
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 4000, n))
+                             * 1_000_000, unit="us"),
+    })
+    nr = 120
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 12, nr),  # some keys have no sessions
+        "ts": pd.to_datetime(rng.integers(0, 4000, nr) * 1_000_000,
+                             unit="us"),
+        "grp": rng.choice(["x", "y", "z"], nr),
+    })
+    W = 150 * 1_000_000  # 150 s window >> 60 s gap: spans sessions
+
+    # brute force: build sessions per user, then all-pairs closed overlap
+    spans = []
+    for uid, g in ev.sort_values(["user_id", "ts"]).groupby("user_id"):
+        tv = g["ts"].astype("int64").to_numpy() // 1000
+        start = tv[0]
+        prev = tv[0]
+        for x in tv[1:]:
+            if x - prev > gap_s * 1_000_000:
+                spans.append((uid, start, prev))
+                start = x
+            prev = x
+        spans.append((uid, start, prev))
+    agg = {}
+    for _, r in right.iterrows():
+        a = int(r["ts"].value) // 1000
+        b = a + W
+        cnt = sum(1 for (u, s, e) in spans
+                  if u == r["user_id"] and s <= b and a <= e)
+        row = agg.setdefault(r["grp"], [0, 0, 0])
+        row[0] += cnt
+        row[1] += 1 if cnt > 0 else 0
+        row[2] += 1
+    ref = pd.DataFrame(
+        [(k, *v) for k, v in sorted(agg.items())],
+        columns=["grp", "n_pairs", "n_hit", "n_right"]).astype(
+            {"n_pairs": "int64", "n_hit": "int64", "n_right": "int64"})
+
+    got = session_window_overlap_counts(
+        rd.from_pandas(ev).repartition(4), "user_id", "ts", gap_s,
+        rd.from_pandas(right).repartition(3), "user_id", "ts", W, "grp",
+        n_buckets=8).reset_index(drop=True)
+    assert got.equals(ref), (got, ref)

@@ -1232,3 +1232,139 @@ def session_path_topk(ds, key_col: str, ts_col: str, id_col: str,
         return pd.DataFrame({"path": pd.Series([], dtype="object"),
                              "n": pd.Series([], dtype="int64")})
     return out[["path", "n"]].astype({"n": "int64"})
+
+
+def session_window_overlap_counts(events_ds, key_col: str, ts_col: str,
+                                  gap_s: int, right_ds, r_key: str,
+                                  r_start: str, r_end_offset_us: int,
+                                  r_group: str, n_buckets: int = 64
+                                  ) -> pd.DataFrame:
+    """Keyed interval-OVERLAP join between per-key sessions and a second
+    table of time windows, counting form: sessionize ``events_ds`` per
+    ``key_col`` (gap rule), give each session its closed span
+    [first_ts, last_ts], and for every right row with window
+    [start, start + r_end_offset_us] on the SAME key count the sessions
+    whose span intersects it (closed intersection: s <= b AND a <= e).
+    Returns per ``r_group``: total overlapping pairs and the number of
+    right rows with at least one overlap — the two-table sibling of
+    concurrent_session_pairs' self-join ("was the user mid-session when
+    the order landed?" — attribution's interval join).
+
+    Scale shape: session spans fold once ((key, session) -> min/max —
+    one groupby over slim int rows); spans and right rows then share ONE
+    tagged-union hash(key) exchange; inside a bucket a per-key DISJOINT
+    property of sessions makes the count a pair of composite-key
+    ``searchsorted``s (spans sorted by (key, start) have end sorted too,
+    so overlaps(a, b) = #{s <= b} − #{e < a}) — no pair expansion, no
+    per-key Python; partials are |groups| rows per bucket."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    sess = sessionize(events_ds.select_columns([key_col, ts_col]),
+                      key_col, ts_col, gap_s)
+
+    def spans_partial(t: pa.Table) -> pa.Table:
+        us = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        g = pa.table({key_col: t[key_col],
+                      "session_id": t["session_id"],
+                      "us": pa.array(us)}) \
+            .group_by([key_col, "session_id"]) \
+            .aggregate([("us", "min"), ("us", "max")])
+        return g.rename_columns([key_col, "session_id", "s", "e"])
+
+    spans = sess.map_batches(spans_partial, batch_format="pyarrow") \
+        .groupby([key_col, "session_id"]) \
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep_spans(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.ones(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__s": pc.cast(t["s"], pa.int64()),
+            "__e": pc.cast(t["e"], pa.int64()),
+            "__g": pa.array(np.full(len(k), "", dtype=object),
+                            pa.string())})
+
+    off_us = int(r_end_offset_us)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        k = t[r_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = _ts_to_int(t[r_start].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.zeros(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__s": pa.array(a),             # window start
+            "__e": pa.array(a + off_us),    # window end
+            "__g": t[r_group]})
+
+    tagged = spans.map_batches(prep_spans, batch_format="pyarrow") \
+        .union(right_ds.select_columns([r_key, r_start, r_group])
+               .map_batches(prep_right, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({r_group: pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "n_hit": pa.array([], pa.int64()),
+                          "n_right": pa.array([], pa.int64())})
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        if len(side) == 0 or not (side == 0).any():
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        s = t["__s"].to_numpy(zero_copy_only=False)
+        e = t["__e"].to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        lk, ls, le = k[is_l], s[is_l], e[is_l]
+        rk, ra, rb = k[~is_l], s[~is_l], e[~is_l]
+        grp = t["__g"].filter(pa.array(~is_l))
+        if len(lk):
+            lo = np.lexsort((ls, lk))
+            lk, ls, le = lk[lo], ls[lo], le[lo]
+            lstarts = np.flatnonzero(np.r_[True, lk[1:] != lk[:-1]])
+            lkeys = lk[lstarts]
+            lcode = np.cumsum(np.r_[True, lk[1:] != lk[:-1]]) - 1
+            base = int(min(ls.min(), le.min(), ra.min(), rb.min()))
+            span = int(max(ls.max(), le.max(), ra.max(), rb.max())) - base
+            off = span + 2
+            if len(lkeys) * off >= 2**62:  # pragma: no cover
+                raise ValueError("session_window_overlap_counts: "
+                                 "composite overflow — raise n_buckets")
+            comp_s = lcode * np.int64(off) + (ls - base)
+            comp_e = lcode * np.int64(off) + (le - base)  # e sorted per key
+            rc = np.searchsorted(lkeys, rk)
+            has = (rc < len(lkeys))
+            rc_c = np.minimum(rc, max(len(lkeys) - 1, 0))
+            has &= lkeys[rc_c] == rk
+            b_rel = np.clip(rb - base + 1, 0, span + 1)
+            a_rel = np.clip(ra - base, 0, span + 1)
+            n_start = np.searchsorted(comp_s, rc_c * np.int64(off) + b_rel,
+                                      "left")
+            n_ended = np.searchsorted(comp_e, rc_c * np.int64(off) + a_rel,
+                                      "left")
+            cnt = np.where(has, n_start - n_ended, 0)
+        else:
+            cnt = np.zeros(len(rk), dtype=np.int64)
+        g = pa.table({r_group: grp, "p": pa.array(cnt.astype(np.int64)),
+                      "h": pa.array((cnt > 0).astype(np.int64))}) \
+            .group_by([r_group]).aggregate(
+                [("p", "sum"), ("h", "sum"), ([], "count_all")])
+        return g.rename_columns([r_group, "n_pairs", "n_hit", "n_right"])
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, [r_group], ["n_pairs", "n_hit", "n_right"]) \
+        .to_pandas().sort_values(r_group).reset_index(drop=True)
+    return out.astype({"n_pairs": "int64", "n_hit": "int64",
+                       "n_right": "int64"})
