@@ -183,6 +183,16 @@ def main() -> None:
         timed("fk_audit", lambda: em.q_fk_violation_audit(SF_DIR))
         timed("quantile_norm", lambda: em.q_quantile_norm_chars(SF_DIR))
         timed("rolling_median", lambda: em.q_user_rolling_median(SF_DIR))
+        # round-4 session-9 trackers: the interval-overlap join, the
+        # normalized link predictor, path mining, rank fusion, and the
+        # integer control-chart / moment profilers
+        timed("session_overlap_join",
+              lambda: em.q_order_session_overlap(SF_DIR))
+        timed("neighbor_jaccard", lambda: em.q_part_neighbor_jaccard(SF_DIR))
+        timed("session_paths", lambda: em.q_session_path_top20(SF_DIR))
+        timed("rrf_fusion", lambda: em.q_doc_rrf_fusion_top20(SF_DIR))
+        timed("zscore_breaches", lambda: em.q_value_zscore_breaches(SF_DIR))
+        timed("moment_stats", lambda: em.q_value_moment_stats(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
