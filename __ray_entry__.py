@@ -8587,6 +8587,61 @@ def q_order_session_overlap(sf_dir: str):
         "ts", 10_800_000_000, "day")
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """FastSS deletion-neighborhood entity resolution
+    (functions/linkage.ed1_neighbor_census): degree histogram of the
+    Levenshtein-distance-1 graph over a deterministic 1-in-5 subset of
+    customer names (how many other names are one edit away — the fuzzy
+    blocking a catalog/crawl-metadata linkage pipeline needs).  Our side
+    never compares string pairs: each name emits O(len) deletion-variant
+    blocking keys, one hash(variant) exchange co-locates them, and
+    positional certificates decide distance 1 with pure integer logic
+    — vs the SQL oracle's all-pairs ``levenshtein`` join, which is the
+    quadratic plan this operator exists to avoid (the subset keeps the
+    oracle tractable at sf0.1).  Alphabet-bounded variant groups, driver
+    sees only the degree histogram."""
+    from timberjack_ray.functions.linkage import ed1_neighbor_census
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def subset(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        keep = pa.array(k % 5 == 0)
+        return t.filter(keep)
+
+    return ed1_neighbor_census(
+        cust.map_batches(subset, batch_format="pyarrow"),
+        "c_name", "c_custkey")
+
+
+def q_orders_pareto(sf_dir: str):
+    """Distributed 2-D skyline (functions/relational.skyline_2d):
+    Pareto-optimal orders trading off EARLIEST order date (minimize)
+    against HIGHEST price (maximize), strict dominance — the
+    multi-criteria shortlist operator (Borzsony et al. 2001) Ray Data
+    lacks.  Per-batch (date, max cents) partials -> one distinct-date
+    groupby -> driver strict-prefix cummax -> broadcast frontier ->
+    streaming filter; rows never sort globally and the driver sees only
+    distinct dates.  Output: the frontier rows."""
+    from timberjack_ray.functions.relational import skyline_2d
+    from timberjack_ray.functions.util import scale_to_int
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "d": t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "p": scale_to_int(t["o_totalprice"], 100),
+        })
+
+    out = skyline_2d(orders.map_batches(prep, batch_format="pyarrow"),
+                     "d", "p")
+    return out.to_pandas().sort_values(["d", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8899,6 +8954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rrf_fusion_top20": q_doc_rrf_fusion_top20,
         "value_moment_stats": q_value_moment_stats,
         "order_session_overlap": q_order_session_overlap,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "orders_pareto": q_orders_pareto,
     }
 
 
@@ -13123,6 +13180,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_hit,
                    COUNT(*) AS n_right
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_name_pairs": """
+            WITH w AS (
+              SELECT c_custkey AS id, c_name AS w FROM customer
+              WHERE c_custkey % 5 = 0),
+            p AS (
+              SELECT a.id, COUNT(b.id) AS n_nb
+              FROM w a LEFT JOIN w b
+                ON a.id <> b.id AND levenshtein(a.w, b.w) = 1
+              GROUP BY a.id)
+            SELECT CAST(n_nb AS BIGINT) AS n_nb,
+                   COUNT(*) AS n_names
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "orders_pareto": """
+            WITH s AS (
+              SELECT o_orderkey, epoch_us(o_orderdate) AS d,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+              FROM orders),
+            g AS (SELECT d, MAX(p) AS mp FROM s GROUP BY d),
+            c AS (
+              SELECT d, mp,
+                     MAX(mp) OVER (ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmx
+              FROM g)
+            SELECT s.o_orderkey, s.d, s.p
+            FROM s JOIN c ON s.d = c.d
+            WHERE s.p = c.mp AND (c.pmx IS NULL OR s.p > c.pmx)
+            ORDER BY s.d, s.o_orderkey
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -544,3 +544,39 @@ def test_grouped_hhi_matches_naive(ray_session):
         ray.data.from_pandas(pd.DataFrame({"k": [1, 1], "cat": ["x", "x"]})),
         "k", "cat").to_pandas()
     assert one["hhi_ppm"].tolist() == [1_000_000]
+
+
+def test_skyline_2d_matches_bruteforce(ray_session):
+    """Strict-dominance Pareto frontier vs an O(n^2) reference,
+    including duplicate points (all survive), x-ties with different y,
+    and the coarse-prefilter degrade path (tiny driver_limit)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import skyline_2d
+
+    r = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": r.integers(0, 50, n).astype(np.int64) << 16,  # coarse blocks
+        "y": r.integers(0, 40, n).astype(np.int64),
+    })
+    # plant exact duplicates of one frontier-ish point
+    df.loc[1, ["x", "y"]] = df.loc[0, ["x", "y"]].to_numpy()
+
+    pts = df[["x", "y"]].to_numpy()
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        d = (pts[:, 0] <= pts[i, 0]) & (pts[:, 1] >= pts[i, 1]) & \
+            ((pts[:, 0] < pts[i, 0]) | (pts[:, 1] > pts[i, 1]))
+        dominated[i] = d.any()
+    want = set(df["id"][~dominated].tolist())
+
+    got = skyline_2d(rd.from_pandas(df).repartition(6), "x", "y") \
+        .to_pandas()
+    assert set(got["id"].tolist()) == want
+
+    # degrade path: driver_limit below distinct-x forces the coarse round
+    got2 = skyline_2d(rd.from_pandas(df).repartition(6), "x", "y",
+                      driver_limit=25, coarse_shift=19).to_pandas()
+    assert set(got2["id"].tolist()) == want

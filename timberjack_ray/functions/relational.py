@@ -2116,3 +2116,112 @@ def grouped_moment_stats(ds, group_col: str, val_col: str,
         "s4_hi", "s4_lo"]).astype({c: "int64" for c in
                                    ["n", "s1", "s2", "s3_hi", "s3_lo",
                                     "s4_hi", "s4_lo"]})
+
+
+def skyline_2d(ds, x_col: str, y_col: str, driver_limit: int = 2_000_000,
+               coarse_shift: int = 16):
+    """Pareto frontier (skyline) of int64 points, minimizing ``x_col``
+    and maximizing ``y_col`` under STRICT dominance: a row survives iff
+    no other row has x' <= x AND y' >= y with at least one strict.  The
+    multi-criteria "best tradeoffs" operator (Borzsony/Kossmann/Stocker
+    2001) Ray Data has no primitive for; equal points all survive.
+
+    Scale shape: the 2-D frontier only needs each distinct x's MAX y —
+    per-batch (x, max y) partials collapse rows batch-locally, one
+    groupby(x) exchange bounded by DISTINCT x merges them, a driver
+    strict-prefix cummax extracts the frontier, and the frontier
+    (xs, required y) is broadcast for a streaming filter pass over the
+    full input.  If distinct x exceeds ``driver_limit``, one coarse
+    round first: max-y per (x >> coarse_shift) block is cummaxed so any
+    x whose y is dominated by a STRICTLY EARLIER block is dropped before
+    the driver sees it (those x' are < x, so dominance is strict); a
+    still-oversized frontier candidate set (pathological anti-correlated
+    dims) raises rather than OOMs the driver.
+    """
+    import ray
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"x": t[x_col], "y": t[y_col]}) \
+            .group_by("x").aggregate([("y", "max")])
+        return g.rename_columns(["x", "my"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("x").aggregate([("my", "max")])
+        return g.rename_columns(["x", "my"])
+
+    gmax = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(merge, batch_format="pyarrow") \
+        .groupby("x").max("my")   # -> columns (x, max(my))
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["x", "my"])
+
+    gmax = gmax.map_batches(norm, batch_format="pyarrow")
+    small = collect_table_under(gmax, driver_limit)
+    if small is None:
+        # coarse prefilter: strict-earlier-block dominance
+        def coarse(t: pa.Table) -> pa.Table:
+            c = t["x"].to_numpy(zero_copy_only=False) >> coarse_shift
+            g = pa.table({"c": pa.array(c), "my": t["my"]}) \
+                .group_by("c").aggregate([("my", "max")])
+            return g.rename_columns(["c", "cmy"])
+
+        ct = collect_table_under(
+            gmax.map_batches(coarse, batch_format="pyarrow")
+                .groupby("c").max("cmy"), driver_limit)
+        if ct is None:
+            raise ValueError(
+                "skyline_2d: even the coarse block table exceeds "
+                "driver_limit; raise coarse_shift")
+        cd = ct.sort_by("c")
+        cs = cd["c"].to_numpy(zero_copy_only=False)
+        cm = cd["max(cmy)"].to_numpy(zero_copy_only=False)
+        pmx = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(cm)[:-1]]
+        ref_c = ray.put((cs, pmx))
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            carr, parr = _fetch_table_pair(ref_c)
+            c = t["x"].to_numpy(zero_copy_only=False) >> coarse_shift
+            idx = np.searchsorted(carr, c)
+            return t.filter(pa.array(
+                t["my"].to_numpy(zero_copy_only=False) > parr[idx]))
+
+        small = collect_table_under(
+            gmax.map_batches(prefilter, batch_format="pyarrow"),
+            driver_limit)
+        if small is None:
+            raise ValueError(
+                "skyline_2d: frontier candidates exceed driver_limit "
+                "(anti-correlated dimensions) — this operator assumes a "
+                "broadcastable frontier")
+    st = small.sort_by("x")
+    xs = st["x"].to_numpy(zero_copy_only=False)
+    ys = st["my"].to_numpy(zero_copy_only=False)
+    pmx = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(ys)[:-1]]
+    keep = ys > pmx
+    fx, fy = xs[keep], ys[keep]
+    ref = ray.put((fx, fy))
+
+    def filter_pass(t: pa.Table) -> pa.Table:
+        fxs, fys = _fetch_table_pair(ref)
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(fxs, x)
+        hit = idx < len(fxs)
+        idc = np.minimum(idx, max(len(fxs) - 1, 0))
+        m = hit & (fxs[idc] == x) & (fys[idc] == y) if len(fxs) \
+            else np.zeros(len(x), bool)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(filter_pass, batch_format="pyarrow")
+
+
+def _fetch_table_pair(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _JOIN_CACHE:
+        _JOIN_CACHE[key] = ray.get(ref)
+    return _JOIN_CACHE[key]
