@@ -8642,6 +8642,30 @@ def q_orders_pareto(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_orders_weighted_sample(sf_dir: str):
+    """Weighted bottom-k priority sample
+    (functions/corpus.priority_sample_bottomk): 200 orders drawn with
+    probability proportional to price — priority = (splitmix64(key)>>1)
+    // cents, global bottom-k by (priority, key).  The MERGEABLE
+    weighted-sampling sketch (bottom-k of a union = bottom-k of merged
+    bottom-k's): per-batch partials keep k rows, no exchange, exact under
+    any partitioning; the SQL oracle replays the splitmix64 chain in
+    HUGEINT and takes the same ORDER BY LIMIT."""
+    from timberjack_ray.functions.corpus import priority_sample_bottomk
+    from timberjack_ray.functions.util import scale_to_int
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": scale_to_int(t["o_totalprice"], 100)})
+
+    out = priority_sample_bottomk(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_orderkey", "cents", 200)
+    return out.rename(columns={"id": "o_orderkey", "w": "w_cents"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8956,6 +8980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_session_overlap": q_order_session_overlap,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "orders_pareto": q_orders_pareto,
+        "orders_weighted_sample": q_orders_weighted_sample,
     }
 
 
@@ -13210,6 +13235,18 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN c ON s.d = c.d
             WHERE s.p = c.mp AND (c.pmx IS NULL OR s.p > c.pmx)
             ORDER BY s.d, s.o_orderkey
+        """,
+        "orders_weighted_sample": f"""
+            WITH s AS (
+              SELECT o_orderkey::HUGEINT AS oid,
+                     GREATEST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT), 1) AS w
+              FROM orders),
+            {_sm_ctes("ws", "s", "oid", ["oid", "w"])}
+            SELECT CAST(oid AS BIGINT) AS o_orderkey,
+                   CAST(w AS BIGINT) AS w_cents,
+                   CAST((h // 2) // w AS BIGINT) AS priority
+            FROM wsx ORDER BY priority, o_orderkey LIMIT 200
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -656,3 +656,32 @@ def test_quantile_normalize_matches_duckdb_window_replay(ray_session):
     j = out.merge(df, on="rid")
     sets = [np.sort(j[j["grp"] == g]["norm"].to_numpy()) for g in "xyz"]
     assert (sets[0] == sets[1]).all() and (sets[1] == sets[2]).all()
+
+
+def test_priority_sample_bottomk_exact_and_mergeable(ray_session):
+    """Bottom-k priority sample: bit-identical to the single-process
+    numpy reference under any partitioning, and weight-sensitive (a row
+    with overwhelming weight is always drawn)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (_splitmix64,
+                                                 priority_sample_bottomk)
+
+    rng = np.random.default_rng(3)
+    n, k = 5000, 100
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    w[ids == 7] = 10_000_000  # overwhelming weight -> certain inclusion
+    df = pd.DataFrame({"id": ids, "w": w})
+
+    h = _splitmix64(ids.astype(np.uint64)) >> np.uint64(1)
+    p = h.astype(np.int64) // w
+    order = np.lexsort((ids, p))[:k]
+    ref = pd.DataFrame({"id": ids[order], "w": w[order],
+                        "priority": p[order]}).reset_index(drop=True)
+
+    for parts in (1, 9):
+        got = priority_sample_bottomk(
+            rd.from_pandas(df).repartition(parts), "id", "w", k)
+        assert got.equals(ref), parts
+    assert 7 in ref["id"].tolist()

@@ -1708,3 +1708,38 @@ def quantile_normalize_ds(ds, group_col: str, val_col: str, id_col: str,
     return bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
+
+
+def priority_sample_bottomk(ds, id_col: str, weight_col: str, k: int):
+    """Weighted bottom-k PRIORITY sampling (the order-statistics sampling
+    sketch of Duffield/Lund/Thorup, integer form): each row gets priority
+    ``(splitmix64(id) >> 1) // max(w, 1)`` — a deterministic pure function
+    of (id, weight), so heavier rows draw proportionally smaller
+    priorities — and the sample is the global bottom-k by (priority, id).
+    Unlike ``pps_sample`` (systematic, needs a per-group weight line) the
+    bottom-k set is MERGEABLE: bottom-k of a union is the bottom-k of the
+    merged per-partition bottom-k's, so each batch keeps only k rows and
+    the driver merges <= k * n_batches — no exchange at all, any
+    partitioning, bit-identical result.  No float RNG anywhere: the SQL
+    oracle replays the splitmix64 chain in HUGEINT and takes the same
+    ORDER BY ... LIMIT k.
+
+    Returns a pandas DataFrame (id, w, priority) sorted by
+    (priority, id), len <= k.
+    """
+    from timberjack_ray.functions.relational import sorted_topk
+
+    proj = ds.select_columns([id_col, weight_col])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        h = _splitmix64(ids.astype(np.uint64)) >> np.uint64(1)
+        p = (h.astype(np.int64)) // w
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "w": pa.array(w), "priority": pa.array(p)})
+
+    out = sorted_topk(proj.map_batches(prio, batch_format="pyarrow"),
+                      ["priority", "id"], k, descending=False)
+    return out.reset_index(drop=True)
