@@ -8666,6 +8666,39 @@ def q_orders_weighted_sample(sf_dir: str):
     return out.rename(columns={"id": "o_orderkey", "w": "w_cents"})
 
 
+def q_purchase_prepost(sf_dir: str):
+    """Event-anchored pre/post window census
+    (functions/sessions.anchored_prepost_sums): around every PURCHASE
+    event, sum the same user's event value cents strictly within the 7
+    days before vs the 7 days after, rolled up per anchor month —
+    interrupted-time-series sufficient statistics ("did engagement move
+    after the purchase?").  A range join + groupby would pair-expand
+    every (anchor, event); here one tagged-union hash(user) exchange,
+    one lexsort + cumsum per bucket, and four composite searchsorteds
+    per anchor resolve the band sums with no pair ever materialized."""
+    from timberjack_ray.functions.sessions import anchored_prepost_sums
+    from timberjack_ray.functions.util import scale_to_int
+
+    events = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "cents": scale_to_int(t["value"], 100)})
+
+    def anchors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "grp": pc.strftime(t["ts"], format="%m")})
+
+    a = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"]) \
+        .map_batches(anchors, batch_format="pyarrow")
+    out = anchored_prepost_sums(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts", "cents", a, "user_id", "ts", "grp",
+        7 * 86_400_000_000)
+    return out.rename(columns={"pre": "pre_cents", "post": "post_cents"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -8981,6 +9014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "orders_pareto": q_orders_pareto,
         "orders_weighted_sample": q_orders_weighted_sample,
+        "purchase_prepost": q_purchase_prepost,
     }
 
 
@@ -13247,6 +13281,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS w_cents,
                    CAST((h // 2) // w AS BIGINT) AS priority
             FROM wsx ORDER BY priority, o_orderkey LIMIT 200
+        """,
+        "purchase_prepost": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            a AS (
+              SELECT user_id AS k, epoch_us(ts) AS t,
+                     strftime(ts, '%m') AS grp
+              FROM events WHERE event_type = 'purchase'),
+            p AS (
+              SELECT a.grp,
+                     SUM(CASE WHEN e.t >= a.t - 604800000000
+                               AND e.t <  a.t THEN e.v ELSE 0 END) AS pre,
+                     SUM(CASE WHEN e.t >  a.t
+                               AND e.t <= a.t + 604800000000
+                              THEN e.v ELSE 0 END) AS post
+              FROM a JOIN e ON e.k = a.k
+              GROUP BY a.grp),
+            n AS (SELECT grp, COUNT(*) AS n_anchors FROM a GROUP BY grp)
+            SELECT n.grp, n.n_anchors,
+                   CAST(COALESCE(p.pre, 0) AS BIGINT) AS pre_cents,
+                   CAST(COALESCE(p.post, 0) AS BIGINT) AS post_cents
+            FROM n LEFT JOIN p ON n.grp = p.grp ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -588,3 +588,53 @@ def test_session_window_overlap_matches_bruteforce(ray_session):
         rd.from_pandas(right).repartition(3), "user_id", "ts", W, "grp",
         n_buckets=8).reset_index(drop=True)
     assert got.equals(ref), (got, ref)
+
+
+def test_anchored_prepost_sums_matches_bruteforce(ray_session):
+    """Band-aggregate join vs an all-pairs reference: strict exclusion
+    of ts == anchor ts, inclusive [t-W] / [t+W] edges, anchors whose key
+    has no events, exact-boundary events planted."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import anchored_prepost_sums
+
+    rng = np.random.default_rng(23)
+    n = 900
+    ev = pd.DataFrame({
+        "k": rng.integers(0, 10, n).astype(np.int64),
+        "t": rng.integers(0, 5000, n).astype(np.int64),
+        "v": rng.integers(-50, 200, n).astype(np.int64),
+    })
+    W = 250
+    na = 150
+    an = pd.DataFrame({
+        "k": rng.integers(0, 14, na).astype(np.int64),  # some keyless
+        "t": rng.integers(0, 5000, na).astype(np.int64),
+        "g": rng.choice(["a", "b", "c"], na),
+    })
+    # plant exact-boundary and same-instant events around anchor 0
+    k0, t0 = int(an.loc[0, "k"]), int(an.loc[0, "t"])
+    ev = pd.concat([ev, pd.DataFrame({
+        "k": [k0] * 3, "t": [t0 - W, t0, t0 + W],
+        "v": [1000, 7777, 2000]})], ignore_index=True)
+
+    agg = {}
+    for _, r in an.iterrows():
+        sub = ev[ev["k"] == r["k"]]
+        pre = int(sub[(sub["t"] >= r["t"] - W) & (sub["t"] < r["t"])]["v"].sum())
+        post = int(sub[(sub["t"] > r["t"]) & (sub["t"] <= r["t"] + W)]["v"].sum())
+        row = agg.setdefault(r["g"], [0, 0, 0])
+        row[0] += 1
+        row[1] += pre
+        row[2] += post
+    ref = pd.DataFrame([(g, *v) for g, v in sorted(agg.items())],
+                       columns=["g", "n_anchors", "pre", "post"]) \
+        .astype({"n_anchors": "int64", "pre": "int64", "post": "int64"})
+
+    got = anchored_prepost_sums(
+        rd.from_pandas(ev).repartition(5), "k", "t", "v",
+        rd.from_pandas(an).repartition(3), "k", "t", "g", W,
+        n_buckets=8).reset_index(drop=True)
+    assert got.equals(ref), (got, ref)

@@ -1368,3 +1368,122 @@ def session_window_overlap_counts(events_ds, key_col: str, ts_col: str,
         .to_pandas().sort_values(r_group).reset_index(drop=True)
     return out.astype({"n_pairs": "int64", "n_hit": "int64",
                        "n_right": "int64"})
+
+
+def anchored_prepost_sums(events_ds, key_col: str, ts_col: str,
+                          val_col: str, anchors_ds, a_key: str, a_ts: str,
+                          a_group: str, window_us: int,
+                          n_buckets: int = 64) -> pd.DataFrame:
+    """Event-anchored pre/post window aggregate (interrupted-time-series
+    census): for every anchor row (key, t) sum ``val_col`` over the SAME
+    key's events strictly before t within [t-W, t) and strictly after t
+    within (t, t+W], then roll up per ``a_group``: (grp, n_anchors,
+    pre_cents, post_cents).  "Did the metric move after the marker?" —
+    the banded AGGREGATE join: a pair-expanding range join + groupby
+    would materialize every (anchor, event) pair; here the band sum is
+    two prefix-sum differences, so no pair ever exists.
+
+    Scale shape: events and anchors share ONE tagged-union hash(key)
+    exchange; inside a bucket one lexsort orders events by (key, ts),
+    one cumsum builds the value prefix, and each anchor resolves with
+    FOUR composite-key searchsorteds (same-key bounds enforced by the
+    code*span+rel encoding).  Partials are |groups| rows per bucket;
+    events with ts == t (including the anchor's own row) land in
+    neither window.
+    """
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    w_us = int(window_us)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.ones(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__t": pa.array(ts),
+            "__v": pc.cast(t[val_col], pa.int64()),
+            "__g": pa.array(np.full(len(k), "", dtype=object), pa.string())})
+
+    def prep_anchors(t: pa.Table) -> pa.Table:
+        k = t[a_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_to_int(t[a_ts].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__b": pa.array(bucket_of(k)),
+            "__side": pa.array(np.zeros(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__t": pa.array(ts),
+            "__v": pa.array(np.zeros(len(k), np.int64)),
+            "__g": t[a_group]})
+
+    tagged = events_ds.select_columns([key_col, ts_col, val_col]) \
+        .map_batches(prep_events, batch_format="pyarrow") \
+        .union(anchors_ds.select_columns([a_key, a_ts, a_group])
+               .map_batches(prep_anchors, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({a_group: pa.array([], pa.string()),
+                          "n_anchors": pa.array([], pa.int64()),
+                          "pre": pa.array([], pa.int64()),
+                          "post": pa.array([], pa.int64())})
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        if len(side) == 0 or not (side == 0).any():
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        is_e = side == 1
+        ek, et, ev = k[is_e], ts[is_e], v[is_e]
+        ak, at = k[~is_e], ts[~is_e]
+        grp = t["__g"].filter(pa.array(~is_e))
+        if len(ek):
+            lo = np.lexsort((et, ek))
+            ek, et, ev = ek[lo], et[lo], ev[lo]
+            new = np.r_[True, ek[1:] != ek[:-1]]
+            ekeys = ek[np.flatnonzero(new)]
+            ecode = np.cumsum(new) - 1
+            base = int(min(et.min(), at.min() - w_us))
+            span = int(max(et.max(), at.max() + w_us)) - base
+            off = span + 2
+            if len(ekeys) * off >= 2**62:  # pragma: no cover
+                raise ValueError("anchored_prepost_sums: composite "
+                                 "overflow — raise n_buckets")
+            comp = ecode * np.int64(off) + (et - base)
+            cs = np.r_[0, np.cumsum(ev)]
+            ac = np.searchsorted(ekeys, ak)
+            has = ac < len(ekeys)
+            ac_c = np.minimum(ac, max(len(ekeys) - 1, 0))
+            has &= ekeys[ac_c] == ak
+            kbase = ac_c * np.int64(off)
+            i0 = np.searchsorted(comp, kbase + (at - w_us - base), "left")
+            i1 = np.searchsorted(comp, kbase + (at - base), "left")
+            i2 = np.searchsorted(comp, kbase + (at - base), "right")
+            i3 = np.searchsorted(comp, kbase + (at + w_us - base), "right")
+            pre = np.where(has, cs[i1] - cs[i0], 0)
+            post = np.where(has, cs[i3] - cs[i2], 0)
+        else:
+            pre = np.zeros(len(ak), np.int64)
+            post = np.zeros(len(ak), np.int64)
+        g = pa.table({a_group: grp, "pre": pa.array(pre.astype(np.int64)),
+                      "post": pa.array(post.astype(np.int64))}) \
+            .group_by([a_group]).aggregate(
+                [([], "count_all"), ("pre", "sum"), ("post", "sum")])
+        return g.rename_columns([a_group, "n_anchors", "pre", "post"])
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, [a_group], ["n_anchors", "pre", "post"]) \
+        .to_pandas().sort_values(a_group).reset_index(drop=True)
+    return out.astype({"n_anchors": "int64", "pre": "int64",
+                       "post": "int64"})
