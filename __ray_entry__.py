@@ -8699,6 +8699,23 @@ def q_purchase_prepost(sf_dir: str):
     return out.rename(columns={"pre": "pre_cents", "post": "post_cents"})
 
 
+def q_ushape_attribution(sf_dir: str):
+    """U-shaped (40/20/40) multi-touch attribution
+    (functions/sessions.ushape_attribution): credit in exact basis
+    points across each user's touches strictly before their first
+    purchase — first and last touch 4000 bp each, middles split 2000 by
+    integer division (remainder to the last), single touch takes all
+    10000 — summed per touch event type.  One hash(user) exchange, one
+    lexsort + reduceat per bucket; replayed in SQL by ROW_NUMBER /
+    COUNT windows and the same integer CASE."""
+    from timberjack_ray.functions.sessions import ushape_attribution
+
+    events = _rp(sf_dir, "events",
+                 columns=["user_id", "ts", "event_id", "event_type"])
+    return ushape_attribution(events, "user_id", "ts", "event_id",
+                              "event_type", "purchase")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9015,6 +9032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto": q_orders_pareto,
         "orders_weighted_sample": q_orders_weighted_sample,
         "purchase_prepost": q_purchase_prepost,
+        "ushape_attribution": q_ushape_attribution,
     }
 
 
@@ -13305,6 +13323,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.pre, 0) AS BIGINT) AS pre_cents,
                    CAST(COALESCE(p.post, 0) AS BIGINT) AS post_cents
             FROM n LEFT JOIN p ON n.grp = p.grp ORDER BY 1
+        """,
+        "ushape_attribution": """
+            WITH fp AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS pt
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            t AS (
+              SELECT e.user_id, e.event_type, epoch_us(e.ts) AS t,
+                     e.event_id
+              FROM events e JOIN fp ON e.user_id = fp.user_id
+              WHERE epoch_us(e.ts) < fp.pt),
+            r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS r,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM t),
+            c AS (
+              SELECT event_type,
+                     CASE WHEN n = 1 THEN 10000
+                          WHEN n = 2 THEN 5000
+                          WHEN r = 1 THEN 4000
+                          WHEN r = n
+                            THEN 4000 + 2000 - (n - 2) * (2000 // (n - 2))
+                          ELSE 2000 // (n - 2) END AS credit
+              FROM r)
+            SELECT event_type, COUNT(*) AS n_touches,
+                   CAST(SUM(credit) AS BIGINT) AS credit_bp
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

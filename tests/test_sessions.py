@@ -638,3 +638,60 @@ def test_anchored_prepost_sums_matches_bruteforce(ray_session):
         rd.from_pandas(an).repartition(3), "k", "t", "g", W,
         n_buckets=8).reset_index(drop=True)
     assert got.equals(ref), (got, ref)
+
+
+def test_ushape_attribution_matches_bruteforce(ray_session):
+    """40/20/40 credit vs a per-user python reference: n=1/2/3/many
+    journeys, ts ties broken by id, keys without conversions ignored,
+    credit per converting key sums to exactly 10000."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import ushape_attribution
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "t": rng.integers(0, 300, n).astype(np.int64),  # many ts ties
+        "i": np.arange(n, dtype=np.int64),
+        "y": rng.choice(["view", "click", "cart", "purchase"], n,
+                        p=[0.5, 0.25, 0.15, 0.1]),
+    })
+
+    agg: dict = {}
+    total_check = 0
+    for _, sub in df.groupby("k"):
+        p = sub[sub["y"] == "purchase"]
+        if p.empty:
+            continue
+        pt = int(p["t"].min())
+        tt = sub[sub["t"] < pt].sort_values(["t", "i"])
+        m = len(tt)
+        if m == 0:
+            continue
+        credits = []
+        if m == 1:
+            credits = [10000]
+        elif m == 2:
+            credits = [5000, 5000]
+        else:
+            share = 2000 // (m - 2)
+            credits = [4000] + [share] * (m - 2) + \
+                [4000 + 2000 - (m - 2) * share]
+        total_check += sum(credits)
+        assert sum(credits) == 10000
+        for yy, c in zip(tt["y"], credits):
+            row = agg.setdefault(yy, [0, 0])
+            row[0] += 1
+            row[1] += c
+    ref = pd.DataFrame([(y, *v) for y, v in sorted(agg.items())],
+                       columns=["y", "n_touches", "credit_bp"]) \
+        .astype({"n_touches": "int64", "credit_bp": "int64"})
+
+    got = ushape_attribution(rd.from_pandas(df).repartition(5),
+                             "k", "t", "i", "y", "purchase",
+                             n_buckets=8).reset_index(drop=True)
+    assert got.equals(ref), (got, ref)
+    assert int(got["credit_bp"].sum()) == total_check

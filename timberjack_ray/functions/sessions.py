@@ -1487,3 +1487,92 @@ def anchored_prepost_sums(events_ds, key_col: str, ts_col: str,
         .to_pandas().sort_values(a_group).reset_index(drop=True)
     return out.astype({"n_anchors": "int64", "pre": "int64",
                        "post": "int64"})
+
+
+def ushape_attribution(ds, key_col: str, ts_col: str, id_col: str,
+                       type_col: str, convert_type: str,
+                       n_buckets: int = 64) -> pd.DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution in
+    exact basis points: for every key with a conversion, the touches are
+    its events STRICTLY before the first ``convert_type`` event, ordered
+    by (ts, id); credit per conversion totals exactly 10000 bp — one
+    touch takes all 10000, two take 5000/5000, otherwise first and last
+    take 4000 each and the middles split 2000 by integer division with
+    the remainder going to the LAST touch.  Returns per touch type:
+    (type, n_touches, credit_bp) — the multi-touch generalization of
+    ``first_event_per_key``'s first-touch model.
+
+    Scale shape: one hash(key) bucket exchange; per bucket one lexsort
+    orders (key, ts, id), ``minimum.reduceat`` finds each key's first
+    conversion instant, a masked segmented cumsum ranks the touches, and
+    the credit formula is a pure vectorized function of (rank, n) —
+    per-key Python never happens.  Partials are |types| rows per
+    bucket."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__b": pa.array(bucket_of(k)), "__k": pa.array(k),
+                         "__t": pa.array(_ts_to_int(
+                             t[ts_col].combine_chunks()
+                             .to_numpy(zero_copy_only=False))),
+                         "__i": t[id_col], "__y": t[type_col]})
+
+    tagged = ds.select_columns([key_col, ts_col, id_col, type_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "n_touches": pa.array([], pa.int64()),
+                          "credit_bp": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        ev = t["__i"].to_numpy(zero_copy_only=False)
+        isc = pc.equal(t["__y"], convert_type).to_numpy(
+            zero_copy_only=False)
+        lo = np.lexsort((ev, ts, k))
+        k, ts, ev, isc = k[lo], ts[lo], ev[lo], isc[lo]
+        y = t["__y"].take(pa.array(lo))
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        big = np.iinfo(np.int64).max
+        ct = np.where(isc, ts, big)
+        first_c = np.minimum.reduceat(ct, starts)   # per segment
+        # keys with no conversion (first_c == sentinel) have no touches
+        touch = (first_c[seg] != big) & (ts < first_c[seg])
+        if not touch.any():
+            return empty
+        cum = np.cumsum(touch)
+        r = cum - np.r_[0, cum][starts][seg]        # 1-based touch rank
+        n = np.add.reduceat(touch, starts).astype(np.int64)[seg]
+        mid = np.maximum(n - 2, 1)
+        share = 2000 // mid
+        credit = np.where(
+            n == 1, 10000,
+            np.where(n == 2, 5000,
+                     np.where(r == 1, 4000,
+                              np.where(r == n,
+                                       4000 + 2000 - (n - 2) * share,
+                                       share))))
+        g = pa.table({type_col: y.filter(pa.array(touch)),
+                      "c": pa.array(credit[touch].astype(np.int64))}) \
+            .group_by([type_col]).aggregate([([], "count_all"),
+                                             ("c", "sum")])
+        return g.rename_columns([type_col, "n_touches", "credit_bp"])
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, [type_col], ["n_touches", "credit_bp"]) \
+        .to_pandas().sort_values(type_col).reset_index(drop=True)
+    return out.astype({"n_touches": "int64", "credit_bp": "int64"})
