@@ -8716,6 +8716,21 @@ def q_ushape_attribution(sf_dir: str):
                               "event_type", "purchase")
 
 
+def q_orders_rendezvous(sf_dir: str):
+    """Rendezvous (highest-random-weight) placement census
+    (functions/corpus.rendezvous_census): every order key placed on the
+    shard (of 8) maximizing splitmix64(splitmix64(key) XOR salt_s) —
+    the consistent-placement primitive for resumable partitioned output
+    (dropping a shard moves only its own keys).  Pure per-row
+    arithmetic, n_shards-row partials, no exchange; the SQL oracle
+    replays both splitmix64 chains in HUGEINT and takes the same
+    cross-join argmax."""
+    from timberjack_ray.functions.corpus import rendezvous_census
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey"])
+    return rendezvous_census(orders, "o_orderkey", 8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9033,6 +9048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weighted_sample": q_orders_weighted_sample,
         "purchase_prepost": q_purchase_prepost,
         "ushape_attribution": q_ushape_attribution,
+        "orders_rendezvous": q_orders_rendezvous,
     }
 
 
@@ -13352,6 +13368,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_touches,
                    CAST(SUM(credit) AS BIGINT) AS credit_bp
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "orders_rendezvous": f"""
+            WITH ks AS (SELECT o_orderkey::HUGEINT AS key FROM orders),
+            {_sm_ctes("hk", "ks", "key", ["key"])},
+            keyh AS (SELECT key, h AS kh FROM hkx),
+            sa AS (SELECT s, (s + 1)::HUGEINT AS sx
+                   FROM generate_series(0, 7) AS t(s)),
+            {_sm_ctes("sh", "sa", "sx", ["s"])},
+            salth AS (SELECT s, h AS salt FROM shx),
+            cx AS (SELECT key, s, xor(kh, salt) AS m FROM keyh, salth),
+            {_sm_ctes("w", "cx", "m", ["key", "s"])},
+            r AS (SELECT key, s,
+                         ROW_NUMBER() OVER (PARTITION BY key
+                                            ORDER BY h DESC, s ASC) AS rn
+                  FROM wx)
+            SELECT CAST(s AS BIGINT) AS shard, COUNT(*) AS n_keys,
+                   CAST(SUM(key) AS BIGINT) AS key_sum
+            FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

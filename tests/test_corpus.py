@@ -685,3 +685,32 @@ def test_priority_sample_bottomk_exact_and_mergeable(ray_session):
             rd.from_pandas(df).repartition(parts), "id", "w", k)
         assert got.equals(ref), parts
     assert 7 in ref["id"].tolist()
+
+
+def test_rendezvous_census_stability_and_invariance(ray_session):
+    """HRW placement: partitioning-invariant census, roughly balanced,
+    and MINIMALLY disruptive — going 8 -> 9 shards only moves keys that
+    WIN the new shard; every other key keeps its old placement."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (_splitmix64,
+                                                 rendezvous_census)
+
+    keys = np.arange(1, 4001, dtype=np.int64)
+    df = pd.DataFrame({"k": keys})
+    a = rendezvous_census(rd.from_pandas(df).repartition(1), "k", 8)
+    b = rendezvous_census(rd.from_pandas(df).repartition(7), "k", 8)
+    assert a.equals(b)
+    assert int(a["n_keys"].sum()) == 4000
+    assert int(a["key_sum"].sum()) == int(keys.sum())
+    assert a["n_keys"].min() > 4000 // 8 * 0.6  # rough balance
+
+    # minimal-disruption law, checked per key against the raw weights
+    hk = _splitmix64(keys.astype(np.uint64))
+    s8 = _splitmix64(np.arange(1, 9, dtype=np.uint64))
+    s9 = _splitmix64(np.arange(1, 10, dtype=np.uint64))
+    p8 = np.argmax(_splitmix64(hk[:, None] ^ s8[None, :]), axis=1)
+    p9 = np.argmax(_splitmix64(hk[:, None] ^ s9[None, :]), axis=1)
+    moved = p8 != p9
+    assert (p9[moved] == 8).all()          # movers only go to the new shard
+    assert 0 < moved.sum() < len(keys) / 4  # ~1/9 expected

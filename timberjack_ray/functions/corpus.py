@@ -1743,3 +1743,39 @@ def priority_sample_bottomk(ds, id_col: str, weight_col: str, k: int):
     out = sorted_topk(proj.map_batches(prio, batch_format="pyarrow"),
                       ["priority", "id"], k, descending=False)
     return out.reset_index(drop=True)
+
+
+def rendezvous_census(ds, key_col: str, n_shards: int) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) hashing census: each key is
+    placed on the shard maximizing splitmix64(splitmix64(key) XOR
+    salt_s), salt_s = splitmix64(s + 1) — the consistent-placement
+    primitive behind resumable partitioned output (removing one shard
+    moves ONLY that shard's keys; no ring, no remapping of survivors).
+    Ties (astronomically rare) go to the smaller shard id, so placement
+    is a pure deterministic function a SQL cross-join ARG-MAX replays.
+
+    Returns (shard, n_keys, key_sum) — count and exact key checksum per
+    shard.  Scale shape: placement is per-row arithmetic (an (n x
+    n_shards) weight matrix per batch, one argmax), partials are
+    n_shards rows per batch, merged driver-side; NO exchange anywhere.
+    """
+    salts = _splitmix64(np.arange(1, n_shards + 1, dtype=np.uint64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = _splitmix64(keys.astype(np.uint64))
+        w = _splitmix64(hk[:, None] ^ salts[None, :])   # (n, shards)
+        shard = np.argmax(w, axis=1).astype(np.int64)   # ties -> smaller s
+        g = pa.table({"shard": pa.array(shard),
+                      "key": pa.array(keys)}) \
+            .group_by("shard").aggregate([([], "count_all"),
+                                          ("key", "sum")])
+        return g.rename_columns(["shard", "n_keys", "key_sum"])
+
+    parts = ds.select_columns([key_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    from timberjack_ray.aggregates import merge_partials
+    out = merge_partials(parts, ["shard"], ["n_keys", "key_sum"]) \
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    return out.astype({"shard": "int64", "n_keys": "int64",
+                       "key_sum": "int64"})
