@@ -8731,6 +8731,29 @@ def q_orders_rendezvous(sf_dir: str):
     return rendezvous_census(orders, "o_orderkey", 8)
 
 
+def q_priority_share_by_month(sf_dir: str):
+    """Ratio-to-report window (functions/relational.share_within_group):
+    each order priority's revenue share within its order month, exact
+    integer ppm (v * 10^6 // month_total) — the percent-of-total window
+    every reporting stack needs, with per-batch (month, priority) sum
+    partials and a |months x priorities|-bounded driver merge."""
+    from timberjack_ray.functions.relational import share_within_group
+    from timberjack_ray.functions.util import scale_to_int
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+            "prio": t["o_orderpriority"],
+            "cents": scale_to_int(t["o_totalprice"], 100)})
+
+    return share_within_group(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "month", "prio", "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9049,6 +9072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_prepost": q_purchase_prepost,
         "ushape_attribution": q_ushape_attribution,
         "orders_rendezvous": q_orders_rendezvous,
+        "priority_share_by_month": q_priority_share_by_month,
     }
 
 
@@ -13386,6 +13410,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s AS BIGINT) AS shard, COUNT(*) AS n_keys,
                    CAST(SUM(key) AS BIGINT) AS key_sum
             FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "priority_share_by_month": """
+            WITH s AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     o_orderpriority AS prio,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders),
+            g AS (SELECT month, prio, SUM(c) AS v
+                  FROM s GROUP BY month, prio)
+            SELECT month, prio, CAST(v AS BIGINT) AS v,
+                   CAST(v * 1000000 //
+                        SUM(v) OVER (PARTITION BY month) AS BIGINT)
+                     AS share_ppm
+            FROM g ORDER BY month, prio
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -580,3 +580,28 @@ def test_skyline_2d_matches_bruteforce(ray_session):
     got2 = skyline_2d(rd.from_pandas(df).repartition(6), "x", "y",
                       driver_limit=25, coarse_shift=19).to_pandas()
     assert set(got2["id"].tolist()) == want
+
+
+def test_share_within_group_exact_ppm(ray_session):
+    """Integer ppm ratio-to-report vs a pandas reference; shares within
+    a partition never exceed 10^6 and floor-division is exact."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import share_within_group
+
+    r = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "p": r.choice(["x", "y", "z"], 2000),
+        "s": r.choice(list("abcd"), 2000),
+        "v": r.integers(1, 10_000, 2000).astype(np.int64),
+    })
+    ref = df.groupby(["p", "s"], as_index=False)["v"].sum()
+    ref["share_ppm"] = (ref["v"] * 1_000_000) // \
+        ref.groupby("p")["v"].transform("sum")
+    ref = ref.sort_values(["p", "s"]).reset_index(drop=True) \
+        .astype({"v": "int64", "share_ppm": "int64"})
+
+    got = share_within_group(rd.from_pandas(df).repartition(6),
+                             "p", "s", "v")
+    assert got.equals(ref)
+    assert (got.groupby("p")["share_ppm"].sum() <= 1_000_000).all()

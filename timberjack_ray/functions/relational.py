@@ -2225,3 +2225,29 @@ def _fetch_table_pair(ref):
     if key not in _JOIN_CACHE:
         _JOIN_CACHE[key] = ray.get(ref)
     return _JOIN_CACHE[key]
+
+
+def share_within_group(ds, part_col: str, sub_col: str,
+                       val_col: str) -> pd.DataFrame:
+    """Ratio-to-report window: each (partition, sub-key)'s share of its
+    partition total, in exact parts-per-million (v * 10^6 // part_total
+    — no float division anywhere, so the SQL window replay is
+    bit-identical; requires v * 10^6 < 2^63, i.e. partition value sums
+    under ~9.2e12, which cent-scaled revenue satisfies by orders of
+    magnitude).  Returns (part, sub, v, share_ppm) sorted.
+
+    Scale shape: per-batch (part, sub) sum partials collapse rows
+    batch-locally; the driver merge handles |parts x subs| rows, never
+    data rows; partition totals fold from the same merged frame."""
+    proj = ds.select_columns([part_col, sub_col, val_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([part_col, sub_col]).aggregate([(val_col, "sum")])
+        return g.rename_columns([part_col, sub_col, "v"])
+
+    parts = proj.map_batches(partial, batch_format="pyarrow")
+    out = merge_partials(parts, [part_col, sub_col], ["v"]).to_pandas()
+    tot = out.groupby(part_col)["v"].transform("sum")
+    out["share_ppm"] = (out["v"] * 1_000_000) // tot
+    return out.sort_values([part_col, sub_col]).reset_index(drop=True) \
+        .astype({"v": "int64", "share_ppm": "int64"})
