@@ -8754,6 +8754,31 @@ def q_priority_share_by_month(sf_dir: str):
         "month", "prio", "cents")
 
 
+def q_value_sax_motifs(sf_dir: str):
+    """SAX symbolic motif census (functions/sessions.sax_motif_census):
+    per-user event-value series -> integer PAA frame sums (4 events per
+    frame, full frames only) -> 4-letter alphabet by GLOBAL exact
+    quartiles of the frame-sum population -> census of every within-user
+    3-gram of consecutive frame symbols.  Two streaming passes (quartile
+    selection via exact_quantile_bisect, then a 64-bin bincount per
+    bucket); replayed in SQL by ROW_NUMBER frames + quantile_disc +
+    a LEAD-concatenated CASE ladder."""
+    from timberjack_ray.functions.sessions import sax_motif_census
+    from timberjack_ray.functions.util import scale_to_int
+
+    events = _rp(sf_dir, "events",
+                 columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"],
+                         "cents": scale_to_int(t["value"], 100)})
+
+    return sax_motif_census(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents", frame=4, word=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9073,6 +9098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ushape_attribution": q_ushape_attribution,
         "orders_rendezvous": q_orders_rendezvous,
         "priority_share_by_month": q_priority_share_by_month,
+        "value_sax_motifs": q_value_sax_motifs,
     }
 
 
@@ -13424,6 +13450,43 @@ def oracle_sql() -> dict[str, str]:
                         SUM(v) OVER (PARTITION BY month) AS BIGINT)
                      AS share_ppm
             FROM g ORDER BY month, prio
+        """,
+        "value_sax_motifs": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS t, event_id AS i,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            r AS (
+              SELECT k, v,
+                     ROW_NUMBER() OVER (PARTITION BY k
+                                        ORDER BY t, i) - 1 AS rn
+              FROM e),
+            f AS (
+              SELECT k, rn // 4 AS fid, SUM(v) AS fs, COUNT(*) AS c
+              FROM r GROUP BY k, rn // 4),
+            ff AS (SELECT k, fid, fs FROM f WHERE c = 4),
+            b AS (
+              SELECT quantile_disc(fs, 0.25) AS b1,
+                     quantile_disc(fs, 0.50) AS b2,
+                     quantile_disc(fs, 0.75) AS b3
+              FROM ff),
+            s AS (
+              SELECT k, fid,
+                     CASE WHEN fs <= b1 THEN 'a'
+                          WHEN fs <= b2 THEN 'b'
+                          WHEN fs <= b3 THEN 'c'
+                          ELSE 'd' END AS sym
+              FROM ff, b),
+            w AS (
+              SELECT k,
+                     sym || LEAD(sym, 1) OVER (PARTITION BY k
+                                               ORDER BY fid)
+                         || LEAD(sym, 2) OVER (PARTITION BY k
+                                               ORDER BY fid) AS motif
+              FROM s)
+            SELECT motif, COUNT(*) AS n
+            FROM w WHERE motif IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -695,3 +695,59 @@ def test_ushape_attribution_matches_bruteforce(ray_session):
                              n_buckets=8).reset_index(drop=True)
     assert got.equals(ref), (got, ref)
     assert int(got["credit_bp"].sum()) == total_check
+
+
+def test_sax_motif_census_matches_bruteforce(ray_session):
+    """SAX census vs a per-key python reference: type-1 quartile
+    breakpoints, partial tail frames dropped, words never span keys,
+    partitioning invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import sax_motif_census
+
+    rng = np.random.default_rng(17)
+    n = 1200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n).astype(np.int64),
+        "t": rng.integers(0, 800, n).astype(np.int64),
+        "i": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-30, 120, n).astype(np.int64),
+    })
+    F, W = 3, 2
+
+    # reference
+    fsums, per_key = [], {}
+    for kk, sub in df.sort_values(["k", "t", "i"]).groupby("k"):
+        v = sub["v"].to_numpy()
+        m = len(v) // F
+        fs = [int(v[j * F:(j + 1) * F].sum()) for j in range(m)]
+        per_key[kk] = fs
+        fsums.extend(fs)
+    fsums_sorted = sorted(fsums)
+    nn = len(fsums_sorted)
+    import math
+    bps = [fsums_sorted[max(0, math.ceil(q * nn) - 1)]
+           for q in (0.25, 0.5, 0.75)]  # type-1 / quantile_disc
+
+    def sym(x):
+        for j, b in enumerate(bps):
+            if x <= b:
+                return "abcd"[j]
+        return "d"
+
+    from collections import Counter
+    cnt = Counter()
+    for fs in per_key.values():
+        ss = [sym(x) for x in fs]
+        for j in range(len(ss) - W + 1):
+            cnt["".join(ss[j:j + W])] += 1
+    ref = pd.DataFrame(sorted(cnt.items()), columns=["motif", "n"]) \
+        .astype({"n": "int64"})
+
+    for parts in (1, 6):
+        got = sax_motif_census(rd.from_pandas(df).repartition(parts),
+                               "k", "t", "i", "v", frame=F, word=W,
+                               n_buckets=8)
+        assert got.equals(ref), (parts, got, ref)

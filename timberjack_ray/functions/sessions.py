@@ -1576,3 +1576,122 @@ def ushape_attribution(ds, key_col: str, ts_col: str, id_col: str,
     out = merge_partials(p, [type_col], ["n_touches", "credit_bp"]) \
         .to_pandas().sort_values(type_col).reset_index(drop=True)
     return out.astype({"n_touches": "int64", "credit_bp": "int64"})
+
+
+def sax_motif_census(ds, key_col: str, ts_col: str, id_col: str,
+                     val_col: str, frame: int = 4, word: int = 3,
+                     n_buckets: int = 64) -> pd.DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003 — public)
+    motif census over per-key event-value series: order each key's
+    events by (ts, id), aggregate consecutive runs of ``frame`` events
+    into frame SUMS (the integer PAA — sums, not means, so no division
+    ever rounds), map each full frame onto a 4-letter alphabet by the
+    GLOBAL exact type-1 quartiles of the frame-sum population, and count
+    every within-key ``word``-gram of consecutive frame symbols.
+    Returns (motif, n) sorted by motif — the recurring-shape census
+    ("which local patterns does this metric repeat?") behind time-series
+    indexing/anomaly work, alphabet^word <= 64 output rows.
+
+    Scale shape: TWO streaming passes over the same slim projection
+    (recompute beats materializing a data-sized frame table).  Pass A
+    folds frame sums through ``exact_quantile_bisect`` (distributed
+    selection, exact at any cardinality); pass B re-derives frames and
+    bincounts word codes per bucket — partials are <= 4^word rows.  Both
+    passes: one hash(key) exchange, one lexsort + reduceat per bucket;
+    only each key's LAST frame can be partial and is dropped (rank //
+    frame), so surviving fids are contiguous and word-grams never span a
+    gap."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with peers)
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    if not (2 <= 4 ** word <= 4096):
+        raise ValueError("word must be in [1, 6]")
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__b": pa.array(bucket_of(k)), "__k": pa.array(k),
+                         "__t": pa.array(_ts_to_int(
+                             t[ts_col].combine_chunks()
+                             .to_numpy(zero_copy_only=False))),
+                         "__i": pa.array(t[id_col].to_numpy(
+                             zero_copy_only=False).astype(np.int64)),
+                         "__v": pa.array(t[val_col].to_numpy(
+                             zero_copy_only=False).astype(np.int64))})
+
+    tagged = ds.select_columns([key_col, ts_col, id_col, val_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def frames_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(per-frame key segment id, frame sums) for FULL frames, in
+        (key, fid) order."""
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        ev = t["__i"].to_numpy(zero_copy_only=False)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        lo = np.lexsort((ev, ts, k))
+        k, v = k[lo], v[lo]
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        r = np.arange(len(k)) - starts[seg]          # intra-key 0-based
+        fid = r // frame
+        fnew = np.r_[True, (seg[1:] != seg[:-1]) | (fid[1:] != fid[:-1])]
+        fstarts = np.flatnonzero(fnew)
+        fsum = np.add.reduceat(v, fstarts)
+        fcnt = np.diff(np.r_[fstarts, len(k)])
+        fseg = seg[fstarts]
+        full = fcnt == frame
+        return fseg[full], fsum[full]
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"fsum": pa.array([], pa.int64())})
+        _, fs = frames_of(t)
+        return pa.table({"fsum": pa.array(fs.astype(np.int64))})
+
+    frames_ds = tagged.groupby("__b").map_groups(
+        lambda t: pass_a(t.drop_columns(["__b"])), batch_format="pyarrow")
+    qdf = exact_quantile_bisect(frames_ds, "fsum", [0.25, 0.5, 0.75],
+                                scale=1)
+    bps = np.sort(qdf["value_scaled"].to_numpy().astype(np.int64))
+
+    n_codes = 4 ** word
+
+    def pass_b(t: pa.Table) -> pa.Table:
+        empty = pa.table({"code": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        fseg, fs = frames_of(t)
+        if len(fs) < word:
+            return empty
+        sym = np.searchsorted(bps, fs, side="left")  # CASE v<=b ladder
+        code = np.zeros(len(fs) - word + 1, np.int64)
+        ok = np.ones(len(fs) - word + 1, bool)
+        for j in range(word):
+            code = code * 4 + sym[j:len(sym) - word + 1 + j]
+            ok &= fseg[j:len(fseg) - word + 1 + j] == \
+                fseg[:len(fseg) - word + 1]
+        cnt = np.bincount(code[ok], minlength=n_codes)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: pass_b(t.drop_columns(["__b"])), batch_format="pyarrow")
+    out = merge_partials(p, ["code"], ["n"]).to_pandas()
+    letters = np.array(list("abcd"))
+
+    def decode(c: int) -> str:
+        return "".join(letters[(c // 4 ** (word - 1 - j)) % 4]
+                       for j in range(word))
+
+    out["motif"] = out["code"].map(decode)
+    return out[["motif", "n"]].sort_values("motif") \
+        .reset_index(drop=True).astype({"n": "int64"})
