@@ -8779,6 +8779,25 @@ def q_value_sax_motifs(sf_dir: str):
         "user_id", "ts", "event_id", "cents", frame=4, word=3)
 
 
+def q_events_pivot_by_day(sf_dir: str):
+    """PIVOT / crosstab surface op (functions/relational.pivot_counts):
+    events reshaped WIDE — one row per day-of-week, one n_<type> column
+    per event type (fixed category list).  Per-batch (row, cat) count
+    partials; the driver reshape handles |rows x categories| cells,
+    never data rows.  SQL replays with FILTER aggregates."""
+    from timberjack_ray.functions.relational import pivot_counts
+
+    events = _rp(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"dow": pc.strftime(t["ts"], format="%w"),
+                         "et": t["event_type"]})
+
+    return pivot_counts(events.map_batches(prep, batch_format="pyarrow"),
+                        "dow", "et",
+                        ["view", "click", "purchase", "signup", "error"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9099,6 +9118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rendezvous": q_orders_rendezvous,
         "priority_share_by_month": q_priority_share_by_month,
         "value_sax_motifs": q_value_sax_motifs,
+        "events_pivot_by_day": q_events_pivot_by_day,
     }
 
 
@@ -13487,6 +13507,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT motif, COUNT(*) AS n
             FROM w WHERE motif IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_pivot_by_day": """
+            SELECT strftime(ts, '%w') AS dow,
+                   COUNT(*) FILTER (WHERE event_type = 'view')
+                     AS n_view,
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+                     AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase')
+                     AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')
+                     AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'error')
+                     AS n_error
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "value_moment_stats": """
             WITH b AS (

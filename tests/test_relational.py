@@ -605,3 +605,27 @@ def test_share_within_group_exact_ppm(ray_session):
                              "p", "s", "v")
     assert got.equals(ref)
     assert (got.groupby("p")["share_ppm"].sum() <= 1_000_000).all()
+
+
+def test_pivot_counts_wide_reshape(ray_session):
+    """Crosstab vs pandas: fixed category order, zero-filled missing
+    cells, out-of-list categories ignored, empty category all-zeros."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import pivot_counts
+
+    r = np.random.default_rng(4)
+    df = pd.DataFrame({"row": r.choice(["r1", "r2", "r3"], 500),
+                       "cat": r.choice(["a", "b", "x"], 500)})
+    got = pivot_counts(rd.from_pandas(df).repartition(4), "row", "cat",
+                       ["a", "b", "zz"])
+    ref = df[df["cat"].isin(["a", "b"])] \
+        .pivot_table(index="row", columns="cat", aggfunc="size",
+                     fill_value=0)
+    assert list(got.columns) == ["row", "n_a", "n_b", "n_zz"]
+    assert (got["n_zz"] == 0).all()
+    for _, rr in got.iterrows():
+        assert rr["n_a"] == ref.loc[rr["row"], "a"]
+        assert rr["n_b"] == ref.loc[rr["row"], "b"]
+    assert int(got[["n_a", "n_b"]].to_numpy().sum()) == \
+        int((df["cat"] != "x").sum())

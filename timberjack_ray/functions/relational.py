@@ -2251,3 +2251,34 @@ def share_within_group(ds, part_col: str, sub_col: str,
     out["share_ppm"] = (out["v"] * 1_000_000) // tot
     return out.sort_values([part_col, sub_col]).reset_index(drop=True) \
         .astype({"v": "int64", "share_ppm": "int64"})
+
+
+def pivot_counts(ds, row_col: str, col_col: str,
+                 categories: list[str]) -> pd.DataFrame:
+    """PIVOT / crosstab with a FIXED category list: one output row per
+    ``row_col`` value, one ``n_<cat>`` column per category (wide form of
+    the contingency census — the reshape surface op itself).  Rows whose
+    ``col_col`` value is not in ``categories`` are ignored; a category
+    with no rows yields zeros.  Returns the wide frame sorted by
+    ``row_col``.
+
+    Scale shape: per-batch (row, cat) count partials collapse data rows
+    batch-locally; the driver merge and the reshape handle
+    |rows x categories| cells, never data rows."""
+    proj = ds.select_columns([row_col, col_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([row_col, col_col]).aggregate([([], "count_all")])
+        return g.rename_columns([row_col, col_col, "n"])
+
+    long = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
+                          [row_col, col_col], ["n"]).to_pandas()
+    long = long[long[col_col].isin(categories)]
+    wide = long.pivot_table(index=row_col, columns=col_col, values="n",
+                            aggfunc="sum", fill_value=0)
+    for c in categories:
+        if c not in wide.columns:
+            wide[c] = 0
+    wide = wide[categories].astype("int64")
+    wide.columns = [f"n_{c}" for c in categories]
+    return wide.reset_index().sort_values(row_col).reset_index(drop=True)
