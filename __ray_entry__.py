@@ -8798,6 +8798,26 @@ def q_events_pivot_by_day(sf_dir: str):
                         ["view", "click", "purchase", "signup", "error"])
 
 
+def q_value_stump_split(sf_dir: str):
+    """Exact-integer decision stump (functions/ml.best_stump_split):
+    the value-cents threshold best separating event types by the
+    multiclass-Gini purity objective, made hash-stable by scoring with
+    one shared floor division (python big ints here, HUGEINT in SQL) —
+    CART's root-split step on sufficient statistics: the (value, class)
+    histogram is the only thing that ever leaves the workers."""
+    from timberjack_ray.functions.ml import best_stump_split
+    from timberjack_ray.functions.util import scale_to_int
+
+    events = _rp(sf_dir, "events", columns=["value", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": scale_to_int(t["value"], 100),
+                         "et": t["event_type"]})
+
+    return best_stump_split(
+        events.map_batches(prep, batch_format="pyarrow"), "cents", "et")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9119,6 +9139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_share_by_month": q_priority_share_by_month,
         "value_sax_motifs": q_value_sax_motifs,
         "events_pivot_by_day": q_events_pivot_by_day,
+        "value_stump_split": q_value_stump_split,
     }
 
 
@@ -13521,6 +13542,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE event_type = 'error')
                      AS n_error
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "value_stump_split": """
+            WITH h AS (
+              SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                     event_type AS c, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT d.v, cl.c, COALESCE(h.n, 0) AS n
+              FROM (SELECT DISTINCT v FROM h) d
+              CROSS JOIN (SELECT DISTINCT c FROM h) cl
+              LEFT JOIN h ON h.v = d.v AND h.c = cl.c),
+            p AS (
+              SELECT v, c,
+                     SUM(n) OVER (PARTITION BY c ORDER BY v) AS cum
+              FROM grid),
+            tc AS (SELECT c, SUM(n) AS nc FROM grid GROUP BY c),
+            per AS (
+              SELECT p.v,
+                     SUM(p.cum)::HUGEINT AS n_l,
+                     SUM(p.cum * p.cum)::HUGEINT AS s_l,
+                     SUM((tc.nc - p.cum) * (tc.nc - p.cum))::HUGEINT
+                       AS s_r,
+                     SUM(tc.nc - p.cum)::HUGEINT AS n_r
+              FROM p JOIN tc ON p.c = tc.c
+              GROUP BY p.v),
+            sc AS (
+              SELECT v,
+                     1000000000000::HUGEINT * (s_l * n_r + s_r * n_l)
+                       // (n_l * n_r) AS score,
+                     n_l, n_r
+              FROM per WHERE n_r > 0 AND n_l > 0)
+            SELECT CAST(v AS BIGINT) AS split,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r
+            FROM sc ORDER BY score DESC, v ASC LIMIT 1
         """,
         "value_moment_stats": """
             WITH b AS (

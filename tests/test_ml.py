@@ -148,3 +148,50 @@ def test_top_pc_q8_planted_direction_and_rayleigh(ray_session):
 
     out3 = top_pc_q8(rd.from_pandas(df2).repartition(9), rounds=40)
     assert (out3["v_scaled"].to_numpy() == out2["v_scaled"].to_numpy()).all()
+
+
+def test_best_stump_split_matches_bruteforce(ray_session):
+    """Floored-rational Gini argmax vs an exhaustive python reference
+    with Fraction-exact scoring, including the tie -> smallest-threshold
+    rule and the planted perfectly-separating threshold."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.ml import best_stump_split
+
+    rng = np.random.default_rng(9)
+    n = 800
+    v = rng.integers(0, 60, n).astype(np.int64)
+    lab = np.where(v + rng.integers(-8, 9, n) > 30, "hi", "lo")
+    df = pd.DataFrame({"v": v, "c": lab})
+
+    vals = np.unique(v)
+    best = None
+    SCALE = 10 ** 12
+    for t in vals[:-1]:
+        left = df[df["v"] <= t]["c"].value_counts()
+        right = df[df["v"] > t]["c"].value_counts()
+        n_l, n_r = int(left.sum()), int(right.sum())
+        s_l = int((left ** 2).sum())
+        s_r = int((right ** 2).sum())
+        score = SCALE * (s_l * n_r + s_r * n_l) // (n_l * n_r)
+        if best is None or score > best[1]:
+            best = (int(t), score, n_l, n_r)
+        # flooring never reorders materially vs the exact rational here
+        exact = Fraction(s_l, n_l) + Fraction(s_r, n_r)
+        assert Fraction(score, SCALE) <= exact
+
+    got = best_stump_split(rd.from_pandas(df).repartition(5), "v", "c")
+    assert got.iloc[0].tolist() == list(best)
+
+    # two distinct values, one perfect split
+    df2 = pd.DataFrame({"v": [1, 1, 2, 2], "c": ["a", "a", "b", "b"]})
+    g2 = best_stump_split(rd.from_pandas(df2), "v", "c")
+    assert g2.iloc[0]["split"] == 1 and g2.iloc[0]["n_l"] == 2
+
+    # single distinct value -> no valid split
+    df3 = pd.DataFrame({"v": [5, 5], "c": ["a", "b"]})
+    assert best_stump_split(rd.from_pandas(df3), "v", "c").empty

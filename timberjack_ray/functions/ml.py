@@ -222,3 +222,61 @@ def _logit_histogram(ds, vec_col, label_col, pos_label, w, z_scale):
     return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
                           ["bin"], ["n_pos", "n_neg"]).to_pandas() \
         .sort_values("bin").reset_index(drop=True)
+
+
+def best_stump_split(ds, val_col: str, label_col: str,
+                     scale: int = 10 ** 12) -> pd.DataFrame:
+    """Exact-integer decision stump (CART root split): the threshold t
+    maximizing ``scale * (S_L*n_R + S_R*n_L) // (n_L*n_R)`` where S_side
+    is the sum of squared class counts on that side of "v <= t" — the
+    multiclass-Gini purity objective (maximizing Σ_side S_side/n_side ≡
+    minimizing weighted Gini impurity) made hash-stable: the only
+    non-integer step, the rational comparison across splits, is replaced
+    by one shared floor division BOTH engines apply identically (HUGEINT
+    in SQL, python big ints here), ties -> smallest t.  Candidate
+    thresholds are the distinct values except the max (both sides
+    non-empty).  Returns one row (split, score, n_l, n_r), empty if no
+    valid split exists.
+
+    Scale shape: the sufficient statistic is the (value, class) count
+    histogram — per-batch partials collapse data rows, the merge and the
+    driver prefix-sum scan are bounded by |distinct values x classes|
+    (the value_histogram contract), never rows; the big-int scoring loop
+    runs once on the driver over distinct candidate splits."""
+    from timberjack_ray.aggregates import merge_partials
+
+    proj = ds.select_columns([val_col, label_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([val_col, label_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "c", "n"])
+
+    h = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
+                       ["v", "c"], ["n"]).to_pandas()
+    empty = pd.DataFrame({"split": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="int64"),
+                          "n_l": pd.Series([], dtype="int64"),
+                          "n_r": pd.Series([], dtype="int64")})
+    if h.empty:
+        return empty
+    grid = h.pivot_table(index="v", columns="c", values="n", aggfunc="sum",
+                         fill_value=0).sort_index()
+    vals = grid.index.to_numpy().astype(np.int64)
+    if len(vals) < 2:
+        return empty
+    cum = grid.to_numpy().astype(object).cumsum(axis=0)   # python ints
+    tot = cum[-1]
+    n_tot = int(tot.sum())
+    best = None
+    for i in range(len(vals) - 1):                        # v <= vals[i]
+        row = cum[i]
+        n_l = int(row.sum())
+        n_r = n_tot - n_l
+        s_l = int(sum(int(x) * int(x) for x in row))
+        s_r = int(sum((int(t) - int(x)) ** 2
+                      for t, x in zip(tot, row)))
+        score = scale * (s_l * n_r + s_r * n_l) // (n_l * n_r)
+        if best is None or score > best[1]:
+            best = (int(vals[i]), score, n_l, n_r)
+    return pd.DataFrame([best], columns=["split", "score", "n_l", "n_r"]) \
+        .astype("int64")
