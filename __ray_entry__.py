@@ -8818,6 +8818,29 @@ def q_value_stump_split(sf_dir: str):
         events.map_batches(prep, batch_format="pyarrow"), "cents", "et")
 
 
+def q_snm_blocking_census(sf_dir: str):
+    """Sorted-neighborhood blocking census
+    (functions/linkage.snm_candidate_census): candidates = customer-name
+    pairs within 5 positions of the name sort order (1-in-5 key subset),
+    matches = those at exact edit distance 1 — the blocking-quality
+    census for the OTHER classic linkage strategy (one range exchange +
+    an O(n*w) sweep, vs FastSS's hash exchange).  Cross-block junctions
+    resolve from 2(w-1) slim edge rows per block on the driver; the SQL
+    oracle replays with a ROW_NUMBER rank-window self-join +
+    levenshtein."""
+    from timberjack_ray.functions.linkage import snm_candidate_census
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def subset(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 5 == 0))
+
+    return snm_candidate_census(
+        cust.map_batches(subset, batch_format="pyarrow"),
+        "c_name", "c_custkey", window=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9140,6 +9163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_sax_motifs": q_value_sax_motifs,
         "events_pivot_by_day": q_events_pivot_by_day,
         "value_stump_split": q_value_stump_split,
+        "snm_blocking_census": q_snm_blocking_census,
     }
 
 
@@ -13577,6 +13601,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score,
                    CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r
             FROM sc ORDER BY score DESC, v ASC LIMIT 1
+        """,
+        "snm_blocking_census": """
+            WITH w AS (
+              SELECT c_name AS w FROM customer WHERE c_custkey % 5 = 0),
+            r AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rk FROM w),
+            p AS (
+              SELECT a.w AS x, b.w AS y
+              FROM r a JOIN r b
+                ON b.rk > a.rk AND b.rk <= a.rk + 4)
+            SELECT COUNT(*) AS n_candidates,
+                   CAST(SUM(CASE WHEN levenshtein(x, y) = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+            FROM p
         """,
         "value_moment_stats": """
             WITH b AS (

@@ -108,3 +108,54 @@ def test_ed1_partitioning_invariance(ray_session, seed):
          ed1_pairs(rd.from_pandas(df).repartition(7), "w", "id",
                    n_buckets=32).take_all()}
     assert a == b == _brute_pairs(words)
+
+
+def test_ed1_verify_vectorized():
+    """The pairwise verifier agrees with DP levenshtein == 1 on all
+    structural cases: substitution, insert/delete at every position,
+    equal strings, distance-2, multibyte codepoints, empty string."""
+    cases = [
+        ("abc", "abd", True), ("abc", "abc", False), ("abc", "xbc", True),
+        ("abc", "ab", True), ("abc", "bc", True), ("abc", "ac", True),
+        ("abc", "a", False), ("ab", "ba", False), ("", "a", True),
+        ("", "", False), ("héllo", "hällo", True), ("héllo", "héll", True),
+        ("aaaa", "aaa", True), ("abcd", "badc", False),
+        ("xay", "xby", True), ("xy", "xyz", True),
+    ]
+    from timberjack_ray.functions.linkage import _ed1_verify
+    got = _ed1_verify(np.array([c[0] for c in cases], object),
+                      np.array([c[1] for c in cases], object))
+    for (x, y, want), g in zip(cases, got):
+        assert bool(g) == want, (x, y, want)
+        # symmetric
+    got_r = _ed1_verify(np.array([c[1] for c in cases], object),
+                        np.array([c[0] for c in cases], object))
+    assert (got == got_r).all()
+
+
+def test_snm_candidate_census_matches_bruteforce(ray_session):
+    """SNM census vs a single-process sorted-window reference, with
+    block sizes far smaller than the window (junctions spanning several
+    blocks)."""
+    rng = np.random.default_rng(13)
+    seen = set()
+    while len(seen) < 160:
+        length = int(rng.integers(1, 7))
+        seen.add("".join(rng.choice(list("abc"), length)))
+    words = sorted(seen)
+    rng.shuffle(words)
+    df = pd.DataFrame({"w": words,
+                       "id": np.arange(len(words), dtype=np.int64)})
+    w = 5
+    sw = sorted(words)
+    cand = match = 0
+    for i in range(len(sw)):
+        for j in range(i + 1, min(i + w, len(sw))):
+            cand += 1
+            match += 1 if _lev(sw[i], sw[j]) == 1 else 0
+
+    from timberjack_ray.functions.linkage import snm_candidate_census
+    got = snm_candidate_census(rd.from_pandas(df).repartition(40),
+                               "w", "id", window=w)
+    assert got.iloc[0]["n_candidates"] == cand
+    assert got.iloc[0]["n_matches"] == match

@@ -208,3 +208,121 @@ def ed1_neighbor_census(ds, col: str, id_col: str,
     return pd.DataFrame({"n_nb": [i[0] for i in items],
                          "n_names": [i[1] for i in items]}) \
         .astype({"n_nb": "int64", "n_names": "int64"})
+
+
+def _ed1_verify(xa: np.ndarray, ya: np.ndarray) -> np.ndarray:
+    """Vectorized Levenshtein-distance-EXACTLY-1 check over two object
+    arrays of strings (the pairwise verifier sorted-neighborhood
+    blocking needs; FastSS avoids it via positional certificates).
+    Equal-length pairs: exactly one positional mismatch.  Length-diff-1
+    pairs: the longer with its first mismatching position deleted equals
+    the shorter.  One padded codepoint matrix per side, one
+    take_along_axis gather — no per-pair Python."""
+    n = len(xa)
+    if n == 0:
+        return np.zeros(0, bool)
+    lx = np.fromiter((len(s) for s in xa), np.int64, n)
+    ly = np.fromiter((len(s) for s in ya), np.int64, n)
+    m = int(max(lx.max(), ly.max(), 1))
+    mx = np.zeros((n, m), np.uint32)
+    my = np.zeros((n, m), np.uint32)
+    for i in range(n):  # fill loop is O(total chars); kept simple — the
+        # callers batch thousands of pairs, not millions, per call
+        mx[i, :lx[i]] = np.frombuffer(
+            str(xa[i]).encode("utf-32-le"), np.uint32)
+        my[i, :ly[i]] = np.frombuffer(
+            str(ya[i]).encode("utf-32-le"), np.uint32)
+    out = np.zeros(n, bool)
+    eqlen = lx == ly
+    if eqlen.any():
+        mism = (mx[eqlen] != my[eqlen]).sum(axis=1)
+        out[np.flatnonzero(eqlen)[mism == 1]] = True
+    d1 = np.abs(lx - ly) == 1
+    if d1.any():
+        idx = np.flatnonzero(d1)
+        lon = np.where(lx[idx] > ly[idx], 0, 1)
+        ml = np.where(lon[:, None] == 0, mx[idx], my[idx])
+        ms = np.where(lon[:, None] == 0, my[idx], mx[idx])
+        ll = np.maximum(lx[idx], ly[idx])
+        neq = ml != ms
+        neq[np.arange(m)[None, :] >= ll[:, None]] = True  # cap at longer
+        p = neq.argmax(axis=1)                            # first mismatch
+        g = np.arange(m - 1)[None, :] + \
+            (np.arange(m - 1)[None, :] >= p[:, None])
+        dele = np.take_along_axis(ml, g, axis=1)
+        ok = (dele == ms[:, : m - 1]).all(axis=1)
+        out[idx[ok]] = True
+    return out
+
+
+def snm_candidate_census(ds, col: str, id_col: str,
+                         window: int = 5) -> pd.DataFrame:
+    """Sorted-neighborhood blocking census (Hernandez & Stolfo 1995 —
+    the OTHER classic linkage blocking strategy): sort the strings, take
+    every pair within ``window`` positions as a candidate, verify with
+    the exact distance-1 check; returns ONE row (n_candidates,
+    n_matches) — the blocking-quality census (how many true matches does
+    a window-w pass see, at what candidate cost).  Precondition:
+    distinct strings per id.
+
+    Scale shape: ONE range exchange (Ray Data sort on the string);
+    in-block pairs resolve with a (window-1)-offset sweep + the
+    vectorized verifier; the only cross-block work is the junctions —
+    each block ships its first/last (window-1) slim rows, the driver
+    orders fragments by block-min and pairs adjacent edges: 2(w-1) rows
+    per block, never data."""
+    w = int(window)
+    srt = ds.select_columns([col, id_col]).sort(col)
+
+    def per_block(t: pa.Table) -> pa.Table:
+        names = t[col].to_numpy(zero_copy_only=False).astype(object)
+        n = len(names)
+        cand = 0
+        match = 0
+        for off in range(1, w):
+            if n <= off:
+                break
+            a, b = names[:-off], names[off:]
+            cand += len(a)
+            match += int(_ed1_verify(a, b).sum())
+        k = min(w - 1, n)
+        head = t.slice(0, k).column(col)
+        tail = t.slice(max(n - k, 0)).column(col)
+        return pa.table({
+            "n_candidates": pa.array([cand], pa.int64()),
+            "n_matches": pa.array([match], pa.int64()),
+            "edge_head": pa.array([head.to_pylist()]),
+            "edge_tail": pa.array([tail.to_pylist()]),
+            "lo": pa.array([names[0] if n else ""], pa.string())})
+
+    rows = [b for b in srt.map_batches(per_block, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows]
+    frags = pa.concat_tables(rows).to_pylist() if rows else []
+    frags.sort(key=lambda r: r["lo"])
+    cand = sum(r["n_candidates"] for r in frags)
+    match = sum(r["n_matches"] for r in frags)
+    # junctions: walk blocks in order with a carry of the last (w-1)
+    # names seen so far — pairs may span SEVERAL blocks when a block is
+    # smaller than the window, so adjacent-block pairing is not enough
+    carry: list = []
+    xs, ys = [], []
+    for f in frags:
+        head, tail = f["edge_head"], f["edge_tail"]
+        for j, y in enumerate(head):
+            reach = w - 1 - j             # carry elements within range
+            if reach <= 0:
+                break
+            for x in carry[-reach:]:
+                xs.append(x)
+                ys.append(y)
+        if len(tail) >= w - 1:
+            carry = list(tail[-(w - 1):])
+        else:                             # small block: head == whole block
+            carry = (carry + list(head))[-(w - 1):]
+    if xs:
+        cand += len(xs)
+        match += int(_ed1_verify(np.array(xs, object),
+                                 np.array(ys, object)).sum())
+    return pd.DataFrame({"n_candidates": [cand], "n_matches": [match]}) \
+        .astype("int64")
