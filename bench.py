@@ -193,6 +193,17 @@ def main() -> None:
         timed("rrf_fusion", lambda: em.q_doc_rrf_fusion_top20(SF_DIR))
         timed("zscore_breaches", lambda: em.q_value_zscore_breaches(SF_DIR))
         timed("moment_stats", lambda: em.q_value_moment_stats(SF_DIR))
+        # round-4 session-10 trackers: the linkage family (FastSS + SNM),
+        # skyline, anchored pre/post, SAX motifs, and the stump/sampling/
+        # placement primitives
+        timed("fuzzy_ed1", lambda: em.q_fuzzy_name_pairs(SF_DIR))
+        timed("snm_census", lambda: em.q_snm_blocking_census(SF_DIR))
+        timed("skyline", lambda: em.q_orders_pareto(SF_DIR))
+        timed("prepost_join", lambda: em.q_purchase_prepost(SF_DIR))
+        timed("sax_motifs", lambda: em.q_value_sax_motifs(SF_DIR))
+        timed("stump_split", lambda: em.q_value_stump_split(SF_DIR))
+        timed("weighted_sample", lambda: em.q_orders_weighted_sample(SF_DIR))
+        timed("rendezvous", lambda: em.q_orders_rendezvous(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
