@@ -8841,6 +8841,25 @@ def q_snm_blocking_census(sf_dir: str):
         "c_name", "c_custkey", window=5)
 
 
+def q_type_dow_chi2(sf_dir: str):
+    """Exact-integer chi-square independence statistic
+    (functions/relational.chi2_scaled): is event type independent of
+    day-of-week?  Only the |types x days| contingency counts leave the
+    workers; the per-cell rational (N*O - R*C)^2 / (N*R*C) is floored
+    once at 10^9 scale identically in python big ints and SQL HUGEINT —
+    the drift/independence screen on categorical pairs."""
+    from timberjack_ray.functions.relational import chi2_scaled
+
+    events = _rp(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"et": t["event_type"],
+                         "dow": pc.strftime(t["ts"], format="%w")})
+
+    return chi2_scaled(events.map_batches(prep, batch_format="pyarrow"),
+                       "et", "dow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9164,6 +9183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_day": q_events_pivot_by_day,
         "value_stump_split": q_value_stump_split,
         "snm_blocking_census": q_snm_blocking_census,
+        "type_dow_chi2": q_type_dow_chi2,
     }
 
 
@@ -13614,6 +13634,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN levenshtein(x, y) = 1
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
             FROM p
+        """,
+        "type_dow_chi2": """
+            WITH h AS (
+              SELECT event_type AS a, strftime(ts, '%w') AS b,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT da.a, db.b, COALESCE(h.n, 0) AS o
+              FROM (SELECT DISTINCT a FROM h) da
+              CROSS JOIN (SELECT DISTINCT b FROM h) db
+              LEFT JOIN h ON h.a = da.a AND h.b = db.b),
+            rt AS (SELECT a, SUM(o) AS r FROM grid GROUP BY a),
+            ct AS (SELECT b, SUM(o) AS c FROM grid GROUP BY b),
+            tot AS (SELECT SUM(o) AS n FROM grid),
+            cells AS (
+              SELECT 1000000000::HUGEINT
+                       * (tot.n * g.o - rt.r * ct.c)
+                       * (tot.n * g.o - rt.r * ct.c)
+                       // (tot.n * rt.r * ct.c) AS v
+              FROM grid g
+              JOIN rt ON g.a = rt.a
+              JOIN ct ON g.b = ct.b, tot)
+            SELECT CAST(SUM(v) AS BIGINT) AS chi2_scaled,
+                   CAST((SELECT n FROM tot) AS BIGINT) AS n,
+                   CAST(((SELECT COUNT(*) FROM rt) - 1)
+                        * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS df
+            FROM cells
         """,
         "value_moment_stats": """
             WITH b AS (

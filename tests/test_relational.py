@@ -629,3 +629,47 @@ def test_pivot_counts_wide_reshape(ray_session):
         assert rr["n_b"] == ref.loc[rr["row"], "b"]
     assert int(got[["n_a", "n_b"]].to_numpy().sum()) == \
         int((df["cat"] != "x").sum())
+
+
+def test_chi2_scaled_matches_fraction_reference(ray_session):
+    """Floored-rational chi-square vs a Fraction-exact reference on a
+    contingency table with structural zeros; independence gives ~0 and a
+    planted dependence is large."""
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import chi2_scaled
+
+    r = np.random.default_rng(6)
+    n = 3000
+    a = r.choice(["x", "y", "z"], n)
+    b = np.where((a == "x") & (r.random(n) < 0.7), "p",
+                 r.choice(["p", "q", "s"], n))  # dependence + zeros ok
+    df = pd.DataFrame({"a": a, "b": b})
+
+    tab = pd.crosstab(df["a"], df["b"])
+    tab = tab.reindex(sorted(tab.index), axis=0).reindex(
+        sorted(tab.columns), axis=1)
+    obs = tab.to_numpy()
+    rt, ct, N = obs.sum(1), obs.sum(0), obs.sum()
+    SCALE = 10 ** 9
+    want = 0
+    exact = Fraction(0)
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            d = int(N) * int(obs[i, j]) - int(rt[i]) * int(ct[j])
+            want += SCALE * d * d // (int(N) * int(rt[i]) * int(ct[j]))
+            exact += Fraction(d * d, int(N) * int(rt[i]) * int(ct[j]))
+
+    got = chi2_scaled(rd.from_pandas(df).repartition(5), "a", "b")
+    assert got.iloc[0]["chi2_scaled"] == want
+    assert got.iloc[0]["n"] == N
+    assert got.iloc[0]["df"] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    # floored sum is within |cells| of the exact rational * SCALE
+    assert abs(want - int(exact * SCALE)) <= obs.size
+    # a genuinely independent uniform table scores near zero
+    df2 = pd.DataFrame({"a": np.repeat(["x", "y"], 500),
+                        "b": np.tile(np.repeat(["p", "q"], 250), 2)})
+    g2 = chi2_scaled(rd.from_pandas(df2), "a", "b")
+    assert g2.iloc[0]["chi2_scaled"] == 0

@@ -2282,3 +2282,49 @@ def pivot_counts(ds, row_col: str, col_col: str,
     wide = wide[categories].astype("int64")
     wide.columns = [f"n_{c}" for c in categories]
     return wide.reset_index().sort_values(row_col).reset_index(drop=True)
+
+
+def chi2_scaled(ds, a_col: str, b_col: str,
+                scale: int = 10 ** 9) -> pd.DataFrame:
+    """Exact-integer chi-square independence statistic over two
+    categorical columns: with observed counts O_ij, row totals R_i,
+    column totals C_j and N rows, returns
+    ``sum_ij scale * (N*O_ij - R_i*C_j)^2 // (N * R_i * C_j)`` — the
+    chi-square sufficient statistic made hash-stable the same way the
+    decision stump is: the per-cell rational is replaced by one floor
+    division BOTH engines apply identically (python big ints here,
+    HUGEINT in SQL), summed over the DENSE R x C grid (structural zeros
+    contribute scale * R_i * C_j // N exactly).  Output one row
+    (chi2_scaled, n, df) where df = (R-1)(C-1).
+
+    Scale shape: only the (a, b) contingency counts leave the workers
+    (|A x B| cells); the big-int grid scan runs once on the driver."""
+    proj = ds.select_columns([a_col, b_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "n"])
+
+    h = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
+                       ["a", "b"], ["n"]).to_pandas()
+    if h.empty:
+        return pd.DataFrame({"chi2_scaled": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "df": pd.Series([], dtype="int64")})
+    grid = h.pivot_table(index="a", columns="b", values="n",
+                         aggfunc="sum", fill_value=0).sort_index()
+    grid = grid[sorted(grid.columns)]
+    obs = grid.to_numpy().astype(object)
+    rt = obs.sum(axis=1)
+    ct = obs.sum(axis=0)
+    n = int(obs.sum())
+    stat = 0
+    for i in range(obs.shape[0]):
+        ri = int(rt[i])
+        for j in range(obs.shape[1]):
+            cj = int(ct[j])
+            d = n * int(obs[i, j]) - ri * cj
+            stat += scale * d * d // (n * ri * cj)
+    return pd.DataFrame({
+        "chi2_scaled": [stat], "n": [n],
+        "df": [(obs.shape[0] - 1) * (obs.shape[1] - 1)]}).astype("int64")
