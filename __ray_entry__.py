@@ -8860,6 +8860,23 @@ def q_type_dow_chi2(sf_dir: str):
                        "et", "dow")
 
 
+def q_part_communities(sf_dir: str):
+    """Bounded-round synchronous label propagation (3 rounds,
+    functions/graph.label_propagation_census) over the part co-purchase
+    graph: every node adopts its neighbors' majority label, ties to the
+    smallest — deterministic LPA, so the round count is SEMANTICS and
+    the oracle unrolls each round as one (votes, argmax) CTE pair.
+    Community census output; completes the graph family's local-majority
+    clustering member beside components/pagerank/kcore/bfs."""
+    from timberjack_ray.functions.graph import (cooccurrence_edges,
+                                                label_propagation_census)
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges, _mode = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                      edge_driver_limit=2_000_000)
+    return label_propagation_census(edges, rounds=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9184,6 +9201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_stump_split": q_value_stump_split,
         "snm_blocking_census": q_snm_blocking_census,
         "type_dow_chi2": q_type_dow_chi2,
+        "part_communities": q_part_communities,
     }
 
 
@@ -9336,6 +9354,34 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
             f"(SELECT u AS node FROM e{rounds} "
             f"UNION ALL SELECT v FROM e{rounds}) GROUP BY node) "
             f"ORDER BY node")
+
+
+def _lpa_unrolled_sql(rounds: int) -> str:
+    """Bounded-round synchronous label propagation as an unrolled CTE
+    chain — one (votes, argmax) stage per round, exactly the
+    graph.label_propagation_census semantics (ties -> smallest label)."""
+    ctes = ["""gi AS MATERIALIZED (
+                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem)""",
+            """e0 AS MATERIALIZED (
+                 SELECT DISTINCT a.i AS u, b.i AS v
+                 FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i)""",
+            """dx AS MATERIALIZED (
+                 SELECT u AS node, v AS nb FROM e0
+                 UNION ALL SELECT v, u FROM e0)""",
+            """l0 AS MATERIALIZED (
+                 SELECT DISTINCT node, node AS lab FROM dx)"""]
+    for r in range(rounds):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT dx.node, l.lab, COUNT(*) AS c "
+            f"FROM dx JOIN l{r} l ON l.node = dx.nb GROUP BY 1, 2)")
+        ctes.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT node, lab FROM ("
+            f"SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lab ASC) AS rn FROM v{r}) WHERE rn = 1)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT lab AS community, COUNT(*) AS n_nodes "
+            f"FROM l{rounds} GROUP BY 1 ORDER BY 1")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13323,6 +13369,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source = 'src7'
         """,
         "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
+        "part_communities": _lpa_unrolled_sql(rounds=3),
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,

@@ -443,3 +443,52 @@ def test_degree_assortativity_driver_vs_distributed(ray_session):
     num = s.m2 * s.sxy - s.sx ** 2
     den = s.m2 * s.sx2 - s.sx ** 2
     assert num < 0 < den
+
+
+def test_label_propagation_matches_reference_and_modes(ray_session):
+    """Driver LPA vs a per-node python reference (majority label, ties
+    to smallest) on a random graph, and the distributed broadcast-vote
+    path must agree exactly with the driver path."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import (_lpa_driver,
+                                                label_propagation_census)
+
+    rng = np.random.default_rng(21)
+    m = 600
+    u = rng.integers(0, 120, m).astype(np.int64)
+    v = rng.integers(0, 120, m).astype(np.int64)
+    keep = u != v
+    uu = np.minimum(u[keep], v[keep])
+    vv = np.maximum(u[keep], v[keep])
+    ed = pd.DataFrame({"u": uu, "v": vv}).drop_duplicates() \
+        .reset_index(drop=True)
+    rounds = 3
+
+    # python reference
+    nodes = sorted(set(ed["u"]) | set(ed["v"]))
+    nbrs = {n: [] for n in nodes}
+    for a, b in zip(ed["u"], ed["v"]):
+        nbrs[int(a)].append(int(b))
+        nbrs[int(b)].append(int(a))
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            from collections import Counter
+            c = Counter(lab[x] for x in nbrs[n])
+            top = max(c.values())
+            nxt[n] = min(l for l, k in c.items() if k == top)
+        lab = nxt
+    from collections import Counter
+    cen = Counter(lab.values())
+    ref = pd.DataFrame(sorted(cen.items()),
+                       columns=["community", "n_nodes"]).astype("int64")
+
+    got = label_propagation_census(ed, rounds=rounds)
+    assert got.equals(ref), (got, ref)
+
+    # distributed path (force past the driver guard) == driver path
+    ds = rd.from_pandas(ed).repartition(4)
+    got_d = label_propagation_census(ds, rounds=rounds, driver_limit=10)
+    assert got_d.equals(ref)

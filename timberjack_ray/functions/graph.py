@@ -1310,3 +1310,115 @@ def neighbor_jaccard_topk(edges, k: int = 20, degree_cap: int = 48,
                              "jscore": pd.Series([], dtype="int64")})
     return out[["x", "y", "cn", "jscore"]].reset_index(drop=True) \
         .astype("int64")
+
+
+def _lpa_driver(u: np.ndarray, v: np.ndarray, rounds: int) -> pd.DataFrame:
+    nodes = np.unique(np.concatenate([u, v]))
+    labels = nodes.copy()
+    src = np.concatenate([u, v])
+    nb_idx = np.searchsorted(nodes, np.concatenate([v, u]))
+    for _ in range(rounds):
+        lv = labels[nb_idx]
+        order = np.lexsort((lv, src))
+        s, l_ = src[order], lv[order]
+        new = np.r_[True, (s[1:] != s[:-1]) | (l_[1:] != l_[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(s)])
+        gn, gl = s[starts], l_[starts]
+        pick = np.lexsort((gl, -cnt, gn))
+        first = np.r_[True, gn[pick][1:] != gn[pick][:-1]]
+        nl = labels.copy()
+        nl[np.searchsorted(nodes, gn[pick][first])] = gl[pick][first]
+        labels = nl
+    out = pd.Series(labels).value_counts().sort_index()
+    return pd.DataFrame({"community": out.index.to_numpy(np.int64),
+                         "n_nodes": out.to_numpy(np.int64)})
+
+
+def label_propagation_census(edges, rounds: int = 3,
+                             driver_limit: int = 2_000_000,
+                             node_limit: int = 2_000_000) -> pd.DataFrame:
+    """Bounded-round SYNCHRONOUS label propagation (Raghavan et al. 2007
+    — public) over an undirected distinct edge set (u < v): labels start
+    as node ids; each round every node adopts the most frequent label
+    among its NEIGHBORS' current labels, ties to the smallest label —
+    the deterministic variant, so the bounded round count is part of the
+    SEMANTICS and the SQL oracle unrolls each round as one
+    (votes, argmax) CTE pair, exactly like kcore_peel/bfs_hops.
+    Returns the community census (community, n_nodes) — the graph
+    family's "which cluster, by local majority?" member (components give
+    connectivity; this splits dense regions joined by thin bridges).
+
+    Under ``driver_limit`` edges: one numpy vote-count/argmax loop.
+    Past it: per round the label map broadcasts (``node_limit`` guard —
+    the same fits-on-driver precondition every broadcast-label graph op
+    here documents) and ONE streaming pass over the edge Dataset emits
+    per-batch (node, lab, n) vote partials; the merge is bounded by
+    distinct (node, label) pairs."""
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        u = edges["u"].to_numpy().astype(np.int64)
+        v = edges["v"].to_numpy().astype(np.int64)
+        if not len(u):
+            return pd.DataFrame({"community": pd.Series([], dtype="int64"),
+                                 "n_nodes": pd.Series([], dtype="int64")})
+        return _lpa_driver(u, v, rounds)
+
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(edges.select_columns(["u", "v"]),
+                                driver_limit)
+    if small is not None:
+        return label_propagation_census(small, rounds=rounds)
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        c = np.unique(np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False),
+             t["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(c), "one": pa.array(
+            np.ones(len(c), np.int64))})
+
+    nt = merge_partials(edges.map_batches(node_partial,
+                                          batch_format="pyarrow"),
+                        ["node"], ["one"]).to_pandas()
+    if len(nt) > node_limit:
+        raise ValueError("label_propagation_census: node set exceeds "
+                         "node_limit — the label map must fit the driver")
+    nodes = nt["node"].to_numpy().astype(np.int64)
+    nodes_sorted = np.sort(nodes)
+    labels = nodes_sorted.copy()
+    for _ in range(rounds):
+        ref = ray.put((nodes_sorted, labels))
+
+        def votes(t: pa.Table, _r=ref) -> pa.Table:
+            ns, lb = ray.get(_r)
+            uu = t["u"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            src = np.concatenate([uu, vv])
+            nbl = lb[np.searchsorted(ns, np.concatenate([vv, uu]))]
+            g = pa.table({"node": pa.array(src), "lab": pa.array(nbl)}) \
+                .group_by(["node", "lab"]).aggregate([([], "count_all")])
+            return g.rename_columns(["node", "lab", "n"])
+
+        vt = merge_partials(edges.map_batches(votes,
+                                              batch_format="pyarrow"),
+                            ["node", "lab"], ["n"]).to_pandas()
+        gn = vt["node"].to_numpy(np.int64)
+        gl = vt["lab"].to_numpy(np.int64)
+        cnt = vt["n"].to_numpy(np.int64)
+        pick = np.lexsort((gl, -cnt, gn))
+        first = np.r_[True, gn[pick][1:] != gn[pick][:-1]]
+        win_n = gn[pick][first]
+        win_l = gl[pick][first]
+        nl = labels.copy()
+        nl[np.searchsorted(nodes_sorted, win_n)] = win_l
+        labels = nl
+    out = pd.Series(labels).value_counts().sort_index()
+    return pd.DataFrame({"community": out.index.to_numpy(np.int64),
+                         "n_nodes": out.to_numpy(np.int64)})
