@@ -204,6 +204,8 @@ def main() -> None:
         timed("stump_split", lambda: em.q_value_stump_split(SF_DIR))
         timed("weighted_sample", lambda: em.q_orders_weighted_sample(SF_DIR))
         timed("rendezvous", lambda: em.q_orders_rendezvous(SF_DIR))
+        timed("chi2", lambda: em.q_type_dow_chi2(SF_DIR))
+        timed("lpa_communities", lambda: em.q_part_communities(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
