@@ -221,17 +221,25 @@ def _ed1_verify(xa: np.ndarray, ya: np.ndarray) -> np.ndarray:
     n = len(xa)
     if n == 0:
         return np.zeros(0, bool)
-    lx = np.fromiter((len(s) for s in xa), np.int64, n)
-    ly = np.fromiter((len(s) for s in ya), np.int64, n)
-    m = int(max(lx.max(), ly.max(), 1))
+
+    def padded(arr) -> tuple[np.ndarray, np.ndarray]:
+        codes, lens, offs = _utf32_codes(pa.array(
+            [str(s) for s in arr], pa.large_string()))
+        mm = int(lens.max()) if len(lens) else 0
+        mat = np.zeros((len(arr), max(mm, 1)), np.uint32)
+        if codes.size:
+            rows = np.repeat(np.arange(len(arr)), lens)
+            cols = np.arange(len(codes)) - np.repeat(offs[:-1], lens)
+            mat[rows, cols] = codes.astype(np.uint32)
+        return mat, lens
+
+    mx0, lx = padded(xa)
+    my0, ly = padded(ya)
+    m = int(max(mx0.shape[1], my0.shape[1], 1))
     mx = np.zeros((n, m), np.uint32)
     my = np.zeros((n, m), np.uint32)
-    for i in range(n):  # fill loop is O(total chars); kept simple — the
-        # callers batch thousands of pairs, not millions, per call
-        mx[i, :lx[i]] = np.frombuffer(
-            str(xa[i]).encode("utf-32-le"), np.uint32)
-        my[i, :ly[i]] = np.frombuffer(
-            str(ya[i]).encode("utf-32-le"), np.uint32)
+    mx[:, : mx0.shape[1]] = mx0
+    my[:, : my0.shape[1]] = my0
     out = np.zeros(n, bool)
     eqlen = lx == ly
     if eqlen.any():
