@@ -8877,6 +8877,28 @@ def q_part_communities(sf_dir: str):
     return label_propagation_census(edges, rounds=3)
 
 
+def q_source_weighted_sample(sf_dir: str):
+    """Per-source weighted bottom-k sample
+    (functions/corpus.grouped_priority_sample): 20 docs per source drawn
+    with probability proportional to character length — the per-domain
+    mixture-construction subsample, mergeable (k-per-group pruned
+    exchange) and bit-identical under any partitioning; SQL replays the
+    splitmix64 priority + ROW_NUMBER window."""
+    from timberjack_ray.functions.corpus import grouped_priority_sample
+
+    docs = _rp(sf_dir, "documents", columns=["source", "doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"], "doc_id": t["doc_id"],
+            "w": pc.max_element_wise(
+                pc.utf8_length(t["text"]).cast(pa.int64()), 1)})
+
+    return grouped_priority_sample(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "source", "doc_id", "w", 20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9202,6 +9224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_blocking_census": q_snm_blocking_census,
         "type_dow_chi2": q_type_dow_chi2,
         "part_communities": q_part_communities,
+        "source_weighted_sample": q_source_weighted_sample,
     }
 
 
@@ -13370,6 +13393,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_kcore": _kcore_unrolled_sql(k=3, rounds=8),
         "part_communities": _lpa_unrolled_sql(rounds=3),
+        "source_weighted_sample": f"""
+            WITH s AS (
+              SELECT source, doc_id::HUGEINT AS did,
+                     GREATEST(length(text), 1) AS w
+              FROM documents),
+            {_sm_ctes("gp", "s", "did", ["source", "did", "w"])},
+            p AS (
+              SELECT source, CAST(did AS BIGINT) AS doc_id,
+                     CAST(w AS BIGINT) AS w,
+                     CAST((h // 2) // w AS BIGINT) AS priority
+              FROM gpx)
+            SELECT source, doc_id, w, priority FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY priority, doc_id) AS rn FROM p)
+            WHERE rn <= 20 ORDER BY source, priority, doc_id
+        """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,

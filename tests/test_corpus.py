@@ -714,3 +714,34 @@ def test_rendezvous_census_stability_and_invariance(ray_session):
     moved = p8 != p9
     assert (p9[moved] == 8).all()          # movers only go to the new shard
     assert 0 < moved.sum() < len(keys) / 4  # ~1/9 expected
+
+
+def test_grouped_priority_sample_matches_reference(ray_session):
+    """Per-group bottom-k priority sample: bit-identical to the numpy
+    reference under any partitioning; groups smaller than k keep all
+    rows; heavier rows oversampled within their group."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (_splitmix64,
+                                                 grouped_priority_sample)
+
+    rng = np.random.default_rng(8)
+    n, k = 3000, 10
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "tiny"],
+                        p=[0.4, 0.35, 0.24, 0.01], size=n),
+        "id": rng.permutation(n).astype(np.int64),
+        "w": rng.integers(1, 500, n).astype(np.int64),
+    })
+    h = _splitmix64(df["id"].to_numpy().astype(np.uint64)) >> np.uint64(1)
+    df["priority"] = h.astype(np.int64) // df["w"].to_numpy()
+    ref = df.sort_values(["g", "priority", "id"]).groupby("g").head(k) \
+        .reset_index(drop=True)[["g", "id", "w", "priority"]]
+
+    for parts in (1, 7):
+        got = grouped_priority_sample(
+            rd.from_pandas(df[["g", "id", "w"]]).repartition(parts),
+            "g", "id", "w", k)
+        assert got.reset_index(drop=True).equals(ref), parts
+    tiny_n = (df["g"] == "tiny").sum()
+    assert (ref["g"] == "tiny").sum() == min(tiny_n, k)

@@ -1779,3 +1779,32 @@ def rendezvous_census(ds, key_col: str, n_shards: int) -> pd.DataFrame:
         .to_pandas().sort_values("shard").reset_index(drop=True)
     return out.astype({"shard": "int64", "n_keys": "int64",
                        "key_sum": "int64"})
+
+
+def grouped_priority_sample(ds, group_col: str, id_col: str,
+                            weight_col: str, k: int):
+    """Per-GROUP weighted bottom-k priority sample: the
+    ``priority_sample_bottomk`` sketch applied within each group (domain)
+    — per-source weighted subsampling for mixture construction, exact
+    and mergeable for the same reason (bottom-k per group of a union =
+    bottom-k per group of merged per-partition bottom-k's).  Returns the
+    surviving rows (group, id, w, priority) via ``grouped_topk``'s
+    k-per-group pruned exchange; the same deterministic splitmix64
+    priority, so the SQL window replay is bit-identical."""
+    from timberjack_ray.functions.relational import grouped_topk
+
+    proj = ds.select_columns([group_col, id_col, weight_col])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        h = _splitmix64(ids.astype(np.uint64)) >> np.uint64(1)
+        p = h.astype(np.int64) // w
+        return pa.table({group_col: t[group_col],
+                         id_col: pa.array(ids.astype(np.int64)),
+                         "w": pa.array(w), "priority": pa.array(p)})
+
+    return grouped_topk(proj.map_batches(prio, batch_format="pyarrow"),
+                        group_col, "priority", k, tie_col=id_col,
+                        descending=False)
