@@ -8899,6 +8899,37 @@ def q_source_weighted_sample(sf_dir: str):
         "source", "doc_id", "w", 20)
 
 
+def q_user_golden_record(sf_dir: str):
+    """MDM survivorship merge (functions/relational.survivorship_merge):
+    per-user golden record where each field independently keeps its
+    latest NON-NULL value by (ts, event_id) — value cents are planted
+    null on error events, so a newer error row must NOT erase the older
+    value while the event type still advances.  One hash(user) exchange,
+    one lexsort + masked maximum.reduceat gather per column; the SQL
+    oracle replays with per-column filtered ROW_NUMBER windows."""
+    from timberjack_ray.functions.relational import survivorship_merge
+    from timberjack_ray.functions.util import scale_to_int
+
+    events = _rp(sf_dir, "events",
+                 columns=["user_id", "ts", "event_id", "event_type",
+                          "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = scale_to_int(t["value"], 100)
+        isv = pc.invert(pc.equal(t["event_type"], "error"))
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"], "last_type": t["event_type"],
+            "last_cents": pc.if_else(isv, cents,
+                                     pa.nulls(t.num_rows, pa.int64()))})
+
+    out = survivorship_merge(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", ["last_type", "last_cents"]) \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9225,6 +9256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_dow_chi2": q_type_dow_chi2,
         "part_communities": q_part_communities,
         "source_weighted_sample": q_source_weighted_sample,
+        "user_golden_record": q_user_golden_record,
     }
 
 
@@ -13408,6 +13440,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                          ORDER BY priority, doc_id) AS rn FROM p)
             WHERE rn <= 20 ORDER BY source, priority, doc_id
+        """,
+        "user_golden_record": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type AS last_type,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     END AS last_cents
+              FROM events),
+            t1 AS (
+              SELECT user_id, last_type FROM (
+                SELECT user_id, last_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM e WHERE last_type IS NOT NULL) WHERE rn = 1),
+            t2 AS (
+              SELECT user_id, last_cents FROM (
+                SELECT user_id, last_cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM e WHERE last_cents IS NOT NULL) WHERE rn = 1),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id, t1.last_type, t2.last_cents
+            FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+                   LEFT JOIN t2 ON u.user_id = t2.user_id
+            ORDER BY u.user_id
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """

@@ -673,3 +673,44 @@ def test_chi2_scaled_matches_fraction_reference(ray_session):
                         "b": np.tile(np.repeat(["p", "q"], 250), 2)})
     g2 = chi2_scaled(rd.from_pandas(df2), "a", "b")
     assert g2.iloc[0]["chi2_scaled"] == 0
+
+
+def test_survivorship_merge_per_column_latest_nonnull(ray_session):
+    """Golden record vs a pandas reference: each column independently
+    keeps its latest non-null by (ts, id); a newer row with a null field
+    must NOT erase the older value; all-null columns stay null; ts ties
+    break by id."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import survivorship_merge
+
+    r = np.random.default_rng(12)
+    n = 800
+    df = pd.DataFrame({
+        "k": r.integers(0, 60, n).astype(np.int64),
+        "t": r.integers(0, 50, n).astype(np.int64),   # heavy ts ties
+        "i": np.arange(n, dtype=np.int64),
+        "a": np.where(r.random(n) < 0.4, None,
+                      r.choice(list("xyz"), n)),
+        "b": pd.array(np.where(r.random(n) < 0.5, np.nan,
+                               r.integers(0, 100, n)), dtype="Int64"),
+    })
+    df.loc[df["k"] == 3, "b"] = pd.NA   # one key all-null in b
+
+    ref_rows = []
+    for kk, sub in df.sort_values(["k", "t", "i"]).groupby("k"):
+        row = {"k": kk}
+        for c in ("a", "b"):
+            nn = sub[sub[c].notna()]
+            row[c] = nn[c].iloc[-1] if len(nn) else None
+        ref_rows.append(row)
+    ref = pd.DataFrame(ref_rows).sort_values("k").reset_index(drop=True)
+
+    got = survivorship_merge(rd.from_pandas(df).repartition(5),
+                             "k", "t", "i", ["a", "b"], n_buckets=8) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == ref["k"].tolist()
+    assert [x if pd.notna(x) else None for x in got["a"]] == \
+        [x if pd.notna(x) else None for x in ref["a"]]
+    assert [int(x) if pd.notna(x) else None for x in got["b"]] == \
+        [int(x) if pd.notna(x) else None for x in ref["b"]]

@@ -2328,3 +2328,69 @@ def chi2_scaled(ds, a_col: str, b_col: str,
     return pd.DataFrame({
         "chi2_scaled": [stat], "n": [n],
         "df": [(obs.shape[0] - 1) * (obs.shape[1] - 1)]}).astype("int64")
+
+
+def survivorship_merge(ds, key_col: str, ts_col: str, id_col: str,
+                       value_cols: list[str], n_buckets: int = 64):
+    """MDM survivorship / golden-record merge: one output row per key
+    where EACH column independently takes its latest NON-NULL value by
+    (ts, id) order — the cross-row field coalesce that keep-latest-ROW
+    upsert (``orders_upsert_latest``) cannot express: a newer record
+    with a missing field must not erase an older record's value.
+    Columns with no non-null value stay null.
+
+    Scale shape: one hash(key) bucket exchange; per bucket one lexsort
+    by (key, ts, id), then per column a masked ``maximum.reduceat`` over
+    positional indices picks the last non-null row per key segment — a
+    gather per column, no per-key Python.  Returns a streaming Dataset
+    (one row per key per bucket)."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    cols = [key_col, ts_col, id_col] + list(value_cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(bucket_of(k)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([key_col] + list(value_cols))
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(t[ts_col].type) \
+            else t[ts_col].to_numpy(zero_copy_only=False)
+        ev = t[id_col].to_numpy(zero_copy_only=False)
+        lo = np.lexsort((ev, ts, k))
+        ks = k[lo]
+        new = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        out = {key_col: pa.array(ks[starts])}
+        pos = np.arange(len(ks), dtype=np.int64)
+        for c in value_cols:
+            col = t[c].take(pa.array(lo)).combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            cand = np.where(valid, pos, -1)
+            best = np.maximum.reduceat(cand, starts)
+            idx = np.maximum(best, 0)
+            vals = col.take(pa.array(idx))
+            if (best < 0).any():   # keys with no non-null value -> null
+                mask = pa.array(best < 0)
+                vals = pc.if_else(mask, pa.nulls(len(starts), col.type),
+                                  vals)
+            out[c] = vals
+        return pa.table(out)
+
+    return ds.select_columns(cols) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            lambda t: per_bucket(t.drop_columns(["__b"])),
+            batch_format="pyarrow")
