@@ -8930,6 +8930,92 @@ def q_user_golden_record(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_copurchase_lift_top20(sf_dir: str):
+    """Market-basket LIFT ranking (exact-integer twin of the count-
+    ranked q_copurchase_top20): pairs scored by
+    10^6 * N * n_ab // (n_a * n_b) — lift > 1e6 means the parts co-occur
+    more than independence predicts; min-support n_ab >= 5 keeps tiny
+    denominators from dominating.  Same one-exchange pair kernel; the
+    part-degree fold is part-domain-bounded and the basket count is one
+    scalar.  The rational lift is floored once, identically in python
+    ints and SQL HUGEINT."""
+    from timberjack_ray.aggregates import merge_partials, \
+        merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import _offset_pairs
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        a, b = _offset_pairs(gs, it)
+        if not len(a):
+            return empty
+        gby = pa.table({"u": pa.array(a), "v": pa.array(b)}) \
+            .group_by(["u", "v"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["u", "v", "n"])
+
+    gi = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    bucketed = add_key_bucket(gi, "l_orderkey", 64)
+    p = bucketed.groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
+    if mode != "driver":  # pragma: no cover - past the edge guard
+        edges = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows])
+
+    def deg_bucket(t: pa.Table) -> pa.Table:
+        # bucket holds ALL rows of its orders -> global (g, i) dedup here
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        dd = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        g = dd.group_by("l_partkey").aggregate([([], "count_all")])
+        return g.rename_columns(["i", "c"])
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["l_orderkey"].combine_chunks())
+        return pa.table({"g": u, "one": pa.array(
+            np.ones(len(u), np.int64))})
+
+    deg = merge_partials(
+        bucketed.groupby("__kb").map_groups(
+            lambda t: deg_bucket(t.drop_columns(["__kb"])),
+            batch_format="pyarrow"),
+        ["i"], ["c"]).to_pandas()
+    nb = merge_partials(gi.map_batches(ord_partial,
+                                       batch_format="pyarrow"),
+                        ["g"], ["one"]).to_pandas()
+    n_baskets = len(nb)
+    dmap = dict(zip(deg["i"].astype(np.int64), deg["c"].astype(np.int64)))
+    ed = edges.to_pandas()
+    ed = ed[ed["n"] >= 5].copy()
+    lift = [10 ** 6 * n_baskets * int(r.n)
+            // (dmap[int(r.u)] * dmap[int(r.v)])
+            for r in ed.itertuples()]
+    ed["lift_ppm"] = pd.Series(lift, index=ed.index, dtype="int64")
+    out = ed.sort_values(["lift_ppm", "u", "v"],
+                         ascending=[False, True, True]).head(20) \
+        .reset_index(drop=True)
+    return out[["u", "v", "n", "lift_ppm"]].astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9257,6 +9343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_communities": q_part_communities,
         "source_weighted_sample": q_source_weighted_sample,
         "user_golden_record": q_user_golden_record,
+        "copurchase_lift_top20": q_copurchase_lift_top20,
     }
 
 
@@ -13467,6 +13554,27 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
                    LEFT JOIN t2 ON u.user_id = t2.user_id
             ORDER BY u.user_id
+        """,
+        "copurchase_lift_top20": """
+            WITH gi AS (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+              FROM lineitem),
+            e AS (
+              SELECT a.i AS u, b.i AS v, COUNT(*) AS n
+              FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+              GROUP BY 1, 2),
+            d AS (SELECT i, COUNT(*) AS c FROM gi GROUP BY i),
+            nn AS (SELECT COUNT(DISTINCT g) AS nb FROM gi),
+            s AS (
+              SELECT u, v, n,
+                     1000000::HUGEINT * nn.nb * e.n // (da.c * db.c)
+                       AS lift
+              FROM e JOIN d da ON e.u = da.i
+                     JOIN d db ON e.v = db.i, nn
+              WHERE e.n >= 5)
+            SELECT u, v, CAST(n AS BIGINT) AS n,
+                   CAST(lift AS BIGINT) AS lift_ppm
+            FROM s ORDER BY lift DESC, u, v LIMIT 20
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
