@@ -9016,6 +9016,22 @@ def q_copurchase_lift_top20(sf_dir: str):
     return out[["u", "v", "n", "lift_ppm"]].astype("int64")
 
 
+def q_decay_attribution(sf_dir: str):
+    """Time-decay multi-touch attribution
+    (functions/sessions.decay_attribution): each touch before its user's
+    first purchase earns base >> (age // one-day-halflife) credit —
+    recency weighting as a pure integer function of touch age (halving
+    per half-life), bit-identical to the SQL integer-shift replay.  The
+    recency-weighted sibling of ushape_attribution, same one-exchange
+    lexsort + reduceat plan with no rank pass."""
+    from timberjack_ray.functions.sessions import decay_attribution
+
+    events = _rp(sf_dir, "events",
+                 columns=["user_id", "ts", "event_type"])
+    return decay_attribution(events, "user_id", "ts", "event_type",
+                             "purchase", 86_400_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9344,6 +9360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_weighted_sample": q_source_weighted_sample,
         "user_golden_record": q_user_golden_record,
         "copurchase_lift_top20": q_copurchase_lift_top20,
+        "decay_attribution": q_decay_attribution,
     }
 
 
@@ -13575,6 +13592,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, CAST(n AS BIGINT) AS n,
                    CAST(lift AS BIGINT) AS lift_ppm
             FROM s ORDER BY lift DESC, u, v LIMIT 20
+        """,
+        "decay_attribution": """
+            WITH fp AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS pt
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            t AS (
+              SELECT e.event_type, fp.pt - epoch_us(e.ts) AS age
+              FROM events e JOIN fp ON e.user_id = fp.user_id
+              WHERE epoch_us(e.ts) < fp.pt)
+            SELECT event_type, COUNT(*) AS n_touches,
+                   CAST(SUM(1000000 // (1::BIGINT <<
+                        CAST(LEAST(age // 86400000000, 62) AS INTEGER)))
+                        AS BIGINT) AS credit
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """

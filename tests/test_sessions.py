@@ -751,3 +751,46 @@ def test_sax_motif_census_matches_bruteforce(ray_session):
                                "k", "t", "i", "v", frame=F, word=W,
                                n_buckets=8)
         assert got.equals(ref), (parts, got, ref)
+
+
+def test_decay_attribution_matches_bruteforce(ray_session):
+    """Integer half-life credit vs a per-user python reference: halving
+    per elapsed half-life, 62-shift clamp, non-converting keys excluded,
+    exact boundary age = k * halflife."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import decay_attribution
+
+    rng = np.random.default_rng(29)
+    n = 700
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "t": rng.integers(0, 1000, n).astype(np.int64),
+        "y": rng.choice(["view", "click", "purchase"], n,
+                        p=[0.6, 0.3, 0.1]),
+    })
+    HL, BASE = 100, 1_000_000
+
+    agg: dict = {}
+    for _, sub in df.groupby("k"):
+        p = sub[sub["y"] == "purchase"]
+        if p.empty:
+            continue
+        pt = int(p["t"].min())
+        for _, r in sub[sub["t"] < pt].iterrows():
+            age = pt - int(r["t"])
+            c = BASE >> min(age // HL, 62)
+            row = agg.setdefault(r["y"], [0, 0])
+            row[0] += 1
+            row[1] += c
+    ref = pd.DataFrame([(y, *v) for y, v in sorted(agg.items())],
+                       columns=["y", "n_touches", "credit"]) \
+        .astype({"n_touches": "int64", "credit": "int64"})
+
+    got = decay_attribution(rd.from_pandas(df).repartition(4),
+                            "k", "t", "y", "purchase", HL,
+                            base=BASE, n_buckets=8) \
+        .reset_index(drop=True)
+    assert got.equals(ref), (got, ref)

@@ -1695,3 +1695,75 @@ def sax_motif_census(ds, key_col: str, ts_col: str, id_col: str,
     out["motif"] = out["code"].map(decode)
     return out[["motif", "n"]].sort_values("motif") \
         .reset_index(drop=True).astype({"n": "int64"})
+
+
+def decay_attribution(ds, key_col: str, ts_col: str, type_col: str,
+                      convert_type: str, halflife_us: int,
+                      base: int = 1_000_000, n_buckets: int = 64
+                      ) -> pd.DataFrame:
+    """Time-DECAY multi-touch attribution (the recency-weighted sibling
+    of ``ushape_attribution``), exact integers: every touch strictly
+    before its key's first conversion earns ``base >> min(age //
+    halflife_us, 62)`` credit — halving per elapsed half-life, a pure
+    integer function of the touch age, so the SQL replay (integer shift)
+    is bit-identical.  Returns per touch type: (type, n_touches,
+    credit).  Same one-exchange plan as ushape: lexsort + sentinel-
+    guarded minimum.reduceat; no rank pass is needed because the credit
+    depends only on age."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__b": pa.array(bucket_of(k)), "__k": pa.array(k),
+                         "__t": pa.array(_ts_to_int(
+                             t[ts_col].combine_chunks()
+                             .to_numpy(zero_copy_only=False))),
+                         "__y": t[type_col]})
+
+    tagged = ds.select_columns([key_col, ts_col, type_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "n_touches": pa.array([], pa.int64()),
+                          "credit": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        isc = pc.equal(t["__y"], convert_type).to_numpy(
+            zero_copy_only=False)
+        lo = np.lexsort((ts, k))
+        k, ts, isc = k[lo], ts[lo], isc[lo]
+        y = t["__y"].take(pa.array(lo))
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        big = np.iinfo(np.int64).max
+        ct = np.where(isc, ts, big)
+        first_c = np.minimum.reduceat(ct, starts)
+        touch = (first_c[seg] != big) & (ts < first_c[seg])
+        if not touch.any():
+            return empty
+        age = first_c[seg][touch] - ts[touch]
+        k_ = np.minimum(age // halflife_us, 62)
+        credit = (base >> k_.astype(np.int64))
+        g = pa.table({type_col: y.filter(pa.array(touch)),
+                      "c": pa.array(credit.astype(np.int64))}) \
+            .group_by([type_col]).aggregate([([], "count_all"),
+                                             ("c", "sum")])
+        return g.rename_columns([type_col, "n_touches", "credit"])
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, [type_col], ["n_touches", "credit"]) \
+        .to_pandas().sort_values(type_col).reset_index(drop=True)
+    return out.astype({"n_touches": "int64", "credit": "int64"})
