@@ -159,3 +159,47 @@ def test_snm_candidate_census_matches_bruteforce(ray_session):
                                "w", "id", window=w)
     assert got.iloc[0]["n_candidates"] == cand
     assert got.iloc[0]["n_matches"] == match
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.sets(st.text(alphabet="abσ", min_size=0, max_size=5),
+               min_size=2, max_size=40))
+def test_ed1_certificates_agree_with_verifier_fuzz(words):
+    """Two INDEPENDENT distance-1 implementations must agree on every
+    random dictionary: the FastSS positional-certificate kernel
+    (no string comparison) vs the pairwise padded-matrix verifier —
+    run driver-side on a single table, no Ray."""
+    import pyarrow as pa
+
+    from timberjack_ray.functions.linkage import (_deletion_records,
+                                                  _ed1_pairs_segmented,
+                                                  _ed1_verify)
+
+    ws = sorted(words)
+    t = pa.table({"w": pa.array(ws, pa.string()),
+                  "id": pa.array(range(len(ws)), pa.int64())})
+    recs = _deletion_records(t, "w", "id")
+    got = {(r["a"], r["b"])
+           for r in _ed1_pairs_segmented(recs).to_pylist()}
+
+    xs, ys = [], []
+    for i in range(len(ws)):
+        for j in range(i + 1, len(ws)):
+            xs.append(ws[i])
+            ys.append(ws[j])
+    if xs:
+        ver = _ed1_verify(np.array(xs, object), np.array(ys, object))
+        want = set()
+        k = 0
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                if ver[k]:
+                    want.add((i, j))
+                k += 1
+    else:
+        want = set()
+    assert got == want
