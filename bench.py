@@ -206,6 +206,11 @@ def main() -> None:
         timed("rendezvous", lambda: em.q_orders_rendezvous(SF_DIR))
         timed("chi2", lambda: em.q_type_dow_chi2(SF_DIR))
         timed("lpa_communities", lambda: em.q_part_communities(SF_DIR))
+        timed("golden_record", lambda: em.q_user_golden_record(SF_DIR))
+        timed("basket_lift", lambda: em.q_copurchase_lift_top20(SF_DIR))
+        timed("decay_attr", lambda: em.q_decay_attribution(SF_DIR))
+        timed("grouped_wsample",
+              lambda: em.q_source_weighted_sample(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
