@@ -9032,6 +9032,18 @@ def q_decay_attribution(sf_dir: str):
                              "purchase", 86_400_000_000)
 
 
+def q_doc_kfold_census(sf_dir: str):
+    """Stratified 5-fold assignment census (functions/corpus.
+    kfold_census): fold = splitmix64(doc_id) % 5, per (source, fold)
+    counts — reproducible cross-validation folds any worker can route
+    without coordination; the HUGEINT splitmix64 chain replays the
+    assignment and the census proves per-stratum balance."""
+    from timberjack_ray.functions.corpus import kfold_census
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return kfold_census(docs, "doc_id", "source", 5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9361,6 +9373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_golden_record": q_user_golden_record,
         "copurchase_lift_top20": q_copurchase_lift_top20,
         "decay_attribution": q_decay_attribution,
+        "doc_kfold_census": q_doc_kfold_census,
     }
 
 
@@ -13607,6 +13620,14 @@ def oracle_sql() -> dict[str, str]:
                         CAST(LEAST(age // 86400000000, 62) AS INTEGER)))
                         AS BIGINT) AS credit
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "doc_kfold_census": f"""
+            WITH s AS (
+              SELECT source, doc_id::HUGEINT AS did FROM documents),
+            {_sm_ctes("kf", "s", "did", ["source"])}
+            SELECT source, CAST(h % 5 AS BIGINT) AS fold,
+                   COUNT(*) AS n
+            FROM kfx GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """

@@ -1808,3 +1808,30 @@ def grouped_priority_sample(ds, group_col: str, id_col: str,
     return grouped_topk(proj.map_batches(prio, batch_format="pyarrow"),
                         group_col, "priority", k, tie_col=id_col,
                         descending=False)
+
+
+def kfold_census(ds, id_col: str, strata_col: str, k: int) -> pd.DataFrame:
+    """Deterministic stratified k-fold assignment census: fold =
+    splitmix64(id) % k — a pure function of the id, so folds are
+    reproducible across engines/reruns and any row can be routed without
+    coordination (the cross-validation sibling of ``assign_split``'s
+    content-keyed train/valid/test masks).  Returns per (stratum, fold):
+    n — the balance evidence; consumers filter rows by the same hash
+    expression.  Per-batch census partials, |strata x k| merge, no
+    exchange."""
+    from timberjack_ray.aggregates import merge_partials
+
+    proj = ds.select_columns([strata_col, id_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        fold = (_splitmix64(ids.astype(np.uint64))
+                % np.uint64(k)).astype(np.int64)
+        g = pa.table({strata_col: t[strata_col], "fold": pa.array(fold)}) \
+            .group_by([strata_col, "fold"]).aggregate([([], "count_all")])
+        return g.rename_columns([strata_col, "fold", "n"])
+
+    out = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
+                         [strata_col, "fold"], ["n"]).to_pandas()
+    return out.sort_values([strata_col, "fold"]).reset_index(drop=True) \
+        .astype({"fold": "int64", "n": "int64"})
