@@ -9044,6 +9044,51 @@ def q_doc_kfold_census(sf_dir: str):
     return kfold_census(docs, "doc_id", "source", 5)
 
 
+def q_event_value_cvm(sf_dir: str):
+    """EXACT two-sample Cramer-von Mises statistic between the purchase
+    and click value distributions — the squared-CDF-gap drift detector
+    completing the family (TV sees moved mass, KS the worst gap, CvM
+    the INTEGRATED gap, sensitive to many small divergences): per
+    pooled distinct value, term = w_v * (F1*N2 - F2*N1)^2 // (N1*N2)
+    (w_v = pooled count), summed — one shared floor per value, python
+    ints = SQL HUGEINT.  Same count-per-value partial pass and
+    value-domain-bounded merge as event_value_ks."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    A, B = "purchase", "click"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([A, B])))
+        g = pa.table({"event_type": t["event_type"],
+                      "cents": scale_to_int(t["value"], 100)}) \
+            .group_by(["event_type", "cents"]).aggregate(
+                [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    h = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "cents"], "c").to_pandas()
+    ca = dict(zip(h[h["event_type"] == A]["cents"],
+                  h[h["event_type"] == A]["c"]))
+    cb = dict(zip(h[h["event_type"] == B]["cents"],
+                  h[h["event_type"] == B]["c"]))
+    n1 = int(sum(ca.values()))
+    n2 = int(sum(cb.values()))
+    f1 = f2 = 0
+    tot = 0
+    for v in sorted(set(ca) | set(cb)):
+        a = int(ca.get(v, 0))
+        b = int(cb.get(v, 0))
+        f1 += a
+        f2 += b
+        d = f1 * n2 - f2 * n1
+        tot += (a + b) * d * d // (n1 * n2)
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "cvm_scaled": [tot]}) \
+        .astype({"n1": "int64", "n2": "int64", "cvm_scaled": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9374,6 +9419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift_top20": q_copurchase_lift_top20,
         "decay_attribution": q_decay_attribution,
         "doc_kfold_census": q_doc_kfold_census,
+        "event_value_cvm": q_event_value_cvm,
     }
 
 
@@ -13628,6 +13674,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(h % 5 AS BIGINT) AS fold,
                    COUNT(*) AS n
             FROM kfx GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_value_cvm": """
+            WITH e AS (
+              SELECT event_type AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events WHERE event_type IN ('purchase', 'click')),
+            h AS (
+              SELECT v,
+                     COUNT(*) FILTER (WHERE t = 'purchase') AS a,
+                     COUNT(*) FILTER (WHERE t = 'click') AS b
+              FROM e GROUP BY v),
+            c AS (
+              SELECT v, a, b,
+                     SUM(a) OVER (ORDER BY v) AS fa,
+                     SUM(b) OVER (ORDER BY v) AS fb
+              FROM h),
+            n AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM h)
+            SELECT CAST(n.n1 AS BIGINT) AS n1,
+                   CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(SUM((c.a + c.b)::HUGEINT
+                            * (c.fa * n.n2 - c.fb * n.n1)
+                            * (c.fa * n.n2 - c.fb * n.n1)
+                            // (n.n1 * n.n2)) AS BIGINT) AS cvm_scaled
+            FROM c, n GROUP BY n.n1, n.n2
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
