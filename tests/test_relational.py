@@ -714,3 +714,13 @@ def test_survivorship_merge_per_column_latest_nonnull(ray_session):
         [x if pd.notna(x) else None for x in ref["a"]]
     assert [int(x) if pd.notna(x) else None for x in got["b"]] == \
         [int(x) if pd.notna(x) else None for x in ref["b"]]
+
+
+def test_skyline_2d_empty_input(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import skyline_2d
+
+    df = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                       "y": pd.Series([], dtype="int64")})
+    assert skyline_2d(rd.from_pandas(df), "x", "y").count() == 0

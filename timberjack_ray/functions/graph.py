@@ -1406,16 +1406,36 @@ def label_propagation_census(edges, rounds: int = 3,
                 .group_by(["node", "lab"]).aggregate([([], "count_all")])
             return g.rename_columns(["node", "lab", "n"])
 
-        vt = merge_partials(edges.map_batches(votes,
-                                              batch_format="pyarrow"),
-                            ["node", "lab"], ["n"]).to_pandas()
-        gn = vt["node"].to_numpy(np.int64)
-        gl = vt["lab"].to_numpy(np.int64)
-        cnt = vt["n"].to_numpy(np.int64)
-        pick = np.lexsort((gl, -cnt, gn))
-        first = np.r_[True, gn[pick][1:] != gn[pick][:-1]]
-        win_n = gn[pick][first]
-        win_l = gl[pick][first]
+        # votes merge + per-node argmax stay DISTRIBUTED: the distinct
+        # (node, label) pair count is edge-sized, which by construction
+        # does not fit the driver on this path — only the one-winner-
+        # per-node table (node-bounded, under node_limit) comes back
+        from timberjack_ray.functions.corpus import add_key_bucket
+
+        def bucket_argmax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "lab": pa.array([], pa.int64())})
+            g = t.group_by(["node", "lab"]).aggregate([("n", "sum")])
+            bn = g["node"].to_numpy(zero_copy_only=False)
+            bl = g["lab"].to_numpy(zero_copy_only=False)
+            bc = g["n_sum"].to_numpy(zero_copy_only=False)
+            pk = np.lexsort((bl, -bc, bn))
+            fs = np.r_[True, bn[pk][1:] != bn[pk][:-1]]
+            return pa.table({"node": pa.array(bn[pk][fs]),
+                             "lab": pa.array(bl[pk][fs])})
+
+        win_ds = add_key_bucket(
+            edges.map_batches(votes, batch_format="pyarrow"),
+            "node", 256).groupby("__kb").map_groups(
+                lambda t: bucket_argmax(t.drop_columns(["__kb"])),
+                batch_format="pyarrow")
+        wt = pa.concat_tables(
+            [b for b in win_ds.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+             if b.num_rows])
+        win_n = wt["node"].to_numpy(zero_copy_only=False)
+        win_l = wt["lab"].to_numpy(zero_copy_only=False)
         nl = labels.copy()
         nl[np.searchsorted(nodes_sorted, win_n)] = win_l
         labels = nl

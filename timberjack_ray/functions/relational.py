@@ -2160,6 +2160,10 @@ def skyline_2d(ds, x_col: str, y_col: str, driver_limit: int = 2_000_000,
 
     gmax = gmax.map_batches(norm, batch_format="pyarrow")
     small = collect_table_under(gmax, driver_limit)
+    if small is None and gmax.limit(1).count() == 0:
+        # empty input: nothing dominates nothing (collect_table_under
+        # returns None for BOTH empty and over-limit)
+        return ds.limit(0)
     if small is None:
         # coarse prefilter: strict-earlier-block dominance
         def coarse(t: pa.Table) -> pa.Table:
