@@ -9089,6 +9089,35 @@ def q_event_value_cvm(sf_dir: str):
         .astype({"n1": "int64", "n2": "int64", "cvm_scaled": "int64"})
 
 
+def q_purchase_value_percentiles(sf_dir: str):
+    """Cross-population ECDF calibration
+    (functions/relational.ecdf_percentile_census): each purchase value
+    scored by its percentile (exact integer ppm) within the VIEW-value
+    reference distribution, census per purchase month — "where do this
+    month's purchases sit against baseline browsing?".  Reference folds
+    once (domain-bounded histogram), broadcasts; one streaming
+    searchsorted pass over purchases; the SQL oracle replays via an
+    ASOF-style max-cumulative join."""
+    from timberjack_ray.functions.relational import ecdf_percentile_census
+    from timberjack_ray.functions.util import scale_to_int
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        return pa.table({"cents": scale_to_int(t["value"], 100)})
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"cents": scale_to_int(t["value"], 100),
+                         "month": pc.strftime(t["ts"], format="%m")})
+
+    return ecdf_percentile_census(
+        ev.map_batches(views, batch_format="pyarrow"), "cents",
+        ev.map_batches(purchases, batch_format="pyarrow"), "cents",
+        "month")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9420,6 +9449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_attribution": q_decay_attribution,
         "doc_kfold_census": q_doc_kfold_census,
         "event_value_cvm": q_event_value_cvm,
+        "purchase_value_percentiles": q_purchase_value_percentiles,
     }
 
 
@@ -13698,6 +13728,29 @@ def oracle_sql() -> dict[str, str]:
                             * (c.fa * n.n2 - c.fb * n.n1)
                             // (n.n1 * n.n2)) AS BIGINT) AS cvm_scaled
             FROM c, n GROUP BY n.n1, n.n2
+        """,
+        "purchase_value_percentiles": """
+            WITH ref AS (
+              SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events WHERE event_type = 'view'),
+            n AS (SELECT COUNT(*) AS c FROM ref),
+            cum AS (
+              SELECT v, MAX(rn) AS cle FROM (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM ref)
+              GROUP BY v),
+            p AS (
+              SELECT strftime(ts, '%m') AS month,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT p.month,
+                     COALESCE((SELECT MAX(cum.cle) FROM cum
+                               WHERE cum.v <= p.v), 0)
+                       * 1000000 // n.c AS ppm
+              FROM p, n)
+            SELECT month, COUNT(*) AS n,
+                   CAST(SUM(ppm) AS BIGINT) AS ppm_sum
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """

@@ -724,3 +724,32 @@ def test_skyline_2d_empty_input(ray_session):
     df = pd.DataFrame({"x": pd.Series([], dtype="int64"),
                        "y": pd.Series([], dtype="int64")})
     assert skyline_2d(rd.from_pandas(df), "x", "y").count() == 0
+
+
+def test_ecdf_percentile_census_matches_reference(ray_session):
+    """Cross-population percentile: ppm = #{ref <= v}*1e6//N vs a
+    pandas reference, incl. targets below the reference min (ppm 0),
+    above the max (ppm 1e6), and exactly ON reference ties."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import ecdf_percentile_census
+
+    r = np.random.default_rng(15)
+    ref = pd.DataFrame({"v": np.r_[r.integers(10, 90, 900),
+                                   [50] * 50].astype(np.int64)})
+    tgt = pd.DataFrame({
+        "v": np.r_[r.integers(0, 120, 300), [50, 5, 115]].astype(np.int64),
+        "g": np.r_[r.choice(["a", "b"], 300), ["a", "a", "b"]],
+    })
+    rv = np.sort(ref["v"].to_numpy())
+    n = len(rv)
+    ppm = np.searchsorted(rv, tgt["v"].to_numpy(), side="right") \
+        .astype(np.int64) * 1_000_000 // n
+    want = pd.DataFrame({"g": tgt["g"], "ppm": ppm}) \
+        .groupby("g").agg(n=("ppm", "size"), ppm_sum=("ppm", "sum")) \
+        .reset_index().astype({"n": "int64", "ppm_sum": "int64"})
+
+    got = ecdf_percentile_census(
+        rd.from_pandas(ref).repartition(4), "v",
+        rd.from_pandas(tgt).repartition(3), "v", "g")
+    assert got.equals(want), (got, want)

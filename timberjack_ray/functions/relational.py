@@ -2398,3 +2398,56 @@ def survivorship_merge(ds, key_col: str, ts_col: str, id_col: str,
         .groupby("__b").map_groups(
             lambda t: per_bucket(t.drop_columns(["__b"])),
             batch_format="pyarrow")
+
+
+def ecdf_percentile_census(ref_ds, ref_col: str, target_ds, t_col: str,
+                           group_col: str) -> pd.DataFrame:
+    """Cross-population ECDF calibration: score every target row by its
+    percentile within the REFERENCE population — ppm = #{ref <= v} *
+    10^6 // N_ref, a pure integer function of the reference histogram —
+    and census per group: (group, n, ppm_sum).  "Where does this batch
+    sit against the reference corpus?" — the two-table sibling of
+    ``percentile_ranks`` (within-table) and ``quantile_normalize_ds``
+    (rank remap).
+
+    Scale shape: the reference folds once to a count-per-value histogram
+    (value-DOMAIN-bounded — same contract as the KS/CvM drift family),
+    broadcasts as (sorted values, cumulative counts); the target side is
+    one streaming searchsorted pass emitting |groups|-sized partials."""
+    import ray
+
+    from timberjack_ray.aggregates import merge_partials
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"v": t[ref_col]}).group_by("v").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["v", "c"])
+
+    h = merge_partials(
+        ref_ds.select_columns([ref_col]).map_batches(
+            ref_partial, batch_format="pyarrow"), ["v"], ["c"]) \
+        .to_pandas().sort_values("v")
+    vals = h["v"].to_numpy(np.int64)
+    cums = h["c"].to_numpy(np.int64).cumsum()
+    n_ref = int(cums[-1]) if len(cums) else 0
+    if n_ref == 0:
+        raise ValueError("ecdf_percentile_census: empty reference")
+    ref = ray.put((vals, cums))
+
+    def score(t: pa.Table) -> pa.Table:
+        rv, rc = _fetch_table_pair(ref)
+        v = t[t_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rv, v, side="right")
+        cum = np.where(idx > 0, rc[np.maximum(idx - 1, 0)], 0)
+        ppm = cum.astype(np.int64) * 1_000_000 // n_ref
+        g = pa.table({group_col: t[group_col], "ppm": pa.array(ppm)}) \
+            .group_by([group_col]).aggregate([([], "count_all"),
+                                              ("ppm", "sum")])
+        return g.rename_columns([group_col, "n", "ppm_sum"])
+
+    out = merge_partials(
+        target_ds.select_columns([group_col, t_col]).map_batches(
+            score, batch_format="pyarrow"),
+        [group_col], ["n", "ppm_sum"]).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True) \
+        .astype({"n": "int64", "ppm_sum": "int64"})
