@@ -9118,6 +9118,20 @@ def q_purchase_value_percentiles(sf_dir: str):
         "month")
 
 
+def q_doc_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling
+    (functions/corpus.negative_sample_census): 4 negatives per document
+    drawn by splitmix64(id*5 + j + 1) % N over the dense doc-id space
+    (one +1 probe on self-collision) — training-pair construction any
+    worker performs without coordination; per-source count + exact
+    negative-id checksum, HUGEINT chain + generate_series replay."""
+    from timberjack_ray.functions.corpus import negative_sample_census
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    n_total = docs.count()
+    return negative_sample_census(docs, "doc_id", "source", 4, n_total)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9450,6 +9464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_kfold_census": q_doc_kfold_census,
         "event_value_cvm": q_event_value_cvm,
         "purchase_value_percentiles": q_purchase_value_percentiles,
+        "doc_negative_samples": q_doc_negative_samples,
     }
 
 
@@ -13751,6 +13766,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT month, COUNT(*) AS n,
                    CAST(SUM(ppm) AS BIGINT) AS ppm_sum
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "doc_negative_samples": f"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (
+              SELECT d.source,
+                     (d.doc_id::HUGEINT * 5 + j.j + 1) AS seed,
+                     d.doc_id::HUGEINT AS did
+              FROM documents d
+              CROSS JOIN generate_series(0, 3) AS j(j)),
+            {_sm_ctes("ns", "s", "seed", ["source", "did"])},
+            c AS (
+              SELECT source,
+                     CASE WHEN h % nn.n = did
+                          THEN (h % nn.n + 1) % nn.n
+                          ELSE h % nn.n END AS cand
+              FROM nsx, nn)
+            SELECT source, COUNT(*) AS n_triples,
+                   CAST(SUM(cand) AS BIGINT) AS neg_sum
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """

@@ -745,3 +745,36 @@ def test_grouped_priority_sample_matches_reference(ray_session):
         assert got.reset_index(drop=True).equals(ref), parts
     tiny_n = (df["g"] == "tiny").sum()
     assert (ref["g"] == "tiny").sum() == min(tiny_n, k)
+
+
+def test_negative_sample_census_deterministic_no_self(ray_session):
+    """Contrastive negatives: partitioning-invariant census, never the
+    anchor itself (self-collision probed to +1), all draws in
+    [0, n_total), checksum matches the direct numpy replay."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.corpus import (_splitmix64,
+                                                 negative_sample_census)
+
+    n, k = 1000, 4
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": np.where(np.arange(n) % 3 == 0, "a", "b")})
+    j = np.arange(k, dtype=np.uint64)
+    seed = df["id"].to_numpy()[:, None].astype(np.uint64) \
+        * np.uint64(k + 1) + j[None, :] + np.uint64(1)
+    cand = (_splitmix64(seed.reshape(-1)) % np.uint64(n)) \
+        .astype(np.int64).reshape(-1, k)
+    hit = cand == df["id"].to_numpy()[:, None]
+    assert hit.any()  # the probe path is actually exercised
+    cand = np.where(hit, (cand + 1) % n, cand)
+    assert (cand != df["id"].to_numpy()[:, None]).all()
+    assert cand.min() >= 0 and cand.max() < n
+    want = pd.DataFrame({"g": df["g"], "ns": cand.sum(axis=1)}) \
+        .groupby("g").agg(n_triples=("ns", lambda s: len(s) * k),
+                          neg_sum=("ns", "sum")).reset_index() \
+        .astype({"n_triples": "int64", "neg_sum": "int64"})
+
+    for parts in (1, 6):
+        got = negative_sample_census(
+            rd.from_pandas(df).repartition(parts), "id", "g", k, n)
+        assert got.equals(want), parts

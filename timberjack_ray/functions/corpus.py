@@ -1835,3 +1835,43 @@ def kfold_census(ds, id_col: str, strata_col: str, k: int) -> pd.DataFrame:
                          [strata_col, "fold"], ["n"]).to_pandas()
     return out.sort_values([strata_col, "fold"]).reset_index(drop=True) \
         .astype({"fold": "int64", "n": "int64"})
+
+
+def negative_sample_census(ds, id_col: str, group_col: str, k: int,
+                           n_total: int) -> pd.DataFrame:
+    """Deterministic contrastive negative sampling (training-pair
+    construction): for each anchor id, ``k`` negatives drawn as
+    ``splitmix64(id*(k+1) + j + 1) % n_total`` (j = 0..k-1) over a DENSE
+    id space [0, n_total), with one +1 linear probe if a draw hits the
+    anchor itself — a pure function of (id, j), so any worker constructs
+    any anchor's negatives without coordination and reruns/engines agree
+    bit-for-bit.  Returns per group: (group, n_triples, neg_sum) — the
+    count and exact checksum of the assigned negative ids.
+
+    Scale shape: per-row arithmetic (an (n x k) hash matrix per batch),
+    |groups| partials, no exchange."""
+    from timberjack_ray.aggregates import merge_partials
+
+    proj = ds.select_columns([group_col, id_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(k, dtype=np.uint64)
+        seed = ids[:, None].astype(np.uint64) * np.uint64(k + 1) \
+            + j[None, :] + np.uint64(1)
+        cand = (_splitmix64(seed.reshape(-1))
+                % np.uint64(n_total)).astype(np.int64).reshape(-1, k)
+        hit = cand == ids[:, None]
+        cand = np.where(hit, (cand + 1) % n_total, cand)
+        g = pa.table({group_col: t[group_col],
+                      "n_triples": pa.array(
+                          np.full(len(ids), k, np.int64)),
+                      "neg_sum": pa.array(cand.sum(axis=1))}) \
+            .group_by([group_col]).aggregate([("n_triples", "sum"),
+                                              ("neg_sum", "sum")])
+        return g.rename_columns([group_col, "n_triples", "neg_sum"])
+
+    out = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
+                         [group_col], ["n_triples", "neg_sum"]).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True) \
+        .astype({"n_triples": "int64", "neg_sum": "int64"})
