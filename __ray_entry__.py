@@ -9132,6 +9132,42 @@ def q_doc_negative_samples(sf_dir: str):
     return negative_sample_census(docs, "doc_id", "source", 4, n_total)
 
 
+def q_doc_padding_waste(sf_dir: str):
+    """Length-bucketed batching census: documents bucketed by
+    next-power-of-two word count (the standard length-bucketing step
+    before padded batch assembly); per bucket: n_docs, sum_words, and
+    padding waste = n*bucket_cap - sum_words with waste_ppm =
+    waste*10^6 // (n*cap) — the batching-efficiency audit that decides
+    bucket boundaries for training throughput.  Pure per-batch
+    arithmetic on word counts, |buckets| partials, no exchange."""
+    from timberjack_ray.aggregates import merge_partials
+
+    docs = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.list_value_length(pc.split_pattern(t["text"], " ")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.maximum(w, 1)
+        cap = np.int64(1) << np.ceil(np.log2(w)).astype(np.int64)
+        cap = np.maximum(cap, 1)
+        g = pa.table({"bucket_cap": pa.array(cap),
+                      "w": pa.array(w)}) \
+            .group_by("bucket_cap").aggregate([([], "count_all"),
+                                               ("w", "sum")])
+        return g.rename_columns(["bucket_cap", "n_docs", "sum_words"])
+
+    out = merge_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["bucket_cap"], ["n_docs", "sum_words"]).to_pandas()
+    out["waste"] = out["n_docs"] * out["bucket_cap"] - out["sum_words"]
+    out["waste_ppm"] = out["waste"] * 1_000_000 // \
+        (out["n_docs"] * out["bucket_cap"])
+    return out.sort_values("bucket_cap").reset_index(drop=True) \
+        .astype({c: "int64" for c in
+                 ["bucket_cap", "n_docs", "sum_words", "waste",
+                  "waste_ppm"]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9465,6 +9501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_cvm": q_event_value_cvm,
         "purchase_value_percentiles": q_purchase_value_percentiles,
         "doc_negative_samples": q_doc_negative_samples,
+        "doc_padding_waste": q_doc_padding_waste,
     }
 
 
@@ -13785,6 +13822,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_triples,
                    CAST(SUM(cand) AS BIGINT) AS neg_sum
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "doc_padding_waste": """
+            WITH w AS (
+              SELECT GREATEST(len(string_split(text, ' ')), 1) AS nw
+              FROM documents),
+            b AS (
+              SELECT GREATEST(CAST(POWER(2, CEIL(LOG2(nw)))
+                                   AS BIGINT), 1) AS bucket_cap, nw
+              FROM w),
+            g AS (
+              SELECT bucket_cap, COUNT(*) AS n_docs,
+                     CAST(SUM(nw) AS BIGINT) AS sum_words
+              FROM b GROUP BY 1)
+            SELECT bucket_cap, n_docs, sum_words,
+                   n_docs * bucket_cap - sum_words AS waste,
+                   (n_docs * bucket_cap - sum_words) * 1000000
+                     // (n_docs * bucket_cap) AS waste_ppm
+            FROM g ORDER BY bucket_cap
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
