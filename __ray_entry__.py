@@ -9168,6 +9168,58 @@ def q_doc_padding_waste(sf_dir: str):
                   "waste_ppm"]})
 
 
+def q_part_shortest_costs(sf_dir: str):
+    """Bounded-round integer Bellman-Ford (4 rounds,
+    functions/graph.bellman_ford_bounded) over the part co-purchase
+    graph with edge cost 10^6 // co-purchase-count (strong ties are
+    cheap): exact min-cost within 4 edges from the minimum part — the
+    WEIGHTED sibling of part_bfs_hops (hops ignore tie strength), with
+    rounds as SEMANTICS so the oracle unrolls each relaxation as one
+    min-fold CTE."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import (_offset_pairs,
+                                                bellman_ford_bounded)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        a, b = _offset_pairs(gs, it)
+        if not len(a):
+            return empty
+        gby = pa.table({"u": pa.array(a), "v": pa.array(b)}) \
+            .group_by(["u", "v"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["u", "v", "n"])
+
+    gi = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    p = add_key_bucket(gi, "l_orderkey", 64).groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
+    if mode != "driver":  # pragma: no cover - past the edge guard
+        edges = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows])
+    ed = edges.to_pandas()
+    ed["w"] = (1_000_000 // ed["n"]).astype("int64")
+    return bellman_ford_bounded(ed[["u", "v", "w"]], rounds=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9502,6 +9554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_value_percentiles": q_purchase_value_percentiles,
         "doc_negative_samples": q_doc_negative_samples,
         "doc_padding_waste": q_doc_padding_waste,
+        "part_shortest_costs": q_part_shortest_costs,
     }
 
 
@@ -9682,6 +9735,34 @@ def _lpa_unrolled_sql(rounds: int) -> str:
     return (f"WITH {', '.join(ctes)} "
             f"SELECT lab AS community, COUNT(*) AS n_nodes "
             f"FROM l{rounds} GROUP BY 1 ORDER BY 1")
+
+
+def _bf_unrolled_sql(rounds: int) -> str:
+    """Bounded-round Bellman-Ford as an unrolled min-fold CTE chain —
+    exactly graph.bellman_ford_bounded's semantics (cost = 10^6 //
+    co-purchase count, seed = minimum node)."""
+    ctes = ["""gi AS MATERIALIZED (
+                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem)""",
+            """ew AS MATERIALIZED (
+                 SELECT a.i AS u, b.i AS v,
+                        1000000 // COUNT(*) AS w
+                 FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+                 GROUP BY a.i, b.i)""",
+            """dx AS MATERIALIZED (
+                 SELECT u AS src, v AS dst, w FROM ew
+                 UNION ALL SELECT v, u, w FROM ew)""",
+            """d0 AS MATERIALIZED (
+                 SELECT (SELECT MIN(src) FROM dx) AS node, 0 AS dist)"""]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist "
+            f"FROM (SELECT node, dist FROM d{r} UNION ALL "
+            f"SELECT dx.dst, d{r}.dist + dx.w FROM d{r} "
+            f"JOIN dx ON dx.src = d{r}.node) GROUP BY node)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, CAST(dist AS BIGINT) AS dist "
+            f"FROM d{rounds} ORDER BY node")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13842,6 +13923,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY bucket_cap
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
+        "part_shortest_costs": _bf_unrolled_sql(rounds=4),
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents

@@ -492,3 +492,53 @@ def test_label_propagation_matches_reference_and_modes(ray_session):
     ds = rd.from_pandas(ed).repartition(4)
     got_d = label_propagation_census(ds, rounds=rounds, driver_limit=10)
     assert got_d.equals(ref)
+
+
+def test_bellman_ford_bounded_matches_reference_and_modes(ray_session):
+    """Weighted bounded-round SSSP vs a python reference (min cost over
+    <= k-edge paths), driver == distributed, weighted order differs from
+    hop order (a planted cheap 2-edge detour beats a costly direct
+    edge)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import bellman_ford_bounded
+
+    rng = np.random.default_rng(33)
+    m = 400
+    u = rng.integers(0, 60, m).astype(np.int64)
+    v = rng.integers(0, 60, m).astype(np.int64)
+    keep = u != v
+    ed = pd.DataFrame({"u": np.minimum(u[keep], v[keep]),
+                       "v": np.maximum(u[keep], v[keep]),
+                       "w": rng.integers(1, 100, keep.sum())
+                       .astype(np.int64)}).drop_duplicates(["u", "v"]) \
+        .reset_index(drop=True)
+    # planted: direct 0-1 edge costs 99, detour 0-2-1 costs 1+1
+    ed = pd.concat([pd.DataFrame({"u": [0, 0, 1], "v": [1, 2, 2],
+                                  "w": [99, 1, 1]}), ed]) \
+        .drop_duplicates(["u", "v"]).reset_index(drop=True)
+    rounds = 4
+
+    # python reference
+    nodes = sorted(set(ed["u"]) | set(ed["v"]))
+    seed = min(nodes)
+    dist = {seed: 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for a, b, w in zip(ed["u"], ed["v"], ed["w"]):
+            for x, y in ((a, b), (b, a)):
+                if x in dist:
+                    c = dist[x] + int(w)
+                    if c < nd.get(y, 1 << 62):
+                        nd[y] = c
+        dist = nd
+    ref = pd.DataFrame(sorted(dist.items()),
+                       columns=["node", "dist"]).astype("int64")
+
+    got = bellman_ford_bounded(ed, rounds=rounds)
+    assert got.equals(ref), (got, ref)
+    assert int(got[got["node"] == 1]["dist"].iloc[0]) == 2  # detour wins
+
+    got_d = bellman_ford_bounded(rd.from_pandas(ed).repartition(4),
+                                 rounds=rounds, driver_limit=10)
+    assert got_d.equals(ref)

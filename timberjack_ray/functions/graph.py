@@ -1442,3 +1442,125 @@ def label_propagation_census(edges, rounds: int = 3,
     out = pd.Series(labels).value_counts().sort_index()
     return pd.DataFrame({"community": out.index.to_numpy(np.int64),
                          "n_nodes": out.to_numpy(np.int64)})
+
+
+def bellman_ford_bounded(edges, seed: int | None = None, rounds: int = 4,
+                         w_col: str = "w",
+                         driver_limit: int = 2_000_000,
+                         node_limit: int = 2_000_000) -> pd.DataFrame:
+    """Bounded-round single-source shortest paths over an undirected
+    weighted edge set (u < v, integer cost ``w_col`` >= 0): after k
+    relaxation rounds, dist(v) = exact minimum cost over paths of <= k
+    edges — the WEIGHTED sibling of ``bfs_hops`` (hop counts ignore how
+    strong a tie is; integer costs rank them), with the round bound part
+    of the SEMANTICS so the SQL oracle unrolls each relaxation as one
+    min-fold CTE.  ``seed=None`` uses the minimum node id.  Returns
+    (node, dist) for reached nodes, sorted by node.
+
+    Under ``driver_limit`` edges: numpy minimum.at relaxation.  Past it:
+    per round the dist map broadcasts (``node_limit`` guard — the
+    fits-on-driver label-map precondition of this family) and ONE
+    streaming pass over the edge Dataset emits per-batch (node, best)
+    min partials; the merge is node-bounded."""
+    if isinstance(edges, pa.Table):
+        edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        u = edges["u"].to_numpy().astype(np.int64)
+        v = edges["v"].to_numpy().astype(np.int64)
+        w = edges[w_col].to_numpy().astype(np.int64)
+        if not len(u):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        s = int(min(u.min(), v.min())) if seed is None else int(seed)
+        nodes = np.unique(np.concatenate([u, v]))
+        big = np.int64(2 ** 62)
+        dist = np.full(len(nodes), big)
+        si = np.searchsorted(nodes, s)
+        if si < len(nodes) and nodes[si] == s:
+            dist[si] = 0
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        for _ in range(rounds):
+            nd = dist.copy()
+            np.minimum.at(nd, vi, np.where(dist[ui] < big,
+                                           dist[ui] + w, big))
+            np.minimum.at(nd, ui, np.where(dist[vi] < big,
+                                           dist[vi] + w, big))
+            if (nd == dist).all():
+                break
+            dist = nd
+        m = dist < big
+        return pd.DataFrame({"node": nodes[m], "dist": dist[m]}) \
+            .astype("int64")
+
+    import ray
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    small = collect_table_under(edges.select_columns(["u", "v", w_col]),
+                                driver_limit)
+    if small is not None:
+        return bellman_ford_bounded(small, seed=seed, rounds=rounds,
+                                    w_col=w_col)
+
+    edges = edges.select_columns(["u", "v", w_col]).materialize()
+    if seed is None:
+        from ray.data.aggregate import Min
+
+        mu = edges.aggregate(Min("u"), Min("v"))
+        seed = int(min(mu["min(u)"], mu["min(v)"]))
+    dist: dict[int, int] = {int(seed): 0}
+    for _ in range(rounds):
+        ks = np.array(sorted(dist), dtype=np.int64)
+        vs = np.array([dist[int(x)] for x in ks], dtype=np.int64)
+        ref = ray.put((ks, vs))
+
+        def relax(t: pa.Table, _r=ref) -> pa.Table:
+            rk, rv = ray.get(_r)
+            uu = t["u"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            ww = t[w_col].to_numpy(zero_copy_only=False)
+            src = np.concatenate([uu, vv])
+            dst = np.concatenate([vv, uu])
+            wc = np.concatenate([ww, ww])
+            idx = np.searchsorted(rk, src)
+            has = (idx < len(rk))
+            idc = np.minimum(idx, max(len(rk) - 1, 0))
+            has &= rk[idc] == src
+            cand = np.where(has, rv[idc] + wc, np.int64(2 ** 62))
+            ok = cand < 2 ** 62
+            if not ok.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "best": pa.array([], pa.int64())})
+            g = pa.table({"node": pa.array(dst[ok]),
+                          "best": pa.array(cand[ok])}) \
+                .group_by("node").aggregate([("best", "min")])
+            return g.rename_columns(["node", "best"])
+
+        # node-bounded MIN fold (merge_partials only sums)
+        pend: list[pa.Table] = []
+        for b in edges.map_batches(relax, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                pend.append(b)
+            if len(pend) >= 64:
+                pend = [pa.concat_tables(pend).group_by("node")
+                        .aggregate([("best", "min")])
+                        .rename_columns(["node", "best"])]
+        if not pend:
+            break
+        bt = pa.concat_tables(pend).group_by("node") \
+            .aggregate([("best", "min")]) \
+            .rename_columns(["node", "best"]).to_pandas()
+        changed = False
+        for n_, b in zip(bt["node"].astype(int), bt["best"].astype(int)):
+            if b < dist.get(n_, 2 ** 62):
+                dist[n_] = b
+                changed = True
+        if len(dist) > node_limit:
+            raise ValueError("bellman_ford_bounded: reached set exceeds "
+                             "node_limit")
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    return out.astype("int64")
