@@ -9220,6 +9220,75 @@ def q_part_shortest_costs(sf_dir: str):
     return bellman_ford_bounded(ed[["u", "v", "w"]], rounds=4)
 
 
+def q_frequent_triples(sf_dir: str):
+    """Frequent 3-ITEMSET mining (Apriori depth beyond
+    copurchase_top20's pairs): part triples co-purchased in >= 2 orders,
+    top-20 by (support desc, parts asc) — per bucket the sorted deduped
+    (order, part) segments expand triples with a double-offset sweep
+    (trips bounded by basket-size^2, baskets are small by domain), the
+    guarded multi-key merge degrades to a distributed groupby past the
+    driver limit, and only support >= 2 survivors rank."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.relational import sorted_topk
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(new), len(gs)])
+        seg_of = np.repeat(np.arange(len(sizes)), sizes)
+        mx = int(sizes.max()) if len(sizes) else 0
+        xs, ys, zs = [], [], []
+        for d2 in range(2, mx):
+            left = np.arange(len(it) - d2)
+            same = seg_of[left] == seg_of[left + d2]
+            lv = left[same]
+            for d1 in range(1, d2):
+                xs.append(it[lv])
+                ys.append(it[lv + d1])
+                zs.append(it[lv + d2])
+        if not xs:
+            return empty
+        tbl = pa.table({"x": pa.array(np.concatenate(xs)),
+                        "y": pa.array(np.concatenate(ys)),
+                        "z": pa.array(np.concatenate(zs))})
+        gby = tbl.group_by(["x", "y", "z"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["x", "y", "z", "n"])
+
+    gi = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    p = add_key_bucket(gi, "l_orderkey", 64).groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    merged, mode = merge_partials_or_ds(p, ["x", "y", "z"], ["n"])
+    if mode == "driver":
+        df = merged.to_pandas()
+        df = df[df["n"] >= 2].sort_values(
+            ["n", "x", "y", "z"], ascending=[False, True, True, True]) \
+            .head(20).reset_index(drop=True)
+        return df.astype("int64")
+    # pragma: no cover - past the triple guard: distributed filter + topk
+    flt = merged.filter(lambda r: r["n"] >= 2)
+    out = sorted_topk(flt, ["n", "x", "y", "z"], 20,
+                      descending=[True, False, False, False])
+    return out[["x", "y", "z", "n"]].reset_index(drop=True).astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9555,6 +9624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_negative_samples": q_doc_negative_samples,
         "doc_padding_waste": q_doc_padding_waste,
         "part_shortest_costs": q_part_shortest_costs,
+        "frequent_triples": q_frequent_triples,
     }
 
 
@@ -13924,6 +13994,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "part_shortest_costs": _bf_unrolled_sql(rounds=4),
+        "frequent_triples": """
+            WITH gi AS (
+              SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+              FROM lineitem),
+            t AS (
+              SELECT a.i AS x, b.i AS y, c.i AS z, COUNT(*) AS n
+              FROM gi a
+              JOIN gi b ON a.g = b.g AND a.i < b.i
+              JOIN gi c ON a.g = c.g AND b.i < c.i
+              GROUP BY 1, 2, 3)
+            SELECT x, y, z, CAST(n AS BIGINT) AS n
+            FROM t WHERE n >= 2
+            ORDER BY n DESC, x, y, z LIMIT 20
+        """,
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
