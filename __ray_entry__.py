@@ -9289,6 +9289,34 @@ def q_frequent_triples(sf_dir: str):
     return out[["x", "y", "z", "n"]].reset_index(drop=True).astype("int64")
 
 
+def q_lineitem_pareto_3d(sf_dir: str):
+    """3-D skyline (functions/relational.skyline_nd): Pareto-optimal
+    lineitems on (max quantity, max price cents, min discount bp) over a
+    deterministic 1-in-64 order subset (keeps the quadratic NOT-EXISTS
+    oracle tractable at sf0.1) — the general-dimension sibling of
+    orders_pareto: local per-batch skylines merge because
+    skyline(union) = skyline(union of skylines); equal points all
+    survive."""
+    from timberjack_ray.functions.relational import skyline_nd
+    from timberjack_ray.functions.util import scale_to_int
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 64 == 0))
+        return pa.table({
+            "qty": scale_to_int(t["l_quantity"], 1),
+            "price_cents": scale_to_int(t["l_extendedprice"], 100),
+            "disc_bp": scale_to_int(t["l_discount"], 10_000)})
+
+    return skyline_nd(li.map_batches(prep, batch_format="pyarrow"),
+                      [("qty", "max"), ("price_cents", "max"),
+                       ("disc_bp", "min")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9625,6 +9653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_padding_waste": q_doc_padding_waste,
         "part_shortest_costs": q_part_shortest_costs,
         "frequent_triples": q_frequent_triples,
+        "lineitem_pareto_3d": q_lineitem_pareto_3d,
     }
 
 
@@ -14007,6 +14036,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, z, CAST(n AS BIGINT) AS n
             FROM t WHERE n >= 2
             ORDER BY n DESC, x, y, z LIMIT 20
+        """,
+        "lineitem_pareto_3d": """
+            WITH s AS (
+              SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                       AS disc_bp
+              FROM lineitem WHERE l_orderkey % 64 = 0)
+            SELECT qty, price_cents, disc_bp FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.qty >= a.qty AND b.price_cents >= a.price_cents
+                AND b.disc_bp <= a.disc_bp
+                AND (b.qty > a.qty OR b.price_cents > a.price_cents
+                     OR b.disc_bp < a.disc_bp))
+            ORDER BY qty, price_cents, disc_bp
         """,
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,

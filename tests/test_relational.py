@@ -753,3 +753,35 @@ def test_ecdf_percentile_census_matches_reference(ray_session):
         rd.from_pandas(ref).repartition(4), "v",
         rd.from_pandas(tgt).repartition(3), "v", "g")
     assert got.equals(want), (got, want)
+
+
+def test_skyline_nd_matches_bruteforce(ray_session):
+    """3-D strict-dominance frontier vs O(n^2) reference, with planted
+    duplicates of a frontier point (both survive) and mixed min/max
+    orientations."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import skyline_nd
+
+    r = np.random.default_rng(19)
+    n = 500
+    df = pd.DataFrame({
+        "a": r.integers(0, 40, n).astype(np.int64),   # max
+        "b": r.integers(0, 40, n).astype(np.int64),   # max
+        "c": r.integers(0, 40, n).astype(np.int64),   # min
+    })
+    df.loc[1] = df.loc[0]  # planted duplicate
+
+    pts = df.to_numpy() * np.array([-1, -1, 1])
+    dom = np.zeros(n, bool)
+    for i in range(n):
+        d = (pts <= pts[i]).all(axis=1) & (pts < pts[i]).any(axis=1)
+        dom[i] = d.any()
+    ref = df[~dom].sort_values(["a", "b", "c"]).reset_index(drop=True) \
+        .astype("int64")
+
+    got = skyline_nd(rd.from_pandas(df).repartition(6),
+                     [("a", "max"), ("b", "max"), ("c", "min")])
+    assert got.equals(ref), (got, ref)
+    if not bool(dom[0]):
+        assert (got == df.loc[0].to_numpy()).all(axis=1).sum() >= 2

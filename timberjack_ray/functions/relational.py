@@ -2451,3 +2451,90 @@ def ecdf_percentile_census(ref_ds, ref_col: str, target_ds, t_col: str,
         [group_col], ["n", "ppm_sum"]).to_pandas()
     return out.sort_values(group_col).reset_index(drop=True) \
         .astype({"n": "int64", "ppm_sum": "int64"})
+
+
+def _skyline_insert(pts: np.ndarray, sky: np.ndarray) -> np.ndarray:
+    """Incremental skyline maintenance on ALL-MINIMIZE int64 points:
+    returns the skyline of ``sky ∪ pts`` (strict dominance; duplicates
+    survive).  Each chunk is screened against the current skyline with
+    one broadcast comparison — O(|chunk| x |sky|) per call, cheap while
+    the skyline stays small (the non-adversarial case this op serves)."""
+    for chunk in np.array_split(pts, max(len(pts) // 2048, 1)):
+        if not len(chunk):
+            continue
+        if not len(sky):
+            sky = _skyline_self(chunk)
+            continue
+        # drop chunk points dominated by the skyline
+        le = (sky[None, :, :] <= chunk[:, None, :]).all(axis=2)
+        lt = (sky[None, :, :] < chunk[:, None, :]).any(axis=2)
+        dominated = (le & lt).any(axis=1)
+        cand = chunk[~dominated]
+        if not len(cand):
+            continue
+        cand = _skyline_self(cand)
+        # drop skyline points dominated by the surviving candidates
+        le2 = (cand[None, :, :] <= sky[:, None, :]).all(axis=2)
+        lt2 = (cand[None, :, :] < sky[:, None, :]).any(axis=2)
+        keep = ~(le2 & lt2).any(axis=1)
+        sky = np.concatenate([sky[keep], cand])
+    return sky
+
+
+def _skyline_self(pts: np.ndarray) -> np.ndarray:
+    """Skyline of one small point set (pairwise, strict dominance)."""
+    if len(pts) <= 1:
+        return pts
+    le = (pts[None, :, :] <= pts[:, None, :]).all(axis=2)
+    lt = (pts[None, :, :] < pts[:, None, :]).any(axis=2)
+    dominated = (le & lt).any(axis=1)
+    return pts[~dominated]
+
+
+def skyline_nd(ds, cols: list[tuple[str, str]],
+               driver_limit: int = 2_000_000):
+    """N-dimensional Pareto frontier under strict dominance — the
+    general-dimension sibling of ``skyline_2d`` (whose distinct-x/max-y
+    trick is 2-D only).  ``cols`` = [(col, "min"|"max"), ...]; "max"
+    dims are negated into the all-minimize canonical form.  Equal points
+    all survive.
+
+    Scale shape: the skyline operator distributes because skyline(union)
+    = skyline(union of per-block skylines): each batch reduces to its
+    LOCAL skyline (incremental screen, cheap while frontiers are small),
+    the guarded driver merge folds local skylines with the same kernel,
+    and a pathological anti-correlated frontier (local skylines
+    exceeding ``driver_limit``) raises rather than OOMs.  Returns a
+    pandas DataFrame of the frontier rows' canonical columns (original
+    orientation restored), sorted."""
+    names = [c for c, _ in cols]
+    signs = np.array([1 if d == "min" else -1 for _, d in cols],
+                     dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(names)
+        m = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) for c in names], axis=1) * signs
+        sky = _skyline_insert(m, np.zeros((0, len(names)), np.int64))
+        back = sky * signs
+        return pa.table({c: pa.array(back[:, i])
+                         for i, c in enumerate(names)})
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    locs = ds.select_columns(names).map_batches(partial,
+                                                batch_format="pyarrow")
+    small = collect_table_under(locs, driver_limit)
+    if small is None:
+        if locs.limit(1).count() == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in names})
+        raise ValueError("skyline_nd: local skylines exceed driver_limit "
+                         "(anti-correlated dimensions)")
+    m = np.stack([small[c].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) for c in names], axis=1) * signs
+    sky = _skyline_insert(m, np.zeros((0, len(names)), np.int64))
+    back = sky * signs
+    out = pd.DataFrame({c: back[:, i] for i, c in enumerate(names)})
+    return out.sort_values(names).reset_index(drop=True).astype("int64")
