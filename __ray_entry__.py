@@ -9317,6 +9317,56 @@ def q_lineitem_pareto_3d(sf_dir: str):
                        ("disc_bp", "min")])
 
 
+def q_part_widest_ties(sf_dir: str):
+    """Bounded-round widest (max-bottleneck) path (4 rounds,
+    functions/graph.widest_path_bounded): the (max, min) semiring twin
+    of part_shortest_costs — width(v) = strongest chain of co-purchase
+    ties from the minimum part, edge weight = co-purchase count, seed
+    width = the documented 10^9 source convention.  Same unrolled
+    per-round fold oracle, MAX(MIN(width, w))."""
+    from timberjack_ray.aggregates import merge_partials_or_ds
+    from timberjack_ray.functions.corpus import add_key_bucket
+    from timberjack_ray.functions.graph import (_offset_pairs,
+                                                widest_path_bounded)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"])
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        gs, it = g[order], i[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
+        gs, it = gs[keep], it[keep]
+        a, b = _offset_pairs(gs, it)
+        if not len(a):
+            return empty
+        gby = pa.table({"u": pa.array(a), "v": pa.array(b)}) \
+            .group_by(["u", "v"]).aggregate([([], "count_all")])
+        return gby.rename_columns(["u", "v", "n"])
+
+    gi = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(batch_distinct, batch_format="pyarrow")
+    p = add_key_bucket(gi, "l_orderkey", 64).groupby("__kb").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__kb"])),
+        batch_format="pyarrow")
+    edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
+    if mode != "driver":  # pragma: no cover
+        edges = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows])
+    ed = edges.to_pandas().rename(columns={"n": "w"})
+    return widest_path_bounded(ed, rounds=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9654,6 +9704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_shortest_costs": q_part_shortest_costs,
         "frequent_triples": q_frequent_triples,
         "lineitem_pareto_3d": q_lineitem_pareto_3d,
+        "part_widest_ties": q_part_widest_ties,
     }
 
 
@@ -9862,6 +9913,33 @@ def _bf_unrolled_sql(rounds: int) -> str:
     return (f"WITH {', '.join(ctes)} "
             f"SELECT node, CAST(dist AS BIGINT) AS dist "
             f"FROM d{rounds} ORDER BY node")
+
+
+def _widest_unrolled_sql(rounds: int) -> str:
+    """Bounded-round widest path as an unrolled MAX(MIN(.)) CTE chain —
+    graph.widest_path_bounded's (max, min) semiring semantics."""
+    ctes = ["""gi AS MATERIALIZED (
+                 SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem)""",
+            """ew AS MATERIALIZED (
+                 SELECT a.i AS u, b.i AS v, COUNT(*) AS w
+                 FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+                 GROUP BY a.i, b.i)""",
+            """dx AS MATERIALIZED (
+                 SELECT u AS src, v AS dst, w FROM ew
+                 UNION ALL SELECT v, u, w FROM ew)""",
+            """w0 AS MATERIALIZED (
+                 SELECT (SELECT MIN(src) FROM dx) AS node,
+                        1000000000 AS width)"""]
+    for r in range(rounds):
+        ctes.append(
+            f"w{r + 1} AS MATERIALIZED (SELECT node, MAX(width) AS width "
+            f"FROM (SELECT node, width FROM w{r} UNION ALL "
+            f"SELECT dx.dst, LEAST(w{r}.width, dx.w) FROM w{r} "
+            f"JOIN dx ON dx.src = w{r}.node) GROUP BY node)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, CAST(width AS BIGINT) AS width "
+            f"FROM w{rounds} ORDER BY node")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14023,6 +14101,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_bfs_hops": _bfs_unrolled_sql(rounds=4),
         "part_shortest_costs": _bf_unrolled_sql(rounds=4),
+        "part_widest_ties": _widest_unrolled_sql(rounds=4),
         "frequent_triples": """
             WITH gi AS (
               SELECT DISTINCT l_orderkey AS g, l_partkey AS i

@@ -542,3 +542,45 @@ def test_bellman_ford_bounded_matches_reference_and_modes(ray_session):
     got_d = bellman_ford_bounded(rd.from_pandas(ed).repartition(4),
                                  rounds=rounds, driver_limit=10)
     assert got_d.equals(ref)
+
+
+def test_widest_path_bounded_matches_reference(ray_session):
+    """(max, min) semiring relaxation vs a python reference: the widest
+    route can differ from the shortest — a planted strong 2-edge chain
+    beats a weak direct edge."""
+    from timberjack_ray.functions.graph import widest_path_bounded
+
+    rng = np.random.default_rng(41)
+    m = 300
+    u = rng.integers(0, 40, m).astype(np.int64)
+    v = rng.integers(0, 40, m).astype(np.int64)
+    keep = u != v
+    ed = pd.DataFrame({"u": np.minimum(u[keep], v[keep]),
+                       "v": np.maximum(u[keep], v[keep]),
+                       "w": rng.integers(1, 50, keep.sum())
+                       .astype(np.int64)}).drop_duplicates(["u", "v"])
+    ed = pd.concat([pd.DataFrame({"u": [0, 0, 1], "v": [1, 2, 2],
+                                  "w": [1, 40, 40]}), ed]) \
+        .drop_duplicates(["u", "v"]).reset_index(drop=True)
+    rounds, INF = 4, 10 ** 9
+
+    nodes = sorted(set(ed["u"]) | set(ed["v"]))
+    seed = min(nodes)
+    wid = {seed: INF}
+    for _ in range(rounds):
+        nd = dict(wid)
+        for a, b, w in zip(ed["u"], ed["v"], ed["w"]):
+            for x, y in ((a, b), (b, a)):
+                if x in wid:
+                    c = min(wid[x], int(w))
+                    if c > nd.get(y, -1):
+                        nd[y] = c
+        wid = nd
+    ref = pd.DataFrame(sorted(wid.items()),
+                       columns=["node", "width"]).astype("int64")
+
+    got = widest_path_bounded(ed, rounds=rounds)
+    assert got.equals(ref), (got, ref)
+    # the strong 2-edge chain (40) beats the weak direct edge (1);
+    # random edges may offer an even wider route, never a narrower one
+    assert int(got[got["node"] == 1]["width"].iloc[0]) >= 40

@@ -1564,3 +1564,54 @@ def bellman_ford_bounded(edges, seed: int | None = None, rounds: int = 4,
             break
     out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
     return out.astype("int64")
+
+
+def widest_path_bounded(edges, seed: int | None = None, rounds: int = 4,
+                        w_col: str = "w", inf_width: int = 10 ** 9,
+                        driver_limit: int = 2_000_000) -> pd.DataFrame:
+    """Bounded-round WIDEST path (max-bottleneck): width(v) = max over
+    <= k-edge paths of the MINIMUM edge weight — Bellman-Ford on the
+    (max, min) semiring instead of (min, +): "how strong is the
+    strongest chain of ties to v?".  ``seed`` gets ``inf_width`` (the
+    documented source convention, replayed by the oracle).  Returns
+    (node, width) for reached nodes, sorted by node.  Driver path only
+    (numpy maximum.at relaxation under the edge guard); the distributed
+    degrade mirrors bellman_ford_bounded's broadcast-map pattern and is
+    deliberately omitted until a caller needs it (guard raises)."""
+    if not isinstance(edges, pd.DataFrame):
+        if isinstance(edges, pa.Table):
+            edges = edges.to_pandas()
+        else:
+            from timberjack_ray.functions.util import collect_table_under
+
+            small = collect_table_under(
+                edges.select_columns(["u", "v", w_col]), driver_limit)
+            if small is None:
+                raise ValueError("widest_path_bounded: edge set exceeds "
+                                 "driver_limit")
+            edges = small.to_pandas()
+    u = edges["u"].to_numpy().astype(np.int64)
+    v = edges["v"].to_numpy().astype(np.int64)
+    w = edges[w_col].to_numpy().astype(np.int64)
+    if not len(u):
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "width": pd.Series([], dtype="int64")})
+    s = int(min(u.min(), v.min())) if seed is None else int(seed)
+    nodes = np.unique(np.concatenate([u, v]))
+    width = np.full(len(nodes), np.int64(-1))
+    si = np.searchsorted(nodes, s)
+    if si < len(nodes) and nodes[si] == s:
+        width[si] = inf_width
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    for _ in range(rounds):
+        nw = width.copy()
+        np.maximum.at(nw, vi, np.minimum(width[ui], w))
+        np.maximum.at(nw, ui, np.minimum(width[vi], w))
+        nw = np.maximum(nw, width)
+        if (nw == width).all():
+            break
+        width = nw
+    m = width >= 0
+    return pd.DataFrame({"node": nodes[m], "width": width[m]}) \
+        .astype("int64")
