@@ -9367,6 +9367,32 @@ def q_part_widest_ties(sf_dir: str):
     return widest_path_bounded(ed, rounds=4)
 
 
+def q_flag_pareto(sf_dir: str):
+    """Group-wise skyline (functions/relational.grouped_skyline_nd):
+    per return flag, the Pareto frontier of (max quantity, min discount
+    bp) over the 1-in-64 order subset — "best tradeoffs per segment",
+    each group's frontier independent; same local-skyline distribution
+    law, partials per (batch, group)."""
+    from timberjack_ray.functions.relational import grouped_skyline_nd
+    from timberjack_ray.functions.util import scale_to_int
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_quantity",
+                      "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 64 == 0))
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "qty": scale_to_int(t["l_quantity"], 1),
+            "disc_bp": scale_to_int(t["l_discount"], 10_000)})
+
+    return grouped_skyline_nd(
+        li.map_batches(prep, batch_format="pyarrow"), "flag",
+        [("qty", "max"), ("disc_bp", "min")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9705,6 +9731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "lineitem_pareto_3d": q_lineitem_pareto_3d,
         "part_widest_ties": q_part_widest_ties,
+        "flag_pareto": q_flag_pareto,
     }
 
 
@@ -14132,6 +14159,21 @@ def oracle_sql() -> dict[str, str]:
                 AND (b.qty > a.qty OR b.price_cents > a.price_cents
                      OR b.disc_bp < a.disc_bp))
             ORDER BY qty, price_cents, disc_bp
+        """,
+        "flag_pareto": """
+            WITH s AS (
+              SELECT l_returnflag AS flag,
+                     CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                     CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                       AS disc_bp
+              FROM lineitem WHERE l_orderkey % 64 = 0)
+            SELECT flag, qty, disc_bp FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.flag = a.flag
+                AND b.qty >= a.qty AND b.disc_bp <= a.disc_bp
+                AND (b.qty > a.qty OR b.disc_bp < a.disc_bp))
+            ORDER BY flag, qty, disc_bp
         """,
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,

@@ -785,3 +785,33 @@ def test_skyline_nd_matches_bruteforce(ray_session):
     assert got.equals(ref), (got, ref)
     if not bool(dom[0]):
         assert (got == df.loc[0].to_numpy()).all(axis=1).sum() >= 2
+
+
+def test_grouped_skyline_nd_matches_bruteforce(ray_session):
+    """Per-group frontier vs per-group O(n^2) reference; groups do not
+    interfere (a point dominated globally can survive in its group)."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.relational import grouped_skyline_nd
+
+    r = np.random.default_rng(27)
+    n = 600
+    df = pd.DataFrame({
+        "g": r.choice(["p", "q", "r"], n),
+        "a": r.integers(0, 30, n).astype(np.int64),   # max
+        "b": r.integers(0, 30, n).astype(np.int64),   # min
+    })
+    rows = []
+    for gv, sub in df.groupby("g"):
+        pts = sub[["a", "b"]].to_numpy() * np.array([-1, 1])
+        for i in range(len(pts)):
+            d = (pts <= pts[i]).all(axis=1) & (pts < pts[i]).any(axis=1)
+            if not d.any():
+                rows.append((gv, *sub[["a", "b"]].to_numpy()[i]))
+    ref = pd.DataFrame(rows, columns=["g", "a", "b"]) \
+        .sort_values(["g", "a", "b"]).reset_index(drop=True) \
+        .astype({"a": "int64", "b": "int64"})
+
+    got = grouped_skyline_nd(rd.from_pandas(df).repartition(5), "g",
+                             [("a", "max"), ("b", "min")])
+    assert got.equals(ref), (got, ref)

@@ -2538,3 +2538,59 @@ def skyline_nd(ds, cols: list[tuple[str, str]],
     back = sky * signs
     out = pd.DataFrame({c: back[:, i] for i, c in enumerate(names)})
     return out.sort_values(names).reset_index(drop=True).astype("int64")
+
+
+def grouped_skyline_nd(ds, group_col: str, cols: list[tuple[str, str]],
+                       driver_limit: int = 2_000_000) -> pd.DataFrame:
+    """Per-GROUP Pareto frontier: ``skyline_nd`` independently within
+    each group (the group-wise skyline SQL surface — "best tradeoffs
+    per segment").  Same distribution law per group; per-batch partials
+    hold each present group's local skyline, the guarded driver merge
+    folds them per group.  Returns (group, dims...) sorted."""
+    names = [c for c, _ in cols]
+    signs = np.array([1 if d == "min" else -1 for _, d in cols],
+                     dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([group_col] + names)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        m = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) for c in names], axis=1) * signs
+        outs_g, outs_m = [], []
+        for gv in pd.unique(g):
+            pts = m[g == gv]
+            sky = _skyline_insert(pts, np.zeros((0, len(names)),
+                                                np.int64))
+            outs_g.append(np.repeat(np.array([gv], dtype=object),
+                                    len(sky)))
+            outs_m.append(sky)
+        sk = np.concatenate(outs_m) * signs
+        tbl = {group_col: pa.array(np.concatenate(outs_g))}
+        for i, c in enumerate(names):
+            tbl[c] = pa.array(sk[:, i])
+        return pa.table(tbl)
+
+    from timberjack_ray.functions.util import collect_table_under
+
+    locs = ds.select_columns([group_col] + names) \
+        .map_batches(partial, batch_format="pyarrow")
+    small = collect_table_under(locs, driver_limit)
+    if small is None:
+        if locs.limit(1).count() == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in names}})
+        raise ValueError("grouped_skyline_nd: local skylines exceed "
+                         "driver_limit")
+    df = small.to_pandas()
+    rows = []
+    for gv, sub in df.groupby(group_col, sort=True):
+        pts = sub[names].to_numpy().astype(np.int64) * signs
+        sky = _skyline_insert(pts, np.zeros((0, len(names)), np.int64))
+        back = sky * signs
+        for r in back:
+            rows.append((gv, *r))
+    out = pd.DataFrame(rows, columns=[group_col] + names)
+    return out.sort_values([group_col] + names).reset_index(drop=True) \
+        .astype({c: "int64" for c in names})
