@@ -9393,6 +9393,22 @@ def q_flag_pareto(sf_dir: str):
         [("qty", "max"), ("disc_bp", "min")])
 
 
+def q_view_no_click_1h(sf_dir: str):
+    """Negation-window join (functions/sessions.absent_followup_census):
+    per month, how many VIEW events got NO click from the same user
+    strictly within the following hour — the abandonment/absence
+    operator funnels can't express (they count presence; an anti-join
+    after a range join would materialize exactly the pairs whose
+    absence is the answer).  One tagged-union hash(user) exchange, two
+    composite searchsorteds per anchor."""
+    from timberjack_ray.functions.sessions import absent_followup_census
+
+    events = _rp(sf_dir, "events",
+                 columns=["user_id", "ts", "event_type"])
+    return absent_followup_census(events, "user_id", "ts", "event_type",
+                                  "view", "click", 3_600_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9732,6 +9748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pareto_3d": q_lineitem_pareto_3d,
         "part_widest_ties": q_part_widest_ties,
         "flag_pareto": q_flag_pareto,
+        "view_no_click_1h": q_view_no_click_1h,
     }
 
 
@@ -14174,6 +14191,22 @@ def oracle_sql() -> dict[str, str]:
                 AND b.qty >= a.qty AND b.disc_bp <= a.disc_bp
                 AND (b.qty > a.qty OR b.disc_bp < a.disc_bp))
             ORDER BY flag, qty, disc_bp
+        """,
+        "view_no_click_1h": """
+            WITH a AS (
+              SELECT user_id AS k, epoch_us(ts) AS t,
+                     strftime(ts, '%m') AS grp
+              FROM events WHERE event_type = 'view'),
+            b AS (
+              SELECT user_id AS k, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'click')
+            SELECT grp, COUNT(*) AS n_anchors,
+                   CAST(SUM(CASE WHEN NOT EXISTS (
+                       SELECT 1 FROM b
+                       WHERE b.k = a.k AND b.t > a.t
+                         AND b.t <= a.t + 3600000000)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+            FROM a GROUP BY 1 ORDER BY 1
         """,
         "events_orc_roundtrip": """
             SELECT event_type, COUNT(*) AS n,

@@ -794,3 +794,52 @@ def test_decay_attribution_matches_bruteforce(ray_session):
                             base=BASE, n_buckets=8) \
         .reset_index(drop=True)
     assert got.equals(ref), (got, ref)
+
+
+def test_absent_followup_census_matches_bruteforce(ray_session):
+    """Negation window vs all-pairs reference: strict (t, t+W] bounds
+    (a click exactly AT the view instant does not rescue it; exactly at
+    t+W does), keys with no clicks at all, anchors with no key match."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from timberjack_ray.functions.sessions import absent_followup_census
+
+    rng = np.random.default_rng(37)
+    n = 800
+    base_us = 1_600_000_000_000_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(base_us + rng.integers(0, 5000, n)
+                             * 1_000_000, unit="us"),
+        "y": rng.choice(["view", "click", "other"], n, p=[0.4, 0.3, 0.3]),
+    })
+    # planted: view with click exactly at t (no rescue) and at t+W (rescue)
+    W = 250 * 1_000_000
+    t0 = base_us + 10_000 * 1_000_000
+    df = pd.concat([df, pd.DataFrame({
+        "k": [99, 99, 98, 98],
+        "ts": pd.to_datetime([t0, t0, t0, t0 + W], unit="us"),
+        "y": ["view", "click", "view", "click"]})], ignore_index=True)
+
+    views = df[df["y"] == "view"]
+    clicks = df[df["y"] == "click"]
+    agg: dict = {}
+    for _, r in views.iterrows():
+        t = int(r["ts"].value) // 1000
+        cs = clicks[clicks["k"] == r["k"]]
+        ct = cs["ts"].astype("int64").to_numpy() // 1000
+        rescued = ((ct > t) & (ct <= t + W)).any()
+        g = r["ts"].strftime("%m")
+        row = agg.setdefault(g, [0, 0])
+        row[0] += 1
+        row[1] += 0 if rescued else 1
+    ref = pd.DataFrame([(g, *v) for g, v in sorted(agg.items())],
+                       columns=["grp", "n_anchors", "n_abandoned"]) \
+        .astype({"n_anchors": "int64", "n_abandoned": "int64"})
+
+    got = absent_followup_census(
+        rd.from_pandas(df).repartition(5), "k", "ts", "y",
+        "view", "click", W, n_buckets=8).reset_index(drop=True)
+    assert got.equals(ref), (got, ref)

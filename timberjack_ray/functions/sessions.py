@@ -1767,3 +1767,97 @@ def decay_attribution(ds, key_col: str, ts_col: str, type_col: str,
     out = merge_partials(p, [type_col], ["n_touches", "credit"]) \
         .to_pandas().sort_values(type_col).reset_index(drop=True)
     return out.astype({"n_touches": "int64", "credit": "int64"})
+
+
+def absent_followup_census(ds, key_col: str, ts_col: str, type_col: str,
+                           a_type: str, b_type: str, window_us: int,
+                           group_fmt: str = "%m",
+                           n_buckets: int = 64) -> pd.DataFrame:
+    """NEGATION-window join (abandonment census): for every ``a_type``
+    event, did the same key produce NO ``b_type`` event strictly within
+    (t, t+W]?  Returns per anchor group (strftime of the anchor ts):
+    (grp, n_anchors, n_abandoned) — the absence-of-event operator the
+    funnel family lacks (funnels count presence; churn/abandonment
+    analysis needs the complement, and an anti-join after a pair-
+    expanding range join would materialize exactly the pairs whose
+    absence is the answer).
+
+    Scale shape: same tagged-union hash(key) exchange as
+    ``anchored_prepost_sums``; per bucket one lexsort over the b-events
+    and TWO composite searchsorteds per anchor decide presence — the
+    count in the window is an index difference, no pair ever exists."""
+    import pyarrow.compute as pc
+
+    from timberjack_ray.functions.corpus import KNUTH32, _POW32
+
+    w_us = int(window_us)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        ids = keys.astype(np.uint64)
+        return (((ids * np.uint64(KNUTH32)) % np.uint64(_POW32))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[type_col], value_set=pa.array([a_type, b_type]))
+        t = t.filter(m)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_to_int(t[ts_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        is_a = pc.equal(t[type_col], a_type).to_numpy(
+            zero_copy_only=False)
+        grp = pc.strftime(t[ts_col].combine_chunks().cast(
+            pa.timestamp("us")), format=group_fmt)
+        return pa.table({"__b": pa.array(bucket_of(k)), "__k": pa.array(k),
+                         "__t": pa.array(ts),
+                         "__a": pa.array(is_a.astype(np.int8)),
+                         "__g": grp})
+
+    tagged = ds.select_columns([key_col, ts_col, type_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], pa.string()),
+                          "n_anchors": pa.array([], pa.int64()),
+                          "n_abandoned": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        isa = t["__a"].to_numpy(zero_copy_only=False) == 1
+        if not isa.any():
+            return empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        ak, at = k[isa], ts[isa]
+        grp = t["__g"].filter(pa.array(isa))
+        bk, bt = k[~isa], ts[~isa]
+        if len(bk):
+            lo = np.lexsort((bt, bk))
+            bk, bt = bk[lo], bt[lo]
+            new = np.r_[True, bk[1:] != bk[:-1]]
+            bkeys = bk[np.flatnonzero(new)]
+            bcode = np.cumsum(new) - 1
+            base = int(min(bt.min(), at.min()))
+            span = int(max(bt.max(), at.max() + w_us)) - base
+            off = span + 2
+            comp = bcode * np.int64(off) + (bt - base)
+            ac = np.searchsorted(bkeys, ak)
+            has = ac < len(bkeys)
+            ac_c = np.minimum(ac, max(len(bkeys) - 1, 0))
+            has &= bkeys[ac_c] == ak
+            kb = ac_c * np.int64(off)
+            i2 = np.searchsorted(comp, kb + (at - base), "right")
+            i3 = np.searchsorted(comp, kb + (at + w_us - base), "right")
+            absent = ~has | (i3 - i2 == 0)
+        else:
+            absent = np.ones(len(ak), bool)
+        g = pa.table({"grp": grp,
+                      "ab": pa.array(absent.astype(np.int64))}) \
+            .group_by(["grp"]).aggregate([([], "count_all"),
+                                          ("ab", "sum")])
+        return g.rename_columns(["grp", "n_anchors", "n_abandoned"])
+
+    p = tagged.groupby("__b").map_groups(
+        lambda t: per_bucket(t.drop_columns(["__b"])),
+        batch_format="pyarrow")
+    out = merge_partials(p, ["grp"], ["n_anchors", "n_abandoned"]) \
+        .to_pandas().sort_values("grp").reset_index(drop=True)
+    return out.astype({"n_anchors": "int64", "n_abandoned": "int64"})
