@@ -9409,6 +9409,41 @@ def q_view_no_click_1h(sf_dir: str):
                                   "view", "click", 3_600_000_000)
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """DISTINCT-aggregation over sliding windows: distinct users per 1h
+    window sliding every 30min — the sliding sibling of
+    distinct_users_per_type: in-batch window fan-out (each event joins
+    its 2 covering windows) + per-batch (window, user) distinct
+    collapse, ONE (window, user) exchange makes distinctness global,
+    then per-window count partials merge window-bounded."""
+    from timberjack_ray.aggregates import merge_partials
+
+    ds = _rp(sf_dir, "events", columns=["ts", "user_id"])
+
+    def fanout(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = us // 1_800_000_000
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ws = np.concatenate([k * 1800, (k - 1) * 1800])
+        uu = np.concatenate([u, u])
+        g = pa.table({"window_start": pa.array(ws.astype(np.int64)),
+                      "u": pa.array(uu)}) \
+            .group_by(["window_start", "u"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(fanout, batch_format="pyarrow") \
+        .groupby(["window_start", "u"]).count()  # global distinct keys
+    pairs = pairs.map_batches(
+        lambda t: t.select(["window_start", "u"]).group_by(
+            ["window_start"]).aggregate([([], "count_all")])
+        .rename_columns(["window_start", "n"]),
+        batch_format="pyarrow")
+    out = merge_partials(pairs, ["window_start"], ["n"]).to_pandas()
+    return out.sort_values("window_start").reset_index(drop=True) \
+        .astype({"window_start": "int64", "n": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9749,6 +9784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_widest_ties": q_part_widest_ties,
         "flag_pareto": q_flag_pareto,
         "view_no_click_1h": q_view_no_click_1h,
+        "sliding_distinct_users": q_sliding_distinct_users,
     }
 
 
@@ -10841,6 +10877,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT (k - 1) * 1800 AS ws FROM b
             ) GROUP BY ws
+        """,
+        "sliding_distinct_users": """
+            WITH b AS (
+              SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) AS k,
+                     user_id AS u
+              FROM events)
+            SELECT ws AS window_start, COUNT(DISTINCT u) AS n FROM (
+              SELECT k * 1800 AS ws, u FROM b
+              UNION ALL
+              SELECT (k - 1) * 1800 AS ws, u FROM b
+            ) GROUP BY ws ORDER BY ws
         """,
         "session_counts": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (
