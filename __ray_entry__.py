@@ -9444,6 +9444,59 @@ def q_sliding_distinct_users(sf_dir: str):
         .astype({"window_start": "int64", "n": "int64"})
 
 
+def q_top_event_gaps(sf_dir: str):
+    """Outage finder: the 10 largest gaps between CONSECUTIVE events in
+    the whole stream, with the gap's start instant — one range exchange
+    (sort on ts), per-block internal diffs keep only a local top-10
+    plus the block's first/last instants (2 slim rows), and the driver
+    stitches junction gaps between adjacent blocks — the
+    boundary-chained scan decomposition, so no block ever sees another
+    block's rows.  Ordered (gap_us desc, start_us asc)."""
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    srt = ds.sort("ts")
+
+    def per_block(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        empty = pa.table({"kind": pa.array([], pa.string()),
+                          "gap_us": pa.array([], pa.int64()),
+                          "start_us": pa.array([], pa.int64())})
+        if len(us) == 0:
+            return empty
+        rows_k, rows_g, rows_s = ["edge", "edge"], [0, 0], \
+            [int(us[0]), int(us[-1])]
+        d = np.diff(us)
+        if len(d):
+            top = np.argsort(-d, kind="stable")[:10]
+            rows_k += ["gap"] * len(top)
+            rows_g += [int(x) for x in d[top]]
+            rows_s += [int(x) for x in us[top]]
+        return pa.table({"kind": pa.array(rows_k),
+                         "gap_us": pa.array(rows_g, pa.int64()),
+                         "start_us": pa.array(rows_s, pa.int64())})
+
+    parts = [b for b in srt.map_batches(per_block,
+                                        batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    rec = pa.concat_tables(parts).to_pandas()
+    gaps = rec[rec["kind"] == "gap"][["gap_us", "start_us"]]
+    edges = rec[rec["kind"] == "edge"].sort_values("start_us")
+    # one junction gap per adjacent (block last, next block first) pair:
+    # edge rows per block are (first, last) — sorted globally they
+    # interleave as f0 l0 f1 l1 ...; junction gap = f_{i+1} - l_i
+    ev = edges["start_us"].to_numpy()
+    if len(ev) >= 4:
+        lasts = ev[1:-1:2]
+        firsts = ev[2::2]
+        jg = pd.DataFrame({"gap_us": firsts - lasts, "start_us": lasts})
+        gaps = pd.concat([gaps, jg], ignore_index=True)
+    out = gaps.sort_values(["gap_us", "start_us"],
+                           ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    return out.astype({"gap_us": "int64", "start_us": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- first 50: all oracle-checked (driver CORRECTNESS window) ---
@@ -9785,6 +9838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_pareto": q_flag_pareto,
         "view_no_click_1h": q_view_no_click_1h,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "top_event_gaps": q_top_event_gaps,
     }
 
 
@@ -10888,6 +10942,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT (k - 1) * 1800 AS ws, u FROM b
             ) GROUP BY ws ORDER BY ws
+        """,
+        "top_event_gaps": """
+            WITH o AS (
+              SELECT epoch_us(ts) AS t,
+                     LEAD(epoch_us(ts)) OVER (ORDER BY ts) AS nt
+              FROM events)
+            SELECT nt - t AS gap_us, t AS start_us
+            FROM o WHERE nt IS NOT NULL
+            ORDER BY gap_us DESC, start_us ASC LIMIT 10
         """,
         "session_counts": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (
