@@ -211,6 +211,16 @@ def main() -> None:
         timed("decay_attr", lambda: em.q_decay_attribution(SF_DIR))
         timed("grouped_wsample",
               lambda: em.q_source_weighted_sample(SF_DIR))
+        timed("frequent_triples", lambda: em.q_frequent_triples(SF_DIR))
+        timed("bellman_ford", lambda: em.q_part_shortest_costs(SF_DIR))
+        timed("widest_path", lambda: em.q_part_widest_ties(SF_DIR))
+        timed("pareto_3d", lambda: em.q_lineitem_pareto_3d(SF_DIR))
+        timed("negation_window", lambda: em.q_view_no_click_1h(SF_DIR))
+        timed("sliding_distinct",
+              lambda: em.q_sliding_distinct_users(SF_DIR))
+        timed("top_gaps", lambda: em.q_top_event_gaps(SF_DIR))
+        timed("ecdf_calibration",
+              lambda: em.q_purchase_value_percentiles(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
