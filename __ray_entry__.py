@@ -6831,138 +6831,6 @@ def q_k_anonymity_audit(sf_dir: str):
             for k in (2, 5, 10)]
     return pd.DataFrame(rows, columns=["k", "groups_below",
                                        "rows_below"]).astype("int64")
-
-
-def q_copurchase_lift_top20(sf_dir: str):
-    """Market-basket LIFT mining: the 20 part pairs with the highest
-    lift = P(u,v)/(P(u)·P(v)) among pairs co-purchased in ≥ 3 orders —
-    the association-rule strength behind copurchase_top20's raw counts.
-    Lift is monotone in the integer rational c_uv·N/(c_u·c_v), emitted
-    exactly as floor ppm (no float), tie-break (lift desc, u, v).
-
-    Scale shape: ONE orderkey-bucket exchange; per bucket the segmented
-    pair kernel emits edge partials AND two fused side-aggregates on the
-    SAME exchange (per-part order frequencies, distinct-order count —
-    exact because buckets partition orderkeys).  The edge fold is
-    GUARDED: past it, lift is computed per edge block against the
-    broadcast part-frequency map (catalog-sized ≪ edge count) with a
-    per-block top-k prune, so the driver never holds the edge set."""
-    from timberjack_ray.aggregates import merge_partials_or_ds
-    from timberjack_ray.functions.corpus import add_key_bucket
-    from timberjack_ray.functions.graph import _offset_pairs
-
-    MIN_SUPPORT = 3
-
-    def batch_distinct(t: pa.Table) -> pa.Table:
-        return (t.select(["l_orderkey", "l_partkey"])
-                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
-
-    def per_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({"u": pa.array([], pa.int64()),
-                          "v": pa.array([], pa.int64()),
-                          "n": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        g = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((i, g))
-        gs, it = g[order], i[order]
-        keep = np.r_[True, (gs[1:] != gs[:-1]) | (it[1:] != it[:-1])]
-        gs, it = gs[keep], it[keep]
-        parts = []
-        a, b = _offset_pairs(gs, it)
-        if len(a):
-            tbl = pa.table({"u": pa.array(a), "v": pa.array(b)})
-            parts.append(tbl.group_by(["u", "v"])
-                         .aggregate([([], "count_all")])
-                         .rename_columns(["u", "v", "n"]))
-        # fused side-aggregates (exact: buckets partition orderkeys):
-        # (-2, part, n) = per-part distinct-order frequency;
-        # (-1, -1, n) = distinct orders in this bucket
-        pv, pn = np.unique(it, return_counts=True)
-        parts.append(pa.table({"u": pa.array(np.full(len(pv), -2,
-                                                     dtype=np.int64)),
-                               "v": pa.array(pv.astype(np.int64)),
-                               "n": pa.array(pn.astype(np.int64))}))
-        n_orders = int((np.r_[True, gs[1:] != gs[:-1]]).sum())
-        parts.append(pa.table({"u": pa.array([-1], pa.int64()),
-                               "v": pa.array([-1], pa.int64()),
-                               "n": pa.array([n_orders], pa.int64())}))
-        return pa.concat_tables(parts)
-
-    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
-        .map_batches(batch_distinct, batch_format="pyarrow")
-    bucketed = add_key_bucket(ds, "l_orderkey", 64)
-    p = bucketed.groupby("__kb").map_groups(
-        lambda t: per_bucket(t.drop_columns(["__kb"])),
-        batch_format="pyarrow")
-    merged, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
-
-    def top20(edges: pd.DataFrame, dfs: dict, n_orders: int) -> pd.DataFrame:
-        edges = edges[edges["n"] >= MIN_SUPPORT]
-        lift = [(int(n) * n_orders * 1_000_000)
-                // (dfs[int(u)] * dfs[int(v)])
-                for u, v, n in zip(edges["u"], edges["v"], edges["n"])]
-        out = edges.assign(lift_ppm=lift).sort_values(
-            ["lift_ppm", "u", "v"], ascending=[False, True, True]).head(20)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out[["rank", "u", "v", "n", "lift_ppm"]] \
-            .reset_index(drop=True).astype("int64")
-
-    if mode == "driver":
-        df = merged.to_pandas()
-        n_orders = int(df.loc[(df["u"] == -1) & (df["v"] == -1), "n"].sum())
-        pf = df[df["u"] == -2]
-        dfs = dict(zip(pf["v"].astype(int), pf["n"].astype(int)))
-        return top20(df[df["u"] >= 0], dfs, n_orders)
-
-    # degraded: edges stream; part frequencies are catalog-sized, so the
-    # side-aggregates still fold on the driver and broadcast per block
-    import ray
-    side = merged.filter(lambda r: r["u"] < 0).to_pandas()
-    n_orders = int(side.loc[side["u"] == -1, "n"].sum())
-    pf = side[side["u"] == -2]
-    dfs_ref = ray.put(dict(zip(pf["v"].astype(int), pf["n"].astype(int))))
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["u"] >= 0]
-        got = top20(df, _fetch_ref(dfs_ref), n_orders)
-        return pa.Table.from_pandas(got, preserve_index=False)
-
-    cands = merged.map_batches(block_topk,
-                               batch_format="pyarrow").to_pandas()
-    out = cands.sort_values(["lift_ppm", "u", "v"],
-                            ascending=[False, True, True]).head(20) \
-        .reset_index(drop=True)
-    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[["rank", "u", "v", "n", "lift_ppm"]].astype("int64")
-
-
-def _hourly_cents_by_type(sf_dir: str) -> pd.DataFrame:
-    """Shared (event_type, hour-index, total-cents) series: per-batch
-    (type, hour) cent-sum partials collapse each batch, then a
-    CALENDAR-bounded merge (types × hours) — the input both robust-trend
-    operators (Theil–Sen, Kendall) fold over."""
-    from timberjack_ray.aggregates import merge_partials
-    from timberjack_ray.functions.util import scale_to_int
-
-    BASE_US = 1_704_067_200_000_000
-    HOUR_US = 3_600_000_000
-
-    def partial(t: pa.Table) -> pa.Table:
-        h = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
-                      HOUR_US)
-        g = pa.table({"event_type": t["event_type"], "h": h,
-                      "y": scale_to_int(t["value"], 100)}) \
-            .group_by(["event_type", "h"]).aggregate([("y", "sum")])
-        return g.rename_columns(["event_type", "h", "y"])
-
-    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
-    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                          ["event_type", "h"], "y").to_pandas()
-
-
 def q_theilsen_trend_by_type(sf_dir: str):
     """Per-type Theil–Sen robust trend of hourly total value: the LOWER
     MEDIAN of all pairwise integer slopes sign·(|Δcents|·10⁶ // Δhour)
@@ -9759,7 +9627,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": q_skipgram_counts,
         "hourly_acf_by_type": q_hourly_acf_by_type,
         "k_anonymity_audit": q_k_anonymity_audit,
-        "copurchase_lift_top20": q_copurchase_lift_top20,
         "theilsen_trend_by_type": q_theilsen_trend_by_type,
         "kendall_hourly_by_type": q_kendall_hourly_by_type,
         "mann_whitney_pairs": q_mann_whitney_pairs,
@@ -11206,9 +11073,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, o_orderpriority, COUNT(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_returnflag, o_orderpriority
-        """,
-        "stream_dedup_docs": """
-            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "minhash_signatures": f"""
             WITH {mh_core}
@@ -13482,37 +13346,6 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(CASE WHEN c < k THEN c ELSE 0 END),
                             0)::BIGINT AS rows_below
             FROM ks CROSS JOIN g GROUP BY k ORDER BY k
-        """,
-        "copurchase_lift_top20": """
-            WITH dp AS (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), no AS (
-              SELECT count(DISTINCT l_orderkey)::HUGEINT AS n FROM lineitem
-            ), pf AS (
-              SELECT l_partkey, count(*)::HUGEINT AS c FROM dp
-              GROUP BY l_partkey
-            ), e AS (
-              SELECT a.l_partkey AS u, b.l_partkey AS v,
-                     count(*)::HUGEINT AS c_ab
-              FROM dp a JOIN dp b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-              GROUP BY a.l_partkey, b.l_partkey
-              HAVING count(*) >= 3
-            ), l AS (
-              SELECT u, v, CAST(c_ab AS BIGINT) AS n,
-                     CAST((c_ab * no.n * 1000000)
-                          // (pu.c * pv.c) AS BIGINT) AS lift_ppm
-              FROM e CROSS JOIN no
-              JOIN pf pu ON pu.l_partkey = e.u
-              JOIN pf pv ON pv.l_partkey = e.v
-            ), r AS (
-              SELECT *, row_number() OVER
-                (ORDER BY lift_ppm DESC, u, v) AS rank
-              FROM l
-            )
-            SELECT CAST(rank AS BIGINT) AS rank, u, v, n, lift_ppm
-            FROM r WHERE rank <= 20 ORDER BY rank
         """,
         "theilsen_trend_by_type": """
             WITH b AS (
