@@ -153,10 +153,14 @@ def _ed1_pairs_segmented(t: pa.Table) -> pa.Table:
 
 def ed1_pairs(ds, col: str, id_col: str, n_buckets: int = 256):
     """All unordered id pairs whose strings are at Levenshtein distance
-    EXACTLY 1.  Precondition: strings are distinct per id (dedup first if
-    not — equal strings are distance 0 and are refused by the kernel's
-    xor certificate).  Returns a streaming Dataset of (a, b), each pair
-    exactly once (see module docstring for the uniqueness argument)."""
+    EXACTLY 1.  PRECONDITION: strings are distinct across ids (dedup
+    first if not).  The xor certificate only refuses (self, self)
+    collisions; two DIFFERENT ids carrying identical strings share every
+    (deletion@p, deletion@p) record with equal lengths and would be
+    emitted as false distance-1 pairs — run exact dedup upstream when the
+    column can repeat (ADVICE r4).  Returns a streaming Dataset of
+    (a, b), each pair exactly once (see module docstring for the
+    uniqueness argument)."""
     recs = ds.map_batches(
         lambda t: _deletion_records(t, col, id_col),
         batch_format="pyarrow")

@@ -2252,6 +2252,13 @@ def share_within_group(ds, part_col: str, sub_col: str,
     parts = proj.map_batches(partial, batch_format="pyarrow")
     out = merge_partials(parts, [part_col, sub_col], ["v"]).to_pandas()
     tot = out.groupby(part_col)["v"].transform("sum")
+    big = max(int(out["v"].abs().max()), int(tot.abs().max())) if len(out) else 0
+    if big >= 2**63 // 1_000_000:
+        # the documented precondition, enforced (ADVICE r4): int64
+        # v * 10^6 wraps silently past ~9.2e12
+        raise ValueError(
+            "share_within_group: value * 10^6 would overflow int64 "
+            f"(max |sum| = {big}); rescale val_col upstream")
     out["share_ppm"] = (out["v"] * 1_000_000) // tot
     return out.sort_values([part_col, sub_col]).reset_index(drop=True) \
         .astype({"v": "int64", "share_ppm": "int64"})
@@ -2277,13 +2284,20 @@ def pivot_counts(ds, row_col: str, col_col: str,
 
     long = merge_partials(proj.map_batches(partial, batch_format="pyarrow"),
                           [row_col, col_col], ["n"]).to_pandas()
+    # row index from ALL distinct row_col values BEFORE the category
+    # filter (ADVICE r4): a row value whose every occurrence carries an
+    # out-of-list category must still emit an all-zero row, matching the
+    # SQL oracle's unfiltered GROUP BY
+    all_rows = sorted(long[row_col].unique())
     long = long[long[col_col].isin(categories)]
     wide = long.pivot_table(index=row_col, columns=col_col, values="n",
                             aggfunc="sum", fill_value=0)
+    wide = wide.reindex(all_rows, fill_value=0)
     for c in categories:
         if c not in wide.columns:
             wide[c] = 0
     wide = wide[categories].astype("int64")
+    wide.index.name = row_col
     wide.columns = [f"n_{c}" for c in categories]
     return wide.reset_index().sort_values(row_col).reset_index(drop=True)
 

@@ -1838,6 +1838,9 @@ def absent_followup_census(ds, key_col: str, ts_col: str, type_col: str,
             base = int(min(bt.min(), at.min()))
             span = int(max(bt.max(), at.max() + w_us)) - base
             off = span + 2
+            if len(bkeys) * off >= 2**62:  # pragma: no cover
+                raise ValueError("absent_followup_census: composite "
+                                 "overflow — raise n_buckets")
             comp = bcode * np.int64(off) + (bt - base)
             ac = np.searchsorted(bkeys, ak)
             has = ac < len(bkeys)
