@@ -1569,8 +1569,11 @@ def q_actor_ids_except(sf_dir: str):
 def q_hdr_value_quantiles(sf_dir: str):
     """Mergeable HDR-histogram quantiles (≤1% relative error at sig=3) —
     the scale path when distinct-value cardinality breaks exact_quantiles'
-    per-value histogram.  Rows-only: approximate by design; the error bound
-    is asserted vs numpy in tests/test_sketch.py."""
+    per-value histogram.  Approximate vs the TRUE quantiles by design,
+    but the binning is deterministic (truncate to sig=3 significant
+    digits), so the sketch OUTPUT is exactly SQL-replayable —
+    ORACLE-CHECKED since round 5 (same replay as its _checked twin);
+    the error bound vs numpy is asserted in tests/test_sketch.py."""
     from timberjack_ray.functions.sketch import hdr_quantiles
 
     ds = _rp(sf_dir, "events", columns=["value"])
@@ -2050,12 +2053,48 @@ def q_grouped_sample_events(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (scale path for 10^9+-cardinality
-    families; <1% error at p=14).  Rows-only — approx vs exact tolerance is
-    asserted in tests/test_sketch.py."""
-    from timberjack_ray.functions.sketch import approx_distinct
+    families; <1% error at p=14).  ORACLE-CHECKED since round 5 (was
+    rows-only): the registers come from the same splitmix64(user_id)
+    path hll_register_hist already replays in SQL, and the ESTIMATE is
+    made IEEE-deterministic — Σ 2^(64−M_j) folds as an EXACT integer
+    (HUGEINT in SQL, python int here), the double conversion is
+    round-half-even in both engines, alpha·m²·2⁶⁴/S is a fixed
+    left-associated chain of single IEEE ops (the power-of-two factors
+    are rounding-free), and the linear-counting branch uses libm log ≡
+    DuckDB ln.  Emits the milli-scaled floor.  Approximate vs the TRUE
+    distinct count by design (tolerance asserted in tests/test_sketch.py);
+    exact vs the sketch's own definition."""
+    import math
 
-    est = approx_distinct(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
-    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+    from timberjack_ray.functions.corpus import _splitmix64
+    from timberjack_ray.functions.sketch import HyperLogLog
+
+    P, M = 14, 16384
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(P)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hll.add_hashed(_splitmix64(u))
+        return pa.table({"regs": pa.array([hll.registers.tobytes()],
+                                          pa.binary())})
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    total = HyperLogLog(P)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for regs in b["regs"].to_pylist():
+            total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+    counts = np.bincount(total.registers.astype(np.int64), minlength=65)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    alpha = 0.7213 / (1.0 + 1.079 / 16384.0)
+    raw = alpha * 16384.0 * 16384.0 * 18446744073709551616.0 / float(s_int)
+    zeros = int(counts[0])
+    if raw <= 2.5 * 16384.0 and zeros:
+        est = 16384.0 * math.log(16384.0 / zeros)
+    else:
+        est = raw
+    return pd.DataFrame({"approx_distinct_users_milli":
+                         np.array([math.floor(est * 1000.0)], np.int64)})
 
 
 def q_stream_levels(sf_dir: str):
@@ -6029,14 +6068,21 @@ def q_bm25_docs(sf_dir: str):
     """Okapi BM25 top-10 retrieval (functions/text.bm25_topk) for a fixed
     query over the documents table: two passes both bounded by |query
     terms| (per-term df fold, then broadcast-(idf, avgdl) scoring with
-    per-batch top-k prune).  Rows-only: BM25 scores are floats; the exact
-    numbers are pinned against an independent reference in
-    tests/test_text_lm.py."""
+    per-batch top-k prune).  ORACLE-CHECKED since round 5 (was
+    rows-only): idf uses libm log (bit-identical to DuckDB ln), the
+    scorer sums term contributions in sorted-term order and the SQL
+    replay adds the three pivoted term columns in the same fixed order,
+    so the doubles match bit-for-bit and the milli-scaled floor is
+    hash-stable.  Emits (doc_id, score_milli, rank)."""
     from timberjack_ray.functions.text import bm25_topk
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = bm25_topk(ds, "hash join filter", k=10)
-    return out.astype({"doc_id": "int64"})
+    out = out.reset_index(drop=True)
+    out["score_milli"] = np.floor(
+        out["score"].to_numpy() * 1000.0).astype(np.int64)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "score_milli", "rank"]].astype({"doc_id": "int64"})
 
 
 def q_order_gap_quantiles(sf_dir: str):
@@ -6183,9 +6229,13 @@ def q_dsir_scores(sf_dir: str):
     """DSIR importance-resampling weights (functions/text.dsir_weights):
     hashed-unigram target (lang='en') vs raw log-ratio models, one count
     pass + one broadcast-gather scoring pass; returns the 20 most
-    target-like docs (logw desc, doc_id asc).  Rows-only: the log-prob
-    arithmetic is float; the per-doc numbers are pinned against an
-    independent reference in tests/test_text_lm.py."""
+    target-like docs (logw desc, doc_id asc).  ORACLE-CHECKED since
+    round 5 (was rows-only): the feature hash is now the codepoint-
+    Horner fold mod 2^16 (the SQL-replayable family shared with the
+    MinHash oracles), so the bucket counts and log-ratio weights replay
+    in DuckDB; per-doc sums differ only by float addition order (≤ a few
+    ULPs), which the milli-scaled floor absorbs.  Emits (doc_id,
+    n_words, logw_milli)."""
     from timberjack_ray.functions.relational import sorted_topk
 
     from timberjack_ray.functions.text import dsir_weights
@@ -6193,8 +6243,11 @@ def q_dsir_scores(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     scored = dsir_weights(ds, "lang", "en")
     out = sorted_topk(scored, ["logw", "doc_id"], 20,
-                      descending=[True, False])
-    return out.astype({"doc_id": "int64", "n_words": "int64"})
+                      descending=[True, False]).reset_index(drop=True)
+    out["logw_milli"] = np.floor(
+        out["logw"].to_numpy() * 1000.0).astype(np.int64)
+    return out[["doc_id", "n_words", "logw_milli"]] \
+        .astype({"doc_id": "int64", "n_words": "int64"})
 
 
 def q_part_triangles(sf_dir: str):
@@ -10182,6 +10235,141 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(chunk_id * 8 + 12, nw) - chunk_id * 8 AS n_words
             FROM c
         """,
+        # round 5 conversion (VERDICT #3): BM25 milli-scores replay
+        # bit-for-bit — idf is libm ln both sides, term contributions
+        # pivot into fixed columns added in sorted-term order (matching
+        # the kernel's sorted-dict accumulation), all remaining ops are
+        # single IEEE +*/ with identical association
+        "bm25_docs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM w),
+            tf AS (
+              SELECT doc_id, dl, t.term,
+                     len(list_filter(ws, x -> x = t.term)) AS tf
+              FROM w CROSS JOIN
+                (SELECT UNNEST(['filter', 'hash', 'join']) AS term) t
+            ),
+            df AS (
+              SELECT term,
+                     COUNT(*) FILTER (WHERE tf > 0) AS df
+              FROM tf GROUP BY term
+            ),
+            contrib AS (
+              SELECT tf.doc_id, tf.term,
+                     ln(1.0 + ((SELECT n FROM stats) - df.df + 0.5)
+                              / (df.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0))
+                     / GREATEST(tf.tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * tf.dl / GREATEST(
+                             CAST((SELECT sdl FROM stats) AS DOUBLE)
+                             / GREATEST((SELECT n FROM stats), 1),
+                             1e-12)),
+                         1e-12) AS c
+              FROM tf JOIN df USING (term)
+            ),
+            scored AS (
+              SELECT doc_id,
+                     (MAX(CASE WHEN term = 'filter' THEN c END)
+                      + MAX(CASE WHEN term = 'hash' THEN c END))
+                      + MAX(CASE WHEN term = 'join' THEN c END) AS score
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score_milli, rank FROM (
+              SELECT doc_id,
+                     CAST(FLOOR(score * 1000.0) AS BIGINT) AS score_milli,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM scored WHERE score > 0.0
+            ) WHERE rank <= 10
+        """,
+        # round 5 conversion (VERDICT #3): DSIR weights on the Horner
+        # feature hash; the milli floor absorbs float sum-order ULPs
+        "dsir_scores": """
+            WITH w AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, lang,
+                UNNEST(list_transform(ws, wd ->
+                  CAST(list_reduce(list_prepend(0::HUGEINT,
+                    list_transform(
+                      list_filter(string_split_regex(wd, ''),
+                                  c -> c <> ''),
+                      c -> unicode(c)::HUGEINT)),
+                    (h, c) -> (h * 1000003 + c)
+                              % 18446744073709551616::HUGEINT)
+                  % 65536 AS BIGINT))) AS b
+              FROM w
+            ),
+            cnts AS (
+              SELECT b, COUNT(*) AS cr,
+                     COUNT(*) FILTER (WHERE lang = 'en') AS ct
+              FROM tok GROUP BY b
+            ),
+            sums AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnts),
+            wt AS (
+              SELECT b,
+                     (ln(ct + 1.0)
+                      - ln((SELECT nt FROM sums) + 1.0 * 65536))
+                     - (ln(cr + 1.0)
+                        - ln((SELECT nr FROM sums) + 1.0 * 65536)) AS lw
+              FROM cnts
+            ),
+            sc AS (
+              SELECT tok.doc_id, SUM(wt.lw) AS logw
+              FROM tok JOIN wt USING (b) GROUP BY tok.doc_id
+            ),
+            base AS (
+              SELECT w.doc_id, len(w.ws) AS n_words,
+                     COALESCE(sc.logw, 0.0) AS logw
+              FROM w LEFT JOIN sc USING (doc_id)
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(FLOOR(logw * 1000.0) AS BIGINT) AS logw_milli
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY logw DESC, doc_id ASC) AS rk
+              FROM base
+            ) WHERE rk <= 20
+        """,
+        # identical replay for the primary key (round 5 conversion): the
+        # deterministic sig-3 binning makes the sketch output exact SQL
+        "hdr_value_quantiles": """
+            WITH v AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+            ),
+            b AS (
+              SELECT CASE WHEN v <= 0 THEN 0 ELSE
+                CAST(FLOOR(LOG10(CAST(v AS DOUBLE))) AS BIGINT) * 10000
+                + v // CAST(POWER(10, GREATEST(
+                    CAST(FLOOR(LOG10(CAST(v AS DOUBLE))) AS BIGINT) - 2, 0))
+                  AS BIGINT)
+              END AS bin FROM v
+            ),
+            c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+            cum AS (
+              SELECT bin, SUM(n) OVER (ORDER BY bin) AS cn,
+                     (SELECT SUM(n) FROM c) AS total
+              FROM c
+            ),
+            qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+            sel AS (
+              SELECT q, MIN(bin) AS bin
+              FROM qs JOIN cum
+                ON cn >= GREATEST(CAST(CEIL(q * total) AS BIGINT), 1)
+              GROUP BY q
+            )
+            SELECT q,
+                   CAST((bin % 10000) * CAST(POWER(10,
+                     GREATEST(bin // 10000 - 2, 0)) AS BIGINT) AS BIGINT)
+                     AS value_scaled
+            FROM sel
+        """,
         "hdr_value_quantiles_checked": """
             WITH v AS (
               SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
@@ -13540,6 +13728,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n_regs
             FROM hist WHERE n > 0 ORDER BY rank
+""",
+        "approx_distinct_users": f"""
+            WITH users AS (
+              SELECT DISTINCT user_id::HUGEINT AS u FROM events
+            ),
+            {_sm_ctes("h", "users", "u", ["u"])},
+            r AS (
+              SELECT h // 1125899906842624 AS idx,
+                     65 - length(bin((((h * 16384) % {_P64})
+                                      + 8192)::UBIGINT)) AS rank
+              FROM hx
+            ),
+            reg AS (SELECT idx, max(rank) AS rank FROM r GROUP BY idx),
+            agg AS (
+              SELECT SUM(1::HUGEINT << (64 - rank)) AS s_nz,
+                     COUNT(*) AS n_nz
+              FROM reg
+            ),
+            fin AS (
+              SELECT CAST(s_nz + (16384 - n_nz) * (1::HUGEINT << 64)
+                          AS DOUBLE) AS sd,
+                     16384 - n_nz AS zeros
+              FROM agg
+            ),
+            est AS (
+              SELECT CASE
+                WHEN ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                       * 16384.0) * 18446744073709551616.0) / sd
+                     <= 2.5 * 16384.0 AND zeros > 0
+                THEN 16384.0 * ln(16384.0 / zeros)
+                ELSE ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                       * 16384.0) * 18446744073709551616.0) / sd
+              END AS e
+              FROM fin
+            )
+            SELECT CAST(FLOOR(e * 1000.0) AS BIGINT)
+                     AS approx_distinct_users_milli
+            FROM est
 """,
         "cms_word_hitters": f"""
             WITH wc AS (

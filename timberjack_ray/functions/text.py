@@ -12,6 +12,8 @@ thing and hold at scale.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -906,10 +908,16 @@ def bpe_token_counts(ds, n_merges: int = 20, col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _feature_buckets(flat_words: pa.Array, n_feat: int) -> np.ndarray:
-    """Process-stable hashed-feature bucket per word (vectorized siphash,
-    same family as corpus.add_key_bucket's string branch)."""
-    h = pd.util.hash_array(
-        flat_words.to_numpy(zero_copy_only=False).astype(object))
+    """Hashed-feature bucket per word: codepoint-Horner fold mod 2^64
+    (corpus.horner_hash_strings — the SQL-replayable family shared with
+    the winnowing/MinHash oracles) mod ``n_feat``.  Round 5 switched
+    this from pandas siphash so DSIR weights became oracle-checkable
+    (the DuckDB replay folds the same list_reduce Horner per word)."""
+    from timberjack_ray.functions.corpus import horner_hash_strings
+
+    if not isinstance(flat_words, (pa.Array, pa.ChunkedArray)):
+        flat_words = pa.array(flat_words, pa.string())
+    h = horner_hash_strings(flat_words)
     return (h % np.uint64(n_feat)).astype(np.int64)
 
 
@@ -997,8 +1005,10 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id", col: str = "text",
     few by definition) and prunes to k per batch, so the driver merge
     sees k × batches rows.  idf = ln(1 + (N−df+0.5)/(df+0.5)) (the
     non-negative "plus" variant, public Robertson/Sparck-Jones form).
-    Float scores ⇒ rows-only; numbers pinned vs an independent
-    reference in tests/test_text_lm.py."""
+    Scores are doubles, but every operation is IEEE-replayable in SQL
+    (libm idf, fixed sorted-term summation order in the scorer), so the
+    milli-scaled floor is oracle-checked (bm25_docs); raw numbers also
+    pinned vs an independent reference in tests/test_text_lm.py."""
     import ray
 
     from timberjack_ray.aggregates import merge_partials
@@ -1037,8 +1047,12 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id", col: str = "text",
         ["term"], ["df", "n", "dl"]).to_pandas().set_index("term")
     n_docs = int(folded.loc["\x00stats", "n"])
     avgdl = float(folded.loc["\x00stats", "dl"]) / max(n_docs, 1)
-    idf = {t: float(np.log(1.0 + (n_docs - folded.loc[t, "df"] + 0.5)
-                           / (folded.loc[t, "df"] + 0.5)))
+    # math.log (libm), NOT np.log: DuckDB's ln is libm and numpy's SIMD
+    # log deviates by 1 ULP on some inputs — libm here makes the idf
+    # doubles BIT-IDENTICAL to the SQL oracle's, which (with the fixed
+    # term-order sum) makes the milli-scaled scores exactly replayable
+    idf = {t: math.log(1.0 + (n_docs - int(folded.loc[t, "df"]) + 0.5)
+                       / (int(folded.loc[t, "df"]) + 0.5))
            for t in terms if t in folded.index}
     ref = ray.put((idf, avgdl))
 
