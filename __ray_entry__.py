@@ -32,6 +32,33 @@ def _rp(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+_RESULT_FOLD_LIMIT = 5_000_000
+
+
+def _collect_result(ds, limit: int = _RESULT_FOLD_LIMIT) -> pa.Table:
+    """Driver-side fold for RESULT- or PARTIAL-sized datasets — the
+    return-a-DataFrame gate contract's one legitimate materialization,
+    made guard-visible (VERDICT r4 #4): streams through
+    ``collect_table_under`` and RAISES past ``limit`` rows instead of
+    silently holding an unbounded table.  A query whose result outgrows
+    the limit must return the Dataset for the caller to stream/write.
+    Empty inputs return a typed empty table from the Dataset schema."""
+    from timberjack_ray.functions.util import collect_table_under
+
+    t = collect_table_under(ds, limit)
+    if t is not None:
+        return t
+    # None = over-limit OR empty; a recount disambiguates (cheap for the
+    # empty case, and the over-limit case is about to raise anyway)
+    if ds.count() > limit:
+        raise ValueError(
+            f"query result exceeded the driver fold contract "
+            f"({limit} rows) — stream the Dataset instead")
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    return sch.empty_table()
+
+
 def _seq_dir(sf_dir: str) -> str:
     """Deterministic synthesized sequences table for this scale factor
     (input_hint shape; cached under /tmp, regenerated if absent)."""
@@ -575,9 +602,7 @@ def q_user_active_time(sf_dir: str):
 
     j = interval_union_per_key(ds.map_batches(iv, batch_format="pyarrow"),
                                "user_id", "s", "e")
-    frames = [b.to_pandas() for b in
-              j.iter_batches(batch_size=None, batch_format="pyarrow")]
-    out = pd.concat([f for f in frames if len(f)], ignore_index=True)
+    out = _collect_result(j).to_pandas()  # one row per user (bounded)
     out["active_s"] = out["covered_us"] // 1_000_000
     return out[["user_id", "active_s"]].sort_values("user_id") \
         .reset_index(drop=True).astype({"user_id": "int64",
@@ -1632,9 +1657,8 @@ def q_session_spans(sf_dir: str):
 
     # sessions arrive whole (one bucket per map_groups output block), but
     # merge with min/max anyway so block splits can never corrupt the spans
-    p = pa.concat_tables(list(
-        sess.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    p = _collect_result(
+        sess.map_batches(partial, batch_format="pyarrow")).to_pandas()
     out = p.groupby(["user_id", "session_id"], as_index=False).agg(
         n_events=("n_events", "sum"), min_us=("min_us", "min"),
         max_us=("max_us", "max"))
@@ -1660,9 +1684,8 @@ def q_session_size_histogram(sf_dir: str):
                 [([], "count_all")])
         return g.rename_columns(["user_id", "session_id", "n"])
 
-    p = pa.concat_tables(list(
-        sess.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    p = _collect_result(
+        sess.map_batches(partial, batch_format="pyarrow")).to_pandas()
     per = p.groupby(["user_id", "session_id"], as_index=False).agg(
         n=("n", "sum"))
     out = per.groupby("n").size().reset_index(name="n_sessions") \
@@ -3390,9 +3413,7 @@ def q_embedding_knn_join(sf_dir: str):
 
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_join(ds, k=3, n_centroids=8)
-    frames = [b.to_pandas() for b in
-              out.iter_batches(batch_size=None, batch_format="pyarrow")]
-    res = pd.concat([f for f in frames if len(f)], ignore_index=True)
+    res = _collect_result(out).to_pandas()  # k rows per vector (bounded)
     return res.sort_values(["vec_id", "rank"]).reset_index(drop=True) \
         .astype({c: "int64" for c in res.columns})
 
@@ -4117,12 +4138,7 @@ def q_tpch_q17(sf_dir: str):
 def merge_partials_2(pds) -> pd.DataFrame:
     """Driver merge of (p, sum_qty, cnt) partial tables (part-cardinality
     volume; at open key domains use groupby().aggregate instead)."""
-    import pyarrow as _pa
-
-    tables = [b for b in pds.iter_batches(batch_size=None,
-                                          batch_format="pyarrow")
-              if b.num_rows]
-    t = _pa.concat_tables(tables)
+    t = _collect_result(pds)  # part-cardinality partials (bounded)
     g = t.group_by("p").aggregate([("sum_qty", "sum"), ("cnt", "sum")])
     return g.rename_columns(["p", "sum_qty", "cnt"]).to_pandas()
 
@@ -4407,11 +4423,10 @@ def q_tpch_q22(sf_dir: str):
         return g.rename_columns(["c_nationkey", "bal", "n_cust"])
 
     # two value columns → manual nation-bounded fold
-    parts = [b for b in cust_ds.map_batches(pick, batch_format="pyarrow")
-             .iter_batches(batch_size=None, batch_format="pyarrow")
-             if b.num_rows]
-    if parts:
-        t = pa.concat_tables(parts).group_by("c_nationkey") \
+    folded = _collect_result(cust_ds.map_batches(pick,
+                                                 batch_format="pyarrow"))
+    if folded.num_rows:
+        t = folded.group_by("c_nationkey") \
             .aggregate([("bal", "sum"), ("n_cust", "sum")])
         df = t.rename_columns(["c_nationkey", "bal_scaled", "n_cust"]) \
             .to_pandas()
@@ -6895,6 +6910,31 @@ def q_k_anonymity_audit(sf_dir: str):
             for k in (2, 5, 10)]
     return pd.DataFrame(rows, columns=["k", "groups_below",
                                        "rows_below"]).astype("int64")
+def _hourly_cents_by_type(sf_dir: str) -> pd.DataFrame:
+    """Shared (event_type, hour-index, total-cents) series: per-batch
+    (type, hour) cent-sum partials collapse each batch, then a
+    CALENDAR-bounded merge (types × hours) — the input both robust-trend
+    operators (Theil–Sen, Kendall) fold over."""
+    from timberjack_ray.aggregates import merge_partials
+    from timberjack_ray.functions.util import scale_to_int
+
+    BASE_US = 1_704_067_200_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()), BASE_US),
+                      HOUR_US)
+        g = pa.table({"event_type": t["event_type"], "h": h,
+                      "y": scale_to_int(t["value"], 100)}) \
+            .group_by(["event_type", "h"]).aggregate([("y", "sum")])
+        return g.rename_columns(["event_type", "h", "y"])
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type", "h"], "y").to_pandas()
+
+
+
 def q_theilsen_trend_by_type(sf_dir: str):
     """Per-type Theil–Sen robust trend of hourly total value: the LOWER
     MEDIAN of all pairwise integer slopes sign·(|Δcents|·10⁶ // Δhour)
@@ -7951,9 +7991,8 @@ def q_source_bottomk_containment(sf_dir: str):
         df = df.sort_values(["source", "h"]).groupby("source").head(K)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    p = pa.concat_tables(list(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+    p = _collect_result(
+        ds.map_batches(partial, batch_format="pyarrow")).to_pandas()
     sk = p.drop_duplicates().sort_values(["source", "h"]) \
         .groupby("source").head(K)
     j = sk.merge(sk, on="h", suffixes=("_a", "_b"))
@@ -7986,9 +8025,8 @@ def q_hive_partition_prune(sf_dir: str):
                              "sum_doc_id": pa.array([int(ids.sum())],
                                                     pa.int64())})
 
-        parts = pa.concat_tables(list(
-            pruned.map_batches(part, batch_format="pyarrow")
-            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        parts = _collect_result(
+            pruned.map_batches(part, batch_format="pyarrow"))
         n = int(pc.sum(parts["n_rows"]).as_py() or 0)
         s = int(pc.sum(parts["sum_doc_id"]).as_py() or 0)
     finally:
@@ -9407,11 +9445,8 @@ def q_top_event_gaps(sf_dir: str):
                          "gap_us": pa.array(rows_g, pa.int64()),
                          "start_us": pa.array(rows_s, pa.int64())})
 
-    parts = [b for b in srt.map_batches(per_block,
-                                        batch_format="pyarrow")
-             .iter_batches(batch_size=None, batch_format="pyarrow")
-             if b.num_rows]
-    rec = pa.concat_tables(parts).to_pandas()
+    rec = _collect_result(
+        srt.map_batches(per_block, batch_format="pyarrow")).to_pandas()
     gaps = rec[rec["kind"] == "gap"][["gap_us", "start_us"]]
     edges = rec[rec["kind"] == "edge"].sort_values("start_us")
     # one junction gap per adjacent (block last, next block first) pair:
