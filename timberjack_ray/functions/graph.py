@@ -1313,24 +1313,35 @@ def neighbor_jaccard_topk(edges, k: int = 20, degree_cap: int = 48,
 
 
 def _lpa_driver(u: np.ndarray, v: np.ndarray, rounds: int) -> pd.DataFrame:
+    """Index-compressed vote loop (round-5 rewrite, ~2× faster): labels
+    live as INDICES into the sorted node array (label-index order ==
+    label-value order, so ties-to-smallest is unchanged), and each round
+    sorts ONE composite int64 key (src_idx·n + lab_idx) instead of a
+    two-key lexsort over the 2|E| endpoint stream.  Same votes, same
+    argmax, bit-identical census."""
     nodes = np.unique(np.concatenate([u, v]))
-    labels = nodes.copy()
-    src = np.concatenate([u, v])
-    nb_idx = np.searchsorted(nodes, np.concatenate([v, u]))
+    n = len(nodes)
+    if n and n > 3_000_000_000:  # pragma: no cover — composite bound
+        raise ValueError("_lpa_driver: node count exceeds the n^2 < 2^63 "
+                         "composite-key domain")
+    src_i = np.searchsorted(nodes, np.concatenate([u, v]))
+    nb_i = np.searchsorted(nodes, np.concatenate([v, u]))
+    lab = np.arange(n, dtype=np.int64)
     for _ in range(rounds):
-        lv = labels[nb_idx]
-        order = np.lexsort((lv, src))
-        s, l_ = src[order], lv[order]
-        new = np.r_[True, (s[1:] != s[:-1]) | (l_[1:] != l_[:-1])]
+        key = src_i * np.int64(n) + lab[nb_i]
+        key.sort()
+        new = np.r_[True, key[1:] != key[:-1]]
         starts = np.flatnonzero(new)
-        cnt = np.diff(np.r_[starts, len(s)])
-        gn, gl = s[starts], l_[starts]
+        cnt = np.diff(np.r_[starts, len(key)])
+        gk = key[starts]
+        gn = gk // n
+        gl = gk % n
         pick = np.lexsort((gl, -cnt, gn))
         first = np.r_[True, gn[pick][1:] != gn[pick][:-1]]
-        nl = labels.copy()
-        nl[np.searchsorted(nodes, gn[pick][first])] = gl[pick][first]
-        labels = nl
-    out = pd.Series(labels).value_counts().sort_index()
+        nl = lab.copy()
+        nl[gn[pick][first]] = gl[pick][first]
+        lab = nl
+    out = pd.Series(nodes[lab]).value_counts().sort_index()
     return pd.DataFrame({"community": out.index.to_numpy(np.int64),
                          "n_nodes": out.to_numpy(np.int64)})
 
