@@ -8944,11 +8944,6 @@ def q_copurchase_lift_top20(sf_dir: str):
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
     edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
-    if mode != "driver":  # pragma: no cover - past the edge guard
-        edges = pa.concat_tables(
-            [b for b in edges.iter_batches(batch_size=None,
-                                           batch_format="pyarrow")
-             if b.num_rows])
 
     def deg_bucket(t: pa.Table) -> pa.Table:
         # bucket holds ALL rows of its orders -> global (g, i) dedup here
@@ -8973,13 +8968,44 @@ def q_copurchase_lift_top20(sf_dir: str):
                                        batch_format="pyarrow"),
                         ["g"], ["one"]).to_pandas()
     n_baskets = len(nb)
-    dmap = dict(zip(deg["i"].astype(np.int64), deg["c"].astype(np.int64)))
-    ed = edges.to_pandas()
-    ed = ed[ed["n"] >= 5].copy()
-    lift = [10 ** 6 * n_baskets * int(r.n)
-            // (dmap[int(r.u)] * dmap[int(r.v)])
-            for r in ed.itertuples()]
-    ed["lift_ppm"] = pd.Series(lift, index=ed.index, dtype="int64")
+    deg = deg.sort_values("i").reset_index(drop=True)
+    di = deg["i"].to_numpy().astype(np.int64)
+    dc = deg["c"].to_numpy().astype(np.int64)
+    # int64 lift-domain guard: the SQL replay is HUGEINT, so the numpy
+    # product must be checked, not assumed (max n_ab <= max part degree)
+    if dc.size and 10 ** 6 * n_baskets * int(dc.max()) >= 2 ** 63:
+        raise ValueError("copurchase_lift_top20: 10^6*N*n_ab exceeds "
+                         "int64 — rescale before the vector kernel")
+
+    def lift_topk(t: pa.Table) -> pa.Table:
+        """Vectorized exact-integer lift + per-block top-20 prune (the
+        docstring's degrade contract: the driver never holds the edge
+        set — only <= 20 rows per block reach the fold)."""
+        t = t.filter(pc.greater_equal(t["n"], 5))
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "lift_ppm": pa.array([], pa.int64())})
+        uu = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = dc[np.searchsorted(di, uu)]
+        cv = dc[np.searchsorted(di, vv)]
+        lp = (10 ** 6 * n_baskets * nn) // (cu * cv)
+        k = min(20, len(lp))
+        pk = np.lexsort((vv, uu, -lp))[:k]
+        return pa.table({"u": pa.array(uu[pk]), "v": pa.array(vv[pk]),
+                         "n": pa.array(nn[pk]),
+                         "lift_ppm": pa.array(lp[pk])})
+
+    if mode != "driver":  # pragma: no cover - past the edge guard
+        pruned = edges.map_batches(lift_topk, batch_format="pyarrow")
+        ed = _collect_result(pruned).to_pandas()  # <= 20 x blocks rows
+    else:
+        if isinstance(edges, pd.DataFrame):
+            edges = pa.Table.from_pandas(edges, preserve_index=False)
+        ed = lift_topk(edges).to_pandas()
     out = ed.sort_values(["lift_ppm", "u", "v"],
                          ascending=[False, True, True]).head(20) \
         .reset_index(drop=True)

@@ -38,7 +38,11 @@ def sf_of(sf_dir: str) -> float:
 
 def seq_rows(sf: float) -> int:
     # big enough that steady-state compute dominates fixed per-execution cost
-    # and this VM's multi-second run-to-run noise
+    # and this VM's multi-second run-to-run noise; GRAFT_SEQ_ROWS overrides
+    # for the sf1 campaign (bench_sf1.py drives 80M through the same paths)
+    env = os.environ.get("GRAFT_SEQ_ROWS")
+    if env:
+        return int(env)
     return int(min(max(80_000_000 * sf, 20_000), 8_000_000))
 
 
@@ -221,6 +225,10 @@ def main() -> None:
         timed("top_gaps", lambda: em.q_top_event_gaps(SF_DIR))
         timed("ecdf_calibration",
               lambda: em.q_purchase_value_percentiles(SF_DIR))
+        # round-5 trackers: the sharded watermark windower and the
+        # IEEE-deterministic HLL estimate
+        timed("stream_windowed", lambda: em.q_stream_windowed_counts(SF_DIR))
+        timed("hll_distinct", lambda: em.q_approx_distinct_users(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {

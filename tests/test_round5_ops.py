@@ -1,0 +1,50 @@
+"""Round-5 operator regressions: the distributed copurchase-lift degrade
+(per-block top-k prune instead of a whole-edge-set driver concat) and the
+windowed_counts_sharded fold degrade."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_copurchase_lift_degrade_matches_driver(ray_session, monkeypatch):
+    """Force the edge fold past the guard: the distributed per-block
+    lift+top-20 path must produce the same 20 rows as the driver path."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+    import timberjack_ray.aggregates as agg
+
+    want = em.q_copurchase_lift_top20(SF)
+    monkeypatch.setattr(agg, "FOLD_GUARD_LIMIT", 10)
+    got = em.q_copurchase_lift_top20(SF)
+    pd.testing.assert_frame_equal(want, got)
+    assert len(got) >= 1  # sf0.001 has few pairs at min-support >= 5
+
+
+def test_windower_sharded_fold_degrade(ray_session, monkeypatch):
+    """Past fold_limit partial rows the windower merge degrades to a
+    distributed groupby Sum; the result must not change."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.window import windowed_counts_sharded
+
+    ids = np.arange(3000, dtype=np.uint64)
+    ts = (ids.astype(np.int64) * 3_607_000_000) % (24 * 3600 * 1_000_000)
+    t = pa.table({
+        "shard": (ids % np.uint64(4)).astype(np.int64),
+        "ak": ts,  # in-order arrival
+        "event_id": ids.astype(np.int64),
+        "ts_us": ts,
+    })
+    kw = dict(shard_col="shard", arrival_col="ak", id_col="event_id",
+              ts_us_col="ts_us", width_s=3600, lateness_s=1800)
+    a = windowed_counts_sharded(rd.from_arrow(t).repartition(3), **kw)
+    b = windowed_counts_sharded(rd.from_arrow(t).repartition(3),
+                                fold_limit=1, **kw)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n"].sum() == 3000
