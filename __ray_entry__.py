@@ -9207,10 +9207,16 @@ def q_part_shortest_costs(sf_dir: str):
         batch_format="pyarrow")
     edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
     if mode != "driver":  # pragma: no cover - past the edge guard
-        edges = pa.concat_tables(
-            [b for b in edges.iter_batches(batch_size=None,
-                                           batch_format="pyarrow")
-             if b.num_rows])
+        # stream straight into the broadcast-map degrade: cost transform
+        # per batch, no whole-edge-set driver concat (round 5)
+        def to_w(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"u": t["u"], "v": t["v"],
+                             "w": pa.array(1_000_000 // n)})
+
+        return bellman_ford_bounded(
+            edges.map_batches(to_w, batch_format="pyarrow"),
+            rounds=4, driver_limit=0)
     ed = edges.to_pandas()
     ed["w"] = (1_000_000 // ed["n"]).astype("int64")
     return bellman_ford_bounded(ed[["u", "v", "w"]], rounds=4)
@@ -9355,10 +9361,14 @@ def q_part_widest_ties(sf_dir: str):
         batch_format="pyarrow")
     edges, mode = merge_partials_or_ds(p, ["u", "v"], ["n"])
     if mode != "driver":  # pragma: no cover
-        edges = pa.concat_tables(
-            [b for b in edges.iter_batches(batch_size=None,
-                                           batch_format="pyarrow")
-             if b.num_rows])
+        # stream into the (max, min)-semiring broadcast-map degrade
+        # (round 5) — no whole-edge-set driver concat
+        def to_w(t: pa.Table) -> pa.Table:
+            return pa.table({"u": t["u"], "v": t["v"], "w": t["n"]})
+
+        return widest_path_bounded(
+            edges.map_batches(to_w, batch_format="pyarrow"),
+            rounds=4, driver_limit=0)
     ed = edges.to_pandas().rename(columns={"n": "w"})
     return widest_path_bounded(ed, rounds=4)
 

@@ -26,6 +26,43 @@ def test_copurchase_lift_degrade_matches_driver(ray_session, monkeypatch):
     assert len(got) >= 1  # sf0.001 has few pairs at min-support >= 5
 
 
+def _random_weighted_graph(n_edges=400, n_nodes=60, seed=5):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    v = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    m = u != v
+    w = rng.integers(1, 50, n_edges).astype(np.int64)
+    return pd.DataFrame({"u": u[m], "v": v[m], "w": w[m]})
+
+
+def test_widest_path_distributed_matches_driver(ray_session):
+    """Round 5: the (max, min)-semiring broadcast-map degrade must equal
+    the driver numpy relaxation on the same bounded-round semantics."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import widest_path_bounded
+
+    ed = _random_weighted_graph()
+    a = widest_path_bounded(ed, rounds=4)
+    b = widest_path_bounded(rd.from_pandas(ed).repartition(5), rounds=4,
+                            driver_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 1
+
+
+def test_bellman_ford_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import bellman_ford_bounded
+
+    ed = _random_weighted_graph(seed=9)
+    a = bellman_ford_bounded(ed, rounds=4)
+    b = bellman_ford_bounded(rd.from_pandas(ed).repartition(5), rounds=4,
+                             driver_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 1
+
+
 def test_windower_sharded_fold_degrade(ray_session, monkeypatch):
     """Past fold_limit partial rows the windower merge degrades to a
     distributed groupby Sum; the result must not change."""

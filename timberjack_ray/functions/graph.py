@@ -1579,16 +1579,21 @@ def bellman_ford_bounded(edges, seed: int | None = None, rounds: int = 4,
 
 def widest_path_bounded(edges, seed: int | None = None, rounds: int = 4,
                         w_col: str = "w", inf_width: int = 10 ** 9,
-                        driver_limit: int = 2_000_000) -> pd.DataFrame:
+                        driver_limit: int = 2_000_000,
+                        node_limit: int = 2_000_000) -> pd.DataFrame:
     """Bounded-round WIDEST path (max-bottleneck): width(v) = max over
     <= k-edge paths of the MINIMUM edge weight — Bellman-Ford on the
     (max, min) semiring instead of (min, +): "how strong is the
     strongest chain of ties to v?".  ``seed`` gets ``inf_width`` (the
     documented source convention, replayed by the oracle).  Returns
-    (node, width) for reached nodes, sorted by node.  Driver path only
-    (numpy maximum.at relaxation under the edge guard); the distributed
-    degrade mirrors bellman_ford_bounded's broadcast-map pattern and is
-    deliberately omitted until a caller needs it (guard raises)."""
+    (node, width) for reached nodes, sorted by node.
+
+    Under ``driver_limit`` edges: numpy maximum.at relaxation.  Past it
+    (round 5): the same broadcast-map degrade as bellman_ford_bounded on
+    the swapped semiring — per round the reached-width map broadcasts
+    (``node_limit`` guard) and ONE streaming pass over the edge Dataset
+    emits per-batch (node, best) MAX partials of min(width[src], w); the
+    fold is node-bounded."""
     if not isinstance(edges, pd.DataFrame):
         if isinstance(edges, pa.Table):
             edges = edges.to_pandas()
@@ -1597,10 +1602,12 @@ def widest_path_bounded(edges, seed: int | None = None, rounds: int = 4,
 
             small = collect_table_under(
                 edges.select_columns(["u", "v", w_col]), driver_limit)
-            if small is None:
-                raise ValueError("widest_path_bounded: edge set exceeds "
-                                 "driver_limit")
-            edges = small.to_pandas()
+            if small is not None:
+                edges = small.to_pandas()
+            else:
+                return _widest_path_distributed(
+                    edges.select_columns(["u", "v", w_col]), seed, rounds,
+                    w_col, inf_width, node_limit)
     u = edges["u"].to_numpy().astype(np.int64)
     v = edges["v"].to_numpy().astype(np.int64)
     w = edges[w_col].to_numpy().astype(np.int64)
@@ -1626,3 +1633,75 @@ def widest_path_bounded(edges, seed: int | None = None, rounds: int = 4,
     m = width >= 0
     return pd.DataFrame({"node": nodes[m], "width": width[m]}) \
         .astype("int64")
+
+
+def _widest_path_distributed(edges_ds, seed, rounds: int, w_col: str,
+                             inf_width: int, node_limit: int) -> pd.DataFrame:
+    """Broadcast-map (max, min)-semiring relaxation over an edge Dataset
+    — bellman_ford_bounded's distributed degrade with the operators
+    swapped: candidate = min(width[src], w), fold = MAX per node.  The
+    reached-width map is node-bounded (``node_limit`` guard); each round
+    is one streaming pass; edge Dataset reused via materialize()."""
+    import ray
+
+    edges_ds = edges_ds.materialize()
+    if seed is None:
+        from ray.data.aggregate import Min
+
+        mu = edges_ds.aggregate(Min("u"), Min("v"))
+        seed = int(min(mu["min(u)"], mu["min(v)"]))
+    width: dict[int, int] = {int(seed): int(inf_width)}
+    NEG = np.int64(-(2 ** 62))
+    for _ in range(rounds):
+        ks = np.array(sorted(width), dtype=np.int64)
+        vs = np.array([width[int(x)] for x in ks], dtype=np.int64)
+        ref = ray.put((ks, vs))
+
+        def relax(t: pa.Table, _r=ref) -> pa.Table:
+            rk, rv = ray.get(_r)
+            uu = t["u"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            ww = t[w_col].to_numpy(zero_copy_only=False)
+            src = np.concatenate([uu, vv])
+            dst = np.concatenate([vv, uu])
+            wc = np.concatenate([ww, ww]).astype(np.int64)
+            idx = np.searchsorted(rk, src)
+            has = idx < len(rk)
+            idc = np.minimum(idx, max(len(rk) - 1, 0))
+            has &= rk[idc] == src
+            cand = np.where(has, np.minimum(rv[idc], wc), NEG)
+            ok = cand > NEG
+            if not ok.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "best": pa.array([], pa.int64())})
+            g = pa.table({"node": pa.array(dst[ok]),
+                          "best": pa.array(cand[ok])}) \
+                .group_by("node").aggregate([("best", "max")])
+            return g.rename_columns(["node", "best"])
+
+        pend: list[pa.Table] = []
+        for b in edges_ds.map_batches(relax, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                pend.append(b)
+            if len(pend) >= 64:
+                pend = [pa.concat_tables(pend).group_by("node")
+                        .aggregate([("best", "max")])
+                        .rename_columns(["node", "best"])]
+        if not pend:
+            break
+        bt = pa.concat_tables(pend).group_by("node") \
+            .aggregate([("best", "max")]) \
+            .rename_columns(["node", "best"]).to_pandas()
+        changed = False
+        for n_, b in zip(bt["node"].astype(int), bt["best"].astype(int)):
+            if b > width.get(n_, -(2 ** 62)):
+                width[n_] = b
+                changed = True
+        if len(width) > node_limit:
+            raise ValueError("widest_path_bounded: reached set exceeds "
+                             "node_limit")
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(width.items()), columns=["node", "width"])
+    return out.astype("int64")
