@@ -35,58 +35,74 @@ SF1_DIR = "/dev/shm/tj_sf1"
 SEQ_N = int(os.environ.get("GRAFT_SF1_SEQ", "80000000"))
 COPIES = 10
 
-# key columns shifted per copy (disjoint id spaces per replica); stride
-# is a power of ten above each table's sf0.1 max so replicated keys stay
-# readable and FK relations stay internally consistent within a copy
+# key columns shifted per copy (disjoint id spaces per replica).  A key
+# DOMAIN spans every column that joins against it (custkey appears in
+# customer AND orders AND events.user_id), so each domain gets ONE
+# stride computed over ALL its columns across tables — per-table strides
+# would break FK relations between the replicated copies.
 _TABLE_KEYS = {
-    "region": [],
-    "nation": [],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id", "order_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "events": {"event_id": "eventid", "user_id": "custkey"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 
 
-def _stride(t: pa.Table, cols: list[str]) -> int:
-    mx = 0
-    for c in cols:
-        if c in t.column_names:
-            v = pc.max(t[c]).as_py()
+def _domain_strides() -> dict[str, int]:
+    mx: dict[str, int] = {}
+    for name, keys in _TABLE_KEYS.items():
+        if not keys:
+            continue
+        cols = [k for k in keys
+                if k in pq.read_schema(
+                    os.path.join(SF01, f"{name}.parquet")).names]
+        t = pq.read_table(os.path.join(SF01, f"{name}.parquet"),
+                          columns=cols)
+        for col, dom in keys.items():
+            if col not in cols:
+                continue
+            v = pc.max(t[col]).as_py()
             if v is not None:
-                mx = max(mx, int(v))
-    s = 1
-    while s <= mx:
-        s *= 10
-    return s
+                mx[dom] = max(mx.get(dom, 0), int(v))
+    strides = {}
+    for dom, m in mx.items():
+        s = 1
+        while s <= m:
+            s *= 10
+        strides[dom] = s
+    return strides
 
 
 def build_sf1_tables() -> None:
     os.makedirs(SF1_DIR, exist_ok=True)
     manifest = os.path.join(SF1_DIR, "_MANIFEST.json")
-    want = {"copies": COPIES, "src": SF01}
+    want = {"copies": COPIES, "src": SF01, "v": 2}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
                 return
+    strides = _domain_strides()
     for name, keys in _TABLE_KEYS.items():
         src = pq.read_table(os.path.join(SF01, f"{name}.parquet"))
-        keys = [k for k in keys if k in src.column_names]
+        keys = {k: d for k, d in keys.items() if k in src.column_names}
         if not keys:  # dimension enums (region/nation): keep as-is
             pq.write_table(src, os.path.join(SF1_DIR, f"{name}.parquet"))
             continue
-        stride = _stride(src, keys)
         copies = []
         for c in range(COPIES):
             t = src
-            for k in keys:
+            for k, dom in keys.items():
                 t = t.set_column(t.column_names.index(k), k,
                                  pc.add(pc.cast(t[k], pa.int64()),
-                                        pa.scalar(c * stride, pa.int64())))
+                                        pa.scalar(c * strides[dom],
+                                                  pa.int64())))
             copies.append(t)
         pq.write_table(pa.concat_tables(copies),
                        os.path.join(SF1_DIR, f"{name}.parquet"))
@@ -100,19 +116,23 @@ class PeakObjectStore(threading.Thread):
     def __init__(self):
         super().__init__(daemon=True)
         self.peak = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     def run(self):
         import ray
 
         total = ray.cluster_resources().get("object_store_memory", 0)
-        while not self._stop.is_set():
-            avail = ray.available_resources().get("object_store_memory", total)
+        while not self._halt.is_set():
+            try:
+                avail = ray.available_resources().get(
+                    "object_store_memory", total)
+            except Exception:
+                return  # session gone (main raised / shut down)
             self.peak = max(self.peak, int(total - avail))
             time.sleep(0.2)
 
     def stop(self) -> int:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=2)
         return self.peak
 
