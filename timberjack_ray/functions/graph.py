@@ -1381,12 +1381,14 @@ def label_propagation_census(edges, rounds: int = 3,
     from timberjack_ray.aggregates import merge_partials
     from timberjack_ray.functions.util import collect_table_under
 
-    small = collect_table_under(edges.select_columns(["u", "v"]),
-                                driver_limit)
+    # materialize FIRST, collect from the materialized blocks: the edge
+    # Dataset is typically a whole upstream exchange, and collect-then-
+    # materialize executed it twice (round-5 sf1 finding)
+    edges = edges.select_columns(["u", "v"]).materialize()
+    small = collect_table_under(edges, driver_limit)
     if small is not None:
         return label_propagation_census(small, rounds=rounds)
 
-    edges = edges.select_columns(["u", "v"]).materialize()
 
     def node_partial(t: pa.Table) -> pa.Table:
         c = np.unique(np.concatenate(
@@ -1508,13 +1510,12 @@ def bellman_ford_bounded(edges, seed: int | None = None, rounds: int = 4,
 
     from timberjack_ray.functions.util import collect_table_under
 
-    small = collect_table_under(edges.select_columns(["u", "v", w_col]),
-                                driver_limit)
+    edges = edges.select_columns(["u", "v", w_col]).materialize()
+    small = collect_table_under(edges, driver_limit)
     if small is not None:
         return bellman_ford_bounded(small, seed=seed, rounds=rounds,
                                     w_col=w_col)
 
-    edges = edges.select_columns(["u", "v", w_col]).materialize()
     if seed is None:
         from ray.data.aggregate import Min
 
