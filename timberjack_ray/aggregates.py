@@ -415,6 +415,58 @@ def top_k(counts_df, key_col: str, n_col: str, k: int):
     return counts_df.sort_values([n_col, key_col], ascending=[False, True]).head(k)
 
 
+def grouped_aggregate_ds(ds, keys: list[str],
+                         aggs: list[tuple[str, str, str]],
+                         n_buckets: int = 256):
+    """Distributed grouped aggregate via a BUCKET exchange — the scale
+    replacement for ``ds.groupby(keys).aggregate(...)`` (round 5): hash
+    the key tuple to ``n_buckets`` buckets, co-locate each bucket with
+    one small-key groupby, and run pyarrow's C ``group_by`` inside the
+    bucket.  Complete per-key results (a key's rows all share a bucket);
+    measured 49.6 s → 1.6 s vs the sort-based ray groupby on a
+    12M-distinct-key dedup (ray pays a full-width key sort, this path a
+    256-value one).
+
+    ``aggs``: (src_col, op, out_name) with op ∈ {sum, min, max, count}.
+    Returns a Dataset with columns keys + out_names (unsorted).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_names = [a[2] for a in aggs]
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            raw = t[k].to_numpy(zero_copy_only=False)
+            if np.issubdtype(raw.dtype, np.integer):
+                hk = raw.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            else:
+                try:
+                    hk = pd.util.hash_array(raw).astype(np.uint64)
+                except TypeError:  # pragma: no cover - exotic dtypes
+                    hk = pd.util.hash_array(
+                        raw.astype(object)).astype(np.uint64)
+            h = h * np.uint64(1000003) + hk
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__kb"])
+        if t.num_rows == 0:
+            cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
+            for c, op, out in aggs:
+                typ = pa.int64() if op == "count" else t.schema.field(c).type
+                cols[out] = pa.array([], typ)
+            return pa.table(cols)
+        g = t.group_by(keys).aggregate(
+            [(c, op) for c, op, _ in aggs])
+        return g.rename_columns(keys + out_names)
+
+    return ds.map_batches(add_kb, batch_format="pyarrow") \
+        .groupby("__kb").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
                          driver_limit: int | None = None,
                          ops: list[str] | None = None):
@@ -440,46 +492,11 @@ def merge_partials_or_ds(partials_ds, keys: list[str], n_cols: list[str],
     assert len(ops) == len(n_cols) and set(ops) <= {"sum", "min", "max"}
 
     def distributed():
-        # Bucket exchange instead of a full-key ray groupby (round 5):
-        # hash the key tuple to 256 buckets and run pyarrow's C group_by
-        # inside each co-located bucket — complete per-key aggregates,
-        # measured 49.6 s → 1.6 s on the sf1 12M-distinct-edge dedup.
-        # Ray's sort-based groupby pays a full-width key sort; the bucket
-        # exchange sorts a 256-value int and the C kernel does the rest.
-        import numpy as np
-        import pandas as pd
-
-        n_buckets = 256
-
-        def add_kb(t: pa.Table) -> pa.Table:
-            h = np.zeros(t.num_rows, dtype=np.uint64)
-            for k in keys:
-                raw = t[k].to_numpy(zero_copy_only=False)
-                if np.issubdtype(raw.dtype, np.integer):
-                    hk = raw.astype(np.uint64) \
-                        * np.uint64(0x9E3779B97F4A7C15)
-                else:
-                    try:
-                        hk = pd.util.hash_array(raw).astype(np.uint64)
-                    except TypeError:  # pragma: no cover - exotic dtypes
-                        hk = pd.util.hash_array(
-                            raw.astype(object)).astype(np.uint64)
-                h = h * np.uint64(1000003) + hk
-            return t.append_column(
-                "__kb", pa.array((h % np.uint64(n_buckets))
-                                 .astype(np.int64)))
-
-        def per_bucket(t: pa.Table) -> pa.Table:
-            t = t.drop_columns(["__kb"])
-            if t.num_rows == 0:
-                return t.select(keys + n_cols)
-            g = t.group_by(keys).aggregate(
-                [(c, op) for c, op in zip(n_cols, ops)])
-            return g.rename_columns(keys + n_cols)
-
-        out = partials_ds.map_batches(add_kb, batch_format="pyarrow") \
-            .groupby("__kb").map_groups(per_bucket, batch_format="pyarrow")
-        return out, "distributed"
+        return grouped_aggregate_ds(
+            partials_ds,
+            keys,
+            [(c, op, c) for c, op in zip(n_cols, ops)],
+        ), "distributed"
 
     pending: list[pa.Table] = []
 

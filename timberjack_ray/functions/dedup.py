@@ -48,14 +48,18 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     texts are possible in principle (64-bit); verify within group when the
     domain requires certainty.
     """
-    from ray.data.aggregate import Min
+    from timberjack_ray.aggregates import grouped_aggregate_ds
 
     def project(batch: pa.Table) -> pa.Table:
         hb = add_content_hash(batch, col)
         return hb.select([id_col, "content_hash"])
 
     pairs = ds.map_batches(project, batch_format="pyarrow")
-    return pairs.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    # bucket exchange, not a full-key ray groupby: content hashes are
+    # ~all-distinct, and the sort-based groupby pays a full-width key
+    # sort (measured 30x slower at 12M distinct keys)
+    return grouped_aggregate_ds(pairs, ["content_hash"],
+                                [(id_col, "min", id_col)])
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -789,9 +793,12 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
             pa.array((np.asarray(t["a"], dtype=np.int64) << np.int64(31))
                      | np.asarray(t["b"], dtype=np.int64))),
         batch_format="pyarrow")
-    return keyed.groupby("pair_key").aggregate(
-        Min("a", alias_name="a"), Min("b", alias_name="b"),
-        Min("jacc", alias_name="jacc")).drop_columns(["pair_key"])
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    return grouped_aggregate_ds(
+        keyed, ["pair_key"],
+        [("a", "min", "a"), ("b", "min", "b"), ("jacc", "min", "jacc")]) \
+        .drop_columns(["pair_key"])
 
 
 # ---------------------------------------------------------------------------
@@ -1127,8 +1134,10 @@ def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
 
     pairs = base_ds.map_batches(side_pairs(1), batch_format="pyarrow") \
         .union(new_ds.map_batches(side_pairs(0), batch_format="pyarrow"))
-    both = pairs.groupby("h").aggregate(Max("s", alias_name="mx"),
-                                        Min("s", alias_name="mn")) \
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    both = grouped_aggregate_ds(
+        pairs, ["h"], [("s", "max", "mx"), ("s", "min", "mn")]) \
         .map_batches(lambda t: t.filter(
             pc.and_(pc.equal(t["mx"], 1), pc.equal(t["mn"], 0)))
             .select(["h"]), batch_format="pyarrow")
@@ -1393,8 +1402,11 @@ def exact_dedup_keep_best(ds, key_fn, score_col: str,
         packed = sc * M + (M - np.int64(1) - ids)
         return pa.table({"k": pa.array(h), "packed": pa.array(packed)})
 
-    best = ds.map_batches(project, batch_format="pyarrow") \
-        .groupby("k").aggregate(Max("packed", alias_name="packed"))
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    best = grouped_aggregate_ds(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["k"], [("packed", "max", "packed")])
 
     def unpack(t: pa.Table) -> pa.Table:
         packed = t["packed"].to_numpy(zero_copy_only=False)
@@ -1544,9 +1556,11 @@ def ngram_novelty(ds, col: str = "text", id_col: str = "doc_id",
     partials = bucketed.groupby("__kb").map_groups(
         lambda t: per_bucket(t.drop_columns(["__kb"])),
         batch_format="pyarrow")
-    return partials.groupby(id_col).aggregate(
-        Sum("n_grams", alias_name="n_grams"),
-        Sum("n_novel", alias_name="n_novel"))
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    return grouped_aggregate_ds(
+        partials, [id_col],
+        [("n_grams", "sum", "n_grams"), ("n_novel", "sum", "n_novel")])
 
 
 def minhash_horner_signature(batch: pa.Table, col: str = "text",

@@ -190,9 +190,12 @@ def ed1_neighbor_census(ds, col: str, id_col: str,
         g = t.group_by("id").aggregate([("id", "count")])
         return g.rename_columns(["id", "n"])
 
-    deg = pairs.map_batches(endpoints, batch_format="pyarrow") \
-        .map_batches(degree_partial, batch_format="pyarrow") \
-        .groupby("id").sum("n")
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    deg = grouped_aggregate_ds(
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .map_batches(degree_partial, batch_format="pyarrow"),
+        ["id"], [("n", "sum", "sum(n)")])
 
     def hist_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -86,10 +86,11 @@ def session_stats_ds(ds, key_col: str, ts_col: str, gap_s: int):
     """Distributed per-key session counts: the scale path — one row per key
     comes out of a Ray groupby(Max), never folded on the driver.  Consume
     the returned Dataset (write / further aggregate) at high key counts."""
-    from ray.data.aggregate import Max
+    from timberjack_ray.aggregates import grouped_aggregate_ds
 
     p = _session_count_partials(ds, key_col, ts_col, gap_s)
-    return p.groupby(key_col).aggregate(Max("n", alias_name="n_sessions"))
+    return grouped_aggregate_ds(p, [key_col],
+                                [("n", "max", "n_sessions")])
 
 
 def session_stats(ds, key_col: str, ts_col: str, gap_s: int,
