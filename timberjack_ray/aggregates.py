@@ -427,8 +427,9 @@ def grouped_aggregate_ds(ds, keys: list[str],
     12M-distinct-key dedup (ray pays a full-width key sort, this path a
     256-value one).
 
-    ``aggs``: (src_col, op, out_name) with op ∈ {sum, min, max, count}.
-    Returns a Dataset with columns keys + out_names (unsorted).
+    ``aggs``: (src_col, op, out_name) with op ∈ {sum, min, max, count,
+    count_all} (count_all ignores src_col and counts rows).  Returns a
+    Dataset with columns keys + out_names (unsorted).
     """
     import numpy as np
     import pandas as pd
@@ -456,11 +457,13 @@ def grouped_aggregate_ds(ds, keys: list[str],
         if t.num_rows == 0:
             cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
             for c, op, out in aggs:
-                typ = pa.int64() if op == "count" else t.schema.field(c).type
+                typ = pa.int64() if op in ("count", "count_all") \
+                    else t.schema.field(c).type
                 cols[out] = pa.array([], typ)
             return pa.table(cols)
         g = t.group_by(keys).aggregate(
-            [(c, op) for c, op, _ in aggs])
+            [(([], "count_all") if op == "count_all" else (c, op))
+             for c, op, _ in aggs])
         return g.rename_columns(keys + out_names)
 
     return ds.map_batches(add_kb, batch_format="pyarrow") \

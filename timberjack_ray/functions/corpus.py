@@ -973,7 +973,6 @@ def chunk_dedup(ds, chunk_words: int = 10, id_col: str = "doc_id",
 
     Returns a Dataset of (chash, packed); unpack with ``unpack_chunk_ids``.
     """
-    from ray.data.aggregate import Min
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -998,7 +997,10 @@ def chunk_dedup(ds, chunk_words: int = 10, id_col: str = "doc_id",
         return pa.table({"chash": h, "packed": pa.array(packed)})
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
-    return pairs.groupby("chash").aggregate(Min("packed", alias_name="packed"))
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    return grouped_aggregate_ds(pairs, ["chash"],
+                                [("packed", "min", "packed")])
 
 
 def unpack_chunk_ids(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
@@ -1104,7 +1106,6 @@ def corpus_diff_counts(old_ds, new_ds, col: str = "text") -> pd.DataFrame:
     Returns (status ∈ added|removed|common, n_contents), statuses with
     zero count omitted.  64-bit hash equivalence (same caveat as
     ``exact_dedup``)."""
-    from ray.data.aggregate import Max, Min
 
     from timberjack_ray.functions.dedup import add_content_hash
 
@@ -1117,8 +1118,10 @@ def corpus_diff_counts(old_ds, new_ds, col: str = "text") -> pd.DataFrame:
 
     pairs = old_ds.map_batches(tagged(0), batch_format="pyarrow") \
         .union(new_ds.map_batches(tagged(1), batch_format="pyarrow"))
-    folded = pairs.groupby("h").aggregate(Min("s", alias_name="mn"),
-                                          Max("s", alias_name="mx"))
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    folded = grouped_aggregate_ds(pairs, ["h"],
+                                  [("s", "min", "mn"), ("s", "max", "mx")])
 
     def classify(t: pa.Table) -> pa.Table:
         mn = t["mn"].to_numpy(zero_copy_only=False)

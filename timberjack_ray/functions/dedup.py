@@ -785,7 +785,6 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 3,
         batch_format="pyarrow")
     # a pair found in several gram buckets dedups with a C-side aggregate
     # (values are identical per pair, so min == first)
-    from ray.data.aggregate import Min
 
     keyed = pairs.map_batches(
         lambda t: t.append_column(
@@ -1123,7 +1122,6 @@ def cross_dedup(new_ds, base_ds, col: str = "text", id_col: str = "doc_id",
     # duplicate count, which is what makes this scale: the broadcast side
     # is |dups|, not |base| or |new|.  (Worst case everything is a dup and
     # the intersection is new-side-bounded — but then the output is empty.)
-    from ray.data.aggregate import Max, Min
 
     def side_pairs(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -1386,7 +1384,6 @@ def exact_dedup_keep_best(ds, key_fn, score_col: str,
 
     Returns a Dataset of (key-hash, id) survivors.
     """
-    from ray.data.aggregate import Max
 
     M = np.int64(1) << np.int64(32)
 
@@ -1520,7 +1517,6 @@ def ngram_novelty(ds, col: str = "text", id_col: str = "doc_id",
     (one row per doc) and streams; exchange volume is the distinct
     (gram, doc) pair set.
     """
-    from ray.data.aggregate import Sum
 
     from timberjack_ray.functions.corpus import _segments, add_key_bucket
 

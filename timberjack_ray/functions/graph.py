@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from timberjack_ray.aggregates import grouped_aggregate_ds
+
 
 def _union_find_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
     """Driver path: classic union-find with min-id representatives."""
@@ -74,7 +76,6 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     """
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from timberjack_ray.functions.relational import bucket_hash_join
     from timberjack_ray.functions.util import collect_table_under
@@ -105,8 +106,9 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"], "label": t["src"]})
 
-    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("label", alias_name="label")) \
+    labels = grouped_aggregate_ds(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"], [("label", "min", "label")]) \
         .repartition(n_blocks).materialize()
 
     def as_nl(node_col: str, label_col: str):
@@ -134,8 +136,9 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                                 left_cols=["child"], right_cols=["lbl2"],
                                 n_buckets=n_buckets) \
             .map_batches(as_nl("child", "lbl2"), batch_format="pyarrow")
-        labels = labels.union(prop).union(jump).groupby("node") \
-            .aggregate(Min("label", alias_name="label")) \
+        labels = grouped_aggregate_ds(
+            labels.union(prop).union(jump),
+            ["node"], [("label", "min", "label")]) \
             .repartition(n_blocks).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
@@ -194,7 +197,6 @@ def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
     a Dataset of (node, rank_fp) above it.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from timberjack_ray.functions.relational import bucket_hash_join
     from timberjack_ray.functions.util import collect_table_under
@@ -207,8 +209,6 @@ def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
         out.attrs["mode"] = "driver"
         return out
 
-    from ray.data.aggregate import Count
-
     edges = edges_ds.map_batches(
         lambda t: pa.table({"u": pc.cast(t[u_col], pa.int64()),
                             "v": pc.cast(t[v_col], pa.int64())}),
@@ -220,13 +220,15 @@ def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
                                  t["v"].combine_chunks()])
         return pa.table({"node": both.unique()})
 
-    nodes = edges.map_batches(nodes_of, batch_format="pyarrow") \
-        .groupby("node").aggregate(Count(alias_name="_c")) \
+    nodes = grouped_aggregate_ds(
+        edges.map_batches(nodes_of, batch_format="pyarrow"),
+        ["node"], [("node", "count_all", "_c")]) \
         .map_batches(lambda t: pa.table({"node": t["node"]}),
                      batch_format="pyarrow")
-    degs = edges.map_batches(
-        lambda t: pa.table({"node": t["u"]}), batch_format="pyarrow") \
-        .groupby("node").aggregate(Count(alias_name="outdeg"))
+    degs = grouped_aggregate_ds(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["u"]}), batch_format="pyarrow"),
+        ["node"], [("node", "count_all", "outdeg")])
     n = nodes.count()
     if n == 0:  # zero-row input: collect_table_under bails on empty
         out = pd.DataFrame({"node": np.array([], np.int64),
@@ -257,8 +259,9 @@ def pagerank_int(edges_ds, u_col: str = "u", v_col: str = "v",
             edges, state, "u", "node",
             left_cols=["v"], right_cols=["rank_fp", "outdeg"],
             n_buckets=n_buckets) \
-            .map_batches(contribs, batch_format="pyarrow") \
-            .groupby("node").aggregate(Sum("c", alias_name="inflow"))
+            .map_batches(contribs, batch_format="pyarrow")
+        inflow = grouped_aggregate_ds(inflow, ["node"],
+                                      [("c", "sum", "inflow")])
 
         def apply_rank(t: pa.Table) -> pa.Table:
             s = pc.coalesce(pc.cast(t["inflow"], pa.int64()), 0) \
@@ -602,7 +605,6 @@ def kcore_peel(edges, k: int = 3, rounds: int = 8,
             edges["v"].to_numpy().astype(np.int64), k, rounds)
 
     import ray
-    from ray.data.aggregate import Count
 
     from timberjack_ray.functions.util import collect_table_under
 
@@ -622,7 +624,8 @@ def kcore_peel(edges, k: int = 3, rounds: int = 8,
             lambda t: pa.table({"node": pa.concat_arrays(
                 [t["u"].combine_chunks(), t["v"].combine_chunks()])}),
             batch_format="pyarrow")
-        return flat.groupby("node").aggregate(Count(alias_name="degree"))
+        return grouped_aggregate_ds(flat, ["node"],
+                                    [("node", "count_all", "degree")])
 
     for _ in range(rounds):
         deg = collect_table_under(degrees(cur), node_limit)

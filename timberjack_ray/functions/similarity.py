@@ -439,7 +439,6 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
     # Distributed dedup of pairs seen in multiple tables: pack (a,b) into one
     # int64 key (ids < 2^31 by contract of this helper); values per pair are
     # identical so a C-side Min aggregate keeps exactly one.
-    from ray.data.aggregate import Min
 
     keyed = pairs.map_batches(
         lambda t: t.append_column(
@@ -448,9 +447,12 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, n_tables:
                      | np.asarray(t["b"], dtype=np.int64))),
         batch_format="pyarrow",
     )
-    return keyed.groupby("pair_key").aggregate(
-        Min("a", alias_name="a"), Min("b", alias_name="b"),
-        Min("cosine", alias_name="cosine")).drop_columns(["pair_key"])
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    return grouped_aggregate_ds(
+        keyed, ["pair_key"],
+        [("a", "min", "a"), ("b", "min", "b"),
+         ("cosine", "min", "cosine")]).drop_columns(["pair_key"])
 
 
 # -- int8-quantized ANN ------------------------------------------------------
