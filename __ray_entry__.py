@@ -2101,23 +2101,17 @@ def q_approx_distinct_users(sf_dir: str):
         return pa.table({"regs": pa.array([hll.registers.tobytes()],
                                           pa.binary())})
 
+    from timberjack_ray.functions.sketch import hll_estimate_milli
+
     ds = _rp(sf_dir, "events", columns=["user_id"])
     total = HyperLogLog(P)
     for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
         for regs in b["regs"].to_pylist():
             total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
-    counts = np.bincount(total.registers.astype(np.int64), minlength=65)
-    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
-    alpha = 0.7213 / (1.0 + 1.079 / 16384.0)
-    raw = alpha * 16384.0 * 16384.0 * 18446744073709551616.0 / float(s_int)
-    zeros = int(counts[0])
-    if raw <= 2.5 * 16384.0 and zeros:
-        est = 16384.0 * math.log(16384.0 / zeros)
-    else:
-        est = raw
     return pd.DataFrame({"approx_distinct_users_milli":
-                         np.array([math.floor(est * 1000.0)], np.int64)})
+                         np.array([hll_estimate_milli(total.registers)],
+                                  np.int64)})
 
 
 def q_stream_levels(sf_dir: str):
@@ -2957,15 +2951,25 @@ def q_retention_cohorts(sf_dir: str):
 
 def q_doc_entropy(sf_dir: str):
     """Per-doc byte-entropy quality signal (functions/text.add_char_entropy):
-    one flat-buffer count grid per batch, scaled-int micro-bits output —
-    rows-only (float log; numpy reference test in test_functions.py)."""
+    one flat-buffer count grid per batch.  ORACLE-CHECKED since round 5
+    (was rows-only): emits ``entropy_cb = entropy_u // 100`` (units of
+    10 µbits, 4–5 significant digits).  The micro-bit value itself
+    differs between numpy's pairwise summation and SQL's SUM by at most
+    ±1 ULP-driven unit near a rounding boundary (~1e-7/doc); the //100
+    coarsening masks that unless the boundary also sits at a multiple of
+    100 (~1e-9/doc — negligible), while log2 per distinct (doc, char)
+    term stays IEEE-comparable.  The SQL replay is character-level;
+    exact equality to the BYTE-level kernel relies on the driver's
+    documents being pure ASCII (verified for all sf dirs).  Full
+    micro-bit numbers remain pinned vs numpy in test_functions.py."""
     from timberjack_ray.functions.text import add_char_entropy
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(add_char_entropy, batch_format="pyarrow") \
         .select_columns(["doc_id", "entropy_u"]).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True) \
-        .astype({"doc_id": "int64", "entropy_u": "int64"})
+    out["entropy_cb"] = out["entropy_u"] // 100
+    return out[["doc_id", "entropy_cb"]].sort_values("doc_id") \
+        .reset_index(drop=True).astype("int64")
 
 
 def q_embedding_dedup(sf_dir: str):
@@ -5866,17 +5870,24 @@ def q_selfjoin_size_by_type(sf_dir: str):
 
 
 def q_selfjoin_size_ams(sf_dir: str):
-    """AMS tug-of-war F2 estimate per type (functions/sketch.AMSF2) — the
-    fixed-size mergeable companion to `selfjoin_size_by_type`: per-batch
-    traffic is groups×per_group ints per type regardless of user
-    cardinality.  Rows-only (randomized estimate; tolerance vs exact is
-    pinned in tests/test_functions.py)."""
-    from timberjack_ray.functions.sketch import selfjoin_size_ams
-
-    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
-    out = selfjoin_size_ams(ds, "event_type", "user_id")
-    out["f2_est"] = out["f2_est"].round(0).astype("int64")
-    return out.sort_values("event_type").reset_index(drop=True)
+    """AMS tug-of-war F2 estimate per type — the fixed-size mergeable
+    companion to `selfjoin_size_by_type`: per-batch traffic is
+    groups×per_group ints per type regardless of user cardinality.
+    ORACLE-CHECKED since round 5 (was rows-only): runs the splitmix64
+    sign chain its twin `ams_f2_checked` pins bit-for-bit, and emits the
+    median-of-means ESTIMATE as an exact integer — with 9 groups the
+    median of the per-group means Σs²/24 is the MIDDLE group's sum
+    divided by the shared 24, so ``f2_est24 = 24·F2_est`` is the 5th
+    smallest s2_sum, pure ints end to end (SQL: quantile_disc 0.5).
+    Approximate vs the TRUE F2 by design (tolerance in
+    tests/test_functions.py)."""
+    per = q_ams_f2_checked(sf_dir)
+    med = per.sort_values(["event_type", "s2_sum"]) \
+        .groupby("event_type")["s2_sum"] \
+        .apply(lambda s: int(s.iloc[(len(s) - 1) // 2])) \
+        .reset_index(name="f2_est24")
+    return med.sort_values("event_type").reset_index(drop=True) \
+        .astype({"f2_est24": "int64"})
 
 
 def q_source_skew_stats(sf_dir: str):
@@ -5940,17 +5951,55 @@ def q_stream_chunk_novelty(sf_dir: str):
 
 
 def q_approx_actor_overlap(sf_dir: str):
-    """HLL set algebra (functions/sketch.approx_set_overlap): |users|,
-    |customers|, |union| from register-max merges and |intersect| by
-    inclusion–exclusion — the cross-corpus overlap planner at any
-    cardinality (state = 3 × 2^p bytes).  Rows-only: approximate by
-    design; tolerance vs exact sets pinned in tests/test_sketch.py, and
-    the exact companions are actor_ids_union / actor_ids_intersect."""
-    from timberjack_ray.functions.sketch import approx_set_overlap
+    """HLL set algebra: |users|, |customers|, |union| from register-max
+    merges and |intersect| by inclusion–exclusion — the cross-corpus
+    overlap planner at any cardinality (state = 3 × 2^p bytes).
+    ORACLE-CHECKED since round 5 (was rows-only): both sides sketch over
+    splitmix64 of the INTEGER ids (the chain hll_register_hist already
+    replays), the union is the per-index register max — exact sketch
+    algebra SQL reproduces with a UNION ALL + MAX — and all three
+    estimates use the IEEE-deterministic milli-floor estimator
+    (sketch.hll_estimate_milli); the intersection is then pure integer
+    arithmetic on the three milli values.  Approximate vs the TRUE
+    cardinalities by design (tolerance in tests/test_sketch.py; exact
+    companions actor_ids_union / actor_ids_intersect)."""
+    from timberjack_ray.functions.corpus import _splitmix64
+    from timberjack_ray.functions.sketch import (HyperLogLog,
+                                                 hll_estimate_milli)
 
-    ev = _rp(sf_dir, "events", columns=["user_id"])
-    od = _rp(sf_dir, "orders", columns=["o_custkey"])
-    return approx_set_overlap(ev, od, "user_id", "o_custkey")
+    P = 14
+
+    def sketcher(col):
+        def f(t: pa.Table) -> pa.Table:
+            hll = HyperLogLog(P)
+            u = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            hll.add_hashed(_splitmix64(u))
+            return pa.table({"regs": pa.array([hll.registers.tobytes()],
+                                              pa.binary())})
+        return f
+
+    def fold(ds, col) -> "HyperLogLog":
+        total = HyperLogLog(P)
+        for b in ds.map_batches(sketcher(col), batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            for regs in b["regs"].to_pylist():
+                total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+        return total
+
+    ha = fold(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
+    hb = fold(_rp(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
+    union = HyperLogLog(P)
+    union.merge_registers(ha.registers)
+    union.merge_registers(hb.registers)
+    a_m = hll_estimate_milli(ha.registers)
+    b_m = hll_estimate_milli(hb.registers)
+    u_m = hll_estimate_milli(union.registers)
+    return pd.DataFrame({
+        "card_a_milli": np.array([a_m], np.int64),
+        "card_b_milli": np.array([b_m], np.int64),
+        "card_union_milli": np.array([u_m], np.int64),
+        "card_intersect_milli": np.array([max(0, a_m + b_m - u_m)],
+                                         np.int64)})
 
 
 def q_value_trend_components(sf_dir: str):
@@ -10142,6 +10191,41 @@ def oracle_sql() -> dict[str, str]:
             {tag}4 AS (SELECT {cols}((y // 4294967296 * {_SM_C3} % {_P64}) * 4294967296 + (y % 4294967296) * {_SM_C3}) % {_P64} AS z FROM {tag}3),
             {tag}x AS (SELECT {cols}xor(z, z // 2147483648) AS h FROM {tag}4)"""
 
+    def _hll_reg_ctes(tag: str, hx: str) -> str:
+        """(idx, max rank) register CTE from a splitmix64 hash CTE."""
+        return (f"r{tag} AS (SELECT h // 1125899906842624 AS idx, "
+                f"65 - length(bin((((h * 16384) % {_P64}) + 8192)::UBIGINT))"
+                f" AS rank FROM {hx}), "
+                f"reg{tag} AS (SELECT idx, max(rank) AS rank FROM r{tag} "
+                f"GROUP BY idx)")
+
+    def _hll_est_ctes(tag: str, reg: str) -> str:
+        """IEEE-deterministic milli estimate CTE chain over a register
+        CTE — the exact text the approx_distinct_users oracle uses, so
+        the double chain matches hll_estimate_milli bit-for-bit."""
+        return f"""{tag}agg AS (
+              SELECT SUM(1::HUGEINT << (64 - rank)) AS s_nz,
+                     COUNT(*) AS n_nz
+              FROM {reg}
+            ),
+            {tag}fin AS (
+              SELECT CAST(s_nz + (16384 - n_nz) * (1::HUGEINT << 64)
+                          AS DOUBLE) AS sd,
+                     16384 - n_nz AS zeros
+              FROM {tag}agg
+            ),
+            {tag}est AS (
+              SELECT CAST(FLOOR(CASE
+                WHEN ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                       * 16384.0) * 18446744073709551616.0) / sd
+                     <= 2.5 * 16384.0 AND zeros > 0
+                THEN 16384.0 * ln(16384.0 / zeros)
+                ELSE ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                       * 16384.0) * 18446744073709551616.0) / sd
+              END * 1000.0) AS BIGINT) AS em
+              FROM {tag}fin
+            )"""
+
     # PII gate: the aug line replays _plant_pii with SQL concat; the scrub
     # chain is generated FROM functions/text.PII_PATTERNS so pattern parity
     # is structural (both engines run RE2).
@@ -13239,6 +13323,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
         """,
+        # round 5: char-level replay of the byte-entropy kernel (driver
+        # docs are pure ASCII, so chars == bytes); //100 masks the
+        # SUM-order ULP band around the micro-bit rounding boundary
+        "doc_entropy": """
+            WITH c AS (
+              SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+              FROM documents
+            ),
+            cnt AS (
+              SELECT doc_id, ch, COUNT(*)::BIGINT AS k
+              FROM c GROUP BY doc_id, ch
+            ),
+            tot AS (SELECT doc_id, SUM(k) AS L FROM cnt GROUP BY doc_id),
+            h AS (
+              SELECT cnt.doc_id,
+                     -SUM((k / CAST(L AS DOUBLE))
+                          * log2(k / CAST(L AS DOUBLE))) AS ent
+              FROM cnt JOIN tot USING (doc_id)
+              GROUP BY cnt.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(FLOOR(COALESCE(h.ent, 0.0) * 1000000 + 0.5)
+                        AS BIGINT) // 100 AS entropy_cb
+            FROM documents d LEFT JOIN h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "ngram_novelty": """
             WITH w AS (
               SELECT doc_id, text,
@@ -13758,6 +13868,37 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS kappa_ppm
             FROM k
 """,
+        # round 5: the estimate view over the same chain — the median of
+        # 9 per-group means (shared denominator 24) is the 5th smallest
+        # s2_sum, so quantile_disc(0.5) replays it as a pure integer
+        "selfjoin_size_ams": f"""
+            WITH cu AS (
+              SELECT event_type AS t, user_id::HUGEINT AS u,
+                     count(*)::HUGEINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            {{sm_a}},
+            jsrc AS (SELECT j FROM generate_series(0, 215) AS g(j)),
+            {{sm_b}},
+            cross0 AS (
+              SELECT ax.t, ax.c, bx.j, xor(ax.h, bx.h) AS xs FROM ax, bx
+            ),
+            {{sm_p}},
+            s AS (
+              SELECT t, j, sum((1 - 2 * (h % 2)) * c) AS s
+              FROM px GROUP BY t, j
+            ),
+            g2 AS (
+              SELECT t AS event_type, j // 24 AS grp,
+                     CAST(sum(s * s) AS BIGINT) AS s2_sum
+              FROM s GROUP BY t, j // 24
+            )
+            SELECT event_type,
+                   CAST(quantile_disc(s2_sum, 0.5) AS BIGINT) AS f2_est24
+            FROM g2 GROUP BY event_type ORDER BY event_type
+""".format(sm_a=_sm_ctes("a", "cu", "u", ["t", "c"]),
+           sm_b=_sm_ctes("b", "jsrc", "(j + 1) * 15", ["j"]),
+           sm_p=_sm_ctes("p", "cross0", "xs", ["t", "c", "j"])),
         "ams_f2_checked": f"""
             WITH cu AS (
               SELECT event_type AS t, user_id::HUGEINT AS u,
@@ -13799,6 +13940,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n_regs
             FROM hist WHERE n > 0 ORDER BY rank
+""",
+        "approx_actor_overlap": f"""
+            WITH ua AS (
+              SELECT DISTINCT user_id::HUGEINT AS u FROM events
+            ),
+            {_sm_ctes("pa", "ua", "u", ["u"])},
+            {_hll_reg_ctes("a", "pax")},
+            ub AS (
+              SELECT DISTINCT o_custkey::HUGEINT AS u FROM orders
+            ),
+            {_sm_ctes("pb", "ub", "u", ["u"])},
+            {_hll_reg_ctes("b", "pbx")},
+            regu AS (
+              SELECT idx, max(rank) AS rank FROM (
+                SELECT * FROM rega UNION ALL SELECT * FROM regb)
+              GROUP BY idx
+            ),
+            {_hll_est_ctes("ea", "rega")},
+            {_hll_est_ctes("eb", "regb")},
+            {_hll_est_ctes("eu", "regu")}
+            SELECT
+              (SELECT em FROM eaest) AS card_a_milli,
+              (SELECT em FROM ebest) AS card_b_milli,
+              (SELECT em FROM euest) AS card_union_milli,
+              GREATEST(0, (SELECT em FROM eaest) + (SELECT em FROM ebest)
+                          - (SELECT em FROM euest)) AS card_intersect_milli
 """,
         "approx_distinct_users": f"""
             WITH users AS (

@@ -81,6 +81,32 @@ class HyperLogLog:
         return float(raw)
 
 
+def hll_estimate_milli(registers) -> int:
+    """IEEE-deterministic HLL estimate, milli-scaled floor — the round-5
+    oracle-checkable estimator: Σ 2^(64−M_j) folds as an EXACT integer
+    (python int here, HUGEINT in SQL), the double conversion is
+    round-half-even in both engines, alpha·m²·2⁶⁴/S is a fixed
+    left-associated chain whose power-of-two factors are rounding-free,
+    and the linear-counting branch uses libm log ≡ DuckDB ln.  Requires
+    m = len(registers) to be a power of two (exact double multiplies)."""
+    import math
+
+    regs = np.asarray(registers, dtype=np.int64)
+    m = len(regs)
+    assert m & (m - 1) == 0 and m > 0
+    counts = np.bincount(regs, minlength=65)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    mf = float(m)
+    alpha = 0.7213 / (1.0 + 1.079 / mf)
+    raw = alpha * mf * mf * 18446744073709551616.0 / float(s_int)
+    zeros = int(counts[0])
+    if raw <= 2.5 * mf and zeros:
+        est = mf * math.log(mf / zeros)
+    else:
+        est = raw
+    return math.floor(est * 1000.0)
+
+
 def hll_over(ds, col: str, p: int = 14) -> HyperLogLog:
     """One 2^p-byte sketch per batch, register-max merge streamed to the
     driver; returns the merged HyperLogLog (the shared streaming fold for
