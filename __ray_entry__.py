@@ -3999,14 +3999,21 @@ def q_chunk_dedup_docs(sf_dir: str):
 def q_perplexity_scores(sf_dir: str):
     """CCNet-style perplexity filter scoring: train an in-corpus add-one
     bigram LM (guarded folds), broadcast it once, score every doc's mean
-    bits-per-bigram in one streaming actor-pool pass.  Rows-only driver
-    check; tests/test_text_lm.py pins the numbers against an independent
-    per-doc reference."""
+    bits-per-bigram in one streaming actor-pool pass.  ORACLE-CHECKED
+    since round 5 (was rows-only): emits ``bits_centi = floor(bits·100)``
+    — every term is log2(c(a)+V) − log2(c(ab)+1) with both counts exact
+    ints in BOTH engines, so the only divergence is per-term log2 ULPs
+    and SUM order (~1e-14 absolute on a ~10-bit mean), which the centi
+    grid absorbs (~1e-12/doc residual).  Full float numbers stay pinned
+    vs an independent reference in tests/test_text_lm.py."""
     from timberjack_ray.functions.text import bigram_lm_scores
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = bigram_lm_scores(ds).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True) \
+    out["bits_centi"] = np.floor(
+        out["bits"].to_numpy() * 100.0).astype(np.int64)
+    return out[["doc_id", "n_bigrams", "bits_centi"]] \
+        .sort_values("doc_id").reset_index(drop=True) \
         .astype({"doc_id": "int64", "n_bigrams": "int64"})
 
 
@@ -4541,18 +4548,24 @@ def q_curation_pipeline_v2(sf_dir: str):
     perplexity gate (drop the worst-20% bits under the in-corpus bigram
     LM — the CCNet step) → benchmark decontamination (held-out slice) →
     chunk-level corpus dedup → per-source summary of surviving chunks.
-    Rows-only on the driver (the LM gate is float-thresholded); every
-    component op is individually oracle-checked or reference-pinned."""
+    ORACLE-CHECKED since round 5 (was rows-only): the gate thresholds on
+    the INTEGER centi-bit grid with the type-1 quantile rule (smallest
+    value whose rank ≥ ⌈0.8·n⌉, ties kept) — same replayable form as
+    perplexity_scores — and every downstream stage reuses an existing
+    replay (3-gram decontamination, 10-word chunk keep-first dedup)."""
     from timberjack_ray.functions.corpus import chunk_dedup, unpack_chunk_ids
     from timberjack_ray.functions.dedup import decontaminate
     from timberjack_ray.functions.text import bigram_lm_scores
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
-    # LM gate: per-doc bits, keep the best 80% (threshold = P80 of bits)
+    # LM gate on the exact centi-bit ints (round 5): keep the best ~80%
     scores = bigram_lm_scores(ds).to_pandas()
-    thr = float(np.quantile(scores["bits"].to_numpy(), 0.8))
-    good = scores.loc[scores["bits"] <= thr, "doc_id"].to_numpy()
+    bc = np.floor(scores["bits"].to_numpy() * 100.0).astype(np.int64)
+    srt = np.sort(bc)
+    thr = int(srt[max(int(np.ceil(0.8 * len(srt))) - 1, 0)]) if len(srt) \
+        else 0
+    good = scores.loc[bc <= thr, "doc_id"].to_numpy()
     good.sort()
     import ray
 
@@ -13322,6 +13335,145 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
+        """,
+        # round 5: the full v2 curation chain — perplexity gate on the
+        # centi-bit type-1 quantile, then the existing 3-gram decontam
+        # and 10-word chunk keep-first replays over the gated set
+        "curation_pipeline_v2": """
+            WITH w AS (
+              SELECT doc_id, source, text,
+                     string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            uc AS (
+              SELECT word, COUNT(*)::BIGINT AS c
+              FROM (SELECT UNNEST(ws) AS word FROM w) GROUP BY word
+            ),
+            vv AS (SELECT COUNT(*)::BIGINT AS v FROM uc),
+            bg AS (
+              SELECT doc_id, s['a'] AS a, s['ab'] AS ab FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(generate_series(1, nw - 1),
+                         i -> struct_pack(a := ws[i],
+                                          ab := ws[i] || ' ' || ws[i+1])))
+                         AS s
+                FROM w WHERE nw >= 2)
+            ),
+            bc AS (SELECT ab, COUNT(*)::BIGINT AS c FROM bg GROUP BY ab),
+            terms AS (
+              SELECT bg.doc_id,
+                     log2(CAST(uc.c AS DOUBLE)
+                          + CAST((SELECT v FROM vv) AS DOUBLE))
+                     - log2(CAST(bc.c AS DOUBLE) + 1.0) AS bit
+              FROM bg JOIN uc ON uc.word = bg.a
+                      JOIN bc ON bc.ab = bg.ab
+            ),
+            bits AS (
+              SELECT w.doc_id,
+                     CAST(FLOOR(CASE WHEN per.nb IS NULL OR per.nb = 0
+                                     THEN 0.0
+                                     ELSE per.s / per.nb END * 100.0)
+                          AS BIGINT) AS bcv
+              FROM w LEFT JOIN (
+                SELECT doc_id, COUNT(*)::BIGINT AS nb, SUM(bit) AS s
+                FROM terms GROUP BY doc_id) per USING (doc_id)
+            ),
+            thr AS (
+              SELECT MIN(bcv) AS thr FROM (
+                SELECT bcv, ROW_NUMBER() OVER (ORDER BY bcv) AS rn
+                FROM bits)
+              WHERE rn >= GREATEST(CAST(CEIL(
+                      0.8 * (SELECT COUNT(*) FROM bits)) AS BIGINT), 1)
+            ),
+            kept AS (
+              SELECT w.* FROM w JOIN bits USING (doc_id)
+              WHERE bits.bcv <= (SELECT thr FROM thr)
+            ),
+            grams AS (
+              SELECT doc_id, UNNEST(
+                CASE WHEN nw <= 3 THEN ['S:' || text]
+                     ELSE list_transform(generate_series(1, nw - 2),
+                           i -> 'L:' || ws[i] || ' ' || ws[i+1] || ' '
+                                || ws[i+2])
+                END) AS gram
+              FROM kept
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT g.doc_id FROM grams g
+              JOIN bench b ON g.gram = b.gram
+              WHERE g.doc_id % 97 <> 0
+            ),
+            clean AS (
+              SELECT doc_id, source, ws FROM kept
+              WHERE doc_id % 97 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM dirty)
+            ),
+            chunks AS (
+              SELECT doc_id, source, CAST(u.i AS BIGINT) AS chunk_idx,
+                     array_to_string(ws[(u.i*10+1):(u.i*10+10)], ' ')
+                       AS chunk
+              FROM clean, LATERAL (SELECT unnest(range(0,
+                       CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i) u
+            ),
+            surv AS (
+              SELECT doc_id, source, chunk_idx FROM (
+                SELECT doc_id, source, chunk_idx,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks) t
+              WHERE rn = 1
+            )
+            SELECT source,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM surv GROUP BY source ORDER BY source
+        """,
+        # round 5: bigram-LM perplexity replay — counts are exact ints
+        # both sides, terms use the kernel's two-log form, the centi
+        # floor absorbs log2-ULP and SUM-order noise
+        "perplexity_scores": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents
+            ),
+            uc AS (
+              SELECT word, COUNT(*)::BIGINT AS c
+              FROM (SELECT UNNEST(ws) AS word FROM w) GROUP BY word
+            ),
+            vv AS (SELECT COUNT(*)::BIGINT AS v FROM uc),
+            bg AS (
+              SELECT doc_id, s['a'] AS a, s['ab'] AS ab FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(generate_series(1, nw - 1),
+                         i -> struct_pack(a := ws[i],
+                                          ab := ws[i] || ' ' || ws[i+1])))
+                         AS s
+                FROM w WHERE nw >= 2)
+            ),
+            bc AS (SELECT ab, COUNT(*)::BIGINT AS c FROM bg GROUP BY ab),
+            terms AS (
+              SELECT bg.doc_id,
+                     log2(CAST(uc.c AS DOUBLE)
+                          + CAST((SELECT v FROM vv) AS DOUBLE))
+                     - log2(CAST(bc.c AS DOUBLE) + 1.0) AS bit
+              FROM bg JOIN uc ON uc.word = bg.a
+                      JOIN bc ON bc.ab = bg.ab
+            ),
+            per AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS nb, SUM(bit) AS s
+              FROM terms GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   GREATEST(w.nw - 1, 0) AS n_bigrams,
+                   CAST(FLOOR(CASE WHEN per.nb IS NULL OR per.nb = 0
+                                   THEN 0.0
+                                   ELSE per.s / per.nb END * 100.0)
+                        AS BIGINT) AS bits_centi
+            FROM w LEFT JOIN per USING (doc_id)
+            ORDER BY w.doc_id
         """,
         # round 5: char-level replay of the byte-entropy kernel (driver
         # docs are pure ASCII, so chars == bytes); //100 masks the
