@@ -26,6 +26,35 @@ def test_copurchase_lift_degrade_matches_driver(ray_session, monkeypatch):
     assert len(got) >= 1  # sf0.001 has few pairs at min-support >= 5
 
 
+def test_grouped_aggregate_ds_matches_pandas(ray_session):
+    """The bucket-exchange grouped aggregate must equal a pandas groupby
+    for every op, including duplicate source columns and string keys."""
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 700, n),
+        "k2": rng.choice(list("abcdef"), n),
+        "v": rng.integers(-50, 50, n),
+    })
+    got = grouped_aggregate_ds(
+        rd.from_pandas(df).repartition(7), ["k1", "k2"],
+        [("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi"),
+         ("v", "count_all", "n")], n_buckets=16).to_pandas() \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    exp = df.groupby(["k1", "k2"], as_index=False).agg(
+        s=("v", "sum"), lo=("v", "min"), hi=("v", "max"), n=("v", "size")) \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    got = got.astype({"s": "int64", "lo": "int64", "hi": "int64",
+                      "n": "int64", "k1": "int64"})
+    exp = exp.astype({"s": "int64", "lo": "int64", "hi": "int64",
+                      "n": "int64", "k1": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def _random_weighted_graph(n_edges=400, n_nodes=60, seed=5):
     rng = np.random.default_rng(seed)
     u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
