@@ -32,6 +32,15 @@ def _rp(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _splitmix_col(col) -> "np.ndarray":
+    """Shared SQL-replayable column hasher for the HLL queries: splitmix64
+    over the integer ids (the chain the hll_register_hist oracle replays)."""
+    from timberjack_ray.functions.corpus import _splitmix64
+
+    return _splitmix64(np.asarray(
+        col.to_numpy(zero_copy_only=False)).astype(np.uint64))
+
+
 _RESULT_FOLD_LIMIT = 5_000_000
 
 
@@ -43,18 +52,24 @@ def _collect_result(ds, limit: int = _RESULT_FOLD_LIMIT) -> pa.Table:
     silently holding an unbounded table.  A query whose result outgrows
     the limit must return the Dataset for the caller to stream/write.
     Empty inputs return a typed empty table from the Dataset schema."""
-    from timberjack_ray.functions.util import collect_table_under
-
-    t = collect_table_under(ds, limit)
-    if t is not None:
-        return t
-    # None = over-limit OR empty; a recount disambiguates (cheap for the
-    # empty case, and the over-limit case is about to raise anyway)
-    if ds.count() > limit:
-        raise ValueError(
-            f"query result exceeded the driver fold contract "
-            f"({limit} rows) — stream the Dataset instead")
-    sch = ds.schema()
+    frames: list[pa.Table] = []
+    total = 0
+    schema = None
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if schema is None:
+            schema = b.schema
+        total += b.num_rows
+        if total > limit:
+            raise ValueError(
+                f"query result exceeded the driver fold contract "
+                f"({limit} rows) — stream the Dataset instead")
+        if b.num_rows:
+            frames.append(b)
+    if frames:
+        return pa.concat_tables(frames)
+    if schema is not None:  # empty result, typed from the streamed blocks
+        return schema.empty_table()
+    sch = ds.schema()  # zero batches yielded: fall back to plan metadata
     sch = getattr(sch, "base_schema", sch)
     return sch.empty_table()
 
@@ -2087,28 +2102,13 @@ def q_approx_distinct_users(sf_dir: str):
     DuckDB ln.  Emits the milli-scaled floor.  Approximate vs the TRUE
     distinct count by design (tolerance asserted in tests/test_sketch.py);
     exact vs the sketch's own definition."""
-    import math
+    P = 14
 
-    from timberjack_ray.functions.corpus import _splitmix64
-    from timberjack_ray.functions.sketch import HyperLogLog
-
-    P, M = 14, 16384
-
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        hll = HyperLogLog(P)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hll.add_hashed(_splitmix64(u))
-        return pa.table({"regs": pa.array([hll.registers.tobytes()],
-                                          pa.binary())})
-
-    from timberjack_ray.functions.sketch import hll_estimate_milli
+    from timberjack_ray.functions.sketch import (hll_estimate_milli,
+                                                  hll_over)
 
     ds = _rp(sf_dir, "events", columns=["user_id"])
-    total = HyperLogLog(P)
-    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for regs in b["regs"].to_pylist():
-            total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+    total = hll_over(ds, "user_id", p=P, hasher=_splitmix_col)
     return pd.DataFrame({"approx_distinct_users_milli":
                          np.array([hll_estimate_milli(total.registers)],
                                   np.int64)})
@@ -5976,31 +5976,15 @@ def q_approx_actor_overlap(sf_dir: str):
     arithmetic on the three milli values.  Approximate vs the TRUE
     cardinalities by design (tolerance in tests/test_sketch.py; exact
     companions actor_ids_union / actor_ids_intersect)."""
-    from timberjack_ray.functions.corpus import _splitmix64
     from timberjack_ray.functions.sketch import (HyperLogLog,
-                                                 hll_estimate_milli)
+                                                 hll_estimate_milli,
+                                                 hll_over)
 
     P = 14
-
-    def sketcher(col):
-        def f(t: pa.Table) -> pa.Table:
-            hll = HyperLogLog(P)
-            u = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            hll.add_hashed(_splitmix64(u))
-            return pa.table({"regs": pa.array([hll.registers.tobytes()],
-                                              pa.binary())})
-        return f
-
-    def fold(ds, col) -> "HyperLogLog":
-        total = HyperLogLog(P)
-        for b in ds.map_batches(sketcher(col), batch_format="pyarrow") \
-                .iter_batches(batch_size=None, batch_format="pyarrow"):
-            for regs in b["regs"].to_pylist():
-                total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
-        return total
-
-    ha = fold(_rp(sf_dir, "events", columns=["user_id"]), "user_id")
-    hb = fold(_rp(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
+    ha = hll_over(_rp(sf_dir, "events", columns=["user_id"]),
+                  "user_id", p=P, hasher=_splitmix_col)
+    hb = hll_over(_rp(sf_dir, "orders", columns=["o_custkey"]),
+                  "o_custkey", p=P, hasher=_splitmix_col)
     union = HyperLogLog(P)
     union.merge_registers(ha.registers)
     union.merge_registers(hb.registers)
@@ -7233,24 +7217,10 @@ def q_hll_register_hist(sf_dir: str):
 
     Scale: per-batch partial = one 16 KiB register blob, max-fold on the
     driver — constant regardless of cardinality."""
-    from timberjack_ray.functions.corpus import _splitmix64
-    from timberjack_ray.functions.sketch import HyperLogLog
-
-    P = 14
-
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        hll = HyperLogLog(P)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hll.add_hashed(_splitmix64(u))
-        return pa.table({"regs": pa.array([hll.registers.tobytes()],
-                                          pa.binary())})
+    from timberjack_ray.functions.sketch import hll_over
 
     ds = _rp(sf_dir, "events", columns=["user_id"])
-    total = HyperLogLog(P)
-    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for regs in b["regs"].to_pylist():
-            total.merge_registers(np.frombuffer(regs, dtype=np.uint8))
+    total = hll_over(ds, "user_id", p=14, hasher=_splitmix_col)
     ranks, counts = np.unique(total.registers, return_counts=True)
     return pd.DataFrame({"rank": ranks.astype(np.int64),
                          "n_regs": counts.astype(np.int64)})
@@ -9033,10 +9003,12 @@ def q_copurchase_lift_top20(sf_dir: str):
     deg = deg.sort_values("i").reset_index(drop=True)
     di = deg["i"].to_numpy().astype(np.int64)
     dc = deg["c"].to_numpy().astype(np.int64)
-    # int64 lift-domain guard: the SQL replay is HUGEINT, so the numpy
-    # product must be checked, not assumed (max n_ab <= max part degree)
-    if dc.size and 10 ** 6 * n_baskets * int(dc.max()) >= 2 ** 63:
-        raise ValueError("copurchase_lift_top20: 10^6*N*n_ab exceeds "
+    # int64 lift-domain guards: the SQL replay is HUGEINT, so both numpy
+    # products must be checked, not assumed (n_ab <= max part degree;
+    # the denominator is a degree product)
+    if dc.size and (10 ** 6 * n_baskets * int(dc.max()) >= 2 ** 63
+                    or int(dc.max()) ** 2 >= 2 ** 63):
+        raise ValueError("copurchase_lift_top20: lift terms exceed "
                          "int64 — rescale before the vector kernel")
 
     def lift_topk(t: pa.Table) -> pa.Table:
@@ -10217,7 +10189,8 @@ def oracle_sql() -> dict[str, str]:
         CTE — the exact text the approx_distinct_users oracle uses, so
         the double chain matches hll_estimate_milli bit-for-bit."""
         return f"""{tag}agg AS (
-              SELECT SUM(1::HUGEINT << (64 - rank)) AS s_nz,
+              SELECT COALESCE(SUM(1::HUGEINT << (64 - rank)),
+                              0::HUGEINT) AS s_nz,
                      COUNT(*) AS n_nz
               FROM {reg}
             ),
@@ -14132,7 +14105,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             reg AS (SELECT idx, max(rank) AS rank FROM r GROUP BY idx),
             agg AS (
-              SELECT SUM(1::HUGEINT << (64 - rank)) AS s_nz,
+              SELECT COALESCE(SUM(1::HUGEINT << (64 - rank)),
+                              0::HUGEINT) AS s_nz,
                      COUNT(*) AS n_nz
               FROM reg
             ),

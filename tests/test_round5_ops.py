@@ -55,6 +55,65 @@ def test_grouped_aggregate_ds_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_grouped_aggregate_ds_null_keys_consistent(ray_session):
+    """Round-5 review fix: an int key column with nulls in SOME batches
+    must bucket identically to null-free batches — one output row per
+    key, and null keys aggregate as one group."""
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    a = pd.DataFrame({"k": pd.array([5, 7, None, 5], dtype="Int64"),
+                      "v": [1, 2, 3, 4]})
+    b = pd.DataFrame({"k": pd.array([5, 7, 9], dtype="Int64"),
+                      "v": [10, 20, 30]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    got = grouped_aggregate_ds(ds, ["k"], [("v", "sum", "s")],
+                               n_buckets=8).to_pandas()
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    assert len(got) == 4  # 5, 7, 9, null — no split keys
+    assert got.loc[got["k"] == 5, "s"].iloc[0] == 15
+    assert got.loc[got["k"] == 7, "s"].iloc[0] == 22
+    assert got.loc[got["k"].isna(), "s"].iloc[0] == 3
+
+
+def test_grouped_aggregate_ds_strided_keys_spread(ray_session):
+    """Round-5 review fix: keys that are multiples of 256 (hourly µs
+    window starts) must spread over buckets, not alias into bucket 0."""
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    ks = np.arange(64, dtype=np.int64) * 3_600_000_000
+    df = pd.DataFrame({"k": np.repeat(ks, 3), "v": 1})
+    got = grouped_aggregate_ds(rd.from_pandas(df).repartition(4),
+                               ["k"], [("v", "sum", "s")], n_buckets=16) \
+        .map_batches(lambda t: pa.table(
+            {"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+    # avalanche check: no single bucket holds more than half the keys
+    assert got["n"].max() <= 32, got["n"].tolist()
+    assert got["n"].sum() == 64
+
+
+def test_widest_bf_seed_absent_parity(ray_session):
+    """Round-5 review fix: an explicit seed absent from the edge set
+    yields the same (empty) result on the driver and distributed paths."""
+    import ray.data as rd
+
+    from timberjack_ray.functions.graph import (bellman_ford_bounded,
+                                                widest_path_bounded)
+
+    ed = pd.DataFrame({"u": [1, 2], "v": [2, 3], "w": [4, 5]})
+    for fn, val in ((widest_path_bounded, "width"),
+                    (bellman_ford_bounded, "dist")):
+        drv = fn(ed, seed=99, rounds=3)
+        dst = fn(rd.from_pandas(ed).repartition(2), seed=99, rounds=3,
+                 driver_limit=0)
+        pd.testing.assert_frame_equal(drv, dst)
+        assert len(drv) == 0
+
+
 def _random_weighted_graph(n_edges=400, n_nodes=60, seed=5):
     rng = np.random.default_rng(seed)
     u = rng.integers(0, n_nodes, n_edges).astype(np.int64)

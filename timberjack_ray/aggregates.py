@@ -436,13 +436,35 @@ def grouped_aggregate_ds(ds, keys: list[str],
 
     out_names = [a[2] for a in aggs]
 
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer (inline: aggregates must not import
+        corpus) — full-width avalanche, so strided key domains
+        (multiples of 2^k) spread over all buckets instead of aliasing
+        into bucket 0 under a multiply-only hash."""
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
     def add_kb(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for k in keys:
-            raw = t[k].to_numpy(zero_copy_only=False)
-            if np.issubdtype(raw.dtype, np.integer):
-                hk = raw.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            col = t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray) \
+                else t[k]
+            # branch on the ARROW type, not the numpy dtype: an int64
+            # column WITH nulls converts to float64 and would otherwise
+            # hash differently than the same values in null-free batches,
+            # splitting one key across buckets
+            if pa.types.is_integer(col.type):
+                vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                hk = _mix64(vals)
+                if col.null_count:
+                    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+                    hk = np.where(nulls,
+                                  np.uint64(0xD6E8FEB86659FD93), hk)
             else:
+                raw = col.to_numpy(zero_copy_only=False)
                 try:
                     hk = pd.util.hash_array(raw).astype(np.uint64)
                 except TypeError:  # pragma: no cover - exotic dtypes
@@ -453,14 +475,11 @@ def grouped_aggregate_ds(ds, keys: list[str],
             "__kb", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        # empty groups flow through the SAME aggregate call: arrow's
+        # group_by on a 0-row table emits the exact promoted output
+        # schema (e.g. int32 sum -> int64), so empty blocks can never
+        # carry a schema the non-empty blocks don't
         t = t.drop_columns(["__kb"])
-        if t.num_rows == 0:
-            cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
-            for c, op, out in aggs:
-                typ = pa.int64() if op in ("count", "count_all") \
-                    else t.schema.field(c).type
-                cols[out] = pa.array([], typ)
-            return pa.table(cols)
         g = t.group_by(keys).aggregate(
             [(([], "count_all") if op == "count_all" else (c, op))
              for c, op, _ in aggs])

@@ -1577,7 +1577,12 @@ def bellman_ford_bounded(edges, seed: int | None = None, rounds: int = 4,
                              "node_limit")
         if not changed:
             break
-    out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    if not _node_in_edges(edges, int(seed)):
+        # driver-path parity: seed absent from the edge node set
+        dist.pop(int(seed), None)
+    out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"]) \
+        if dist else pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                   "dist": pd.Series([], dtype="int64")})
     return out.astype("int64")
 
 
@@ -1637,6 +1642,24 @@ def widest_path_bounded(edges, seed: int | None = None, rounds: int = 4,
     m = width >= 0
     return pd.DataFrame({"node": nodes[m], "width": width[m]}) \
         .astype("int64")
+
+
+def _node_in_edges(edges_ds, node: int) -> bool:
+    """One streaming any() pass over a (materialized, slim) edge Dataset:
+    does ``node`` appear as an endpoint?  Used by the distributed
+    Bellman-Ford / widest-path degrades to mirror the driver paths'
+    membership rule (an explicit seed absent from the edge set reaches
+    nothing and must not appear in the output)."""
+    def probe(t: pa.Table) -> pa.Table:
+        hit = bool((t["u"].to_numpy(zero_copy_only=False) == node).any()
+                   or (t["v"].to_numpy(zero_copy_only=False) == node).any())
+        return pa.table({"hit": pa.array([int(hit)], pa.int64())})
+
+    for b in edges_ds.map_batches(probe, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows and int(pa.compute.sum(b["hit"]).as_py() or 0):
+            return True
+    return False
 
 
 def _widest_path_distributed(edges_ds, seed, rounds: int, w_col: str,
@@ -1707,5 +1730,13 @@ def _widest_path_distributed(edges_ds, seed, rounds: int, w_col: str,
                              "node_limit")
         if not changed:
             break
-    out = pd.DataFrame(sorted(width.items()), columns=["node", "width"])
+    # driver-path parity: an explicit seed absent from the edge set is
+    # unreachable and emitted by NO path; negative widths (possible only
+    # with negative weights) are dropped by the driver's width >= 0 mask
+    if not _node_in_edges(edges_ds, int(seed)):
+        width.pop(int(seed), None)
+    items = [(n_, w_) for n_, w_ in sorted(width.items()) if w_ >= 0]
+    out = pd.DataFrame(items, columns=["node", "width"]) \
+        if items else pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                    "width": pd.Series([], dtype="int64")})
     return out.astype("int64")

@@ -107,14 +107,19 @@ def hll_estimate_milli(registers) -> int:
     return math.floor(est * 1000.0)
 
 
-def hll_over(ds, col: str, p: int = 14) -> HyperLogLog:
+def hll_over(ds, col: str, p: int = 14, hasher=None) -> HyperLogLog:
     """One 2^p-byte sketch per batch, register-max merge streamed to the
     driver; returns the merged HyperLogLog (the shared streaming fold for
-    every HLL consumer in this module)."""
+    every HLL consumer — entry-module queries pass a splitmix64
+    ``hasher`` over integer ids to stay SQL-replayable; the default is
+    the process-stable string siphash)."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_strings(batch[col].to_pylist())
+        if hasher is None:
+            hll.add_strings(batch[col].to_pylist())
+        else:
+            hll.add_hashed(hasher(batch[col]))
         return pa.table({"regs": pa.array([hll.registers.tobytes()], pa.binary())})
 
     total = HyperLogLog(p)

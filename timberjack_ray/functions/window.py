@@ -206,6 +206,12 @@ def windowed_counts_sharded(ds, shard_col: str, arrival_col: str,
     Fold: partials are O(windows × shards); merged driver-side under
     ``fold_limit`` rows, else through a distributed groupby Sum
     (``merge_partials_or_ds`` degrade pattern).
+
+    Sizing: a shard materializes in ONE map_groups task (arrival-order
+    lexsort needs the whole shard), so pick the shard count like a GRACE
+    bucket count — rows/n_shards must fit a worker heap; at 100 TB that
+    is thousands of shards, and the SQL replay partitions by the same
+    ``key % n_shards``.
     """
     from timberjack_ray.aggregates import merge_partials_or_ds
 
