@@ -308,3 +308,90 @@ def test_mp4_extraction_rejections():
         _mp4_video_samples(ftyp + moov)
     with pytest.raises(ValueError, match="container"):
         _container_frames(b"GIF89a not a video")
+
+
+def test_mkv_extraction_and_frame_sampler(ray_session):
+    """Round 5: Matroska/WebM EBML extraction — mux round-trip, WebM
+    doctype, BlockGroup form, dispatch and the FrameSampler stage."""
+    import pyarrow as pa
+
+    from timberjack_ray.functions.multimodal import (FrameSampler,
+                                                     _container_frames,
+                                                     _ebml_elem,
+                                                     _mkv_video_samples,
+                                                     mux_mjpeg_mkv)
+
+    frames = [b"\xff\xd8MKVFRAME%d\xff\xd9" % i for i in range(5)]
+    mkv = mux_mjpeg_mkv(frames)
+    assert _mkv_video_samples(mkv) == frames
+    assert _container_frames(mkv) == frames
+    assert _mkv_video_samples(mux_mjpeg_mkv(frames, doctype=b"webm")) \
+        == frames
+
+    # BlockGroup->Block form (the non-Simple variant) parses too
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+    entry = _ebml_elem(0xAE, _ebml_elem(0xD7, b"\x01")
+                       + _ebml_elem(0x83, b"\x01")
+                       + _ebml_elem(0x86, b"V_MJPEG"))
+    tracks = _ebml_elem(0x1654AE6B, entry)
+    grp = b"".join(_ebml_elem(0xA0, _ebml_elem(
+        0xA1, b"\x81\x00\x00\x00" + fr)) for fr in frames)
+    cluster = _ebml_elem(0x1F43B675, _ebml_elem(0xE7, b"\x00") + grp)
+    mkv_bg = header + _ebml_elem(0x18538067, tracks + cluster)
+    assert _mkv_video_samples(mkv_bg) == frames
+
+    t = pa.table({"media_id": [7], "payload": [mkv]})
+    out = FrameSampler(max_frames=3, backend="real")(t).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["frame_bytes"].tolist() == [frames[0], frames[2], frames[4]]
+
+
+def test_mkv_extraction_rejections():
+    import pytest
+
+    from timberjack_ray.functions.multimodal import (_ebml_elem,
+                                                     _mkv_video_samples,
+                                                     mux_mjpeg_mkv)
+
+    with pytest.raises(ValueError, match="EBML"):
+        _mkv_video_samples(b"\x00" * 32)
+    # EBML header but no Segment
+    with pytest.raises(ValueError, match="Segment"):
+        _mkv_video_samples(_ebml_elem(0x1A45DFA3,
+                                      _ebml_elem(0x4282, b"matroska")))
+    # audio-only TrackEntry (TrackType 2)
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+    entry = _ebml_elem(0xAE, _ebml_elem(0xD7, b"\x01")
+                       + _ebml_elem(0x83, b"\x02"))
+    seg = _ebml_elem(0x18538067, _ebml_elem(0x1654AE6B, entry))
+    with pytest.raises(ValueError, match="video track"):
+        _mkv_video_samples(header + seg)
+    # laced SimpleBlock refused
+    frames = [b"\xff\xd8A\xff\xd9"]
+    mkv = mux_mjpeg_mkv(frames)
+    laced = mkv.replace(b"\x81\x00\x00\x80", b"\x81\x00\x00\x86", 1)
+    with pytest.raises(ValueError, match="laced"):
+        _mkv_video_samples(laced)
+
+
+def test_mkv_unknown_size_segment():
+    """Streaming-muxer convention: an all-ones Segment size extends to
+    EOF; the walker must still find Tracks and Clusters."""
+    from timberjack_ray.functions.multimodal import (_ebml_elem,
+                                                     _mkv_video_samples,
+                                                     mux_mjpeg_mkv)
+
+    frames = [b"\xff\xd8S%d\xff\xd9" % i for i in range(3)]
+    mkv = mux_mjpeg_mkv(frames)
+    # rebuild with Segment size = unknown (0x01 FF..FF, 8 octets)
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+    seg_body = mkv[len(header):]
+    # strip the segment id+size and re-emit with the unknown-size marker
+    sid = b"\x18\x53\x80\x67"
+    assert seg_body[:4] == sid
+    # size vint length: leading byte of mux output size
+    b0 = seg_body[4]
+    ln = 9 - b0.bit_length()
+    inner = seg_body[4 + ln:]
+    unk = sid + b"\x01" + b"\xff" * 7 + inner
+    assert _mkv_video_samples(header + unk) == frames
