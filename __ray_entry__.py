@@ -2089,6 +2089,51 @@ def q_grouped_sample_events(sf_dir: str):
         {"event_type": "str", "event_id": "int64"})
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """GROUPED HyperLogLog distinct (round 5): approximate distinct
+    users PER event_type — the per-segment cardinality planner
+    (sketch.approx_distinct_by's shape) on the SQL-replayable splitmix64
+    + IEEE-deterministic estimator, so it is hash-checked from day one.
+
+    Scale shape: per batch, one 16 KiB register blob per group value
+    (groups × 2^p bytes regardless of user cardinality), register-max
+    merge per group on the driver, one milli estimate per group.  The
+    oracle reconstructs per-(type, idx) max ranks with GROUP BY and runs
+    the same estimate chain per type row."""
+    from timberjack_ray.functions.corpus import _splitmix64
+    from timberjack_ray.functions.sketch import (HyperLogLog,
+                                                 hll_estimate_milli)
+
+    P = 14
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "user_id"]).to_pandas()
+        out_t, out_r = [], []
+        for g, sub in df.groupby("event_type", sort=False):
+            hll = HyperLogLog(P)
+            hll.add_hashed(_splitmix64(
+                sub["user_id"].to_numpy().astype(np.uint64)))
+            out_t.append(g)
+            out_r.append(hll.registers.tobytes())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    merged: dict[str, HyperLogLog] = {}
+    for b in ds.map_batches(sketch, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for g, regs in zip(b["event_type"].to_pylist(),
+                           b["regs"].to_pylist()):
+            if g not in merged:
+                merged[g] = HyperLogLog(P)
+            merged[g].merge_registers(np.frombuffer(regs, dtype=np.uint8))
+    rows = [(g, hll_estimate_milli(h.registers))
+            for g, h in sorted(merged.items())]
+    return pd.DataFrame(rows, columns=["event_type",
+                                       "distinct_users_milli"]) \
+        .astype({"distinct_users_milli": "int64"})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (scale path for 10^9+-cardinality
     families; <1% error at p=14).  ORACLE-CHECKED since round 5 (was
@@ -9601,6 +9646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_levels": q_stream_levels,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_distinct_users_by_type":
+            q_approx_distinct_users_by_type,
         # --- remaining oracle-checked + rows-only, original order ---
         "quality_histogram": q_quality_histogram,
         "best_doc_per_lang": q_best_doc_per_lang,
@@ -14091,6 +14138,44 @@ def oracle_sql() -> dict[str, str]:
               (SELECT em FROM euest) AS card_union_milli,
               GREATEST(0, (SELECT em FROM eaest) + (SELECT em FROM ebest)
                           - (SELECT em FROM euest)) AS card_intersect_milli
+""",
+        "approx_distinct_users_by_type": f"""
+            WITH du AS (
+              SELECT DISTINCT event_type AS t, user_id::HUGEINT AS u
+              FROM events
+            ),
+            {_sm_ctes("h", "du", "u", ["t"])},
+            r AS (
+              SELECT t, h // 1125899906842624 AS idx,
+                     65 - length(bin((((h * 16384) % {_P64})
+                                      + 8192)::UBIGINT)) AS rank
+              FROM hx
+            ),
+            reg AS (SELECT t, idx, max(rank) AS rank
+                    FROM r GROUP BY t, idx),
+            agg AS (
+              SELECT t,
+                     COALESCE(SUM(1::HUGEINT << (64 - rank)),
+                              0::HUGEINT) AS s_nz,
+                     COUNT(*) AS n_nz
+              FROM reg GROUP BY t
+            ),
+            fin AS (
+              SELECT t, CAST(s_nz + (16384 - n_nz) * (1::HUGEINT << 64)
+                             AS DOUBLE) AS sd,
+                     16384 - n_nz AS zeros
+              FROM agg
+            )
+            SELECT t AS event_type,
+                   CAST(FLOOR(CASE
+                     WHEN ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                            * 16384.0) * 18446744073709551616.0) / sd
+                          <= 2.5 * 16384.0 AND zeros > 0
+                     THEN 16384.0 * ln(16384.0 / zeros)
+                     ELSE ((((0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0)
+                            * 16384.0) * 18446744073709551616.0) / sd
+                   END * 1000.0) AS BIGINT) AS distinct_users_milli
+            FROM fin ORDER BY t
 """,
         "approx_distinct_users": f"""
             WITH users AS (
