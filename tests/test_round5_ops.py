@@ -96,6 +96,40 @@ def test_grouped_aggregate_ds_strided_keys_spread(ray_session):
     assert got["n"].sum() == 64
 
 
+def test_grouped_aggregate_ds_fuzz_vs_pandas(ray_session):
+    """Hypothesis-style fuzz (deterministic seeds): random key domains —
+    including strided ints, negatives and nulls — must always match a
+    pandas groupby, for any bucket count and partitioning."""
+    import ray.data as rd
+
+    from timberjack_ray.aggregates import grouped_aggregate_ds
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 2000))
+        stride = int(rng.choice([1, 2, 256, 4096, 3_600_000_000]))
+        k = rng.integers(-20, 20, n) * stride
+        null_mask = rng.random(n) < 0.1
+        kk = pd.array(k, dtype="Int64")
+        kk[null_mask] = None
+        df = pd.DataFrame({"k": kk, "v": rng.integers(-9, 9, n)})
+        got = grouped_aggregate_ds(
+            rd.from_pandas(df).repartition(int(rng.integers(1, 6))),
+            ["k"], [("v", "sum", "s"), ("v", "max", "hi")],
+            n_buckets=int(rng.choice([2, 16, 256]))).to_pandas()
+        exp = df.groupby("k", dropna=False, as_index=False) \
+            .agg(s=("v", "sum"), hi=("v", "max"))
+        got = got.sort_values("k", na_position="last") \
+            .reset_index(drop=True)
+        exp = exp.sort_values("k", na_position="last") \
+            .reset_index(drop=True)
+        assert len(got) == len(exp), (seed, len(got), len(exp))
+        assert got["s"].astype("int64").tolist() \
+            == exp["s"].astype("int64").tolist(), seed
+        assert got["hi"].astype("int64").tolist() \
+            == exp["hi"].astype("int64").tolist(), seed
+
+
 def test_widest_bf_seed_absent_parity(ray_session):
     """Round-5 review fix: an explicit seed absent from the edge set
     yields the same (empty) result on the driver and distributed paths."""
