@@ -225,10 +225,17 @@ def main() -> None:
         timed("top_gaps", lambda: em.q_top_event_gaps(SF_DIR))
         timed("ecdf_calibration",
               lambda: em.q_purchase_value_percentiles(SF_DIR))
-        # round-5 trackers: the sharded watermark windower and the
-        # IEEE-deterministic HLL estimate
+        # round-5 trackers: the sharded watermark windower, the
+        # IEEE-deterministic HLL estimates and the converted LM/curation
+        # pipelines
         timed("stream_windowed", lambda: em.q_stream_windowed_counts(SF_DIR))
         timed("hll_distinct", lambda: em.q_approx_distinct_users(SF_DIR))
+        timed("hll_by_type",
+              lambda: em.q_approx_distinct_users_by_type(SF_DIR))
+        timed("perplexity", lambda: em.q_perplexity_scores(SF_DIR))
+        timed("curation_v2", lambda: em.q_curation_pipeline_v2(SF_DIR))
+        timed("dsir", lambda: em.q_dsir_scores(SF_DIR))
+        timed("bm25", lambda: em.q_bm25_docs(SF_DIR))
 
     headline = queries["flagship_routed"]
     result = {
